@@ -1,0 +1,112 @@
+package graft.cli
+
+import graft.core.{Archive, DirHash}
+import graft.hash.{Algos, HashSpec}
+import org.apache.spark.sql.SparkSession
+
+/** CLI flag-compatible with the reference's `_main`
+  * (/root/reference/dirhash.py:582-687): positional dir;
+  * --check/-c/--verify/-v HASH; --check-name/-cn; --block-size/-b
+  * (default 128M); --hash-algorithm/-a (default sha256);
+  * --move-to-archive REPO; --softlink/--sl/-s LINK (archive only);
+  * --check and --check-name mutually exclusive; mismatch or softlink
+  * conflict exits 1.
+  */
+object Main {
+
+  private case class Args(
+      dir: String = null,
+      check: Option[String] = None,
+      checkName: Boolean = false,
+      blockSize: String = HashSpec.DefaultBlockSize,
+      algo: String = "sha256",
+      archive: Option[String] = None,
+      softlink: Option[String] = None)
+
+  def main(argv: Array[String]): Unit = sys.exit(run(argv))
+
+  def run(argv: Array[String]): Int = {
+    val args = parse(argv.toList, Args()) match {
+      case Right(a) => a
+      case Left(msg) => System.err.println(msg); return 2
+    }
+    if (args.check.isDefined && args.checkName) {
+      System.err.println("--check and --check-name are mutually exclusive")
+      return 2
+    }
+    if (args.softlink.isDefined && args.archive.isEmpty) {
+      System.err.println("--softlink requires --move-to-archive")
+      return 2
+    }
+    if (!Algos.supported.contains(args.algo)) {
+      System.err.println(s"unsupported hash algorithm: ${args.algo}")
+      return 2
+    }
+
+    val builder = SparkSession.builder()
+      .appName("DirHash")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // under spark-submit the master comes from the launcher config; when run
+    // directly (the reference's `SparkContext(appName=...)` path) fall back
+    // to all local cores
+    if (!new org.apache.spark.SparkConf().contains("spark.master"))
+      builder.master("local[*]")
+    val spark = builder.getOrCreate()
+    try {
+      val expected: Option[String] =
+        if (args.checkName) {
+          // verify the directory's basename as its own hash string
+          // (reference dirhash.py:636-639)
+          val base = graft.fs.Listing.stripTrailingSlashes(args.dir)
+          Some(base.substring(base.lastIndexOf('/') + 1))
+        } else args.check
+
+      expected match {
+        case Some(hashStr) =>
+          val result = DirHash.verifyDirectoryHash(spark, args.dir, hashStr)
+          if (result.matches) {
+            println(s"MATCH: ${result.actualHash}")
+            0
+          } else {
+            println(s"MISMATCH: expected $hashStr, actual ${result.actualHash}")
+            1
+          }
+        case None =>
+          val hashStr = DirHash.hashDirectory(spark, args.dir, args.algo, args.blockSize)
+          println(hashStr)
+          args.archive match {
+            case Some(repo) =>
+              Archive.moveFolderToHashedArchive(repo, args.dir, hashStr)
+              args.softlink.foreach { link =>
+                try Archive.createSoftlink(repo, hashStr, link)
+                catch {
+                  case e: IllegalStateException =>
+                    System.err.println(e.getMessage)
+                    return 1
+                }
+              }
+              0
+            case None => 0
+          }
+      }
+    } finally spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parse(argv: List[String], acc: Args): Either[String, Args] = argv match {
+    case Nil =>
+      if (acc.dir == null) Left("usage: dirhash DIR [options]") else Right(acc)
+    case ("--check" | "-c" | "--verify" | "-v") :: v :: rest =>
+      parse(rest, acc.copy(check = Some(v)))
+    case ("--check-name" | "-cn") :: rest => parse(rest, acc.copy(checkName = true))
+    case ("--block-size" | "-b") :: v :: rest => parse(rest, acc.copy(blockSize = v))
+    case ("--hash-algorithm" | "-a") :: v :: rest => parse(rest, acc.copy(algo = v))
+    case "--move-to-archive" :: v :: rest => parse(rest, acc.copy(archive = Some(v)))
+    case ("--softlink" | "--sl" | "-s") :: v :: rest =>
+      parse(rest, acc.copy(softlink = Some(v)))
+    case flag :: _ if flag.startsWith("-") => Left(s"unknown flag: $flag")
+    case dir :: rest if acc.dir == null => parse(rest, acc.copy(dir = dir))
+    case extra :: _ => Left(s"unexpected argument: $extra")
+  }
+}

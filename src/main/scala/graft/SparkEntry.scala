@@ -1,13 +1,277 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from the SURVEY.md §2 inventory
+  * (§2.12 extended surface: relational, dedup, similarity, text analysis,
+  * sessionization). `oracleSql` holds the DuckDB-equivalent SQL the driver
+  * runs against the same parquet tables; column names and integer widths
+  * are aligned on both sides (Spark int casts to long where DuckDB returns
+  * BIGINT; DuckDB integer SUM is cast from HUGEINT back to BIGINT).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational surface (SURVEY.md §2.12: scans, joins, aggs, windows)
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_revenue_by_nation" -> (Relational.revenueByNation _),
+    "q03_top_orders" -> (Relational.topOrders _),
+    "q04_semi_join_customers" -> (Relational.semiJoinCustomers _),
+    "q05_anti_join_customers" -> (Relational.antiJoinCustomers _),
+    "q06_top_orders_per_customer" -> (Relational.topOrdersPerCustomer _),
+    "q07_order_gaps" -> (Relational.orderGaps _),
+    "q08_rollup_summary" -> (Relational.rollupSummary _),
+    "q09_cube_summary" -> (Relational.cubeSummary _),
+    "q10_set_ops" -> (Relational.setOps _),
+    "q11_distinct_counts" -> (Relational.distinctCounts _),
+    "q12_brand_revenue_by_region" -> (Relational.brandRevenueByRegion _),
+    // dedup (north-star: exact + MinHash banding + n-gram Jaccard)
+    "q13_exact_duplicates" -> (Dedup.exactDuplicates _),
+    "q14_minhash_signatures" -> ((s: SparkSession, d: String) => Dedup.minhashSignatures(s, d)),
+    "q15_minhash_candidates" -> (Dedup.minhashCandidates _),
+    "q16_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
+    // similarity search (north-star: brute-force + embedding near-dup + IVF)
+    "q17_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "q18_cosine_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairs(s, d)),
+    "q19_ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.annIvfTopK(s, d)),
+    // text analysis (north-star: tokens, quality, lang-id, fingerprints)
+    "q20_token_stats" -> (TextAnalysis.tokenStats _),
+    "q21_regex_token_counts" -> (TextAnalysis.regexTokenCounts _),
+    "q22_quality_scores" -> (TextAnalysis.qualityScores _),
+    "q23_langid_scores" -> (TextAnalysis.langIdScores _),
+    "q24_fingerprints" -> (TextAnalysis.fingerprints _),
+    // event streams (batch shape of the streaming ops)
+    "q25_user_sessions" -> ((s: SparkSession, d: String) => Sessionize.userSessions(s, d)),
+    "q26_hourly_event_counts" -> (Sessionize.hourlyEventCounts _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < '1999-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS line_count
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        | JOIN nation ON c_nationkey=n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, revenue
+        |FROM (SELECT l_orderkey, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |      FROM lineitem GROUP BY l_orderkey) r
+        |JOIN orders ON l_orderkey=o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_semi_join_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderstatus='O' AND o_totalprice>100000.0)""".stripMargin,
+    "q05_anti_join_customers" ->
+      """SELECT c_custkey, c_name, round(c_acctbal,2) AS c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus='F')""".stripMargin,
+    "q06_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q07_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, CAST(d AS VARCHAR) AS o_orderdate,
+        | date_diff('day', prev_d, d) AS gap_days
+        |FROM (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |       lag(CAST(o_orderdate AS DATE), 1) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+        |      FROM orders) t""".stripMargin,
+    "q08_rollup_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q09_cube_summary" ->
+      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice),2) AS sum_price,
+        | count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q10_set_ops" ->
+      """SELECT c_custkey FROM (
+        | (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus='O')
+        | EXCEPT
+        | SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus='F'
+        |) x
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0""".stripMargin,
+    "q11_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        | count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q12_brand_revenue_by_region" ->
+      """SELECT p_brand, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE l_suppkey IN (
+        |  SELECT s_suppkey FROM supplier
+        |   JOIN nation ON s_nationkey=n_nationkey
+        |   JOIN region ON n_regionkey=r_regionkey
+        |  WHERE r_name='ASIA')
+        |GROUP BY p_brand""".stripMargin,
+    "q13_exact_duplicates" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper, count(*) AS copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "q14_minhash_signatures" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok)
+        |SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || sh)) AS sig
+        |FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bands
+        |GROUP BY doc_id, band""".stripMargin,
+    "q15_minhash_candidates" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |sigs AS (
+        | SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || sh)) AS sig
+        | FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bands
+        | GROUP BY doc_id, band)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM sigs a JOIN sigs b
+        | ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "q16_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, common,
+        | round(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) AS jaccard
+        |FROM common
+        | JOIN sizes sa ON doc_a=sa.doc_id
+        | JOIN sizes sb ON doc_b=sb.doc_id
+        |WHERE round(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.05""".stripMargin,
+    "q17_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id=0)
+        |SELECT vec_id, label,
+        | round(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)
+        |                 for i in range(1, len(embedding)+1)]) /
+        |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) *
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in qe]))), 6) AS cosine
+        |FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "q18_cosine_near_dup_pairs" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |  FROM embeddings)
+        |SELECT * FROM (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(a.embedding)+1)]) / (a.nrm*b.nrm), 6) AS cosine
+        | FROM e a JOIN e b ON a.label=b.label AND a.vec_id < b.vec_id) t
+        |WHERE cosine >= 0.3""".stripMargin,
+    "q19_ann_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+        |           WHERE vec_id < 8),
+        |scored AS (
+        | SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+        |  round(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+        |                  for i in range(1, len(e.embedding)+1)]) /
+        |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding])) *
+        |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in c.ce]))), 6) AS c_cos
+        | FROM embeddings e CROSS JOIN c),
+        |assigned AS (
+        | SELECT vec_id, label, embedding, centroid_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY c_cos DESC, centroid_id) AS rk FROM scored) t
+        | WHERE rk = 1),
+        |qcell AS (SELECT centroid_id AS q_cell, embedding AS qe FROM assigned WHERE vec_id=0)
+        |SELECT vec_id, label,
+        | round(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)
+        |                 for i in range(1, len(embedding)+1)]) /
+        |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) *
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in qe]))), 6) AS cosine
+        |FROM assigned JOIN qcell ON centroid_id = q_cell
+        |WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q20_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | round(avg(n_tokens),4) AS avg_tokens,
+        | round(avg(n_chars),4) AS avg_chars,
+        | max(n_tokens) AS max_tokens
+        |FROM (SELECT lang, len(string_split(text,' ')) AS n_tokens,
+        |       length(text) AS n_chars FROM documents) t
+        |GROUP BY lang""".stripMargin,
+    "q21_regex_token_counts" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    "q22_quality_scores" ->
+      """SELECT doc_id, lang, n_tokens, n_types,
+        | round(CAST(n_types AS DOUBLE)/n_tokens, 6) AS type_token_ratio,
+        | round(CAST(n_stop AS DOUBLE)/n_tokens, 6) AS stopword_ratio,
+        | round(CAST(n_chars - n_tokens + 1 AS DOUBLE)/n_tokens, 6) AS avg_word_len
+        |FROM (
+        | SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        | FROM (SELECT doc_id, lang, text, string_split(text,' ') AS t FROM documents) b) t""".stripMargin,
+    "q23_langid_scores" ->
+      """SELECT doc_id, true_lang, score_en, score_de, score_fr, score_es,
+        | CASE WHEN score_en>=score_de AND score_en>=score_fr AND score_en>=score_es THEN 'en'
+        |      WHEN score_de>=score_fr AND score_de>=score_es THEN 'de'
+        |      WHEN score_fr>=score_es THEN 'fr' ELSE 'es' END AS pred_lang
+        |FROM (SELECT doc_id, lang AS true_lang,
+        |  round(CAST(len(list_filter(t, x -> x IN ('the','a','and'))) AS DOUBLE)/len(t),6) AS score_en,
+        |  round(CAST(len(list_filter(t, x -> x IN ('der','die','und'))) AS DOUBLE)/len(t),6) AS score_de,
+        |  round(CAST(len(list_filter(t, x -> x IN ('le','la','et'))) AS DOUBLE)/len(t),6) AS score_fr,
+        |  round(CAST(len(list_filter(t, x -> x IN ('el','la','y'))) AS DOUBLE)/len(t),6) AS score_es
+        | FROM (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents) b) t""".stripMargin,
+    "q24_fingerprints" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint,
+        | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_types
+        |FROM documents""".stripMargin,
+    "q25_user_sessions" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS sec, value
+        |            FROM events),
+        |s1 AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec
+        |       FROM ev),
+        |s2 AS (SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+        |                      THEN 1 ELSE 0 END AS is_new FROM s1),
+        |s3 AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s2),
+        |g AS (SELECT user_id, session_id, count(*) AS n_events,
+        |       max(sec)-min(sec) AS span_sec, round(sum(value),2) AS session_value
+        |      FROM s3 GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        | CAST(sum(n_events) AS BIGINT) AS n_events,
+        | round(avg(n_events),4) AS avg_events_per_session,
+        | max(span_sec) AS max_span_sec,
+        | round(sum(session_value),2) AS total_value
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q26_hourly_event_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.12): scans, joins (inner /
+  * semi / anti / broadcast), hash aggregation, rollup, windows, sort/top-k
+  * and set operations over the TPC-H-ish testdata.
+  *
+  * Every query is a declarative DataFrame plan — filters and projections
+  * reach the parquet scan, aggregates get map-side partial combine, and
+  * dimension tables are broadcast so fact-table joins shuffle only when a
+  * repartition is genuinely required. Double aggregates are rounded so the
+  * DuckDB oracle comparison is stable across summation orders.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1-flavored pricing summary: single scan, hash agg with partial
+    * combine; grouping keys are low-cardinality so the shuffle is tiny.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" < lit("1999-01-01"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Revenue per nation: fact-to-fact join on keys, dimensions broadcast
+    * (nation is 25 rows at any scale — a shuffle join there would be a
+    * planning bug at 100 TB).
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = t(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val orders = t(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val lineitem = t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val nation = t(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("line_count"))
+  }
+
+  /** Top 10 orders by revenue — total sort is avoided: partial top-k per
+    * partition (TakeOrderedAndProject) after a keyed aggregation.
+    * Tie-broken on o_orderkey so the result set is deterministic.
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders").select($"o_orderkey", $"o_orderdate")
+    t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .groupBy($"l_orderkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderkey", to_date($"o_orderdate").cast("string").as("o_orderdate"), $"revenue")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Left-semi join: customers having at least one high-value open order. */
+  def semiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOpen = t(spark, dir, "orders")
+      .filter($"o_orderstatus" === "O" && $"o_totalprice" > 100000.0)
+      .select($"o_custkey")
+    t(spark, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .join(bigOpen, $"c_custkey" === $"o_custkey", "left_semi")
+  }
+
+  /** Left-anti join: customers who never had an order fail. */
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F").select($"o_custkey")
+    t(spark, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .withColumn("c_acctbal", round($"c_acctbal", 2))
+  }
+
+  /** Window ranking: top-3 orders per customer by totalprice. The window
+    * shuffle partitions by o_custkey — at scale this is the canonical
+    * partial top-k per key; rank ties broken by orderkey for determinism.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"),
+        $"rn".cast("long").as("rn"))
+  }
+
+  /** Window lag: days since the customer's previous order (analytic
+    * function over an event-ordered per-key window).
+    */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"d", $"o_orderkey")
+    t(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("d"))
+      .withColumn("prev_d", lag($"d", 1).over(w))
+      .withColumn("gap_days", datediff($"d", $"prev_d").cast("long"))
+      .select($"o_custkey", $"o_orderkey", $"d".cast("string").as("o_orderdate"),
+        $"gap_days")
+  }
+
+  /** Rollup over (returnflag, linestatus): grouping-set aggregation with
+    * subtotals and a grand total.
+    */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  /** Cube over (orderstatus, orderpriority). */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+  }
+
+  /** Set operations: BUILDING-segment customers with open orders
+    * (intersect) minus those who also have a failed order (except),
+    * unioned with the highest-balance customers.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val building = customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val open = orders.filter($"o_orderstatus" === "O").select($"o_custkey".as("c_custkey"))
+    val failed = orders.filter($"o_orderstatus" === "F").select($"o_custkey".as("c_custkey"))
+    val rich = customer.filter($"c_acctbal" > 9000.0).select($"c_custkey")
+    building.intersect(open).except(failed).union(rich).distinct()
+  }
+
+  /** Distinct aggregation: exact distinct part/supplier counts per
+    * returnflag (two-phase distinct-agg shuffle).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("distinct_parts"),
+        countDistinct($"l_suppkey").as("distinct_supps"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Multi-way star join with two broadcast dims + selective filter:
+    * revenue by part brand for one region's suppliers.
+    */
+  def brandRevenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val supplier = t(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val nation = t(spark, dir, "nation").select($"n_nationkey", $"n_regionkey")
+    val region = t(spark, dir, "region").filter($"r_name" === "ASIA").select($"r_regionkey")
+    val part = t(spark, dir, "part").select($"p_partkey", $"p_brand")
+    val asiaSuppliers = supplier
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey")
+    t(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_partkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(asiaSuppliers), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+}

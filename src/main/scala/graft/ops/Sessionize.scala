@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: gap-based
+  * sessionization (the batch shape of `session_window`) and tumbling-window
+  * aggregation. The streaming variants live in graft.streaming; these
+  * batch forms share the semantics and the oracle.
+  */
+object Sessionize {
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects outright; read nanos as raw longs and derive epoch-seconds /
+    * microsecond timestamps explicitly. `ts div 1e9` stays in integer
+    * arithmetic — 2024 epoch-nanos (~1.7e18) exceed double's 53-bit
+    * mantissa, so a `/`-then-cast would corrupt seconds.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap): session id =
+    * running count of gap-breaks per user. One shuffle on user_id; the
+    * window functions and the final aggregation share that partitioning so
+    * Catalyst plans a single exchange.
+    */
+  def userSessions(spark: SparkSession, dir: String, gapSec: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val sessions = events(spark, dir)
+      .select($"user_id", $"event_id", expr("ts div 1000000000").as("sec"), $"value")
+      .withColumn("prev_sec", lag($"sec", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_sec".isNull || $"sec" - $"prev_sec" > gapSec, 1).otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"sec") - min($"sec")).as("span_sec"),
+        round(sum($"value"), 2).as("session_value"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"),
+        round(avg($"n_events"), 4).as("avg_events_per_session"),
+        max($"span_sec").as("max_span_sec"),
+        round(sum($"session_value"), 2).as("total_value"))
+  }
+
+  /** Tumbling 1-hour windows per event type: the batch twin of a
+    * Structured Streaming `window($"ts", "1 hour")` aggregation.
+    */
+  def hourlyEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"total_value")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star surface):
+  * brute-force cosine top-k as the exact baseline and an IVF-bucketed
+  * variant as the scale path.
+  *
+  * All vector math is `zip_with`/`aggregate` over `array<float>` — native
+  * Catalyst expressions, no UDFs. Elements are cast to double before
+  * multiply/accumulate so the fold is the same left-to-right double
+  * arithmetic the oracle computes.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Sequential left-to-right dot product of two float arrays in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Exact brute-force cosine top-k against one query vector (vec_id 0).
+    * The query row is broadcast; one scan computes every score; top-k via
+    * ordered limit (TakeOrderedAndProject — per-partition partial top-k,
+    * no total sort).
+    */
+  def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter($"vec_id" === queryId)
+      .select($"embedding".as("q_embedding"))
+    e.filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label",
+        round(dot($"embedding", $"q_embedding") /
+          (norm($"embedding") * norm($"q_embedding")), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(k)
+  }
+
+  /** All near-duplicate embedding pairs above a cosine threshold —
+    * embedding-space near-dup detection. Label-blocked join keeps the
+    * candidate set sub-quadratic (same role LSH buckets play at scale).
+    */
+  def cosineNearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"label", $"embedding",
+      norm($"embedding").as("nrm"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .filter($"cosine" >= minCosine)
+  }
+
+  /** IVF-style bucketed ANN: the first `nCentroids` vectors act as fixed
+    * centroids (deterministic — no trained k-means in the oracle path).
+    * Every vector is assigned to its nearest centroid; the query searches
+    * only its own cell. At 100 TB the assignment is one broadcast-join
+    * scan and each query touches 1/nCentroids of the data.
+    */
+  def annIvfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      nCentroids: Int = 8, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val centroids = e.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c_embedding"))
+    // nearest centroid per vector: max cosine, centroid_id as tiebreaker
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"label", $"embedding", $"centroid_id",
+        round(dot($"embedding", $"c_embedding") /
+          (norm($"embedding") * norm($"c_embedding")), 6).as("c_cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy($"c_cos".desc, $"centroid_id")))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"label", $"embedding", $"centroid_id")
+    val qCell = assigned.filter($"vec_id" === queryId)
+      .select($"centroid_id".as("q_cell"), $"embedding".as("q_embedding"))
+    assigned
+      .join(broadcast(qCell), $"centroid_id" === $"q_cell")
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", $"label",
+        round(dot($"embedding", $"q_embedding") /
+          (norm($"embedding") * norm($"q_embedding")), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(k)
+  }
+}

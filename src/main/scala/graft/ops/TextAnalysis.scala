@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.12 /
+  * north-star): token counting, quality scoring, language-ID scoring and
+  * document fingerprinting. All single-scan, codegen'd built-ins — no UDFs
+  * — so at 100 TB each is one pass over the text column with a small-key
+  * aggregation behind it.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Per-language corpus stats: doc count, token count, avg tokens/chars.
+    * Whitespace tokenization; aggregation keys are the 5 langs, so the
+    * shuffle is constant-size regardless of corpus scale.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"lang", size(toks).cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        round(avg($"n_tokens"), 4).as("avg_tokens"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        max($"n_tokens").as("max_tokens"))
+  }
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or single
+    * non-space symbols — the standard subword-ish pre-tokenizer shape.
+    */
+  def regexTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id",
+        size(toks).cast("long").as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("re_tokens"),
+        length($"text").cast("long").as("n_chars"))
+  }
+
+  /** Per-document quality signals: length, lexical diversity (type-token
+    * ratio), stopword ratio, mean word length — the usual pre-training
+    * quality-filter features.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopwords = Seq("the", "a", "of", "and", "to")
+    docs(spark, dir)
+      .select($"doc_id", $"lang", $"text", toks.as("t"))
+      .select(
+        $"doc_id", $"lang",
+        size($"t").cast("long").as("n_tokens"),
+        size(array_distinct($"t")).cast("long").as("n_types"),
+        size(filter($"t", tk => tk.isin(stopwords: _*))).cast("long").as("n_stop"),
+        length($"text").cast("long").as("n_chars"))
+      .select(
+        $"doc_id", $"lang", $"n_tokens", $"n_types",
+        round($"n_types".cast("double") / $"n_tokens", 6).as("type_token_ratio"),
+        round($"n_stop".cast("double") / $"n_tokens", 6).as("stopword_ratio"),
+        // tokens are single-space separated: chars = sum(len)+n-1
+        round(($"n_chars" - $"n_tokens" + 1).cast("double") / $"n_tokens", 6)
+          .as("avg_word_len"))
+  }
+
+  /** Language-ID scoring: marker-token hit rates per candidate language,
+    * predicted label = argmax with a fixed tie order. (A real n-gram model
+    * slots into the same shape; the synthetic corpus shares one vocabulary
+    * so the value here is the deterministic scoring pipeline.)
+    */
+  def langIdScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and"),
+      "de" -> Seq("der", "die", "und"),
+      "fr" -> Seq("le", "la", "et"),
+      "es" -> Seq("el", "la", "y"))
+    val base = docs(spark, dir).select($"doc_id", $"lang", toks.as("t"))
+    val scored = markers.foldLeft(base) { case (df, (l, ms)) =>
+      df.withColumn(s"score_$l",
+        round(size(filter(col("t"), tk => tk.isin(ms: _*))).cast("double") /
+          size(col("t")), 6))
+    }
+    scored.select(
+      $"doc_id", $"lang".as("true_lang"),
+      $"score_en", $"score_de", $"score_fr", $"score_es",
+      when($"score_en" >= $"score_de" && $"score_en" >= $"score_fr" && $"score_en" >= $"score_es", "en")
+        .when($"score_de" >= $"score_fr" && $"score_de" >= $"score_es", "de")
+        .when($"score_fr" >= $"score_es", "fr")
+        .otherwise("es").as("pred_lang"))
+  }
+
+  /** Canonical bag-of-words fingerprint: md5 over the sorted distinct
+    * token set — an order-invariant content fingerprint (same idea as the
+    * dirhash listing canonicalization, one level up).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id",
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fingerprint"),
+        size(array_distinct(toks)).cast("long").as("n_types"))
+  }
+}

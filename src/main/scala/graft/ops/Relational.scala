@@ -47,9 +47,11 @@ object Relational {
     val lineitem = t(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     val nation = t(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    // customer scales with SF — shuffle join there (AQE may still
+    // broadcast at small SF); only the fixed-25-row nation is hinted.
     lineitem
       .join(orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
@@ -184,10 +186,13 @@ object Relational {
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .select($"s_suppkey")
+    // asiaSuppliers and part both scale with SF — no forced broadcast
+    // (a hint would OOM a 1000-executor job once the key set outgrows
+    // the driver); AQE broadcasts them automatically while they fit.
     t(spark, dir, "lineitem")
       .select($"l_suppkey", $"l_partkey", $"l_extendedprice", $"l_discount")
-      .join(broadcast(asiaSuppliers), $"l_suppkey" === $"s_suppkey", "left_semi")
-      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(asiaSuppliers, $"l_suppkey" === $"s_suppkey", "left_semi")
+      .join(part, $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
         count(lit(1)).as("n"))

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9 extended / north-star):
+  * watermarked tumbling-window aggregation, native `session_window`
+  * sessionization, and a custom-state sessionizer via
+  * `flatMapGroupsWithState` — the three canonical streaming shapes.
+  *
+  * Every transform takes the event stream as a DataFrame/Dataset argument
+  * (MemoryStream in tests, `readEventStream` in production) so the logic
+  * is identical for batch and streaming inputs — same plan Catalyst sees
+  * either way, which is what keeps the batch twins in graft.ops.Sessionize
+  * oracle-comparable.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start_sec: Long,
+    session_end_sec: Long, n_events: Long, total_value: Double)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-source stream over an events directory (parquet, micros
+    * timestamps). `maxFilesPerTrigger` bounds per-batch work so a backlog
+    * replay doesn't build one giant micro-batch.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(dir)
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark: the
+    * streaming twin of Sessionize.hourlyEventCounts. State is bounded by
+    * (watermark horizon × distinct event types).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+  }
+
+  /** Native session-window sessionization (30-minute gap): Spark merges
+    * overlapping per-event windows into sessions; the watermark closes a
+    * session once event time passes gap + lateness, so state can't grow
+    * unboundedly.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("session_value"))
+      .select($"user_id", $"sw.start".as("session_start"), $"sw.end".as("session_end"),
+        $"n_events", $"session_value")
+  }
+
+  /** Custom-state sessionizer: `flatMapGroupsWithState` with event-time
+    * timeout. Emits a SessionOut each time a 30-minute gap closes a
+    * session — the shape to reach for when session semantics outgrow
+    * `session_window` (e.g. value-dependent gaps, per-session caps).
+    *
+    * State per user is one open session (constant size); the event-time
+    * timeout fires when the watermark passes last-event + gap, so closed
+    * sessions are emitted even for users who go silent.
+    */
+  def sessionizeWithState(events: Dataset[Event],
+      gapSec: Long = 1800L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fold(user: Long, incoming: Iterator[Event],
+        state: GroupState[(Long, Long, Long, Double)]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val (s, e, n, v) = state.get
+        state.remove()
+        return Iterator(SessionOut(user, s, e, n, math.rint(v * 100) / 100))
+      }
+      val sorted = incoming.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))
+      var out = List.empty[SessionOut]
+      var open = state.getOption
+      sorted.foreach { ev =>
+        val sec = Math.floorDiv(ev.ts.getTime, 1000L)
+        open = open match {
+          case Some((s, e, n, v)) if sec - e <= gapSec =>
+            Some((s, sec max e, n + 1, v + ev.value))
+          case Some((s, e, n, v)) =>
+            out ::= SessionOut(user, s, e, n, math.rint(v * 100) / 100)
+            Some((sec, sec, 1L, ev.value))
+          case None => Some((sec, sec, 1L, ev.value))
+        }
+      }
+      open.foreach { o =>
+        state.update(o)
+        state.setTimeoutTimestamp(o._2 * 1000L + gapSec * 1000L)
+      }
+      out.reverseIterator
+    }
+
+    // Event-time timeout requires a watermark on the input stream (a
+    // no-op for batch Datasets).
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "1 hour").as[Event]
+      else events
+    withWm
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape spec for the whole SparkEntry query surface at sf0.001.
+  * Value-level parity with DuckDB is the driver's gate (and
+  * tools/compare_oracle.py locally); here we pin what a refactor is most
+  * likely to break silently: every query plans, runs, returns rows, and
+  * keeps its column contract, and every query has an oracle.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every query has a matching oracleSql entry") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // Column contract per query: the driver's compare sorts columns by
+  // name, so a renamed/dropped column breaks the hash even when values
+  // are right.
+  private val expectedColumns = Map(
+    "q01_pricing_summary" -> Set("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc", "count_order"),
+    "q02_revenue_by_nation" -> Set("n_name", "revenue", "line_count"),
+    "q03_top_orders" -> Set("o_orderkey", "o_orderdate", "revenue"),
+    "q04_semi_join_customers" -> Set("c_custkey", "c_name", "c_mktsegment"),
+    "q05_anti_join_customers" -> Set("c_custkey", "c_name", "c_acctbal"),
+    "q06_top_orders_per_customer" -> Set("o_custkey", "o_orderkey", "o_totalprice", "rn"),
+    "q07_order_gaps" -> Set("o_custkey", "o_orderkey", "o_orderdate", "gap_days"),
+    "q08_rollup_summary" -> Set("l_returnflag", "l_linestatus", "sum_qty", "n"),
+    "q09_cube_summary" -> Set("o_orderstatus", "o_orderpriority", "sum_price", "n"),
+    "q10_set_ops" -> Set("c_custkey"),
+    "q11_distinct_counts" -> Set("l_returnflag", "distinct_parts", "distinct_supps", "n"),
+    "q12_brand_revenue_by_region" -> Set("p_brand", "revenue", "n"),
+    "q13_exact_duplicates" -> Set("content_hash", "keeper", "copies"),
+    "q14_minhash_signatures" -> Set("doc_id", "band", "sig"),
+    "q15_minhash_candidates" -> Set("doc_a", "doc_b"),
+    "q16_jaccard_pairs" -> Set("doc_a", "doc_b", "common", "jaccard"),
+    "q17_cosine_topk" -> Set("vec_id", "label", "cosine"),
+    "q18_cosine_near_dup_pairs" -> Set("vec_a", "vec_b", "label", "cosine"),
+    "q19_ann_ivf_topk" -> Set("vec_id", "label", "cosine"),
+    "q20_token_stats" -> Set("lang", "n_docs", "total_tokens", "avg_tokens",
+      "avg_chars", "max_tokens"),
+    "q21_regex_token_counts" -> Set("doc_id", "ws_tokens", "re_tokens", "n_chars"),
+    "q22_quality_scores" -> Set("doc_id", "lang", "n_tokens", "n_types",
+      "type_token_ratio", "stopword_ratio", "avg_word_len"),
+    "q23_langid_scores" -> Set("doc_id", "true_lang", "score_en", "score_de",
+      "score_fr", "score_es", "pred_lang"),
+    "q24_fingerprints" -> Set("doc_id", "fingerprint", "n_types"),
+    "q25_user_sessions" -> Set("user_id", "n_sessions", "n_events",
+      "avg_events_per_session", "max_span_sec", "total_value"),
+    "q26_hourly_event_counts" -> Set("window_start", "event_type", "n", "total_value"),
+  )
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs, returns rows, keeps its column contract") {
+      val df = fn(spark, sf)
+      assert(df.columns.toSet == expectedColumns(name),
+        s"columns drifted: ${df.columns.mkString(",")}")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("top-k queries respect their limits") {
+    assert(Relational.topOrders(spark, sf).count() == 10)
+    assert(Similarity.cosineTopK(spark, sf).count() == 20)
+    assert(Similarity.annIvfTopK(spark, sf).count() <= 10)
+  }
+
+  test("minhash candidate pairs are ordered and distinct") {
+    val rows = Dedup.minhashCandidates(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (a, b) => a < b })
+    assert(rows.length == rows.distinct.length)
+  }
+
+  test("sessionization: per-user session counts bounded by event counts") {
+    val s = Sessionize.userSessions(spark, sf)
+      .select("n_sessions", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(s.forall { case (ns, ne) => ns >= 1 && ns <= ne })
+  }
+}

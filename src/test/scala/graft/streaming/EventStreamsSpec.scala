@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams._
+
+/** Drives the streaming ops end-to-end with MemoryStream micro-batches,
+  * including late data and watermark-driven session closing.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:$sec%02d")
+
+  private def ev(id: Long, min: Int, user: Long, typ: String = "click",
+      value: Double = 1.0): Event = Event(id, ts(min), user, typ, value)
+
+  test("hourlyCounts aggregates tumbling windows across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = hourlyCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 10, 2, "view", 2.5))
+      q.processAllAvailable()
+      in.addData(ev(4, 65, 1, "click", 3.0)) // next hour's window
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("window_start", "event_type", "n", "total_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(t => (t._1, t._2)).map(_._2.last).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 2.0)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 2.5)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionWindows merges events within gap and splits across it") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionWindows(in.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 50 min
+      // later (new session); user 2: single event
+      in.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 60, 1), ev(4, 5, 2, value = 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 2L, 2.0), (1L, 1L, 1.0), (2L, 1L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeWithState emits closed sessions as the watermark advances") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionizeWithState(in.toDS())
+      .writeStream.format("memory").queryName("statesessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0, 7, value = 1.5), ev(2, 10, 7, value = 2.0))
+      q.processAllAvailable()
+      // 2 hours later: past watermark delay (1h) + gap (30m), so the
+      // first session must close — either by gap-break or timeout
+      in.addData(ev(3, 150, 7, value = 4.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 400, 8)) // push watermark far ahead, times out session 2
+      q.processAllAvailable()
+      val rows = spark.table("statesessions")
+        .select("user_id", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((7L, 2L, 3.5)), s"got $rows")
+      assert(rows.contains((7L, 1L, 4.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming sessionWindows agrees with the batch gap-sessionizer shape") {
+    // same events through the batch Dataset path of sessionizeWithState
+    val events = Seq(ev(1, 0, 1), ev(2, 10, 1), ev(3, 60, 1), ev(4, 5, 2, value = 9.0))
+    val out = sessionizeWithState(spark.createDataset(events))
+      .collect().map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    // batch emits only *closed* sessions (open ones stay in state);
+    // user 1's first session closes at the 60-min gap break
+    assert(out == Set((1L, 2L, 2.0)))
+  }
+}

@@ -49,6 +49,12 @@ object SparkEntry {
     // event streams (batch shape of the streaming ops)
     "q25_user_sessions" -> ((s: SparkSession, d: String) => Sessionize.userSessions(s, d)),
     "q26_hourly_event_counts" -> (Sessionize.hourlyEventCounts _),
+    // SimHash dedup + sketch aggregation
+    "q27_simhash" -> (Dedup.simhash _),
+    "q28_simhash_near_dups" -> ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)),
+    "q29_approx_distinct" -> (Relational.approxDistinct _),
+    // multimodal plumbing (binary columns + stubbed codec; rows-only check)
+    "q30_media_summary" -> (graft.multimodal.Multimodal.mediaSummary _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -273,5 +279,37 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q27_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM tok),
+        |bs AS (SELECT doc_id, b,
+        |        sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |       FROM h CROSS JOIN (SELECT unnest(range(0,32)) AS b) bb GROUP BY doc_id, b)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |          ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bs GROUP BY doc_id""".stripMargin,
+    "q28_simhash_near_dups" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM tok),
+        |bs AS (SELECT doc_id, b,
+        |        sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |       FROM h CROSS JOIN (SELECT unnest(range(0,32)) AS b) bb GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |                 ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bs GROUP BY doc_id),
+        |bands AS (SELECT doc_id, simhash,
+        |           b2, (simhash >> CAST(b2*8 AS INTEGER)) & 255 AS band_val
+        |          FROM sh CROSS JOIN (SELECT unnest(range(0,4)) AS b2) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |          a.simhash AS ha, b.simhash AS hb
+        |         FROM bands a JOIN bands b
+        |          ON a.b2=b.b2 AND a.band_val=b.band_val AND a.doc_id<b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha,hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha,hb)) <= 3""".stripMargin,
+    // Intentionally no oracle (driver records rows-only checks):
+    // q29_approx_distinct — HLL sketches are engine-specific;
+    // q30_media_summary — the multimodal codec stub is not SQL-expressible.
   )
 }

@@ -1,0 +1,147 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star surface): image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, plus
+  * decode / feature-extract / frame-sample operators.
+  *
+  * The Spark-side shape is real and tested — schema, batched
+  * `mapPartitions` processing (the JVM twin of `mapInPandas`: decode
+  * libraries amortize setup per batch, not per row), partitioning,
+  * and the feature output contract that feeds graft.ops.Similarity.
+  * The codec itself is a STUB: this container has no image/audio
+  * libraries, so `StubCodec` is a deterministic fake that stands in for
+  * e.g. a JNI/FFI decoder. Swap `StubCodec` for a real one and nothing
+  * else changes.
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, durationMs: Long, codec: String)
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+  case class DecodedRow(media_id: Long, kind: String, width: Int, height: Int,
+    duration_ms: Long, codec: String, n_bytes: Long)
+  case class FeatureRow(media_id: Long, kind: String, feature: Array[Float])
+  case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB decoder — deterministic fake in place of a real codec binding.
+    * "Decodes" metadata from the payload bytes via length + a rolling
+    * hash so tests are stable; a real implementation would parse the
+    * container header here (and is the only thing that would change).
+    */
+  object StubCodec {
+    def decode(kind: String, bytes: Array[Byte]): MediaMeta = {
+      var h = 1125899906842597L // deterministic FNV-ish roll over the payload
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      MediaMeta(w, ht, bytes.length.toLong * 8, s"stub-$kind")
+    }
+
+    /** Fake fixed-dim feature vector: byte 4-gram rolling hashes bucketed
+      * into `dim` accumulators, L2-normalized. Deterministic; replaces a
+      * real vision/audio embedding model.
+      */
+    def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val acc = new Array[Float](dim)
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * 257 + (bytes(i) & 0xff)) & 0xffffffffL
+        if (i >= 3) acc((h % dim).toInt) += 1f
+        i += 1
+      }
+      val n = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x * x)).toFloat
+      if (n == 0f) acc else acc.map(_ / n)
+    }
+  }
+
+  /** Opaque-binary media table derived deterministically from the
+    * `documents` testdata (payload = utf-8 bytes, kind = round-robin
+    * modality). At 100 TB this is `spark.read.format("binaryFile")` over
+    * an object store — same schema, same downstream operators.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+        encode($"text", "UTF-8").as("content"))
+      .as[MediaRow]
+  }
+
+  /** Decode metadata in batches: groups each partition's rows into
+    * `batchSize` chunks so a real codec can amortize per-batch setup
+    * (arena allocation, GPU transfer, FFI handle) exactly as a
+    * `mapInPandas` UDF would. Output is columnar-friendly (flat struct).
+    */
+  def decodeMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup would go here
+        batch.iterator.map { r =>
+          val m = StubCodec.decode(r.kind, r.content)
+          DecodedRow(r.media_id, r.kind, m.width, m.height, m.durationMs,
+            m.codec, r.content.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** Feature extraction → fixed-dim float vectors, the same
+    * `array<float>` contract as the embeddings table, so
+    * graft.ops.Similarity's cosine/ANN operators run unchanged on media.
+    */
+  def featurize(media: Dataset[MediaRow], dim: Int = 64,
+      batchSize: Int = 64): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(r =>
+          FeatureRow(r.media_id, r.kind, StubCodec.featurize(r.content, dim)))
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size
+    * window as one frame blob. One input row explodes to n_frames rows —
+    * done in mapPartitions (not a SQL explode of a materialized array) so
+    * only `frameSize` bytes are resident per output row, never the whole
+    * decoded frame list.
+    */
+  def frameSample(media: Dataset[MediaRow], frameSize: Int = 256,
+      stride: Int = 4): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.content.grouped(frameSize).zipWithIndex
+          .collect { case (chunk, i) if i % stride == 0 => FrameRow(r.media_id, i, chunk) }
+      }
+    }
+  }
+
+  /** The queries-surface entry: media → decode → featurize → per-kind
+    * rollup. Rows-only driver check (the codec stub is not
+    * SQL-expressible); the point is that the full pipeline runs in the
+    * driver's environment with real Spark plumbing.
+    */
+  def mediaSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+    val meta = decodeMeta(media)
+    val feats = featurize(media)
+    meta.join(feats.select($"media_id", $"feature"), "media_id")
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum($"n_bytes").as("total_bytes"),
+        round(avg($"width"), 4).as("avg_width"),
+        round(avg($"height"), 4).as("avg_height"),
+        round(avg(aggregate($"feature", lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("avg_feature_norm2"))
+  }
+}

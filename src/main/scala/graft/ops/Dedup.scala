@@ -66,6 +66,47 @@ object Dedup {
       .distinct()
   }
 
+  /** 32-bit SimHash per document: token hash = first 8 md5 hex chars; one
+    * +1/-1 vote per bit per token occurrence; bit set iff the vote sum is
+    * positive. One explode + one groupBy with 32 map-side-combined sums —
+    * a single shuffle of (doc_id, 32 ints) regardless of corpus size.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select($"doc_id", explode(toks).as("tok"))
+      .select($"doc_id", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = (0 until 32).map(b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val bitSums = tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    bitSums.select($"doc_id",
+      (0 until 32).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).cast("long").as("simhash"))
+  }
+
+  /** SimHash near-duplicates: 4×8-bit band blocking (pigeonhole-complete
+    * for hamming distance <= 3) then exact hamming verification via
+    * bit_count(xor). The band join replaces the all-pairs comparison —
+    * the same LSH shape as MinHash banding but on one 32-bit key.
+    */
+  def simhashNearDups(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sh = simhash(spark, dir)
+    val bands = sh.select($"doc_id", $"simhash",
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("shiftright(simhash, band * 8)").bitwiseAND(255))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    cand.select($"doc_a", $"doc_b",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+  }
+
   /** Shingle-set Jaccard similarity for the most-similar doc pairs.
     * Computes |A∩B| via a shingle equi-join and |A∪B| = |A|+|B|-|A∩B|;
     * thresholded so the join output stays sparse.

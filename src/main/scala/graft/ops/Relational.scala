@@ -173,6 +173,22 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Approximate distinct counts: HLL++ sketch per group — the 100 TB
+    * shape for cardinality estimation (one pass, mergeable partials,
+    * constant memory vs exact distinct's two-phase shuffle). No DuckDB
+    * oracle: sketch implementations differ across engines, so the driver
+    * records a rows-only check for this query.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
+        count(lit(1)).as("n"))
+  }
+
   /** Multi-way star join with two broadcast dims + selective filter:
     * revenue by part brand for one region's suppliers.
     */

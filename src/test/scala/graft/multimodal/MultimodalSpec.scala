@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("mediaTable: opaque binary column with kind metadata") {
+    val m = mediaTable(spark, sf)
+    val schema = m.schema.map(f => (f.name, f.dataType.typeName)).toMap
+    assert(schema("content") == "binary")
+    assert(schema("kind") == "string")
+    val kinds = m.collect().map(_.kind).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("decodeMeta is deterministic and batch-size invariant") {
+    val media = mediaTable(spark, sf)
+    val a = decodeMeta(media, batchSize = 1).collect().sortBy(_.media_id)
+    val b = decodeMeta(media, batchSize = 1000).collect().sortBy(_.media_id)
+    assert(a.map(r => (r.media_id, r.width, r.height, r.duration_ms, r.codec)).toSeq ==
+      b.map(r => (r.media_id, r.width, r.height, r.duration_ms, r.codec)).toSeq)
+    assert(a.forall(r => r.width >= 64 && r.height >= 64 && r.n_bytes > 0))
+  }
+
+  test("featurize: fixed dim, L2-normalized, batch-size invariant") {
+    val media = mediaTable(spark, sf)
+    val f1 = featurize(media, dim = 64, batchSize = 3).collect().sortBy(_.media_id)
+    val f2 = featurize(media, dim = 64, batchSize = 500).collect().sortBy(_.media_id)
+    assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
+    assert(f1.forall(_.feature.length == 64))
+    val norms = f1.map(_.feature.foldLeft(0.0)((s, x) => s + x * x))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-3))
+  }
+
+  test("frameSample: only video rows, strided frame indices, bounded frames") {
+    val media = mediaTable(spark, sf)
+    val frames = frameSample(media, frameSize = 100, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    assert(frames.forall(_.frame.length <= 100))
+    // reassembly: frame 0 of each media is the payload's first 100 bytes
+    val byId = mediaTable(spark, sf).filter(_.kind == "video").collect()
+      .map(r => r.media_id -> r.content).toMap
+    frames.filter(_.frame_idx == 0).foreach { f =>
+      assert(f.frame.toSeq == byId(f.media_id).take(100).toSeq)
+    }
+  }
+
+  test("mediaSummary rolls up decode + features per kind") {
+    val s = mediaSummary(spark, sf).collect()
+    assert(s.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    assert(s.forall(_.getLong(1) > 0))
+  }
+
+  test("media features flow into the similarity operators' contract") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark; import spark2.implicits._
+    val feats = featurize(mediaTable(spark, sf)).toDF()
+    // same array<float> shape as embeddings.parquet: cosine vs first row
+    val q = feats.filter($"media_id" === 1L).select($"feature".as("qf"))
+    val scored = feats.crossJoin(broadcast(q))
+      .select($"media_id",
+        aggregate(zip_with($"feature", $"qf", (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("cos"))
+      .orderBy(desc("cos")).limit(5).collect()
+    assert(scored.head.getLong(0) == 1L) // self-similarity is max (unit norms)
+  }
+}

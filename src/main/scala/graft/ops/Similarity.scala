@@ -7,24 +7,25 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the exact baseline and an IVF-bucketed
   * variant as the scale path.
   *
-  * All vector math is `zip_with`/`aggregate` over `array<float>` — native
-  * Catalyst expressions, no UDFs. Elements are cast to double before
-  * multiply/accumulate so the fold is the same left-to-right double
-  * arithmetic the oracle computes.
+  * Vector math runs through graft.functions.VectorOps — custom Catalyst
+  * expressions that codegen to a primitive loop (the builtin
+  * `aggregate(zip_with(...))` route pays one interpreted lambda call per
+  * element per row, which dominates all-pairs scoring). The accumulation
+  * order and double casts are identical to the HOF fold, so results stay
+  * bit-equal to the DuckDB `list_sum` oracle.
   */
 object Similarity {
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  import graft.functions.VectorOps
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
     spark.read.parquet(s"$dir/embeddings.parquet")
+  }
 
-  /** Sequential left-to-right dot product of two float arrays in double. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  private def norm(a: Column): Column = call_function("vec_norm", a)
 
   /** Exact brute-force cosine top-k against one query vector (vec_id 0).
     * The query row is broadcast; one scan computes every score; top-k via

@@ -55,6 +55,9 @@ object SparkEntry {
     "q29_approx_distinct" -> (Relational.approxDistinct _),
     // multimodal plumbing (binary columns + stubbed codec; rows-only check)
     "q30_media_summary" -> (graft.multimodal.Multimodal.mediaSummary _),
+    // SRP-LSH ANN + order-sensitive fingerprints
+    "q31_srp_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.srpLshTopK(s, d)),
+    "q32_rolling_fingerprints" -> (TextAnalysis.rollingFingerprints _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -308,6 +311,31 @@ object SparkEntry {
         |          ON a.b2=b.b2 AND a.band_val=b.band_val AND a.doc_id<b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha,hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha,hb)) <= 3""".stripMargin,
+    "q31_srp_lsh_ann" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
+        |b AS (SELECT e.vec_id, e.label, e.embedding,
+        |       CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                       for i in range(1, len(e.embedding)+1)]) >= 0
+        |                THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.label, e.embedding),
+        |q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        | round(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)
+        |                 for i in range(1, len(embedding)+1)]) /
+        |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) *
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in qe]))), 6) AS cosine
+        |FROM b JOIN q ON bucket = qb
+        |WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q32_rolling_fingerprints" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(text,' '),
+        |    x -> CAST(('0x'||substr(md5(x),1,8)) AS BIGINT))),
+        |  (a,b) -> (a*257 + b) % 2147483648) AS rolling_fp,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
     // Intentionally no oracle (driver records rows-only checks):
     // q29_approx_distinct — HLL sketches are engine-specific;
     // q30_media_summary — the multimodal codec stub is not SQL-expressible.

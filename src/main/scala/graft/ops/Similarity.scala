@@ -64,6 +64,37 @@ object Similarity {
       .filter($"cosine" >= minCosine)
   }
 
+  /** SRP-LSH bucketed ANN: random-hyperplane signatures with the first
+    * `nPlanes` embeddings as deterministic hyperplanes (the corpus is
+    * zero-centered, so sign bits are balanced). bucket = Σ 2^i·[v·h_i ≥ 0];
+    * the query probes only its own bucket — at scale one broadcast of
+    * nPlanes vectors buckets the whole corpus in a single scan and each
+    * query touches ~1/2^nPlanes of the data. The LSH complement to the
+    * IVF variant below.
+    */
+  def srpLshTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      nPlanes: Int = 4, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val planes = e.filter($"vec_id" < nPlanes)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"))
+    val bit = when(dot($"embedding", $"pe") >= 0,
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))")).otherwise(lit(0L))
+    val bucketed = e.crossJoin(broadcast(planes))
+      .groupBy($"vec_id", $"label", $"embedding")
+      .agg(sum(bit).cast("long").as("bucket"))
+    val q = bucketed.filter($"vec_id" === queryId)
+      .select($"bucket".as("qb"), $"embedding".as("qe"))
+    bucketed
+      .join(broadcast(q), $"bucket" === $"qb")
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", $"label",
+        round(dot($"embedding", $"qe") /
+          (norm($"embedding") * norm($"qe")), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** IVF-style bucketed ANN: the first `nCentroids` vectors act as fixed
     * centroids (deterministic — no trained k-means in the oracle path).
     * Every vector is assigned to its nearest centroid; the query searches

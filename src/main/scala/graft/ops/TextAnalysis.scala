@@ -98,6 +98,24 @@ object TextAnalysis {
         .otherwise("es").as("pred_lang"))
   }
 
+  /** Order-sensitive rolling-hash fingerprint: polynomial fold
+    * (acc·257 + md5₃₂(token)) mod 2³¹ over the token SEQUENCE — two docs
+    * with the same bag of words but different order fingerprint
+    * differently (complement of the order-invariant `fingerprints`).
+    * Single narrow scan, no shuffle.
+    */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id",
+        aggregate(
+          transform($"t", x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")),
+          lit(0L),
+          (acc, x) => pmod(acc * lit(257L) + x, lit(2147483648L))).as("rolling_fp"),
+        size($"t").cast("long").as("n_tokens"))
+  }
+
   /** Canonical bag-of-words fingerprint: md5 over the sorted distinct
     * token set — an order-invariant content fingerprint (same idea as the
     * dirhash listing canonicalization, one level up).

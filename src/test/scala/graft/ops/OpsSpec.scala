@@ -65,6 +65,8 @@ class OpsSpec extends AnyFunSuite {
     "q29_approx_distinct" -> Set("l_returnflag", "approx_parts", "approx_supps", "n"),
     "q30_media_summary" -> Set("kind", "n_media", "total_bytes", "avg_width",
       "avg_height", "avg_feature_norm2"),
+    "q31_srp_lsh_ann" -> Set("vec_id", "label", "cosine"),
+    "q32_rolling_fingerprints" -> Set("doc_id", "rolling_fp", "n_tokens"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -58,6 +58,8 @@ object SparkEntry {
     // SRP-LSH ANN + order-sensitive fingerprints
     "q31_srp_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.srpLshTopK(s, d)),
     "q32_rolling_fingerprints" -> (TextAnalysis.rollingFingerprints _),
+    // the engine's own chunk_hash expression on the relational surface
+    "q33_chunk_hash_digests" -> (Dedup.chunkHashDigests _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,6 +337,11 @@ object SparkEntry {
         |    x -> CAST(('0x'||substr(md5(x),1,8)) AS BIGINT))),
         |  (a,b) -> (a*257 + b) % 2147483648) AS rolling_fp,
         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q33_chunk_hash_digests" ->
+      """SELECT doc_id,
+        | sha256(CAST(doc_id AS VARCHAR) || chr(0) || '0' || chr(0) || text) AS chunk_digest,
+        | CAST(length(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
     // Intentionally no oracle (driver records rows-only checks):
     // q29_approx_distinct — HLL sketches are engine-specific;

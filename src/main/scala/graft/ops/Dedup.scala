@@ -82,6 +82,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Content-addressed digests through the engine's own `chunk_hash`
+    * Catalyst expression — the reference's F3 domain-separated spec
+    * (path || 0x00 || idx || 0x00 || content) applied to a relational
+    * binary column: doc text bytes as chunk content, doc_id as path,
+    * chunk 0. The hex digest is the dedup/content-addressing key.
+    */
+  def chunkHashDigests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.ChunkHashOps.register(spark)
+    docs(spark, dir)
+      .select($"doc_id",
+        lower(hex(call_function("chunk_hash",
+          $"doc_id".cast("string"), lit(0L), encode($"text", "UTF-8"),
+          lit("sha256")))).as("chunk_digest"),
+        length($"text").cast("long").as("n_bytes"))
+  }
+
   /** 32-bit SimHash per document: token hash = first 8 md5 hex chars; one
     * +1/-1 vote per bit per token occurrence; bit set iff the vote sum is
     * positive. One explode + one groupBy with 32 map-side-combined sums —

@@ -67,6 +67,7 @@ class OpsSpec extends AnyFunSuite {
       "avg_height", "avg_feature_norm2"),
     "q31_srp_lsh_ann" -> Set("vec_id", "label", "cosine"),
     "q32_rolling_fingerprints" -> Set("doc_id", "rolling_fp", "n_tokens"),
+    "q33_chunk_hash_digests" -> Set("doc_id", "chunk_digest", "n_bytes"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

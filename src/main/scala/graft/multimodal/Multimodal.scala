@@ -107,6 +107,32 @@ object Multimodal {
     }
   }
 
+  case class ResizedRow(media_id: Long, kind: String, content: Array[Byte],
+    orig_bytes: Long, scale: Int)
+
+  /** Resize/downsample: keeps every `scale`-th payload byte — the STUB
+    * stand-in for an image resize (a real codec would decode, scale,
+    * re-encode in this same batched loop). Shape matters: output rows are
+    * strictly smaller than inputs (1/scale), so a resize stage REDUCES
+    * shuffle volume for everything downstream — at 100 TB you resize
+    * before any shuffle, never after.
+    */
+  def resize(media: Dataset[MediaRow], scale: Int = 4,
+      batchSize: Int = 64): Dataset[ResizedRow] = {
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val out = new Array[Byte]((r.content.length + scale - 1) / scale)
+          var i = 0
+          while (i < out.length) { out(i) = r.content(i * scale); i += 1 }
+          ResizedRow(r.media_id, r.kind, out, r.content.length.toLong, scale)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: every `stride`-th fixed-size
     * window as one frame blob. One input row explodes to n_frames rows —
     * done in mapPartitions (not a SQL explode of a materialized array) so

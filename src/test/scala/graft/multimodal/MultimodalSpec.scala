@@ -50,6 +50,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: 1/scale output bytes, deterministic, scale=1 is identity") {
+    val media = mediaTable(spark, sf)
+    val r4 = resize(media, scale = 4).collect().sortBy(_.media_id)
+    assert(r4.forall(r => r.content.length == (r.orig_bytes + 3) / 4))
+    val r1 = resize(media, scale = 1).collect().sortBy(_.media_id)
+    val orig = media.collect().sortBy(_.media_id)
+    assert(r1.map(_.content.toSeq).toSeq == orig.map(_.content.toSeq).toSeq)
+    // deterministic across batch sizes
+    val r4b = resize(media, scale = 4, batchSize = 1).collect().sortBy(_.media_id)
+    assert(r4.map(_.content.toSeq).toSeq == r4b.map(_.content.toSeq).toSeq)
+  }
+
   test("mediaSummary rolls up decode + features per kind") {
     val s = mediaSummary(spark, sf).collect()
     assert(s.map(_.getString(0)).toSet == Set("image", "audio", "video"))

@@ -82,6 +82,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readEventStream: parquet file source streams micro-batches end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    try {
+      // first file lands before the stream starts, second mid-stream
+      spark.createDataset(Seq(ev(1, 0, 1), ev(2, 10, 1)))
+        .write.parquet(s"$dir/batch1")
+      val src = readEventStream(spark, s"$dir/batch1")
+      val q = hourlyCounts(src)
+        .writeStream.format("memory").queryName("filestream")
+        .outputMode(OutputMode.Update).start()
+      try {
+        q.processAllAvailable()
+        val n = spark.table("filestream").count()
+        assert(n > 0)
+      } finally q.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("streaming sessionWindows agrees with the batch gap-sessionizer shape") {
     // same events through the batch Dataset path of sessionizeWithState
     val events = Seq(ev(1, 0, 1), ev(2, 10, 1), ev(3, 60, 1), ev(4, 5, 2, value = 9.0))

@@ -60,6 +60,8 @@ object SparkEntry {
     "q32_rolling_fingerprints" -> (TextAnalysis.rollingFingerprints _),
     // the engine's own chunk_hash expression on the relational surface
     "q33_chunk_hash_digests" -> (Dedup.chunkHashDigests _),
+    // native session_window in batch (same operator the streaming path uses)
+    "q34_session_windows" -> ((s: SparkSession, d: String) => Sessionize.sessionWindowAgg(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -343,6 +345,17 @@ object SparkEntry {
         | sha256(CAST(doc_id AS VARCHAR) || chr(0) || '0' || chr(0) || text) AS chunk_digest,
         | CAST(length(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    "q34_session_windows" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us, value FROM events),
+        |s1 AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |       FROM ev),
+        |s2 AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_new FROM s1),
+        |s3 AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM s2)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        | count(*) AS n_events, round(sum(value),2) AS session_value
+        |FROM s3 GROUP BY user_id, sid""".stripMargin,
     // Intentionally no oracle (driver records rows-only checks):
     // q29_approx_distinct — HLL sketches are engine-specific;
     // q30_media_summary — the multimodal codec stub is not SQL-expressible.

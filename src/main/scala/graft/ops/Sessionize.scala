@@ -50,6 +50,25 @@ object Sessionize {
         round(sum($"session_value"), 2).as("total_value"))
   }
 
+  /** Native `session_window` in batch (30-minute gap): Spark merges
+    * per-event windows into [min_ts, max_ts + gap) sessions — the exact
+    * operator the streaming module uses, verified here against a DuckDB
+    * oracle that derives the same sessions with lag/cumsum over epoch
+    * micros (integer arithmetic end to end, no float drift).
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String,
+      gap: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy($"user_id", session_window($"ts", gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("session_value"))
+      .select($"user_id",
+        unix_micros($"sw.start").as("start_us"),
+        unix_micros($"sw.end").as("end_us"),
+        $"n_events", $"session_value")
+  }
+
   /** Tumbling 1-hour windows per event type: the batch twin of a
     * Structured Streaming `window($"ts", "1 hour")` aggregation.
     */

@@ -52,6 +52,9 @@ object Main {
     // to all local cores
     if (!new org.apache.spark.SparkConf().contains("spark.master"))
       builder.master("local[*]")
+    // stop only a session we created — the reference likewise stops its
+    // SparkContext only when it wasn't handed one (dirhash.py:325-335)
+    val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = builder.getOrCreate()
     try {
       val expected: Option[String] =
@@ -90,7 +93,7 @@ object Main {
             case None => 0
           }
       }
-    } finally spark.stop()
+    } finally if (!preexisting) spark.stop()
   }
 
   @annotation.tailrec

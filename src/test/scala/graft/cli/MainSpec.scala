@@ -1,0 +1,85 @@
+package graft.cli
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Path, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exit-code + output contract of the CLI (reference dirhash.py:582-687):
+  * 0 hash/match, 1 mismatch or softlink conflict, 2 usage errors.
+  * Runs in-process against the shared test session (Main.run only stops
+  * sessions it created).
+  */
+class MainSpec extends AnyFunSuite {
+
+  graft.SparkTestSession.spark // ensure the shared session exists first
+
+  private def fixture(): Path = {
+    val root = Files.createTempDirectory("graft-cli")
+    Files.createDirectories(root.resolve("sub"))
+    Files.write(root.resolve("a.txt"), "hello".getBytes)
+    Files.write(root.resolve("sub/b.bin"), Array.fill[Byte](3000)(7))
+    Files.write(root.resolve("empty.txt"), Array.emptyByteArray)
+    root
+  }
+
+  private def run(args: String*): (Int, String) = {
+    val out = new ByteArrayOutputStream()
+    val code = Console.withOut(out)(Main.run(args.toArray))
+    (code, out.toString.trim)
+  }
+
+  private def rm(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  test("hash prints v1 string, exit 0; verify matches, mismatch exits 1") {
+    val root = fixture()
+    try {
+      val (c0, hash) = run(root.toString, "-b", "1k")
+      assert(c0 == 0)
+      assert(hash.startsWith("v1-sha256-1k-"))
+
+      val (c1, out1) = run(root.toString, "--check", hash, "-b", "1k")
+      assert(c1 == 0 && out1.startsWith("MATCH:"))
+
+      val bogus = hash.dropRight(8) + "00000000"
+      val (c2, out2) = run(root.toString, "-c", bogus, "-b", "1k")
+      assert(c2 == 1 && out2.startsWith("MISMATCH:"))
+    } finally rm(root)
+  }
+
+  test("usage errors exit 2") {
+    assert(run()._1 == 2) // no dir
+    assert(run("/tmp", "--check", "x", "--check-name")._1 == 2) // exclusive
+    assert(run("/tmp", "--softlink", "l")._1 == 2) // softlink sans archive
+    assert(run("/tmp", "-a", "md5")._1 == 2) // weak algo rejected
+    assert(run("/tmp", "--bogus")._1 == 2) // unknown flag
+  }
+
+  test("archive moves dir under its hash; --check-name self-verifies; dedup deletes source") {
+    val root = fixture()
+    val repo = Files.createTempDirectory("graft-repo")
+    try {
+      val (c0, hash) = run(root.toString, "-b", "1k", "--move-to-archive", repo.toString)
+      assert(c0 == 0)
+      val archived = repo.resolve(hash)
+      assert(Files.isDirectory(archived) && !Files.exists(root))
+
+      val (c1, out1) = run(archived.toString, "--check-name", "-b", "1k")
+      assert(c1 == 0 && out1.startsWith("MATCH:"), out1)
+
+      // identical second tree: target exists => source deleted (dedup)
+      val root2 = fixture()
+      val (c2, _) = run(root2.toString, "-b", "1k", "--move-to-archive", repo.toString)
+      assert(c2 == 0 && !Files.exists(root2))
+    } finally {
+      // archive chmods a-w; restore before cleanup
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(repo))
+        Files.walk(repo).iterator().asScala.foreach(p => p.toFile.setWritable(true))
+      rm(repo); rm(root)
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkEntry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts: the properties that make these queries scale
+  * (pushdown into the parquet scan, column pruning, broadcast on fixed
+  * dims, top-k without total sort, codegen'd vector math) asserted on the
+  * plan text, so a refactor that silently de-optimizes fails here before
+  * it shows up in a benchmark.
+  */
+class PlanContractSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter is pushed into the parquet scan, columns pruned") {
+    val p = plan(Relational.pricingSummary(spark, sf))
+    assert(p.contains("LessThan(l_shipdate"), p)
+    // only the 6 needed columns are read, not all 11
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
+  }
+
+  test("q02: nation dim joins by broadcast, lineitem scan pruned to 3 columns") {
+    val p = plan(Relational.revenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val lineitemRead = p.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("l_orderkey")).get
+    assert(lineitemRead.contains("l_extendedprice") && !lineitemRead.contains("l_shipdate"),
+      lineitemRead)
+  }
+
+  test("q03: top-k compiles to TakeOrderedAndProject, not a total sort") {
+    val p = plan(Relational.topOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q17: cosine top-k uses the codegen'd vec_dot, and TakeOrdered") {
+    val p = plan(Similarity.cosineTopK(spark, sf))
+    assert(p.contains("vec_dot") || p.contains("vecdot"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no interpreted higher-order functions left in the scoring path
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
+  test("q13: exact dedup is a single scan + single exchange") {
+    val p = plan(Dedup.exactDuplicates(spark, sf))
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("Exchange") || l.contains("+- Exchange"))
+    assert(exchanges <= 1, s"expected <=1 shuffle, plan:\n$p")
+  }
+
+  test("q25: sessionization shares one user_id exchange across window + agg") {
+    val p = plan(Sessionize.userSessions(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one shuffle for the per-user window; the two follow-up groupBys
+    // reuse that partitioning (plus possibly one final small agg exchange)
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+  }
+
+  test("q33: chunk_hash participates in whole-stage codegen") {
+    val df = Dedup.chunkHashDigests(spark, sf)
+    val p = plan(df)
+    // formatted mode marks whole-stage-codegen'd operators with
+    // "[codegen id : N]" — the projection holding chunkhash must be one
+    val projLine = p.linesIterator.find(_.matches(""".*\(\d+\) Project.*""")).get
+    assert(projLine.contains("[codegen id"), p)
+    assert(p.contains("chunkhash"), p)
+  }
+}

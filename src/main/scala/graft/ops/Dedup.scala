@@ -147,7 +147,11 @@ object Dedup {
   def jaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.05): DataFrame = {
     import spark.implicits._
     val sh = shingleRows(spark, dir, distinct = true)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // |A| per doc straight off the scan — no explode/shuffle; always
+    // broadcast-sized relative to the pair table it joins
+    val sizes = docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", size(array_distinct(shinglesOf($"t"))).cast("long").as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

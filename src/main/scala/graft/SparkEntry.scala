@@ -62,6 +62,8 @@ object SparkEntry {
     "q33_chunk_hash_digests" -> (Dedup.chunkHashDigests _),
     // native session_window in batch (same operator the streaming path uses)
     "q34_session_windows" -> ((s: SparkSession, d: String) => Sessionize.sessionWindowAgg(s, d)),
+    // as-of join (composed union+window vs DuckDB's native ASOF JOIN)
+    "q35_asof_attribution" -> (Sessionize.asofPurchaseAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -356,6 +358,15 @@ object SparkEntry {
         |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
         | count(*) AS n_events, round(sum(value),2) AS session_value
         |FROM s3 GROUP BY user_id, sid""".stripMargin,
+    "q35_asof_attribution" ->
+      """SELECT e.event_id, e.user_id,
+        | epoch_ns(e.ts)//1000 AS click_us,
+        | epoch_ns(p.ts)//1000 AS purchase_us,
+        | epoch_ns(e.ts)//1000 - epoch_ns(p.ts)//1000 AS gap_us
+        |FROM events e ASOF JOIN
+        | (SELECT user_id, ts FROM events WHERE event_type='purchase') p
+        | ON e.user_id = p.user_id AND e.ts >= p.ts
+        |WHERE e.event_type = 'click'""".stripMargin,
     // Intentionally no oracle (driver records rows-only checks):
     // q29_approx_distinct — HLL sketches are engine-specific;
     // q30_media_summary — the multimodal codec stub is not SQL-expressible.

@@ -50,6 +50,36 @@ object Sessionize {
         round(sum($"session_value"), 2).as("total_value"))
   }
 
+  /** As-of join — the classic time-series operator Spark has no native
+    * plan for: each click event attributed to the user's most recent
+    * prior-or-simultaneous purchase. Implemented as the scalable
+    * composition (SURVEY.md §2.12 custom-operator preference (a)):
+    * union both sides tagged, ONE shuffle on user_id, and a running
+    * `last(purchase_ts)` window — no per-row range probe, no broadcast
+    * of either side, works at any key cardinality. The DuckDB oracle is
+    * the engine's native ASOF JOIN, so two entirely different
+    * implementation strategies must agree row-for-row.
+    */
+  def asofPurchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("us"), $"event_type")
+    val clicks = base.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"us", lit(1).as("is_click"))
+    val purchases = base.filter($"event_type" === "purchase")
+      .select(lit(-1L).as("event_id"), $"user_id", $"us", lit(0).as("is_click"))
+    // purchases sort before clicks at equal timestamps => "prior or
+    // simultaneous" matches ASOF's >= semantics
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"is_click")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("purchase_us",
+        last(when($"is_click" === 0, $"us"), ignoreNulls = true).over(w))
+      .filter($"is_click" === 1 && $"purchase_us".isNotNull)
+      .select($"event_id", $"user_id", $"us".as("click_us"), $"purchase_us",
+        ($"us" - $"purchase_us").as("gap_us"))
+  }
+
   /** Native `session_window` in batch (30-minute gap): Spark merges
     * per-event windows into [min_ts, max_ts + gap) sessions — the exact
     * operator the streaming module uses, verified here against a DuckDB

@@ -69,6 +69,7 @@ class OpsSpec extends AnyFunSuite {
     "q32_rolling_fingerprints" -> Set("doc_id", "rolling_fp", "n_tokens"),
     "q33_chunk_hash_digests" -> Set("doc_id", "chunk_digest", "n_bytes"),
     "q34_session_windows" -> Set("user_id", "start_us", "end_us", "n_events", "session_value"),
+    "q35_asof_attribution" -> Set("event_id", "user_id", "click_us", "purchase_us", "gap_us"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

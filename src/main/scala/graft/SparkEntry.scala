@@ -64,6 +64,10 @@ object SparkEntry {
     "q34_session_windows" -> ((s: SparkSession, d: String) => Sessionize.sessionWindowAgg(s, d)),
     // as-of join (composed union+window vs DuckDB's native ASOF JOIN)
     "q35_asof_attribution" -> (Sessionize.asofPurchaseAttribution _),
+    // banded range join, exact percentiles, pivot
+    "q36_range_join_conversions" -> ((s: SparkSession, d: String) => Sessionize.rangeJoinConversions(s, d)),
+    "q37_price_quantiles" -> (Relational.priceQuantiles _),
+    "q38_pivot_revenue" -> (Relational.pivotRevenue _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -367,6 +371,30 @@ object SparkEntry {
         | (SELECT user_id, ts FROM events WHERE event_type='purchase') p
         | ON e.user_id = p.user_id AND e.ts >= p.ts
         |WHERE e.event_type = 'click'""".stripMargin,
+    "q36_range_join_conversions" ->
+      """SELECT c.click_id, c.user_id, c.click_us, p.purchase_us,
+        | p.purchase_us - c.click_us AS lag_us
+        |FROM (SELECT event_id AS click_id, user_id, epoch_ns(ts)//1000 AS click_us
+        |      FROM events WHERE event_type='click') c
+        |JOIN (SELECT user_id, epoch_ns(ts)//1000 AS purchase_us
+        |      FROM events WHERE event_type='purchase') p
+        | ON c.user_id = p.user_id
+        | AND p.purchase_us BETWEEN c.click_us AND c.click_us + 7200000000""".stripMargin,
+    "q37_price_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q38_pivot_revenue" ->
+      """SELECT o_orderstatus,
+        | round(sum(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+        | round(sum(CASE WHEN o_orderpriority='2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+        | round(sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+        | round(sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+        | round(sum(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // Intentionally no oracle (driver records rows-only checks):
     // q29_approx_distinct — HLL sketches are engine-specific;
     // q30_media_summary — the multimodal codec stub is not SQL-expressible.

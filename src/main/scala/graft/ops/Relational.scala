@@ -173,6 +173,34 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Exact percentiles with linear interpolation (the sort-based exact
+    * operator; at 100 TB the approx_percentile sketch in q29's family is
+    * the first choice, this is the ground truth it's judged against).
+    */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Pivot: order revenue as a (status × priority) matrix — groupBy +
+    * pivot with the value list pinned so the schema is static (an
+    * unpinned pivot needs an extra distinct-values job).
+    */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(round(sum($"o_totalprice"), 2))
+  }
+
   /** Approximate distinct counts: HLL++ sketch per group — the 100 TB
     * shape for cardinality estimation (one pass, mergeable partials,
     * constant memory vs exact distinct's two-phase shuffle). No DuckDB

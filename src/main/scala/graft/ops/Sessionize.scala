@@ -80,6 +80,33 @@ object Sessionize {
         ($"us" - $"purchase_us").as("gap_us"))
   }
 
+  /** Banded range join — the scalable shape for interval predicates: a
+    * raw `p.us BETWEEN c.us AND c.us + W` join is a nested loop in Spark;
+    * bucketing both sides into W-wide bins turns it into an equi-join on
+    * (user, bin) — each click explodes to its bin and the next, so every
+    * qualifying pair lands in exactly one bin match, then the exact
+    * interval filter runs on the tiny joined set. Conversion attribution:
+    * purchases within 2 hours after a click.
+    */
+  def rangeJoinConversions(spark: SparkSession, dir: String,
+      windowUs: Long = 7200000000L): DataFrame = {
+    import spark.implicits._
+    val base = events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("us"), $"event_type")
+    val clicks = base.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"us".as("click_us"))
+    val purchases = base.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"us".as("purchase_us"))
+    clicks
+      .withColumn("join_bin", explode(array(
+        expr(s"click_us div $windowUs"), expr(s"click_us div $windowUs + 1"))))
+      .join(purchases.withColumn("p_bin", expr(s"purchase_us div $windowUs")),
+        $"user_id" === $"p_user" && $"join_bin" === $"p_bin")
+      .filter($"purchase_us" >= $"click_us" && $"purchase_us" <= $"click_us" + windowUs)
+      .select($"click_id", $"user_id", $"click_us", $"purchase_us",
+        ($"purchase_us" - $"click_us").as("lag_us"))
+  }
+
   /** Native `session_window` in batch (30-minute gap): Spark merges
     * per-event windows into [min_ts, max_ts + gap) sessions — the exact
     * operator the streaming module uses, verified here against a DuckDB

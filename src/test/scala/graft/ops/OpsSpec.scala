@@ -70,6 +70,10 @@ class OpsSpec extends AnyFunSuite {
     "q33_chunk_hash_digests" -> Set("doc_id", "chunk_digest", "n_bytes"),
     "q34_session_windows" -> Set("user_id", "start_us", "end_us", "n_events", "session_value"),
     "q35_asof_attribution" -> Set("event_id", "user_id", "click_us", "purchase_us", "gap_us"),
+    "q36_range_join_conversions" -> Set("click_id", "user_id", "click_us", "purchase_us", "lag_us"),
+    "q37_price_quantiles" -> Set("l_returnflag", "p25", "p50", "p75", "n"),
+    "q38_pivot_revenue" -> Set("o_orderstatus", "1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -143,6 +143,13 @@ object Dedup {
   /** Shingle-set Jaccard similarity for the most-similar doc pairs.
     * Computes |A∩B| via a shingle equi-join and |A∪B| = |A|+|B|-|A∩B|;
     * thresholded so the join output stays sparse.
+    *
+    * Scale order matters: the shingle join's pair count is quadratic in
+    * per-shingle duplication (measured: 10× replicated corpus → ~100×
+    * pairs, BASELINE.md scale table). On dup-heavy corpora run
+    * [[exactDuplicates]] first and Jaccard-verify only the keepers;
+    * the LSH candidate stages (MinHash/SimHash) stay shuffle-bound
+    * either way.
     */
   def jaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.05): DataFrame = {
     import spark.implicits._

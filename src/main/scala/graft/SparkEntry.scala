@@ -68,6 +68,8 @@ object SparkEntry {
     "q36_range_join_conversions" -> ((s: SparkSession, d: String) => Sessionize.rangeJoinConversions(s, d)),
     "q37_price_quantiles" -> (Relational.priceQuantiles _),
     "q38_pivot_revenue" -> (Relational.pivotRevenue _),
+    // production dedup composition: exact-dedup first, Jaccard on keepers
+    "q39_deduped_jaccard" -> ((s: SparkSession, d: String) => Dedup.dedupedJaccardPairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -395,6 +397,24 @@ object SparkEntry {
         | round(sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
         | round(sum(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q39_deduped_jaccard" ->
+      """WITH keepers AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+        |                 FROM documents GROUP BY sha256(text)),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM keepers),
+        |sh AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, common,
+        | round(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) AS jaccard
+        |FROM common
+        | JOIN sizes sa ON doc_a=sa.doc_id
+        | JOIN sizes sb ON doc_b=sb.doc_id
+        |WHERE round(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.05""".stripMargin,
     // Intentionally no oracle (driver records rows-only checks):
     // q29_approx_distinct — HLL sketches are engine-specific;
     // q30_media_summary — the multimodal codec stub is not SQL-expressible.

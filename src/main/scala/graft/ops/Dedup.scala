@@ -82,6 +82,39 @@ object Dedup {
       .distinct()
   }
 
+  /** The production dedup composition (see BASELINE.md scale table):
+    * exact-dedup FIRST (collapse byte-identical copies to the min-id
+    * keeper), then shingle-Jaccard only over keepers. On a corpus where
+    * every doc has k copies this cuts the quadratic join term by k² while
+    * returning the same near-dup structure over distinct content.
+    */
+  def dedupedJaccardPairs(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val keepers = docs(spark, dir)
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(min($"doc_id").as("doc_id"), first($"text").as("text"))
+      .select($"doc_id", $"text")
+    val arr = shinglesOf($"t")
+    val sh = keepers
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", explode(array_distinct(arr)).as("sh"))
+    val sizes = keepers
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", size(array_distinct(shinglesOf($"t"))).cast("long").as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b", $"common",
+        round($"common".cast("double") /
+          (col("sa.n") + col("sb.n") - $"common"), 6).as("jaccard"))
+      .filter($"jaccard" >= minJaccard)
+  }
+
   /** Content-addressed digests through the engine's own `chunk_hash`
     * Catalyst expression — the reference's F3 domain-separated spec
     * (path || 0x00 || idx || 0x00 || content) applied to a relational

@@ -69,6 +69,16 @@ object EventStreams {
         $"n_events", $"session_value")
   }
 
+  /** Streaming exact dedup: first occurrence of each key wins, state
+    * bounded by the watermark horizon (`dropDuplicatesWithinWatermark`
+    * evicts seen-keys once they age out — the only way streaming dedup
+    * state survives an unbounded stream). Batch twin: `dropDuplicates`.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom-state sessionizer: `flatMapGroupsWithState` with event-time
     * timeout. Emits a SessionOut each time a 30-minute gap closes a
     * session — the shape to reach for when session semantics outgrow

@@ -74,6 +74,7 @@ class OpsSpec extends AnyFunSuite {
     "q37_price_quantiles" -> Set("l_returnflag", "p25", "p50", "p75", "n"),
     "q38_pivot_revenue" -> Set("o_orderstatus", "1-URGENT", "2-HIGH", "3-MEDIUM",
       "4-NOT SPECIFIED", "5-LOW"),
+    "q39_deduped_jaccard" -> Set("doc_a", "doc_b", "common", "jaccard"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -82,6 +82,22 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered events within the watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0, 1), ev(2, 5, 1))
+      q.processAllAvailable()
+      in.addData(ev(1, 0, 1), ev(3, 10, 2)) // event 1 re-delivered
+      q.processAllAvailable()
+      val ids = spark.table("dedupstream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("readEventStream: parquet file source streams micro-batches end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     try {

@@ -70,6 +70,10 @@ object SparkEntry {
     "q38_pivot_revenue" -> (Relational.pivotRevenue _),
     // production dedup composition: exact-dedup first, Jaccard on keepers
     "q39_deduped_jaccard" -> ((s: SparkSession, d: String) => Dedup.dedupedJaccardPairs(s, d)),
+    // JSON extraction from event props
+    "q40_json_props" -> (Sessionize.jsonPropsRollup _),
+    // dedup clusters: connected components over the candidate graph
+    "q41_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -415,6 +419,32 @@ object SparkEntry {
         | JOIN sizes sa ON doc_a=sa.doc_id
         | JOIN sizes sb ON doc_b=sb.doc_id
         |WHERE round(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.05""".stripMargin,
+    "q40_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q41_dedup_clusters" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |sigs AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || sh)) AS sig
+        |         FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bands
+        |         GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sigs a JOIN sigs b
+        |          ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id),
+        |e2 AS (SELECT doc_a AS s, doc_b AS d FROM cand
+        |       UNION ALL SELECT doc_b, doc_a FROM cand),
+        |cc(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT cc.doc_id, e2.d FROM cc JOIN e2 ON e2.s = cc.r)
+        |SELECT doc_id, min(r) AS cluster_id FROM cc GROUP BY doc_id""".stripMargin,
     // Intentionally no oracle (driver records rows-only checks):
     // q29_approx_distinct — HLL sketches are engine-specific;
     // q30_media_summary — the multimodal codec stub is not SQL-expressible.

@@ -82,6 +82,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Dedup clusters: connected components over the MinHash candidate
+    * graph, labels = min doc_id per component — the step that turns
+    * pairwise near-dup candidates into keep/drop groups. Iterative
+    * min-label propagation (one hop per round, localCheckpoint to cut
+    * lineage, convergence-checked); the DuckDB oracle computes the same
+    * components with a recursive CTE, so an entirely different algorithm
+    * must agree. At larger graphs swap the propagation loop for
+    * large-star/small-star; the edge representation is unchanged.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+    import spark.implicits._
+    val edges = minhashCandidates(spark, dir).select($"doc_a".as("s"), $"doc_b".as("d"))
+    val sym = edges.union(edges.select($"d".as("s"), $"s".as("d")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs(spark, dir).select($"doc_id", $"doc_id".as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = sym.join(labels, $"s" === $"doc_id")
+        .groupBy($"d").agg(min($"cluster_id").as("nmin"))
+      val next = labels.join(neighborMin, $"doc_id" === $"d", "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** The production dedup composition (see BASELINE.md scale table):
     * exact-dedup FIRST (collapse byte-identical copies to the min-id
     * keeper), then shingle-Jaccard only over keepers. On a corpus where

@@ -80,6 +80,23 @@ object Sessionize {
         ($"us" - $"purchase_us").as("gap_us"))
   }
 
+  /** Semi-structured extraction: event props is a JSON string column;
+    * `get_json_object` pulls `$.k` in the scan projection (codegen'd
+    * Jayway path, no UDF) and the rollup aggregates it per event type.
+    */
+  def jsonPropsRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        round(avg($"k"), 4).as("avg_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+  }
+
   /** Banded range join — the scalable shape for interval predicates: a
     * raw `p.us BETWEEN c.us AND c.us + W` join is a nested loop in Spark;
     * bucketing both sides into W-wide bins turns it into an equi-join on

@@ -75,6 +75,8 @@ class OpsSpec extends AnyFunSuite {
     "q38_pivot_revenue" -> Set("o_orderstatus", "1-URGENT", "2-HIGH", "3-MEDIUM",
       "4-NOT SPECIFIED", "5-LOW"),
     "q39_deduped_jaccard" -> Set("doc_a", "doc_b", "common", "jaccard"),
+    "q40_json_props" -> Set("event_type", "n", "sum_k", "avg_k", "min_k", "max_k"),
+    "q41_dedup_clusters" -> Set("doc_id", "cluster_id"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

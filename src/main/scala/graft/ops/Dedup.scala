@@ -91,26 +91,71 @@ object Dedup {
     * must agree. At larger graphs swap the propagation loop for
     * large-star/small-star; the edge representation is unchanged.
     */
-  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 50,
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
     import spark.implicits._
     val edges = minhashCandidates(spark, dir).select($"doc_a".as("s"), $"doc_b".as("d"))
+
+    // Tiered: LSH banding leaves a candidate graph orders of magnitude
+    // smaller than the corpus, so up to `driverEdgeLimit` edges a driver
+    // union-find (path compression, O(E α)) beats O(log D) distributed
+    // rounds of per-job scheduling overhead — the same bounded-collect
+    // the dirhash digest fold relies on. Larger graphs take the
+    // distributed propagation below.
+    val edgeCount = edges.count()
+    if (edgeCount <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // immutable roots for every node that appears in an edge (bounded
+      // by 2·E); everything else is its own singleton cluster
+      val roots = collected.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSet[Long].map(x => x -> find(x)).toMap
+      val bc = spark.sparkContext.broadcast(roots)
+      val assign = udf((id: Long) => bc.value.getOrElse(id, id))
+      return docs(spark, dir).select($"doc_id", assign($"doc_id").as("cluster_id"))
+    }
+
     val sym = edges.union(edges.select($"d".as("s"), $"s".as("d")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs(spark, dir).select($"doc_id", $"doc_id".as("cluster_id"))
       .localCheckpoint(true)
+    // labels only ever decrease, so sum(cluster_id) is a convergence
+    // fingerprint — one tiny agg instead of a join + count per round
+    def sig(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum($"cluster_id")).head().getLong(0)
+    var prevSig = sig(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = sym.join(labels, $"s" === $"doc_id")
         .groupBy($"d").agg(min($"cluster_id").as("nmin"))
-      val next = labels.join(neighborMin, $"doc_id" === $"d", "left")
+      val hop = labels.join(neighborMin, $"doc_id" === $"d", "left")
         .select($"doc_id",
           least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"))
+      // path halving: label(doc) := label(label(doc)) — O(log diameter)
+      // rounds instead of O(diameter)
+      val next = hop.as("a")
+        .join(hop.select($"doc_id".as("l_id"), $"cluster_id".as("l_cluster")).as("b"),
+          col("a.cluster_id") === col("b.l_id"), "left")
+        .select(col("a.doc_id"),
+          least(col("a.cluster_id"), coalesce($"l_cluster", col("a.cluster_id")))
+            .as("cluster_id"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
       labels = next
-      converged = changed == 0
       iter += 1
     }
     sym.unpersist()

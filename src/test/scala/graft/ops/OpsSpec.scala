@@ -94,6 +94,17 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.annIvfTopK(spark, sf).count() <= 10)
   }
 
+  test("dedup clusters: driver union-find and distributed propagation agree") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val driverPath = rows(Dedup.dedupClusters(spark, sf))
+    val distributedPath = rows(Dedup.dedupClusters(spark, sf, driverEdgeLimit = 0))
+    assert(driverPath == distributedPath)
+    // every cluster label is the minimum doc_id of its member set
+    val byCluster = driverPath.groupBy(_._2)
+    assert(byCluster.forall { case (c, ms) => ms.map(_._1).min == c })
+  }
+
   test("minhash candidate pairs are ordered and distinct") {
     val rows = Dedup.minhashCandidates(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -69,6 +69,25 @@ object EventStreams {
         $"n_events", $"session_value")
   }
 
+  /** Stream-stream join: clicks joined to purchases of the same user
+    * within [click, click + 2h] — both sides watermarked so Spark can
+    * bound the join state buffers (without the time-range condition a
+    * stream-stream join would buffer forever).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    import clicks.sparkSession.implicits._
+    val c = clicks.select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.select($"user_id".as("p_user"), $"ts".as("purchase_ts"),
+        $"value".as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 2 HOURS"))
+      .select($"click_id", $"user_id", $"click_ts", $"purchase_ts", $"purchase_value")
+  }
+
   /** Streaming exact dedup: first occurrence of each key wins, state
     * bounded by the watermark horizon (`dropDuplicatesWithinWatermark`
     * evicts seen-keys once they age out — the only way streaming dedup

@@ -82,6 +82,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs clicks with in-window purchases only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 0, 1, "click"), ev(2, 0, 2, "click"))
+      purchases.addData(
+        ev(10, 30, 1, "purchase", 5.0),   // in window for user 1
+        ev(11, 300, 1, "purchase", 7.0),  // 5h later: out of window
+        ev(12, 30, 3, "purchase", 9.0))   // other user
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+      assert(rows == Set((1L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-delivered events within the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]

@@ -73,6 +73,27 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Real-file ingest: `binaryFile` source over a directory tree — the
+    * production path for media at scale (the documents-derived
+    * [[mediaTable]] exists so the testdata exercises the same operators
+    * without binary fixtures). Kind is inferred from the extension;
+    * unknown extensions pass through as "binary" rather than failing
+    * the scan.
+    */
+  def mediaFromDirectory(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val kind = when(lower($"path").rlike("\\.(png|jpe?g|gif|bmp)$"), "image")
+      .when(lower($"path").rlike("\\.(wav|mp3|flac|ogg)$"), "audio")
+      .when(lower($"path").rlike("\\.(mp4|avi|mkv|webm)$"), "video")
+      .otherwise("binary")
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(xxhash64($"path").as("media_id"), kind.as("kind"),
+        $"content".as("content"))
+      .as[MediaRow]
+  }
+
   /** Decode metadata in batches: groups each partition's rows into
     * `batchSize` chunks so a real codec can amortize per-batch setup
     * (arena allocation, GPU transfer, FFI handle) exactly as a

@@ -62,6 +62,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r4.map(_.content.toSeq).toSeq == r4b.map(_.content.toSeq).toSeq)
   }
 
+  test("mediaFromDirectory: binaryFile source with extension-derived kinds") {
+    val root = java.nio.file.Files.createTempDirectory("graft-media")
+    try {
+      java.nio.file.Files.write(root.resolve("a.png"), Array[Byte](1, 2, 3))
+      java.nio.file.Files.createDirectories(root.resolve("sub"))
+      java.nio.file.Files.write(root.resolve("sub/b.mp4"), Array[Byte](4, 5))
+      java.nio.file.Files.write(root.resolve("c.dat"), Array[Byte](6))
+      val m = mediaFromDirectory(spark, root.toString).collect()
+      assert(m.map(_.kind).sorted.toSeq == Seq("binary", "image", "video"))
+      assert(m.map(_.media_id).distinct.length == 3)
+      // the decode/featurize operators run unchanged on real-file media
+      val decoded = decodeMeta(mediaFromDirectory(spark, root.toString)).collect()
+      assert(decoded.length == 3 && decoded.forall(_.n_bytes > 0))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("mediaSummary rolls up decode + features per kind") {
     val s = mediaSummary(spark, sf).collect()
     assert(s.map(_.getString(0)).toSet == Set("image", "audio", "video"))

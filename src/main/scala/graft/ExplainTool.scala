@@ -19,12 +19,14 @@ object ExplainTool {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
+      // time from query construction: iterative operators (e.g. the
+      // cluster propagation) do eager work while BUILDING the DataFrame
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n========== $name ==========")
       df.explain("formatted")
-      val t0 = System.nanoTime()
       val n = df.count()
-      println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s (incl. build + explain)")
     }
     spark.stop()
   }

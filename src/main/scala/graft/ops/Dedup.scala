@@ -94,7 +94,11 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 50,
       driverEdgeLimit: Long = 2000000L): DataFrame = {
     import spark.implicits._
+    // persisted: the edge set feeds count + collect (driver path) or
+    // count + the propagation loop (distributed path) — without caching
+    // the whole shingle->minhash->band-join pipeline runs per action
     val edges = minhashCandidates(spark, dir).select($"doc_a".as("s"), $"doc_b".as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Tiered: LSH banding leaves a candidate graph orders of magnitude
     // smaller than the corpus, so up to `driverEdgeLimit` edges a driver
@@ -121,6 +125,7 @@ object Dedup {
       // by 2·E); everything else is its own singleton cluster
       val roots = collected.iterator.flatMap(e => Iterator(e._1, e._2))
         .toSet[Long].map(x => x -> find(x)).toMap
+      edges.unpersist()
       val bc = spark.sparkContext.broadcast(roots)
       val assign = udf((id: Long) => bc.value.getOrElse(id, id))
       return docs(spark, dir).select($"doc_id", assign($"doc_id").as("cluster_id"))
@@ -159,6 +164,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    edges.unpersist()
     labels
   }
 

@@ -74,6 +74,10 @@ object SparkEntry {
     "q40_json_props" -> (Sessionize.jsonPropsRollup _),
     // dedup clusters: connected components over the candidate graph
     "q41_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
+    // RANGE-frame window, bag-semantics set ops, correlated subqueries
+    "q42_moving_revenue" -> (Relational.movingRevenue _),
+    "q43_set_ops_all" -> (Relational.setOpsAll _),
+    "q44_correlated_subquery" -> (Relational.correlatedSubquery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -445,6 +449,29 @@ object SparkEntry {
         | UNION
         | SELECT cc.doc_id, e2.d FROM cc JOIN e2 ON e2.s = cc.r)
         |SELECT doc_id, min(r) AS cluster_id FROM cc GROUP BY doc_id""".stripMargin,
+    "q42_moving_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d_days,
+        | round(sum(o_totalprice) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        |FROM orders""".stripMargin,
+    "q43_set_ops_all" ->
+      """SELECT o_custkey, count(*) AS multiplicity FROM (
+        | (SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT')
+        | EXCEPT ALL
+        | SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |) t GROUP BY o_custkey""".stripMargin,
+    "q44_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin,
     // Intentionally no oracle (driver records rows-only checks):
     // q29_approx_distinct — HLL sketches are engine-specific;
     // q30_media_summary — the multimodal codec stub is not SQL-expressible.

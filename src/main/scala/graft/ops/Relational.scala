@@ -201,6 +201,56 @@ object Relational {
       .agg(round(sum($"o_totalprice"), 2))
   }
 
+  /** RANGE-frame window: 7-day trailing order revenue per customer —
+    * the frame is bounded by VALUE distance (6 days back from the
+    * current row's date), not row count, so multiple orders on one day
+    * all fall in every frame that covers that day.
+    */
+  def movingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"d_days")
+      .rangeBetween(-6, Window.currentRow)
+    t(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("d_days"),
+        $"o_totalprice")
+      .withColumn("rev_7d", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_custkey", $"o_orderkey", $"d_days".cast("long").as("d_days"), $"rev_7d")
+  }
+
+  /** Bag-semantics set operations: UNION ALL / INTERSECT ALL /
+    * EXCEPT ALL keep duplicate multiplicity (the q10 twin uses set
+    * semantics). Multiplicity matters for yield accounting in data
+    * pipelines, so both variants are on the surface.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+    val open = orders.filter($"o_orderstatus" === "O").select($"o_custkey")
+    val failed = orders.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val urgent = orders.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    open.intersectAll(urgent).exceptAll(failed).unionAll(failed.limit(0))
+      .groupBy($"o_custkey").agg(count(lit(1)).as("multiplicity"))
+  }
+
+  /** Correlated subqueries through the SQL surface: orders priced above
+    * their own customer's average (correlated scalar subquery) that also
+    * have at least one high-quantity lineitem (correlated EXISTS) —
+    * Catalyst decorrelates both into joins; DataFrame API can't express
+    * them directly, so this query runs through ops.Tables + spark.sql.
+    */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin)
+  }
+
   /** Approximate distinct counts: HLL++ sketch per group — the 100 TB
     * shape for cardinality estimation (one pass, mergeable partials,
     * constant memory vs exact distinct's two-phase shuffle). No DuckDB

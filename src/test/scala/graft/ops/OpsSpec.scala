@@ -77,6 +77,9 @@ class OpsSpec extends AnyFunSuite {
     "q39_deduped_jaccard" -> Set("doc_a", "doc_b", "common", "jaccard"),
     "q40_json_props" -> Set("event_type", "n", "sum_k", "avg_k", "min_k", "max_k"),
     "q41_dedup_clusters" -> Set("doc_id", "cluster_id"),
+    "q42_moving_revenue" -> Set("o_custkey", "o_orderkey", "d_days", "rev_7d"),
+    "q43_set_ops_all" -> Set("o_custkey", "multiplicity"),
+    "q44_correlated_subquery" -> Set("o_orderkey", "o_custkey", "o_totalprice"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

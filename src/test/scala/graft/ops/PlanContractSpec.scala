@@ -64,6 +64,21 @@ class PlanContractSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
   }
 
+  test("q36: banded range join plans as an equi-join, not a nested loop") {
+    val p = plan(Sessionize.rangeJoinConversions(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("q44: correlated subqueries decorrelate into joins") {
+    val p = plan(Relational.correlatedSubquery(spark, sf))
+    // Catalyst rewrites the scalar subquery + EXISTS into aggregated /
+    // semi joins; no per-row subquery execution survives to the
+    // physical plan
+    assert(!p.toLowerCase.contains("subquery"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("q33: chunk_hash participates in whole-stage codegen") {
     val df = Dedup.chunkHashDigests(spark, sf)
     val p = plan(df)

@@ -42,6 +42,15 @@ object Main {
       System.err.println(s"unsupported hash algorithm: ${args.algo}")
       return 2
     }
+    // Softlink conflict is checked BEFORE any hashing/archiving so a
+    // conflict exits 1 with no side effects (the source is not moved) —
+    // the reference pre-checks the link path first (dirhash.py:663-666).
+    for (link <- args.softlink)
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(link), java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        System.err.println(s"softlink target already exists: $link")
+        return 1
+      }
 
     val builder = SparkSession.builder()
       .appName("DirHash")

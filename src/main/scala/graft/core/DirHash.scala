@@ -39,12 +39,20 @@ object DirHash {
     val allEntries = entries.map(_.relPath).sorted(Listing.utf8Ordering)
 
     // Final fold (reference /root/reference/dirhash.py:422-441):
-    //   ascii(count) 0x00  entry1 0x00 entry2 0x00 ... entryN 0x00  digests…
+    //   ascii(count) 0x00  join(entries, 0x00)  0x00  digests…
+    // The trailing 0x00 after the joined listing is unconditional, so an
+    // empty directory hashes "0\0\0" exactly like the reference.
     val zero = Array(0.toByte)
     val h = Algos.get(algo)
     h.update(allEntries.size.toString)
     h.update(zero)
-    allEntries.foreach { e => h.update(e); h.update(zero) }
+    var firstEntry = true
+    allEntries.foreach { e =>
+      if (!firstEntry) h.update(zero)
+      h.update(e)
+      firstEntry = false
+    }
+    h.update(zero)
     sortedDigests.foreach(cd => h.update(cd.digest))
     Algos.hex(h.digest())
   }

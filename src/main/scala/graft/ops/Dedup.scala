@@ -27,9 +27,13 @@ object Dedup {
     * slowdown on the shingle queries).
     */
   private def shinglesOf(t: Column): Column =
-    transform(
-      sequence(lit(0), size(t) - lit(3)),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+    // docs with <3 tokens have no 3-gram shingles; unguarded, sequence(0, -k)
+    // is descending and element_at(t, 0) throws
+    when(size(t) >= 3,
+      transform(
+        sequence(lit(0), size(t) - lit(3)),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      .otherwise(array().cast("array<string>"))
 
   /** (doc_id, shingle) pairs, distinct within doc when `distinct`. */
   private def shingleRows(spark: SparkSession, dir: String, distinct: Boolean): DataFrame = {

@@ -58,6 +58,25 @@ class MainSpec extends AnyFunSuite {
     assert(run("/tmp", "--bogus")._1 == 2) // unknown flag
   }
 
+  test("softlink conflict pre-checked: exit 1 with NO side effects (ADVICE r1)") {
+    val root = fixture()
+    val repo = Files.createTempDirectory("graft-repo-sl")
+    val link = Files.createTempFile("graft-existing-link", "")
+    try {
+      // link path already exists -> exit 1 BEFORE hashing/archiving:
+      // source stays in place, nothing lands in the repo
+      val (code, _) = run(root.toString, "-b", "1k",
+        "--move-to-archive", repo.toString, "--softlink", link.toString)
+      assert(code == 1)
+      assert(Files.exists(root.resolve("a.txt")), "source must not be moved on conflict")
+      import scala.jdk.CollectionConverters._
+      assert(Files.list(repo).iterator().asScala.isEmpty, "repo must stay empty on conflict")
+    } finally {
+      Files.deleteIfExists(link)
+      rm(repo); rm(root)
+    }
+  }
+
   test("archive moves dir under its hash; --check-name self-verifies; dedup deletes source") {
     val root = fixture()
     val repo = Files.createTempDirectory("graft-repo")

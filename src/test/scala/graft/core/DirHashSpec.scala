@@ -199,6 +199,19 @@ class DirHashSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"v1-sha256-1M-$expected")
   }
 
+  test("empty root hashes the reference byte layout: count, 0x00, 0x00 (ADVICE r1)") {
+    // reference fold: str(0) + "\0" + "\0".join([]) + "\0" = "0\0\0"
+    // (dirhash.py:422-441 — the trailing separator is unconditional)
+    val emptyRoot = Files.createTempDirectory("dirhash-empty")
+    try {
+      val h = Algos.get("sha256")
+      h.update("0".getBytes("UTF-8"))
+      h.update(Array(0.toByte, 0.toByte))
+      val expected = Algos.hex(h.digest())
+      assert(DirHash.hashDirectoryRaw(spark, emptyRoot.toString, "sha256", 1024) == expected)
+    } finally Files.delete(emptyRoot)
+  }
+
   test("hash changes on rename, content change, and added empty dir") {
     val base = DirHash.hashDirectoryRaw(spark, root.toString, "sha256", 32L * 1024 * 1024)
     val extra = root.resolve("dir/anotherempty")

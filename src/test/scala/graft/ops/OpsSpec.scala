@@ -108,6 +108,33 @@ class OpsSpec extends AnyFunSuite {
     assert(byCluster.forall { case (c, ms) => ms.map(_._1).min == c })
   }
 
+  test("shingle pipelines tolerate empty/1/2-token docs — no shingles, no crash (ADVICE r1)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shortdocs")
+    try {
+      Seq(
+        (1L, ""), (2L, "one"), (3L, "two tokens"),
+        (4L, "three tokens here now and more"),
+        (5L, "three tokens here now and more"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val dir = tmp.toString
+      // short docs contribute zero shingles (like the oracle), never an error
+      val sigs = Dedup.minhashSignatures(spark, dir)
+      assert(sigs.filter($"doc_id" < 4).count() == 0)
+      assert(sigs.filter($"doc_id" >= 4).count() > 0)
+      val pairs = Dedup.jaccardPairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toSeq == Seq((4L, 5L)))
+      assert(Dedup.minhashCandidates(spark, dir).count() == 1)
+      assert(Dedup.dedupClusters(spark, dir).count() == 5)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("minhash candidate pairs are ordered and distinct") {
     val rows = Dedup.minhashCandidates(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

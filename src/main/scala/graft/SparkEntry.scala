@@ -78,6 +78,14 @@ object SparkEntry {
     "q42_moving_revenue" -> (Relational.movingRevenue _),
     "q43_set_ops_all" -> (Relational.setOpsAll _),
     "q44_correlated_subquery" -> (Relational.correlatedSubquery _),
+    // training-data prep (north-star: chunking, sampling, cleaning,
+    // n-gram profiles, embedding diagnostics)
+    "q45_doc_chunks" -> ((s: SparkSession, d: String) => PipelinePrep.docChunks(s, d)),
+    "q46_quality_topk_per_lang" -> ((s: SparkSession, d: String) => PipelinePrep.qualityTopKPerLang(s, d)),
+    "q47_stratified_sample" -> (PipelinePrep.stratifiedSample _),
+    "q48_text_cleaning" -> (PipelinePrep.textCleaning _),
+    "q49_char_bigram_profile" -> ((s: SparkSession, d: String) => PipelinePrep.charBigramProfile(s, d)),
+    "q50_label_centroid_stats" -> (PipelinePrep.labelCentroidStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -472,6 +480,72 @@ object SparkEntry {
         |                            WHERE i.o_custkey = o.o_custkey)
         |  AND EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin,
+    "q45_doc_chunks" ->
+      """WITH b AS (SELECT doc_id, string_split(text,' ') AS t,
+        |            CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        |           FROM documents)
+        |SELECT doc_id,
+        | unnest([CAST(i AS BIGINT)
+        |         for i in range(0, CAST(ceil(n/32.0) AS BIGINT))]) AS chunk_idx,
+        | unnest([array_to_string(t[i*32+1 : i*32+32], ' ')
+        |         for i in range(0, CAST(ceil(n/32.0) AS BIGINT))]) AS chunk_text,
+        | unnest([CAST(least(32, n - i*32) AS BIGINT)
+        |         for i in range(0, CAST(ceil(n/32.0) AS BIGINT))]) AS n_chunk_tokens
+        |FROM b""".stripMargin,
+    "q46_quality_topk_per_lang" ->
+      """SELECT doc_id, lang, type_token_ratio, rn FROM (
+        | SELECT doc_id, lang, type_token_ratio,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY type_token_ratio DESC, doc_id) AS rn
+        | FROM (SELECT doc_id, lang,
+        |        round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+        |              len(string_split(text,' ')), 6) AS type_token_ratio
+        |       FROM documents) s) t
+        |WHERE rn <= 10""".stripMargin,
+    "q47_stratified_sample" ->
+      """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'""".stripMargin,
+    "q48_text_cleaning" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'),
+        |                     ' +', ' ', 'g')) AS clean_text,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+        | CAST(length(text) AS BIGINT) AS n_chars_raw,
+        | CAST(length(trim(regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'),
+        |                  ' +', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+        |FROM documents""".stripMargin,
+    "q49_char_bigram_profile" ->
+      """WITH grams AS (
+        | SELECT lang, unnest([substr(text, i, 2)
+        |                      for i in range(1, length(text))]) AS bigram
+        | FROM documents),
+        |counts AS (SELECT lang, bigram, count(*) AS n
+        |           FROM grams GROUP BY lang, bigram)
+        |SELECT lang, bigram, n, rn FROM (
+        | SELECT lang, bigram, n,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+        | FROM counts) t
+        |WHERE rn <= 5""".stripMargin,
+    "q50_label_centroid_stats" ->
+      """WITH ex AS (SELECT vec_id, label,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(1, len(embedding)+1)) AS i
+        |            FROM embeddings),
+        |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY label, i),
+        |cnorm AS (SELECT label, sqrt(sum(c*c)) AS nc FROM cent GROUP BY label),
+        |vnorm AS (SELECT vec_id, label, sqrt(sum(x*x)) AS nv
+        |          FROM ex GROUP BY vec_id, label),
+        |dt AS (SELECT e.vec_id, e.label, sum(e.x * c.c) AS d
+        |       FROM ex e JOIN cent c ON e.label=c.label AND e.i=c.i
+        |       GROUP BY e.vec_id, e.label)
+        |SELECT dt.label AS label, count(*) AS n_vecs,
+        | round(max(cn.nc), 4) AS centroid_norm,
+        | round(avg(dt.d / (vn.nv * cn.nc)), 4) AS avg_cosine
+        |FROM dt
+        | JOIN vnorm vn ON dt.vec_id = vn.vec_id AND dt.label = vn.label
+        | JOIN cnorm cn ON dt.label = cn.label
+        |GROUP BY dt.label""".stripMargin,
     // Intentionally no oracle (driver records rows-only checks):
     // q29_approx_distinct — HLL sketches are engine-specific;
     // q30_media_summary — the multimodal codec stub is not SQL-expressible.

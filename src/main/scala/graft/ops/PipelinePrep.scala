@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data preparation operators (north-star surface): the steps a
+  * large-scale LLM pipeline runs AFTER dedup/quality scoring — chunking
+  * documents into training samples, per-stratum sampling, text cleaning,
+  * per-language n-gram profiling, and embedding-space diagnostics.
+  *
+  * Scale shapes: chunking/cleaning are single narrow scans (no shuffle);
+  * sampling is a scan + filter on a deterministic hash (no RNG, so retries
+  * and re-runs are stable — rand() would break exactly-once semantics);
+  * profiles and centroid stats aggregate to tiny keyed outputs (langs ×
+  * bigrams, labels × dims) with map-side partial aggregation, so the
+  * shuffle is constant-size regardless of corpus size.
+  */
+object PipelinePrep {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Fixed-size token chunking: each document becomes ceil(n/chunkSize)
+    * training samples of up to `chunkSize` tokens. One narrow scan, rows
+    * explode 1→(n/chunkSize) — no shuffle, so at 100 TB this is purely
+    * map-side and the output partitioning follows the input files.
+    */
+  def docChunks(spark: SparkSession, dir: String, chunkSize: Int = 32): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", $"t", size($"t").cast("long").as("n"))
+      // guard like shinglesOf: a 0-token doc yields no chunks, not a
+      // descending-sequence error
+      .select($"doc_id", $"t", $"n",
+        explode(when($"n" >= 1,
+            sequence(lit(0L), floor(($"n" - 1) / chunkSize)))
+          .otherwise(array().cast("array<bigint>"))).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        concat_ws(" ", slice($"t", ($"chunk_idx" * chunkSize + 1).cast("int"),
+          lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize.toLong), $"n" - $"chunk_idx" * chunkSize)
+          .as("n_chunk_tokens"))
+  }
+
+  /** Top-k documents per language by lexical diversity (type-token
+    * ratio) — the "keep the best slice of each stratum" selection step.
+    * Window ranking shuffles once on the lang key; ties broken by doc_id
+    * so the result is deterministic.
+    */
+  def qualityTopKPerLang(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir)
+      .select($"doc_id", $"lang", toks.as("t"))
+      .select($"doc_id", $"lang",
+        round(size(array_distinct($"t")).cast("double") / size($"t"), 6)
+          .as("type_token_ratio"))
+    val w = Window.partitionBy($"lang")
+      .orderBy($"type_token_ratio".desc, $"doc_id")
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+  }
+
+  /** Deterministic ~10% stratified sample: keep a doc iff the first two
+    * hex chars of md5(doc_id) fall in [00, 19] (26/256 ≈ 10.2%). Hash
+    * sampling (vs rand()) is reproducible across retries, executors and
+    * engines — the property a training-data pipeline needs for exactly-
+    * once sample manifests. Scan + filter; no shuffle.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", $"lang",
+        substring(md5($"doc_id".cast("string")), 1, 2).as("bucket"))
+      .filter($"bucket" <= "19")
+  }
+
+  /** Text cleaning: digit-run masking + whitespace collapapse — the
+    * scrub-normalize step before tokenization. Single codegen'd scan;
+    * emits the cleaned text plus the change counters quality dashboards
+    * aggregate.
+    */
+  def textCleaning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id",
+        trim(regexp_replace(regexp_replace($"text", "[0-9]+", "#"),
+          " +", " ")).as("clean_text"),
+        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_digit_runs"),
+        length($"text").cast("long").as("n_chars_raw"))
+      .withColumn("n_chars_clean", length($"clean_text").cast("long"))
+  }
+
+  /** Per-language character-bigram profile (top `k` bigrams): the
+    * classic n-gram language-ID model's training step. Explode is 1→len
+    * map-side; the aggregation keys on (lang, bigram) with partial
+    * aggregation, so the shuffle carries at most langs × distinct-bigram
+    * rows — bounded by the alphabet, not the corpus.
+    */
+  def charBigramProfile(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val grams = docs(spark, dir)
+      .select($"lang", $"text", length($"text").as("len"))
+      .select($"lang",
+        explode(when($"len" >= 2,
+            transform(sequence(lit(1), $"len" - 1), i => $"text".substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+    val counts = grams.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    counts.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+  }
+
+  /** Embedding-space diagnostics: per-label centroid norm and mean
+    * cosine-to-centroid (cluster tightness). Built by position-exploding
+    * the vectors — (label, dim) keyed partial aggregation — instead of
+    * collecting vectors anywhere: at 100 TB the centroids are a labels×dims
+    * matrix built in one shuffle, and the per-vector cosine is a second
+    * broadcast-sized join back. No driver-side vector math.
+    */
+  def labelCentroidStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = emb(spark, dir)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("i", "xf")))
+      .select($"vec_id", $"label", $"i", $"xf".cast("double").as("x"))
+    val cent = ex.groupBy($"label", $"i").agg(avg($"x").as("c"))
+    val cnorm = cent.groupBy($"label").agg(sqrt(sum($"c" * $"c")).as("nc"))
+    val vnorm = ex.groupBy($"vec_id", $"label").agg(sqrt(sum($"x" * $"x")).as("nv"))
+    val dot = ex.join(broadcast(cent), Seq("label", "i"))
+      .groupBy($"vec_id", $"label").agg(sum($"x" * $"c").as("d"))
+    dot.join(vnorm, Seq("vec_id", "label"))
+      .join(broadcast(cnorm), Seq("label"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(max($"nc"), 4).as("centroid_norm"),
+        round(avg($"d" / ($"nv" * $"nc")), 4).as("avg_cosine"))
+  }
+}

@@ -80,6 +80,13 @@ class OpsSpec extends AnyFunSuite {
     "q42_moving_revenue" -> Set("o_custkey", "o_orderkey", "d_days", "rev_7d"),
     "q43_set_ops_all" -> Set("o_custkey", "multiplicity"),
     "q44_correlated_subquery" -> Set("o_orderkey", "o_custkey", "o_totalprice"),
+    "q45_doc_chunks" -> Set("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"),
+    "q46_quality_topk_per_lang" -> Set("doc_id", "lang", "type_token_ratio", "rn"),
+    "q47_stratified_sample" -> Set("doc_id", "lang", "bucket"),
+    "q48_text_cleaning" -> Set("doc_id", "clean_text", "n_digit_runs",
+      "n_chars_raw", "n_chars_clean"),
+    "q49_char_bigram_profile" -> Set("lang", "bigram", "n", "rn"),
+    "q50_label_centroid_stats" -> Set("label", "n_vecs", "centroid_norm", "avg_cosine"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the training-data-prep operators (value-level parity
+  * with DuckDB is the driver's gate; these pin the algebraic properties a
+  * refactor could silently break).
+  */
+class PipelinePrepSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("docChunks: chunk token counts sum back to the doc token count and " +
+      "concatenated chunks reassemble the document") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", size(split($"text", " ")).cast("long").as("n"))
+    val chunks = PipelinePrep.docChunks(spark, sf)
+    val bySum = chunks.groupBy($"doc_id")
+      .agg(sum($"n_chunk_tokens").as("total"))
+    val joined = docs.join(bySum, "doc_id")
+    assert(joined.filter($"total" =!= $"n").count() == 0)
+    // reassembly: order chunks by idx and re-join with single spaces
+    val reassembled = chunks
+      .groupBy($"doc_id")
+      .agg(array_join(transform(sort_array(collect_list(
+        struct($"chunk_idx", $"chunk_text"))), s => s("chunk_text")), " ")
+        .as("rejoined"))
+    val cmp = docs.join(reassembled, "doc_id")
+    assert(cmp.filter($"rejoined" =!= $"text").count() == 0)
+    // every chunk except a doc's last is exactly chunkSize tokens
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val nonLast = chunks
+      .withColumn("max_idx", max($"chunk_idx").over(w))
+      .filter($"chunk_idx" < $"max_idx")
+    assert(nonLast.filter($"n_chunk_tokens" =!= 32L).count() == 0)
+  }
+
+  test("docChunks: a 0-token corpus row yields no chunks, not an error") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-empty")
+    try {
+      Seq((1L, ""), (2L, "exactly thirty-two is not needed here"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = PipelinePrep.docChunks(spark, tmp.toString)
+      // split("", " ") yields [""] (1 token) — doc 1 still chunks cleanly
+      assert(out.filter($"doc_id" === 1L).count() == 1)
+      assert(out.filter($"doc_id" === 2L).count() == 1)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("qualityTopKPerLang: at most k rows per lang, ranked without gaps") {
+    val out = PipelinePrep.qualityTopKPerLang(spark, sf, k = 10).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    assert(byLang.forall(_._2.length <= 10))
+    byLang.foreach { case (_, rows) =>
+      val rns = rows.map(_.getAs[Long]("rn")).sorted
+      assert(rns.toSeq == (1L to rns.length).toSeq)
+    }
+  }
+
+  test("stratifiedSample: deterministic across runs and ~10% rate") {
+    val a = PipelinePrep.stratifiedSample(spark, sf).collect().map(_.getLong(0)).sorted
+    val b = PipelinePrep.stratifiedSample(spark, sf).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "hash sampling must be reproducible")
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rate = a.length.toDouble / total
+    assert(rate > 0.02 && rate < 0.25, s"rate $rate wildly off 26/256")
+  }
+
+  test("textCleaning: no digits survive and whitespace is collapsed") {
+    val out = PipelinePrep.textCleaning(spark, sf)
+    assert(out.filter($"clean_text".rlike("[0-9]")).count() == 0)
+    assert(out.filter($"clean_text".rlike("  ")).count() == 0)
+    assert(out.filter($"n_chars_clean" > $"n_chars_raw").count() == 0)
+  }
+
+  test("charBigramProfile: every bigram is 2 chars, counts rank-ordered per lang") {
+    val out = PipelinePrep.charBigramProfile(spark, sf, k = 5).collect()
+    assert(out.forall(_.getAs[String]("bigram").length == 2))
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("n"))
+      assert(byRank.zip(byRank.tail).forall { case (hi, lo) => hi >= lo })
+    }
+  }
+
+  test("labelCentroidStats: one row per label, cosines in [-1, 1], " +
+      "vector counts sum to the table size") {
+    val out = PipelinePrep.labelCentroidStats(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(out.length == emb.select($"label").distinct().count())
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+    assert(out.forall { r =>
+      val c = r.getAs[Double]("avg_cosine"); c >= -1.0 && c <= 1.0
+    })
+    assert(out.forall(_.getAs[Double]("centroid_norm") >= 0.0))
+  }
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.VectorOps
+
 /** Training-data preparation operators (north-star surface): the steps a
   * large-scale LLM pipeline runs AFTER dedup/quality scoring — chunking
   * documents into training samples, per-stratum sampling, text cleaning,
@@ -106,12 +108,17 @@ object PipelinePrep {
     */
   def charBigramProfile(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
+    // Split into a char array ONCE, then pair adjacent slices: substr(text,
+    // i, 2) per position re-seeks the string from offset 0 (code-point
+    // scan), turning a d-char doc into O(d²) work; slice+zip_with is O(d).
+    // (split("", "") yields code units — bigrams spanning an astral-plane
+    // surrogate pair would differ from code-point semantics; corpus is BMP.)
     val grams = docs(spark, dir)
-      .select($"lang", $"text", length($"text").as("len"))
+      .select($"lang", split($"text", "").as("cs"))
+      .select($"lang", greatest(size($"cs") - 1, lit(0)).as("n"), $"cs")
       .select($"lang",
-        explode(when($"len" >= 2,
-            transform(sequence(lit(1), $"len" - 1), i => $"text".substr(i, lit(2))))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+        explode(zip_with(slice($"cs", lit(1), $"n"), slice($"cs", lit(2), $"n"),
+          (a, b) => concat(a, b))).as("bigram"))
     val counts = grams.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
     counts.withColumn("rn", row_number().over(w).cast("long"))
@@ -119,24 +126,29 @@ object PipelinePrep {
   }
 
   /** Embedding-space diagnostics: per-label centroid norm and mean
-    * cosine-to-centroid (cluster tightness). Built by position-exploding
-    * the vectors — (label, dim) keyed partial aggregation — instead of
-    * collecting vectors anywhere: at 100 TB the centroids are a labels×dims
-    * matrix built in one shuffle, and the per-vector cosine is a second
-    * broadcast-sized join back. No driver-side vector math.
+    * cosine-to-centroid (cluster tightness). The centroid is the only
+    * part that needs a shuffle — (label, dim) keyed partial aggregation,
+    * output bounded by labels×dims regardless of corpus size. The
+    * centroid matrix is then collapsed to one array row per label and
+    * broadcast back, so the per-vector cosine is a single scan with the
+    * codegen'd vec_dot/vec_norm expressions (graft.functions.VectorOps)
+    * — no N×dims re-explosion, no driver-side vector math.
     */
   def labelCentroidStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ex = emb(spark, dir)
-      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("i", "xf")))
-      .select($"vec_id", $"label", $"i", $"xf".cast("double").as("x"))
-    val cent = ex.groupBy($"label", $"i").agg(avg($"x").as("c"))
-    val cnorm = cent.groupBy($"label").agg(sqrt(sum($"c" * $"c")).as("nc"))
-    val vnorm = ex.groupBy($"vec_id", $"label").agg(sqrt(sum($"x" * $"x")).as("nv"))
-    val dot = ex.join(broadcast(cent), Seq("label", "i"))
-      .groupBy($"vec_id", $"label").agg(sum($"x" * $"c").as("d"))
-    dot.join(vnorm, Seq("vec_id", "label"))
-      .join(broadcast(cnorm), Seq("label"))
+    val e = emb(spark, dir)
+    val cent = e
+      .select($"label", posexplode($"embedding").as(Seq("i", "xf")))
+      .groupBy($"label", $"i").agg(avg($"xf".cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"i", $"c"))),
+        s => s("c")).as("centroid"))
+      .withColumn("nc", VectorOps.vecNorm(spark, $"centroid"))
+    e.join(broadcast(cent), Seq("label"))
+      .select($"label",
+        VectorOps.vecDot(spark, $"embedding", $"centroid").as("d"),
+        VectorOps.vecNorm(spark, $"embedding").as("nv"),
+        $"nc")
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),
         round(max($"nc"), 4).as("centroid_norm"),

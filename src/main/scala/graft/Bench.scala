@@ -11,13 +11,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Materialize through the noop sink: every column of every row is
+    // computed and serialized, unlike count(), under which Catalyst prunes
+    // all projections and a select-only query degenerates to a parquet
+    // row count (round-2 verdict: q21-q24/q32/q33/q48 timed ~nothing).
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Untimed warmup: JIT the parquet reader + codegen paths once so the
     // first timed query doesn't absorb JVM startup; measures the engine,
     // not the cold JVM.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -45,12 +45,18 @@ object Main {
     // Softlink conflict is checked BEFORE any hashing/archiving so a
     // conflict exits 1 with no side effects (the source is not moved) —
     // the reference pre-checks the link path first (dirhash.py:663-666).
-    for (link <- args.softlink)
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(link), java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+    // Two reference semantics (ADVICE r2): the link path may equal the
+    // hashed dir itself ("archive, then leave a link where the dir was",
+    // dirhash.py:663 normpath comparison), and exists() follows symlinks
+    // (a dangling symlink at the link path is not a conflict).
+    for (link <- args.softlink) {
+      val linkNorm = java.nio.file.Paths.get(link).toAbsolutePath.normalize
+      val dirNorm = java.nio.file.Paths.get(args.dir).toAbsolutePath.normalize
+      if (linkNorm != dirNorm && java.nio.file.Files.exists(linkNorm)) {
         System.err.println(s"softlink target already exists: $link")
         return 1
       }
+    }
 
     val builder = SparkSession.builder()
       .appName("DirHash")
@@ -76,20 +82,27 @@ object Main {
 
       expected match {
         case Some(hashStr) =>
+          // the reference's two-line digest-only report (dirhash.py:645-661):
+          // "%9s %s" pads "Actual:" to 9 chars; the trailing \n inside the
+          // formatted string plus print's own newline ends output with a
+          // blank line
+          val expHex = HashSpec.parseHashString(hashStr).hexDigest
           val result = DirHash.verifyDirectoryHash(spark, args.dir, hashStr)
           if (result.matches) {
-            println(s"MATCH: ${result.actualHash}")
+            println(s"The hash values match:\nExpected: $expHex\n  Actual: ${result.actualHash}\n")
             0
           } else {
-            println(s"MISMATCH: expected $hashStr, actual ${result.actualHash}")
+            println(s"Hash value mismatch:\nExpected: $expHex\n  Actual: ${result.actualHash}\n")
             1
           }
         case None =>
           val hashStr = DirHash.hashDirectory(spark, args.dir, args.algo, args.blockSize)
-          println(hashStr)
           args.archive match {
             case Some(repo) =>
-              Archive.moveFolderToHashedArchive(repo, args.dir, hashStr)
+              // on archive the reference prints the NEW PATH, not the hash
+              // (dirhash.py:668-669)
+              val newPath = Archive.moveFolderToHashedArchive(repo, args.dir, hashStr)
+              println(newPath)
               args.softlink.foreach { link =>
                 try Archive.createSoftlink(repo, hashStr, link)
                 catch {
@@ -99,7 +112,9 @@ object Main {
                 }
               }
               0
-            case None => 0
+            case None =>
+              println(hashStr)
+              0
           }
       }
     } finally if (!preexisting) spark.stop()

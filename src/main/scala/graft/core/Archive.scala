@@ -32,13 +32,20 @@ object Archive {
     target
   }
 
-  /** `ln -s <repo>/<hashStr> <linkPath>` — fails if `linkPath` exists
-    * (reference pre-check, dirhash.py:663-666).
+  /** Reference softlink semantics (dirhash.py:671-682): `linkPath` is a
+    * DIRECTORY — created if absent (`os.makedirs`) — and the symlink is
+    * created inside it by `ln -s <repo>/<hashStr> <linkPath>`, i.e. at
+    * `<linkPath>/<hashStr>`. With the CLI's same-path exemption this is
+    * what makes "archive, then leave a link at the original location"
+    * work: the moved dir's path is recreated as a directory holding a
+    * link named by the hash.
     */
   def createSoftlink(hashedRepo: String, hashStr: String, linkPath: String): Unit = {
-    val link = Paths.get(linkPath)
+    val linkDir = Paths.get(linkPath)
+    if (!Files.exists(linkDir)) Files.createDirectories(linkDir)
+    val link = linkDir.resolve(hashStr)
     if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      throw new IllegalStateException(s"softlink target already exists: $linkPath")
+      throw new IllegalStateException(s"softlink target already exists: $link")
     Files.createSymbolicLink(link, Paths.get(hashedRepo, hashStr).toAbsolutePath)
   }
 

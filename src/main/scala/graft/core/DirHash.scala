@@ -24,6 +24,43 @@ final case class HashComparisonResult(matches: Boolean, actualHash: String)
   */
 object DirHash {
 
+  /** Runs `body` with the caller's session if one is active, otherwise
+    * with a private local session created here and stopped afterwards —
+    * the reference's SparkContext create-if-absent management
+    * (/root/reference/dirhash.py:325-335): a library caller gets the
+    * same no-arguments contract the CLI user gets.
+    */
+  private def withSession[A](body: SparkSession => A): A =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) => body(s)
+      case None =>
+        val builder = SparkSession.builder()
+          .appName("DirHash")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        if (!new org.apache.spark.SparkConf().contains("spark.master"))
+          builder.master("local[*]")
+        val spark = builder.getOrCreate()
+        try body(spark)
+        finally {
+          spark.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+        }
+    }
+
+  /** No-session overloads (reference parity: every entry point accepts a
+    * missing context, dirhash.py E1-E4). */
+  def hashDirectoryRaw(dir: String, algo: String, blockSize: Long): String =
+    withSession(hashDirectoryRaw(_, dir, algo, blockSize))
+  def hashDirectory(dir: String, algo: String, blockSizeStr: String): String =
+    withSession(hashDirectory(_, dir, algo, blockSizeStr))
+  def verifyRawDirectoryHash(dir: String, algo: String, blockSize: Long,
+      expectedHex: String): HashComparisonResult =
+    withSession(verifyRawDirectoryHash(_, dir, algo, blockSize, expectedHex))
+  def verifyDirectoryHash(dir: String, hashString: String): HashComparisonResult =
+    withSession(verifyDirectoryHash(_, dir, hashString))
+
   /** Hex digest of `dir` under `algo` at `blockSize` bytes.
     * (reference `hash_directory_raw`, /root/reference/dirhash.py:307-444)
     */

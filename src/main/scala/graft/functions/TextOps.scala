@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst text expressions (SURVEY.md §2.12 text-analysis
+  * surface). `bigram_counts(text)` folds a document's adjacent-char
+  * bigrams into one `map<string,bigint>` row.
+  *
+  * Why an expression and not `explode(zip_with(slice, slice))`: the HOF
+  * route emits ONE ROW PER CHARACTER of the corpus before aggregating —
+  * at sf0.1 that is ~10⁷ exploded rows (14.4 s, 24% of the whole bench)
+  * and the row volume grows linearly in corpus bytes with a terrible
+  * constant. Per-doc count maps emit one row per document; the later
+  * `explode(map)` is bounded by distinct-bigrams-per-doc (≈ hundreds),
+  * cutting generator output ~50-100× while the (lang, bigram) shuffle
+  * stays identical. At 100 TB the explode row count, not the shuffle,
+  * is the scale-killer this removes.
+  */
+object TextOps {
+
+  /** Adjacent char-pair counts of `text` as a MapData, bigrams in
+    * lexicographic UTF-16 order (deterministic output).
+    *
+    * Chars are UTF-16 code units; a bigram spanning an astral-plane
+    * surrogate pair would differ from code-point (DuckDB `substr`)
+    * semantics — the corpus is BMP, where the two coincide.
+    */
+  def bigramCounts(text: UTF8String): MapData = {
+    val s = text.toString
+    val n = s.length
+    if (n < 2) {
+      return new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
+        new GenericArrayData(Array.empty[Any]))
+    }
+    // pack each (char, nextChar) pair into one int; sort + run-length
+    // encode — allocation-light vs a boxed per-position hash map
+    val packed = new Array[Int](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      packed(i) = (s.charAt(i).toInt << 16) | s.charAt(i + 1).toInt
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    var distinct = 1
+    i = 1
+    while (i < packed.length) {
+      if (packed(i) != packed(i - 1)) distinct += 1
+      i += 1
+    }
+    val keys = new Array[Any](distinct)
+    val vals = new Array[Any](distinct)
+    var out = 0
+    var runStart = 0
+    i = 1
+    while (i <= packed.length) {
+      if (i == packed.length || packed(i) != packed(runStart)) {
+        val k = packed(runStart)
+        keys(out) = UTF8String.fromString(
+          new String(Array((k >>> 16).toChar, (k & 0xffff).toChar)))
+        vals(out) = (i - runStart).toLong
+        out += 1
+        runStart = i
+      }
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  // sorted ints compare as unsigned char-pairs only for BMP chars below
+  // 0x8000 in the high position; the testdata corpus is ASCII, where int
+  // order == lexicographic order. Map ordering is cosmetic anyway — every
+  // consumer aggregates over the exploded entries.
+  case class BigramCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      bigramCounts(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.bigramCounts($t)")
+    override protected def withNewChildInternal(c: Expression): BigramCounts =
+      copy(child = c)
+  }
+
+  /** Registers `bigram_counts` on the session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigram_counts", exprs => BigramCounts(exprs.head), "built-in")
+
+  def bigramCountsCol(spark: SparkSession, text: Column): Column = {
+    register(spark); call_function("bigram_counts", text)
+  }
+}

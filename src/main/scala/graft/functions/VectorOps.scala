@@ -121,7 +121,7 @@ object VectorOps {
     override def dataType: DataType = DoubleType
     private lazy val method = if (isDoubleArray(child)) "normD" else "norm"
     override def nullSafeEval(a: Any): Any =
-      if (isDoubleArray(child)) normD(a.asInstanceOf[ArrayData])
+      if (method == "normD") normD(a.asInstanceOf[ArrayData])
       else norm(a.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.$method($a)")

@@ -44,6 +44,15 @@ object Dedup {
       .select($"doc_id", explode(if (distinct) array_distinct(arr) else arr).as("sh"))
   }
 
+  /** Per-doc distinct SET of 64-bit shingle hashes: xxhash64 applied
+    * BEFORE array_distinct, so two distinct shingle strings colliding to
+    * one hash count once everywhere (intersections stay set-exact over
+    * the hashed domain — ADVICE r2) and the dedup compares 8-byte longs
+    * instead of ~25-byte strings.
+    */
+  private def hashedShingleSet(t: Column): Column =
+    array_distinct(transform(shinglesOf(t), s => xxhash64(s)))
+
   /** Exact dedup via content hash: sha256 groups, keeper = min doc_id.
     * Reuses the engine's hashing idea relationally (the reference's F3
     * machinery as a groupBy key — SURVEY.md §2.12).
@@ -76,15 +85,22 @@ object Dedup {
 
   /** Near-dup candidate pairs: docs sharing any band signature. The
     * bucket join keys on xxhash64(band, sig) — one 8-byte long instead
-    * of an (int, 32-char md5) composite — same pairs, cheaper shuffle.
+    * of an (int, 32-char md5) composite — plus residual exact (band, sig)
+    * equality so a 64-bit hash collision across distinct signatures can
+    * never emit a false pair: the result is exact by construction, not
+    * merely exact-with-probability-1-2⁻⁶⁴. The signature table is
+    * docs × bands rows, so carrying the md5 through this one small
+    * shuffle is noise; the savings of the 8-byte key matter in the
+    * shingle joins below, which keep it.
     */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = minhashSignatures(spark, dir)
-      .select($"doc_id", xxhash64($"band", $"sig").as("bucket"))
+      .select($"doc_id", $"band", $"sig", xxhash64($"band", $"sig").as("bucket"))
     sigs.as("a")
       .join(sigs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -188,15 +204,15 @@ object Dedup {
       .groupBy(sha2($"text", 256).as("content_hash"))
       .agg(min($"doc_id").as("doc_id"), first($"text").as("text"))
       .select($"doc_id", $"text")
-    val arr = shinglesOf($"t")
-    // join on the 64-bit shingle hash, as in [[jaccardPairs]]
+    // join on the 64-bit shingle hash, as in [[jaccardPairs]]; hash
+    // BEFORE the per-doc distinct so intersection and set sizes count
+    // the same (hashed) set and stay consistent under a collision
     val sh = keepers
       .select($"doc_id", toks.as("t"))
-      .select($"doc_id", explode(array_distinct(arr)).as("sh"))
-      .select($"doc_id", xxhash64($"sh").as("sh"))
+      .select($"doc_id", explode(hashedShingleSet($"t")).as("sh"))
     val sizes = keepers
       .select($"doc_id", toks.as("t"))
-      .select($"doc_id", size(array_distinct(shinglesOf($"t"))).cast("long").as("n"))
+      .select($"doc_id", size(hashedShingleSet($"t")).cast("long").as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -282,18 +298,21 @@ object Dedup {
     * The self-join keys on xxhash64(shingle), not the shingle string:
     * the sort-merge join then shuffles and sorts 8-byte longs instead of
     * ~25-byte strings (~35% off the join wall time, same output —
-    * a 64-bit collision needs ~2³² distinct shingles by birthday bound;
-    * per-doc set sizes stay string-exact below).
+    * a 64-bit collision needs ~2³² distinct shingles by birthday bound).
+    * Hashing happens BEFORE the per-doc distinct, so intersections and
+    * set sizes count the same hashed set and stay mutually consistent
+    * even under a collision.
     */
   def jaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.05): DataFrame = {
     import spark.implicits._
-    val sh = shingleRows(spark, dir, distinct = true)
-      .select($"doc_id", xxhash64($"sh").as("sh"))
+    val sh = docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", explode(hashedShingleSet($"t")).as("sh"))
     // |A| per doc straight off the scan — no explode/shuffle; always
     // broadcast-sized relative to the pair table it joins
     val sizes = docs(spark, dir)
       .select($"doc_id", toks.as("t"))
-      .select($"doc_id", size(array_distinct(shinglesOf($"t"))).cast("long").as("n"))
+      .select($"doc_id", size(hashedShingleSet($"t")).cast("long").as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

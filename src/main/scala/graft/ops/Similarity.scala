@@ -107,16 +107,20 @@ object Similarity {
     val e = emb(spark, dir)
     val centroids = e.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("centroid_id"), $"embedding".as("c_embedding"))
-    // nearest centroid per vector: max cosine, centroid_id as tiebreaker
+    // nearest centroid per vector: max cosine, min centroid_id on ties.
+    // max_by over struct(c_cos, -centroid_id) instead of a row_number
+    // window: the aggregate gets map-side partial aggregation, so the
+    // shuffle carries one row per vector, not corpus × nCentroids scored
+    // rows (round-2 verdict: ~8× smaller assignment exchange).
     val assigned = e.crossJoin(broadcast(centroids))
       .select($"vec_id", $"label", $"embedding", $"centroid_id",
         round(dot($"embedding", $"c_embedding") /
           (norm($"embedding") * norm($"c_embedding")), 6).as("c_cos"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
-          .orderBy($"c_cos".desc, $"centroid_id")))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"label", $"embedding", $"centroid_id")
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"label", $"embedding", $"centroid_id"),
+        struct($"c_cos", (-$"centroid_id").as("neg_cid"))).as("best"))
+      .select($"vec_id", $"best.label".as("label"),
+        $"best.embedding".as("embedding"), $"best.centroid_id".as("centroid_id"))
     val qCell = assigned.filter($"vec_id" === queryId)
       .select($"centroid_id".as("q_cell"), $"embedding".as("q_embedding"))
     assigned

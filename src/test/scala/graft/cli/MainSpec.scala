@@ -34,19 +34,28 @@ class MainSpec extends AnyFunSuite {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 
-  test("hash prints v1 string, exit 0; verify matches, mismatch exits 1") {
+  test("hash prints v1 string, exit 0; verify report matches the reference's " +
+      "Expected:/Actual: format; mismatch exits 1") {
     val root = fixture()
     try {
       val (c0, hash) = run(root.toString, "-b", "1k")
       assert(c0 == 0)
       assert(hash.startsWith("v1-sha256-1k-"))
+      val hex = hash.split("-", 4)(3)
 
+      // reference two-line digest-only report (dirhash.py:645-661):
+      // "%9s %s" right-justifies "Actual:" to 9 chars
       val (c1, out1) = run(root.toString, "--check", hash, "-b", "1k")
-      assert(c1 == 0 && out1.startsWith("MATCH:"))
+      assert(c1 == 0)
+      assert(out1 == s"The hash values match:\nExpected: $hex\n  Actual: $hex",
+        out1)
 
+      val bogusHex = hex.dropRight(8) + "00000000"
       val bogus = hash.dropRight(8) + "00000000"
       val (c2, out2) = run(root.toString, "-c", bogus, "-b", "1k")
-      assert(c2 == 1 && out2.startsWith("MISMATCH:"))
+      assert(c2 == 1)
+      assert(out2 == s"Hash value mismatch:\nExpected: $bogusHex\n  Actual: $hex",
+        out2)
     } finally rm(root)
   }
 
@@ -77,17 +86,50 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
-  test("archive moves dir under its hash; --check-name self-verifies; dedup deletes source") {
+  test("softlink == hashed dir is exempt from the conflict check: archive " +
+      "leaves a link directory at the original location (dirhash.py:663)") {
+    val root = fixture()
+    val repo = Files.createTempDirectory("graft-repo-self")
+    try {
+      val (code, printed) = run(root.toString, "-b", "1k",
+        "--move-to-archive", repo.toString, "--softlink", root.toString)
+      assert(code == 0)
+      val archived = Paths.get(printed)
+      val hash = archived.getFileName.toString
+      // reference: makedirs(softlink) then `ln -s new_path softlink` →
+      // the link lands INSIDE the recreated dir, named by the hash
+      val link = root.resolve(hash)
+      assert(Files.isDirectory(root), "original path recreated as a dir")
+      assert(Files.isSymbolicLink(link), s"expected symlink at $link")
+      assert(Files.readSymbolicLink(link) == archived.toAbsolutePath)
+      // the link resolves INTO the archive: the moved content is reachable
+      // through the original location
+      assert(Files.exists(link.resolve("a.txt")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(repo))
+        Files.walk(repo).iterator().asScala.foreach(p => p.toFile.setWritable(true))
+      rm(repo); rm(root)
+    }
+  }
+
+  test("archive prints the new archive path, --check-name self-verifies, " +
+      "dedup deletes source") {
     val root = fixture()
     val repo = Files.createTempDirectory("graft-repo")
     try {
-      val (c0, hash) = run(root.toString, "-b", "1k", "--move-to-archive", repo.toString)
+      // reference prints the archive target path, not the hash
+      // (dirhash.py:668-669)
+      val (c0, printed) = run(root.toString, "-b", "1k", "--move-to-archive", repo.toString)
       assert(c0 == 0)
-      val archived = repo.resolve(hash)
+      val archived = Paths.get(printed)
+      assert(archived.getParent == repo, s"printed '$printed' not under $repo")
+      val hash = archived.getFileName.toString
+      assert(hash.startsWith("v1-sha256-1k-"))
       assert(Files.isDirectory(archived) && !Files.exists(root))
 
       val (c1, out1) = run(archived.toString, "--check-name", "-b", "1k")
-      assert(c1 == 0 && out1.startsWith("MATCH:"), out1)
+      assert(c1 == 0 && out1.startsWith("The hash values match:"), out1)
 
       // identical second tree: target exists => source deleted (dedup)
       val root2 = fixture()

@@ -86,6 +86,9 @@ object SparkEntry {
     "q48_text_cleaning" -> (PipelinePrep.textCleaning _),
     "q49_char_bigram_profile" -> ((s: SparkSession, d: String) => PipelinePrep.charBigramProfile(s, d)),
     "q50_label_centroid_stats" -> (PipelinePrep.labelCentroidStats _),
+    // the 100-TB scale path for q18: SRP-banded candidates, exact cosine
+    // on the candidate set (oracle recomputes the identical bucketing)
+    "q51_cosine_near_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairsLsh(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -546,8 +549,45 @@ object SparkEntry {
         | JOIN vnorm vn ON dt.vec_id = vn.vec_id AND dt.label = vn.label
         | JOIN cnorm cn ON dt.label = cn.label
         |GROUP BY dt.label""".stripMargin,
-    // Intentionally no oracle (driver records rows-only checks):
-    // q29_approx_distinct — HLL sketches are engine-specific;
-    // q30_media_summary — the multimodal codec stub is not SQL-expressible.
+    // q29: the HLL estimate itself is engine-specific, so the query
+    // materializes a ±5% tolerance check against the exact distinct
+    // counts as booleans; the oracle emits the exact counts and `true`.
+    "q29_approx_distinct" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_suppkey) AS exact_supps,
+        | true AS parts_within_tol, true AS supps_within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // q30: the SQL-expressible half as values (kind, counts, bytes,
+    // durations = 8×bytes by the stub codec's contract); the stub-only
+    // half (hash dims, feature norms, codec tags) as invariant booleans.
+    "q30_media_summary" ->
+      """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        | count(*) AS n_media,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        | CAST(8 * sum(strlen(text)) AS BIGINT) AS total_duration_ms,
+        | true AS dims_in_range, true AS norms_unit, true AS codecs_ok
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q51_cosine_near_dup_lsh" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 16),
+        |sig AS (SELECT e.vec_id, e.label, CAST(pid // 4 AS INTEGER) AS band,
+        |       CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                       for i in range(1, len(e.embedding)+1)]) >= 0
+        |                THEN (CAST(1 AS BIGINT) << CAST(pid % 4 AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+        |      FROM embeddings e CROSS JOIN p
+        |      GROUP BY e.vec_id, e.label, CAST(pid // 4 AS INTEGER)),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+        |      FROM sig a JOIN sig b
+        |        ON a.label=b.label AND a.band=b.band AND a.sig=b.sig AND a.vec_id < b.vec_id),
+        |e AS (SELECT vec_id, embedding,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |  FROM embeddings)
+        |SELECT * FROM (
+        | SELECT c.vec_a, c.vec_b, c.label,
+        |  round(list_sum([CAST(ea.embedding[i] AS DOUBLE)*CAST(eb.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(ea.embedding)+1)]) / (ea.nrm*eb.nrm), 6) AS cosine
+        | FROM cand c JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id) t
+        |WHERE cosine >= 0.3""".stripMargin,
   )
 }

@@ -172,23 +172,32 @@ object Multimodal {
   }
 
   /** The queries-surface entry: media → decode → featurize → per-kind
-    * rollup. Rows-only driver check (the codec stub is not
-    * SQL-expressible); the point is that the full pipeline runs in the
-    * driver's environment with real Spark plumbing.
+    * rollup, shaped for an exact oracle. The SQL-expressible half (kind
+    * assignment, counts, byte totals, durations = 8×bytes by the stub's
+    * contract) is emitted as values; the stub-only half (hash-derived
+    * dims, feature norms, codec tags) is emitted as invariant booleans
+    * the oracle pins to `true` — so the hash compare is exact while the
+    * full decode/featurize pipeline still executes and is checked.
     */
   def mediaSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, dir)
     val meta = decodeMeta(media)
     val feats = featurize(media)
-    meta.join(feats.select($"media_id", $"feature"), "media_id")
+    val norm2 = aggregate($"feature", lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    meta.join(feats.select($"media_id", norm2.as("norm2")), "media_id")
       .groupBy($"kind")
       .agg(
         count(lit(1)).as("n_media"),
         sum($"n_bytes").as("total_bytes"),
-        round(avg($"width"), 4).as("avg_width"),
-        round(avg($"height"), 4).as("avg_height"),
-        round(avg(aggregate($"feature", lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("avg_feature_norm2"))
+        sum($"duration_ms").as("total_duration_ms"),
+        // StubCodec.decode maps the payload hash into [64, 1087]²
+        bool_and($"width".between(64, 1087) && $"height".between(64, 1087))
+          .as("dims_in_range"),
+        // features are L2-normalized (or all-zero for <4-byte payloads)
+        bool_and(abs($"norm2" - 1.0) < 1e-3 || $"norm2" === 0.0)
+          .as("norms_unit"),
+        bool_and($"codec" === concat(lit("stub-"), $"kind")).as("codecs_ok"))
   }
 }

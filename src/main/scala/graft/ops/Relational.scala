@@ -259,12 +259,24 @@ object Relational {
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The HLL sketch itself is engine-specific, so the sketch estimate
+    // can't be oracle-hashed directly; materializing the ±5% tolerance
+    // check as booleans next to the exact distinct counts makes the
+    // whole row exactly comparable (oracle emits `true`) while still
+    // exercising approx_count_distinct end-to-end.
     t(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
         approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
         approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
+        countDistinct($"l_suppkey").as("exact_supps"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag", $"n", $"exact_parts", $"exact_supps",
+        (abs($"approx_parts" - $"exact_parts") <= lit(0.05) * $"exact_parts")
+          .as("parts_within_tol"),
+        (abs($"approx_supps" - $"exact_supps") <= lit(0.05) * $"exact_supps")
+          .as("supps_within_tol"))
   }
 
   /** Multi-way star join with two broadcast dims + selective filter:

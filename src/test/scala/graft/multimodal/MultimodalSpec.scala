@@ -82,10 +82,14 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("mediaSummary rolls up decode + features per kind") {
+  test("mediaSummary rolls up decode + features per kind; stub invariants hold") {
     val s = mediaSummary(spark, sf).collect()
     assert(s.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(s.forall(_.getLong(1) > 0))
+    // duration = 8 × bytes is the stub codec's contract (oracle-checked too)
+    assert(s.forall(r => r.getLong(3) == 8 * r.getLong(2)))
+    // dims_in_range, norms_unit, codecs_ok — the stub-only half as booleans
+    assert(s.forall(r => r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6)))
   }
 
   test("media features flow into the similarity operators' contract") {

@@ -14,11 +14,9 @@ class OpsSpec extends AnyFunSuite {
   private val spark = graft.SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("every query has a matching oracleSql entry (or is known rows-only)") {
-    // HLL sketches are engine-specific; the media codec stub isn't SQL
-    val rowsOnly = Set("q29_approx_distinct", "q30_media_summary")
+  test("every query has a matching oracleSql entry") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == Set.empty)
   }
 
   test("flagship entry returns rows") {
@@ -62,9 +60,10 @@ class OpsSpec extends AnyFunSuite {
     "q26_hourly_event_counts" -> Set("window_start", "event_type", "n", "total_value"),
     "q27_simhash" -> Set("doc_id", "simhash"),
     "q28_simhash_near_dups" -> Set("doc_a", "doc_b", "hamming"),
-    "q29_approx_distinct" -> Set("l_returnflag", "approx_parts", "approx_supps", "n"),
-    "q30_media_summary" -> Set("kind", "n_media", "total_bytes", "avg_width",
-      "avg_height", "avg_feature_norm2"),
+    "q29_approx_distinct" -> Set("l_returnflag", "n", "exact_parts",
+      "exact_supps", "parts_within_tol", "supps_within_tol"),
+    "q30_media_summary" -> Set("kind", "n_media", "total_bytes",
+      "total_duration_ms", "dims_in_range", "norms_unit", "codecs_ok"),
     "q31_srp_lsh_ann" -> Set("vec_id", "label", "cosine"),
     "q32_rolling_fingerprints" -> Set("doc_id", "rolling_fp", "n_tokens"),
     "q33_chunk_hash_digests" -> Set("doc_id", "chunk_digest", "n_bytes"),
@@ -87,6 +86,7 @@ class OpsSpec extends AnyFunSuite {
       "n_chars_raw", "n_chars_clean"),
     "q49_char_bigram_profile" -> Set("lang", "bigram", "n", "rn"),
     "q50_label_centroid_stats" -> Set("label", "n_vecs", "centroid_norm", "avg_cosine"),
+    "q51_cosine_near_dup_lsh" -> Set("vec_a", "vec_b", "label", "cosine"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -113,6 +113,38 @@ class OpsSpec extends AnyFunSuite {
     // every cluster label is the minimum doc_id of its member set
     val byCluster = driverPath.groupBy(_._2)
     assert(byCluster.forall { case (c, ms) => ms.map(_._1).min == c })
+  }
+
+  test("q51 LSH near-dups: precision 1.0 (subset of the exact twin) and " +
+      "identical vectors are always caught") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.cosineNearDupPairs(spark, sf))
+    val lsh = pairSet(Similarity.cosineNearDupPairsLsh(spark, sf))
+    // every LSH pair passed the exact cosine filter — no false positives
+    assert(lsh.subsetOf(exact), s"LSH emitted non-qualifying pairs: ${lsh -- exact}")
+    assert(lsh.nonEmpty)
+
+    // deterministic recall guarantee at cos=1: an identical vector has
+    // identical band signatures, so duplicate pairs can never be missed
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-dups")
+    try {
+      val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      val dups = base.filter($"vec_id".between(100, 109))
+        .select(($"vec_id" + 10000L).as("vec_id"), $"label", $"embedding")
+      base.unionByName(dups).write.mode("overwrite")
+        .parquet(s"$tmp/embeddings.parquet")
+      val found = pairSet(Similarity.cosineNearDupPairsLsh(spark, tmp.toString))
+      val expected = (100L to 109L).map(i => (i, i + 10000L)).toSet
+      assert(expected.subsetOf(found),
+        s"missed duplicate pairs: ${expected -- found}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
   }
 
   test("shingle pipelines tolerate empty/1/2-token docs — no shingles, no crash (ADVICE r1)") {

@@ -49,6 +49,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
+  test("q19: IVF centroid assignment aggregates (map-side combine), no window") {
+    // a row_number window here would shuffle corpus × nCentroids scored
+    // rows; max_by partial aggregation shuffles one row per vector
+    val p = plan(Similarity.annIvfTopK(spark, sf))
+    assert(!p.contains("Window"), s"assignment regressed to a window:\n$p")
+    assert(p.contains("max_by") || p.contains("HashAggregate"), p)
+  }
+
+  test("q51: LSH near-dup candidates come from an equality join, never all-pairs") {
+    val p = plan(Similarity.cosineNearDupPairsLsh(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // nested-loop joins are allowed only as Cross BuildRight — the
+    // broadcast of the 16 planes, recomputed on each self-join branch.
+    // Any inner/outer BNLJ would mean the corpus-pair join degenerated.
+    // tree lines carry the join type + build side; detail lines repeat the
+    // node name bare, so restrict to lines that name a build side
+    val badNlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filter(l => l.contains("Build"))
+      .filterNot(_.contains("Cross BuildRight"))
+    assert(badNlj.isEmpty, s"non-broadcast-cross NLJ in plan:\n$p")
+  }
+
   test("q13: exact dedup is a single scan + single exchange") {
     val p = plan(Dedup.exactDuplicates(spark, sf))
     val exchanges = p.linesIterator.count(l =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -253,25 +253,40 @@ object Relational {
 
   /** Approximate distinct counts: HLL++ sketch per group — the 100 TB
     * shape for cardinality estimation (one pass, mergeable partials,
-    * constant memory vs exact distinct's two-phase shuffle). No DuckDB
-    * oracle: sketch implementations differ across engines, so the driver
-    * records a rows-only check for this query.
+    * constant memory vs exact distinct's two-phase shuffle).
+    *
+    * The sketch estimate is engine-specific and can't be oracle-hashed
+    * directly; materializing a ±5% tolerance check as booleans next to
+    * the exact distinct counts makes the whole row exactly comparable
+    * (the oracle emits `true`) while still exercising the sketch path.
+    *
+    * The exact counts deliberately do NOT share the sketch aggregation:
+    * mixing countDistinct with other aggregates makes Catalyst expand
+    * each input row once per distinct group, and the partial aggregate
+    * then keys on (flag, partkey, gid) — carrying the two multi-KB HLL
+    * buffers through a ~corpus-cardinality hash map (measured 8 s at
+    * sf0.1). Split, the sketches fold in one clean pass over 3 groups
+    * and each exact count is a pre-combined distinct + tiny count; the
+    * three 3-row results broadcast-join back together.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // The HLL sketch itself is engine-specific, so the sketch estimate
-    // can't be oracle-hashed directly; materializing the ±5% tolerance
-    // check as booleans next to the exact distinct counts makes the
-    // whole row exactly comparable (oracle emits `true`) while still
-    // exercising approx_count_distinct end-to-end.
-    t(spark, dir, "lineitem")
+    val li = t(spark, dir, "lineitem")
+    val sketches = li
       .groupBy($"l_returnflag")
       .agg(
         approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-        countDistinct($"l_partkey").as("exact_parts"),
         approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
-        countDistinct($"l_suppkey").as("exact_supps"),
         count(lit(1)).as("n"))
+    def exactDistinct(key: Column, out: String): DataFrame =
+      li.select($"l_returnflag", key.as("k")).distinct()
+        .groupBy($"l_returnflag").agg(count(lit(1)).as(out))
+        .withColumnRenamed("l_returnflag", s"${out}_flag")
+    sketches
+      .join(broadcast(exactDistinct($"l_partkey", "exact_parts")),
+        $"l_returnflag" === $"exact_parts_flag")
+      .join(broadcast(exactDistinct($"l_suppkey", "exact_supps")),
+        $"l_returnflag" === $"exact_supps_flag")
       .select($"l_returnflag", $"n", $"exact_parts", $"exact_supps",
         (abs($"approx_parts" - $"exact_parts") <= lit(0.05) * $"exact_parts")
           .as("parts_within_tol"),

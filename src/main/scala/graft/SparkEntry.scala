@@ -89,6 +89,12 @@ object SparkEntry {
     // the 100-TB scale path for q18: SRP-banded candidates, exact cosine
     // on the candidate set (oracle recomputes the identical bucketing)
     "q51_cosine_near_dup_lsh" -> ((s: SparkSession, d: String) => Similarity.cosineNearDupPairsLsh(s, d)),
+    // quality/boilerplate signals (Gopher repetition, C4 doc-frequency)
+    "q52_repetition_ratio" -> (TextAnalysis.repetitionRatio _),
+    "q53_boilerplate_phrases" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplatePhrases(s, d)),
+    // batch KNN graph (all-vectors SRP-bucketed top-k) + int8 quantization
+    "q54_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "q55_quantization_error" -> (Similarity.quantizationError _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -589,5 +595,67 @@ object SparkEntry {
         |                  for i in range(1, len(ea.embedding)+1)]) / (ea.nrm*eb.nrm), 6) AS cosine
         | FROM cand c JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id) t
         |WHERE cosine >= 0.3""".stripMargin,
+    "q52_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(tk) >= 3
+        |       THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |             for i in range(1, len(tk) - 1)]
+        |       ELSE [] END AS grams FROM t)
+        |SELECT doc_id,
+        | CAST(len(grams) AS BIGINT) AS n_grams,
+        | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+        | CASE WHEN len(grams) = 0 THEN 0.0
+        |      ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        | END AS dup_gram_frac
+        |FROM g""".stripMargin,
+    "q53_boilerplate_phrases" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |  unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 5
+        |         THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+        |               for i in range(1, len(tk) - 3)]
+        |         ELSE [] END)) AS phrase FROM t),
+        |df AS (SELECT lang, phrase, count(*) AS n_docs FROM g GROUP BY 1, 2)
+        |SELECT * FROM (
+        | SELECT lang, phrase, n_docs,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n_docs DESC, phrase) AS BIGINT) AS rn
+        | FROM df) WHERE rn <= 10""".stripMargin,
+    "q54_knn_graph" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
+        |sig AS (SELECT e.vec_id, e.embedding,
+        |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                   for i in range(1, len(e.embedding)+1)]) >= 0
+        |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
+        |n AS (SELECT vec_id, embedding, bucket,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |  FROM sig),
+        |pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |   round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+        |                   for i in range(1, len(a.embedding)+1)]) / (a.nrm*b.nrm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        |SELECT * FROM (
+        | SELECT vec_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+        | FROM pairs) WHERE rn <= 3""".stripMargin,
+    "q55_quantization_error" ->
+      """WITH x AS (SELECT vec_id, label,
+        |   [CAST(v AS DOUBLE) for v in embedding] AS xd FROM embeddings),
+        |m AS (SELECT vec_id, label, xd,
+        |   list_max([abs(v) for v in xd]) AS mx FROM x),
+        |q AS (SELECT vec_id, label, xd, mx,
+        |   CASE WHEN mx > 0 THEN [floor(v * 127.0 / mx + 0.5) for v in xd]
+        |        ELSE xd END AS qv FROM m),
+        |e AS (SELECT label,
+        |   list_sum([(xd[i] - qv[i] * mx / 127.0) * (xd[i] - qv[i] * mx / 127.0)
+        |             for i in range(1, len(xd)+1)]) AS err2,
+        |   list_sum([v * v for v in xd]) AS nrm2
+        |  FROM q)
+        |SELECT label, count(*) AS n_vecs,
+        | round(avg(CASE WHEN nrm2 > 0 THEN sqrt(err2 / nrm2) ELSE 0.0 END), 6) AS avg_rel_err,
+        | round(max(CASE WHEN nrm2 > 0 THEN sqrt(err2 / nrm2) ELSE 0.0 END), 6) AS max_rel_err
+        |FROM e GROUP BY label""".stripMargin,
   )
 }

@@ -20,20 +20,23 @@ object Dedup {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Word 3-gram shingles over a PRE-MATERIALIZED token array column.
+  /** Word n-gram shingles over a PRE-MATERIALIZED token array column.
     * The array must be a plain column reference: inlining `split(text)`
     * here would re-split the whole text inside every element_at of every
-    * lambda iteration (3 × positions × docs full splits — measured 4-5×
-    * slowdown on the shingle queries).
+    * lambda iteration (n × positions × docs full splits — measured 4-5×
+    * slowdown on the shingle queries). Shared with TextAnalysis's
+    * repetition/boilerplate signals.
     */
-  private def shinglesOf(t: Column): Column =
-    // docs with <3 tokens have no 3-gram shingles; unguarded, sequence(0, -k)
+  private[ops] def ngramsOf(t: Column, n: Int): Column =
+    // docs with <n tokens have no n-grams; unguarded, sequence(0, -k)
     // is descending and element_at(t, 0) throws
-    when(size(t) >= 3,
+    when(size(t) >= n,
       transform(
-        sequence(lit(0), size(t) - lit(3)),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+        sequence(lit(0), size(t) - lit(n)),
+        i => concat_ws(" ", (1 to n).map(j => element_at(t, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
+
+  private def shinglesOf(t: Column): Column = ngramsOf(t, 3)
 
   /** (doc_id, shingle) pairs, distinct within doc when `distinct`. */
   private def shingleRows(spark: SparkSession, dir: String, distinct: Boolean): DataFrame = {

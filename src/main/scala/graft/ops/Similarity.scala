@@ -150,6 +150,74 @@ object Similarity {
       .filter($"cosine" >= minCosine)
   }
 
+  /** Batch KNN graph: the top-`k` approximate nearest neighbors for EVERY
+    * vector — the all-vectors generalization of [[srpLshTopK]]'s one-query
+    * probe, and the structure semantic-dedup / clustering pipelines
+    * consume. Each vector gets one `nPlanes`-bit SRP signature; candidates
+    * are bucket-mates (equality join on the signature — expected bucket
+    * size N/2^nPlanes, never all-pairs), scored exactly, and ranked per
+    * vector. The ranking window partitions on vec_id — millions of tiny
+    * partitions, no skew — and at 100 TB the bucket join is the same
+    * shuffle shape as the MinHash band join.
+    */
+  def knnGraph(spark: SparkSession, dir: String, nPlanes: Int = 8, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val planes = e.filter($"vec_id" < nPlanes)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"))
+    val bit = when(dot($"embedding", $"pe") >= 0,
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))")).otherwise(lit(0L))
+    val bucketed = e.crossJoin(broadcast(planes))
+      .groupBy($"vec_id", $"embedding")
+      .agg(sum(bit).cast("long").as("bucket"))
+      .withColumn("nrm", norm($"embedding"))
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cosine".desc, $"neighbor_id")
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+  }
+
+  /** Int8 quantization diagnostics: symmetric per-vector quantization
+    * (scale = 127 / max|x|, round-half-up) and the relative L2
+    * reconstruction error it costs, aggregated per label — the go/no-go
+    * measurement before shipping a 4×-smaller quantized index. Pure
+    * map-side array math (quantize, dequantize, error) with a tiny
+    * per-label aggregate; at 100 TB this is one scan, no join, no skew.
+    */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val xd = transform($"embedding", x => x.cast("double"))
+    // floor(x·s + 0.5) is round-half-toward-+inf in Spark and DuckDB
+    // alike (double `round` ties differ between engines); m > 0 keeps
+    // q within [-127, 127] with no clamp
+    val withErr = e
+      .select($"vec_id", $"label", xd.as("x"),
+        array_max(transform(xd, v => abs(v))).as("m"))
+      .withColumn("q",
+        when($"m" > 0,
+          transform($"x", v => floor(v * lit(127.0) / $"m" + lit(0.5))))
+          .otherwise($"x"))
+      .withColumn("err2",
+        aggregate(zip_with($"x", $"q", (xv, qv) =>
+            (xv - qv * $"m" / lit(127.0)) * (xv - qv * $"m" / lit(127.0))),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("nrm2",
+        aggregate($"x", lit(0.0), (acc, v) => acc + v * v))
+      .select($"label",
+        when($"nrm2" > 0, sqrt($"err2" / $"nrm2")).otherwise(lit(0.0)).as("rel_err"))
+    withErr.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg($"rel_err"), 6).as("avg_rel_err"),
+        round(max($"rel_err"), 6).as("max_rel_err"))
+  }
+
   /** IVF-style bucketed ANN: the first `nCentroids` vectors act as fixed
     * centroids (deterministic — no trained k-means in the oracle path).
     * Every vector is assigned to its nearest centroid; the query searches

@@ -127,4 +127,44 @@ object TextAnalysis {
         md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fingerprint"),
         size(array_distinct(toks)).cast("long").as("n_types"))
   }
+
+  /** Within-document repetition ratio: the fraction of word 3-grams that
+    * are repeats of an earlier 3-gram in the same doc — the Gopher-style
+    * "repetitious text" quality signal (high values flag spam/template
+    * docs for removal before training). Pure per-row array math on the
+    * pre-materialized token array: no explode, no shuffle — at 100 TB
+    * this is one map-side scan like the other quality scores.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", Dedup.ngramsOf($"t", 3).as("g"))
+      .select($"doc_id",
+        size($"g").cast("long").as("n_grams"),
+        size(array_distinct($"g")).cast("long").as("n_distinct_grams"))
+      .withColumn("dup_gram_frac",
+        when($"n_grams" === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - $"n_distinct_grams".cast("double") / $"n_grams", 6)))
+  }
+
+  /** Cross-document boilerplate phrases: the `k` word 5-grams appearing
+    * in the most documents per language — the C4/CCNet-style signal for
+    * template/boilerplate text shared across a corpus (navigation bars,
+    * license footers). Per-doc DISTINCT n-grams so document frequency —
+    * not raw occurrence count — ranks phrases; the (lang, phrase)
+    * aggregation gets map-side partial combine and the final window only
+    * ranks the already-aggregated phrase table, never raw rows.
+    */
+  def boilerplatePhrases(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val phrases = docs(spark, dir)
+      .select($"lang", toks.as("t"))
+      .select($"lang", explode(array_distinct(Dedup.ngramsOf($"t", 5))).as("phrase"))
+      .groupBy($"lang", $"phrase").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_docs".desc, $"phrase")
+    phrases.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+  }
 }

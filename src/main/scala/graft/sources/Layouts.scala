@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout helpers for the 100-TB read path: bucketed tables
+  * (co-located joins — the shuffle on the join key is paid ONCE at write
+  * time instead of on every query) and hive-style partitioned directories
+  * (partition pruning — a filter on the partition column skips whole
+  * directories before any I/O).
+  *
+  * Both are thin wrappers over the DataFrameWriter API on purpose: the
+  * value is the CONTRACT, pinned by LayoutsSpec — a join of two tables
+  * bucketed on the join key plans with zero Exchange, and a partition
+  * filter reaches the scan as a PartitionFilter, not a post-read Filter.
+  */
+object Layouts {
+
+  /** Write `df` as a managed parquet table bucketed (and bucket-sorted)
+    * on `keys` into `nBuckets` buckets. Joins and aggregations keyed on
+    * `keys` between tables with the SAME bucket count then plan without
+    * a shuffle: each task reads bucket i of both sides.
+    *
+    * At 100 TB pick nBuckets so one bucket of the largest table fits an
+    * executor's memory (buckets = max table size / target partition
+    * size, rounded to a power of two; every co-bucketed table must use
+    * the same count — Spark does not co-locate across different counts).
+    */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, keys: Seq[String]): Unit =
+    df.write
+      .format("parquet")
+      .mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Write `df` hive-partitioned by `cols` — one directory per distinct
+    * value combination. Equality/IN filters on `cols` prune at planning
+    * time (PartitionFilters in the scan node), so a 100-TB corpus
+    * partitioned by e.g. (source, lang) serves single-stratum queries by
+    * touching only that stratum's files.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write
+      .format("parquet")
+      .mode("overwrite")
+      .partitionBy(cols: _*)
+      .parquet(path)
+
+  /** Co-located equi-join of two tables previously written with
+    * [[writeBucketed]] on `keys` — planner-verified shuffle-free (see
+    * LayoutsSpec's zero-Exchange contract).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      keys: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), keys)
+}

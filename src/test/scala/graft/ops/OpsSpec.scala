@@ -87,6 +87,10 @@ class OpsSpec extends AnyFunSuite {
     "q49_char_bigram_profile" -> Set("lang", "bigram", "n", "rn"),
     "q50_label_centroid_stats" -> Set("label", "n_vecs", "centroid_norm", "avg_cosine"),
     "q51_cosine_near_dup_lsh" -> Set("vec_a", "vec_b", "label", "cosine"),
+    "q52_repetition_ratio" -> Set("doc_id", "n_grams", "n_distinct_grams", "dup_gram_frac"),
+    "q53_boilerplate_phrases" -> Set("lang", "phrase", "n_docs", "rn"),
+    "q54_knn_graph" -> Set("vec_id", "neighbor_id", "cosine", "rn"),
+    "q55_quantization_error" -> Set("label", "n_vecs", "avg_rel_err", "max_rel_err"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-layout contracts: bucketing eliminates the join shuffle;
+  * partitioning prunes at planning time. These are the two write-side
+  * levers a 100-TB deployment has — the spec pins that the plans
+  * actually realize them, not just that results are correct.
+  */
+class LayoutsSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => qe.explainString(m)
+    }
+  }
+
+  test("join of co-bucketed tables plans with zero Exchange and matches the shuffled join") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // sf0.001 tables are broadcast-sized, which would hide the layout:
+      // disable auto-broadcast so the plan shows what a 100-TB join does
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Layouts.writeBucketed(orders, "b_orders", 4, Seq("o_orderkey"))
+      Layouts.writeBucketed(lineitem, "b_lineitem", 4, Seq("o_orderkey"))
+
+      val joined = Layouts.bucketedJoin(spark, "b_orders", "b_lineitem", Seq("o_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+      val plan = formatted(joined)
+      // the join itself AND the downstream groupBy on the same key ride
+      // the bucket layout: no Exchange anywhere in the plan
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+
+      val expected = orders.join(lineitem, "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val got = joined.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("partitioned layout: partition filter prunes at the scan, result unchanged") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-part").toString
+    try {
+      Layouts.writePartitioned(docs, s"$root/docs", Seq("lang"))
+      val scan = spark.read.parquet(s"$root/docs").filter(col("lang") === "en")
+      val plan = formatted(scan)
+      // the lang predicate must appear as a PartitionFilter on the scan
+      // node (directory pruning), not only as a post-read Filter
+      assert(plan.contains("PartitionFilters") &&
+        plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("lang")),
+        s"lang filter did not reach PartitionFilters:\n$plan")
+      assert(scan.count() == docs.filter(col("lang") === "en").count())
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+}

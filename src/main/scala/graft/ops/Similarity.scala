@@ -27,6 +27,33 @@ object Similarity {
 
   private def norm(a: Column): Column = call_function("vec_norm", a)
 
+  /** The first `n` embeddings as (id, array<float> literal) pairs —
+    * the deterministic hyperplanes / centroids of the LSH and IVF
+    * operators, collected ONCE at plan time (n × dim floats; the
+    * vec_id < n predicate pushes down to the parquet scan, so at 100 TB
+    * this reads a handful of row groups). Folding these back in as
+    * literals turns signature/assignment computation into a pure
+    * map-side projection: the old `crossJoin(broadcast(planes)) +
+    * groupBy(vec_id, embedding)` shape multiplied every corpus row ×n
+    * and then shuffled the embeddings back together as group keys —
+    * a corpus-sized exchange that existed only to undo the row
+    * multiplication.
+    */
+  private def headVectors(spark: SparkSession, dir: String, n: Int): Seq[(Int, Seq[Float])] =
+    emb(spark, dir).filter(col("vec_id") < n)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq)).toSeq
+
+  private def litVec(vals: Seq[Float]): Column = array(vals.map(v => lit(v)): _*)
+
+  /** Driver-side norm of a literal vector — the same left-to-right
+    * double accumulation as VecNorm/the DuckDB list_sum oracle, hoisted
+    * out of the per-row plan (a custom expression isn't foldable, so
+    * norm(literal) would otherwise re-run per row).
+    */
+  private def litNorm(vals: Seq[Float]): Double =
+    math.sqrt(vals.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble))
+
   /** Exact brute-force cosine top-k against one query vector (vec_id 0).
     * The query row is broadcast; one scan computes every score; top-k via
     * ordered limit (TakeOrderedAndProject — per-partition partial top-k,
@@ -67,22 +94,23 @@ object Similarity {
   /** SRP-LSH bucketed ANN: random-hyperplane signatures with the first
     * `nPlanes` embeddings as deterministic hyperplanes (the corpus is
     * zero-centered, so sign bits are balanced). bucket = Σ 2^i·[v·h_i ≥ 0];
-    * the query probes only its own bucket — at scale one broadcast of
-    * nPlanes vectors buckets the whole corpus in a single scan and each
-    * query touches ~1/2^nPlanes of the data. The LSH complement to the
-    * IVF variant below.
+    * the query probes only its own bucket — the plane literals fold into
+    * the scan projection, so bucketing the whole corpus is one shuffle-
+    * free pass and each query touches ~1/2^nPlanes of the data. The LSH
+    * complement to the IVF variant below.
     */
   def srpLshTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       nPlanes: Int = 4, k: Int = 10): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
-    val planes = e.filter($"vec_id" < nPlanes)
-      .select($"vec_id".as("pid"), $"embedding".as("pe"))
-    val bit = when(dot($"embedding", $"pe") >= 0,
-      expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))")).otherwise(lit(0L))
-    val bucketed = e.crossJoin(broadcast(planes))
-      .groupBy($"vec_id", $"label", $"embedding")
-      .agg(sum(bit).cast("long").as("bucket"))
+    // static plane literals → the whole signature is one projection in
+    // the scan stage; nothing shuffles until the bucket probe join
+    val bucket = headVectors(spark, dir, nPlanes)
+      .map { case (pid, pe) =>
+        when(dot($"embedding", litVec(pe)) >= 0, lit(1L << pid)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val bucketed = e.select($"vec_id", $"label", $"embedding",
+      bucket.cast("long").as("bucket"))
     val q = bucketed.filter($"vec_id" === queryId)
       .select($"bucket".as("qb"), $"embedding".as("qe"))
     bucketed
@@ -124,14 +152,20 @@ object Similarity {
     require(nPlanes % nBands == 0, s"nPlanes=$nPlanes not divisible by nBands=$nBands")
     val r = nPlanes / nBands
     val e = emb(spark, dir)
-    val planes = e.filter($"vec_id" < nPlanes)
-      .select($"vec_id".as("pid"), $"embedding".as("pe"))
-    // bit i of band (pid / r): sign of the projection onto hyperplane pid
-    val bit = when(dot($"embedding", $"pe") >= 0,
-      expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pid % $r AS INT))")).otherwise(lit(0L))
-    val sigs = e.crossJoin(broadcast(planes))
-      .groupBy($"vec_id", $"label", ($"pid" / r).cast("int").as("band"))
-      .agg(sum(bit).cast("long").as("sig"))
+    // bit (pid % r) of band (pid / r): sign of the projection onto
+    // hyperplane pid — folded over static plane literals, so all nBands
+    // signatures materialize in one shuffle-free projection and
+    // posexplode (narrow) emits the (band, sig) rows for the bucket join
+    val planes = headVectors(spark, dir, nPlanes)
+    val bandSigs = (0 until nBands).map { b =>
+      planes.filter(_._1 / r == b)
+        .map { case (pid, pe) =>
+          when(dot($"embedding", litVec(pe)) >= 0, lit(1L << (pid % r))).otherwise(lit(0L)) }
+        .reduce(_ + _).cast("long")
+    }
+    val sigs = e
+      .select($"vec_id", $"label", posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+      .select($"vec_id", $"label", $"band".cast("int").as("band"), $"sig")
     // candidate ids via the banded equality join; distinct BEFORE the
     // embedding re-join so a pair matching in several bands scores once
     val cands = sigs.as("a")
@@ -163,14 +197,12 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String, nPlanes: Int = 8, k: Int = 3): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
-    val planes = e.filter($"vec_id" < nPlanes)
-      .select($"vec_id".as("pid"), $"embedding".as("pe"))
-    val bit = when(dot($"embedding", $"pe") >= 0,
-      expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))")).otherwise(lit(0L))
-    val bucketed = e.crossJoin(broadcast(planes))
-      .groupBy($"vec_id", $"embedding")
-      .agg(sum(bit).cast("long").as("bucket"))
-      .withColumn("nrm", norm($"embedding"))
+    val bucket = headVectors(spark, dir, nPlanes)
+      .map { case (pid, pe) =>
+        when(dot($"embedding", litVec(pe)) >= 0, lit(1L << pid)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val bucketed = e.select($"vec_id", $"embedding",
+      bucket.cast("long").as("bucket"), norm($"embedding").as("nrm"))
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
@@ -221,29 +253,27 @@ object Similarity {
   /** IVF-style bucketed ANN: the first `nCentroids` vectors act as fixed
     * centroids (deterministic — no trained k-means in the oracle path).
     * Every vector is assigned to its nearest centroid; the query searches
-    * only its own cell. At 100 TB the assignment is one broadcast-join
-    * scan and each query touches 1/nCentroids of the data.
+    * only its own cell. At 100 TB the assignment is a shuffle-free scan
+    * projection and each query touches 1/nCentroids of the data.
     */
   def annIvfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       nCentroids: Int = 8, k: Int = 10): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
-    val centroids = e.filter($"vec_id" < nCentroids)
-      .select($"vec_id".as("centroid_id"), $"embedding".as("c_embedding"))
-    // nearest centroid per vector: max cosine, min centroid_id on ties.
-    // max_by over struct(c_cos, -centroid_id) instead of a row_number
-    // window: the aggregate gets map-side partial aggregation, so the
-    // shuffle carries one row per vector, not corpus × nCentroids scored
-    // rows (round-2 verdict: ~8× smaller assignment exchange).
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"label", $"embedding", $"centroid_id",
-        round(dot($"embedding", $"c_embedding") /
-          (norm($"embedding") * norm($"c_embedding")), 6).as("c_cos"))
-      .groupBy($"vec_id")
-      .agg(max_by(struct($"label", $"embedding", $"centroid_id"),
-        struct($"c_cos", (-$"centroid_id").as("neg_cid"))).as("best"))
-      .select($"vec_id", $"best.label".as("label"),
-        $"best.embedding".as("embedding"), $"best.centroid_id".as("centroid_id"))
+    // nearest centroid per vector: max cosine, min centroid_id on ties —
+    // an argmax over a STATIC centroid list, so it folds into
+    // greatest(struct(c_cos, -cid), ...) and assignment is a pure
+    // projection in the scan stage. The earlier shapes paid a shuffle to
+    // undo a ×nCentroids row multiplication (round-2: a corpus×8 window;
+    // round-3 interim: a max_by aggregate — better, still an exchange).
+    val cands = headVectors(spark, dir, nCentroids).map { case (cid, ce) =>
+      struct(
+        round(dot($"embedding", litVec(ce)) /
+          (norm($"embedding") * lit(litNorm(ce))), 6).as("c_cos"),
+        lit(-cid).as("neg_cid"))
+    }
+    val assigned = e.select($"vec_id", $"label", $"embedding",
+      (-greatest(cands: _*).getField("neg_cid")).as("centroid_id"))
     val qCell = assigned.filter($"vec_id" === queryId)
       .select($"centroid_id".as("q_cell"), $"embedding".as("q_embedding"))
     assigned

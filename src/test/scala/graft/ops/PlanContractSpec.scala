@@ -49,27 +49,37 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
-  test("q19: IVF centroid assignment aggregates (map-side combine), no window") {
-    // a row_number window here would shuffle corpus × nCentroids scored
-    // rows; max_by partial aggregation shuffles one row per vector
+  test("q19: IVF centroid assignment is a shuffle-free scan projection") {
+    // assignment = greatest() over static centroid-literal structs: no
+    // window (round-2: corpus×8 shuffle), no aggregate (interim max_by),
+    // no join — the only exchange in the whole plan is none at all (the
+    // query-cell probe is a broadcast, TakeOrdered handles top-k)
     val p = plan(Similarity.annIvfTopK(spark, sf))
     assert(!p.contains("Window"), s"assignment regressed to a window:\n$p")
-    assert(p.contains("max_by") || p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment pays a hash exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q51: LSH near-dup candidates come from an equality join, never all-pairs") {
+  test("q51: LSH signatures are a projection; candidates come from an equality join") {
     val p = plan(Similarity.cosineNearDupPairsLsh(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
-    // nested-loop joins are allowed only as Cross BuildRight — the
-    // broadcast of the 16 planes, recomputed on each self-join branch.
-    // Any inner/outer BNLJ would mean the corpus-pair join degenerated.
-    // tree lines carry the join type + build side; detail lines repeat the
-    // node name bare, so restrict to lines that name a build side
-    val badNlj = p.linesIterator
-      .filter(_.contains("BroadcastNestedLoopJoin"))
-      .filter(l => l.contains("Build"))
-      .filterNot(_.contains("Cross BuildRight"))
-    assert(badNlj.isEmpty, s"non-broadcast-cross NLJ in plan:\n$p")
+    // static plane literals: no nested-loop plane join, no signature
+    // aggregation — any BNLJ means the corpus-pair join degenerated
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the only hash exchanges are the candidate self-join + distinct +
+    // the two embedding re-joins, all on equality keys
+    assert(p.contains("Exchange hashpartitioning") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q54: KNN-graph bucketing is a projection; per-vector ranking windows on vec_id") {
+    val p = plan(Similarity.knnGraph(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the signature fold must not introduce an aggregate before the
+    // bucket self-join (the old crossJoin+groupBy shape)
+    val aggBeforeJoin = p.linesIterator.takeWhile(!_.contains("Join"))
+      .exists(_.contains("HashAggregate"))
+    assert(!aggBeforeJoin, s"bucket signature pays an aggregate:\n$p")
   }
 
   test("q13: exact dedup is a single scan + single exchange") {

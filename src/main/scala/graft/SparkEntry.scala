@@ -95,6 +95,9 @@ object SparkEntry {
     // batch KNN graph (all-vectors SRP-bucketed top-k) + int8 quantization
     "q54_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "q55_quantization_error" -> (Similarity.quantizationError _),
+    // the whole prep surface composed: clean → dedup → quality gate →
+    // hash sample → chunk accounting → per-(lang, source) manifest
+    "q56_training_mix" -> ((s: SparkSession, d: String) => PipelinePrep.trainingMix(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -657,5 +660,23 @@ object SparkEntry {
         | round(avg(CASE WHEN nrm2 > 0 THEN sqrt(err2 / nrm2) ELSE 0.0 END), 6) AS avg_rel_err,
         | round(max(CASE WHEN nrm2 > 0 THEN sqrt(err2 / nrm2) ELSE 0.0 END), 6) AS max_rel_err
         |FROM e GROUP BY label""".stripMargin,
+    "q56_training_mix" ->
+      """WITH c AS (SELECT doc_id, lang, source,
+        |   trim(regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'),
+        |                       ' +', ' ', 'g')) AS ct
+        |  FROM documents),
+        |k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY sha256(ct)),
+        |s AS (SELECT c.doc_id, c.lang, c.source,
+        |   CAST(len(string_split(c.ct, ' ')) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_distinct(string_split(c.ct, ' '))) AS DOUBLE)
+        |     / len(string_split(c.ct, ' ')) AS ttr
+        |  FROM c JOIN k USING (doc_id)),
+        |f AS (SELECT * FROM s
+        |  WHERE n_tokens >= 30 AND ttr >= 0.45
+        |    AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f')
+        |SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(sum((n_tokens + 63) // 64) AS BIGINT) AS total_chunks
+        |FROM f GROUP BY lang, source""".stripMargin,
   )
 }

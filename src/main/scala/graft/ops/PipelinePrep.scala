@@ -53,8 +53,12 @@ object PipelinePrep {
 
   /** Top-k documents per language by lexical diversity (type-token
     * ratio) — the "keep the best slice of each stratum" selection step.
-    * Window ranking shuffles once on the lang key; ties broken by doc_id
-    * so the result is deterministic.
+    * Ranks via [[Ranking.topKPerGroup]]: a plain lang-partitioned window
+    * would funnel a fifth of a 100-TB corpus through each of 5 tasks;
+    * the salted two-phase ranking bounds every task at corpus/(5·32)
+    * and re-ranks only the ≤32·k survivors per language. Ties broken by
+    * doc_id (total order), so the output is the single-window result
+    * exactly.
     */
   def qualityTopKPerLang(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
@@ -63,10 +67,8 @@ object PipelinePrep {
       .select($"doc_id", $"lang",
         round(size(array_distinct($"t")).cast("double") / size($"t"), 6)
           .as("type_token_ratio"))
-    val w = Window.partitionBy($"lang")
-      .orderBy($"type_token_ratio".desc, $"doc_id")
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter($"rn" <= k)
+    Ranking.topKPerGroup(scored, Seq("lang"),
+      Seq($"type_token_ratio".desc, $"doc_id"), $"doc_id", k)
   }
 
   /** Deterministic ~10% stratified sample: keep a doc iff the first two
@@ -120,6 +122,47 @@ object PipelinePrep {
     val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
     counts.withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= k)
+  }
+
+  /** The end-to-end training-data manifest — the production composition
+    * of the whole prep surface in ONE distributed DAG: clean (q48's
+    * normalization) → exact-dedup on the cleaned content hash (keeper =
+    * min doc_id) → quality gate (length + lexical diversity) →
+    * deterministic hash sample (~50%) → fixed-size chunk accounting →
+    * per-(lang, source) manifest rollup. The shapes compose exactly as
+    * documented on the individual operators: one narrow scan feeds a
+    * single content-hash shuffle (dedup), everything after is map-side
+    * until the final tiny (lang, source) aggregate. Chunk counts use
+    * integer math ((n + size − 1) div size), not doubles, so the oracle
+    * comparison is exact.
+    */
+  def trainingMix(spark: SparkSession, dir: String, chunkSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val cleaned = docs(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        trim(regexp_replace(regexp_replace($"text", "[0-9]+", "#"),
+          " +", " ")).as("clean_text"))
+    // keeper = min doc_id per cleaned-content hash; min over a struct
+    // ordered by the unique doc_id is deterministic and gets map-side
+    // partial aggregation (same shape as q13)
+    val keepers = cleaned
+      .groupBy(sha2($"clean_text", 256).as("content_hash"))
+      .agg(min(struct($"doc_id", $"lang", $"source", $"clean_text")).as("r"))
+      .select($"r.doc_id".as("doc_id"), $"r.lang".as("lang"),
+        $"r.source".as("source"), $"r.clean_text".as("clean_text"))
+    val scored = keepers
+      .select($"doc_id", $"lang", $"source", split($"clean_text", " ").as("t"))
+      .select($"doc_id", $"lang", $"source",
+        size($"t").cast("long").as("n_tokens"),
+        (size(array_distinct($"t")).cast("double") / size($"t")).as("ttr"))
+    val selected = scored
+      .filter($"n_tokens" >= 30 && $"ttr" >= 0.45)
+      .filter(substring(md5($"doc_id".cast("string")), 1, 2) <= "7f")
+    selected
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum(expr(s"(n_tokens + ${chunkSize - 1}) div $chunkSize")).as("total_chunks"))
   }
 
   /** Embedding-space diagnostics: per-label centroid norm and mean

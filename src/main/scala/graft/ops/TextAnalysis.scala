@@ -162,9 +162,10 @@ object TextAnalysis {
       .select($"lang", toks.as("t"))
       .select($"lang", explode(array_distinct(Dedup.ngramsOf($"t", 5))).as("phrase"))
       .groupBy($"lang", $"phrase").agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang").orderBy($"n_docs".desc, $"phrase")
-    phrases.withColumn("rn", row_number().over(w).cast("long"))
-      .filter($"rn" <= k)
+    // the phrase table is distinct-phrases-sized (can be billions of
+    // rows at corpus scale, still 5 langs): salted two-phase ranking
+    // instead of a 5-partition window — see Ranking.topKPerGroup
+    Ranking.topKPerGroup(phrases, Seq("lang"),
+      Seq($"n_docs".desc, $"phrase"), $"phrase", k)
   }
 }

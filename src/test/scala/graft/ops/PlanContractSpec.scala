@@ -82,6 +82,20 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!aggBeforeJoin, s"bucket signature pays an aggregate:\n$p")
   }
 
+  test("q52: repetition ratio is a pure scan — zero exchanges, two-column read") {
+    val p = plan(TextAnalysis.repetitionRatio(spark, sf))
+    assert(!p.contains("Exchange"), s"quality signal pays a shuffle:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("q56: training mix pays exactly its two semantic shuffles (dedup + manifest agg)") {
+    val p = plan(PipelinePrep.trainingMix(spark, sf))
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("Exchange") || l.contains("+- Exchange"))
+    assert(exchanges <= 2, s"expected <=2 shuffles (content-hash dedup, manifest agg):\n$p")
+  }
+
   test("q13: exact dedup is a single scan + single exchange") {
     val p = plan(Dedup.exactDuplicates(spark, sf))
     val exchanges = p.linesIterator.count(l =>

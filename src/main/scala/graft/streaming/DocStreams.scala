@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming twin of the training-data prep surface (PipelinePrep /
+  * TextAnalysis): continuous document ingestion — the "new crawl
+  * snapshots keep arriving" shape. The selection stages (clean, quality
+  * gate, deterministic hash sample) are STATELESS, so one definition
+  * serves batch and streaming with identical semantics — the same
+  * property the events surface proves for Sessionize/EventStreams.
+  * Cross-batch exact dedup is the one stateful stage; it rides
+  * `dropDuplicatesWithinWatermark` so seen-content state is evicted at
+  * the watermark horizon instead of growing with the corpus.
+  */
+object DocStreams {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a documents directory; `maxFilesPerTrigger`
+    * bounds micro-batch size during backlog replay.
+    */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+
+  /** Stateless prep: q48's cleaning, q22's quality signals, q47's
+    * deterministic hash sample, and the q56 quality gate — everything in
+    * trainingMix BEFORE its stateful dedup stage. Works unchanged on a
+    * batch DataFrame or a stream (no watermark needed: map-side only).
+    */
+  def prepDocs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", $"lang", $"source",
+        trim(regexp_replace(regexp_replace($"text", "[0-9]+", "#"),
+          " +", " ")).as("clean_text"))
+      .select($"doc_id", $"lang", $"source", $"clean_text",
+        split($"clean_text", " ").as("t"))
+      .select($"doc_id", $"lang", $"source", $"clean_text",
+        size($"t").cast("long").as("n_tokens"),
+        round(size(array_distinct($"t")).cast("double") / size($"t"), 6).as("ttr"))
+      .filter($"n_tokens" >= 30 && $"ttr" >= 0.45)
+      .filter(substring(md5($"doc_id".cast("string")), 1, 2) <= "7f")
+  }
+
+  /** Cross-batch exact dedup on the cleaned content hash. `ingestTs` is
+    * the event-time column (arrival time assigned by the source);
+    * content seen more than `horizon` ago ages out of state — the
+    * trade a streaming dedup must make to survive an unbounded corpus
+    * (re-crawls inside the horizon dedup exactly; older re-crawls
+    * re-enter, to be collapsed by the periodic batch compaction, q13).
+    */
+  def dedupByContent(prepped: DataFrame, ingestTs: String,
+      horizon: String = "1 hour"): DataFrame =
+    prepped
+      .withColumn("content_hash", sha2(col("clean_text"), 256))
+      .withWatermark(ingestTs, horizon)
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
+}

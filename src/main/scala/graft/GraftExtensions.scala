@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{ChunkHashOps, TextOps, VectorOps}
+
+/** Session-extension entry point: registers the engine's codegen'd
+  * Catalyst expressions (vec_dot, vec_norm, bigram_counts, chunk_hash)
+  * at session build time, so a cluster deployment enables them with
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)` on the builder) and every
+  * session — including ones the library never sees — can call them from
+  * SQL. The per-object `register(spark)` helpers remain for sessions
+  * created without the conf; both routes build the identical expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "")
+
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product over array<float|double>, double accumulator"),
+      exprs => VectorOps.VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm over array<float|double>"),
+      exprs => VectorOps.VecNorm(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("bigram_counts"),
+      info("bigram_counts", "bigram_counts(text) - map<bigram, count> of character bigrams"),
+      exprs => TextOps.BigramCounts(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("chunk_hash"),
+      info("chunk_hash", "chunk_hash(path, idx, content, algo) - domain-separated chunk digest"),
+      exprs => ChunkHashOps.ChunkHash(exprs(0), exprs(1), exprs(2), exprs(3))))
+  }
+}

@@ -105,10 +105,12 @@ object Similarity {
     val e = emb(spark, dir)
     // static plane literals → the whole signature is one projection in
     // the scan stage; nothing shuffles until the bucket probe join
+    // foldLeft, not reduce: an empty corpus has no head vectors, and
+    // the operator must degrade to an empty result, not throw
     val bucket = headVectors(spark, dir, nPlanes)
       .map { case (pid, pe) =>
         when(dot($"embedding", litVec(pe)) >= 0, lit(1L << pid)).otherwise(lit(0L)) }
-      .reduce(_ + _)
+      .foldLeft(lit(0L))(_ + _)
     val bucketed = e.select($"vec_id", $"label", $"embedding",
       bucket.cast("long").as("bucket"))
     val q = bucketed.filter($"vec_id" === queryId)
@@ -161,7 +163,7 @@ object Similarity {
       planes.filter(_._1 / r == b)
         .map { case (pid, pe) =>
           when(dot($"embedding", litVec(pe)) >= 0, lit(1L << (pid % r))).otherwise(lit(0L)) }
-        .reduce(_ + _).cast("long")
+        .foldLeft(lit(0L))(_ + _).cast("long")
     }
     val sigs = e
       .select($"vec_id", $"label", posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
@@ -197,10 +199,12 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String, nPlanes: Int = 8, k: Int = 3): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
+    // foldLeft, not reduce: an empty corpus has no head vectors, and
+    // the operator must degrade to an empty result, not throw
     val bucket = headVectors(spark, dir, nPlanes)
       .map { case (pid, pe) =>
         when(dot($"embedding", litVec(pe)) >= 0, lit(1L << pid)).otherwise(lit(0L)) }
-      .reduce(_ + _)
+      .foldLeft(lit(0L))(_ + _)
     val bucketed = e.select($"vec_id", $"embedding",
       bucket.cast("long").as("bucket"), norm($"embedding").as("nrm"))
     val pairs = bucketed.as("a")
@@ -273,7 +277,13 @@ object Similarity {
         lit(-cid).as("neg_cid"))
     }
     val assigned = e.select($"vec_id", $"label", $"embedding",
-      (-greatest(cands: _*).getField("neg_cid")).as("centroid_id"))
+      // degenerate corpora: no centroids → constant cell over zero rows;
+      // one centroid → no argmax needed (greatest() requires 2+ args)
+      (cands match {
+        case Seq() => lit(0)
+        case Seq(only) => -only.getField("neg_cid")
+        case many => -greatest(many: _*).getField("neg_cid")
+      }).as("centroid_id"))
     val qCell = assigned.filter($"vec_id" === queryId)
       .select($"centroid_id".as("q_cell"), $"embedding".as("q_embedding"))
     assigned

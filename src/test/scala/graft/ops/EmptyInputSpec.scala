@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Empty-corpus degradation: every documents/embeddings operator must
+  * plan and run on 0-row tables (fresh tenant, all-filtered partition,
+  * dry replay) and return 0 rows — not throw. The guards under test:
+  * n-gram sequence() underflow, LSH plane collection on an empty head,
+  * window/agg over nothing, quantization max over empty arrays.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+
+  private lazy val emptyDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(new java.util.ArrayList[Row](), docSchema)
+      .write.parquet(s"$tmp/documents.parquet")
+    spark.createDataFrame(new java.util.ArrayList[Row](), embSchema)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  private val underTest: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    "q13 exact dedup" -> (() => Dedup.exactDuplicates(spark, emptyDir)),
+    "q14 minhash signatures" -> (() => Dedup.minhashSignatures(spark, emptyDir)),
+    "q15 minhash candidates" -> (() => Dedup.minhashCandidates(spark, emptyDir)),
+    "q16 jaccard pairs" -> (() => Dedup.jaccardPairs(spark, emptyDir)),
+    "q27 simhash" -> (() => Dedup.simhash(spark, emptyDir)),
+    "q41 dedup clusters" -> (() => Dedup.dedupClusters(spark, emptyDir)),
+    "q46 quality topk" -> (() => PipelinePrep.qualityTopKPerLang(spark, emptyDir)),
+    "q49 bigram profile" -> (() => PipelinePrep.charBigramProfile(spark, emptyDir)),
+    "q52 repetition ratio" -> (() => TextAnalysis.repetitionRatio(spark, emptyDir)),
+    "q53 boilerplate phrases" -> (() => TextAnalysis.boilerplatePhrases(spark, emptyDir)),
+    "q55 quantization error" -> (() => Similarity.quantizationError(spark, emptyDir)),
+    "q56 training mix" -> (() => PipelinePrep.trainingMix(spark, emptyDir)),
+    // LSH/IVF operators collect head vectors as planes/centroids: an
+    // empty corpus has none, and the fold must degrade, not NPE
+    "q17 cosine topk" -> (() => Similarity.cosineTopK(spark, emptyDir)),
+    "q51 lsh near-dups" -> (() => Similarity.cosineNearDupPairsLsh(spark, emptyDir)),
+    "q54 knn graph" -> (() => Similarity.knnGraph(spark, emptyDir)),
+    "q19 ivf topk" -> (() => Similarity.annIvfTopK(spark, emptyDir)))
+
+  for ((name, fn) <- underTest)
+    test(s"$name returns 0 rows on an empty corpus") {
+      assert(fn().count() == 0L)
+    }
+}

@@ -21,15 +21,23 @@ object Bench {
     // first timed query doesn't absorb JVM startup; measures the engine,
     // not the cold JVM.
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // a failing query must be VISIBLE in the output, not silently timed
+    // as ~0 s (which would shrink the total and flatter the engine)
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      try { materialize(fn(spark, sfDir)) }
+      catch { case e: Throwable =>
+        errors += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

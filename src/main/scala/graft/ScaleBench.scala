@@ -20,7 +20,8 @@ object ScaleBench {
     "q17_cosine_topk", "q19_ann_ivf_topk", "q31_srp_lsh_ann",
     "q45_doc_chunks", "q46_quality_topk_per_lang", "q47_stratified_sample",
     "q48_text_cleaning", "q49_char_bigram_profile", "q50_label_centroid_stats",
-    "q51_cosine_near_dup_lsh")
+    "q51_cosine_near_dup_lsh", "q52_repetition_ratio", "q53_boilerplate_phrases",
+    "q54_knn_graph", "q55_quantization_error", "q56_training_mix")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_scale")

@@ -98,6 +98,8 @@ object SparkEntry {
     // the whole prep surface composed: clean → dedup → quality gate →
     // hash sample → chunk accounting → per-(lang, source) manifest
     "q56_training_mix" -> ((s: SparkSession, d: String) => PipelinePrep.trainingMix(s, d)),
+    // hashing-trick document vectors (codegen'd one-pass featurizer)
+    "q57_feature_hashing" -> (TextAnalysis.featureHashVectors _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -678,5 +680,22 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | CAST(sum((n_tokens + 63) // 64) AS BIGINT) AS total_chunks
         |FROM f GROUP BY lang, source""".stripMargin,
+    "q57_feature_hashing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |u AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |h AS (SELECT doc_id,
+        |   CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT % 64 AS INTEGER) AS idx
+        |  FROM u),
+        |c AS (SELECT doc_id, idx, count(*) AS n FROM h GROUP BY 1, 2),
+        |m AS (SELECT doc_id,
+        |   map(list(idx ORDER BY idx), list(n ORDER BY idx)) AS mp
+        |  FROM c GROUP BY doc_id),
+        |v AS (SELECT doc_id,
+        |   [coalesce(mp[i][1], 0) for i in range(0, 64)] AS fv FROM m)
+        |SELECT v.doc_id,
+        | array_to_string(fv, ',') AS features_csv,
+        | CAST(len(list_filter(fv, x -> x > 0)) AS BIGINT) AS nnz,
+        | CAST(len(t.tk) AS BIGINT) AS n_tokens
+        |FROM v JOIN t ON v.doc_id = t.doc_id""".stripMargin,
   )
 }

@@ -87,10 +87,61 @@ object TextOps {
       copy(child = c)
   }
 
-  /** Registers `bigram_counts` on the session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Feature-hashing ("hashing trick") token counts: one `dim`-length
+    * count vector per document, index = first 32 md5 bits of the token
+    * mod `dim` — the classic no-vocabulary text featurizer. One pass per
+    * row, no explode/shuffle; the engine-portable hash (md5 prefix as
+    * unsigned 32-bit, exactly `('0x' || substring(md5(tok),1,8))::UBIGINT
+    * % dim` in DuckDB) keeps the oracle byte-exact.
+    *
+    * Tokenization matches `split(text, ' ')` with trailing empties kept
+    * (Spark's split limit -1 / DuckDB string_split): empty text is one
+    * empty token, consecutive spaces produce empty tokens.
+    */
+  def featureHash(text: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val counts = new Array[Long](dim)
+    val s = text.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val d = md.digest(s.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        counts((h % dim).toInt) += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  case class FeatureHash(child: Expression, dim: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      featureHash(t.asInstanceOf[UTF8String], dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.featureHash($t, $dim)")
+    override protected def withNewChildInternal(c: Expression): FeatureHash =
+      copy(child = c)
+  }
+
+  /** Registers `bigram_counts` / `feature_hash` on the session
+    * (idempotent). `feature_hash(text)` uses dim 64; the expression
+    * itself takes any dim.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "bigram_counts", exprs => BigramCounts(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "feature_hash", exprs => FeatureHash(exprs.head, 64), "built-in")
+  }
 
   def bigramCountsCol(spark: SparkSession, text: Column): Column = {
     register(spark); call_function("bigram_counts", text)

@@ -128,6 +128,26 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("long").as("n_types"))
   }
 
+  /** Feature-hashing document vectors (the "hashing trick"): every doc
+    * becomes a fixed-`dim` token-count vector with index = md5-prefix
+    * mod dim — the no-vocabulary featurizer that feeds clustering /
+    * similarity when no trained embedding exists. The codegen'd
+    * `feature_hash` expression folds each doc in ONE pass (no explode,
+    * no shuffle — the same scale argument as `bigram_counts`); emitted
+    * as CSV + summary stats so the oracle compare stays scalar.
+    */
+  def featureHashVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    docs(spark, dir)
+      .select($"doc_id", call_function("feature_hash", $"text").as("f"),
+        size(toks).cast("long").as("n_tokens"))
+      .select($"doc_id",
+        concat_ws(",", transform($"f", x => x.cast("string"))).as("features_csv"),
+        size(filter($"f", x => x > 0)).cast("long").as("nnz"),
+        $"n_tokens")
+  }
+
   /** Within-document repetition ratio: the fraction of word 3-grams that
     * are repeats of an earlier 3-gram in the same doc — the Gopher-style
     * "repetitious text" quality signal (high values flag spam/template

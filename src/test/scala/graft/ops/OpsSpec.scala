@@ -92,6 +92,7 @@ class OpsSpec extends AnyFunSuite {
     "q54_knn_graph" -> Set("vec_id", "neighbor_id", "cosine", "rn"),
     "q55_quantization_error" -> Set("label", "n_vecs", "avg_rel_err", "max_rel_err"),
     "q56_training_mix" -> Set("lang", "source", "n_docs", "total_tokens", "total_chunks"),
+    "q57_feature_hashing" -> Set("doc_id", "features_csv", "nnz", "n_tokens"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -3,17 +3,26 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-sensitivity harness behind BASELINE.md's validation table: the
-  * documents/embeddings tables replicated k× (ids shifted per replica, so
-  * every doc exists in k byte-identical copies — the near-dup worst case)
-  * and the dedup / similarity / pipeline-prep queries timed at each
-  * factor. Prints one JSON line per (factor, query) with secs + rows.
+/** Scale-sensitivity harness behind BASELINE.md's validation tables.
   *
-  * Usage: ScaleBench [outBaseDir] [factors...]   (defaults: /tmp/graft_scale 1 3 10)
+  * Mode `docs` (default): documents/embeddings replicated k× (ids
+  * shifted per replica, so every doc exists in k byte-identical copies —
+  * the near-dup worst case) and the dedup / similarity / pipeline-prep
+  * queries timed at each factor.
+  *
+  * Mode `tpch`: lineitem/orders replicated k× with co-shifted order keys
+  * (joins stay 1:1 per replica; customers unchanged, so each customer
+  * accumulates k× orders — realistic fact-table growth over a stable
+  * dimension) and the relational queries timed at each factor.
+  *
+  * Prints one JSON line per (factor, query) with secs + rows.
+  *
+  * Usage: ScaleBench [docs|tpch] [outBaseDir] [factors...]
+  *        (defaults: docs /tmp/graft_scale 1 3 10)
   */
 object ScaleBench {
 
-  private val queriesUnderTest = Seq(
+  private val docQueries = Seq(
     "q13_exact_duplicates", "q14_minhash_signatures", "q15_minhash_candidates",
     "q16_jaccard_pairs", "q27_simhash", "q28_simhash_near_dups",
     "q39_deduped_jaccard", "q41_dedup_clusters",
@@ -23,9 +32,16 @@ object ScaleBench {
     "q51_cosine_near_dup_lsh", "q52_repetition_ratio", "q53_boilerplate_phrases",
     "q54_knn_graph", "q55_quantization_error", "q56_training_mix")
 
+  private val tpchQueries = Seq(
+    "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
+    "q06_top_orders_per_customer", "q12_brand_revenue_by_region",
+    "q29_approx_distinct", "q37_price_quantiles", "q42_moving_revenue",
+    "q44_correlated_subquery")
+
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/tmp/graft_scale")
-    val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 3, 10)
+    val mode = args.headOption.getOrElse("docs")
+    val base = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
+    val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 3, 10)
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -37,21 +53,42 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def replicate(table: String, idCol: String, k: Int, outDir: String): Unit = {
+    /** Replicate `table` k× shifting every column in `shiftCols` by
+      * rep × (global max over those columns + 1) — co-shifted keys keep
+      * intra-replica joins intact and replicas disjoint.
+      */
+    def replicate(table: String, shiftCols: Seq[String], k: Int, outDir: String,
+        shiftBase: Long): Unit = {
       val df = spark.read.parquet(s"$srcDir/$table.parquet")
-      val maxId = df.agg(max(col(idCol))).head().getLong(0) + 1
       val reps = spark.range(k).select($"id".as("rep"))
-      df.crossJoin(reps)
-        .withColumn(idCol, col(idCol) + $"rep" * maxId)
-        .drop("rep")
-        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      val shifted = shiftCols.foldLeft(df.crossJoin(reps)) { (d, c) =>
+        d.withColumn(c, col(c) + $"rep" * shiftBase)
+      }
+      shifted.drop("rep").write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
 
+    def copyTable(table: String, outDir: String): Unit =
+      spark.read.parquet(s"$srcDir/$table.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+
+    def maxOf(table: String, idCol: String): Long =
+      spark.read.parquet(s"$srcDir/$table.parquet")
+        .agg(max(col(idCol))).head().getLong(0) + 1
+
+    val queries = if (mode == "tpch") tpchQueries else docQueries
     for (k <- factors) {
       val dir = s"$base/x$k"
-      replicate("documents", "doc_id", k, dir)
-      replicate("embeddings", "vec_id", k, dir)
-      for (name <- queriesUnderTest) {
+      if (mode == "tpch") {
+        val orderShift = maxOf("orders", "o_orderkey")
+        replicate("lineitem", Seq("l_orderkey"), k, dir, orderShift)
+        replicate("orders", Seq("o_orderkey"), k, dir, orderShift)
+        Seq("customer", "nation", "region", "part", "supplier")
+          .foreach(copyTable(_, dir))
+      } else {
+        replicate("documents", Seq("doc_id"), k, dir, maxOf("documents", "doc_id"))
+        replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))
+      }
+      for (name <- queries) {
         val fn = SparkEntry.queries(name)
         // timed: the noop materialization only (same action Bench times);
         // the row count runs separately, untimed — count()+write would

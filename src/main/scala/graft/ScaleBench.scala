@@ -67,9 +67,20 @@ object ScaleBench {
       shifted.drop("rep").write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
 
-    def copyTable(table: String, outDir: String): Unit =
-      spark.read.parquet(s"$srcDir/$table.parquet")
-        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    // byte copy, not read→write: unchanged tables keep their exact
+    // physical schema (events.parquet is TIMESTAMP(NANOS), which a plain
+    // Spark read rejects — its readers opt in via nanosAsLong)
+    def copyTable(table: String, outDir: String): Unit = {
+      import java.nio.file._
+      val src = Paths.get(s"$srcDir/$table.parquet")
+      val dst = Paths.get(s"$outDir/$table.parquet")
+      Files.createDirectories(dst.getParent)
+      if (Files.isDirectory(dst)) { // stale Spark-written dir from a prior run
+        import scala.jdk.CollectionConverters._
+        Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
 
     def maxOf(table: String, idCol: String): Long =
       spark.read.parquet(s"$srcDir/$table.parquet")
@@ -82,8 +93,10 @@ object ScaleBench {
         val orderShift = maxOf("orders", "o_orderkey")
         replicate("lineitem", Seq("l_orderkey"), k, dir, orderShift)
         replicate("orders", Seq("o_orderkey"), k, dir, orderShift)
-        Seq("customer", "nation", "region", "part", "supplier")
-          .foreach(copyTable(_, dir))
+        // q44 registers the full view catalog (ops.Tables), so every
+        // table must exist in the scale dir; only the two facts scale
+        Seq("customer", "nation", "region", "part", "supplier",
+          "documents", "embeddings", "events").foreach(copyTable(_, dir))
       } else {
         replicate("documents", Seq("doc_id"), k, dir, maxOf("documents", "doc_id"))
         replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))

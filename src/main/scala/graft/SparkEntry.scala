@@ -100,6 +100,8 @@ object SparkEntry {
     "q56_training_mix" -> ((s: SparkSession, d: String) => PipelinePrep.trainingMix(s, d)),
     // hashing-trick document vectors (codegen'd one-pass featurizer)
     "q57_feature_hashing" -> (TextAnalysis.featureHashVectors _),
+    // sketch-path quantiles (KLL-style) with tolerance oracle vs exact
+    "q58_approx_quantiles" -> (Relational.approxQuantiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -697,5 +699,14 @@ object SparkEntry {
         | CAST(len(list_filter(fv, x -> x > 0)) AS BIGINT) AS nnz,
         | CAST(len(t.tk) AS BIGINT) AS n_tokens
         |FROM v JOIN t ON v.doc_id = t.doc_id""".stripMargin,
+    // q58: the sketch estimate is engine-specific (q29 pattern) — the
+    // oracle emits the exact quantiles and pins the tolerance booleans
+    "q58_approx_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | true AS p25_within_tol, true AS p50_within_tol, true AS p75_within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 }

@@ -196,6 +196,33 @@ object Relational {
         $"n")
   }
 
+  /** Approximate quantiles — the sketch path that replaces [[priceQuantiles]]
+    * at 100 TB: percentile_approx's KLL-style sketch is constant-memory
+    * and mergeable, where the exact percentile buffer grows with distinct
+    * values. Oracle pattern as q29: the sketch value itself is
+    * engine-specific, so the query materializes |approx − exact| ≤ 1%
+    * tolerance booleans next to the exact quantiles and the oracle pins
+    * them `true` — exact hash compare, sketch still exercised end-to-end.
+    * (accuracy 10000 → rank error ≤ n/10⁴; adjacent prices differ ≪ 1%.)
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice",
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ap"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ep"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag", $"n",
+        round($"ep"(0), 4).as("p25"),
+        round($"ep"(1), 4).as("p50"),
+        round($"ep"(2), 4).as("p75"),
+        (abs($"ap"(0) - $"ep"(0)) <= lit(0.01) * $"ep"(0)).as("p25_within_tol"),
+        (abs($"ap"(1) - $"ep"(1)) <= lit(0.01) * $"ep"(1)).as("p50_within_tol"),
+        (abs($"ap"(2) - $"ep"(2)) <= lit(0.01) * $"ep"(2)).as("p75_within_tol"))
+  }
+
   /** Pivot: order revenue as a (status × priority) matrix — groupBy +
     * pivot with the value list pinned so the schema is static (an
     * unpinned pivot needs an extra distinct-values job).

@@ -93,6 +93,8 @@ class OpsSpec extends AnyFunSuite {
     "q55_quantization_error" -> Set("label", "n_vecs", "avg_rel_err", "max_rel_err"),
     "q56_training_mix" -> Set("lang", "source", "n_docs", "total_tokens", "total_chunks"),
     "q57_feature_hashing" -> Set("doc_id", "features_csv", "nnz", "n_tokens"),
+    "q58_approx_quantiles" -> Set("l_returnflag", "n", "p25", "p50", "p75",
+      "p25_within_tol", "p50_within_tol", "p75_within_tol"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

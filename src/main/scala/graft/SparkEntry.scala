@@ -102,6 +102,8 @@ object SparkEntry {
     "q57_feature_hashing" -> (TextAnalysis.featureHashVectors _),
     // sketch-path quantiles (KLL-style) with tolerance oracle vs exact
     "q58_approx_quantiles" -> (Relational.approxQuantiles _),
+    // multi-probe SRP ANN (hamming-1 probe set — the LSH recall knob)
+    "q59_srp_multiprobe" -> ((s: SparkSession, d: String) => Similarity.srpMultiProbeTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -699,6 +701,24 @@ object SparkEntry {
         | CAST(len(list_filter(fv, x -> x > 0)) AS BIGINT) AS nnz,
         | CAST(len(t.tk) AS BIGINT) AS n_tokens
         |FROM v JOIN t ON v.doc_id = t.doc_id""".stripMargin,
+    "q59_srp_multiprobe" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
+        |b AS (SELECT e.vec_id, e.label, e.embedding,
+        |       CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                       for i in range(1, len(e.embedding)+1)]) >= 0
+        |                THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.label, e.embedding),
+        |q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0),
+        |pr AS (SELECT DISTINCT xor(qb, CAST(m AS BIGINT)) AS probe, qe
+        |       FROM q CROSS JOIN (VALUES (0), (1), (2), (4), (8)) t(m))
+        |SELECT vec_id, label,
+        | round(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)
+        |                 for i in range(1, len(embedding)+1)]) /
+        |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) *
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in qe]))), 6) AS cosine
+        |FROM b JOIN pr ON bucket = probe
+        |WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     // q58: the sketch estimate is engine-specific (q29 pattern) — the
     // oracle emits the exact quantiles and pins the tolerance booleans
     "q58_approx_quantiles" ->

@@ -125,6 +125,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe SRP ANN: like [[srpLshTopK]] but the query also probes
+    * every bucket at hamming distance 1 from its own (nPlanes+1 buckets
+    * total) — the standard LSH recall/latency knob: a near neighbor that
+    * fell on the far side of ONE hyperplane is recovered at the cost of
+    * probing (nPlanes+1)/2^nPlanes of the corpus instead of 1/2^nPlanes.
+    * The probe set is an equality join on precomputed bucket ids, so the
+    * plan shape (shuffle-free signatures + broadcast probe join) is
+    * unchanged from the single-probe operator.
+    */
+  def srpMultiProbeTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      nPlanes: Int = 4, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val bucket = headVectors(spark, dir, nPlanes)
+      .map { case (pid, pe) =>
+        when(dot($"embedding", litVec(pe)) >= 0, lit(1L << pid)).otherwise(lit(0L)) }
+      .foldLeft(lit(0L))(_ + _)
+    val bucketed = e.select($"vec_id", $"label", $"embedding",
+      bucket.cast("long").as("bucket"))
+    val masks = 0L +: (0 until nPlanes).map(i => 1L << i)
+    val probes = bucketed.filter($"vec_id" === queryId)
+      .select($"embedding".as("qe"),
+        explode(array(masks.map(m => $"bucket".bitwiseXOR(lit(m))): _*)).as("probe"))
+    bucketed
+      .join(broadcast(probes), $"bucket" === $"probe")
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", $"label",
+        round(dot($"embedding", $"qe") /
+          (norm($"embedding") * norm($"qe")), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** SRP-banded near-dup pairs — the 100-TB scale path for
     * [[cosineNearDupPairs]]. Candidates are pairs sharing any of `nBands`
     * SRP band signatures (multi-band OR amplification, the SimHash-banding

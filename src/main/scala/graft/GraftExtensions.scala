@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("bigram_counts"),
       info("bigram_counts", "bigram_counts(text) - map<bigram, count> of character bigrams"),
       exprs => TextOps.BigramCounts(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("feature_hash"),
+      info("feature_hash", "feature_hash(text) - 64-dim hashing-trick token count vector"),
+      exprs => TextOps.FeatureHash(exprs.head, 64)))
     ext.injectFunction((FunctionIdentifier("chunk_hash"),
       info("chunk_hash", "chunk_hash(path, idx, content, algo) - domain-separated chunk digest"),
       exprs => ChunkHashOps.ChunkHash(exprs(0), exprs(1), exprs(2), exprs(3))))

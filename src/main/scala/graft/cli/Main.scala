@@ -104,11 +104,14 @@ object Main {
               val newPath = Archive.moveFolderToHashedArchive(repo, args.dir, hashStr)
               println(newPath)
               args.softlink.foreach { link =>
+                // the archive already succeeded (directory moved, path
+                // printed); the reference logs an `ln` failure and still
+                // exits 0 (dirhash.py:671-682) — a wrapper treating
+                // nonzero as "archive failed" must not retry/alarm here
                 try Archive.createSoftlink(repo, hashStr, link)
                 catch {
-                  case e: IllegalStateException =>
-                    System.err.println(e.getMessage)
-                    return 1
+                  case scala.util.control.NonFatal(e) =>
+                    System.err.println(s"Error while creating softlink: ${e.getMessage}")
                 }
               }
               0

@@ -34,6 +34,11 @@ object DirHash {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case Some(s) => body(s)
       case None =>
+        // a bare SparkContext without any SparkSession (legacy RDD
+        // caller): getOrCreate() would wrap it — we must not stop a
+        // context we did not create (the reference only ever stops its
+        // own, dirhash.py:327-332)
+        val borrowedContext = org.apache.spark.SparkEnv.get != null
         val builder = SparkSession.builder()
           .appName("DirHash")
           .config("spark.sql.shuffle.partitions",
@@ -43,7 +48,7 @@ object DirHash {
         val spark = builder.getOrCreate()
         try body(spark)
         finally {
-          spark.stop()
+          if (!borrowedContext) spark.stop()
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()
         }

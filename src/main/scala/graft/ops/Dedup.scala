@@ -38,13 +38,16 @@ object Dedup {
 
   private def shinglesOf(t: Column): Column = ngramsOf(t, 3)
 
-  /** (doc_id, shingle) pairs, distinct within doc when `distinct`. */
-  private def shingleRows(spark: SparkSession, dir: String, distinct: Boolean): DataFrame = {
+  /** (doc_id, shingle) rows WITH per-doc multiplicity — the MinHash
+    * input (min over salted hashes is multiplicity-invariant, so no
+    * distinct is needed; the Jaccard pipelines use [[hashedShingleSet]]
+    * instead, which distincts AFTER hashing).
+    */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val arr = shinglesOf($"t")
     docs(spark, dir)
       .select($"doc_id", toks.as("t"))
-      .select($"doc_id", explode(if (distinct) array_distinct(arr) else arr).as("sh"))
+      .select($"doc_id", explode(shinglesOf($"t")).as("sh"))
   }
 
   /** Per-doc distinct SET of 64-bit shingle hashes: xxhash64 applied
@@ -77,7 +80,7 @@ object Dedup {
     */
   def minhashSignatures(spark: SparkSession, dir: String, bands: Int = 4): DataFrame = {
     import spark.implicits._
-    val sh = shingleRows(spark, dir, distinct = false)
+    val sh = shingleRows(spark, dir)
     val mins = (0 until bands).map(b =>
       min(md5(concat(lit(s"$b|"), $"sh"))).as(s"sig$b"))
     sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)

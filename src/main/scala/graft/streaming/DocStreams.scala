@@ -47,9 +47,13 @@ object DocStreams {
         split($"clean_text", " ").as("t"))
       .select($"doc_id", $"lang", $"source", $"clean_text",
         size($"t").cast("long").as("n_tokens"),
-        round(size(array_distinct($"t")).cast("double") / size($"t"), 6).as("ttr"))
+        // gate on the UNROUNDED ratio — identical to trainingMix and the
+        // q56 oracle; rounding before the >= would admit boundary docs
+        // the batch pipeline excludes
+        (size(array_distinct($"t")).cast("double") / size($"t")).as("ttr"))
       .filter($"n_tokens" >= 30 && $"ttr" >= 0.45)
       .filter(substring(md5($"doc_id".cast("string")), 1, 2) <= "7f")
+      .withColumn("ttr", round($"ttr", 6))
   }
 
   /** Cross-batch exact dedup on the cleaned content hash. `ingestTs` is

@@ -30,11 +30,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
           |  vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
           |  bigram_counts('abab') AS bc,
-          |  lower(hex(chunk_hash('p', 0L, CAST('x' AS BINARY), 'sha256'))) AS ch
+          |  lower(hex(chunk_hash('p', 0L, CAST('x' AS BINARY), 'sha256'))) AS ch,
+          |  feature_hash('a b a') AS fh
           |""".stripMargin).head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 5.0)
       assert(row.getMap[String, Long](2).toSeq.sorted == Seq("ab" -> 2L, "ba" -> 1L))
+      assert(row.getSeq[Long](4).sum == 3L) // 3 tokens hashed into 64 dims
       // same digest the per-session register() route produces
       graft.functions.ChunkHashOps.register(shared)
       val expected = shared.sql(

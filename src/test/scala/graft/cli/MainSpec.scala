@@ -86,6 +86,27 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
+  test("softlink failure AFTER a successful archive still exits 0 " +
+      "(reference logs the ln error and continues, dirhash.py:671-682)") {
+    val root = fixture()
+    val repo = Files.createTempDirectory("graft-repo-slfail")
+    val blocker = Files.createTempFile("graft-blocker", "")
+    try {
+      // link path nested under a regular FILE: passes the pre-check (the
+      // path does not exist) but createSoftlink's createDirectories
+      // throws Not-a-directory — even as root
+      val badLink = blocker.resolve("sub").toString
+      val (code, printed) = run(root.toString, "-b", "1k",
+        "--move-to-archive", repo.toString, "--softlink", badLink)
+      assert(code == 0, "archive succeeded; ln failure must not flip the exit code")
+      assert(Files.isDirectory(Paths.get(printed)), "archive path printed and real")
+    } finally {
+      Files.deleteIfExists(blocker)
+      rm(repo)
+      if (Files.exists(root)) rm(root) // moved into the repo on success
+    }
+  }
+
   test("softlink == hashed dir is exempt from the conflict check: archive " +
       "leaves a link directory at the original location (dirhash.py:663)") {
     val root = fixture()

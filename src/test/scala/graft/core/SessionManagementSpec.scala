@@ -75,5 +75,13 @@ object SessionlessProbe {
     require(h == expected, s"hash mismatch: $h vs $expected")
     require(SparkSession.getDefaultSession.isEmpty, "default session left registered")
     require(SparkSession.getActiveSession.isEmpty, "active session left registered")
+    // legacy-RDD caller shape: a bare SparkContext with NO SparkSession —
+    // the library must borrow it and must NOT stop it
+    val sc = new org.apache.spark.SparkContext(
+      new org.apache.spark.SparkConf().setAppName("probe-bare").setMaster("local[2]"))
+    val h2 = DirHash.hashDirectory(dir, "sha256", "1k")
+    require(h2 == expected, s"bare-context hash mismatch: $h2 vs $expected")
+    require(!sc.isStopped, "borrowed bare SparkContext was stopped")
+    sc.stop()
   }
 }

@@ -75,11 +75,13 @@ class PlanContractSpec extends AnyFunSuite {
   test("q54: KNN-graph bucketing is a projection; per-vector ranking windows on vec_id") {
     val p = plan(Similarity.knnGraph(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the signature fold must not introduce an aggregate before the
-    // bucket self-join (the old crossJoin+groupBy shape)
-    val aggBeforeJoin = p.linesIterator.takeWhile(!_.contains("Join"))
-      .exists(_.contains("HashAggregate"))
-    assert(!aggBeforeJoin, s"bucket signature pays an aggregate:\n$p")
+    // static-literal signatures: the whole plan has NO aggregate at all
+    // (scan → project bucket → self-join → window). The old
+    // crossJoin+groupBy shape put a HashAggregate under the join — and
+    // since explain prints root-first, a prefix scan would only cover
+    // operators ABOVE the join and never see it; assert globally.
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"bucket signature pays an aggregate:\n$p")
   }
 
   test("q52: repetition ratio is a pure scan — zero exchanges, two-column read") {

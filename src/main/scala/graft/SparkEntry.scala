@@ -104,6 +104,10 @@ object SparkEntry {
     "q58_approx_quantiles" -> (Relational.approxQuantiles _),
     // multi-probe SRP ANN (hamming-1 probe set — the LSH recall knob)
     "q59_srp_multiprobe" -> ((s: SparkSession, d: String) => Similarity.srpMultiProbeTopK(s, d)),
+    // event analytics: ordered funnel, weekly retention, z-score outliers
+    "q60_funnel" -> (Sessionize.funnelStages _),
+    "q61_retention_cohorts" -> (Sessionize.retentionCohorts _),
+    "q62_value_outliers" -> ((s: SparkSession, d: String) => Sessionize.valueOutliers(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -719,6 +723,34 @@ object SparkEntry {
         |FROM b JOIN pr ON bucket = probe
         |WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q60_funnel" ->
+      """WITH base AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM base WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT b.user_id, min(us) AS t2 FROM base b JOIN t1 USING (user_id)
+        |       WHERE b.event_type = 'click' AND b.us >= t1.t1 GROUP BY b.user_id),
+        |t3 AS (SELECT b.user_id, min(us) AS t3 FROM base b JOIN t2 USING (user_id)
+        |       WHERE b.event_type = 'purchase' AND b.us >= t2.t2 GROUP BY b.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, count(*) AS n_users FROM t1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM t2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM t3""".stripMargin,
+    "q61_retention_cohorts" ->
+      """WITH weekly AS (SELECT user_id, epoch_ns(ts)//1000000000//604800 AS week FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id)
+        |SELECT cohort_week, (week - cohort_week) AS week_offset,
+        | count(DISTINCT w.user_id) AS n_active
+        |FROM weekly w JOIN cohorts USING (user_id)
+        |GROUP BY cohort_week, week - cohort_week""".stripMargin,
+    "q62_value_outliers" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events),
+        |m AS (SELECT event_type, count(*) AS n, sum(value) AS s1, sum(value*value) AS s2
+        |      FROM base GROUP BY event_type HAVING count(*) >= 2),
+        |mm AS (SELECT event_type, s1/n AS mean, sqrt((s2 - s1*s1/n)/(n-1)) AS std FROM m)
+        |SELECT event_id, b.event_type, round(value, 2) AS value,
+        | round((value - mean)/std, 4) AS z
+        |FROM base b JOIN mm USING (event_type)
+        |WHERE std > 0 AND abs(value - mean) > 3.0 * std""".stripMargin,
     // q58: the sketch estimate is engine-specific (q29 pattern) — the
     // oracle emits the exact quantiles and pins the tolerance booleans
     "q58_approx_quantiles" ->

@@ -155,4 +155,73 @@ object Sessionize {
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n", $"total_value")
   }
+
+  /** Ordered conversion funnel view → click → purchase: a user reaches
+    * stage N only with an event AT OR AFTER their stage-N−1 entry time.
+    * Each stage is a filtered scan + per-user min + broadcast join of
+    * the (tiny) previous-stage table — no window over the raw events,
+    * no self-join of the full table; at 100 TB each stage ladder step
+    * shuffles one row per surviving user.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = events(spark, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"))
+    val t1 = base.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val t2 = base.filter($"event_type" === "click")
+      .join(broadcast(t1), "user_id").filter($"us" >= $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val t3 = base.filter($"event_type" === "purchase")
+      .join(broadcast(t2), "user_id").filter($"us" >= $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    def stageRow(order: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(order.toLong).as("stage"), lit(name).as("event_type"), $"n_users")
+    stageRow(1, "view", t1)
+      .unionByName(stageRow(2, "click", t2))
+      .unionByName(stageRow(3, "purchase", t3))
+  }
+
+  /** Weekly retention cohorts: cohort = epoch-week of the user's first
+    * event, activity offset = weeks since that cohort week; cell value =
+    * distinct active users. Two shuffles total (first-seen per user,
+    * then the cohort-matrix aggregate over a broadcast-joined cohort
+    * table) — integer week arithmetic end to end, so the oracle compare
+    * is exact.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = events(spark, dir)
+      .select($"user_id", expr("ts div 1000000000 div 604800").as("week"))
+    val cohorts = weekly.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    weekly
+      .join(broadcast(cohorts), "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+  }
+
+  /** Per-type value outliers: events more than 3 sample standard
+    * deviations from their type's mean. Moments come from one tiny
+    * (type, n, Σv, Σv²) aggregate broadcast back over a second scan —
+    * the two-pass shape that avoids a per-type window over the full
+    * corpus. Explicit-sum std (not stddev_samp) so the oracle computes
+    * the identical expression.
+    */
+  def valueOutliers(spark: SparkSession, dir: String, zThreshold: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val base = events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+    val moments = base.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s1"),
+        sum($"value" * $"value").as("s2"))
+      .filter($"n" >= 2)
+      .select($"event_type", ($"s1" / $"n").as("mean"),
+        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("std"))
+    base
+      .join(broadcast(moments), "event_type")
+      .filter($"std" > 0 && abs($"value" - $"mean") > lit(zThreshold) * $"std")
+      .select($"event_id", $"event_type", round($"value", 2).as("value"),
+        round(($"value" - $"mean") / $"std", 4).as("z"))
+  }
 }

@@ -96,6 +96,9 @@ class OpsSpec extends AnyFunSuite {
     "q58_approx_quantiles" -> Set("l_returnflag", "n", "p25", "p50", "p75",
       "p25_within_tol", "p50_within_tol", "p75_within_tol"),
     "q59_srp_multiprobe" -> Set("vec_id", "label", "cosine"),
+    "q60_funnel" -> Set("stage", "event_type", "n_users"),
+    "q61_retention_cohorts" -> Set("cohort_week", "week_offset", "n_active"),
+    "q62_value_outliers" -> Set("event_id", "event_type", "value", "z"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

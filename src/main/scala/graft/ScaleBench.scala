@@ -43,14 +43,7 @@ object ScaleBench {
     val base = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
     val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 3, 10)
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build()
     import spark.implicits._
 
     /** Replicate `table` k× shifting every column in `shiftCols` by

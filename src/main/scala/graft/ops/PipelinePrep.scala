@@ -28,6 +28,15 @@ object PipelinePrep {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** The canonical cleaning expression (digit-run masking + whitespace
+    * collapse) — ONE definition shared by textCleaning (q48),
+    * trainingMix (q56) and the streaming DocStreams.prepDocs, so the
+    * batch and streaming pipelines cannot drift apart (and the DuckDB
+    * oracles mirror exactly this shape).
+    */
+  private[graft] def cleanTextCol(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[0-9]+", "#"), " +", " "))
+
   /** Fixed-size token chunking: each document becomes ceil(n/chunkSize)
     * training samples of up to `chunkSize` tokens. One narrow scan, rows
     * explode 1→(n/chunkSize) — no shuffle, so at 100 TB this is purely
@@ -94,8 +103,7 @@ object PipelinePrep {
     import spark.implicits._
     docs(spark, dir)
       .select($"doc_id",
-        trim(regexp_replace(regexp_replace($"text", "[0-9]+", "#"),
-          " +", " ")).as("clean_text"),
+        cleanTextCol($"text").as("clean_text"),
         size(regexp_extract_all($"text", lit("[0-9]+"), lit(0)))
           .cast("long").as("n_digit_runs"),
         length($"text").cast("long").as("n_chars_raw"))
@@ -139,9 +147,7 @@ object PipelinePrep {
   def trainingMix(spark: SparkSession, dir: String, chunkSize: Int = 64): DataFrame = {
     import spark.implicits._
     val cleaned = docs(spark, dir)
-      .select($"doc_id", $"lang", $"source",
-        trim(regexp_replace(regexp_replace($"text", "[0-9]+", "#"),
-          " +", " ")).as("clean_text"))
+      .select($"doc_id", $"lang", $"source", cleanTextCol($"text").as("clean_text"))
     // keeper = min doc_id per cleaned-content hash; min over a struct
     // ordered by the unique doc_id is deterministic and gets map-side
     // partial aggregation (same shape as q13)

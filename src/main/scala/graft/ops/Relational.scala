@@ -316,12 +316,9 @@ object Relational {
     def exactDistinct(key: Column, out: String): DataFrame =
       li.select($"l_returnflag", key.as("k")).distinct()
         .groupBy($"l_returnflag").agg(count(lit(1)).as(out))
-        .withColumnRenamed("l_returnflag", s"${out}_flag")
     sketches
-      .join(broadcast(exactDistinct($"l_partkey", "exact_parts")),
-        $"l_returnflag" === $"exact_parts_flag")
-      .join(broadcast(exactDistinct($"l_suppkey", "exact_supps")),
-        $"l_returnflag" === $"exact_supps_flag")
+      .join(broadcast(exactDistinct($"l_partkey", "exact_parts")), Seq("l_returnflag"))
+      .join(broadcast(exactDistinct($"l_suppkey", "exact_supps")), Seq("l_returnflag"))
       .select($"l_returnflag", $"n", $"exact_parts", $"exact_supps",
         (abs($"approx_parts" - $"exact_parts") <= lit(0.05) * $"exact_parts")
           .as("parts_within_tol"),

@@ -54,6 +54,21 @@ object Similarity {
   private def litNorm(vals: Seq[Float]): Double =
     math.sqrt(vals.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble))
 
+  /** Single SRP bucket id over static plane literals: bit pid set iff
+    * the row's embedding projects non-negatively onto plane pid. foldLeft
+    * with a lit(0L) seed, not reduce: an empty corpus has no head
+    * vectors and the operator must degrade to an empty result, not
+    * throw. Shared by the one-bucket LSH operators (srpLshTopK,
+    * knnGraph, srpMultiProbeTopK); the banded variant packs per-band
+    * bits and stays local to cosineNearDupPairsLsh.
+    */
+  private def srpBucket(planes: Seq[(Int, Seq[Float])]): Column =
+    planes
+      .map { case (pid, pe) =>
+        when(dot(col("embedding"), litVec(pe)) >= 0, lit(1L << pid)).otherwise(lit(0L)) }
+      .foldLeft(lit(0L))(_ + _)
+      .cast("long")
+
   /** Exact brute-force cosine top-k against one query vector (vec_id 0).
     * The query row is broadcast; one scan computes every score; top-k via
     * ordered limit (TakeOrderedAndProject — per-partition partial top-k,
@@ -105,14 +120,8 @@ object Similarity {
     val e = emb(spark, dir)
     // static plane literals → the whole signature is one projection in
     // the scan stage; nothing shuffles until the bucket probe join
-    // foldLeft, not reduce: an empty corpus has no head vectors, and
-    // the operator must degrade to an empty result, not throw
-    val bucket = headVectors(spark, dir, nPlanes)
-      .map { case (pid, pe) =>
-        when(dot($"embedding", litVec(pe)) >= 0, lit(1L << pid)).otherwise(lit(0L)) }
-      .foldLeft(lit(0L))(_ + _)
     val bucketed = e.select($"vec_id", $"label", $"embedding",
-      bucket.cast("long").as("bucket"))
+      srpBucket(headVectors(spark, dir, nPlanes)).as("bucket"))
     val q = bucketed.filter($"vec_id" === queryId)
       .select($"bucket".as("qb"), $"embedding".as("qe"))
     bucketed
@@ -138,12 +147,8 @@ object Similarity {
       nPlanes: Int = 4, k: Int = 10): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
-    val bucket = headVectors(spark, dir, nPlanes)
-      .map { case (pid, pe) =>
-        when(dot($"embedding", litVec(pe)) >= 0, lit(1L << pid)).otherwise(lit(0L)) }
-      .foldLeft(lit(0L))(_ + _)
     val bucketed = e.select($"vec_id", $"label", $"embedding",
-      bucket.cast("long").as("bucket"))
+      srpBucket(headVectors(spark, dir, nPlanes)).as("bucket"))
     val masks = 0L +: (0 until nPlanes).map(i => 1L << i)
     val probes = bucketed.filter($"vec_id" === queryId)
       .select($"embedding".as("qe"),
@@ -234,12 +239,9 @@ object Similarity {
     val e = emb(spark, dir)
     // foldLeft, not reduce: an empty corpus has no head vectors, and
     // the operator must degrade to an empty result, not throw
-    val bucket = headVectors(spark, dir, nPlanes)
-      .map { case (pid, pe) =>
-        when(dot($"embedding", litVec(pe)) >= 0, lit(1L << pid)).otherwise(lit(0L)) }
-      .foldLeft(lit(0L))(_ + _)
     val bucketed = e.select($"vec_id", $"embedding",
-      bucket.cast("long").as("bucket"), norm($"embedding").as("nrm"))
+      srpBucket(headVectors(spark, dir, nPlanes)).as("bucket"),
+      norm($"embedding").as("nrm"))
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))

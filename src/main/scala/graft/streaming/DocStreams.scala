@@ -41,8 +41,7 @@ object DocStreams {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id", $"lang", $"source",
-        trim(regexp_replace(regexp_replace($"text", "[0-9]+", "#"),
-          " +", " ")).as("clean_text"))
+        graft.ops.PipelinePrep.cleanTextCol($"text").as("clean_text"))
       .select($"doc_id", $"lang", $"source", $"clean_text",
         split($"clean_text", " ").as("t"))
       .select($"doc_id", $"lang", $"source", $"clean_text",

@@ -21,11 +21,6 @@ class SessionManagementSpec extends AnyFunSuite {
     root
   }
 
-  private def rm(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-  }
-
   test("no-session overloads borrow the active session and leave it running") {
     val root = fixture()
     try {
@@ -36,7 +31,7 @@ class SessionManagementSpec extends AnyFunSuite {
         "borrowed session must not be stopped")
       assert(DirHash.verifyDirectoryHash(root.toString, explicit).matches)
       assert(!spark.sparkContext.isStopped)
-    } finally rm(root)
+    } finally graft.TestFiles.rmrf(root)
   }
 
   test("create-if-absent: a sessionless JVM hashes with a private session " +
@@ -58,7 +53,7 @@ class SessionManagementSpec extends AnyFunSuite {
       val out = new String(proc.getInputStream.readAllBytes())
       val exit = proc.waitFor()
       assert(exit == 0, s"probe failed (exit $exit):\n${out.takeRight(4000)}")
-    } finally rm(root)
+    } finally graft.TestFiles.rmrf(root)
   }
 }
 

@@ -152,11 +152,7 @@ class OpsSpec extends AnyFunSuite {
       val expected = (100L to 109L).map(i => (i, i + 10000L)).toSet
       assert(expected.subsetOf(found),
         s"missed duplicate pairs: ${expected -- found}")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    } finally graft.TestFiles.rmrf(tmp)
   }
 
   test("shingle pipelines tolerate empty/1/2-token docs — no shingles, no crash (ADVICE r1)") {
@@ -179,11 +175,7 @@ class OpsSpec extends AnyFunSuite {
       assert(pairs.toSeq == Seq((4L, 5L)))
       assert(Dedup.minhashCandidates(spark, dir).count() == 1)
       assert(Dedup.dedupClusters(spark, dir).count() == 5)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    } finally graft.TestFiles.rmrf(tmp)
   }
 
   test("minhash candidate pairs are ordered and distinct") {

@@ -66,11 +66,6 @@ class LayoutsSpec extends AnyFunSuite {
         plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("lang")),
         s"lang filter did not reach PartitionFilters:\n$plan")
       assert(scan.count() == docs.filter(col("lang") === "en").count())
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(root)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(root))
   }
 }

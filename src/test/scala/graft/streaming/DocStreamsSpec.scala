@@ -14,12 +14,6 @@ class DocStreamsSpec extends AnyFunSuite {
   private val spark = graft.SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def rmrf(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
-  }
-
   test("file-source stream replays to the exact batch prep result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-docstream")
     try {
@@ -39,7 +33,7 @@ class DocStreamsSpec extends AnyFunSuite {
       val streamed = spark.table("doc_prep").collect().map(_.getLong(0)).toSet
       assert(streamed == batch)
       assert(batch.nonEmpty)
-    } finally rmrf(tmp)
+    } finally graft.TestFiles.rmrf(tmp)
   }
 
   test("content dedup collapses re-crawled duplicates across micro-batches") {

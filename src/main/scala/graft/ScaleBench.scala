@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Prints one JSON line per (factor, query) with secs + rows.
   *
-  * Usage: ScaleBench [docs|tpch] [outBaseDir] [factors...]
+  * Mode `events`: the events table replicated k× with co-shifted
+  * event/user ids (disjoint users per replica — the stream grows in user
+  * count, the realistic direction) and the sessionization / event-
+  * analytics queries timed at each factor.
+  *
+  * Usage: ScaleBench [docs|tpch|events] [outBaseDir] [factors...]
   *        (defaults: docs /tmp/graft_scale 1 3 10)
   */
 object ScaleBench {
@@ -37,6 +42,11 @@ object ScaleBench {
     "q06_top_orders_per_customer", "q12_brand_revenue_by_region",
     "q29_approx_distinct", "q37_price_quantiles", "q42_moving_revenue",
     "q44_correlated_subquery")
+
+  private val eventQueries = Seq(
+    "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",
+    "q35_asof_attribution", "q36_range_join_conversions", "q40_json_props",
+    "q60_funnel", "q61_retention_cohorts", "q62_value_outliers")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")
@@ -79,20 +89,34 @@ object ScaleBench {
       spark.read.parquet(s"$srcDir/$table.parquet")
         .agg(max(col(idCol))).head().getLong(0) + 1
 
-    val queries = if (mode == "tpch") tpchQueries else docQueries
+    val queries = mode match {
+      case "tpch" => tpchQueries
+      case "events" => eventQueries
+      case _ => docQueries
+    }
     for (k <- factors) {
       val dir = s"$base/x$k"
-      if (mode == "tpch") {
-        val orderShift = maxOf("orders", "o_orderkey")
-        replicate("lineitem", Seq("l_orderkey"), k, dir, orderShift)
-        replicate("orders", Seq("o_orderkey"), k, dir, orderShift)
-        // q44 registers the full view catalog (ops.Tables), so every
-        // table must exist in the scale dir; only the two facts scale
-        Seq("customer", "nation", "region", "part", "supplier",
-          "documents", "embeddings", "events").foreach(copyTable(_, dir))
-      } else {
-        replicate("documents", Seq("doc_id"), k, dir, maxOf("documents", "doc_id"))
-        replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))
+      mode match {
+        case "tpch" =>
+          val orderShift = maxOf("orders", "o_orderkey")
+          replicate("lineitem", Seq("l_orderkey"), k, dir, orderShift)
+          replicate("orders", Seq("o_orderkey"), k, dir, orderShift)
+          // q44 registers the full view catalog (ops.Tables), so every
+          // table must exist in the scale dir; only the two facts scale
+          Seq("customer", "nation", "region", "part", "supplier",
+            "documents", "embeddings", "events").foreach(copyTable(_, dir))
+        case "events" =>
+          // nanosAsLong: the source file is TIMESTAMP(NANOS); the replica
+          // stores plain INT64 nanos, which every events reader already
+          // handles (they derive sec/us with integer div)
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          // one shift base covers both id spaces — replicas get disjoint
+          // users, so per-user state grows in count, not depth
+          replicate("events", Seq("event_id", "user_id"), k, dir,
+            maxOf("events", "event_id"))
+        case _ =>
+          replicate("documents", Seq("doc_id"), k, dir, maxOf("documents", "doc_id"))
+          replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))
       }
       for (name <- queries) {
         val fn = SparkEntry.queries(name)

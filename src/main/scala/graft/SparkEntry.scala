@@ -108,6 +108,8 @@ object SparkEntry {
     "q60_funnel" -> (Sessionize.funnelStages _),
     "q61_retention_cohorts" -> (Sessionize.retentionCohorts _),
     "q62_value_outliers" -> ((s: SparkSession, d: String) => Sessionize.valueOutliers(s, d)),
+    // train/eval n-gram overlap (benchmark decontamination)
+    "q63_decontamination" -> ((s: SparkSession, d: String) => TextAnalysis.decontamination(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -751,6 +753,23 @@ object SparkEntry {
         | round((value - mean)/std, 4) AS z
         |FROM base b JOIN mm USING (event_type)
         |WHERE std > 0 AND abs(value - mean) > 3.0 * std""".stripMargin,
+    "q63_decontamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' AS is_train
+        |  FROM documents),
+        |g AS (SELECT doc_id, is_train, unnest(list_distinct(
+        |   CASE WHEN len(tk) >= 3
+        |        THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |              for i in range(1, len(tk) - 1)]
+        |        ELSE [] END)) AS gram FROM t),
+        |tr AS (SELECT DISTINCT gram FROM g WHERE is_train),
+        |ev AS (SELECT doc_id, gram FROM g WHERE NOT is_train),
+        |per AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id),
+        |sh AS (SELECT doc_id, count(*) AS n_shared_grams
+        |       FROM ev JOIN tr USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, n_shared_grams, n_grams,
+        | round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6) AS shared_frac
+        |FROM sh JOIN per USING (doc_id)""".stripMargin,
     // q58: the sketch estimate is engine-specific (q29 pattern) — the
     // oracle emits the exact quantiles and pins the tolerance booleans
     "q58_approx_quantiles" ->

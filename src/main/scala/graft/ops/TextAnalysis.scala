@@ -148,6 +148,36 @@ object TextAnalysis {
         $"n_tokens")
   }
 
+  /** Benchmark decontamination: which eval-split documents share word
+    * n-grams with the train split — the C4/GPT-style train/test overlap
+    * check every LLM data pipeline runs before shipping an eval set.
+    * The split is the deterministic md5 hash sample (retry-stable, as
+    * q47), the train-gram table is per-doc-distinct n-grams, and
+    * contamination = equality join of eval grams against it. Joining on
+    * the gram STRING keeps the check exact end to end; at 100 TB you'd
+    * join on xxhash64(gram) (8-byte keys, the q16 trick) and accept the
+    * 2⁻⁶⁴ collision. Real pipelines use n = 8–13; the synthetic corpus
+    * shares one vocabulary so n = 3 exercises the same plan with
+    * non-degenerate output.
+    */
+  def decontamination(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val grams = docs(spark, dir)
+      .select($"doc_id", toks.as("t"),
+        (substring(md5($"doc_id".cast("string")), 1, 2) <= "7f").as("is_train"))
+      .select($"doc_id", $"is_train",
+        explode(array_distinct(Dedup.ngramsOf($"t", n))).as("gram"))
+    val trainGrams = grams.filter($"is_train").select($"gram").distinct()
+    val evalGrams = grams.filter(!$"is_train")
+    val perDoc = evalGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    evalGrams
+      .join(trainGrams, "gram")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_grams"))
+      .join(perDoc, "doc_id")
+      .select($"doc_id", $"n_shared_grams", $"n_grams",
+        round($"n_shared_grams".cast("double") / $"n_grams", 6).as("shared_frac"))
+  }
+
   /** Within-document repetition ratio: the fraction of word 3-grams that
     * are repeats of an earlier 3-gram in the same doc — the Gopher-style
     * "repetitious text" quality signal (high values flag spam/template

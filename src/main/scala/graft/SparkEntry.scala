@@ -110,6 +110,8 @@ object SparkEntry {
     "q62_value_outliers" -> ((s: SparkSession, d: String) => Sessionize.valueOutliers(s, d)),
     // train/eval n-gram overlap (benchmark decontamination)
     "q63_decontamination" -> ((s: SparkSession, d: String) => TextAnalysis.decontamination(s, d)),
+    // unigram-LM perplexity proxy (CCNet-style quality signal)
+    "q64_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -770,6 +772,14 @@ object SparkEntry {
         |SELECT doc_id, n_shared_grams, n_grams,
         | round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6) AS shared_frac
         |FROM sh JOIN per USING (doc_id)""".stripMargin,
+    "q64_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_neg_logprob
+        |FROM tok JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     // q58: the sketch estimate is engine-specific (q29 pattern) — the
     // oracle emits the exact quantiles and pins the tolerance booleans
     "q58_approx_quantiles" ->

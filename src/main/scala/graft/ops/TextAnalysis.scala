@@ -178,6 +178,27 @@ object TextAnalysis {
         round($"n_shared_grams".cast("double") / $"n_grams", 6).as("shared_frac"))
   }
 
+  /** Unigram language-model score (CCNet-style perplexity proxy): mean
+    * negative log-probability of a doc's tokens under the corpus unigram
+    * distribution — high values flag gibberish / vocabulary-atypical
+    * docs. Two passes: the token-frequency table (bounded by vocabulary,
+    * broadcast), then one exploded join + per-doc mean. At 100 TB the
+    * frequency table is capped to a top-K vocab with an OOV floor — the
+    * plan shape is unchanged; the synthetic corpus's closed vocabulary
+    * needs no cap.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir).select($"doc_id", explode(toks).as("tok"))
+    val freq = tok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum($"cnt")).head().getLong(0)
+    tok
+      .join(broadcast(freq), "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log($"cnt".cast("double") / total)), 4).as("avg_neg_logprob"))
+  }
+
   /** Within-document repetition ratio: the fraction of word 3-grams that
     * are repeats of an earlier 3-gram in the same doc — the Gopher-style
     * "repetitious text" quality signal (high values flag spam/template

@@ -100,6 +100,7 @@ class OpsSpec extends AnyFunSuite {
     "q61_retention_cohorts" -> Set("cohort_week", "week_offset", "n_active"),
     "q62_value_outliers" -> Set("event_id", "event_type", "value", "z"),
     "q63_decontamination" -> Set("doc_id", "n_shared_grams", "n_grams", "shared_frac"),
+    "q64_unigram_logprob" -> Set("doc_id", "n_tokens", "avg_neg_logprob"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -191,7 +191,10 @@ object TextAnalysis {
     import spark.implicits._
     val tok = docs(spark, dir).select($"doc_id", explode(toks).as("tok"))
     val freq = tok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val total = freq.agg(sum($"cnt")).head().getLong(0)
+    // sum over an empty corpus is null — degrade to an empty result
+    // (the joins below are then empty), not an NPE
+    val total = Option(freq.agg(sum($"cnt")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
     tok
       .join(broadcast(freq), "tok")
       .groupBy($"doc_id")

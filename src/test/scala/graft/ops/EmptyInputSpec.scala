@@ -24,10 +24,17 @@ class EmptyInputSpec extends AnyFunSuite {
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
+    // long ts — the shape the nanosAsLong readers see
+    val eventSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     spark.createDataFrame(new java.util.ArrayList[Row](), docSchema)
       .write.parquet(s"$tmp/documents.parquet")
     spark.createDataFrame(new java.util.ArrayList[Row](), embSchema)
       .write.parquet(s"$tmp/embeddings.parquet")
+    spark.createDataFrame(new java.util.ArrayList[Row](), eventSchema)
+      .write.parquet(s"$tmp/events.parquet")
     tmp
   }
 
@@ -49,10 +56,20 @@ class EmptyInputSpec extends AnyFunSuite {
     "q17 cosine topk" -> (() => Similarity.cosineTopK(spark, emptyDir)),
     "q51 lsh near-dups" -> (() => Similarity.cosineNearDupPairsLsh(spark, emptyDir)),
     "q54 knn graph" -> (() => Similarity.knnGraph(spark, emptyDir)),
-    "q19 ivf topk" -> (() => Similarity.annIvfTopK(spark, emptyDir)))
+    "q19 ivf topk" -> (() => Similarity.annIvfTopK(spark, emptyDir)),
+    "q63 decontamination" -> (() => TextAnalysis.decontamination(spark, emptyDir)),
+    "q64 unigram logprob" -> (() => TextAnalysis.unigramLogprob(spark, emptyDir)),
+    "q61 retention cohorts" -> (() => Sessionize.retentionCohorts(spark, emptyDir)),
+    "q62 value outliers" -> (() => Sessionize.valueOutliers(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {
       assert(fn().count() == 0L)
     }
+
+  test("q60 funnel on an empty event stream: three stages, zero users, no throw") {
+    val rows = Sessionize.funnelStages(spark, emptyDir).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(2) == 0L))
+  }
 }

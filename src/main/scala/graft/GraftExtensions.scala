@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("feature_hash"),
       info("feature_hash", "feature_hash(text) - 64-dim hashing-trick token count vector"),
       exprs => TextOps.FeatureHash(exprs.head, 64)))
+    ext.injectFunction((FunctionIdentifier("simhash32"),
+      info("simhash32", "simhash32(text) - 32-bit SimHash over whitespace tokens"),
+      exprs => TextOps.SimHash32(exprs.head)))
     ext.injectFunction((FunctionIdentifier("chunk_hash"),
       info("chunk_hash", "chunk_hash(path, idx, content, algo) - domain-separated chunk digest"),
       exprs => ChunkHashOps.ChunkHash(exprs(0), exprs(1), exprs(2), exprs(3))))

@@ -120,6 +120,57 @@ object TextOps {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
   }
 
+  /** 32-bit SimHash of a document in one pass: token hash = first 32 md5
+    * bits (identical to `conv(substring(md5(tok),1,8),16,10)`), one
+    * ±1 vote per bit per token OCCURRENCE, bit set iff its vote sum is
+    * positive. Replaces the explode + 32-sum-column aggregation shape —
+    * per-doc SimHash is a pure function of the text, so at 100 TB it
+    * belongs in the scan projection, not behind a corpus-sized shuffle.
+    * Tokenization = `split(text, ' ')` with trailing empties kept, same
+    * as the relational pipeline.
+    */
+  def simhash32(text: UTF8String): Long = {
+    val votes = new Array[Int](32)
+    val s = text.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val d = md.digest(s.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  case class SimHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(t: Any): Any =
+      simhash32(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.simhash32($t)")
+    override protected def withNewChildInternal(c: Expression): SimHash32 =
+      copy(child = c)
+  }
+
   case class FeatureHash(child: Expression, dim: Int) extends UnaryExpression {
     override def dataType: DataType =
       org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
@@ -141,6 +192,8 @@ object TextOps {
       "bigram_counts", exprs => BigramCounts(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "feature_hash", exprs => FeatureHash(exprs.head, 64), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs.head), "built-in")
   }
 
   def bigramCountsCol(spark: SparkSession, text: Column): Column = {

@@ -251,20 +251,18 @@ object Dedup {
 
   /** 32-bit SimHash per document: token hash = first 8 md5 hex chars; one
     * +1/-1 vote per bit per token occurrence; bit set iff the vote sum is
-    * positive. One explode + one groupBy with 32 map-side-combined sums —
-    * a single shuffle of (doc_id, 32 ints) regardless of corpus size.
+    * positive. Computed by the codegen'd `simhash32` expression in ONE
+    * scan-stage pass — per-doc SimHash is a pure function of the text,
+    * so the earlier explode + 32-sum-column aggregation paid a
+    * corpus-sized shuffle for what is really a projection. The DuckDB
+    * oracle still recomputes the votes relationally, so two different
+    * algorithms must agree bit for bit.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = docs(spark, dir)
-      .select($"doc_id", explode(toks).as("tok"))
-      .select($"doc_id", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("h"))
-    val votes = (0 until 32).map(b =>
-      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val bitSums = tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-    bitSums.select($"doc_id",
-      (0 until 32).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).cast("long").as("simhash"))
+    graft.functions.TextOps.register(spark)
+    docs(spark, dir)
+      .select($"doc_id", call_function("simhash32", $"text").as("simhash"))
   }
 
   /** SimHash near-duplicates: 4×8-bit band blocking (pigeonhole-complete

@@ -98,6 +98,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 shuffles (content-hash dedup, manifest agg):\n$p")
   }
 
+  test("q27: simhash is a pure scan projection — zero exchanges") {
+    // per-doc simhash is a function of the text; the codegen'd
+    // simhash32 expression must keep it in the scan stage (the old
+    // explode + 32-sum aggregation shape paid a corpus-sized shuffle)
+    val p = plan(Dedup.simhash(spark, sf))
+    assert(!p.contains("Exchange"), s"simhash pays a shuffle:\n$p")
+    assert(p.contains("simhash32"), p)
+  }
+
   test("q13: exact dedup is a single scan + single exchange") {
     val p = plan(Dedup.exactDuplicates(spark, sf))
     val exchanges = p.linesIterator.count(l =>

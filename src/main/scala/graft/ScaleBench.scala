@@ -89,10 +89,18 @@ object ScaleBench {
       spark.read.parquet(s"$srcDir/$table.parquet")
         .agg(max(col(idCol))).head().getLong(0) + 1
 
-    val queries = mode match {
+    val allQueries = mode match {
       case "tpch" => tpchQueries
       case "events" => eventQueries
       case _ => docQueries
+    }
+    // optional csv filter (e.g. SPARK_GRAFT_SCALE_QUERIES=q27,q28) to
+    // refresh individual table rows without the full multi-minute sweep
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
+      case Some(csv) =>
+        val wanted = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        allQueries.filter(q => wanted.exists(q.startsWith))
+      case None => allQueries
     }
     for (k <- factors) {
       val dir = s"$base/x$k"

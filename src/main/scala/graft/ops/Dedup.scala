@@ -272,6 +272,11 @@ object Dedup {
     */
   def simhashNearDups(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
+    // each self-join branch recomputes the scan + per-doc simhash32 —
+    // measured cheaper than pinning an exchange between scan and join
+    // (a repartition here doubled 10x-scale wall time by blocking AQE's
+    // broadcast of the band table); the join output, not the hash
+    // computation, dominates at every scale we measured
     val sh = simhash(spark, dir)
     val bands = sh.select($"doc_id", $"simhash",
         explode(sequence(lit(0), lit(3))).as("band"))

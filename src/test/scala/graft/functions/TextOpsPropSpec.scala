@@ -45,6 +45,25 @@ class TextOpsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("property: simhash32 equals the naive per-token vote reference") {
+    def refSimhash(text: String): Long = {
+      val votes = new Array[Int](32)
+      text.split(" ", -1).foreach { tok =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8")).take(4)
+          .map(b => f"${b & 0xff}%02x").mkString
+        val h = java.lang.Long.parseLong(hex, 16)
+        (0 until 32).foreach(b =>
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 32).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }
+    for (text <- samples(texts, 200)) {
+      val got = TextOps.simhash32(UTF8String.fromString(text))
+      assert(got == refSimhash(text), s"text=${text.take(40)}")
+    }
+  }
+
   test("property: bigramCounts total equals max(len-1, 0) and keys are true bigrams") {
     for (text <- samples(texts, 200)) {
       val m = TextOps.bigramCounts(UTF8String.fromString(text))

@@ -102,6 +102,14 @@ object ScaleBench {
         allQueries.filter(q => wanted.exists(q.startsWith))
       case None => allQueries
     }
+    if (queries.isEmpty) {
+      // a stale/typo'd filter must not silently run the multi-minute
+      // replication sweep and print nothing
+      System.err.println(s"No $mode-mode query matches " +
+        s"SPARK_GRAFT_SCALE_QUERIES=${sys.env("SPARK_GRAFT_SCALE_QUERIES")} — aborting")
+      spark.stop()
+      sys.exit(2)
+    }
     for (k <- factors) {
       val dir = s"$base/x$k"
       mode match {

@@ -98,8 +98,14 @@ object TextOps {
     * (Spark's split limit -1 / DuckDB string_split): empty text is one
     * empty token, consecutive spaces produce empty tokens.
     */
-  def featureHash(text: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val counts = new Array[Long](dim)
+  /** The ONE tokenize-and-hash loop behind feature_hash and simhash32:
+    * split on single spaces keeping ALL empties (`split(text, ' ')`
+    * limit -1 / DuckDB string_split semantics), token hash = first 32
+    * md5 bits as an unsigned long — identical to
+    * `conv(substring(md5(tok),1,8),16,10)`. Both oracles depend on this
+    * exact behavior, so it must not fork into per-expression copies.
+    */
+  private def foreachTokenHash(text: UTF8String)(f: Long => Unit): Unit = {
     val s = text.toString
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = s.length
@@ -110,13 +116,17 @@ object TextOps {
         val d = md.digest(s.substring(start, i)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         md.reset()
-        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-        counts((h % dim).toInt) += 1
+        f(((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
         start = i + 1
       }
       i += 1
     }
+  }
+
+  def featureHash(text: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val counts = new Array[Long](dim)
+    foreachTokenHash(text)(h => counts((h % dim).toInt) += 1)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
   }
 
@@ -131,26 +141,12 @@ object TextOps {
     */
   def simhash32(text: UTF8String): Long = {
     val votes = new Array[Int](32)
-    val s = text.toString
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val n = s.length
-    var start = 0
-    var i = 0
-    while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
-        val d = md.digest(s.substring(start, i)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        md.reset()
-        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-        var b = 0
-        while (b < 32) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        start = i + 1
+    foreachTokenHash(text) { h =>
+      var b = 0
+      while (b < 32) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
-      i += 1
     }
     var out = 0L
     var b = 0
@@ -182,9 +178,9 @@ object TextOps {
       copy(child = c)
   }
 
-  /** Registers `bigram_counts` / `feature_hash` on the session
-    * (idempotent). `feature_hash(text)` uses dim 64; the expression
-    * itself takes any dim.
+  /** Registers `bigram_counts` / `feature_hash` / `simhash32` on the
+    * session (idempotent). `feature_hash(text)` uses dim 64; the
+    * expression itself takes any dim.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -261,7 +261,11 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.TextOps.register(spark)
+    // null-text docs produced no token rows under the old explode shape
+    // (and produce no rows in the relational oracle) — keep that contract
+    // rather than emitting a NULL simhash row
     docs(spark, dir)
+      .filter($"text".isNotNull)
       .select($"doc_id", call_function("simhash32", $"text").as("simhash"))
   }
 

@@ -158,10 +158,12 @@ object Sessionize {
 
   /** Ordered conversion funnel view → click → purchase: a user reaches
     * stage N only with an event AT OR AFTER their stage-N−1 entry time.
-    * Each stage is a filtered scan + per-user min + broadcast join of
-    * the (tiny) previous-stage table — no window over the raw events,
-    * no self-join of the full table; at 100 TB each stage ladder step
-    * shuffles one row per surviving user.
+    * Each stage is a filtered scan + per-user min joined to the
+    * previous-stage table — no window over the raw events, no self-join
+    * of the full table; each ladder step shuffles one row per surviving
+    * user. No broadcast hint: the stage tables are one row PER USER and
+    * grow with the stream, so the join strategy is left to AQE (a forced
+    * broadcast would OOM exactly at the scale this operator targets).
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -170,10 +172,10 @@ object Sessionize {
     val t1 = base.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"us").as("t1"))
     val t2 = base.filter($"event_type" === "click")
-      .join(broadcast(t1), "user_id").filter($"us" >= $"t1")
+      .join(t1, "user_id").filter($"us" >= $"t1")
       .groupBy($"user_id").agg(min($"us").as("t2"))
     val t3 = base.filter($"event_type" === "purchase")
-      .join(broadcast(t2), "user_id").filter($"us" >= $"t2")
+      .join(t2, "user_id").filter($"us" >= $"t2")
       .groupBy($"user_id").agg(min($"us").as("t3"))
     def stageRow(order: Int, name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_users"))
@@ -185,10 +187,10 @@ object Sessionize {
 
   /** Weekly retention cohorts: cohort = epoch-week of the user's first
     * event, activity offset = weeks since that cohort week; cell value =
-    * distinct active users. Two shuffles total (first-seen per user,
-    * then the cohort-matrix aggregate over a broadcast-joined cohort
-    * table) — integer week arithmetic end to end, so the oracle compare
-    * is exact.
+    * distinct active users. Integer week arithmetic end to end, so the
+    * oracle compare is exact. The cohort table is one row per user —
+    * unbounded — so the join back is hint-free (AQE broadcasts it only
+    * while it actually fits).
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -196,7 +198,7 @@ object Sessionize {
       .select($"user_id", expr("ts div 1000000000 div 604800").as("week"))
     val cohorts = weekly.groupBy($"user_id").agg(min($"week").as("cohort_week"))
     weekly
-      .join(broadcast(cohorts), "user_id")
+      .join(cohorts, "user_id")
       .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
       .agg(countDistinct($"user_id").as("n_active"))
   }

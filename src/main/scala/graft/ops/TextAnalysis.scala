@@ -191,15 +191,17 @@ object TextAnalysis {
     import spark.implicits._
     val tok = docs(spark, dir).select($"doc_id", explode(toks).as("tok"))
     val freq = tok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    // sum over an empty corpus is null — degrade to an empty result
-    // (the joins below are then empty), not an NPE
-    val total = Option(freq.agg(sum($"cnt")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(1L)
+    // the corpus total rides the plan as a one-row cross join (exactly
+    // the oracle's CROSS JOIN tot) — an eager .head() here would run a
+    // full corpus aggregation at DataFrame-CONSTRUCTION time, once per
+    // invocation, and again when the returned plan executes
+    val tot = freq.agg(sum($"cnt").as("total"))
     tok
       .join(broadcast(freq), "tok")
+      .crossJoin(broadcast(tot))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(-log($"cnt".cast("double") / total)), 4).as("avg_neg_logprob"))
+        round(avg(-log($"cnt".cast("double") / $"total")), 4).as("avg_neg_logprob"))
   }
 
   /** Within-document repetition ratio: the fraction of word 3-grams that

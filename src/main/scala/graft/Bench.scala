@@ -31,11 +31,18 @@ object Bench {
       // let a broken build pass the 2x gate on a shrunken total
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: sub-ms digits are noise and the shorter line
+    // leaves more of the detail inside the driver's bounded stdout tail
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver captures a bounded TAIL of stdout, which in round 3 cut
+    // the head off the (2 KB+) line above and left "parsed": null. This
+    // short trailing line always fits in the tail, so the total survives
+    // even when the per-query detail is truncated.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -85,9 +85,17 @@ object ScaleBench {
       Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
 
-    def maxOf(table: String, idCol: String): Long =
+    // max over ALL shifted columns + 1, as replicate()'s contract needs:
+    // shifting event_id and user_id by max(event_id)+1 alone only keeps
+    // replica user spaces disjoint while user ids happen to stay below
+    // event ids — sparse event ids or dense user ids would silently
+    // create cross-replica user collisions (per-user depth, not count)
+    def maxOf(table: String, idCols: String*): Long = {
+      val widest = // greatest() requires 2+ args
+        if (idCols.sizeIs == 1) col(idCols.head) else greatest(idCols.map(col): _*)
       spark.read.parquet(s"$srcDir/$table.parquet")
-        .agg(max(col(idCol))).head().getLong(0) + 1
+        .agg(max(widest)).head().getLong(0) + 1
+    }
 
     val allQueries = mode match {
       case "tpch" => tpchQueries
@@ -129,7 +137,7 @@ object ScaleBench {
           // one shift base covers both id spaces — replicas get disjoint
           // users, so per-user state grows in count, not depth
           replicate("events", Seq("event_id", "user_id"), k, dir,
-            maxOf("events", "event_id"))
+            maxOf("events", "event_id", "user_id"))
         case _ =>
           replicate("documents", Seq("doc_id"), k, dir, maxOf("documents", "doc_id"))
           replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))

@@ -590,8 +590,12 @@ object SparkEntry {
         | count(*) AS n_media,
         | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         | CAST(8 * sum(strlen(text)) AS BIGINT) AS total_duration_ms,
-        | true AS dims_in_range, true AS norms_unit, true AS codecs_ok
-        |FROM documents GROUP BY 1""".stripMargin,
+        | CAST(sum(64 + ('0x' || substring(md5(text), 1, 8))::UBIGINT % 1024) AS BIGINT) AS sum_width,
+        | CAST(sum(64 + ('0x' || substring(md5(text), 9, 8))::UBIGINT % 1024) AS BIGINT) AS sum_height,
+        | CAST(count(*) FILTER (WHERE strlen(text) >= 4) AS BIGINT) AS unit_norm_count,
+        | 'stub-' || CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS codec_tag
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "q51_cosine_near_dup_lsh" ->
       """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 16),
         |sig AS (SELECT e.vec_id, e.label, CAST(pid // 4 AS INTEGER) AS band,

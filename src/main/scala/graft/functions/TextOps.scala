@@ -24,8 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextOps {
 
-  /** Adjacent char-pair counts of `text` as a MapData, bigrams in
-    * lexicographic UTF-16 order (deterministic output).
+  /** Adjacent char-pair counts of `text` as a MapData, bigrams in a
+    * deterministic order (signed packed-int order — lexicographic for
+    * chars below U+8000, which covers ASCII corpora; see the note on
+    * the case class).
     *
     * Chars are UTF-16 code units; a bigram spanning an astral-plane
     * surrogate pair would differ from code-point (DuckDB `substr`)

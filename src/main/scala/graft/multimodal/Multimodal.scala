@@ -26,17 +26,22 @@ object Multimodal {
   case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** STUB decoder — deterministic fake in place of a real codec binding.
-    * "Decodes" metadata from the payload bytes via length + a rolling
-    * hash so tests are stable; a real implementation would parse the
-    * container header here (and is the only thing that would change).
+    * "Decodes" metadata from the payload's md5: width = 64 + first 32
+    * digest bits mod 1024, height = 64 + next 32 bits mod 1024 — chosen
+    * over an ad-hoc rolling hash so an independent engine can recompute
+    * the exact values (DuckDB: `64 + ('0x' || substring(md5(text), 1, 8))
+    * ::UBIGINT % 1024`), making q30 a value-level oracle instead of
+    * pinned booleans. A real implementation would parse the container
+    * header here (and is the only thing that would change).
     */
   object StubCodec {
     def decode(kind: String, bytes: Array[Byte]): MediaMeta = {
-      var h = 1125899906842597L // deterministic FNV-ish roll over the payload
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
-      val w = 64 + math.floorMod(h, 1024).toInt
-      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      def u32(off: Int): Long =
+        ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+          ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+      val w = 64 + (u32(0) % 1024).toInt
+      val ht = 64 + (u32(4) % 1024).toInt
       MediaMeta(w, ht, bytes.length.toLong * 8, s"stub-$kind")
     }
 
@@ -66,6 +71,10 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
+      // the corpus contract admits null text (Dedup.simhash defends
+      // against it); a null payload would NPE in StubCodec.decode and
+      // diverge from the oracle, whose strlen(NULL) rows null out
+      .filter($"text".isNotNull)
       .select($"doc_id".as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
@@ -172,12 +181,13 @@ object Multimodal {
   }
 
   /** The queries-surface entry: media → decode → featurize → per-kind
-    * rollup, shaped for an exact oracle. The SQL-expressible half (kind
-    * assignment, counts, byte totals, durations = 8×bytes by the stub's
-    * contract) is emitted as values; the stub-only half (hash-derived
-    * dims, feature norms, codec tags) is emitted as invariant booleans
-    * the oracle pins to `true` — so the hash compare is exact while the
-    * full decode/featurize pipeline still executes and is checked.
+    * rollup, every column a VALUE the oracle recomputes from the payload
+    * bytes: counts, byte totals, durations (= 8×bytes by the stub's
+    * contract), width/height sums (md5-derived, so DuckDB rebuilds them
+    * from `md5(text)`), the count of unit-norm feature vectors (norm2≈1
+    * exactly when the payload has ≥4 bytes — one 4-gram), and the codec
+    * tag. No pinned booleans: a stub regression in any decoded value
+    * hash-mismatches the oracle.
     */
   def mediaSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -192,12 +202,10 @@ object Multimodal {
         count(lit(1)).as("n_media"),
         sum($"n_bytes").as("total_bytes"),
         sum($"duration_ms").as("total_duration_ms"),
-        // StubCodec.decode maps the payload hash into [64, 1087]²
-        bool_and($"width".between(64, 1087) && $"height".between(64, 1087))
-          .as("dims_in_range"),
-        // features are L2-normalized (or all-zero for <4-byte payloads)
-        bool_and(abs($"norm2" - 1.0) < 1e-3 || $"norm2" === 0.0)
-          .as("norms_unit"),
-        bool_and($"codec" === concat(lit("stub-"), $"kind")).as("codecs_ok"))
+        sum($"width".cast("long")).as("sum_width"),
+        sum($"height".cast("long")).as("sum_height"),
+        sum(when(abs($"norm2" - 1.0) < 1e-3, 1L).otherwise(0L))
+          .as("unit_norm_count"),
+        min($"codec").as("codec_tag"))
   }
 }

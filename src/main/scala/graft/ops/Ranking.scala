@@ -23,6 +23,12 @@ object Ranking {
 
   def topKPerGroup(df: DataFrame, group: Seq[String], order: Seq[Column],
       saltKey: Column, k: Int, saltBuckets: Int = 32): DataFrame = {
+    // both names are written unconditionally; overwriting a caller's
+    // column of the same name would silently corrupt its data
+    require(!df.columns.contains("rn"),
+      "topKPerGroup emits an `rn` column; input already has one")
+    require(!df.columns.contains("__local_rn"),
+      "topKPerGroup uses `__local_rn` internally; input already has it")
     val groupCols = group.map(col)
     val w1 = Window
       .partitionBy(groupCols :+ pmod(hash(saltKey), lit(saltBuckets)): _*)

@@ -82,14 +82,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("mediaSummary rolls up decode + features per kind; stub invariants hold") {
+  test("mediaSummary rolls up decode + features per kind as oracle values") {
     val s = mediaSummary(spark, sf).collect()
     assert(s.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(s.forall(_.getLong(1) > 0))
     // duration = 8 × bytes is the stub codec's contract (oracle-checked too)
     assert(s.forall(r => r.getLong(3) == 8 * r.getLong(2)))
-    // dims_in_range, norms_unit, codecs_ok — the stub-only half as booleans
-    assert(s.forall(r => r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6)))
+    // md5-derived dims land in [64, 1087], so per-kind sums are bounded
+    assert(s.forall(r => r.getLong(4) >= 64 * r.getLong(1) &&
+      r.getLong(4) <= 1087 * r.getLong(1)))
+    assert(s.forall(r => r.getLong(5) >= 64 * r.getLong(1) &&
+      r.getLong(5) <= 1087 * r.getLong(1)))
+    // every testdata payload has ≥4 bytes → every feature is unit-norm
+    assert(s.forall(r => r.getLong(6) == r.getLong(1)))
+    assert(s.forall(r => r.getString(7) == s"stub-${r.getString(0)}"))
+  }
+
+  test("StubCodec dims match the md5-prefix formula the oracle recomputes") {
+    val bytes = "hello world".getBytes("UTF-8")
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+    val m = StubCodec.decode("image", bytes)
+    assert(m.width == 64 + (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024).toInt)
+    assert(m.height == 64 + (java.lang.Long.parseLong(hex.substring(8, 16), 16) % 1024).toInt)
+    assert(m.durationMs == bytes.length * 8L && m.codec == "stub-image")
   }
 
   test("media features flow into the similarity operators' contract") {

@@ -63,7 +63,8 @@ class OpsSpec extends AnyFunSuite {
     "q29_approx_distinct" -> Set("l_returnflag", "n", "exact_parts",
       "exact_supps", "parts_within_tol", "supps_within_tol"),
     "q30_media_summary" -> Set("kind", "n_media", "total_bytes",
-      "total_duration_ms", "dims_in_range", "norms_unit", "codecs_ok"),
+      "total_duration_ms", "sum_width", "sum_height", "unit_norm_count",
+      "codec_tag"),
     "q31_srp_lsh_ann" -> Set("vec_id", "label", "cosine"),
     "q32_rolling_fingerprints" -> Set("doc_id", "rolling_fp", "n_tokens"),
     "q33_chunk_hash_digests" -> Set("doc_id", "chunk_digest", "n_bytes"),

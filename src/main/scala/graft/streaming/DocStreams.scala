@@ -26,10 +26,11 @@ object DocStreams {
   /** File-source stream over a documents directory; `maxFilesPerTrigger`
     * bounds micro-batch size during backlog replay.
     */
-  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+  def readDocStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame =
     spark.readStream
       .schema(docSchema)
-      .option("maxFilesPerTrigger", "4")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
 
   /** Stateless prep: q48's cleaning, q22's quality signals, q47's

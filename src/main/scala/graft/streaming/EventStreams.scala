@@ -35,10 +35,11 @@ object EventStreams {
     * timestamps). `maxFilesPerTrigger` bounds per-batch work so a backlog
     * replay doesn't build one giant micro-batch.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
     spark.readStream
       .schema(eventSchema)
-      .option("maxFilesPerTrigger", "16")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
 
   /** Tumbling 1-hour counts per event type with a 2-hour watermark: the

@@ -198,19 +198,23 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
         |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
-        |       FROM tok)
-        |SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || sh)) AS sig
-        |FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bands
-        |GROUP BY doc_id, band""".stripMargin,
+        |       FROM tok),
+        |hmins AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS m
+        |          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i)
+        |SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+        |       md5(string_agg(m, '|' ORDER BY i)) AS sig
+        |FROM hmins GROUP BY doc_id, i // 4""".stripMargin,
     "q15_minhash_candidates" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
         |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
         |       FROM tok),
-        |sigs AS (
-        | SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || sh)) AS sig
-        | FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bands
-        | GROUP BY doc_id, band)
+        |hmins AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS m
+        |          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM sigs a JOIN sigs b
         | ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id""".stripMargin,
@@ -470,9 +474,11 @@ object SparkEntry {
         |sh AS (SELECT doc_id,
         |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
         |       FROM tok),
-        |sigs AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || sh)) AS sig
-        |         FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bands
-        |         GROUP BY doc_id, band),
+        |hmins AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS m
+        |          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM sigs a JOIN sigs b
         |          ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id),

@@ -70,22 +70,40 @@ object Dedup {
       .agg(min($"doc_id").as("keeper"), count(lit(1)).as("copies"))
   }
 
-  /** MinHash signatures, b bands × 1 row each: band h's signature is the
-    * minimum md5 over the doc's shingles salted with the band id. Banding
-    * turns near-dup search into an equi-join on (band, sig).
-    *
-    * All bands aggregate in ONE groupBy (b min-columns with map-side
-    * combine), then unpivot — one scan + one shuffle instead of the
-    * naive per-band union chain's b of each.
+  /** MinHash signatures, standard b×r banding: k = bands × rowsPerBand
+    * independent hash "permutations" (min over md5 salted with the hash
+    * index), band B's signature = md5 of the concatenated row-mins for
+    * hashes B·r .. B·r+r−1. Two docs share band B's signature iff ALL r
+    * row-mins agree, so for Jaccard j the candidate probability follows
+    * the S-curve P = 1 − (1 − jʳ)ᵇ — steep around j ≈ (1/b)^(1/r) ≈ 0.71
+    * at the default 4×4, which is what makes precision/recall TUNABLE
+    * (r=1 banding degenerates to "any shared min", flooding candidates
+    * with low-j pairs). Banding turns near-dup search into an equi-join
+    * on (band, sig).
     */
-  def minhashSignatures(spark: SparkSession, dir: String, bands: Int = 4): DataFrame = {
-    import spark.implicits._
-    val sh = shingleRows(spark, dir)
-    val mins = (0 until bands).map(b =>
-      min(md5(concat(lit(s"$b|"), $"sh"))).as(s"sig$b"))
+  def minhashSignatures(spark: SparkSession, dir: String, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame =
+    bandSignatures(shingleRows(spark, dir), bands, rowsPerBand)
+
+  /** The banding core over pre-exploded (doc_id, sh) rows. All k row-mins
+    * aggregate in ONE groupBy (k min-columns with map-side combine), then
+    * unpivot to b (band, sig) rows — one scan + one shuffle instead of a
+    * per-band union chain's b of each. Package-private so the S-curve
+    * property test can feed synthetic shingle sets with exact Jaccard.
+    */
+  private[ops] def bandSignatures(sh: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    import sh.sparkSession.implicits._
+    val k = bands * rowsPerBand
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), $"sh"))).as(s"m$i"))
     sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-      .select($"doc_id", explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
+      .select($"doc_id", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|",
+            (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*))
+            .as("sig"))
+      }: _*)).as("bs"))
       .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
   }
 

@@ -112,6 +112,8 @@ object SparkEntry {
     "q63_decontamination" -> ((s: SparkSession, d: String) => TextAnalysis.decontamination(s, d)),
     // unigram-LM perplexity proxy (CCNet-style quality signal)
     "q64_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
+    // measured IVF recall@k vs the exact brute-force top-k (q17)
+    "q65_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallAtK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -254,8 +256,11 @@ object SparkEntry {
         | FROM e a JOIN e b ON a.label=b.label AND a.vec_id < b.vec_id) t
         |WHERE cosine >= 0.3""".stripMargin,
     "q19_ann_ivf_topk" ->
-      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
-        |           WHERE vec_id < 8),
+      """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+        |                  embedding AS ce
+        |           FROM (SELECT vec_id, embedding FROM embeddings
+        |                 WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '19'
+        |                 ORDER BY vec_id LIMIT 8) cs),
         |scored AS (
         | SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
         |  round(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
@@ -263,20 +268,21 @@ object SparkEntry {
         |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding])) *
         |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in c.ce]))), 6) AS c_cos
         | FROM embeddings e CROSS JOIN c),
-        |assigned AS (
-        | SELECT vec_id, label, embedding, centroid_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |            ORDER BY c_cos DESC, centroid_id) AS rk FROM scored) t
-        | WHERE rk = 1),
-        |qcell AS (SELECT centroid_id AS q_cell, embedding AS qe FROM assigned WHERE vec_id=0)
-        |SELECT vec_id, label,
-        | round(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)
-        |                 for i in range(1, len(embedding)+1)]) /
-        |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) *
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY c_cos DESC, centroid_id) AS rk FROM scored),
+        |assigned AS (SELECT vec_id, label, embedding, centroid_id
+        |             FROM ranked WHERE rk = 1),
+        |qcells AS (SELECT centroid_id AS q_cell, embedding AS qe
+        |           FROM ranked WHERE vec_id=0 AND rk <= 3)
+        |SELECT a.vec_id, a.label,
+        | round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)
+        |                 for i in range(1, len(a.embedding)+1)]) /
+        |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in a.embedding])) *
         |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in qe]))), 6) AS cosine
-        |FROM assigned JOIN qcell ON centroid_id = q_cell
-        |WHERE vec_id <> 0
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+        |FROM assigned a JOIN qcells ON a.centroid_id = q_cell
+        |WHERE a.vec_id <> 0
+        |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin,
     "q20_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -799,5 +805,50 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         | true AS p25_within_tol, true AS p50_within_tol, true AS p75_within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q65: both rankings are deterministic, so the oracle recomputes the
+    // IDENTICAL recall value — a value-level gate, not a pinned boolean
+    "q65_ivf_recall" ->
+      """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+        |                  embedding AS ce
+        |           FROM (SELECT vec_id, embedding FROM embeddings
+        |                 WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '19'
+        |                 ORDER BY vec_id LIMIT 8) cs),
+        |scored AS (
+        | SELECT e.vec_id, e.embedding, c.centroid_id,
+        |  round(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+        |                  for i in range(1, len(e.embedding)+1)]) /
+        |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding])) *
+        |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in c.ce]))), 6) AS c_cos
+        | FROM embeddings e CROSS JOIN c),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY c_cos DESC, centroid_id) AS rk FROM scored),
+        |assigned AS (SELECT vec_id, embedding, centroid_id
+        |             FROM ranked WHERE rk = 1),
+        |qcells AS (SELECT centroid_id AS q_cell, embedding AS qe
+        |           FROM ranked WHERE vec_id=0 AND rk <= 3),
+        |ivf AS (
+        | SELECT a.vec_id,
+        |  round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)
+        |                  for i in range(1, len(a.embedding)+1)]) /
+        |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in a.embedding])) *
+        |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in qe]))), 6) AS cosine
+        | FROM assigned a JOIN qcells ON a.centroid_id = q_cell
+        | WHERE a.vec_id <> 0
+        | ORDER BY cosine DESC, a.vec_id LIMIT 10),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id=0),
+        |brute AS (
+        | SELECT vec_id,
+        |  round(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)
+        |                  for i in range(1, len(embedding)+1)]) /
+        |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) *
+        |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in qe]))), 6) AS cosine
+        | FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        | ORDER BY cosine DESC, vec_id LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        | CAST(count(*) AS BIGINT) AS n_hits,
+        | round(count(*) / 10.0, 6) AS recall,
+        | count(*) / 10.0 >= 0.4 AS recall_ok
+        |FROM ivf WHERE vec_id IN (SELECT vec_id FROM brute)""".stripMargin,
   )
 }

@@ -102,6 +102,7 @@ class OpsSpec extends AnyFunSuite {
     "q62_value_outliers" -> Set("event_id", "event_type", "value", "z"),
     "q63_decontamination" -> Set("doc_id", "n_shared_grams", "n_grams", "shared_frac"),
     "q64_unigram_logprob" -> Set("doc_id", "n_tokens", "avg_neg_logprob"),
+    "q65_ivf_recall" -> Set("k", "n_hits", "recall", "recall_ok"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -179,6 +180,13 @@ class OpsSpec extends AnyFunSuite {
       assert(Dedup.minhashCandidates(spark, dir).count() == 1)
       assert(Dedup.dedupClusters(spark, dir).count() == 5)
     } finally graft.TestFiles.rmrf(tmp)
+  }
+
+  test("q65: sampled-centroid IVF at nProbe=3 holds recall@10 above the pinned floor") {
+    val r = Similarity.ivfRecallAtK(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Boolean]("recall_ok"),
+      s"recall=${r.head.getAs[Double]("recall")} below floor")
   }
 
   test("minhash candidate pairs are ordered and distinct") {

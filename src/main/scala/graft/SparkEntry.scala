@@ -114,6 +114,9 @@ object SparkEntry {
     "q64_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     // measured IVF recall@k vs the exact brute-force top-k (q17)
     "q65_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallAtK(s, d)),
+    // decontamination at n=8 on hashed grams (string-keyed oracle)
+    "q66_decontamination_n8" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.decontaminationHashed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -850,5 +853,24 @@ object SparkEntry {
         | round(count(*) / 10.0, 6) AS recall,
         | count(*) / 10.0 >= 0.4 AS recall_ok
         |FROM ivf WHERE vec_id IN (SELECT vec_id FROM brute)""".stripMargin,
+    // q66: Spark joins 8-byte gram hashes, the oracle joins exact gram
+    // strings — identical counts gate the hashed keying end to end
+    "q66_decontamination_n8" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |       (substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f') AS is_train,
+        |       list_distinct([array_to_string(t[i:i+7], ' ')
+        |                      for i in range(1, len(t)-6)]) AS grams
+        |      FROM tok),
+        |tg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_train),
+        |evg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_train),
+        |sh AS (SELECT doc_id, count(*) AS n_shared FROM evg JOIN tg USING (gram)
+        |       GROUP BY doc_id)
+        |SELECT g.doc_id,
+        | CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared_grams,
+        | CAST(len(g.grams) AS BIGINT) AS n_grams,
+        | round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(g.grams), 6) AS shared_frac
+        |FROM g LEFT JOIN sh USING (doc_id)
+        |WHERE NOT g.is_train""".stripMargin,
   )
 }

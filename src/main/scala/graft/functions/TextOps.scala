@@ -180,18 +180,137 @@ object TextOps {
       copy(child = c)
   }
 
+  /** Byte offsets of `split(text, ' ')` token starts, plus a sentinel:
+    * starts(k) = first byte of token k, starts(nTokens) = numBytes + 1
+    * (as if one more space sat past the end), so token k spans bytes
+    * [starts(k), starts(k+1) − 1). Found directly in UTF-8 — 0x20 never
+    * occurs inside a multi-byte sequence — and because tokens are joined
+    * by single spaces, the word n-gram (t[i] ⧺ ' ' ⧺ … ⧺ t[i+n−1]) is
+    * EXACTLY the byte range [starts(i), starts(i+n) − 1) of the original
+    * document. That identity is what lets the gram expressions below
+    * hash/slice grams with zero concatenation.
+    */
+  private def tokenStarts(text: UTF8String): Array[Int] = {
+    val nb = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < nb) { if (text.getByte(i) == 0x20) spaces += 1; i += 1 }
+    val starts = new Array[Int](spaces + 2)
+    var k = 1
+    i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(spaces + 1) = nb + 1
+    starts
+  }
+
+  /** All word n-gram hashes of a document, in document order: hash =
+    * Spark's xxhash64 (XXH64, seed 42) over the gram's UTF-8 bytes — by
+    * the substring identity above, bit-identical to
+    * `xxhash64(concat_ws(' ', tokens i..i+n−1))` without ever building
+    * the gram string (the concat_ws-per-position shape paid one
+    * interpreted lambda + string allocation per gram per doc; this is a
+    * single primitive loop in the scan stage). Repetition/boilerplate/
+    * decontamination consumers count, distinct, or join these 8-byte
+    * keys instead of ~50-byte strings.
+    */
+  def gramHashes(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val starts = tokenStarts(text)
+    val nGrams = starts.length - 1 - n + 1
+    if (nGrams <= 0) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    }
+    val out = new Array[Long](nGrams)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var g = 0
+    while (g < nGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s, e - s, 42L)
+      g += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** The per-doc DISTINCT word n-gram STRINGS (first occurrence kept),
+    * for consumers whose OUTPUT is the phrase itself (boilerplate
+    * ranking): dedup happens on the 64-bit gram hash, and only distinct
+    * grams are materialized as strings — one byte-range copy each,
+    * replacing build-every-gram + array_distinct-on-strings.
+    */
+  def distinctGrams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val starts = tokenStarts(text)
+    val nGrams = starts.length - 1 - n + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[Long]()
+    val out = new java.util.ArrayList[Any]()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var g = 0
+    while (g < nGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s, e - s, 42L)
+      if (seen.add(h)) {
+        val b = new Array[Byte](e - s)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          base, off + s, b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, e - s)
+        out.add(UTF8String.fromBytes(b))
+      }
+      g += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      gramHashes(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.gramHashes($t, $n)")
+    override protected def withNewChildInternal(c: Expression): GramHashes =
+      copy(child = c)
+  }
+
+  case class DistinctGrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      distinctGrams(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.distinctGrams($t, $n)")
+    override protected def withNewChildInternal(c: Expression): DistinctGrams =
+      copy(child = c)
+  }
+
   /** Registers `bigram_counts` / `feature_hash` / `simhash32` on the
     * session (idempotent). `feature_hash(text)` uses dim 64; the
     * expression itself takes any dim.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def litInt(e: Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"gram length must be an integer literal, got $other")
+    }
     reg.createOrReplaceTempFunction(
       "bigram_counts", exprs => BigramCounts(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "feature_hash", exprs => FeatureHash(exprs.head, 64), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "gram_hashes", exprs => GramHashes(exprs.head, litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "distinct_grams", exprs => DistinctGrams(exprs.head, litInt(exprs(1))), "built-in")
   }
 
   def bigramCountsCol(spark: SparkSession, text: Column): Column = {

@@ -178,6 +178,39 @@ object TextAnalysis {
         round($"n_shared_grams".cast("double") / $"n_grams", 6).as("shared_frac"))
   }
 
+  /** Decontamination at realistic gram length (n = 8, the C4/GPT range)
+    * on HASHED grams: the join key is the codegen'd `gram_hashes` output
+    * — 8-byte longs hashed straight off the document bytes — instead of
+    * ~50-byte 8-gram strings, which is what a 100-TB overlap check
+    * actually shuffles (the xxhash64-key variant [[decontamination]]'s
+    * scaladoc promises). Emits EVERY eval doc (left join, 0 shared grams
+    * for clean ones) so "nothing is contaminated" is a checked result,
+    * not an empty table. The oracle joins exact gram STRINGS — two
+    * different keying strategies must produce identical counts, which
+    * also bounds the hash-collision risk the 8-byte key accepts.
+    */
+  def decontaminationHashed(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    val grams = docs(spark, dir)
+      .select($"doc_id",
+        (substring(md5($"doc_id".cast("string")), 1, 2) <= "7f").as("is_train"),
+        array_distinct(call_function("gram_hashes", $"text", lit(n))).as("g"))
+    val trainGrams = grams.filter($"is_train").select(explode($"g").as("gh")).distinct()
+    val shared = grams.filter(!$"is_train")
+      .select($"doc_id", explode($"g").as("gh"))
+      .join(trainGrams, "gh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    grams.filter(!$"is_train")
+      .select($"doc_id", size($"g").cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shared_grams", lit(0L)).as("n_shared_grams"),
+        $"n_grams",
+        round(coalesce($"n_shared_grams", lit(0L)).cast("double") / $"n_grams", 6)
+          .as("shared_frac"))
+  }
+
   /** Unigram language-model score (CCNet-style perplexity proxy): mean
     * negative log-probability of a doc's tokens under the corpus unigram
     * distribution — high values flag gibberish / vocabulary-atypical
@@ -207,15 +240,21 @@ object TextAnalysis {
   /** Within-document repetition ratio: the fraction of word 3-grams that
     * are repeats of an earlier 3-gram in the same doc — the Gopher-style
     * "repetitious text" quality signal (high values flag spam/template
-    * docs for removal before training). Pure per-row array math on the
-    * pre-materialized token array: no explode, no shuffle — at 100 TB
-    * this is one map-side scan like the other quality scores.
+    * docs for removal before training). The codegen'd `gram_hashes`
+    * expression emits 8-byte gram hashes straight off the document bytes
+    * (no token array, no per-position concat_ws lambda), so counting and
+    * distinct-counting grams is primitive-long array math in one
+    * map-side scan. Distinct-over-hashes equals distinct-over-strings up
+    * to a 64-bit collision (≈2⁻⁶⁴ per doc) — the q16 argument.
     */
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.TextOps.register(spark)
     docs(spark, dir)
-      .select($"doc_id", toks.as("t"))
-      .select($"doc_id", Dedup.ngramsOf($"t", 3).as("g"))
+      // null text → empty gram array, matching ngramsOf's null contract
+      .select($"doc_id",
+        coalesce(call_function("gram_hashes", $"text", lit(3)),
+          array().cast("array<bigint>")).as("g"))
       .select($"doc_id",
         size($"g").cast("long").as("n_grams"),
         size(array_distinct($"g")).cast("long").as("n_distinct_grams"))
@@ -234,9 +273,13 @@ object TextAnalysis {
     */
   def boilerplatePhrases(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    // distinct_grams dedups on the 64-bit gram hash and materializes only
+    // the distinct phrase strings (the output needs the phrase itself, so
+    // the string can't be hashed away — but building EVERY gram to then
+    // array_distinct strings can be)
     val phrases = docs(spark, dir)
-      .select($"lang", toks.as("t"))
-      .select($"lang", explode(array_distinct(Dedup.ngramsOf($"t", 5))).as("phrase"))
+      .select($"lang", explode(call_function("distinct_grams", $"text", lit(5))).as("phrase"))
       .groupBy($"lang", $"phrase").agg(count(lit(1)).as("n_docs"))
     // the phrase table is distinct-phrases-sized (can be billions of
     // rows at corpus scale, still 5 langs): salted two-phase ranking

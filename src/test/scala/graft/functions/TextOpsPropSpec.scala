@@ -64,6 +64,56 @@ class TextOpsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("property: gramHashes equals xxhash64 of the built gram strings") {
+    for (text <- samples(texts, 200); n <- Seq(1, 3, 8)) {
+      val toks = text.split(" ", -1)
+      val refGrams =
+        if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+        else Seq.empty
+      val ref = refGrams.map { g =>
+        val u = UTF8String.fromString(g)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      }
+      val got = TextOps.gramHashes(UTF8String.fromString(text), n).toLongArray().toSeq
+      assert(got == ref, s"text=${text.take(40)} n=$n")
+    }
+  }
+
+  test("property: distinctGrams equals first-occurrence distinct of the gram strings") {
+    for (text <- samples(texts, 200); n <- Seq(1, 3, 5)) {
+      val toks = text.split(" ", -1)
+      val ref =
+        if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+        else Seq.empty
+      val got = TextOps.distinctGrams(UTF8String.fromString(text), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(got == ref, s"text=${text.take(40)} n=$n")
+    }
+  }
+
+  test("gram_hashes in a DataFrame equals the relational transform+xxhash64 route") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    TextOps.register(spark)
+    val df = Seq("a b c a b c d", "x", "", "a  b", "one two three four")
+      .toDF("text")
+    val mismatches = df
+      .select(
+        call_function("gram_hashes", $"text", lit(3)).as("fast"),
+        coalesce(
+          when(size(split($"text", " ")) >= 3,
+            transform(sequence(lit(0), size(split($"text", " ")) - lit(3)),
+              i => xxhash64(concat_ws(" ",
+                element_at(split($"text", " "), i + 1),
+                element_at(split($"text", " "), i + 2),
+                element_at(split($"text", " "), i + 3))))),
+          array().cast("array<bigint>")).as("slow"))
+      .filter(not($"fast" <=> $"slow")).count()
+    assert(mismatches == 0)
+  }
+
   test("property: bigramCounts total equals max(len-1, 0) and keys are true bigrams") {
     for (text <- samples(texts, 200)) {
       val m = TextOps.bigramCounts(UTF8String.fromString(text))

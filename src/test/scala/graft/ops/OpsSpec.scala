@@ -103,6 +103,7 @@ class OpsSpec extends AnyFunSuite {
     "q63_decontamination" -> Set("doc_id", "n_shared_grams", "n_grams", "shared_frac"),
     "q64_unigram_logprob" -> Set("doc_id", "n_tokens", "avg_neg_logprob"),
     "q65_ivf_recall" -> Set("k", "n_hits", "recall", "recall_ok"),
+    "q66_decontamination_n8" -> Set("doc_id", "n_shared_grams", "n_grams", "shared_frac"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -117,6 +117,19 @@ object SparkEntry {
     // decontamination at n=8 on hashed grams (string-keyed oracle)
     "q66_decontamination_n8" -> ((s: SparkSession, d: String) =>
       TextAnalysis.decontaminationHashed(s, d)),
+    // TF-IDF keyterm extraction (per-doc top terms)
+    "q67_tfidf_top_terms" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfidfTopTerms(s, d)),
+    // concat-and-chunk sequence packing into fixed context windows
+    "q68_sequence_packing" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.sequencePacking(s, d)),
+    // SemDeDup: within-centroid-cell cosine pruning, senior keeper wins
+    "q69_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDedup(s, d)),
+    // PageRank centrality over the KNN graph (5 power iterations)
+    "q70_pagerank_knn" -> ((s: SparkSession, d: String) => Graph.pageRankKnn(s, d)),
+    // per-column ingest profiling stats
+    "q71_column_profile" -> (Relational.columnProfile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -872,5 +885,134 @@ object SparkEntry {
         | round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(g.grams), 6) AS shared_frac
         |FROM g LEFT JOIN sh USING (doc_id)
         |WHERE NOT g.is_train""".stripMargin,
+    // q67: both sides round tfidf to 6 BEFORE ranking, so the rank is a
+    // function of the very values being compared
+    "q67_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf, rn FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, term) AS BIGINT) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
+    // q68: integer-only arithmetic end to end — the running sum, chunk
+    // index and offset hash-match exactly
+    "q68_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang, source
+        |       ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT doc_id, lang, source, n_tokens, cum_tokens,
+        | (cum_tokens - n_tokens) // 256 AS chunk_id,
+        | (cum_tokens - n_tokens) % 256 AS chunk_off
+        |FROM c""".stripMargin,
+    // q69: the oracle recomputes the q65 centroid assignment (same
+    // md5-sampled centroids, same round-6 argmax tie-break) and the
+    // same senior-wins pruning rule
+    "q69_semantic_dedup" ->
+      """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+        |                  embedding AS ce
+        |           FROM (SELECT vec_id, embedding FROM embeddings
+        |                 WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '19'
+        |                 ORDER BY vec_id LIMIT 8) cs),
+        |scored AS (SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+        |  round(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(c.ce[i] AS DOUBLE)
+        |                  for i in range(1, len(e.embedding)+1)]) /
+        |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding])) *
+        |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in c.ce]))), 6) AS c_cos
+        | FROM embeddings e CROSS JOIN c),
+        |assigned AS (SELECT vec_id, label, embedding,
+        |   CAST(centroid_id AS BIGINT) AS centroid_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY c_cos DESC, centroid_id) AS rk FROM scored) WHERE rk = 1),
+        |nn AS (SELECT *, sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |                                for x in embedding])) AS nrm FROM assigned),
+        |drops AS (SELECT DISTINCT b.vec_id
+        |  FROM nn a JOIN nn b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+        |                        for i in range(1, len(a.embedding)+1)]) /
+        |        (a.nrm*b.nrm), 6) >= 0.35)
+        |SELECT vec_id, label, centroid_id,
+        | (vec_id NOT IN (SELECT vec_id FROM drops)) AS keep
+        |FROM assigned""".stripMargin,
+    // q70: the oracle unrolls the same 5 synchronous power iterations
+    // over the q54 KNN edge set; (1.0 - 0.85) is written as the
+    // subtraction, not the literal 0.15, so both engines compute the
+    // identical IEEE double
+    "q70_pagerank_knn" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
+        |sig AS (SELECT e.vec_id, e.embedding,
+        |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                   for i in range(1, len(e.embedding)+1)]) >= 0
+        |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
+        |nb AS (SELECT vec_id, embedding, bucket,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |  FROM sig),
+        |pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |   round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+        |                   for i in range(1, len(a.embedding)+1)]) / (a.nrm*b.nrm), 6) AS cosine
+        |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM (
+        |  SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs) WHERE rn <= 3),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT vec_id FROM embeddings),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        |r0 AS (SELECT vec_id, 1.0 / n AS rank FROM nodes CROSS JOIN cnt),
+        |r1 AS (SELECT nodes.vec_id, (1.0 - 0.85) / n + 0.85 * coalesce(m.s, 0) AS rank
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN (
+        |         SELECT e.dst, sum(r.rank / d.deg) AS s FROM edges e
+        |         JOIN deg d USING (src) JOIN r0 r ON e.src = r.vec_id GROUP BY e.dst) m
+        |       ON nodes.vec_id = m.dst),
+        |r2 AS (SELECT nodes.vec_id, (1.0 - 0.85) / n + 0.85 * coalesce(m.s, 0) AS rank
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN (
+        |         SELECT e.dst, sum(r.rank / d.deg) AS s FROM edges e
+        |         JOIN deg d USING (src) JOIN r1 r ON e.src = r.vec_id GROUP BY e.dst) m
+        |       ON nodes.vec_id = m.dst),
+        |r3 AS (SELECT nodes.vec_id, (1.0 - 0.85) / n + 0.85 * coalesce(m.s, 0) AS rank
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN (
+        |         SELECT e.dst, sum(r.rank / d.deg) AS s FROM edges e
+        |         JOIN deg d USING (src) JOIN r2 r ON e.src = r.vec_id GROUP BY e.dst) m
+        |       ON nodes.vec_id = m.dst),
+        |r4 AS (SELECT nodes.vec_id, (1.0 - 0.85) / n + 0.85 * coalesce(m.s, 0) AS rank
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN (
+        |         SELECT e.dst, sum(r.rank / d.deg) AS s FROM edges e
+        |         JOIN deg d USING (src) JOIN r3 r ON e.src = r.vec_id GROUP BY e.dst) m
+        |       ON nodes.vec_id = m.dst),
+        |r5 AS (SELECT nodes.vec_id, (1.0 - 0.85) / n + 0.85 * coalesce(m.s, 0) AS rank
+        |       FROM nodes CROSS JOIN cnt LEFT JOIN (
+        |         SELECT e.dst, sum(r.rank / d.deg) AS s FROM edges e
+        |         JOIN deg d USING (src) JOIN r4 r ON e.src = r.vec_id GROUP BY e.dst) m
+        |       ON nodes.vec_id = m.dst)
+        |SELECT vec_id, round(rank * n, 6) AS rank_ratio FROM r5 CROSS JOIN cnt""".stripMargin,
+    "q71_column_profile" ->
+      """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+        | count(l_quantity) AS n_non_null, count(DISTINCT l_quantity) AS n_distinct,
+        | round(min(l_quantity), 4) AS min_val, round(max(l_quantity), 4) AS max_val,
+        | round(avg(l_quantity), 4) AS avg_val, round(stddev_samp(l_quantity), 4) AS stddev_val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+        | count(DISTINCT l_extendedprice), round(min(l_extendedprice), 4),
+        | round(max(l_extendedprice), 4), round(avg(l_extendedprice), 4),
+        | round(stddev_samp(l_extendedprice), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(*), count(l_discount),
+        | count(DISTINCT l_discount), round(min(l_discount), 4),
+        | round(max(l_discount), 4), round(avg(l_discount), 4),
+        | round(stddev_samp(l_discount), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', count(*), count(l_tax),
+        | count(DISTINCT l_tax), round(min(l_tax), 4),
+        | round(max(l_tax), 4), round(avg(l_tax), 4),
+        | round(stddev_samp(l_tax), 4)
+        |FROM lineitem""".stripMargin,
   )
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the embedding KNN graph — the
+  * centrality signal data-curation pipelines use to pick representative
+  * documents out of near-dup neighborhoods (connected components for the
+  * keep/drop partition live in [[Dedup.connectedComponents]]).
+  */
+object Graph {
+
+  /** PageRank over [[Similarity.knnGraph]]'s directed top-k edges:
+    * `iters` synchronous power-iteration rounds of
+    * r(v) ← (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u), started uniform.
+    * Emitted as rank·N (scale-free: ≈1.0 is "averagely central"), so the
+    * number means the same thing at sf0.001 and at 100 TB.
+    *
+    * Per round: one join of the persisted edge table against the current
+    * rank vector on src (both corpus-node-sized, co-keyed) plus one
+    * map-side-combined groupBy(dst) — the canonical Spark PageRank
+    * shuffle shape, with localCheckpoint cutting the per-round lineage.
+    * Dangling nodes (no out-edges — a vector alone in its LSH bucket)
+    * keep their base (1−d)/N and their mass leaks, the deterministic
+    * simplification both this and the oracle compute identically.
+    */
+  def pageRankKnn(spark: SparkSession, dir: String, iters: Int = 5,
+      damping: Double = 0.85, nPlanes: Int = 8, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // out-degree rides along each edge row; the join reuses the edge
+    // exchange on src (same key both sides)
+    val withDeg = edges
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+    val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id")
+    // one tiny driver-side count (the same bounded-scalar pattern as the
+    // dedupClusters edge count): N parameterizes every round's literals
+    val n = nodes.count()
+    if (n == 0) {
+      edges.unpersist()
+      return nodes.select($"vec_id", lit(0.0).as("rank_ratio"))
+    }
+    var ranks = nodes.select($"vec_id", lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val inMass = withDeg.join(ranks, $"src" === $"vec_id")
+        .select($"dst", ($"rank" / $"deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("in_mass"))
+      ranks = nodes.join(inMass, $"vec_id" === $"dst", "left")
+        .select($"vec_id",
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    ranks.select($"vec_id", round($"rank" * n, 6).as("rank_ratio"))
+  }
+}

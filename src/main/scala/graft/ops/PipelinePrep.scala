@@ -200,4 +200,37 @@ object PipelinePrep {
         round(max($"nc"), 4).as("centroid_norm"),
         round(avg($"d" / ($"nv" * $"nc")), 4).as("avg_cosine"))
   }
+
+  /** Concat-and-chunk sequence packing: docs are concatenated in doc_id
+    * order within a packing stream — (lang, source) here — and the token
+    * stream is cut into fixed `chunkTokens` context windows, exactly the
+    * GPT-style pretraining layout. Emits, per doc, the chunk its first
+    * token lands in and the offset inside that chunk (a doc may straddle
+    * a boundary; chunk_id is where it STARTS).
+    *
+    * One running-sum window per stream. Streams are the unit of
+    * parallelism, which is how packing works at 100 TB too: you never
+    * pack one global sequence — you pack per shard, and the window
+    * partitions on the shard key. With heavier per-stream volume, shard
+    * finer (e.g. (lang, source, day)); the running sum stays exact
+    * within each stream and no cross-stream coordination exists to
+    * bottleneck on.
+    */
+  def sequencePacking(spark: SparkSession, dir: String,
+      chunkTokens: Int = 256): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      // start offset of this doc in the stream = cum - n; integer div /
+      // mod give the window index and in-window offset exactly
+      .select($"doc_id", $"lang", $"source", $"n_tokens", $"cum_tokens",
+        floor(($"cum_tokens" - $"n_tokens") / lit(chunkTokens)).cast("long").as("chunk_id"),
+        (($"cum_tokens" - $"n_tokens") % lit(chunkTokens)).as("chunk_off"))
+  }
 }

@@ -350,4 +350,32 @@ object Relational {
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
         count(lit(1)).as("n"))
   }
+
+  /** Column profiling — the stats-collection pass every ingest runs
+    * before trusting a new table: per numeric column, row/null/distinct
+    * counts and min/max/avg/stddev. One single-column scan per profiled
+    * column (parquet reads just that column; the per-column jobs are
+    * independent and a scheduler runs them concurrently), each a
+    * map-side-combined global aggregate. The exact distinct is the one
+    * shuffle per column; Spark plans the mixed distinct/non-distinct
+    * aggregate as a two-phase partial agg, not an Expand (the q29
+    * lesson).
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+    def profile(name: String): DataFrame =
+      li.select(col(name).as("v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"v").as("n_non_null"),
+          countDistinct($"v").as("n_distinct"),
+          round(min($"v"), 4).as("min_val"),
+          round(max($"v"), 4).as("max_val"),
+          round(avg($"v"), 4).as("avg_val"),
+          round(stddev_samp($"v"), 4).as("stddev_val"))
+        .select(lit(name).as("col_name"), $"*")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(profile).reduce(_ unionAll _)
+  }
 }

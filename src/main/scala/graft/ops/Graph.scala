@@ -43,6 +43,11 @@ object Graph {
       edges.unpersist()
       return nodes.select($"vec_id", lit(0.0).as("rank_ratio"))
     }
+    // no per-round checkpoint: iters is a small fixed constant, so the
+    // lineage is bounded at plan time and one job runs all rounds —
+    // eager localCheckpoint per round tripled wall time by forcing a
+    // materialization barrier between every pair of rounds (checkpoint
+    // when iterating to CONVERGENCE, where lineage is unbounded)
     var ranks = nodes.select($"vec_id", lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       val inMass = withDeg.join(ranks, $"src" === $"vec_id")
@@ -52,9 +57,7 @@ object Graph {
         .select($"vec_id",
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"))
-        .localCheckpoint(true)
     }
-    edges.unpersist()
     ranks.select($"vec_id", round($"rank" * n, 6).as("rank_ratio"))
   }
 }

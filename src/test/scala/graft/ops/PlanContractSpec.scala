@@ -49,15 +49,20 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
-  test("q19: IVF centroid assignment is a shuffle-free scan projection") {
+  test("q19: IVF corpus assignment is shuffle-free; probe ranking rides the broadcast side") {
     // assignment = greatest() over static centroid-literal structs: no
-    // window (round-2: corpus×8 shuffle), no aggregate (interim max_by),
-    // no join — the only exchange in the whole plan is none at all (the
-    // query-cell probe is a broadcast, TakeOrdered handles top-k)
+    // hash exchange anywhere (round-2: corpus×8 shuffle; interim:
+    // max_by agg). The ONE allowed Window ranks the single query row's
+    // nCentroids probe cells and must sit under the BroadcastExchange,
+    // never over the corpus.
     val p = plan(Similarity.annIvfTopK(spark, sf))
-    assert(!p.contains("Window"), s"assignment regressed to a window:\n$p")
     assert(!p.contains("Exchange hashpartitioning"),
       s"assignment pays a hash exchange:\n$p")
+    val tree = p.linesIterator.toSeq
+    val win = tree.indexWhere(_.contains("Window"))
+    val bcast = tree.indexWhere(_.contains("BroadcastExchange"))
+    assert(win < 0 || (bcast >= 0 && win > bcast),
+      s"corpus-side window regression:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
@@ -135,6 +140,29 @@ class PlanContractSpec extends AnyFunSuite {
     // physical plan
     assert(!p.toLowerCase.contains("subquery"), p)
     assert(p.contains("Join"), p)
+  }
+
+  test("q68: sequence packing pays exactly one exchange (the stream window)") {
+    val p = plan(PipelinePrep.sequencePacking(spark, sf))
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("Exchange") || l.contains("- Exchange"))
+    assert(exchanges == 1, s"expected the single (lang, source) window shuffle:\n$p")
+    // derived chunk columns must not widen the scan
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("n_chars"), read)
+  }
+
+  test("q69: centroid assignment is a projection — first exchange only at the cell join") {
+    val p = plan(Similarity.semanticDedup(spark, sf))
+    // assignment must not aggregate or window: no Expand / Window nodes
+    assert(!p.contains("Expand") && !p.contains("Window"), p)
+    assert(p.contains("vec_dot") || p.contains("vecdot"), p)
+  }
+
+  test("q70: the rank iteration joins reuse the persisted edge table") {
+    val p = plan(Graph.pageRankKnn(spark, sf, iters = 2))
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"edge persist not in plan — each round would recompute the KNN pipeline:\n$p")
   }
 
   test("q33: chunk_hash participates in whole-stage codegen") {

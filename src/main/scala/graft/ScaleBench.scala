@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
   * scale: the write-time shuffle is paid once, every keyed query after
   * rides it for free).
   *
-  * Usage: ScaleBench [docs|tpch|events|layout] [outBaseDir] [factors...]
+  * Mode `skew`: events replicated k×, then 90% of all rows re-keyed
+  * onto ONE hot user (the celebrity-key pathology) and the user-dimension
+  * join timed three ways — AQE skew-split (Spark's runtime answer), AQE
+  * off (what a 1000-executor job does when one partition holds a third
+  * of the corpus), and `Skew.saltedJoin` (the explicit fallback, AQE
+  * off). Row counts are asserted equal across all three.
+  *
+  * Usage: ScaleBench [docs|tpch|events|layout|skew] [outBaseDir] [factors...]
   *        (defaults: docs /tmp/graft_scale 1 3 10)
   */
 object ScaleBench {
@@ -110,6 +117,7 @@ object ScaleBench {
       case "tpch" => tpchQueries
       case "events" => eventQueries
       case "layout" => Seq("layout_join") // custom runner below, not SparkEntry
+      case "skew" => Seq("skew_join")     // custom runner below, not SparkEntry
       case _ => docQueries
     }
     // optional csv filter (e.g. SPARK_GRAFT_SCALE_QUERIES=q27,q28) to
@@ -172,6 +180,50 @@ object ScaleBench {
       }
     }
 
+    /** Celebrity-key join three ways. The noop-materialized timings share
+      * one definition with layoutBench's; dim is user-sized (grows with
+      * the corpus) so broadcast is disabled — the regime where skew
+      * actually bites.
+      */
+    def skewBench(dir: String, k: Int): Unit = {
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .select($"event_id", $"user_id", $"value")
+          // 90% of the corpus lands on user 0 — the null-key/default-value
+          // pathology, where one shuffle partition IS the dataset
+          .withColumn("user_id",
+            when(pmod($"event_id", lit(10)) < 9, lit(0L)).otherwise($"user_id"))
+        val dim = ev.select($"user_id").distinct()
+          .withColumn("segment", pmod($"user_id", lit(10)))
+        def agg(j: DataFrame): DataFrame =
+          j.groupBy($"segment")
+            .agg(round(sum($"value"), 2).as("total"), count(lit(1)).as("n"))
+        def timeNoop(df: DataFrame): Double = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val hot = graft.ops.Skew.keyHistogram(ev, $"user_id", 1).head()
+        val aqeSecs = timeNoop(agg(ev.join(dim, "user_id")))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val plainSecs = timeNoop(agg(ev.join(dim, "user_id")))
+        val saltedSecs = timeNoop(agg(graft.ops.Skew.saltedJoin(ev, dim, "user_id")))
+        val rows = agg(ev.join(dim, "user_id")).count()
+        val saltedRows = agg(graft.ops.Skew.saltedJoin(ev, dim, "user_id")).count()
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert(saltedRows == rows, s"salted join drifted: $saltedRows != $rows")
+        println(f"""{"factor":$k,"query":"skew_hot_key_share","secs":0.0,"rows":${hot.getLong(1)}}""")
+        println(f"""{"factor":$k,"query":"skew_join_aqe","secs":$aqeSecs%.2f,"rows":$rows}""")
+        println(f"""{"factor":$k,"query":"skew_join_plain_noaqe","secs":$plainSecs%.2f,"rows":$rows}""")
+        println(f"""{"factor":$k,"query":"skew_join_salted_noaqe","secs":$saltedSecs%.2f,"rows":$rows}""")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      }
+    }
+
     for (k <- factors) {
       val dir = s"$base/x$k"
       mode match {
@@ -185,7 +237,7 @@ object ScaleBench {
           // cheap and keep the dir a complete, reusable scale fixture)
           Seq("customer", "nation", "region", "part", "supplier",
             "documents", "embeddings", "events").foreach(copyTable(_, dir))
-        case "events" =>
+        case "events" | "skew" =>
           // nanosAsLong: the source file is TIMESTAMP(NANOS); the replica
           // stores plain INT64 nanos, which every events reader already
           // handles (they derive sec/us with integer div)
@@ -199,6 +251,7 @@ object ScaleBench {
           replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))
       }
       if (mode == "layout") { layoutBench(dir, k) }
+      else if (mode == "skew") { skewBench(dir, k) }
       else for (name <- queries) {
         val fn = SparkEntry.queries(name)
         // timed: the noop materialization only (same action Bench times);

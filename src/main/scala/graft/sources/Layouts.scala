@@ -56,4 +56,31 @@ object Layouts {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       keys: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), keys)
+
+  /** Compact a parquet directory's small files into ~`targetBytes`
+    * outputs — the maintenance pass every streaming/micro-batch ingest
+    * needs, since each trigger writes one file per task and a 100-TB
+    * table read through millions of KB-sized files is bottlenecked on
+    * open/footer overhead, not bytes.
+    *
+    * File count = ceil(current on-disk bytes / targetBytes), applied via
+    * `coalesce` — a narrow, shuffle-free merge of input splits. Output
+    * sizes are only as even as the inputs (coalesce concatenates
+    * partitions); pass `evenSizes = true` to pay one full shuffle
+    * (`repartition`) when downstream consumers need uniform files, e.g.
+    * before a [[writeBucketed]]-style layout build. Returns the output
+    * file count.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      targetBytes: Long = 128L << 20, evenSizes: Boolean = false): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val sized = if (evenSizes) df.repartition(nFiles) else df.coalesce(nFiles)
+    sized.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

@@ -53,6 +53,37 @@ class LayoutsSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: small-file directory collapses to the computed count, rows intact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      // simulate a micro-batch ingest: 16 tiny files
+      docs.repartition(16).write.parquet(s"$root/small")
+      def parquetFiles(dir: String): Seq[java.io.File] =
+        new java.io.File(dir).listFiles.toSeq
+          .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+      assert(parquetFiles(s"$root/small").size == 16)
+      val onDisk = parquetFiles(s"$root/small").map(_.length).sum
+      // target half the corpus per file → exactly 2 outputs
+      val n = Layouts.compact(spark, s"$root/small", s"$root/big",
+        targetBytes = (onDisk + 1) / 2)
+      assert(n == 2, s"expected 2 target files, got $n")
+      assert(parquetFiles(s"$root/big").size == 2)
+      // content identical (coalesce is a pure re-layout)
+      val before = docs.collect().map(_.getLong(0)).sorted.toSeq
+      val after = spark.read.parquet(s"$root/big")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(after == before)
+      // evenSizes path: same content through the shuffle variant
+      val n2 = Layouts.compact(spark, s"$root/small", s"$root/even",
+        targetBytes = (onDisk + 1) / 2, evenSizes = true)
+      assert(n2 == 2)
+      val even = spark.read.parquet(s"$root/even")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(even == before)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(root))
+  }
+
   test("partitioned layout: partition filter prunes at the scan, result unchanged") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val root = java.nio.file.Files.createTempDirectory("graft-part").toString

@@ -136,11 +136,23 @@ object ScaleBench {
       spark.stop()
       sys.exit(2)
     }
+    /** Noop-materialized wall time — the same timed action Bench uses.
+      * Shared by the layout and skew comparisons so the two benches
+      * cannot drift onto different measurement definitions.
+      */
+    def timeNoop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     /** The layout comparison: one keyed join+agg, three numbers —
       * plain-parquet secs (pays the shuffle per query), one-time
       * bucketed-write secs (pays it once), bucketed-query secs (pays it
       * never). Zero-Exchange is ASSERTED on the executed plan, so the
-      * printed number can't silently come from a shuffling plan.
+      * printed number can't silently come from a shuffling plan, and the
+      * bucketed row count is asserted equal to the plain one so the
+      * speedup can't come from a wrong-answer plan either.
       */
     def layoutBench(dir: String, k: Int): Unit = {
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -151,13 +163,11 @@ object ScaleBench {
             .groupBy($"l_orderkey")
             .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
               .as("revenue"), count(lit(1)).as("n_lines"))
-        def timeNoop(df: DataFrame): Double = {
-          val t0 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
         val li = spark.read.parquet(s"$dir/lineitem.parquet")
         val ord = spark.read.parquet(s"$dir/orders.parquet")
+        // untimed warm-up: JIT + page cache absorb the first execution,
+        // so the first TIMED variant isn't penalized by measurement order
+        timeNoop(joinAgg(li, ord))
         val plainSecs = timeNoop(joinAgg(li, ord))
         val rows = joinAgg(li, ord).count()
         val t0 = System.nanoTime()
@@ -167,12 +177,15 @@ object ScaleBench {
           Seq("o_orderkey"), Some(s"$dir/bucketed/orders"))
         val writeSecs = (System.nanoTime() - t0) / 1e9
         val bkt = joinAgg(spark.table(s"li_bkt_x$k"), spark.table(s"ord_bkt_x$k"))
+        timeNoop(bkt) // warm-up: freshly written files, cold reader state
         val bktSecs = timeNoop(bkt)
+        val bktRows = bkt.count()
+        assert(bktRows == rows, s"bucketed join drifted: $bktRows != $rows")
         val plan = bkt.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
         println(f"""{"factor":$k,"query":"layout_join_plain","secs":$plainSecs%.2f,"rows":$rows}""")
         println(f"""{"factor":$k,"query":"layout_bucketed_write","secs":$writeSecs%.2f,"rows":-1}""")
-        println(f"""{"factor":$k,"query":"layout_join_bucketed","secs":$bktSecs%.2f,"rows":$rows,"zero_exchange":true}""")
+        println(f"""{"factor":$k,"query":"layout_join_bucketed","secs":$bktSecs%.2f,"rows":$bktRows,"zero_exchange":true}""")
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
         spark.sql(s"DROP TABLE IF EXISTS li_bkt_x$k")
@@ -187,6 +200,7 @@ object ScaleBench {
       */
     def skewBench(dir: String, k: Int): Unit = {
       val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val ev = spark.read.parquet(s"$dir/events.parquet")
@@ -200,26 +214,23 @@ object ScaleBench {
         def agg(j: DataFrame): DataFrame =
           j.groupBy($"segment")
             .agg(round(sum($"value"), 2).as("total"), count(lit(1)).as("n"))
-        def timeNoop(df: DataFrame): Double = {
-          val t0 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
         val hot = graft.ops.Skew.keyHistogram(ev, $"user_id", 1).head()
+        // untimed warm-up (JIT + page cache), so the first timed variant
+        // isn't penalized by measurement order
+        timeNoop(agg(ev.join(dim, "user_id")))
         val aqeSecs = timeNoop(agg(ev.join(dim, "user_id")))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         val plainSecs = timeNoop(agg(ev.join(dim, "user_id")))
         val saltedSecs = timeNoop(agg(graft.ops.Skew.saltedJoin(ev, dim, "user_id")))
         val rows = agg(ev.join(dim, "user_id")).count()
         val saltedRows = agg(graft.ops.Skew.saltedJoin(ev, dim, "user_id")).count()
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
         assert(saltedRows == rows, s"salted join drifted: $saltedRows != $rows")
         println(f"""{"factor":$k,"query":"skew_hot_key_share","secs":0.0,"rows":${hot.getLong(1)}}""")
         println(f"""{"factor":$k,"query":"skew_join_aqe","secs":$aqeSecs%.2f,"rows":$rows}""")
         println(f"""{"factor":$k,"query":"skew_join_plain_noaqe","secs":$plainSecs%.2f,"rows":$rows}""")
         println(f"""{"factor":$k,"query":"skew_join_salted_noaqe","secs":$saltedSecs%.2f,"rows":$rows}""")
       } finally {
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       }
     }

@@ -259,9 +259,12 @@ object Dedup {
         .distinct()
     }
     // edge-set checksum: order-independent XOR of per-edge hashes plus
-    // the count — one tiny agg per round to detect the fixpoint (XOR
-    // can't overflow under ANSI mode the way sum can, and the per-round
-    // distinct() means no duplicate edge ever self-cancels)
+    // the count — one tiny agg per round as the CHEAP fixpoint screen
+    // (XOR can't overflow under ANSI mode the way sum can, and the
+    // per-round distinct() means no duplicate edge ever self-cancels).
+    // A checksum match is then CONFIRMED with an exact set difference —
+    // run once at the fixpoint, so a 2⁻⁶⁴ collision can never declare a
+    // false fixpoint and return wrong components silently.
     def sig(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         coalesce(bit_xor(xxhash64($"s", $"d")), lit(0L)),
@@ -276,11 +279,18 @@ object Dedup {
     while (!converged && rounds < maxIters) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       val nextSig = sig(next)
-      converged = nextSig == prev
+      // equal counts + empty one-sided diff over distinct sets = equal
+      converged = nextSig == prev && next.except(cur).isEmpty
       prev = nextSig
       cur = next
       rounds += 1
     }
+    // a non-star edge set would emit DUPLICATE doc rows with conflicting
+    // labels downstream — fail loudly instead (star contraction converges
+    // in O(log² n); hitting maxIters means something is deeply wrong)
+    if (!converged && rounds >= maxIters)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
     (cur, rounds)
   }
 

@@ -58,6 +58,13 @@ object Graph {
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"))
     }
-    ranks.select($"vec_id", round($"rank" * n, 6).as("rank_ratio"))
+    // ONE eager checkpoint of the node-sized result lets the edge cache
+    // be released before returning — a lazy return would either leak the
+    // MEMORY_AND_DISK edge table for the session lifetime or recompute
+    // the KNN pipeline once per rank round
+    val out = ranks.select($"vec_id", round($"rank" * n, 6).as("rank_ratio"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
   }
 }

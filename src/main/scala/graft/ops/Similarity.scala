@@ -350,7 +350,17 @@ object Similarity {
       minCosine: Double = 0.35): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
-    val assigned = assignToCentroids(e, sampledCentroids(spark, dir, nCentroids))
+    val cents = sampledCentroids(spark, dir, nCentroids)
+    // no centroids (corpus too small for the md5 sample to hit): refuse
+    // to dedup rather than silently collapsing everything into one cell
+    // — the one-cell fallback would compare ALL pairs (corpus-quadratic,
+    // exactly the bound cells exist to enforce) and diverge from the
+    // oracle, whose cross join against zero centroids yields zero rows
+    if (cents.isEmpty) {
+      return e.select($"vec_id", $"label", lit(0L).as("centroid_id"),
+        lit(true).as("keep")).limit(0)
+    }
+    val assigned = assignToCentroids(e, cents)
       .withColumn("nrm", norm($"embedding"))
     val dropped = assigned.as("a")
       .join(assigned.as("b"),

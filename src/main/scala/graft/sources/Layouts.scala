@@ -76,6 +76,12 @@ object Layouts {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-place compaction would be data loss: the read is lazy, and the
+    // overwrite deletes the source files before the job reads them —
+    // compact to a sibling directory and swap afterwards
+    val outHadoopPath = new org.apache.hadoop.fs.Path(outPath)
+    require(fs.makeQualified(outHadoopPath) != fs.makeQualified(hadoopPath),
+      s"compact cannot write onto its own input: $path")
     val totalBytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(path)

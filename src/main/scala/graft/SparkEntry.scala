@@ -130,6 +130,12 @@ object SparkEntry {
     "q70_pagerank_knn" -> ((s: SparkSession, d: String) => Graph.pageRankKnn(s, d)),
     // per-column ingest profiling stats
     "q71_column_profile" -> (Relational.columnProfile _),
+    // embedding-space decontamination (SRP-blocked eval-vs-train cosine)
+    "q72_embedding_decontamination" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingDecontamination(s, d)),
+    // model-scored quality filter (deterministic linear classifier)
+    "q73_quality_classifier" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityClassifierScores(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1023,5 +1029,53 @@ object SparkEntry {
         | round(max(l_tax), 4), round(avg(l_tax), 4),
         | round(stddev_samp(l_tax), 4)
         |FROM lineitem""".stripMargin,
+    // q72: the oracle recomputes the identical SRP bucketing (q54's
+    // plane construction) and md5 train/eval split, so max-cosine and
+    // the contaminated flag hash-match exactly
+    "q72_embedding_decontamination" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
+        |sig AS (SELECT e.vec_id, e.embedding,
+        |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                   for i in range(1, len(e.embedding)+1)]) >= 0
+        |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
+        |nb AS (SELECT vec_id, embedding, bucket,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm,
+        |   substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '7f' AS is_train
+        |  FROM sig),
+        |pairs AS (SELECT e.vec_id,
+        |   round(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(t.embedding[i] AS DOUBLE)
+        |                   for i in range(1, len(e.embedding)+1)]) / (e.nrm*t.nrm), 6) AS cos
+        |  FROM nb e JOIN nb t ON e.bucket = t.bucket
+        |  WHERE NOT e.is_train AND t.is_train)
+        |SELECT vec_id, max(cos) AS max_train_cosine,
+        | count(*) AS n_candidates,
+        | max(cos) >= 0.35 AS contaminated
+        |FROM pairs GROUP BY vec_id""".stripMargin,
+    // q73: weights are integer md5 arithmetic until one division, so
+    // both engines materialize identical doubles; the dot product is a
+    // left-associated 64-term sum on both sides
+    "q73_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |u AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |h AS (SELECT doc_id,
+        |   CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT % 64 AS INTEGER) AS idx
+        |  FROM u),
+        |c AS (SELECT doc_id, idx, count(*) AS n FROM h GROUP BY 1, 2),
+        |m AS (SELECT doc_id,
+        |   map(list(idx ORDER BY idx), list(n ORDER BY idx)) AS mp
+        |  FROM c GROUP BY doc_id),
+        |v AS (SELECT doc_id,
+        |   [coalesce(mp[i][1], 0) for i in range(0, 64)] AS fv FROM m),
+        |w AS (SELECT [(CAST(('0x' || substring(md5('w' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT
+        |                    % 2001 AS BIGINT) - 1000) / 1000.0
+        |              for i in range(0, 64)] AS wv),
+        |z AS (SELECT v.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |       list_sum([CAST(fv[i] AS DOUBLE) * wv[i] for i in range(1, 65)]) AS dotp
+        |      FROM v JOIN t USING (doc_id) CROSS JOIN w)
+        |SELECT doc_id, n_tokens,
+        | round(1.0 / (1.0 + exp(-(dotp / greatest(n_tokens, 1)))), 6) AS score,
+        | round(1.0 / (1.0 + exp(-(dotp / greatest(n_tokens, 1)))), 6) >= 0.5 AS keep
+        |FROM z""".stripMargin,
   )
 }

@@ -377,6 +377,39 @@ object Similarity {
         coalesce(!$"is_dup", lit(true)).as("keep"))
   }
 
+  /** Embedding-space decontamination: flag EVAL vectors whose nearest
+    * TRAIN vector (by cosine) is suspiciously close — the semantic
+    * complement of the n-gram overlap checks (q63/q66), catching
+    * paraphrased/near-translated leakage that token grams miss. The
+    * train/eval split is the deterministic md5 trick shared with
+    * q47/q63. Candidate pairs are SRP-bucket-blocked exactly like
+    * [[knnGraph]] — an equality join on the signature, never eval×train
+    * all-pairs — so this screens at 100 TB with the same shuffle shape;
+    * as with any LSH screen the max is over bucket-mates (documented
+    * approximate recall, deterministic, oracle-recomputed identically).
+    */
+  def embeddingDecontamination(spark: SparkSession, dir: String,
+      nPlanes: Int = 8, maxCosine: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val bucketed = e.select($"vec_id", $"embedding",
+      srpBucket(headVectors(spark, dir, nPlanes)).as("bucket"),
+      norm($"embedding").as("nrm"),
+      (substring(md5($"vec_id".cast("string")), 1, 2) <= "7f").as("is_train"))
+    val train = bucketed.filter($"is_train")
+    val eval_ = bucketed.filter(!$"is_train")
+    eval_.as("e")
+      .join(train.as("t"), col("e.bucket") === col("t.bucket"))
+      .select(col("e.vec_id").as("vec_id"),
+        round(dot(col("e.embedding"), col("t.embedding")) /
+          (col("e.nrm") * col("t.nrm")), 6).as("cos"))
+      .groupBy($"vec_id")
+      .agg(max($"cos").as("max_train_cosine"),
+        count(lit(1)).as("n_candidates"))
+      .select($"vec_id", $"max_train_cosine", $"n_candidates",
+        ($"max_train_cosine" >= maxCosine).as("contaminated"))
+  }
+
   /** IVF-style bucketed ANN over [[sampledCentroids]] (deterministic
     * hash-sampled — no trained k-means in the oracle path). Every vector
     * is assigned to its nearest centroid; the query searches its

@@ -300,6 +300,43 @@ object TextAnalysis {
     * skew. Scores round to 6 before ranking so the rank is a function of
     * the values the oracle also computes.
     */
+  /** Model-scored quality filter — the fastText-classifier stage of the
+    * standard LLM data pipeline (score each doc with a trained linear
+    * model over hashed features; keep above threshold), with the model
+    * weights derived DETERMINISTICALLY from md5 so the DuckDB oracle
+    * recomputes the identical scores (a shipped pipeline loads trained
+    * weights into the same literal array — the plan is what matters).
+    *
+    * score = σ(w · tf(x)): the codegen'd `feature_hash` expression
+    * builds the 64-dim token-count vector in one pass, the dot product
+    * unrolls to 64 element_at terms (left-associated, matching the
+    * oracle's list_sum order), and everything stays in the scan stage —
+    * zero shuffles, the cheapest possible shape for a 100-TB scoring
+    * sweep.
+    */
+  def qualityClassifierScores(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    // w_i ∈ [-1, 1] from md5("w<i>"): integer arithmetic until the final
+    // division, so both engines materialize the identical double
+    val w: IndexedSeq[Double] = (0 until 64).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w$i".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+    }
+    docs(spark, dir)
+      .select($"doc_id", call_function("feature_hash", $"text").as("f"),
+        size(toks).cast("long").as("n_tokens"))
+      .select($"doc_id", $"n_tokens",
+        (0 until 64).map(i => element_at($"f", i + 1).cast("double") * lit(w(i)))
+          .reduce(_ + _).as("dotp"))
+      .select($"doc_id", $"n_tokens",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-($"dotp" / greatest($"n_tokens", lit(1L))))), 6).as("score"))
+      .withColumn("keep", $"score" >= threshold)
+  }
+
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)

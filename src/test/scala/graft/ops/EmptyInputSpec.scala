@@ -64,7 +64,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "q67 tfidf top terms" -> (() => TextAnalysis.tfidfTopTerms(spark, emptyDir)),
     "q68 sequence packing" -> (() => PipelinePrep.sequencePacking(spark, emptyDir)),
     "q69 semantic dedup" -> (() => Similarity.semanticDedup(spark, emptyDir)),
-    "q70 pagerank knn" -> (() => Graph.pageRankKnn(spark, emptyDir)))
+    "q70 pagerank knn" -> (() => Graph.pageRankKnn(spark, emptyDir)),
+    "q72 embedding decontamination" -> (() =>
+      Similarity.embeddingDecontamination(spark, emptyDir)),
+    "q73 quality classifier" -> (() =>
+      TextAnalysis.qualityClassifierScores(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

@@ -111,6 +111,9 @@ class OpsSpec extends AnyFunSuite {
     "q70_pagerank_knn" -> Set("vec_id", "rank_ratio"),
     "q71_column_profile" -> Set("col_name", "n_rows", "n_non_null", "n_distinct",
       "min_val", "max_val", "avg_val", "stddev_val"),
+    "q72_embedding_decontamination" -> Set("vec_id", "max_train_cosine",
+      "n_candidates", "contaminated"),
+    "q73_quality_classifier" -> Set("doc_id", "n_tokens", "score", "keep"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -252,6 +255,28 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.length == 4)
     assert(rows.map(_.getLong(1)).distinct.length == 1)
     assert(rows.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
+
+  test("q72: eval-only rows, cosines in [-1, 1], flag consistent with threshold") {
+    val rows = Similarity.embeddingDecontamination(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, c, _) => c >= -1.000001 && c <= 1.000001 })
+    assert(rows.forall { case (_, c, flag) => flag == (c >= 0.35) })
+    // every flagged vec is in the eval split (md5 prefix > '7f')
+    rows.foreach { case (id, _, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      assert(hex > "7f", s"train vec $id leaked into the eval side")
+    }
+  }
+
+  test("q73: scores are proper probabilities and keep matches the threshold") {
+    val rows = TextAnalysis.qualityClassifierScores(spark, sf)
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (s, _) => s > 0.0 && s < 1.0 })
+    assert(rows.forall { case (s, keep) => keep == (s >= 0.5) })
   }
 
   test("sessionization: per-user session counts bounded by event counts") {

@@ -142,6 +142,45 @@ class OpsSpec extends AnyFunSuite {
     assert(byCluster.forall { case (c, ms) => ms.map(_._1).min == c })
   }
 
+  test("star-contraction components match a reference union-find on random graphs") {
+    import spark.implicits._
+    def referenceComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Seq[(Long, Long)]] =
+      // long chain: the max-diameter worst case star contraction exists
+      // to collapse in O(log) rounds
+      Seq((0L until 200L).map(i => (i, i + 1)).toSeq) ++
+      // dense near-clique: the LSH dup-cluster shape
+      Seq((for (i <- 0L until 30L; j <- (i + 1) until 30L if rnd.nextBoolean()) yield (i, j)).toSeq) ++
+      // random sparse graphs
+      (1 to 3).map { _ =>
+        val n = 50 + rnd.nextInt(100)
+        Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          .filter(e => e._1 != e._2)
+      }
+    cases.foreach { edges =>
+      val expected = referenceComponents(edges)
+      val (stars, rounds) = Dedup.connectedComponents(edges.toDF("s", "d"))
+      val got = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // exactly one row per non-root node; every edge node labeled with
+      // its component min
+      assert(got == expected.filter { case (k, v) => k != v },
+        s"components diverged after $rounds rounds (${edges.size} edges)")
+    }
+  }
+
   test("q51 LSH near-dups: precision 1.0 (subset of the exact twin) and " +
       "identical vectors are always caught") {
     import spark.implicits._

@@ -314,26 +314,34 @@ object TextAnalysis {
     * zero shuffles, the cheapest possible shape for a 100-TB scoring
     * sweep.
     */
+  // w_i ∈ [-1, 1] from md5("w<i>"): integer arithmetic until the final
+  // division, so both engines materialize the identical double
+  private lazy val classifierWeights: IndexedSeq[Double] = (0 until 64).map { i =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"w$i".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+  }
+
+  /** The classifier score as a pure column over (text, n_tokens) —
+    * STATELESS, so the batch query and the streaming ingest stage
+    * (DocStreams.scoreDocs) share one definition and cannot drift.
+    * Caller must have registered graft.functions.TextOps on the session.
+    */
+  private[graft] def classifierScoreCol(text: Column, nTokens: Column): Column = {
+    val f = call_function("feature_hash", text)
+    val dotp = (0 until 64)
+      .map(i => element_at(f, i + 1).cast("double") * lit(classifierWeights(i)))
+      .reduce(_ + _)
+    round(lit(1.0) / (lit(1.0) + exp(-(dotp / greatest(nTokens, lit(1L))))), 6)
+  }
+
   def qualityClassifierScores(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     graft.functions.TextOps.register(spark)
-    // w_i ∈ [-1, 1] from md5("w<i>"): integer arithmetic until the final
-    // division, so both engines materialize the identical double
-    val w: IndexedSeq[Double] = (0 until 64).map { i =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"w$i".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
-    }
     docs(spark, dir)
-      .select($"doc_id", call_function("feature_hash", $"text").as("f"),
-        size(toks).cast("long").as("n_tokens"))
-      .select($"doc_id", $"n_tokens",
-        (0 until 64).map(i => element_at($"f", i + 1).cast("double") * lit(w(i)))
-          .reduce(_ + _).as("dotp"))
-      .select($"doc_id", $"n_tokens",
-        round(lit(1.0) / (lit(1.0) +
-          exp(-($"dotp" / greatest($"n_tokens", lit(1L))))), 6).as("score"))
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"),
+        classifierScoreCol($"text", size(toks).cast("long")).as("score"))
       .withColumn("keep", $"score" >= threshold)
   }
 

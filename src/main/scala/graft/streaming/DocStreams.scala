@@ -56,6 +56,20 @@ object DocStreams {
       .withColumn("ttr", round($"ttr", 6))
   }
 
+  /** Model-scored quality stage on the PREPPED stream: appends the q73
+    * classifier score over the cleaned text. Stateless (pure projection)
+    * — one definition scores the batch corpus and the live ingest, so a
+    * drifted score between the two is impossible by construction.
+    */
+  def scoreDocs(prepped: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import prepped.sparkSession.implicits._
+    graft.functions.TextOps.register(prepped.sparkSession)
+    prepped
+      .withColumn("score",
+        graft.ops.TextAnalysis.classifierScoreCol($"clean_text", $"n_tokens"))
+      .withColumn("keep", $"score" >= threshold)
+  }
+
   /** Cross-batch exact dedup on the cleaned content hash. `ingestTs` is
     * the event-time column (arrival time assigned by the source);
     * content seen more than `horizon` ago ages out of state — the

@@ -36,6 +36,31 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(tmp)
   }
 
+  test("streamed classifier scores equal the batch scores doc for doc") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docscore")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        tmp.resolve("part-0.parquet"))
+      val batch = DocStreams.scoreDocs(DocStreams.prepDocs(
+          spark.read.schema(DocStreams.docSchema).parquet(tmp.toString)))
+        .select("doc_id", "score", "keep")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+
+      val q = DocStreams.scoreDocs(DocStreams.prepDocs(
+          DocStreams.readDocStream(spark, tmp.toString, maxFilesPerTrigger = 1)))
+        .writeStream.format("memory").queryName("doc_score")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = spark.table("doc_score").select("doc_id", "score", "keep")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
   test("content dedup collapses re-crawled duplicates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

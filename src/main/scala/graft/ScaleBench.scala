@@ -51,13 +51,15 @@ object ScaleBench {
     "q45_doc_chunks", "q46_quality_topk_per_lang", "q47_stratified_sample",
     "q48_text_cleaning", "q49_char_bigram_profile", "q50_label_centroid_stats",
     "q51_cosine_near_dup_lsh", "q52_repetition_ratio", "q53_boilerplate_phrases",
-    "q54_knn_graph", "q55_quantization_error", "q56_training_mix")
+    "q54_knn_graph", "q55_quantization_error", "q56_training_mix",
+    "q67_tfidf_top_terms", "q68_sequence_packing", "q69_semantic_dedup",
+    "q70_pagerank_knn", "q72_embedding_decontamination", "q73_quality_classifier")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
     "q06_top_orders_per_customer", "q12_brand_revenue_by_region",
     "q29_approx_distinct", "q37_price_quantiles", "q42_moving_revenue",
-    "q44_correlated_subquery")
+    "q44_correlated_subquery", "q71_column_profile")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",

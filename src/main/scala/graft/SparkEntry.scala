@@ -136,7 +136,52 @@ object SparkEntry {
     // model-scored quality filter (deterministic linear classifier)
     "q73_quality_classifier" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityClassifierScores(s, d)),
+    // distributed Lloyd k-means (trained centroids, replayed iterations)
+    "q74_kmeans_assign" -> ((s: SparkSession, d: String) =>
+      Similarity.kmeansAssign(s, d)),
   )
+
+  /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
+    * md5-sampled init (q65 pattern), then per iteration an assignment
+    * CTE (round-6 cosine argmax, cid tie-break) and a mean-recompute CTE
+    * (per-dim avg, round 6, empty clusters coalesce to the previous
+    * centroid) — generated per iteration because the blocks are
+    * mechanical and must stay textually in lockstep.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val init =
+      s"""WITH c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |            [CAST(x AS DOUBLE) for x in embedding] AS ce
+         |     FROM (SELECT vec_id, embedding FROM embeddings
+         |           WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '19'
+         |           ORDER BY vec_id LIMIT $k) cs)""".stripMargin
+    def score(prev: String, out: String): String =
+      s""",
+         |s$out AS (SELECT e.vec_id, e.embedding, c.cid,
+         |   round(list_sum([CAST(e.embedding[j] AS DOUBLE) * c.ce[j]
+         |                   for j in range(1, len(e.embedding)+1)]) /
+         |    (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding])) *
+         |     sqrt(list_sum([y*y for y in c.ce]))), 6) AS cos
+         |  FROM embeddings e CROSS JOIN $prev c),
+         |a$out AS (SELECT vec_id, embedding, cid, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cos DESC, cid) AS rk FROM s$out) WHERE rk = 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      score(s"c${i - 1}", s"$i") +
+      s""",
+         |x$i AS (SELECT cid, unnest([{'o': j, 'v': CAST(embedding[j] AS DOUBLE)}
+         |                            for j in range(1, len(embedding)+1)]) AS s
+         |        FROM a$i),
+         |m$i AS (SELECT cid, list(round(c, 6) ORDER BY o) AS ce FROM (
+         |  SELECT cid, s.o AS o, avg(s.v) AS c FROM x$i GROUP BY 1, 2) GROUP BY cid),
+         |c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+         |        FROM c${i - 1} p LEFT JOIN m$i n USING (cid))""".stripMargin
+    }.mkString
+    init + steps + score(s"c$iters", "out") +
+      s"""
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cos AS cosine
+         |FROM aout""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1077,5 +1122,6 @@ object SparkEntry {
         | round(1.0 / (1.0 + exp(-(dotp / greatest(n_tokens, 1)))), 6) AS score,
         | round(1.0 / (1.0 + exp(-(dotp / greatest(n_tokens, 1)))), 6) >= 0.5 AS keep
         |FROM z""".stripMargin,
+    "q74_kmeans_assign" -> kmeansOracleSql(8, 3),
   )
 }

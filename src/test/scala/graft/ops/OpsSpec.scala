@@ -114,6 +114,7 @@ class OpsSpec extends AnyFunSuite {
     "q72_embedding_decontamination" -> Set("vec_id", "max_train_cosine",
       "n_candidates", "contaminated"),
     "q73_quality_classifier" -> Set("doc_id", "n_tokens", "score", "keep"),
+    "q74_kmeans_assign" -> Set("vec_id", "cluster_id", "cosine"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -316,6 +317,23 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall { case (s, _) => s > 0.0 && s < 1.0 })
     assert(rows.forall { case (s, keep) => keep == (s >= 0.5) })
+  }
+
+  test("q74: every vector assigned once to a valid cluster; training helps the objective") {
+    val rows = Similarity.kmeansAssign(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate assignments")
+    assert(rows.forall { case (_, c, cos) =>
+      c >= 0 && c < 8 && cos >= -1.000001 && cos <= 1.000001 })
+    // Lloyd rounds should not make the mean assignment cosine worse than
+    // iteration-zero (the untrained sampled centroids); small epsilon for
+    // the spherical-vs-euclidean objective gap
+    val trained = rows.map(_._3).sum / rows.length
+    val untrained = Similarity.kmeansAssign(spark, sf, iters = 0)
+      .collect().map(_.getDouble(2))
+    val base = untrained.sum / untrained.length
+    assert(trained >= base - 0.01, s"training regressed: $trained < $base")
   }
 
   test("sessionization: per-user session counts bounded by event counts") {

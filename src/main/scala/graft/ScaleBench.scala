@@ -53,7 +53,8 @@ object ScaleBench {
     "q51_cosine_near_dup_lsh", "q52_repetition_ratio", "q53_boilerplate_phrases",
     "q54_knn_graph", "q55_quantization_error", "q56_training_mix",
     "q67_tfidf_top_terms", "q68_sequence_packing", "q69_semantic_dedup",
-    "q70_pagerank_knn", "q72_embedding_decontamination", "q73_quality_classifier")
+    "q70_pagerank_knn", "q72_embedding_decontamination", "q73_quality_classifier",
+    "q74_kmeans_assign")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -172,7 +172,7 @@ object SparkEntry {
          |x$i AS (SELECT cid, unnest([{'o': j, 'v': CAST(embedding[j] AS DOUBLE)}
          |                            for j in range(1, len(embedding)+1)]) AS s
          |        FROM a$i),
-         |m$i AS (SELECT cid, list(round(c, 6) ORDER BY o) AS ce FROM (
+         |m$i AS (SELECT cid, list(round(c, 4) ORDER BY o) AS ce FROM (
          |  SELECT cid, s.o AS o, avg(s.v) AS c FROM x$i GROUP BY 1, 2) GROUP BY cid),
          |c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
          |        FROM c${i - 1} p LEFT JOIN m$i n USING (cid))""".stripMargin
@@ -1092,11 +1092,14 @@ object SparkEntry {
         |   round(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(t.embedding[i] AS DOUBLE)
         |                   for i in range(1, len(e.embedding)+1)]) / (e.nrm*t.nrm), 6) AS cos
         |  FROM nb e JOIN nb t ON e.bucket = t.bucket
-        |  WHERE NOT e.is_train AND t.is_train)
-        |SELECT vec_id, max(cos) AS max_train_cosine,
-        | count(*) AS n_candidates,
-        | max(cos) >= 0.35 AS contaminated
-        |FROM pairs GROUP BY vec_id""".stripMargin,
+        |  WHERE NOT e.is_train AND t.is_train),
+        |agg AS (SELECT vec_id, max(cos) AS max_train_cosine,
+        |        count(*) AS n_candidates FROM pairs GROUP BY vec_id)
+        |SELECT ev.vec_id, agg.max_train_cosine,
+        | coalesce(agg.n_candidates, 0) AS n_candidates,
+        | coalesce(agg.max_train_cosine >= 0.35, false) AS contaminated
+        |FROM (SELECT vec_id FROM nb WHERE NOT is_train) ev
+        |LEFT JOIN agg USING (vec_id)""".stripMargin,
     // q73: weights are integer md5 arithmetic until one division, so
     // both engines materialize identical doubles; the dot product is a
     // left-associated 64-term sum on both sides

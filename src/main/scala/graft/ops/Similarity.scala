@@ -398,7 +398,7 @@ object Similarity {
       (substring(md5($"vec_id".cast("string")), 1, 2) <= "7f").as("is_train"))
     val train = bucketed.filter($"is_train")
     val eval_ = bucketed.filter(!$"is_train")
-    eval_.as("e")
+    val screened = eval_.as("e")
       .join(train.as("t"), col("e.bucket") === col("t.bucket"))
       .select(col("e.vec_id").as("vec_id"),
         round(dot(col("e.embedding"), col("t.embedding")) /
@@ -406,8 +406,15 @@ object Similarity {
       .groupBy($"vec_id")
       .agg(max($"cos").as("max_train_cosine"),
         count(lit(1)).as("n_candidates"))
-      .select($"vec_id", $"max_train_cosine", $"n_candidates",
-        ($"max_train_cosine" >= maxCosine).as("contaminated"))
+    // the per-eval contract is TOTAL: an eval vector sharing a bucket
+    // with no train vector is "screened clean, zero candidates" — a row
+    // with a null max cosine, not a silent absence a consumer can't tell
+    // apart from "not an eval vector"
+    eval_.select($"vec_id")
+      .join(screened, Seq("vec_id"), "left")
+      .select($"vec_id", $"max_train_cosine",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        coalesce($"max_train_cosine" >= maxCosine, lit(false)).as("contaminated"))
   }
 
   /** IVF-style bucketed ANN over [[sampledCentroids]] (deterministic
@@ -459,11 +466,17 @@ object Similarity {
     * against centroid LITERALS (the argmax-over-structs trick), the mean
     * recompute is one (cluster, dim)-keyed aggregate — k·dim cells —
     * and only the k×dim centroid matrix ever reaches the driver. Fixed
-    * `iters` and centroids rounded to 6 decimals between rounds keep the
+    * `iters` and centroids rounded to 4 decimals between rounds keep the
     * whole trajectory deterministic, so the DuckDB oracle replays the
     * identical iterations (empty clusters keep their previous centroid,
-    * coalesce-mirrored on both sides). Emits the final assignment with
-    * its cosine — the value-dense gate.
+    * coalesce-mirrored on both sides). The mean rounding is
+    * DELIBERATELY coarse: avg() partial-sum merge order is not
+    * deterministic, so a mean within summation error (~1e-12) of a
+    * rounding boundary could round differently across runs/engines and
+    * the flipped centroid would cascade through every later iteration —
+    * at 1e-4 granularity the flip probability is negligible where at
+    * 1e-6 it was merely small. Emits the final assignment with its
+    * round-6 cosine — the value-dense gate.
     */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3): DataFrame = {
@@ -481,6 +494,8 @@ object Similarity {
     def dotD(ce: IndexedSeq[Double]): Column =
       (0 until dim).map(i =>
         element_at($"embedding", i + 1).cast("double") * lit(ce(i))).reduce(_ + _)
+    // same left-to-right accumulation contract as litNorm (floats widen
+    // losslessly, so one definition serves both element types)
     def litNormD(ce: IndexedSeq[Double]): Double =
       math.sqrt(ce.foldLeft(0.0)((a, v) => a + v * v))
     def cosTo(ce: IndexedSeq[Double]): Column =
@@ -499,7 +514,7 @@ object Similarity {
         .groupBy($"cluster_id", $"p").agg(avg($"v".cast("double")).as("c"))
         .groupBy($"cluster_id")
         .agg(transform(array_sort(collect_list(struct($"p", $"c"))),
-          s => round(s("c"), 6)).as("ce"))
+          s => round(s("c"), 4)).as("ce"))
         .collect()
         .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toIndexedSeq)
         .toMap

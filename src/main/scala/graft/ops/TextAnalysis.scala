@@ -288,18 +288,6 @@ object TextAnalysis {
       Seq($"n_docs".desc, $"phrase"), $"phrase", k)
   }
 
-  /** TF-IDF keyterm extraction: the `k` highest tf·idf terms per document
-    * (idf = ln(N/df), document frequency over per-doc distinct terms).
-    * Two shuffles, both on aggregated rows: (doc_id, term) term counts
-    * get map-side combine off the scan, and the document-frequency table
-    * is one more groupBy over those already-unique rows — vocabulary-
-    * sized, not corpus-sized. The df join stays a plain equi-join (the
-    * vocabulary GROWS with corpus size — typos, ids, urls — so a forced
-    * broadcast would be a 100-TB lie; AQE broadcasts it when it measures
-    * small). Ranking windows on doc_id — millions of tiny partitions, no
-    * skew. Scores round to 6 before ranking so the rank is a function of
-    * the values the oracle also computes.
-    */
   /** Model-scored quality filter — the fastText-classifier stage of the
     * standard LLM data pipeline (score each doc with a trained linear
     * model over hashed features; keep above threshold), with the model
@@ -324,7 +312,11 @@ object TextAnalysis {
 
   /** The classifier score as a pure column over (text, n_tokens) —
     * STATELESS, so the batch query and the streaming ingest stage
-    * (DocStreams.scoreDocs) share one definition and cannot drift.
+    * (DocStreams.scoreDocs) share one FORMULA. Note what is and isn't
+    * shared: the formula cannot drift, but the two surfaces feed it
+    * different inputs by design — q73 scores the raw corpus text, the
+    * ingest stage scores the CLEANED text of its prep contract — so
+    * their absolute scores are not comparable doc for doc.
     * Caller must have registered graft.functions.TextOps on the session.
     */
   private[graft] def classifierScoreCol(text: Column, nTokens: Column): Column = {
@@ -345,6 +337,18 @@ object TextAnalysis {
       .withColumn("keep", $"score" >= threshold)
   }
 
+  /** TF-IDF keyterm extraction: the `k` highest tf·idf terms per document
+    * (idf = ln(N/df), document frequency over per-doc distinct terms).
+    * Two shuffles, both on aggregated rows: (doc_id, term) term counts
+    * get map-side combine off the scan, and the document-frequency table
+    * is one more groupBy over those already-unique rows — vocabulary-
+    * sized, not corpus-sized. The df join stays a plain equi-join (the
+    * vocabulary GROWS with corpus size — typos, ids, urls — so a forced
+    * broadcast would be a 100-TB lie; AQE broadcasts it when it measures
+    * small). Ranking windows on doc_id — millions of tiny partitions, no
+    * skew. Scores round to 6 before ranking so the rank is a function of
+    * the values the oracle also computes.
+    */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)

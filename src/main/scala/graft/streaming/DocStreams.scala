@@ -56,10 +56,13 @@ object DocStreams {
       .withColumn("ttr", round($"ttr", 6))
   }
 
-  /** Model-scored quality stage on the PREPPED stream: appends the q73
-    * classifier score over the cleaned text. Stateless (pure projection)
-    * — one definition scores the batch corpus and the live ingest, so a
-    * drifted score between the two is impossible by construction.
+  /** Model-scored quality stage on the PREPPED stream: appends the
+    * classifier score over the CLEANED text. Stateless (pure
+    * projection); the score FORMULA is the single shared definition
+    * (TextAnalysis.classifierScoreCol), so formula drift between batch
+    * and stream is impossible — the input here is the prep contract's
+    * clean_text, deliberately not q73's raw text, and the stream==batch
+    * gate runs this same stage on both sides.
     */
   def scoreDocs(prepped: DataFrame, threshold: Double = 0.5): DataFrame = {
     import prepped.sparkSession.implicits._

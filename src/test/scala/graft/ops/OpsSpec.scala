@@ -299,10 +299,13 @@ class OpsSpec extends AnyFunSuite {
 
   test("q72: eval-only rows, cosines in [-1, 1], flag consistent with threshold") {
     val rows = Similarity.embeddingDecontamination(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(3)))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(3)))
     assert(rows.nonEmpty)
-    assert(rows.forall { case (_, c, _) => c >= -1.000001 && c <= 1.000001 })
-    assert(rows.forall { case (_, c, flag) => flag == (c >= 0.35) })
+    assert(rows.forall { case (_, c, _) =>
+      c.forall(v => v >= -1.000001 && v <= 1.000001) })
+    // null max cosine = screened clean with zero candidates
+    assert(rows.forall { case (_, c, flag) => flag == c.exists(_ >= 0.35) })
     // every flagged vec is in the eval split (md5 prefix > '7f')
     rows.foreach { case (id, _, _) =>
       val hex = java.security.MessageDigest.getInstance("MD5")

@@ -139,6 +139,19 @@ object SparkEntry {
     // distributed Lloyd k-means (trained centroids, replayed iterations)
     "q74_kmeans_assign" -> ((s: SparkSession, d: String) =>
       Similarity.kmeansAssign(s, d)),
+    // source-reputation gate (domain-level keep/drop decision)
+    "q75_source_reputation" -> (PipelinePrep.sourceReputation _),
+    // temperature-scaled source mixing (deterministic hash coin)
+    "q76_temperature_mix" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.temperatureMix(s, d)),
+    // exact-substring duplication metric (per-doc dup-window fraction)
+    "q77_duplicated_windows" -> ((s: SparkSession, d: String) =>
+      Dedup.duplicatedWindowFraction(s, d)),
+    // Gopher rule battery (per-rule verdicts + keep conjunction)
+    "q78_gopher_rules" -> (TextAnalysis.gopherRules _),
+    // incremental ingest dedup (new batch vs existing corpus)
+    "q79_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalDedup(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1126,5 +1139,114 @@ object SparkEntry {
         | round(1.0 / (1.0 + exp(-(dotp / greatest(n_tokens, 1)))), 6) >= 0.5 AS keep
         |FROM z""".stripMargin,
     "q74_kmeans_assign" -> kmeansOracleSql(8, 3),
+    // q75: the oracle groups copies by the text itself where Spark
+    // groups by sha256(text) — identical partitions, and both sides
+    // round the per-source means to 6 before the threshold compare
+    "q75_source_reputation" ->
+      """WITH tok AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, source, text,
+        |       CASE WHEN len(w) > 0
+        |            THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS ttr
+        |      FROM tok),
+        |hc AS (SELECT text, count(*) AS n_copies FROM p GROUP BY 1),
+        |f AS (SELECT p.source, p.ttr, hc.n_copies FROM p JOIN hc USING (text)),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(avg(ttr), 6) AS mean_ttr,
+        |       round(avg(CAST(n_copies > 1 AS INT)), 6) AS dup_rate
+        |      FROM f GROUP BY 1),
+        |thr AS (SELECT round(avg(mean_ttr), 6) AS thr FROM s)
+        |SELECT source, n_docs, mean_ttr, dup_rate,
+        | (mean_ttr >= thr AND dup_rate <= 0.5) AS keep
+        |FROM s CROSS JOIN thr""".stripMargin,
+    // q76: rates normalize against max(n_docs) — integer max, no
+    // order-dependent float sum — and the keep coin compares 7-digit
+    // zero-padded hex strings, identical to the 24-bit integer compare
+    "q76_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT max(n_docs) AS n_max FROM c),
+        |r AS (SELECT source, n_docs,
+        |       least(1.0, 0.25 * sqrt(CAST(n_max AS DOUBLE) / n_docs)) AS p
+        |      FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source, r.n_docs, round(r.p, 6) AS p_keep,
+        | ('0' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+        |  < printf('%07x', CAST(floor(r.p * 16777216.0) AS BIGINT))) AS keep
+        |FROM documents d JOIN r USING (source)""".stripMargin,
+    // q77: Spark counts window multiplicity on 64-bit gram hashes, the
+    // oracle on exact gram strings (q66 precedent) — identical totals
+    // gate the hashed plan; docs under 8 words emit a zero-window row
+    "q77_duplicated_windows" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |       unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]) AS gram
+        |      FROM tok),
+        |pd AS (SELECT doc_id, gram, count(*) AS m FROM g GROUP BY 1, 2),
+        |gl AS (SELECT gram, sum(m) AS total FROM pd GROUP BY 1),
+        |agg AS (SELECT pd.doc_id,
+        |        CAST(sum(pd.m) AS BIGINT) AS n_windows,
+        |        CAST(sum(CASE WHEN gl.total > 1 THEN pd.m ELSE 0 END) AS BIGINT)
+        |          AS n_dup_windows
+        |       FROM pd JOIN gl USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(agg.n_windows, 0) AS BIGINT) AS n_windows,
+        | CAST(coalesce(agg.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        | CASE WHEN agg.n_windows > 0
+        |      THEN round(CAST(agg.n_dup_windows AS DOUBLE) / agg.n_windows, 6)
+        | END AS dup_frac
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // q78: every signal is integer arithmetic until one round-6
+    // division, so rule booleans compare identical doubles
+    "q78_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |       CAST(len(w) AS BIGINT) AS n_words,
+        |       round((length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE), 6)
+        |         AS mean_word_len,
+        |       CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+        |            AS BIGINT) AS n_stop,
+        |       round(CAST(list_max([len(list_filter(w, x -> x = u))
+        |                            for u in list_distinct(w)]) AS DOUBLE)
+        |             / len(w), 6) AS top_word_frac
+        |      FROM tok)
+        |SELECT doc_id, n_words, mean_word_len, n_stop, top_word_frac,
+        | (n_words BETWEEN 50 AND 100000) AS r_word_count,
+        | (mean_word_len BETWEEN 3 AND 10) AS r_mean_word_len,
+        | (n_stop >= 2) AS r_stopwords,
+        | (top_word_frac <= 0.2) AS r_repetition,
+        | ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+        |  AND n_stop >= 2 AND top_word_frac <= 0.2) AS keep
+        |FROM s""".stripMargin,
+    // q79: the oracle replays the q14/q15 permutation recipe, splits on
+    // the same md5 prefix, and counts distinct BASE bucket-mates only
+    "q79_incremental_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band,
+        |          md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4),
+        |split AS (SELECT doc_id, text,
+        |           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' AS is_base
+        |          FROM documents),
+        |bh AS (SELECT DISTINCT sha256(text) AS ch FROM split WHERE is_base),
+        |inc AS (SELECT doc_id, sha256(text) AS ch FROM split WHERE NOT is_base),
+        |cand AS (SELECT a.doc_id AS doc_id,
+        |          CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_near_candidates
+        |         FROM sigs a
+        |          JOIN split pa ON a.doc_id = pa.doc_id AND NOT pa.is_base
+        |          JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        |          JOIN split pb ON b.doc_id = pb.doc_id AND pb.is_base
+        |         GROUP BY 1)
+        |SELECT i.doc_id,
+        | (i.ch IN (SELECT ch FROM bh)) AS is_exact_dup,
+        | CAST(coalesce(c.n_near_candidates, 0) AS BIGINT) AS n_near_candidates,
+        | NOT (i.ch IN (SELECT ch FROM bh)) AS keep
+        |FROM inc i LEFT JOIN cand c USING (doc_id)""".stripMargin,
   )
 }

@@ -435,4 +435,88 @@ object Dedup {
           (col("sa.n") + col("sb.n") - $"common"), 6).as("jaccard"))
       .filter($"jaccard" >= minJaccard)
   }
+
+  /** Per-document duplicated-window fraction — the exact-substring
+    * duplication METRIC (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): a length-n word window is "duplicated"
+    * if the identical window occurs anywhere else in the corpus
+    * (another doc OR another position of the same doc), and each doc
+    * reports the fraction of its windows that are. The scan emits
+    * 64-bit window hashes via the codegen'd `gram_hashes` expression —
+    * full strings never leave the row — and multiplicity is carried as
+    * a count, so the shuffled volume is distinct-grams-per-doc, not
+    * corpus positions. Docs shorter than n windows are emitted with
+    * zero windows and a null fraction (total output, q72 contract).
+    *
+    * Scale: two hash-keyed aggregates (both map-side combined, uniform
+    * 64-bit keys) and one join back on the gram hash. The global gram
+    * table grows with corpus size, so nothing is force-broadcast. This
+    * is the measurement pass; acting on it (cutting the duplicated
+    * spans) reuses the same per-position hash stream.
+    */
+  def duplicatedWindowFraction(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    val d = docs(spark, dir)
+    val perDoc = d
+      .select($"doc_id",
+        explode(call_function("gram_hashes", $"text", lit(n))).as("h"))
+      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
+    val global = perDoc.groupBy($"h").agg(sum($"m").as("total"))
+    val agg = perDoc.join(global, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_windows"),
+        sum(when($"total" > 1, $"m").otherwise(lit(0L))).as("n_dup_windows"))
+    d.select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+        when($"n_windows" > 0,
+          round($"n_dup_windows".cast("double") / $"n_windows", 6))
+          .as("dup_frac"))
+  }
+
+  /** Incremental ingest dedup — dedup a NEW batch against the EXISTING
+    * corpus without touching corpus-vs-corpus pairs: per incoming doc,
+    * an exact verdict (content hash already present in the base) and a
+    * near-dup candidate count (MinHash band-signature matches against
+    * base docs only). The batch membership is the md5 hash split (base
+    * = prefix ≤ '7f'), standing in for "what was ingested yesterday".
+    *
+    * Scale: the exact check is a semi-join shape on uniform 256-bit
+    * hashes; candidates reuse the q14 banding so incoming signatures
+    * probe base BUCKETS — never all-pairs, and never base×base. In
+    * production the base half of both tables (content hashes, band
+    * signatures) is precomputed and stored bucketed by its join key, so
+    * an ingest batch shuffles only ITSELF — the corpus-sized side is
+    * read in place; here both halves derive from one table because the
+    * testdata has a single corpus. Output is total over incoming docs
+    * (zero-candidate rows included).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def isBase(id: Column): Column =
+      substring(md5(id.cast("string")), 1, 2) <= "7f"
+    val d = docs(spark, dir)
+      .select($"doc_id", sha2($"text", 256).as("ch"), isBase($"doc_id").as("is_base"))
+    val baseHashes = d.filter($"is_base").select($"ch").distinct()
+      .withColumn("hit", lit(true))
+    val sigs = minhashSignatures(spark, dir)
+      .withColumn("is_base", isBase($"doc_id"))
+    val cand = sigs.filter(!$"is_base").as("a")
+      .join(sigs.filter($"is_base").as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"base_doc").as("n_near_candidates"))
+    d.filter(!$"is_base")
+      .join(baseHashes, Seq("ch"), "left")
+      .select($"doc_id", coalesce($"hit", lit(false)).as("is_exact_dup"))
+      .join(cand, Seq("doc_id"), "left")
+      .select($"doc_id", $"is_exact_dup",
+        coalesce($"n_near_candidates", lit(0L)).as("n_near_candidates"),
+        (!$"is_exact_dup").as("keep"))
+  }
 }

@@ -233,4 +233,82 @@ object PipelinePrep {
         floor(($"cum_tokens" - $"n_tokens") / lit(chunkTokens)).cast("long").as("chunk_id"),
         (($"cum_tokens" - $"n_tokens") % lit(chunkTokens)).as("chunk_off"))
   }
+
+  /** Source-reputation filter — the domain-level gate of web-scale
+    * pipelines (C4 blocklists, RefinedWeb URL scoring): aggregate per-
+    * document signals to their source, score each source, and decide
+    * keep/drop at SOURCE granularity so one decision covers millions of
+    * documents. Signals: mean lexical diversity (type-token ratio) and
+    * the exact-duplicate rate (share of docs whose full text appears
+    * more than once corpus-wide). The keep rule is data-adaptive —
+    * sources at or above the mean of source means, with ≤50% dups.
+    *
+    * Scale: per-doc signals are one narrow scan; the dup flag is the
+    * q13 content-hash aggregate joined back on the hash (uniform 256-bit
+    * keys — no skew); the source rollup gets map-side combine and its
+    * output is sources-sized, not corpus-sized. The threshold is a
+    * one-row broadcast scalar. Nothing here grows faster than the
+    * source dimension.
+    */
+  def sourceReputation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = docs(spark, dir)
+      .select($"doc_id", $"source", sha2($"text", 256).as("ch"), toks.as("t"))
+      .select($"doc_id", $"source", $"ch",
+        when(size($"t") > 0,
+          size(array_distinct($"t")).cast("double") / size($"t"))
+          .as("ttr"))
+    val copies = perDoc.groupBy($"ch").agg(count(lit(1)).as("n_copies"))
+    val bySource = perDoc.join(copies, Seq("ch"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"ttr"), 6).as("mean_ttr"),
+        round(avg(($"n_copies" > 1).cast("double")), 6).as("dup_rate"))
+    val threshold = bySource.agg(round(avg($"mean_ttr"), 6).as("thr"))
+    bySource.crossJoin(broadcast(threshold))
+      .select($"source", $"n_docs", $"mean_ttr", $"dup_rate",
+        ($"mean_ttr" >= $"thr" && $"dup_rate" <= 0.5).as("keep"))
+  }
+
+  /** Temperature-scaled source mixing (alpha = 0.5): resample so source
+    * s keeps ~n_s^alpha documents instead of n_s — the standard
+    * multilingual/multi-domain rebalancing step (up-weight the tail,
+    * down-weight the head). Normalized against the LARGEST source
+    * (p_s = f0·sqrt(n_max/n_s), capped at 1), deliberately not against
+    * sum(w_s): max of integers is exact and order-independent, so the
+    * whole rate computation is bit-deterministic across engines and
+    * partitionings, where a floating sum over sources would depend on
+    * merge order. The per-doc coin is the md5 hash-sampling trick
+    * ([[stratifiedSample]]) at 24-bit granularity: keep iff the first 6
+    * hex chars, as an integer, fall below floor(p_s·2²⁴) — compared in
+    * zero-padded hex-string space, which orders identically to the
+    * integers and needs no hex-to-int conversion on either engine.
+    *
+    * Scale: one source-sized count aggregate (map-side combine), a
+    * one-row max, and a rate join back on `source`. The rate table
+    * grows with the source dimension (web domains are unbounded), so it
+    * is NOT force-broadcast — AQE broadcasts it while it measures
+    * small. The coin is a pure projection; retries and re-runs keep the
+    * identical sample.
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+      f0: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"source")
+    val counts = d.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val nMax = counts.agg(max($"n_docs").as("n_max"))
+    val rates = counts.crossJoin(broadcast(nMax))
+      .select($"source", $"n_docs",
+        least(lit(1.0),
+          lit(f0) * sqrt($"n_max".cast("double") / $"n_docs")).as("p"))
+      .select($"source", $"n_docs", round($"p", 6).as("p_keep"),
+        // 7-hex-digit zero-padded threshold: p = 1 yields 0x1000000,
+        // which must compare above every 24-bit coin
+        format_string("%07x", floor($"p" * lit(16777216.0)).cast("long"))
+          .as("thr_hex"))
+    d.join(rates, Seq("source"))
+      .select($"doc_id", $"source", $"n_docs", $"p_keep",
+        (concat(lit("0"), substring(md5($"doc_id".cast("string")), 1, 6))
+          < $"thr_hex").as("keep"))
+  }
 }

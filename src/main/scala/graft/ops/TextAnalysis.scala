@@ -368,4 +368,42 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= k)
   }
+
+  /** Gopher-style rule battery — the heuristic keep/drop DECISION stage
+    * (the Gopher paper's document filters), distinct from the signal
+    * computation (q22): each rule is a named boolean over per-doc
+    * statistics, `keep` is their conjunction, and both the raw signals
+    * and the per-rule verdicts are emitted so a pipeline can audit WHY
+    * a document was dropped. Rules: word count in [50, 100000], mean
+    * word length in [3, 10], ≥2 stopword occurrences, and the most
+    * frequent token covering ≤20% of the document.
+    *
+    * Scale: a single narrow scan, zero shuffles — the per-doc mode
+    * count is array math bounded by tokens×types of one document, never
+    * corpus-sized. The higher-order-function expressions sit outside
+    * whole-stage codegen, but the stage stays scan-local; the 100-TB
+    * cost is one pass over the corpus bytes.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopwords = Seq("the", "a", "of", "and", "to")
+    docs(spark, dir)
+      .select($"doc_id", $"text", toks.as("t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_words"),
+        // single-space separation: chars = sum(len) + n - 1 (q22 trick)
+        round((length($"text") - size($"t") + 1).cast("double") / size($"t"), 6)
+          .as("mean_word_len"),
+        size(filter($"t", x => x.isin(stopwords: _*))).cast("long").as("n_stop"),
+        round(array_max(transform(array_distinct($"t"),
+            w => size(filter($"t", x => x === w)))).cast("double") / size($"t"), 6)
+          .as("top_word_frac"))
+      .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop", $"top_word_frac",
+        ($"n_words" >= 50 && $"n_words" <= 100000).as("r_word_count"),
+        ($"mean_word_len" >= 3 && $"mean_word_len" <= 10).as("r_mean_word_len"),
+        ($"n_stop" >= 2).as("r_stopwords"),
+        ($"top_word_frac" <= 0.2).as("r_repetition"))
+      .withColumn("keep",
+        $"r_word_count" && $"r_mean_word_len" && $"r_stopwords" && $"r_repetition")
+  }
 }

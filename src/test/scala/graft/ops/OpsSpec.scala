@@ -115,6 +115,13 @@ class OpsSpec extends AnyFunSuite {
       "n_candidates", "contaminated"),
     "q73_quality_classifier" -> Set("doc_id", "n_tokens", "score", "keep"),
     "q74_kmeans_assign" -> Set("vec_id", "cluster_id", "cosine"),
+    "q75_source_reputation" -> Set("source", "n_docs", "mean_ttr", "dup_rate", "keep"),
+    "q76_temperature_mix" -> Set("doc_id", "source", "n_docs", "p_keep", "keep"),
+    "q77_duplicated_windows" -> Set("doc_id", "n_windows", "n_dup_windows", "dup_frac"),
+    "q78_gopher_rules" -> Set("doc_id", "n_words", "mean_word_len", "n_stop",
+      "top_word_frac", "r_word_count", "r_mean_word_len", "r_stopwords",
+      "r_repetition", "keep"),
+    "q79_incremental_dedup" -> Set("doc_id", "is_exact_dup", "n_near_candidates", "keep"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -344,5 +351,83 @@ class OpsSpec extends AnyFunSuite {
       .select("n_sessions", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(s.forall { case (ns, ne) => ns >= 1 && ns <= ne })
+  }
+
+  test("q75: keep is exactly the mean-of-means threshold rule") {
+    val rows = PipelinePrep.sourceReputation(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val thr = BigDecimal(rows.map(_._2).sum / rows.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (src, ttr, dup, keep) =>
+      assert(keep == (ttr >= thr && dup <= 0.5), s"$src: $ttr vs $thr, $dup")
+    }
+  }
+
+  test("q76: largest source keeps ~f0, rates in (0,1], coin replayable") {
+    val rows = PipelinePrep.temperatureMix(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, p, _) => p > 0 && p <= 1.0 })
+    val nMax = rows.map(_._2).max
+    // replay the md5 coin in plain JVM code: keep iff first 6 hex < thr
+    rows.foreach { case (id, n, _, keep) =>
+      val p = math.min(1.0, 0.25 * math.sqrt(nMax.toDouble / n))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      val expected = java.lang.Long.parseLong(hex, 16) < math.floor(p * 16777216.0).toLong
+      assert(keep == expected, s"doc $id")
+    }
+  }
+
+  test("q77: total over docs, dup windows bounded, null frac iff no windows") {
+    val docCount = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rows = Dedup.duplicatedWindowFraction(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    assert(rows.length.toLong == docCount)
+    rows.foreach { case (id, nw, nd, fracNull) =>
+      assert(nd >= 0 && nd <= nw, s"doc $id: $nd of $nw")
+      assert(fracNull == (nw == 0), s"doc $id")
+      // a doc with >= 2 identical internal windows must count them dup
+    }
+    // identical texts (the corpus has exact duplicates) must show 100%
+    // duplicated windows on both members of the pair
+    val dups = Dedup.exactDuplicates(spark, sf).filter("copies > 1")
+    if (dups.count() > 0) {
+      val byId = rows.map(r => r._1 -> r).toMap
+      val dupIds = spark.read.parquet(s"$sf/documents.parquet")
+        .join(dups.select("content_hash"),
+          org.apache.spark.sql.functions.sha2(
+            org.apache.spark.sql.functions.col("text"), 256) === org.apache.spark.sql.functions.col("content_hash"))
+        .select("doc_id").collect().map(_.getLong(0))
+      dupIds.foreach { id =>
+        val (_, nw, nd, _) = byId(id)
+        if (nw > 0) assert(nd == nw, s"exact-dup doc $id not fully duplicated")
+      }
+    }
+  }
+
+  test("q78: keep is the conjunction of its rule columns") {
+    val rows = TextAnalysis.gopherRules(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, a, b, c, d, keep) =>
+      assert(keep == (a && b && c && d), s"doc $id")
+    }
+  }
+
+  test("q79: total over incoming docs, keep negates the exact verdict") {
+    val incoming = spark.read.parquet(s"$sf/documents.parquet")
+      .where("substring(md5(cast(doc_id as string)), 1, 2) > '7f'").count()
+    val rows = Dedup.incrementalDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length.toLong == incoming)
+    rows.foreach { case (id, exact, nc, keep) =>
+      assert(nc >= 0, s"doc $id")
+      assert(keep == !exact, s"doc $id")
+    }
   }
 }

@@ -54,7 +54,9 @@ object ScaleBench {
     "q54_knn_graph", "q55_quantization_error", "q56_training_mix",
     "q67_tfidf_top_terms", "q68_sequence_packing", "q69_semantic_dedup",
     "q70_pagerank_knn", "q72_embedding_decontamination", "q73_quality_classifier",
-    "q74_kmeans_assign")
+    "q74_kmeans_assign", "q75_source_reputation", "q76_temperature_mix",
+    "q77_duplicated_windows", "q78_gopher_rules", "q79_incremental_dedup",
+    "q80_substring_dedup_cut", "q81_gram_novelty")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -152,6 +152,12 @@ object SparkEntry {
     // incremental ingest dedup (new batch vs existing corpus)
     "q79_incremental_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalDedup(s, d)),
+    // exact-substring dedup cut (removes corpus-duplicated spans)
+    "q80_substring_dedup_cut" -> ((s: SparkSession, d: String) =>
+      Dedup.substringDedupCut(s, d)),
+    // per-doc n-gram novelty vs all earlier docs (ingest-order signal)
+    "q81_gram_novelty" -> ((s: SparkSession, d: String) =>
+      Dedup.gramNovelty(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1248,5 +1254,48 @@ object SparkEntry {
         | CAST(coalesce(c.n_near_candidates, 0) AS BIGINT) AS n_near_candidates,
         | NOT (i.ch IN (SELECT ch FROM bh)) AS keep
         |FROM inc i LEFT JOIN cand c USING (doc_id)""".stripMargin,
+    // q80: the oracle rebuilds the kept-token list with 1-based window
+    // starts (Spark masks 0-based) — the [s, s+7] coverage test is the
+    // same interval either way; clean_text compares byte-identical
+    "q80_substring_dedup_cut" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, u.p AS p, u.gr AS gr FROM (
+        |  SELECT doc_id, unnest([{'p': i, 'gr': array_to_string(t[i:i+7], ' ')}
+        |                         for i in range(1, len(t)-6)]) AS u FROM tok)),
+        |gc AS (SELECT gr, count(*) AS total FROM g GROUP BY 1),
+        |ds AS (SELECT doc_id, list(p) AS starts FROM g JOIN gc USING (gr)
+        |       WHERE total > 1 GROUP BY 1),
+        |m AS (SELECT tok.doc_id, tok.t,
+        |       coalesce(ds.starts, CAST([] AS BIGINT[])) AS starts
+        |      FROM tok LEFT JOIN ds USING (doc_id))
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        | CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+        | -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws is ''
+        | coalesce(array_to_string(kept, ' '), '') AS clean_text
+        |FROM (SELECT doc_id, t,
+        |       [t[i] for i in range(1, len(t)+1)
+        |        if len(list_filter(starts, s -> s <= i AND i <= s + 7)) = 0] AS kept
+        |      FROM m)""".stripMargin,
+    // q81: novelty = windows whose gram's min(doc_id) is this doc;
+    // string-keyed oracle gates the hashed plan (q66/q77 precedent)
+    "q81_gram_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |       unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]) AS gram
+        |      FROM tok),
+        |pd AS (SELECT doc_id, gram, count(*) AS m FROM g GROUP BY 1, 2),
+        |fd AS (SELECT gram, min(doc_id) AS fd FROM pd GROUP BY 1),
+        |agg AS (SELECT pd.doc_id,
+        |        CAST(sum(pd.m) AS BIGINT) AS n_windows,
+        |        CAST(sum(CASE WHEN fd.fd = pd.doc_id THEN pd.m ELSE 0 END) AS BIGINT)
+        |          AS n_novel
+        |       FROM pd JOIN fd USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(agg.n_windows, 0) AS BIGINT) AS n_windows,
+        | CAST(coalesce(agg.n_novel, 0) AS BIGINT) AS n_novel,
+        | CASE WHEN agg.n_windows > 0
+        |      THEN round(CAST(agg.n_novel AS DOUBLE) / agg.n_windows, 6)
+        | END AS novelty_frac
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
   )
 }

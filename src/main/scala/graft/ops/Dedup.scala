@@ -478,6 +478,83 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** The exact-substring dedup CUT pass — acts on what
+    * [[duplicatedWindowFraction]] measures: every token covered by at
+    * least one corpus-duplicated length-n window is removed, and the
+    * document is re-emitted with the surviving tokens (Lee et al.'s
+    * transform, token-granular). Duplication is decided on the same
+    * 64-bit `gram_hashes` stream; window START positions ride the
+    * (doc, gram) aggregation as packed arrays, so the shuffle stays
+    * distinct-grams-per-doc-sized — positions never shuffle as
+    * individual rows. The cut itself is per-doc array math: token i is
+    * dropped iff some duplicated window starts in [i−n+1, i].
+    *
+    * Scale: identical join shape to q77 (hash-keyed aggregates + one
+    * join back on the gram hash) plus a final narrow scan for the mask;
+    * the per-token exists() is bounded by dup-starts-per-doc — document
+    * math, not corpus math. Docs with no duplicated window pass through
+    * byte-identical (single-space corpus contract).
+    */
+  def substringDedupCut(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    val d = docs(spark, dir)
+    val pos = d
+      .select($"doc_id",
+        posexplode(call_function("gram_hashes", $"text", lit(n))))
+      .toDF("doc_id", "pos", "h")
+    val perDoc = pos.groupBy($"doc_id", $"h")
+      .agg(count(lit(1)).as("m"), collect_list($"pos").as("ps"))
+    val global = perDoc.groupBy($"h").agg(sum($"m").as("total"))
+    val dupStarts = perDoc.join(global, Seq("h"))
+      .filter($"total" > 1)
+      .groupBy($"doc_id")
+      .agg(flatten(collect_list($"ps")).as("starts"))
+    d.select($"doc_id", toks.as("t"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce($"starts", array().cast("array<int>")))
+      .select($"doc_id", size($"t").cast("long").as("n_tokens"),
+        filter($"t", (_, i) =>
+          !exists($"starts", s => s <= i && i <= s + lit(n - 1))).as("kept"))
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - size($"kept")).cast("long").as("n_removed"),
+        concat_ws(" ", $"kept").as("clean_text"))
+  }
+
+  /** Per-document n-gram NOVELTY — the share of a doc's windows whose
+    * gram no EARLIER document (smaller doc_id = earlier in the ingest
+    * order) contains. The curation signal for ordered ingestion: a
+    * low-novelty doc adds little the corpus hasn't seen; streaming
+    * crawlers drop or down-weight it. Repeats within the introducing
+    * doc itself still count as novel (the doc introduced the gram).
+    *
+    * Scale: the q77 aggregate shape with min(doc_id) instead of a
+    * count — same map-side-combined hash-keyed aggregates, same join
+    * back, total over docs.
+    */
+  def gramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    val d = docs(spark, dir)
+    val perDoc = d
+      .select($"doc_id",
+        explode(call_function("gram_hashes", $"text", lit(n))).as("h"))
+      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
+    val firstDoc = perDoc.groupBy($"h").agg(min($"doc_id").as("fd"))
+    val agg = perDoc.join(firstDoc, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_windows"),
+        sum(when($"fd" === $"doc_id", $"m").otherwise(lit(0L))).as("n_novel"))
+    d.select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        when($"n_windows" > 0,
+          round($"n_novel".cast("double") / $"n_windows", 6)).as("novelty_frac"))
+  }
+
   /** Incremental ingest dedup — dedup a NEW batch against the EXISTING
     * corpus without touching corpus-vs-corpus pairs: per incoming doc,
     * an exact verdict (content hash already present in the base) and a

@@ -122,6 +122,8 @@ class OpsSpec extends AnyFunSuite {
       "top_word_frac", "r_word_count", "r_mean_word_len", "r_stopwords",
       "r_repetition", "keep"),
     "q79_incremental_dedup" -> Set("doc_id", "is_exact_dup", "n_near_candidates", "keep"),
+    "q80_substring_dedup_cut" -> Set("doc_id", "n_tokens", "n_removed", "clean_text"),
+    "q81_gram_novelty" -> Set("doc_id", "n_windows", "n_novel", "novelty_frac"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -417,6 +419,43 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach { case (id, a, b, c, d, keep) =>
       assert(keep == (a && b && c && d), s"doc $id")
     }
+  }
+
+  test("q80: untouched docs pass through byte-identical, dup docs cut fully") {
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.substringDedupCut(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == orig.size)
+    rows.foreach { case (id, nt, nr, clean) =>
+      assert(nr >= 0 && nr <= nt, s"doc $id")
+      if (nr == 0) assert(clean == orig(id), s"doc $id modified despite zero cut")
+      else assert(clean.length < orig(id).length, s"doc $id cut but not shorter")
+    }
+    // members of an exact-duplicate pair share every window corpus-wide,
+    // so the cut removes every covered token
+    val dupWindows = Dedup.duplicatedWindowFraction(spark, sf)
+      .filter("n_windows > 0 AND n_dup_windows = n_windows")
+      .select("doc_id").collect().map(_.getLong(0))
+    val byId = rows.map(r => r._1 -> r).toMap
+    dupWindows.foreach { id =>
+      val (_, nt, nr, clean) = byId(id)
+      assert(nr == nt && clean == "", s"fully-duplicated doc $id not fully cut")
+    }
+  }
+
+  test("q81: novelty bounded, null iff windowless, first doc fully novel") {
+    val rows = Dedup.gramNovelty(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nw, nn, fracNull) =>
+      assert(nn >= 0 && nn <= nw, s"doc $id")
+      assert(fracNull == (nw == 0), s"doc $id")
+    }
+    val first = rows.filter(_._2 > 0).minBy(_._1)
+    assert(first._3 == first._2,
+      s"earliest doc ${first._1} must introduce all its own grams")
   }
 
   test("q79: total over incoming docs, keep negates the exact verdict") {

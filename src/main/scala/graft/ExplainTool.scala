@@ -27,6 +27,13 @@ object ExplainTool {
       df.explain("formatted")
       val n = df.count()
       println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s (incl. build + explain)")
+      // the FINAL adaptive plan (post-execution): shows what AQE actually
+      // did — broadcast conversions, skew splits, and whether identical
+      // shuffle subtrees were stage-reused (look for table-cache/reused
+      // markers); the static plan above can't show any of that
+      println("-- final adaptive plan --")
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .take(60).mkString("\n"))
     }
     spark.stop()
   }

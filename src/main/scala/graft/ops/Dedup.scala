@@ -459,10 +459,18 @@ object Dedup {
     import spark.implicits._
     graft.functions.TextOps.register(spark)
     val d = docs(spark, dir)
+    // persisted: perDoc feeds both the global count and the join back,
+    // and Catalyst expands the self-referencing aggregate into TWO full
+    // gram-explode subtrees otherwise (asymmetric IsNotNull pushdown
+    // defeats AQE stage reuse — verified in the final adaptive plan).
+    // No unpersist is possible from a lazily-returned frame; the block
+    // is MEMORY_AND_DISK, evicted LRU, and degrades to recompute — the
+    // q41 pattern
     val perDoc = d
       .select($"doc_id",
         explode(call_function("gram_hashes", $"text", lit(n))).as("h"))
       .groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val global = perDoc.groupBy($"h").agg(sum($"m").as("total"))
     val agg = perDoc.join(global, Seq("h"))
       .groupBy($"doc_id")
@@ -504,8 +512,11 @@ object Dedup {
       .select($"doc_id",
         posexplode(call_function("gram_hashes", $"text", lit(n))))
       .toDF("doc_id", "pos", "h")
+    // persisted for the same double-expansion reason as
+    // [[duplicatedWindowFraction]]
     val perDoc = pos.groupBy($"doc_id", $"h")
       .agg(count(lit(1)).as("m"), collect_list($"pos").as("ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val global = perDoc.groupBy($"h").agg(sum($"m").as("total"))
     val dupStarts = perDoc.join(global, Seq("h"))
       .filter($"total" > 1)
@@ -537,10 +548,13 @@ object Dedup {
     import spark.implicits._
     graft.functions.TextOps.register(spark)
     val d = docs(spark, dir)
+    // persisted for the same double-expansion reason as
+    // [[duplicatedWindowFraction]]
     val perDoc = d
       .select($"doc_id",
         explode(call_function("gram_hashes", $"text", lit(n))).as("h"))
       .groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstDoc = perDoc.groupBy($"h").agg(min($"doc_id").as("fd"))
     val agg = perDoc.join(firstDoc, Seq("h"))
       .groupBy($"doc_id")
@@ -580,8 +594,12 @@ object Dedup {
       .select($"doc_id", sha2($"text", 256).as("ch"), isBase($"doc_id").as("is_base"))
     val baseHashes = d.filter($"is_base").select($"ch").distinct()
       .withColumn("hit", lit(true))
+    // persisted: the signature pipeline (shingle explode + 16-min agg +
+    // band unpivot) feeds both the incoming and the base side of the
+    // bucket probe; without the cache it runs twice end to end
     val sigs = minhashSignatures(spark, dir)
       .withColumn("is_base", isBase($"doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = sigs.filter(!$"is_base").as("a")
       .join(sigs.filter($"is_base").as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))

@@ -264,8 +264,13 @@ object PipelinePrep {
       .agg(count(lit(1)).as("n_docs"),
         round(avg($"ttr"), 6).as("mean_ttr"),
         round(avg(($"n_copies" > 1).cast("double")), 6).as("dup_rate"))
-    val threshold = bySource.agg(round(avg($"mean_ttr"), 6).as("thr"))
-    bySource.crossJoin(broadcast(threshold))
+    // threshold as an unpartitioned window over the SOURCES-sized rollup
+    // — a scalar-subquery crossJoin would re-expand the whole per-doc
+    // pipeline into a second corpus pass (verified in the plan); the
+    // window funnels only the tiny aggregate through one task
+    bySource
+      .withColumn("thr", round(avg($"mean_ttr").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()), 6))
       .select($"source", $"n_docs", $"mean_ttr", $"dup_rate",
         ($"mean_ttr" >= $"thr" && $"dup_rate" <= 0.5).as("keep"))
   }
@@ -296,8 +301,12 @@ object PipelinePrep {
     import spark.implicits._
     val d = docs(spark, dir).select($"doc_id", $"source")
     val counts = d.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-    val nMax = counts.agg(max($"n_docs").as("n_max"))
-    val rates = counts.crossJoin(broadcast(nMax))
+    // n_max via an unpartitioned window over the sources-sized count
+    // table (same reasoning as sourceReputation's threshold: a scalar
+    // crossJoin would recompute the count aggregate from the corpus)
+    val rates = counts
+      .withColumn("n_max", max($"n_docs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select($"source", $"n_docs",
         least(lit(1.0),
           lit(f0) * sqrt($"n_max".cast("double") / $"n_docs")).as("p"))

@@ -158,6 +158,9 @@ object SparkEntry {
     // per-doc n-gram novelty vs all earlier docs (ingest-order signal)
     "q81_gram_novelty" -> ((s: SparkSession, d: String) =>
       Dedup.gramNovelty(s, d)),
+    // triangle count + clustering coefficient over the KNN graph
+    "q82_knn_triangles" -> ((s: SparkSession, d: String) =>
+      Graph.knnTriangles(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1297,5 +1300,44 @@ object SparkEntry {
         |      THEN round(CAST(agg.n_novel AS DOUBLE) / agg.n_windows, 6)
         | END AS novelty_frac
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // q82: the oracle replays the q54 KNN construction, canonicalizes
+    // the undirected edge set, and enumerates each a<b<c triangle once
+    // via the same wedge-plus-closure joins
+    "q82_knn_triangles" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
+        |sig AS (SELECT e.vec_id, e.embedding,
+        |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                   for i in range(1, len(e.embedding)+1)]) >= 0
+        |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
+        |n AS (SELECT vec_id, embedding, bucket,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |  FROM sig),
+        |pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |   round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+        |                   for i in range(1, len(a.embedding)+1)]) / (a.nrm*b.nrm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |knn AS (SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM pairs) WHERE rn <= 3),
+        |und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+        |         greatest(vec_id, neighbor_id) AS b FROM knn),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |         JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |        SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |        SELECT unnest([a, b]) AS node FROM und) GROUP BY 1)
+        |SELECT e.vec_id,
+        | CAST(coalesce(dg.degree, 0) AS BIGINT) AS degree,
+        | CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+        | CASE WHEN dg.degree >= 2
+        |      THEN round(coalesce(tn.n_triangles, 0) * 2.0 / (dg.degree * (dg.degree - 1)), 6)
+        | END AS clustering_coeff
+        |FROM embeddings e
+        | LEFT JOIN dg ON e.vec_id = dg.node
+        | LEFT JOIN tn ON e.vec_id = tn.node""".stripMargin,
   )
 }

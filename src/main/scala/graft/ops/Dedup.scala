@@ -462,10 +462,7 @@ object Dedup {
     // persisted: perDoc feeds both the global count and the join back,
     // and Catalyst expands the self-referencing aggregate into TWO full
     // gram-explode subtrees otherwise (asymmetric IsNotNull pushdown
-    // defeats AQE stage reuse — verified in the final adaptive plan).
-    // No unpersist is possible from a lazily-returned frame; the block
-    // is MEMORY_AND_DISK, evicted LRU, and degrades to recompute — the
-    // q41 pattern
+    // defeats AQE stage reuse — verified in the final adaptive plan)
     val perDoc = d
       .select($"doc_id",
         explode(call_function("gram_hashes", $"text", lit(n))).as("h"))
@@ -476,7 +473,10 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(sum($"m").as("n_windows"),
         sum(when($"total" > 1, $"m").otherwise(lit(0L))).as("n_dup_windows"))
-    d.select($"doc_id")
+    // eager checkpoint of the four-numeric-columns-per-doc result lets
+    // the (much larger) gram cache be released before returning — the
+    // pageRankKnn lifecycle
+    val out = d.select($"doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_windows", lit(0L)).as("n_windows"),
@@ -484,6 +484,9 @@ object Dedup {
         when($"n_windows" > 0,
           round($"n_dup_windows".cast("double") / $"n_windows", 6))
           .as("dup_frac"))
+      .localCheckpoint(true)
+    perDoc.unpersist()
+    out
   }
 
   /** The exact-substring dedup CUT pass — acts on what
@@ -513,7 +516,10 @@ object Dedup {
         posexplode(call_function("gram_hashes", $"text", lit(n))))
       .toDF("doc_id", "pos", "h")
     // persisted for the same double-expansion reason as
-    // [[duplicatedWindowFraction]]
+    // [[duplicatedWindowFraction]] — but NOT checkpoint/unpersist'd
+    // like it: this op's output carries the full rewritten corpus text,
+    // and an eager checkpoint would write those bytes twice; the cache
+    // stays LRU-evictable instead (degrades to recompute)
     val perDoc = pos.groupBy($"doc_id", $"h")
       .agg(count(lit(1)).as("m"), collect_list($"pos").as("ps"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -548,7 +554,7 @@ object Dedup {
     import spark.implicits._
     graft.functions.TextOps.register(spark)
     val d = docs(spark, dir)
-    // persisted for the same double-expansion reason as
+    // persisted + checkpoint/unpersist lifecycle — same reasoning as
     // [[duplicatedWindowFraction]]
     val perDoc = d
       .select($"doc_id",
@@ -560,13 +566,16 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(sum($"m").as("n_windows"),
         sum(when($"fd" === $"doc_id", $"m").otherwise(lit(0L))).as("n_novel"))
-    d.select($"doc_id")
+    val out = d.select($"doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_windows", lit(0L)).as("n_windows"),
         coalesce($"n_novel", lit(0L)).as("n_novel"),
         when($"n_windows" > 0,
           round($"n_novel".cast("double") / $"n_windows", 6)).as("novelty_frac"))
+      .localCheckpoint(true)
+    perDoc.unpersist()
+    out
   }
 
   /** Incremental ingest dedup — dedup a NEW batch against the EXISTING
@@ -606,12 +615,17 @@ object Dedup {
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
       .groupBy($"doc_id")
       .agg(countDistinct($"base_doc").as("n_near_candidates"))
-    d.filter(!$"is_base")
+    // eager checkpoint of the per-incoming-doc verdicts, then release
+    // the signature cache — the pageRankKnn lifecycle
+    val out = d.filter(!$"is_base")
       .join(baseHashes, Seq("ch"), "left")
       .select($"doc_id", coalesce($"hit", lit(false)).as("is_exact_dup"))
       .join(cand, Seq("doc_id"), "left")
       .select($"doc_id", $"is_exact_dup",
         coalesce($"n_near_candidates", lit(0L)).as("n_near_candidates"),
         (!$"is_exact_dup").as("keep"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 }

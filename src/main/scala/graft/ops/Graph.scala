@@ -67,4 +67,55 @@ object Graph {
     edges.unpersist()
     out
   }
+
+  /** Per-node triangle count and local clustering coefficient over the
+    * undirected closure of [[Similarity.knnGraph]] — the neighborhood-
+    * density signal: near-dup clusters close their triangles, isolated
+    * documents do not. Edges are canonicalized (min, max) + distinct;
+    * triangles enumerate each {a<b<c} once via the wedge join
+    * (e1: a–b) ⋈ (e2: b–c) closed by (e3: a–c), then explode to the
+    * three member nodes. coeff = 2T / (deg·(deg−1)), null below degree
+    * 2. Total over all vectors.
+    *
+    * Scale: out-degree is capped at k per direction, so the undirected
+    * degree is ≤ 2k and the wedge join fans out ≤ deg² per node —
+    * bounded by the CONSTANT k², never by corpus size; all three joins
+    * key on node ids (uniform). The edge table is persisted (it feeds
+    * the wedge join twice, the closing probe and the degree count), the
+    * node-sized result eagerly checkpointed, and the cache released —
+    * the pageRankKnn lifecycle.
+    */
+  def knnTriangles(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array($"x", $"y", $"z")).as("vec_id"))
+      .groupBy($"vec_id").agg(count(lit(1)).as("n_triangles"))
+    val deg = und
+      .select(explode(array($"a", $"b")).as("vec_id"))
+      .groupBy($"vec_id").agg(count(lit(1)).as("degree"))
+    val out = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .join(perNode, Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"degree", lit(0L)).as("degree"),
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        when($"degree" >= 2,
+          round($"n_triangles" * lit(2.0) / ($"degree" * ($"degree" - 1)), 6)))
+      .localCheckpoint(true)
+    und.unpersist()
+    out
+  }
 }

@@ -124,6 +124,7 @@ class OpsSpec extends AnyFunSuite {
     "q79_incremental_dedup" -> Set("doc_id", "is_exact_dup", "n_near_candidates", "keep"),
     "q80_substring_dedup_cut" -> Set("doc_id", "n_tokens", "n_removed", "clean_text"),
     "q81_gram_novelty" -> Set("doc_id", "n_windows", "n_novel", "novelty_frac"),
+    "q82_knn_triangles" -> Set("vec_id", "degree", "n_triangles", "clustering_coeff"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -456,6 +457,21 @@ class OpsSpec extends AnyFunSuite {
     val first = rows.filter(_._2 > 0).minBy(_._1)
     assert(first._3 == first._2,
       s"earliest doc ${first._1} must introduce all its own grams")
+  }
+
+  test("q82: triangle counts bounded by degree, coeff in [0,1]") {
+    val rows = Graph.knnTriangles(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, deg, tri, coeff) =>
+      // each triangle at a node uses 2 of its edges: T <= C(deg, 2)
+      assert(tri >= 0 && tri <= deg * (deg - 1) / 2, s"vec $id")
+      assert(coeff.isDefined == (deg >= 2), s"vec $id")
+      coeff.foreach(c => assert(c >= 0 && c <= 1.000001, s"vec $id"))
+    }
+    // triangle-count handshake: summing per-node counts gives 3 per triangle
+    assert(rows.map(_._3).sum % 3 == 0, "per-node counts must triple-count")
   }
 
   test("q79: total over incoming docs, keep negates the exact verdict") {

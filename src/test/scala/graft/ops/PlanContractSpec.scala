@@ -175,6 +175,55 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q75/q76: source rollup scalars come from a window, not a second corpus pass") {
+    // the scalar-subquery crossJoin shape re-expanded the whole per-doc
+    // pipeline (4 parquet scans in q75, BroadcastNestedLoopJoin in
+    // both); the window form pays only the inherent scans
+    // each scan appears twice in formatted mode (tree + detail); count
+    // the numbered detail entries only
+    def scans(p: String): Int =
+      p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    val p75 = plan(PipelinePrep.sourceReputation(spark, sf))
+    assert(scans(p75) <= 2, p75)
+    assert(!p75.contains("BroadcastNestedLoopJoin"), p75)
+    assert(p75.contains("Window"), p75)
+    val p76 = plan(PipelinePrep.temperatureMix(spark, sf))
+    assert(scans(p76) <= 2, p76)
+    assert(!p76.contains("BroadcastNestedLoopJoin"), p76)
+  }
+
+  test("q77/q79/q81/q82: eager ops release their caches and return materialized results") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val dfs = Seq(
+      Dedup.duplicatedWindowFraction(spark, sf),
+      Dedup.incrementalDedup(spark, sf),
+      Dedup.gramNovelty(spark, sf),
+      Graph.knnTriangles(spark, sf))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // at most the four checkpoints themselves may remain registered —
+    // every gram/signature/edge cache must be RELEASED on return
+    assert(after <= before + dfs.length,
+      s"gram/signature caches leaked: $before -> $after")
+    dfs.foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"returned plan is a live DAG that would recompute per action:\n$p")
+    }
+  }
+
+  test("q78: Gopher rules are a pure scan — zero exchanges, two-column read") {
+    val p = plan(TextAnalysis.gopherRules(spark, sf))
+    assert(!p.contains("Exchange"), s"rule battery pays a shuffle:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("q80: both gram consumers read the shared cache, not a re-expanded explode") {
+    val p = plan(Dedup.substringDedupCut(spark, sf))
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"expected both the global count and the join-back to hit the gram cache:\n$p")
+  }
+
   test("q33: chunk_hash participates in whole-stage codegen") {
     val df = Dedup.chunkHashDigests(spark, sf)
     val p = plan(df)

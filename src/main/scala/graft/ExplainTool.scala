@@ -25,7 +25,12 @@ object ExplainTool {
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n========== $name ==========")
       df.explain("formatted")
-      val n = df.count()
+      // drive THIS DataFrame's own QueryExecution: df.count() would
+      // execute a separate groupBy().count() QueryExecution and leave
+      // df's AdaptiveSparkPlanExec untriggered (isFinalPlan=false), so
+      // the block below would show the pre-AQE plan and none of the
+      // decisions it claims to show
+      val n = df.queryExecution.executedPlan.execute().count()
       println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s (incl. build + explain)")
       // the FINAL adaptive plan (post-execution): shows what AQE actually
       // did — broadcast conversions, skew splits, and whether identical

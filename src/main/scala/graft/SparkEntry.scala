@@ -170,6 +170,30 @@ object SparkEntry {
     * centroid) — generated per iteration because the blocks are
     * mechanical and must stay textually in lockstep.
     */
+  /** Shared KNN-construction CTE prefix (q54, q82): SRP signature over
+    * the head-8 planes, bucket self-join, round-6 cosine, top-3 per
+    * vector — ONE definition so the two oracles cannot gate against
+    * diverging graph constructions if planes/k/tie-break ever change.
+    */
+  private val knnOracleCtes: String =
+    """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
+      |sig AS (SELECT e.vec_id, e.embedding,
+      |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+      |                   for i in range(1, len(e.embedding)+1)]) >= 0
+      |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
+      |n AS (SELECT vec_id, embedding, bucket,
+      |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+      |  FROM sig),
+      |pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |   round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+      |                   for i in range(1, len(a.embedding)+1)]) / (a.nrm*b.nrm), 6) AS cosine
+      |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |knn AS (SELECT vec_id, neighbor_id, cosine, rn FROM (
+      |  SELECT vec_id, neighbor_id, cosine,
+      |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+      |  FROM pairs) WHERE rn <= 3)""".stripMargin
+
   private def kmeansOracleSql(k: Int, iters: Int): String = {
     val init =
       s"""WITH c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -754,23 +778,8 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n_docs DESC, phrase) AS BIGINT) AS rn
         | FROM df) WHERE rn <= 10""".stripMargin,
     "q54_knn_graph" ->
-      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
-        |sig AS (SELECT e.vec_id, e.embedding,
-        |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
-        |                   for i in range(1, len(e.embedding)+1)]) >= 0
-        |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
-        |n AS (SELECT vec_id, embedding, bucket,
-        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
-        |  FROM sig),
-        |pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
-        |   round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
-        |                   for i in range(1, len(a.embedding)+1)]) / (a.nrm*b.nrm), 6) AS cosine
-        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-        |SELECT * FROM (
-        | SELECT vec_id, neighbor_id, cosine,
-        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
-        | FROM pairs) WHERE rn <= 3""".stripMargin,
+      s"""$knnOracleCtes
+         |SELECT vec_id, neighbor_id, cosine, rn FROM knn""".stripMargin,
     "q55_quantization_error" ->
       """WITH x AS (SELECT vec_id, label,
         |   [CAST(v AS DOUBLE) for v in embedding] AS xd FROM embeddings),
@@ -1304,25 +1313,9 @@ object SparkEntry {
     // the undirected edge set, and enumerates each a<b<c triangle once
     // via the same wedge-plus-closure joins
     "q82_knn_triangles" ->
-      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
-        |sig AS (SELECT e.vec_id, e.embedding,
-        |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
-        |                   for i in range(1, len(e.embedding)+1)]) >= 0
-        |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
-        |n AS (SELECT vec_id, embedding, bucket,
-        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
-        |  FROM sig),
-        |pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
-        |   round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
-        |                   for i in range(1, len(a.embedding)+1)]) / (a.nrm*b.nrm), 6) AS cosine
-        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-        |knn AS (SELECT vec_id, neighbor_id FROM (
-        |  SELECT vec_id, neighbor_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
-        |  FROM pairs) WHERE rn <= 3),
-        |und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
-        |         greatest(vec_id, neighbor_id) AS b FROM knn),
+      s"""$knnOracleCtes,
+         |und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |         greatest(vec_id, neighbor_id) AS b FROM knn),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
         |        FROM und e1 JOIN und e2 ON e1.b = e2.a
         |         JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),

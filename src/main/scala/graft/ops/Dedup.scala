@@ -454,40 +454,53 @@ object Dedup {
     * is the measurement pass; acting on it (cutting the duplicated
     * spans) reuses the same per-position hash stream.
     */
-  def duplicatedWindowFraction(spark: SparkSession, dir: String,
-      n: Int = 8): DataFrame = {
+  /** Shared scaffold for the per-doc window-hash statistics (q77/q81):
+    * gram explode → (doc, h) multiplicity aggregate → one h-keyed
+    * global aggregate → join back → per-doc sums → total left join
+    * (zero-window docs kept, fraction null below one window) →
+    * checkpoint and release. The multiplicity table is persisted
+    * because it feeds both the global aggregate and the join back —
+    * Catalyst expands the self-referencing aggregate into TWO full
+    * gram-explode subtrees otherwise (asymmetric IsNotNull pushdown
+    * defeats AQE stage reuse — verified in the final adaptive plan);
+    * the eager checkpoint of the four-numeric-columns-per-doc result
+    * lets the (much larger) gram cache be released before returning —
+    * the pageRankKnn lifecycle. Parameterized by the global aggregate
+    * and the "this window counts" predicate over its result.
+    */
+  private def gramWindowStats(spark: SparkSession, dir: String, n: Int,
+      globalAgg: Column, hit: Column, hitName: String,
+      fracName: String): DataFrame = {
     import spark.implicits._
     graft.functions.TextOps.register(spark)
     val d = docs(spark, dir)
-    // persisted: perDoc feeds both the global count and the join back,
-    // and Catalyst expands the self-referencing aggregate into TWO full
-    // gram-explode subtrees otherwise (asymmetric IsNotNull pushdown
-    // defeats AQE stage reuse — verified in the final adaptive plan)
     val perDoc = d
       .select($"doc_id",
         explode(call_function("gram_hashes", $"text", lit(n))).as("h"))
       .groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val global = perDoc.groupBy($"h").agg(sum($"m").as("total"))
+    val global = perDoc.groupBy($"h").agg(globalAgg)
     val agg = perDoc.join(global, Seq("h"))
       .groupBy($"doc_id")
       .agg(sum($"m").as("n_windows"),
-        sum(when($"total" > 1, $"m").otherwise(lit(0L))).as("n_dup_windows"))
-    // eager checkpoint of the four-numeric-columns-per-doc result lets
-    // the (much larger) gram cache be released before returning — the
-    // pageRankKnn lifecycle
+        sum(when(hit, $"m").otherwise(lit(0L))).as(hitName))
     val out = d.select($"doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_windows", lit(0L)).as("n_windows"),
-        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+        coalesce(col(hitName), lit(0L)).as(hitName),
         when($"n_windows" > 0,
-          round($"n_dup_windows".cast("double") / $"n_windows", 6))
-          .as("dup_frac"))
+          round(col(hitName).cast("double") / $"n_windows", 6))
+          .as(fracName))
       .localCheckpoint(true)
     perDoc.unpersist()
     out
   }
+
+  def duplicatedWindowFraction(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame =
+    gramWindowStats(spark, dir, n, sum(col("m")).as("total"),
+      col("total") > 1, "n_dup_windows", "dup_frac")
 
   /** The exact-substring dedup CUT pass — acts on what
     * [[duplicatedWindowFraction]] measures: every token covered by at
@@ -518,11 +531,15 @@ object Dedup {
     // persisted for the same double-expansion reason as
     // [[duplicatedWindowFraction]] — but NOT checkpoint/unpersist'd
     // like it: this op's output carries the full rewritten corpus text,
-    // and an eager checkpoint would write those bytes twice; the cache
-    // stays LRU-evictable instead (degrades to recompute)
+    // and an eager checkpoint would write those bytes twice. MEMORY_ONLY
+    // deliberately, not MEMORY_AND_DISK: with no unpersist reachable
+    // from a lazily-returned frame, memory-evicted MEMORY_AND_DISK
+    // blocks would be KEPT on disk for the session; MEMORY_ONLY blocks
+    // are dropped under pressure and recomputed — the degradation this
+    // cache is allowed
     val perDoc = pos.groupBy($"doc_id", $"h")
       .agg(count(lit(1)).as("m"), collect_list($"pos").as("ps"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val global = perDoc.groupBy($"h").agg(sum($"m").as("total"))
     val dupStarts = perDoc.join(global, Seq("h"))
       .filter($"total" > 1)
@@ -550,33 +567,9 @@ object Dedup {
     * count — same map-side-combined hash-keyed aggregates, same join
     * back, total over docs.
     */
-  def gramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    import spark.implicits._
-    graft.functions.TextOps.register(spark)
-    val d = docs(spark, dir)
-    // persisted + checkpoint/unpersist lifecycle — same reasoning as
-    // [[duplicatedWindowFraction]]
-    val perDoc = d
-      .select($"doc_id",
-        explode(call_function("gram_hashes", $"text", lit(n))).as("h"))
-      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firstDoc = perDoc.groupBy($"h").agg(min($"doc_id").as("fd"))
-    val agg = perDoc.join(firstDoc, Seq("h"))
-      .groupBy($"doc_id")
-      .agg(sum($"m").as("n_windows"),
-        sum(when($"fd" === $"doc_id", $"m").otherwise(lit(0L))).as("n_novel"))
-    val out = d.select($"doc_id")
-      .join(agg, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"n_windows", lit(0L)).as("n_windows"),
-        coalesce($"n_novel", lit(0L)).as("n_novel"),
-        when($"n_windows" > 0,
-          round($"n_novel".cast("double") / $"n_windows", 6)).as("novelty_frac"))
-      .localCheckpoint(true)
-    perDoc.unpersist()
-    out
-  }
+  def gramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    gramWindowStats(spark, dir, n, min(col("doc_id")).as("fd"),
+      col("fd") === col("doc_id"), "n_novel", "novelty_frac")
 
   /** Incremental ingest dedup — dedup a NEW batch against the EXISTING
     * corpus without touching corpus-vs-corpus pairs: per incoming doc,

@@ -252,12 +252,17 @@ object PipelinePrep {
     */
   def sourceReputation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persisted: perDoc feeds both the copy-count aggregate and the
+    // join back — without the cache Catalyst re-expands it into a
+    // second full scan + sha256 pass over the corpus (the q77 shape);
+    // the sources-sized result is checkpointed and the cache released
     val perDoc = docs(spark, dir)
       .select($"doc_id", $"source", sha2($"text", 256).as("ch"), toks.as("t"))
       .select($"doc_id", $"source", $"ch",
         when(size($"t") > 0,
           size(array_distinct($"t")).cast("double") / size($"t"))
           .as("ttr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val copies = perDoc.groupBy($"ch").agg(count(lit(1)).as("n_copies"))
     val bySource = perDoc.join(copies, Seq("ch"))
       .groupBy($"source")
@@ -266,13 +271,16 @@ object PipelinePrep {
         round(avg(($"n_copies" > 1).cast("double")), 6).as("dup_rate"))
     // threshold as an unpartitioned window over the SOURCES-sized rollup
     // — a scalar-subquery crossJoin would re-expand the whole per-doc
-    // pipeline into a second corpus pass (verified in the plan); the
+    // pipeline into yet another corpus pass (verified in the plan); the
     // window funnels only the tiny aggregate through one task
-    bySource
+    val out = bySource
       .withColumn("thr", round(avg($"mean_ttr").over(
         org.apache.spark.sql.expressions.Window.partitionBy()), 6))
       .select($"source", $"n_docs", $"mean_ttr", $"dup_rate",
         ($"mean_ttr" >= $"thr" && $"dup_rate" <= 0.5).as("keep"))
+      .localCheckpoint(true)
+    perDoc.unpersist()
+    out
   }
 
   /** Temperature-scaled source mixing (alpha = 0.5): resample so source

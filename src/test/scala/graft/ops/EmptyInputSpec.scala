@@ -69,7 +69,18 @@ class EmptyInputSpec extends AnyFunSuite {
       Similarity.embeddingDecontamination(spark, emptyDir)),
     "q73 quality classifier" -> (() =>
       TextAnalysis.qualityClassifierScores(spark, emptyDir)),
-    "q74 kmeans assign" -> (() => Similarity.kmeansAssign(spark, emptyDir)))
+    "q74 kmeans assign" -> (() => Similarity.kmeansAssign(spark, emptyDir)),
+    // round-4 additions: window-over-nothing rollups (q75/q76), eager
+    // checkpoint of empty results (q75/q77/q79/q81/q82), the per-token
+    // coverage mask over no docs (q80)
+    "q75 source reputation" -> (() => PipelinePrep.sourceReputation(spark, emptyDir)),
+    "q76 temperature mix" -> (() => PipelinePrep.temperatureMix(spark, emptyDir)),
+    "q77 duplicated windows" -> (() => Dedup.duplicatedWindowFraction(spark, emptyDir)),
+    "q78 gopher rules" -> (() => TextAnalysis.gopherRules(spark, emptyDir)),
+    "q79 incremental dedup" -> (() => Dedup.incrementalDedup(spark, emptyDir)),
+    "q80 substring dedup cut" -> (() => Dedup.substringDedupCut(spark, emptyDir)),
+    "q81 gram novelty" -> (() => Dedup.gramNovelty(spark, emptyDir)),
+    "q82 knn triangles" -> (() => Graph.knnTriangles(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

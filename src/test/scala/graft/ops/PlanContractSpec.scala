@@ -175,26 +175,21 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q75/q76: source rollup scalars come from a window, not a second corpus pass") {
-    // the scalar-subquery crossJoin shape re-expanded the whole per-doc
-    // pipeline (4 parquet scans in q75, BroadcastNestedLoopJoin in
-    // both); the window form pays only the inherent scans
-    // each scan appears twice in formatted mode (tree + detail); count
-    // the numbered detail entries only
-    def scans(p: String): Int =
-      p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
-    val p75 = plan(PipelinePrep.sourceReputation(spark, sf))
-    assert(scans(p75) <= 2, p75)
-    assert(!p75.contains("BroadcastNestedLoopJoin"), p75)
-    assert(p75.contains("Window"), p75)
+  test("q76: mixing rates come from a window, not a second corpus pass") {
+    // the scalar-subquery crossJoin shape re-expanded the count
+    // aggregate into a second corpus scan plus a BroadcastNestedLoopJoin;
+    // the window form pays only the inherent two scans. Each scan
+    // appears twice in formatted mode (tree + detail); count the
+    // numbered detail entries only
     val p76 = plan(PipelinePrep.temperatureMix(spark, sf))
-    assert(scans(p76) <= 2, p76)
+    assert(p76.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) <= 2, p76)
     assert(!p76.contains("BroadcastNestedLoopJoin"), p76)
   }
 
-  test("q77/q79/q81/q82: eager ops release their caches and return materialized results") {
+  test("q75/q77/q79/q81/q82: eager ops release their caches and return materialized results") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val dfs = Seq(
+      PipelinePrep.sourceReputation(spark, sf),
       Dedup.duplicatedWindowFraction(spark, sf),
       Dedup.incrementalDedup(spark, sf),
       Dedup.gramNovelty(spark, sf),

@@ -161,6 +161,12 @@ object SparkEntry {
     // triangle count + clustering coefficient over the KNN graph
     "q82_knn_triangles" -> ((s: SparkSession, d: String) =>
       Graph.knnTriangles(s, d)),
+    // balanced per-language eval split (fixed k per stratum, md5 order)
+    "q83_balanced_sample" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.balancedSample(s, d)),
+    // word-bigram PMI collocations (Church & Hanks)
+    "q84_bigram_pmi" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bigramPmi(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1332,5 +1338,37 @@ object SparkEntry {
         |FROM embeddings e
         | LEFT JOIN dg ON e.vec_id = dg.node
         | LEFT JOIN tn ON e.vec_id = tn.node""".stripMargin,
+    // q83: the salted two-phase ranking provably equals the single
+    // window the oracle runs (any global top-k row is top-k in its own
+    // salt bucket); md5 order is engine-portable
+    "q83_balanced_sample" ->
+      """SELECT doc_id, lang, coin, rn FROM (
+        | SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS coin,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        | FROM documents) WHERE rn <= 20""".stripMargin,
+    // q84: the PMI division chain is parenthesized identically on both
+    // sides and rounded to 6 before the rank, so the top-k is a
+    // function of the compared values
+    "q84_bigram_pmi" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+        |         SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |unit AS (SELECT w, cw, sum(cw) OVER () AS n_tokens FROM uni),
+        |p AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        |       SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+        |                      for i in range(1, len(t))]) AS u FROM tok)),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM p GROUP BY 1, 2),
+        |prt AS (SELECT w1, w2, cb, sum(cb) OVER () AS n_bigrams FROM pc)
+        |SELECT w1, w2, cb, cw1, cw2, pmi FROM (
+        | SELECT pr.w1, pr.w2, pr.cb, u1.cw AS cw1, u2.cw AS cw2,
+        |  round(ln((CAST(pr.cb AS DOUBLE) / pr.n_bigrams) /
+        |        ((CAST(u1.cw AS DOUBLE) / u1.n_tokens) *
+        |         (CAST(u2.cw AS DOUBLE) / u2.n_tokens))), 6) AS pmi
+        | FROM prt pr
+        |  JOIN unit u1 ON pr.w1 = u1.w
+        |  JOIN unit u2 ON pr.w2 = u2.w
+        | WHERE pr.cb >= 5)
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
   )
 }

@@ -234,6 +234,22 @@ object PipelinePrep {
         (($"cum_tokens" - $"n_tokens") % lit(chunkTokens)).as("chunk_off"))
   }
 
+  /** Balanced per-stratum selection: exactly `k` docs per language,
+    * chosen in md5-coin order — the "balanced eval split" builder
+    * (equal-size per-language slices regardless of how skewed the
+    * corpus mix is), deterministic across engines, retries and
+    * partitionings. Ranks via [[Ranking.topKPerGroup]]: a plain
+    * lang-partitioned window would funnel each language's full corpus
+    * slice through one task; the salted two-phase ranking bounds every
+    * task and re-ranks only the ≤32·k survivors per language.
+    */
+  def balancedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+      .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("coin"))
+    Ranking.topKPerGroup(d, Seq("lang"), Seq($"coin", $"doc_id"), $"doc_id", k)
+  }
+
   /** Source-reputation filter — the domain-level gate of web-scale
     * pipelines (C4 blocklists, RefinedWeb URL scoring): aggregate per-
     * document signals to their source, score each source, and decide

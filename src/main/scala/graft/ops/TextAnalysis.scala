@@ -386,23 +386,82 @@ object TextAnalysis {
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    withGopherRules(docs(spark, dir).select($"doc_id", $"text"), "text")
+      .drop("text")
+  }
+
+  /** Word-bigram collocations by pointwise mutual information —
+    * PMI = ln(p(ab) / (p(a)·p(b))) over adjacent token pairs, the
+    * classic corpus-statistics pass for multi-word expressions ("new
+    * york") a tokenizer or phrase-mining stage consumes. Bigram and
+    * unigram counts are vocabulary-sized aggregates with map-side
+    * combine off one scan each; the two totals are unpartitioned
+    * windows over those vocabulary tables (no second corpus pass — the
+    * q75/q76 lesson); the final join keys bigrams to their two unigram
+    * counts (vocabulary joins, AQE-broadcast when small). `minCount`
+    * suppresses the unstable low-frequency tail, exactly as Church &
+    * Hanks prescribe. Top `k` by rounded PMI, ties broken by the pair.
+    *
+    * Scale: nothing corpus-sized survives the first aggregation; the
+    * pair stream is adjacent-only (n−1 rows per n-token doc), never
+    * the quadratic co-occurrence matrix.
+    */
+  def bigramPmi(spark: SparkSession, dir: String, k: Int = 20,
+      minCount: Int = 5): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val uni = docs(spark, dir)
+      .select(explode(toks).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw"))
+      .withColumn("n_tokens", sum($"cw").over(w))
+    // adjacent pairs: zip the array with itself shifted by one
+    val pairs = docs(spark, dir)
+      .select(toks.as("t"))
+      .select(explode(zip_with(
+        slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
+        slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      .withColumn("n_bigrams", sum($"cb").over(w))
+    pairs
+      .filter($"cb" >= minCount)
+      .join(uni.select($"w".as("w1"), $"cw".as("cw1"), $"n_tokens"), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"cw".as("cw2")), Seq("w2"))
+      .select($"w1", $"w2", $"cb", $"cw1", $"cw2",
+        round(log(($"cb".cast("double") / $"n_bigrams") /
+          (($"cw1".cast("double") / $"n_tokens") *
+            ($"cw2".cast("double") / $"n_tokens"))), 6).as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(k)
+  }
+
+  /** The rule battery as appended columns over any frame with a raw
+    * text column — STATELESS, so the batch query (q78) and the
+    * streaming ingest gate (DocStreams.ruleGate) share one definition
+    * and the verdicts cannot drift between the two surfaces.
+    */
+  private[graft] def withGopherRules(df: DataFrame, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
     val stopwords = Seq("the", "a", "of", "and", "to")
-    docs(spark, dir)
-      .select($"doc_id", $"text", toks.as("t"))
-      .select($"doc_id",
-        size($"t").cast("long").as("n_words"),
-        // single-space separation: chars = sum(len) + n - 1 (q22 trick)
-        round((length($"text") - size($"t") + 1).cast("double") / size($"t"), 6)
-          .as("mean_word_len"),
-        size(filter($"t", x => x.isin(stopwords: _*))).cast("long").as("n_stop"),
-        round(array_max(transform(array_distinct($"t"),
-            w => size(filter($"t", x => x === w)))).cast("double") / size($"t"), 6)
-          .as("top_word_frac"))
-      .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop", $"top_word_frac",
-        ($"n_words" >= 50 && $"n_words" <= 100000).as("r_word_count"),
-        ($"mean_word_len" >= 3 && $"mean_word_len" <= 10).as("r_mean_word_len"),
-        ($"n_stop" >= 2).as("r_stopwords"),
-        ($"top_word_frac" <= 0.2).as("r_repetition"))
+    df
+      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("n_words", size($"__t").cast("long"))
+      // single-space separation: chars = sum(len) + n - 1 (q22 trick)
+      .withColumn("mean_word_len",
+        round((length(col(textCol)) - size($"__t") + 1).cast("double") /
+          size($"__t"), 6))
+      .withColumn("n_stop",
+        size(filter($"__t", x => x.isin(stopwords: _*))).cast("long"))
+      .withColumn("top_word_frac",
+        round(array_max(transform(array_distinct($"__t"),
+          w => size(filter($"__t", x => x === w)))).cast("double") /
+          size($"__t"), 6))
+      .drop("__t")
+      .withColumn("r_word_count", $"n_words" >= 50 && $"n_words" <= 100000)
+      .withColumn("r_mean_word_len", $"mean_word_len" >= 3 && $"mean_word_len" <= 10)
+      .withColumn("r_stopwords", $"n_stop" >= 2)
+      .withColumn("r_repetition", $"top_word_frac" <= 0.2)
       .withColumn("keep",
         $"r_word_count" && $"r_mean_word_len" && $"r_stopwords" && $"r_repetition")
   }

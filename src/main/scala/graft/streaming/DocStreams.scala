@@ -33,6 +33,19 @@ object DocStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
 
+  /** Rule-based gate on the RAW stream — the Gopher battery applied
+    * before any cleaning, the order a production crawl pipeline runs it
+    * (drop garbage before paying for normalization). Stateless pure
+    * projection + filter; the rule definitions are the single shared
+    * `TextAnalysis.withGopherRules`, so the batch query (q78) and the
+    * live ingest cannot disagree on a verdict, and the stream==batch
+    * gate asserts exactly that.
+    */
+  def ruleGate(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.withGopherRules(docs, "text")
+      .filter(col("keep"))
+      .select(docs.columns.map(col): _*)
+
   /** Stateless prep: q48's cleaning, q22's quality signals, q47's
     * deterministic hash sample, and the q56 quality gate — everything in
     * trainingMix BEFORE its stateful dedup stage. Works unchanged on a

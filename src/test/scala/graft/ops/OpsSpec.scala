@@ -125,6 +125,8 @@ class OpsSpec extends AnyFunSuite {
     "q80_substring_dedup_cut" -> Set("doc_id", "n_tokens", "n_removed", "clean_text"),
     "q81_gram_novelty" -> Set("doc_id", "n_windows", "n_novel", "novelty_frac"),
     "q82_knn_triangles" -> Set("vec_id", "degree", "n_triangles", "clustering_coeff"),
+    "q83_balanced_sample" -> Set("doc_id", "lang", "coin", "rn"),
+    "q84_bigram_pmi" -> Set("w1", "w2", "cb", "cw1", "cw2", "pmi"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -457,6 +459,32 @@ class OpsSpec extends AnyFunSuite {
     val first = rows.filter(_._2 > 0).minBy(_._1)
     assert(first._3 == first._2,
       s"earliest doc ${first._1} must introduce all its own grams")
+  }
+
+  test("q83: exactly k rows per language, in md5 order") {
+    val rows = PipelinePrep.balancedSample(spark, sf, k = 20)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == 20, s"$lang: ${rs.length} rows")
+      val ordered = rs.sortBy(_._3).map(_._2).toSeq
+      assert(ordered == ordered.sorted, s"$lang not in coin order")
+    }
+  }
+
+  test("q84: symmetric-pair PMI sanity and count consistency") {
+    val rows = TextAnalysis.bigramPmi(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (w1, w2, cb, cw1, cw2, _) =>
+      // a pair cannot occur more often than either member
+      assert(cb <= cw1 && cb <= cw2, s"($w1,$w2)")
+      assert(cb >= 5)
+    }
+    // returned in descending PMI order
+    assert(rows.map(_._6).sliding(2).forall(p => p.head >= p.last))
   }
 
   test("q82: triangle counts bounded by degree, coeff in [0,1]") {

@@ -36,6 +36,34 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(tmp)
   }
 
+  test("streamed rule gate keeps exactly the batch q78 keep set") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docrules")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        tmp.resolve("part-0.parquet"))
+      // the batch side of the contract is the ORACLE-GATED q78 verdict,
+      // not a second run of the shared code — so a drift between the
+      // query surface and the ingest stage fails here
+      val batch = graft.ops.TextAnalysis.gopherRules(spark, sf)
+        .filter("keep").collect().map(_.getLong(0)).toSet
+
+      val q = DocStreams.ruleGate(DocStreams.readDocStream(spark, tmp.toString,
+          maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName("doc_rules")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = spark.table("doc_rules").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // the gate must pass survivors through schema-unchanged
+      assert(spark.table("doc_rules").columns.toSeq ==
+        DocStreams.docSchema.fields.map(_.name).toSeq)
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
   test("streamed classifier scores equal the batch scores doc for doc") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-docscore")
     try {

@@ -50,20 +50,23 @@ object DocStreams {
     * deterministic hash sample, and the q56 quality gate — everything in
     * trainingMix BEFORE its stateful dedup stage. Works unchanged on a
     * batch DataFrame or a stream (no watermark needed: map-side only).
+    * Columns beyond the doc contract (e.g. an ingest timestamp) pass
+    * through untouched so downstream stateful stages keep their
+    * event-time column; only `text` is consumed (by `clean_text`).
     */
   def prepDocs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
-      .select($"doc_id", $"lang", $"source",
-        graft.ops.PipelinePrep.cleanTextCol($"text").as("clean_text"))
-      .select($"doc_id", $"lang", $"source", $"clean_text",
-        split($"clean_text", " ").as("t"))
-      .select($"doc_id", $"lang", $"source", $"clean_text",
-        size($"t").cast("long").as("n_tokens"),
-        // gate on the UNROUNDED ratio — identical to trainingMix and the
-        // q56 oracle; rounding before the >= would admit boundary docs
-        // the batch pipeline excludes
-        (size(array_distinct($"t")).cast("double") / size($"t")).as("ttr"))
+      .withColumn("clean_text", graft.ops.PipelinePrep.cleanTextCol($"text"))
+      .drop("text")
+      .withColumn("t", split($"clean_text", " "))
+      .withColumn("n_tokens", size($"t").cast("long"))
+      // gate on the UNROUNDED ratio — identical to trainingMix and the
+      // q56 oracle; rounding before the >= would admit boundary docs
+      // the batch pipeline excludes
+      .withColumn("ttr",
+        size(array_distinct($"t")).cast("double") / size($"t"))
+      .drop("t")
       .filter($"n_tokens" >= 30 && $"ttr" >= 0.45)
       .filter(substring(md5($"doc_id".cast("string")), 1, 2) <= "7f")
       .withColumn("ttr", round($"ttr", 6))
@@ -99,4 +102,21 @@ object DocStreams {
       .withColumn("content_hash", sha2(col("clean_text"), 256))
       .withWatermark(ingestTs, horizon)
       .dropDuplicatesWithinWatermark(Seq("content_hash"))
+
+  /** The WHOLE ingest DAG as one streaming pipeline: rule gate →
+    * clean/quality prep → classifier score gate → watermarked content
+    * dedup. Every selection stage is the shared batch definition
+    * (q78 rules, q48/q22/q47 prep, q73 score, q13's content hash), so
+    * the live pipeline and the batch corpus queries cannot disagree on
+    * a verdict — the end-to-end stream==batch gate in DocStreamsSpec
+    * replays a real file-source stream through THIS function and diffs
+    * the surviving content hashes against the batch composition.
+    * `docs` must carry an `ingestTs` event-time column alongside the
+    * document contract; it passes through every stateless stage.
+    */
+  def ingestPipeline(docs: DataFrame, ingestTs: String,
+      horizon: String = "1 hour", threshold: Double = 0.5): DataFrame =
+    dedupByContent(
+      scoreDocs(prepDocs(ruleGate(docs)), threshold).filter(col("keep")),
+      ingestTs, horizon)
 }

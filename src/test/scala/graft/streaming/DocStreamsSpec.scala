@@ -64,6 +64,47 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(tmp)
   }
 
+  test("end-to-end ingest pipeline: streamed survivors equal the batch composition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docingest")
+    try {
+      // documents + a deterministic ingest timestamp, split over four
+      // files so the replay exercises real micro-batch boundaries
+      spark.read.schema(DocStreams.docSchema).parquet(s"$sf/documents.parquet")
+        .withColumn("ingest_ts",
+          to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id"))))
+        .repartition(4)
+        .write.parquet(s"$tmp/docs")
+      // threshold 0.47 (corpus median-ish): the default 0.5 keeps only
+      // short docs, which the prep length gate removes — an empty==empty
+      // comparison would vacuously pass and prove nothing
+      val batch = DocStreams.scoreDocs(DocStreams.prepDocs(DocStreams.ruleGate(
+          spark.read.parquet(s"$tmp/docs"))), threshold = 0.47)
+        .filter("keep")
+        .select(sha2(col("clean_text"), 256).as("h"))
+        .collect().map(_.getString(0)).toSet
+
+      val tsSchema = org.apache.spark.sql.types.StructType(
+        DocStreams.docSchema.fields :+ org.apache.spark.sql.types.StructField(
+          "ingest_ts", org.apache.spark.sql.types.TimestampType))
+      val q = DocStreams.ingestPipeline(
+          spark.readStream.schema(tsSchema).option("maxFilesPerTrigger", "1")
+            .parquet(s"$tmp/docs"), "ingest_ts", threshold = 0.47)
+        .writeStream.format("memory").queryName("doc_ingest")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = spark.table("doc_ingest")
+        .select("content_hash").collect().map(_.getString(0)).toSet
+      // the watermarked dedup keeps ONE representative per content hash;
+      // which doc wins depends on arrival order, so the contract is the
+      // surviving content SET, which must match the batch composition's
+      // distinct hashes exactly
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
   test("streamed classifier scores equal the batch scores doc for doc") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-docscore")
     try {

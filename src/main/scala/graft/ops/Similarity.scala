@@ -481,10 +481,15 @@ object Similarity {
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3): DataFrame = {
     import spark.implicits._
+    // persisted: every Lloyd round (and the final assignment) re-derives
+    // from this table — without the cache each round re-reads and
+    // re-decodes the parquet; released after the checkpointed result
     val e = emb(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, IndexedSeq[Double])] = sampledCentroids(spark, dir, k)
       .map { case (cid, v) => (cid, v.map(_.toDouble).toIndexedSeq) }
     if (cents.isEmpty) {
+      e.unpersist()
       return e.select($"vec_id", lit(0L).as("cluster_id"),
         lit(0.0).as("cosine")).limit(0)
     }
@@ -520,7 +525,10 @@ object Similarity {
         .toMap
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    assign(cents).select($"vec_id", $"cluster_id", $"cosine")
+    val out = assign(cents).select($"vec_id", $"cluster_id", $"cosine")
+      .localCheckpoint(true)
+    e.unpersist()
+    out
   }
 
   /** Measured recall@k of the IVF cell probe against [[cosineTopK]]'s

@@ -592,8 +592,12 @@ object Dedup {
     import spark.implicits._
     def isBase(id: Column): Column =
       substring(md5(id.cast("string")), 1, 2) <= "7f"
+    // persisted: the hashed doc table feeds the base side and the
+    // incoming side — one scan + sha256 pass instead of two; released
+    // with the signature cache below
     val d = docs(spark, dir)
       .select($"doc_id", sha2($"text", 256).as("ch"), isBase($"doc_id").as("is_base"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baseHashes = d.filter($"is_base").select($"ch").distinct()
       .withColumn("hit", lit(true))
     // persisted: the signature pipeline (shingle explode + 16-min agg +
@@ -619,6 +623,7 @@ object Dedup {
         (!$"is_exact_dup").as("keep"))
       .localCheckpoint(true)
     sigs.unpersist()
+    d.unpersist()
     out
   }
 }

@@ -392,10 +392,15 @@ object Similarity {
       nPlanes: Int = 8, maxCosine: Double = 0.35): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
+    // persisted: the bucketed projection feeds THREE consumers (train
+    // side, eval side, and the totality join) — without the cache each
+    // re-derives the scan + SRP fold; released after the checkpointed
+    // per-eval result (pageRankKnn lifecycle)
     val bucketed = e.select($"vec_id", $"embedding",
       srpBucket(headVectors(spark, dir, nPlanes)).as("bucket"),
       norm($"embedding").as("nrm"),
       (substring(md5($"vec_id".cast("string")), 1, 2) <= "7f").as("is_train"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = bucketed.filter($"is_train")
     val eval_ = bucketed.filter(!$"is_train")
     val screened = eval_.as("e")
@@ -410,11 +415,14 @@ object Similarity {
     // with no train vector is "screened clean, zero candidates" — a row
     // with a null max cosine, not a silent absence a consumer can't tell
     // apart from "not an eval vector"
-    eval_.select($"vec_id")
+    val out = eval_.select($"vec_id")
       .join(screened, Seq("vec_id"), "left")
       .select($"vec_id", $"max_train_cosine",
         coalesce($"n_candidates", lit(0L)).as("n_candidates"),
         coalesce($"max_train_cosine" >= maxCosine, lit(false)).as("contaminated"))
+      .localCheckpoint(true)
+    bucketed.unpersist()
+    out
   }
 
   /** IVF-style bucketed ANN over [[sampledCentroids]] (deterministic

@@ -479,22 +479,22 @@ object Dedup {
         explode(call_function("gram_hashes", $"text", lit(n))).as("h"))
       .groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val global = perDoc.groupBy($"h").agg(globalAgg)
-    val agg = perDoc.join(global, Seq("h"))
-      .groupBy($"doc_id")
-      .agg(sum($"m").as("n_windows"),
-        sum(when(hit, $"m").otherwise(lit(0L))).as(hitName))
-    val out = d.select($"doc_id")
-      .join(agg, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"n_windows", lit(0L)).as("n_windows"),
-        coalesce(col(hitName), lit(0L)).as(hitName),
-        when($"n_windows" > 0,
-          round(col(hitName).cast("double") / $"n_windows", 6))
-          .as(fracName))
-      .localCheckpoint(true)
-    perDoc.unpersist()
-    out
+    try {
+      val global = perDoc.groupBy($"h").agg(globalAgg)
+      val agg = perDoc.join(global, Seq("h"))
+        .groupBy($"doc_id")
+        .agg(sum($"m").as("n_windows"),
+          sum(when(hit, $"m").otherwise(lit(0L))).as(hitName))
+      d.select($"doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_windows", lit(0L)).as("n_windows"),
+          coalesce(col(hitName), lit(0L)).as(hitName),
+          when($"n_windows" > 0,
+            round(col(hitName).cast("double") / $"n_windows", 6))
+            .as(fracName))
+        .localCheckpoint(true)
+    } finally perDoc.unpersist()
   }
 
   def duplicatedWindowFraction(spark: SparkSession, dir: String,
@@ -598,32 +598,34 @@ object Dedup {
     val d = docs(spark, dir)
       .select($"doc_id", sha2($"text", 256).as("ch"), isBase($"doc_id").as("is_base"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val baseHashes = d.filter($"is_base").select($"ch").distinct()
-      .withColumn("hit", lit(true))
     // persisted: the signature pipeline (shingle explode + 16-min agg +
     // band unpivot) feeds both the incoming and the base side of the
     // bucket probe; without the cache it runs twice end to end
     val sigs = minhashSignatures(spark, dir)
       .withColumn("is_base", isBase($"doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = sigs.filter(!$"is_base").as("a")
-      .join(sigs.filter($"is_base").as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
-      .groupBy($"doc_id")
-      .agg(countDistinct($"base_doc").as("n_near_candidates"))
-    // eager checkpoint of the per-incoming-doc verdicts, then release
-    // the signature cache — the pageRankKnn lifecycle
-    val out = d.filter(!$"is_base")
-      .join(baseHashes, Seq("ch"), "left")
-      .select($"doc_id", coalesce($"hit", lit(false)).as("is_exact_dup"))
-      .join(cand, Seq("doc_id"), "left")
-      .select($"doc_id", $"is_exact_dup",
-        coalesce($"n_near_candidates", lit(0L)).as("n_near_candidates"),
-        (!$"is_exact_dup").as("keep"))
-      .localCheckpoint(true)
-    sigs.unpersist()
-    d.unpersist()
-    out
+    try {
+      val baseHashes = d.filter($"is_base").select($"ch").distinct()
+        .withColumn("hit", lit(true))
+      val cand = sigs.filter(!$"is_base").as("a")
+        .join(sigs.filter($"is_base").as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("base_doc"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"base_doc").as("n_near_candidates"))
+      // eager checkpoint of the per-incoming-doc verdicts, then release
+      // both caches — the pageRankKnn lifecycle
+      d.filter(!$"is_base")
+        .join(baseHashes, Seq("ch"), "left")
+        .select($"doc_id", coalesce($"hit", lit(false)).as("is_exact_dup"))
+        .join(cand, Seq("doc_id"), "left")
+        .select($"doc_id", $"is_exact_dup",
+          coalesce($"n_near_candidates", lit(0L)).as("n_near_candidates"),
+          (!$"is_exact_dup").as("keep"))
+        .localCheckpoint(true)
+    } finally {
+      sigs.unpersist()
+      d.unpersist()
+    }
   }
 }

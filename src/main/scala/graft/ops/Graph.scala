@@ -30,6 +30,7 @@ object Graph {
     val edges = Similarity.knnGraph(spark, dir, nPlanes, k)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // out-degree rides along each edge row; the join reuses the edge
     // exchange on src (same key both sides)
     val withDeg = edges
@@ -40,7 +41,6 @@ object Graph {
     // dedupClusters edge count): N parameterizes every round's literals
     val n = nodes.count()
     if (n == 0) {
-      edges.unpersist()
       return nodes.select($"vec_id", lit(0.0).as("rank_ratio"))
     }
     // no per-round checkpoint: iters is a small fixed constant, so the
@@ -62,10 +62,9 @@ object Graph {
     // be released before returning — a lazy return would either leak the
     // MEMORY_AND_DISK edge table for the session lifetime or recompute
     // the KNN pipeline once per rank round
-    val out = ranks.select($"vec_id", round($"rank" * n, 6).as("rank_ratio"))
+    ranks.select($"vec_id", round($"rank" * n, 6).as("rank_ratio"))
       .localCheckpoint(true)
-    edges.unpersist()
-    out
+    } finally edges.unpersist()
   }
 
   /** Per-node triangle count and local clustering coefficient over the
@@ -93,6 +92,7 @@ object Graph {
         greatest($"vec_id", $"neighbor_id").as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val tri = und.as("e1")
       .join(und.as("e2"), col("e1.b") === col("e2.a"))
       .join(und.as("e3"),
@@ -104,7 +104,7 @@ object Graph {
     val deg = und
       .select(explode(array($"a", $"b")).as("vec_id"))
       .groupBy($"vec_id").agg(count(lit(1)).as("degree"))
-    val out = spark.read.parquet(s"$dir/embeddings.parquet")
+    spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id")
       .join(deg, Seq("vec_id"), "left")
       .join(perNode, Seq("vec_id"), "left")
@@ -115,7 +115,6 @@ object Graph {
         when($"degree" >= 2,
           round($"n_triangles" * lit(2.0) / ($"degree" * ($"degree" - 1)), 6)))
       .localCheckpoint(true)
-    und.unpersist()
-    out
+    } finally und.unpersist()
   }
 }

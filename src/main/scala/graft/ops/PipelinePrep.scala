@@ -279,24 +279,25 @@ object PipelinePrep {
           size(array_distinct($"t")).cast("double") / size($"t"))
           .as("ttr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val copies = perDoc.groupBy($"ch").agg(count(lit(1)).as("n_copies"))
-    val bySource = perDoc.join(copies, Seq("ch"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg($"ttr"), 6).as("mean_ttr"),
-        round(avg(($"n_copies" > 1).cast("double")), 6).as("dup_rate"))
-    // threshold as an unpartitioned window over the SOURCES-sized rollup
-    // — a scalar-subquery crossJoin would re-expand the whole per-doc
-    // pipeline into yet another corpus pass (verified in the plan); the
-    // window funnels only the tiny aggregate through one task
-    val out = bySource
-      .withColumn("thr", round(avg($"mean_ttr").over(
-        org.apache.spark.sql.expressions.Window.partitionBy()), 6))
-      .select($"source", $"n_docs", $"mean_ttr", $"dup_rate",
-        ($"mean_ttr" >= $"thr" && $"dup_rate" <= 0.5).as("keep"))
-      .localCheckpoint(true)
-    perDoc.unpersist()
-    out
+    try {
+      val copies = perDoc.groupBy($"ch").agg(count(lit(1)).as("n_copies"))
+      val bySource = perDoc.join(copies, Seq("ch"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"ttr"), 6).as("mean_ttr"),
+          round(avg(($"n_copies" > 1).cast("double")), 6).as("dup_rate"))
+      // threshold as an unpartitioned window over the SOURCES-sized
+      // rollup — a scalar-subquery crossJoin would re-expand the whole
+      // per-doc pipeline into yet another corpus pass (verified in the
+      // plan); the window funnels only the tiny aggregate through one
+      // task
+      bySource
+        .withColumn("thr", round(avg($"mean_ttr").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+        .select($"source", $"n_docs", $"mean_ttr", $"dup_rate",
+          ($"mean_ttr" >= $"thr" && $"dup_rate" <= 0.5).as("keep"))
+        .localCheckpoint(true)
+    } finally perDoc.unpersist()
   }
 
   /** Temperature-scaled source mixing (alpha = 0.5): resample so source

@@ -401,6 +401,7 @@ object Similarity {
       norm($"embedding").as("nrm"),
       (substring(md5($"vec_id".cast("string")), 1, 2) <= "7f").as("is_train"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val train = bucketed.filter($"is_train")
     val eval_ = bucketed.filter(!$"is_train")
     val screened = eval_.as("e")
@@ -415,14 +416,13 @@ object Similarity {
     // with no train vector is "screened clean, zero candidates" — a row
     // with a null max cosine, not a silent absence a consumer can't tell
     // apart from "not an eval vector"
-    val out = eval_.select($"vec_id")
+    eval_.select($"vec_id")
       .join(screened, Seq("vec_id"), "left")
       .select($"vec_id", $"max_train_cosine",
         coalesce($"n_candidates", lit(0L)).as("n_candidates"),
         coalesce($"max_train_cosine" >= maxCosine, lit(false)).as("contaminated"))
       .localCheckpoint(true)
-    bucketed.unpersist()
-    out
+    } finally bucketed.unpersist()
   }
 
   /** IVF-style bucketed ANN over [[sampledCentroids]] (deterministic
@@ -494,10 +494,10 @@ object Similarity {
     // re-decodes the parquet; released after the checkpointed result
     val e = emb(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var cents: Seq[(Int, IndexedSeq[Double])] = sampledCentroids(spark, dir, k)
       .map { case (cid, v) => (cid, v.map(_.toDouble).toIndexedSeq) }
     if (cents.isEmpty) {
-      e.unpersist()
       return e.select($"vec_id", lit(0L).as("cluster_id"),
         lit(0.0).as("cosine")).limit(0)
     }
@@ -533,10 +533,11 @@ object Similarity {
         .toMap
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    val out = assign(cents).select($"vec_id", $"cluster_id", $"cosine")
+    // a failed mid-loop collect must not leak the cached table for the
+    // JVM's lifetime (Bench keeps running after a query fails)
+    assign(cents).select($"vec_id", $"cluster_id", $"cosine")
       .localCheckpoint(true)
-    e.unpersist()
-    out
+    } finally e.unpersist()
   }
 
   /** Measured recall@k of the IVF cell probe against [[cosineTopK]]'s

@@ -402,18 +402,22 @@ object TextAnalysis {
     * suppresses the unstable low-frequency tail, exactly as Church &
     * Hanks prescribe. Top `k` by rounded PMI, ties broken by the pair.
     *
-    * Scale: nothing corpus-sized survives the first aggregation; the
-    * pair stream is adjacent-only (n−1 rows per n-token doc), never
-    * the quadratic co-occurrence matrix.
+    * Scale: nothing corpus-sized survives the first aggregation, and
+    * nothing VOCABULARY-sized funnels through one task either — the two
+    * totals are one-row aggregates of the persisted count tables
+    * crossJoin-broadcast back (an unpartitioned window would move the
+    * whole growing vocabulary to a single partition). The pair stream
+    * is adjacent-only (n−1 rows per n-token doc), never the quadratic
+    * co-occurrence matrix; the tiny top-k result is checkpointed and
+    * the count caches released.
     */
   def bigramPmi(spark: SparkSession, dir: String, k: Int = 20,
       minCount: Int = 5): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
     val uni = docs(spark, dir)
       .select(explode(toks).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("cw"))
-      .withColumn("n_tokens", sum($"cw").over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adjacent pairs: zip the array with itself shifted by one
     val pairs = docs(spark, dir)
       .select(toks.as("t"))
@@ -423,17 +427,25 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select($"p.w1".as("w1"), $"p.w2".as("w2"))
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
-      .withColumn("n_bigrams", sum($"cb").over(w))
-    pairs
-      .filter($"cb" >= minCount)
-      .join(uni.select($"w".as("w1"), $"cw".as("cw1"), $"n_tokens"), Seq("w1"))
-      .join(uni.select($"w".as("w2"), $"cw".as("cw2")), Seq("w2"))
-      .select($"w1", $"w2", $"cb", $"cw1", $"cw2",
-        round(log(($"cb".cast("double") / $"n_bigrams") /
-          (($"cw1".cast("double") / $"n_tokens") *
-            ($"cw2".cast("double") / $"n_tokens"))), 6).as("pmi"))
-      .orderBy($"pmi".desc, $"w1", $"w2")
-      .limit(k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pairs
+        .filter($"cb" >= minCount)
+        .crossJoin(broadcast(pairs.agg(sum($"cb").as("n_bigrams"))))
+        .join(uni.select($"w".as("w1"), $"cw".as("cw1")), Seq("w1"))
+        .join(uni.select($"w".as("w2"), $"cw".as("cw2")), Seq("w2"))
+        .crossJoin(broadcast(uni.agg(sum($"cw").as("n_tokens"))))
+        .select($"w1", $"w2", $"cb", $"cw1", $"cw2",
+          round(log(($"cb".cast("double") / $"n_bigrams") /
+            (($"cw1".cast("double") / $"n_tokens") *
+              ($"cw2".cast("double") / $"n_tokens"))), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(k)
+        .localCheckpoint(true)
+    } finally {
+      uni.unpersist()
+      pairs.unpersist()
+    }
   }
 
   /** The rule battery as appended columns over any frame with a raw
@@ -443,6 +455,14 @@ object TextAnalysis {
     */
   private[graft] def withGopherRules(df: DataFrame, textCol: String): DataFrame = {
     import df.sparkSession.implicits._
+    // every emitted name is written with withColumn — a caller column of
+    // the same name would be silently REPLACED and then selected back
+    // under the caller's schema (the Ranking.topKPerGroup hazard)
+    val emitted = Seq("__t", "n_words", "mean_word_len", "n_stop",
+      "top_word_frac", "r_word_count", "r_mean_word_len", "r_stopwords",
+      "r_repetition", "keep")
+    emitted.foreach(c => require(!df.columns.contains(c),
+      s"withGopherRules emits `$c`; input already has it"))
     val stopwords = Seq("the", "a", "of", "and", "to")
     df
       .withColumn("__t", split(col(textCol), " "))

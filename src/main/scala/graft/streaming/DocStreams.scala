@@ -95,6 +95,14 @@ object DocStreams {
     * trade a streaming dedup must make to survive an unbounded corpus
     * (re-crawls inside the horizon dedup exactly; older re-crawls
     * re-enter, to be collapsed by the periodic batch compaction, q13).
+    *
+    * LATE-DATA CAVEAT: like every watermarked stateful operator, a row
+    * whose `ingestTs` lags the observed maximum by more than `horizon`
+    * is DROPPED as late — not deduped, not passed through. With
+    * source-assigned arrival times this cannot happen (arrival order IS
+    * event-time order); replaying a backlog in non-chronological file
+    * order can. Size `horizon` above the worst reorder, or sort the
+    * backlog, before replaying history through this stage.
     */
   def dedupByContent(prepped: DataFrame, ingestTs: String,
       horizon: String = "1 hour"): DataFrame =
@@ -112,7 +120,10 @@ object DocStreams {
     * replays a real file-source stream through THIS function and diffs
     * the surviving content hashes against the batch composition.
     * `docs` must carry an `ingestTs` event-time column alongside the
-    * document contract; it passes through every stateless stage.
+    * document contract; it passes through every stateless stage. The
+    * final dedup stage inherits [[dedupByContent]]'s late-data drop:
+    * stream==batch holds when arrivals stay within `horizon` of the
+    * watermark (see the caveat there).
     */
   def ingestPipeline(docs: DataFrame, ingestTs: String,
       horizon: String = "1 hour", threshold: Double = 0.5): DataFrame =

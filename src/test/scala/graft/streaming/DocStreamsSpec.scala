@@ -68,10 +68,14 @@ class DocStreamsSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft-docingest")
     try {
       // documents + a deterministic ingest timestamp, split over four
-      // files so the replay exercises real micro-batch boundaries
+      // files so the replay exercises real micro-batch boundaries; the
+      // % 60 keeps every timestamp within one minute so the unordered
+      // file replay can never push a row past the 1-hour dedup
+      // watermark (a raw doc_id offset would silently break if the
+      // fixture ever grew past ~3600 docs)
       spark.read.schema(DocStreams.docSchema).parquet(s"$sf/documents.parquet")
         .withColumn("ingest_ts",
-          to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id"))))
+          to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") % 60)))
         .repartition(4)
         .write.parquet(s"$tmp/docs")
       // threshold 0.47 (corpus median-ish): the default 0.5 keeps only

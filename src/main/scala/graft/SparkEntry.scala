@@ -167,6 +167,9 @@ object SparkEntry {
     // word-bigram PMI collocations (Church & Hanks)
     "q84_bigram_pmi" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramPmi(s, d)),
+    // composite decontamination report (lexical n=3/n=8 + embedding)
+    "q85_contamination_report" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.contaminationReport(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -176,6 +179,70 @@ object SparkEntry {
     * centroid) — generated per iteration because the blocks are
     * mechanical and must stay textually in lockstep.
     */
+  /** The three decontamination oracles, shared verbatim with the
+    * composite report (q85) — one definition each, so the report's
+    * oracle cannot drift from the signals it composes.
+    */
+  private val decon3OracleSql: String =
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' AS is_train
+        |  FROM documents),
+        |g AS (SELECT doc_id, is_train, unnest(list_distinct(
+        |   CASE WHEN len(tk) >= 3
+        |        THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |              for i in range(1, len(tk) - 1)]
+        |        ELSE [] END)) AS gram FROM t),
+        |tr AS (SELECT DISTINCT gram FROM g WHERE is_train),
+        |ev AS (SELECT doc_id, gram FROM g WHERE NOT is_train),
+        |per AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id),
+        |sh AS (SELECT doc_id, count(*) AS n_shared_grams
+        |       FROM ev JOIN tr USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, n_shared_grams, n_grams,
+        | round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6) AS shared_frac
+        |FROM sh JOIN per USING (doc_id)""".stripMargin
+
+  private val decon8OracleSql: String =
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |       (substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f') AS is_train,
+        |       list_distinct([array_to_string(t[i:i+7], ' ')
+        |                      for i in range(1, len(t)-6)]) AS grams
+        |      FROM tok),
+        |tg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_train),
+        |evg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_train),
+        |sh AS (SELECT doc_id, count(*) AS n_shared FROM evg JOIN tg USING (gram)
+        |       GROUP BY doc_id)
+        |SELECT g.doc_id,
+        | CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared_grams,
+        | CAST(len(g.grams) AS BIGINT) AS n_grams,
+        | round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(g.grams), 6) AS shared_frac
+        |FROM g LEFT JOIN sh USING (doc_id)
+        |WHERE NOT g.is_train""".stripMargin
+
+  private val embedDecontamOracleSql: String =
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
+        |sig AS (SELECT e.vec_id, e.embedding,
+        |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                   for i in range(1, len(e.embedding)+1)]) >= 0
+        |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
+        |nb AS (SELECT vec_id, embedding, bucket,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm,
+        |   substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '7f' AS is_train
+        |  FROM sig),
+        |pairs AS (SELECT e.vec_id,
+        |   round(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(t.embedding[i] AS DOUBLE)
+        |                   for i in range(1, len(e.embedding)+1)]) / (e.nrm*t.nrm), 6) AS cos
+        |  FROM nb e JOIN nb t ON e.bucket = t.bucket
+        |  WHERE NOT e.is_train AND t.is_train),
+        |agg AS (SELECT vec_id, max(cos) AS max_train_cosine,
+        |        count(*) AS n_candidates FROM pairs GROUP BY vec_id)
+        |SELECT ev.vec_id, agg.max_train_cosine,
+        | coalesce(agg.n_candidates, 0) AS n_candidates,
+        | coalesce(agg.max_train_cosine >= 0.35, false) AS contaminated
+        |FROM (SELECT vec_id FROM nb WHERE NOT is_train) ev
+        |LEFT JOIN agg USING (vec_id)""".stripMargin
+
   /** Shared KNN-construction CTE prefix (q54, q82): SRP signature over
     * the head-8 planes, bucket self-join, round-6 cosine, top-3 per
     * vector — ONE definition so the two oracles cannot gate against
@@ -884,23 +951,7 @@ object SparkEntry {
         | round((value - mean)/std, 4) AS z
         |FROM base b JOIN mm USING (event_type)
         |WHERE std > 0 AND abs(value - mean) > 3.0 * std""".stripMargin,
-    "q63_decontamination" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
-        |   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' AS is_train
-        |  FROM documents),
-        |g AS (SELECT doc_id, is_train, unnest(list_distinct(
-        |   CASE WHEN len(tk) >= 3
-        |        THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |              for i in range(1, len(tk) - 1)]
-        |        ELSE [] END)) AS gram FROM t),
-        |tr AS (SELECT DISTINCT gram FROM g WHERE is_train),
-        |ev AS (SELECT doc_id, gram FROM g WHERE NOT is_train),
-        |per AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id),
-        |sh AS (SELECT doc_id, count(*) AS n_shared_grams
-        |       FROM ev JOIN tr USING (gram) GROUP BY doc_id)
-        |SELECT doc_id, n_shared_grams, n_grams,
-        | round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6) AS shared_frac
-        |FROM sh JOIN per USING (doc_id)""".stripMargin,
+    "q63_decontamination" -> decon3OracleSql,
     "q64_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
@@ -965,23 +1016,7 @@ object SparkEntry {
         |FROM ivf WHERE vec_id IN (SELECT vec_id FROM brute)""".stripMargin,
     // q66: Spark joins 8-byte gram hashes, the oracle joins exact gram
     // strings — identical counts gate the hashed keying end to end
-    "q66_decontamination_n8" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |       (substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f') AS is_train,
-        |       list_distinct([array_to_string(t[i:i+7], ' ')
-        |                      for i in range(1, len(t)-6)]) AS grams
-        |      FROM tok),
-        |tg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_train),
-        |evg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_train),
-        |sh AS (SELECT doc_id, count(*) AS n_shared FROM evg JOIN tg USING (gram)
-        |       GROUP BY doc_id)
-        |SELECT g.doc_id,
-        | CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared_grams,
-        | CAST(len(g.grams) AS BIGINT) AS n_grams,
-        | round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(g.grams), 6) AS shared_frac
-        |FROM g LEFT JOIN sh USING (doc_id)
-        |WHERE NOT g.is_train""".stripMargin,
+    "q66_decontamination_n8" -> decon8OracleSql,
     // q67: both sides round tfidf to 6 BEFORE ranking, so the rank is a
     // function of the very values being compared
     "q67_tfidf_top_terms" ->
@@ -1114,29 +1149,7 @@ object SparkEntry {
     // q72: the oracle recomputes the identical SRP bucketing (q54's
     // plane construction) and md5 train/eval split, so max-cosine and
     // the contaminated flag hash-match exactly
-    "q72_embedding_decontamination" ->
-      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
-        |sig AS (SELECT e.vec_id, e.embedding,
-        |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
-        |                   for i in range(1, len(e.embedding)+1)]) >= 0
-        |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
-        |nb AS (SELECT vec_id, embedding, bucket,
-        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm,
-        |   substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '7f' AS is_train
-        |  FROM sig),
-        |pairs AS (SELECT e.vec_id,
-        |   round(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(t.embedding[i] AS DOUBLE)
-        |                   for i in range(1, len(e.embedding)+1)]) / (e.nrm*t.nrm), 6) AS cos
-        |  FROM nb e JOIN nb t ON e.bucket = t.bucket
-        |  WHERE NOT e.is_train AND t.is_train),
-        |agg AS (SELECT vec_id, max(cos) AS max_train_cosine,
-        |        count(*) AS n_candidates FROM pairs GROUP BY vec_id)
-        |SELECT ev.vec_id, agg.max_train_cosine,
-        | coalesce(agg.n_candidates, 0) AS n_candidates,
-        | coalesce(agg.max_train_cosine >= 0.35, false) AS contaminated
-        |FROM (SELECT vec_id FROM nb WHERE NOT is_train) ev
-        |LEFT JOIN agg USING (vec_id)""".stripMargin,
+    "q72_embedding_decontamination" -> embedDecontamOracleSql,
     // q73: weights are integer md5 arithmetic until one division, so
     // both engines materialize identical doubles; the dot product is a
     // left-associated 64-term sum on both sides
@@ -1370,5 +1383,19 @@ object SparkEntry {
         |  JOIN unit u2 ON pr.w2 = u2.w
         | WHERE pr.cb >= 5)
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // q85: composes the three decontamination oracles VERBATIM (the
+    // shared vals above) as subqueries — the report and its signals
+    // cannot drift apart
+    "q85_contamination_report" ->
+      s"""SELECT e.vec_id AS doc_id,
+         | round(coalesce(d3.shared_frac, 0), 6) AS shared_frac_n3,
+         | d8.shared_frac AS shared_frac_n8,
+         | e.max_train_cosine,
+         | (coalesce(d3.shared_frac, 0) >= 0.2
+         |  OR coalesce(d8.shared_frac > 0, false)
+         |  OR e.contaminated) AS flagged
+         |FROM ($embedDecontamOracleSql) e
+         |LEFT JOIN ($decon3OracleSql) d3 ON e.vec_id = d3.doc_id
+         |LEFT JOIN ($decon8OracleSql) d8 ON e.vec_id = d8.doc_id""".stripMargin,
   )
 }

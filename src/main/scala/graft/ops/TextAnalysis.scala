@@ -448,6 +448,41 @@ object TextAnalysis {
     }
   }
 
+  /** The composite decontamination REPORT — the multi-signal gate a
+    * production eval-protection pipeline actually runs: per eval
+    * document, the n=3 exact-gram overlap (q63), the n=8 hashed-gram
+    * overlap (q66) and the embedding-space max train cosine (q72),
+    * with one `flagged` verdict over all three. Lexical overlap and
+    * semantic similarity catch different leaks (verbatim spans vs
+    * paraphrases), which is why the report carries all signals rather
+    * than one winner. Composes the three oracle-gated operators
+    * verbatim — doc and vector ids share the md5 split, so the eval
+    * populations align; a doc absent from the n=3 result shares zero
+    * 3-grams and coalesces to 0.
+    *
+    * Scale: each signal keeps its own documented shape (hash joins,
+    * bucket-blocked cosine); the report adds only three eval-sized
+    * left joins on the id.
+    */
+  def contaminationReport(spark: SparkSession, dir: String,
+      frac3Threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val d3 = decontamination(spark, dir).select($"doc_id", $"shared_frac".as("sf3"))
+    val d8 = decontaminationHashed(spark, dir)
+      .select($"doc_id", $"shared_frac".as("shared_frac_n8"))
+    Similarity.embeddingDecontamination(spark, dir)
+      .select($"vec_id".as("doc_id"), $"max_train_cosine", $"contaminated")
+      .join(d3, Seq("doc_id"), "left")
+      .join(d8, Seq("doc_id"), "left")
+      .select($"doc_id",
+        round(coalesce($"sf3", lit(0.0)), 6).as("shared_frac_n3"),
+        $"shared_frac_n8",
+        $"max_train_cosine",
+        (coalesce($"sf3", lit(0.0)) >= frac3Threshold ||
+          coalesce($"shared_frac_n8" > 0, lit(false)) ||
+          $"contaminated").as("flagged"))
+  }
+
   /** The rule battery as appended columns over any frame with a raw
     * text column — STATELESS, so the batch query (q78) and the
     * streaming ingest gate (DocStreams.ruleGate) share one definition

@@ -80,7 +80,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "q79 incremental dedup" -> (() => Dedup.incrementalDedup(spark, emptyDir)),
     "q80 substring dedup cut" -> (() => Dedup.substringDedupCut(spark, emptyDir)),
     "q81 gram novelty" -> (() => Dedup.gramNovelty(spark, emptyDir)),
-    "q82 knn triangles" -> (() => Graph.knnTriangles(spark, emptyDir)))
+    "q82 knn triangles" -> (() => Graph.knnTriangles(spark, emptyDir)),
+    "q83 balanced sample" -> (() => PipelinePrep.balancedSample(spark, emptyDir)),
+    "q84 bigram pmi" -> (() => TextAnalysis.bigramPmi(spark, emptyDir)),
+    "q85 contamination report" -> (() =>
+      TextAnalysis.contaminationReport(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

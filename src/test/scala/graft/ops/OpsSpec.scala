@@ -127,6 +127,8 @@ class OpsSpec extends AnyFunSuite {
     "q82_knn_triangles" -> Set("vec_id", "degree", "n_triangles", "clustering_coeff"),
     "q83_balanced_sample" -> Set("doc_id", "lang", "coin", "rn"),
     "q84_bigram_pmi" -> Set("w1", "w2", "cb", "cw1", "cw2", "pmi"),
+    "q85_contamination_report" -> Set("doc_id", "shared_frac_n3",
+      "shared_frac_n8", "max_train_cosine", "flagged"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -485,6 +487,26 @@ class OpsSpec extends AnyFunSuite {
     }
     // returned in descending PMI order
     assert(rows.map(_._6).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("q85: report rows match the composed signals doc for doc") {
+    val report = TextAnalysis.contaminationReport(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getBoolean(4))).toMap
+    // the report is total over the eval split (one row per eval vec)
+    val evalCount = Similarity.embeddingDecontamination(spark, sf).count()
+    assert(report.size.toLong == evalCount)
+    // flagged is exactly the three-signal disjunction
+    val d3 = TextAnalysis.decontamination(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val emb = Similarity.embeddingDecontamination(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    report.foreach { case (id, (sf3, sf8, flagged)) =>
+      val expect = sf3 >= 0.2 || sf8.exists(_ > 0) || emb(id)
+      assert(flagged == expect, s"doc $id")
+      assert(math.abs(sf3 - d3.getOrElse(id, 0.0)) < 1e-9, s"doc $id sf3")
+    }
   }
 
   test("q82: triangle counts bounded by degree, coeff in [0,1]") {

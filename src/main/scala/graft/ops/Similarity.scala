@@ -502,11 +502,14 @@ object Similarity {
         lit(0.0).as("cosine")).limit(0)
     }
     val dim = cents.head._2.length
-    // double-precision dot against a literal centroid, unrolled like the
-    // oracle's list_sum comprehension (left-associated, same rounding)
+    // double-precision dot against a literal centroid array via the
+    // codegen'd vec_dot (float×double variant): the same left-to-right
+    // double accumulation as the oracle's list_sum comprehension, but
+    // one expression per centroid instead of an unrolled 64-term
+    // element_at chain per centroid (k×dim AST nodes blew the
+    // whole-stage-codegen budget and fell back to interpreted eval)
     def dotD(ce: IndexedSeq[Double]): Column =
-      (0 until dim).map(i =>
-        element_at($"embedding", i + 1).cast("double") * lit(ce(i))).reduce(_ + _)
+      dot($"embedding", lit(ce.toArray))
     // same left-to-right accumulation contract as litNorm (floats widen
     // losslessly, so one definition serves both element types)
     def litNormD(ce: IndexedSeq[Double]): Double =

@@ -170,6 +170,23 @@ object SparkEntry {
     // composite decontamination report (lexical n=3/n=8 + embedding)
     "q85_contamination_report" -> ((s: SparkSession, d: String) =>
       TextAnalysis.contaminationReport(s, d)),
+    // BM25 retrieval: top-k docs for a fixed query term set
+    "q86_bm25_topk" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25TopK(s, d)),
+    // per-source unigram KL divergence vs the corpus mixture
+    "q87_source_divergence" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceDivergence(s, d)),
+    // asymmetric shingle containment (subset-copy detection)
+    "q88_containment_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(s, d)),
+    // char-class ratios + Shannon entropy (gibberish detector)
+    "q89_char_profile" -> (TextAnalysis.charClassProfile _),
+    // cross-source near-dup rollup (which feeds copy from each other)
+    "q90_cross_source_dups" -> ((s: SparkSession, d: String) =>
+      Dedup.crossSourceDups(s, d)),
+    // winnowing (MOSS) fingerprint sets per document
+    "q91_winnowing" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.winnowingFingerprints(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1397,5 +1414,153 @@ object SparkEntry {
          |FROM ($embedDecontamOracleSql) e
          |LEFT JOIN ($decon3OracleSql) d3 ON e.vec_id = d3.doc_id
          |LEFT JOIN ($decon8OracleSql) d8 ON e.vec_id = d8.doc_id""".stripMargin,
+    // q86: every BM25 constant appears as the same literal on both
+    // sides (2.2 = k1+1, 0.25 = 1-b) and the integer subtraction
+    // happens before the +0.5, so no derived double can differ; the
+    // three term-scores add left to right on both engines
+    "q86_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |  CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |  CAST(len(list_filter(t, x -> x = 'join')) AS BIGINT) AS tf1,
+        |  CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
+        | FROM tok),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+        |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        | FROM base)
+        |SELECT doc_id, n_tokens, score FROM (
+        | SELECT doc_id, dl AS n_tokens,
+        |  round(
+        |   (CASE WHEN tf0 > 0
+        |     THEN ln((CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf0 AS DOUBLE) * 2.2)
+        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |     ELSE 0.0 END)
+        |   + (CASE WHEN tf1 > 0
+        |     THEN ln((CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf1 AS DOUBLE) * 2.2)
+        |      / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |     ELSE 0.0 END)
+        |   + (CASE WHEN tf2 > 0
+        |     THEN ln((CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf2 AS DOUBLE) * 2.2)
+        |      / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |     ELSE 0.0 END), 6) AS score
+        | FROM base CROSS JOIN st)
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // q87: KL summands divide and multiply in identical order on both
+    // sides; the sum itself is order-free only up to float association,
+    // hence round 4 (the q64 precedent)
+    "q87_source_divergence" ->
+      """WITH sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cw FROM (
+        |       SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |      GROUP BY 1, 2),
+        |cwt AS (SELECT w, CAST(sum(cw) AS BIGINT) AS ct FROM sw GROUP BY 1),
+        |ts AS (SELECT source, CAST(sum(cw) AS BIGINT) AS ts FROM sw GROUP BY 1),
+        |tc AS (SELECT CAST(sum(ct) AS BIGINT) AS tc FROM cwt)
+        |SELECT sw.source AS source,
+        | max(ts.ts) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | round(sum((CAST(cw AS DOUBLE) / ts.ts)
+        |   * ln((CAST(cw AS DOUBLE) / ts.ts) / (CAST(ct AS DOUBLE) / tc.tc))), 4)
+        |  AS kl_divergence
+        |FROM sw JOIN cwt USING (w) JOIN ts ON sw.source = ts.source CROSS JOIN tc
+        |GROUP BY sw.source""".stripMargin,
+    // q88: the q39 keeper/shingle skeleton plus the two containment
+    // divisions; the filter reads the ROUNDED greatest on both sides
+    "q88_containment_pairs" ->
+      """WITH keepers AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+        |                 FROM documents GROUP BY sha256(text)),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM keepers),
+        |sh AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, common, jaccard, containment_a, containment_b,
+        | (greatest(containment_a, containment_b) >= 0.9 AND jaccard < 0.8) AS partial_dup
+        |FROM (
+        | SELECT doc_a, doc_b, common,
+        |  round(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) AS jaccard,
+        |  round(CAST(common AS DOUBLE)/sa.n, 6) AS containment_a,
+        |  round(CAST(common AS DOUBLE)/sb.n, 6) AS containment_b
+        | FROM common
+        |  JOIN sizes sa ON doc_a=sa.doc_id
+        |  JOIN sizes sb ON doc_b=sb.doc_id)
+        |WHERE greatest(containment_a, containment_b) >= 0.5""".stripMargin,
+    // q90: the q15 candidate CTEs verbatim, rolled up by canonical
+    // source pair
+    "q90_cross_source_dups" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sigs a JOIN sigs b
+        |          ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id)
+        |SELECT least(da.source, db.source) AS source_a,
+        | greatest(da.source, db.source) AS source_b,
+        | CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM cand
+        | JOIN documents da ON cand.doc_a = da.doc_id
+        | JOIN documents db ON cand.doc_b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    // q89: the oracle unnests one row per character (fine at oracle
+    // scale; the engine side is the per-doc count map precisely to
+    // avoid that shape). Entropy folds c·ln c in char-sorted order on
+    // both sides; round 4 (float fold), ratios round 6 (exact rationals)
+    "q89_char_profile" ->
+      """WITH ch AS (SELECT doc_id,
+        |        unnest([substring(text, i, 1) for i in range(1, len(text)+1)]) AS ch
+        |       FROM documents),
+        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  CAST(sum(CASE WHEN ch = ' ' THEN c ELSE 0 END) AS BIGINT) AS n_space,
+        |  CAST(sum(CASE WHEN ch >= '0' AND ch <= '9' THEN c ELSE 0 END) AS BIGINT) AS n_digit,
+        |  CAST(sum(CASE WHEN ch >= 'a' AND ch <= 'z' THEN c ELSE 0 END) AS BIGINT) AS n_alpha,
+        |  list(c ORDER BY ch) AS cl
+        | FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        | round(CAST(n_space AS DOUBLE) / n_chars, 6) AS space_frac,
+        | round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_frac,
+        | round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_frac,
+        | round(ln(CAST(n_chars AS DOUBLE))
+        |  - list_sum([CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) for c in cl]) / n_chars,
+        |  4) AS char_entropy
+        |FROM agg""".stripMargin,
+    // q91: both sides take per-window minima over the SAME 32-bit
+    // md5-prefix gram hashes, so the selected fingerprints are
+    // identical; the set digest canonicalizes by numeric sort
+    "q91_winnowing" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |       [CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::UBIGINT AS BIGINT)
+        |        for i in range(1, len(t) - 1)] AS gh
+        |      FROM tok),
+        |f AS (SELECT doc_id, gh,
+        |       list_distinct([list_min(gh[i:i+3]) for i in range(1, len(gh) - 2)]) AS fps
+        |      FROM g)
+        |SELECT doc_id,
+        | CAST(len(gh) AS BIGINT) AS n_grams,
+        | CAST(greatest(len(gh) - 3, 0) AS BIGINT) AS n_windows,
+        | CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        | md5(coalesce(array_to_string(list_sort(fps), ','), '')) AS fp_digest
+        |FROM f""".stripMargin,
   )
 }

@@ -74,6 +74,57 @@ object TextOps {
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  /** Single-char counts of `text` as a MapData, keys in char-code order
+    * (== byte/lexicographic order for the ASCII corpus). Same run-length
+    * construction as [[bigramCounts]]; consumers fold the map per doc —
+    * char-level profiling never explodes one row per corpus character.
+    * Chars are UTF-16 code units (BMP corpora: == code points).
+    */
+  def charCounts(text: UTF8String): MapData = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) {
+      return new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
+        new GenericArrayData(Array.empty[Any]))
+    }
+    val packed = new Array[Int](n)
+    var i = 0
+    while (i < n) { packed(i) = s.charAt(i).toInt; i += 1 }
+    java.util.Arrays.sort(packed)
+    var distinct = 1
+    i = 1
+    while (i < packed.length) {
+      if (packed(i) != packed(i - 1)) distinct += 1
+      i += 1
+    }
+    val keys = new Array[Any](distinct)
+    val vals = new Array[Any](distinct)
+    var out = 0
+    var runStart = 0
+    i = 1
+    while (i <= packed.length) {
+      if (i == packed.length || packed(i) != packed(runStart)) {
+        keys(out) = UTF8String.fromString(packed(runStart).toChar.toString)
+        vals(out) = (i - runStart).toLong
+        out += 1
+        runStart = i
+      }
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  case class CharCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      charCounts(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.charCounts($t)")
+    override protected def withNewChildInternal(c: Expression): CharCounts =
+      copy(child = c)
+  }
+
   // sorted ints compare as unsigned char-pairs only for BMP chars below
   // 0x8000 in the high position; the testdata corpus is ASCII, where int
   // order == lexicographic order. Map ordering is cosmetic anyway — every
@@ -303,6 +354,8 @@ object TextOps {
     }
     reg.createOrReplaceTempFunction(
       "bigram_counts", exprs => BigramCounts(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_counts", exprs => CharCounts(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "feature_hash", exprs => FeatureHash(exprs.head, 64), "built-in")
     reg.createOrReplaceTempFunction(

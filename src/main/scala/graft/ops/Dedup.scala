@@ -329,6 +329,67 @@ object Dedup {
       .filter($"jaccard" >= minJaccard)
   }
 
+  /** Asymmetric containment near-dup detection over exact-dedup keepers:
+    * containment(A→B) = |A∩B| / |A| on shingle sets — the signal Jaccard
+    * MISSES when a small doc is wholly embedded in a big one (quote
+    * farms, concatenated dumps): Jaccard divides by the union, so a
+    * 100-token doc inside a 10k-token doc scores ≈ 0.01 Jaccard but 1.0
+    * containment. `partial_dup` flags exactly that shape (high max
+    * containment, low Jaccard). Same join skeleton and scale story as
+    * [[dedupedJaccardPairs]] — exact-dedup first, hashed 8-byte shingle
+    * keys, pair table bounded by shared-shingle co-occurrence.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+      minContainment: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val keepers = docs(spark, dir)
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(min($"doc_id").as("doc_id"), first($"text").as("text"))
+      .select($"doc_id", $"text")
+    val sh = keepers
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", explode(hashedShingleSet($"t")).as("sh"))
+    val sizes = keepers
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", size(hashedShingleSet($"t")).cast("long").as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b", $"common",
+        round($"common".cast("double") /
+          (col("sa.n") + col("sb.n") - $"common"), 6).as("jaccard"),
+        round($"common".cast("double") / col("sa.n"), 6).as("containment_a"),
+        round($"common".cast("double") / col("sb.n"), 6).as("containment_b"))
+      .filter(greatest($"containment_a", $"containment_b") >= minContainment)
+      .withColumn("partial_dup",
+        greatest($"containment_a", $"containment_b") >= 0.9 && $"jaccard" < 0.8)
+  }
+
+  /** Cross-source duplication matrix: MinHash candidate pairs rolled up
+    * by canonical (source, source) — the corpus-curation view that shows
+    * WHICH feeds copy from each other (mirror sites, aggregator spam) so
+    * whole sources can be down-weighted instead of fighting pairwise
+    * dups. The candidate stage is the banded [[minhashCandidates]] —
+    * never all-pairs; the doc→source map joins are plain equi-joins (the
+    * map is corpus-sized, so no forced broadcast — AQE may choose one
+    * per-batch), and the final aggregate is sources²-bounded.
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = docs(spark, dir).select($"doc_id", $"source")
+    minhashCandidates(spark, dir)
+      .join(src.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(src.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Content-addressed digests through the engine's own `chunk_hash`
     * Catalyst expression — the reference's F3 domain-separated spec
     * (path || 0x00 || idx || 0x00 || content) applied to a relational

@@ -483,6 +483,165 @@ object TextAnalysis {
           $"contaminated").as("flagged"))
   }
 
+  /** Per-document character-class profile + Shannon entropy — the
+    * gibberish/binary-junk detector of the quality battery (random bytes
+    * score near the uniform-distribution maximum, templated spam scores
+    * low; both tails get cut). The codegen'd `char_counts` expression
+    * folds the doc into one char→count map in a single pass, and every
+    * statistic is per-doc map math in the scan stage — zero shuffles,
+    * never one-row-per-corpus-character (the q49 lesson). Entropy uses
+    * H = ln(n) − (Σ c·ln c)/n over exact integer counts folded in
+    * char-sorted order; rounded to 4 like every float-fold signal.
+    */
+  def charClassProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    def classCount(m: Column, lo: String, hi: String): Column =
+      aggregate(map_entries(m), lit(0L),
+        (acc, e) => acc + when(e.getField("key") >= lo && e.getField("key") <= hi,
+          e.getField("value")).otherwise(lit(0L)))
+    docs(spark, dir)
+      .select($"doc_id", call_function("char_counts", $"text").as("m"),
+        length($"text").cast("long").as("n_chars"))
+      .select($"doc_id", $"n_chars",
+        size(map_keys($"m")).cast("long").as("n_distinct_chars"),
+        coalesce(element_at($"m", lit(" ")), lit(0L)).as("n_space"),
+        classCount($"m", "0", "9").as("n_digit"),
+        classCount($"m", "a", "z").as("n_alpha"),
+        aggregate(map_values($"m"), lit(0.0),
+          (acc, c) => acc + c.cast("double") * log(c.cast("double"))).as("sum_clnc"))
+      .select($"doc_id", $"n_chars", $"n_distinct_chars",
+        round($"n_space".cast("double") / $"n_chars", 6).as("space_frac"),
+        round($"n_digit".cast("double") / $"n_chars", 6).as("digit_frac"),
+        round($"n_alpha".cast("double") / $"n_chars", 6).as("alpha_frac"),
+        round(log($"n_chars".cast("double")) - $"sum_clnc" / $"n_chars", 4)
+          .as("char_entropy"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): per doc, hash every word n-gram, slide a w-window over
+    * the hash sequence and keep each window's MINIMUM — the guaranteed-
+    * coverage local fingerprint set (any shared substring of ≥ n+w−1
+    * tokens shares a fingerprint) at ~1/w the density of the full gram
+    * set. Emitted as count + an order-canonical md5 digest of the set,
+    * so two docs' sets compare as scalars. Gram hash = first 32 md5
+    * bits (the engine-portable construction the MinHash base uses), and
+    * the whole computation is per-doc array math in the scan stage —
+    * zero shuffles; downstream dedup joins on exploded fingerprints
+    * exactly like shingles, at 1/w the volume.
+    */
+  def winnowingFingerprints(spark: SparkSession, dir: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id",
+        transform(Dedup.ngramsOf($"t", n),
+          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("g"))
+      .select($"doc_id", $"g",
+        when(size($"g") >= w,
+          array_distinct(transform(sequence(lit(1), size($"g") - w + 1),
+            i => array_min(slice($"g", i, lit(w))))))
+          .otherwise(array().cast("array<bigint>")).as("fps"))
+      .select($"doc_id",
+        size($"g").cast("long").as("n_grams"),
+        greatest(size($"g") - w + 1, lit(0)).cast("long").as("n_windows"),
+        size($"fps").cast("long").as("n_fingerprints"),
+        md5(concat_ws(",", transform(array_sort($"fps"), x => x.cast("string"))))
+          .as("fp_digest"))
+  }
+
+  /** BM25 relevance ranking (Robertson/Spärck Jones, the Lucene-default
+    * scoring): top-k documents for a fixed query term set, with the
+    * +1-smoothed idf (always positive, so common terms rank by tf
+    * instead of flipping negative). The per-doc stage is ZERO-shuffle:
+    * one scan computes document length and each query term's tf as
+    * array math — the query is a handful of terms, so tf columns beat
+    * an explode + isin join by the whole corpus-sized generator. The
+    * corpus stats (N, avgdl, per-term df) are ONE one-row aggregate of
+    * that same cached per-doc table, cross-joined back as a broadcast —
+    * at 100 TB this is a scan plus a scalar, and the top-k is a
+    * TakeOrdered, never a global sort.
+    *
+    * Constants are written as plain literals (2.2 = k1+1, 0.25 = 1−b)
+    * on BOTH engines, so no derived double can differ in its last bit.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "window"),
+      k: Int = 15): DataFrame = {
+    import spark.implicits._
+    val perDoc = docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id" +: size($"t").cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (tm, i) =>
+          size(filter($"t", x => x === tm)).cast("long").as(s"tf$i")
+        }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val statAggs =
+        count(lit(1)).as("n_docs") +: avg($"dl").as("avgdl") +:
+          terms.indices.map(i =>
+            sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+      val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+      // one term of the BM25 sum; literal-for-literal the oracle's text
+      val termScore = terms.indices.map { i =>
+        val tf = col(s"tf$i").cast("double")
+        val df = col(s"df$i")
+        when(col(s"tf$i") > 0,
+          log((($"n_docs" - df).cast("double") + lit(0.5)) /
+              (df.cast("double") + lit(0.5)) + lit(1.0)) *
+            (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl".cast("double") / $"avgdl")))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      perDoc.crossJoin(broadcast(stats))
+        .select($"doc_id", $"dl".as("n_tokens"), round(termScore, 6).as("score"))
+        .filter($"score" > 0)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(k)
+        .localCheckpoint(true)
+    } finally perDoc.unpersist()
+  }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * distributions — the corpus-curation pass that flags sources whose
+    * vocabulary usage diverges from the mix (scraped spam, wrong-domain
+    * feeds) before they skew training. KL against the corpus mixture is
+    * always finite (every source token occurs in the corpus by
+    * construction), unlike source-vs-source KL.
+    *
+    * Scale: the corpus scan ends at the FIRST aggregate — (source, word)
+    * counts with map-side combine. Corpus word counts, per-source totals
+    * and the corpus total all derive from that vocabulary-sized table
+    * (no second corpus pass, the q84 lesson); the one-row total rides
+    * back as a broadcast cross join. Rounded to 4: the KL sum is a
+    * float reduction whose merge order Spark doesn't pin (the q64
+    * precedent).
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sw = docs(spark, dir)
+      .select($"source", explode(toks).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpus = sw.groupBy($"w").agg(sum($"cw").as("ct"))
+      val perSource = sw.groupBy($"source").agg(sum($"cw").as("ts"))
+      val total = corpus.agg(sum($"ct").as("tc"))
+      val p = $"cw".cast("double") / $"ts"
+      val q = $"ct".cast("double") / $"tc"
+      sw.join(corpus, "w")
+        .join(broadcast(perSource), "source")
+        .crossJoin(broadcast(total))
+        .groupBy($"source")
+        .agg(
+          max($"ts").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          round(sum(p * log(p / q)), 4).as("kl_divergence"))
+        .localCheckpoint(true)
+    } finally sw.unpersist()
+  }
+
   /** The rule battery as appended columns over any frame with a raw
     * text column — STATELESS, so the batch query (q78) and the
     * streaming ingest gate (DocStreams.ruleGate) share one definition

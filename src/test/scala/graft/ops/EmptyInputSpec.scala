@@ -84,7 +84,17 @@ class EmptyInputSpec extends AnyFunSuite {
     "q83 balanced sample" -> (() => PipelinePrep.balancedSample(spark, emptyDir)),
     "q84 bigram pmi" -> (() => TextAnalysis.bigramPmi(spark, emptyDir)),
     "q85 contamination report" -> (() =>
-      TextAnalysis.contaminationReport(spark, emptyDir)))
+      TextAnalysis.contaminationReport(spark, emptyDir)),
+    // retrieval/corpus-statistics additions: one-row stats over no docs
+    // (q86), vocabulary aggregates of nothing (q87), keeper self-join
+    // on empty (q88), per-doc map/array math over no rows (q89/q91),
+    // candidate rollup of an empty pair table (q90)
+    "q86 bm25 topk" -> (() => TextAnalysis.bm25TopK(spark, emptyDir)),
+    "q87 source divergence" -> (() => TextAnalysis.sourceDivergence(spark, emptyDir)),
+    "q88 containment pairs" -> (() => Dedup.containmentPairs(spark, emptyDir)),
+    "q89 char profile" -> (() => TextAnalysis.charClassProfile(spark, emptyDir)),
+    "q90 cross-source dups" -> (() => Dedup.crossSourceDups(spark, emptyDir)),
+    "q91 winnowing" -> (() => TextAnalysis.winnowingFingerprints(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

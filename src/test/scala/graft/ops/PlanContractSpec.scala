@@ -219,6 +219,40 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected both the global count and the join-back to hit the gram cache:\n$p")
   }
 
+  test("q86/q87: eager retrieval stats release their caches and return materialized results") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val dfs = Seq(
+      TextAnalysis.bm25TopK(spark, sf),
+      TextAnalysis.sourceDivergence(spark, sf))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + dfs.length,
+      s"per-doc/count caches leaked: $before -> $after")
+    dfs.foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"returned plan is a live DAG that would recompute per action:\n$p")
+    }
+  }
+
+  test("q89/q91: char profile and winnowing are pure scans — zero exchanges, pruned read") {
+    Seq(TextAnalysis.charClassProfile(spark, sf) -> "q89",
+      TextAnalysis.winnowingFingerprints(spark, sf) -> "q91").foreach { case (df, q) =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$q pays a shuffle:\n$p")
+      val read = p.linesIterator.find(_.contains("ReadSchema")).get
+      assert(!read.contains("lang") && !read.contains("source"), s"$q: $read")
+    }
+  }
+
+  test("q88/q90: pair stages are equi-joins — no nested-loop or cartesian fallback") {
+    Seq(Dedup.containmentPairs(spark, sf) -> "q88",
+      Dedup.crossSourceDups(spark, sf) -> "q90").foreach { case (df, q) =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q fell back to an all-pairs join:\n$p")
+    }
+  }
+
   test("q33: chunk_hash participates in whole-stage codegen") {
     val df = Dedup.chunkHashDigests(spark, sf)
     val p = plan(df)

@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The six retrieval/corpus-statistics operators added after the q85
+  * baseline (BM25, source KL divergence, containment pairs, char
+  * profile, cross-source dup matrix, winnowing fingerprints) checked
+  * against naive in-JVM references on synthetic corpora with known
+  * structure — subset-copies for containment, skewed vocabularies for
+  * divergence, repeated spans for winnowing. The DuckDB oracle gates
+  * the real corpus; this gates the SEMANTICS on adversarial shapes.
+  */
+class RetrievalStatsPropSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpusDir(docs: Seq[(Long, String, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rsprop").toString
+    docs.toDF("doc_id", "text", "source")
+      .select($"doc_id", $"text", org.apache.spark.sql.functions.lit("en").as("lang"),
+        $"source",
+        org.apache.spark.sql.functions.length($"text").cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def toks(s: String): Seq[String] = s.split(" ", -1).toSeq
+
+  private def shingles(s: String): Set[String] = {
+    val t = toks(s)
+    if (t.length < 3) Set.empty else t.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  // a tiny vocabulary corpus with a subset-copy pair and a skewed source
+  private val corpus: Seq[(Long, String, String)] = {
+    val big = (1 to 40).map(i => s"w${i % 7} common text block unit ${i % 5}")
+      .mkString(" ")
+    val small = big.split(" ", -1).take(18).mkString(" ") // prefix ⊂ big
+    Seq(
+      (1L, big, "srcA"),
+      (2L, small, "srcB"),
+      (3L, "spark join window spark join filter group table spark", "srcA"),
+      (4L, "join window join window join window join table scan", "srcB"),
+      (5L, "rare vocabulary entirely disjoint tokens here appear once only", "srcC"),
+      (6L, big, "srcC"), // byte-identical to 1 → collapsed by exact dedup
+      (7L, "spark spark spark spark spark join join join window window", "srcA"))
+  }
+
+  test("bm25: scores match the textbook formula; ranking is score-desc") {
+    val dir = corpusDir(corpus)
+    try {
+      val terms = Seq("spark", "join", "window")
+      val docsT = corpus.map { case (id, tx, _) => id -> toks(tx) }
+      val n = docsT.size
+      val avgdl = docsT.map(_._2.length).sum.toDouble / n
+      val dfm = terms.map(t => t -> docsT.count(_._2.contains(t))).toMap
+      def score(t: Seq[String]): Double = terms.map { term =>
+        val tf = t.count(_ == term).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - dfm(term) + 0.5) / (dfm(term) + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * t.length / avgdl))
+      }.sum
+      val expect = docsT.map { case (id, t) => id -> score(t) }.toMap
+      val got = TextAnalysis.bm25TopK(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val positives = expect.count(_._2 > 0)
+      assert(got.length == math.min(15, positives))
+      got.foreach { case (id, nt, s) =>
+        assert(nt == docsT.toMap.apply(id).length.toLong)
+        assert(math.abs(s - expect(id)) < 1e-6, s"doc $id: $s vs ${expect(id)}")
+      }
+      // descending by rounded score, doc_id tie-break
+      val keys = got.map { case (id, _, s) => (-s, id) }
+      assert(keys.sameElements(keys.sorted), got.mkString(", "))
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
+  test("source divergence: KL(source ‖ corpus) matches the naive sum; identical-mix source ≈ 0") {
+    val dir = corpusDir(corpus)
+    try {
+      val words = corpus.flatMap { case (_, tx, src) => toks(tx).map(src -> _) }
+      val corpusCounts = words.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val tc = words.size.toDouble
+      val bySrc = words.groupBy(_._1)
+      val expect = bySrc.map { case (src, ws) =>
+        val cnt = ws.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+        val ts = ws.size.toDouble
+        val kl = cnt.map { case (w, c) =>
+          (c / ts) * math.log((c / ts) / (corpusCounts(w) / tc))
+        }.sum
+        src -> (ws.size.toLong, cnt.size.toLong, kl)
+      }
+      val got = TextAnalysis.sourceDivergence(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got.keySet == expect.keySet)
+      expect.foreach { case (src, (nt, ntyp, kl)) =>
+        val (gnt, gntyp, gkl) = got(src)
+        assert(gnt == nt && gntyp == ntyp, s"$src counts")
+        assert(math.abs(gkl - kl) < 5e-4, s"$src kl: $gkl vs $kl")
+      }
+      // a synthetic corpus where one source IS the corpus mix: KL must be 0
+      val uniform = Seq(
+        (1L, "a b c d", "s1"), (2L, "a b c d", "s2"))
+      val udir = corpusDir(uniform)
+      try {
+        val ukl = TextAnalysis.sourceDivergence(spark, udir)
+          .collect().map(r => r.getDouble(3))
+        ukl.foreach(v => assert(math.abs(v) < 1e-9, v))
+      } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(udir))
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
+  test("containment: prefix-subset doc scores containment ≈ 1 with low jaccard; partial_dup fires") {
+    val dir = corpusDir(corpus)
+    try {
+      // naive reference over exact-dedup keepers (min doc_id per text)
+      val keepers = corpus.groupBy(_._2).map { case (_, xs) => xs.minBy(_._1) }
+        .map { case (id, tx, _) => id -> shingles(tx) }.toMap
+      val expect = (for {
+        (a, sa) <- keepers; (b, sb) <- keepers if a < b
+        common = (sa & sb).size if common > 0
+        ca = common.toDouble / sa.size
+        cb = common.toDouble / sb.size
+        if math.max(ca, cb) >= 0.5
+      } yield (a, b) -> (common.toLong, common.toDouble / (sa.size + sb.size - common),
+        ca, cb)).toMap
+      val got = Dedup.containmentPairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+        .toMap
+      assert(got.keySet == expect.keySet, s"${got.keySet} vs ${expect.keySet}")
+      expect.foreach { case (k, (common, j, ca, cb)) =>
+        val (gc, gj, gca, gcb, gpd) = got(k)
+        assert(gc == common, s"$k common")
+        assert(math.abs(gj - j) < 1e-6 && math.abs(gca - ca) < 1e-6 &&
+          math.abs(gcb - cb) < 1e-6, s"$k values")
+        assert(gpd == (math.max(gca, gcb) >= 0.9 && gj < 0.8), s"$k flag")
+      }
+      // the engineered prefix-subset pair must be present and flagged
+      val sub = got((1L, 2L))
+      assert(sub._4 >= 0.9 && sub._2 < 0.8 && sub._5,
+        s"subset pair not flagged: $sub")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
+  test("char profile: ratios and entropy match naive; uniform text maxes entropy") {
+    val dir = corpusDir(Seq(
+      (1L, "aabb 1199", "s"),
+      (2L, "abcdefgh", "s"), // 8 distinct chars → H = ln 8
+      (3L, "zzzzzzzz", "s"))) // 1 char → H = 0
+    try {
+      val got = TextAnalysis.charClassProfile(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6))).toMap
+      def ref(s: String) = {
+        val cnt = s.groupBy(identity).view.mapValues(_.length).toMap
+        val n = s.length.toDouble
+        val h = math.log(n) - cnt.values.map(c => c * math.log(c.toDouble)).sum / n
+        (s.length.toLong, cnt.size.toLong,
+          cnt.getOrElse(' ', 0) / n, s.count(c => c >= '0' && c <= '9') / n,
+          s.count(c => c >= 'a' && c <= 'z') / n, h)
+      }
+      Seq(1L -> "aabb 1199", 2L -> "abcdefgh", 3L -> "zzzzzzzz").foreach {
+        case (id, s) =>
+          val (n, d, sp, dg, al, h) = ref(s)
+          val (gn, gd, gsp, gdg, gal, gh) = got(id)
+          assert(gn == n && gd == d, s"doc $id counts")
+          assert(math.abs(gsp - sp) < 1e-6 && math.abs(gdg - dg) < 1e-6 &&
+            math.abs(gal - al) < 1e-6, s"doc $id ratios")
+          assert(math.abs(gh - h) < 5e-4, s"doc $id entropy $gh vs $h")
+      }
+      assert(math.abs(got(2L)._6 - math.log(8.0)) < 5e-4)
+      assert(got(3L)._6 == 0.0)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
+  test("cross-source dups: rollup equals candidates joined to sources") {
+    val dir = corpusDir(corpus)
+    try {
+      val srcOf = corpus.map { case (id, _, s) => id -> s }.toMap
+      val cand = Dedup.minhashCandidates(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cand.nonEmpty, "corpus engineered to produce candidates")
+      val expect = cand.map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val got = Dedup.crossSourceDups(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == expect, s"$got vs $expect")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
+  test("winnowing: fingerprints equal the naive window-min construction; coverage property holds") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = corpusDir(Seq(
+      (1L, s"unique one two $shared three four five six", "s"),
+      (2L, s"different prefix tokens $shared and a longer suffix tail", "s"),
+      (3L, "tiny doc", "s"))) // fewer than n tokens → zero everything
+    try {
+      def ref(s: String): (Long, Long, Long, String) = {
+        val t = toks(s)
+        val grams = if (t.length < 3) Seq.empty
+          else t.sliding(3).map(_.mkString(" ")).toSeq
+        val gh = grams.map(g => java.lang.Long.parseLong(md5hex(g).take(8), 16))
+        val fps = if (gh.length < 4) Seq.empty
+          else gh.sliding(4).map(_.min).toSeq.distinct
+        (gh.length.toLong, math.max(gh.length - 3, 0).toLong, fps.length.toLong,
+          md5hex(fps.sorted.mkString(",")))
+      }
+      val got = TextAnalysis.winnowingFingerprints(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      Seq(1L -> s"unique one two $shared three four five six",
+        2L -> s"different prefix tokens $shared and a longer suffix tail",
+        3L -> "tiny doc").foreach { case (id, s) =>
+        assert(got(id) == ref(s), s"doc $id: ${got(id)} vs ${ref(s)}")
+      }
+      // guarantee: docs sharing a ≥ n+w−1 = 6-token span share a fingerprint
+      def fpSet(s: String): Set[Long] = {
+        val t = toks(s)
+        val gh = t.sliding(3).map(g => java.lang.Long.parseLong(
+          md5hex(g.mkString(" ")).take(8), 16)).toSeq
+        gh.sliding(4).map(_.min).toSet
+      }
+      assert(fpSet(s"unique one two $shared three four five six")
+        .intersect(fpSet(s"different prefix tokens $shared and a longer suffix tail"))
+        .nonEmpty, "shared 8-token span must share a winnowing fingerprint")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+}

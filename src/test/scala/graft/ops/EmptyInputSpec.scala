@@ -94,7 +94,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q88 containment pairs" -> (() => Dedup.containmentPairs(spark, emptyDir)),
     "q89 char profile" -> (() => TextAnalysis.charClassProfile(spark, emptyDir)),
     "q90 cross-source dups" -> (() => Dedup.crossSourceDups(spark, emptyDir)),
-    "q91 winnowing" -> (() => TextAnalysis.winnowingFingerprints(spark, emptyDir)))
+    "q91 winnowing" -> (() => TextAnalysis.winnowingFingerprints(spark, emptyDir)),
+    "q92 perplexity buckets" -> (() => TextAnalysis.perplexityBuckets(spark, emptyDir)),
+    "q93 winnowing candidates" -> (() => TextAnalysis.winnowingCandidates(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

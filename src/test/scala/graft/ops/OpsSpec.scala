@@ -129,6 +129,17 @@ class OpsSpec extends AnyFunSuite {
     "q84_bigram_pmi" -> Set("w1", "w2", "cb", "cw1", "cw2", "pmi"),
     "q85_contamination_report" -> Set("doc_id", "shared_frac_n3",
       "shared_frac_n8", "max_train_cosine", "flagged"),
+    "q86_bm25_topk" -> Set("doc_id", "n_tokens", "score"),
+    "q87_source_divergence" -> Set("source", "n_tokens", "n_types", "kl_divergence"),
+    "q88_containment_pairs" -> Set("doc_a", "doc_b", "common", "jaccard",
+      "containment_a", "containment_b", "partial_dup"),
+    "q89_char_profile" -> Set("doc_id", "n_chars", "n_distinct_chars",
+      "space_frac", "digit_frac", "alpha_frac", "char_entropy"),
+    "q90_cross_source_dups" -> Set("source_a", "source_b", "n_pairs"),
+    "q91_winnowing" -> Set("doc_id", "n_grams", "n_windows", "n_fingerprints",
+      "fp_digest"),
+    "q92_perplexity_buckets" -> Set("doc_id", "lang", "avg_neg_logprob", "bucket"),
+    "q93_winnowing_candidates" -> Set("doc_a", "doc_b", "n_shared"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -244,13 +244,25 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
-  test("q88/q90: pair stages are equi-joins — no nested-loop or cartesian fallback") {
+  test("q88/q90/q93: pair stages are equi-joins — no nested-loop or cartesian fallback") {
     Seq(Dedup.containmentPairs(spark, sf) -> "q88",
-      Dedup.crossSourceDups(spark, sf) -> "q90").foreach { case (df, q) =>
+      Dedup.crossSourceDups(spark, sf) -> "q90",
+      TextAnalysis.winnowingCandidates(spark, sf) -> "q93").foreach { case (df, q) =>
       val p = plan(df)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q fell back to an all-pairs join:\n$p")
     }
+  }
+
+  test("q92: eager bucketing releases its cache and returns a materialized result") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = TextAnalysis.perplexityBuckets(spark, sf)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"scored cache leaked: $before -> $after")
+    // returned plan is the materialized checkpoint, not a live DAG that
+    // would re-run the unigram pipeline per action
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
   test("q33: chunk_hash participates in whole-stage codegen") {

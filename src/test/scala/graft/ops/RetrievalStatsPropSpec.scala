@@ -198,6 +198,74 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
   }
 
+  test("perplexity buckets: thresholds are per-lang quartiles; buckets partition each lang") {
+    // two "languages" with disjoint score profiles via distinct vocab mix
+    // rare-word count strictly increases per doc, so every doc in a lang
+    // has a distinct score and the quartiles genuinely partition
+    val docs = (0 until 12).map { i =>
+      val rare = Seq.fill(i)("rareword").mkString(" ")
+      (i.toLong, s"common tokens shared by all docs $rare".trim, s"s")
+    }
+    val dir = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ppx").toString
+      import org.apache.spark.sql.functions.{length, lit, when => w}
+      docs.toDF("doc_id", "text", "source")
+        .select($"doc_id", $"text",
+          w($"doc_id" % 2 === 0, "en").otherwise("de").as("lang"),
+          $"source", length($"text").cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    try {
+      val rows = TextAnalysis.perplexityBuckets(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      assert(rows.length == docs.length)
+      // within each lang: every head score <= every middle score <= every
+      // tail score, and head/tail are nonempty (quartiles partition)
+      rows.groupBy(_._2).foreach { case (lang, rs) =>
+        val by: Map[String, Seq[Double]] =
+          rs.groupBy(_._4).view.mapValues(_.map(_._3).toSeq).toMap
+        assert(by.contains("head") && by.contains("tail"), s"$lang: $by")
+        for (h <- by.getOrElse("head", Seq.empty); m <- by.getOrElse("middle", Seq.empty))
+          assert(h <= m, s"$lang head $h > middle $m")
+        for (m <- by.getOrElse("middle", Seq.empty); t <- by.getOrElse("tail", Seq.empty))
+          assert(m <= t, s"$lang middle $m > tail $t")
+        // head is the bottom quartile: at most half the lang's docs
+        // (ties can inflate it past the exact 25%)
+        assert(by("head").size <= rs.length / 2 + 1, s"$lang head too big")
+      }
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
+  test("winnowing candidates: pairs equal the naive shared-fingerprint counts; long overlap is caught") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six", "s"),
+      (2L, s"seven eight nine $shared ten eleven twelve", "s"),
+      (3L, "totally unrelated content with no overlap at all here", "s"))
+    val dir = corpusDir(docs)
+    try {
+      def fpSet(s: String): Set[Long] = {
+        val t = toks(s)
+        if (t.length < 3) return Set.empty
+        val gh = t.sliding(3).map(g => java.lang.Long.parseLong(
+          md5hex(g.mkString(" ")).take(8), 16)).toSeq
+        if (gh.length < 4) Set.empty else gh.sliding(4).map(_.min).toSet
+      }
+      val sets = docs.map { case (id, tx, _) => id -> fpSet(tx) }.toMap
+      val expect = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        shared = (sa & sb).size if shared >= 2
+      } yield (a, b) -> shared.toLong).toMap
+      val got = TextAnalysis.winnowingCandidates(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expect, s"$got vs $expect")
+      assert(got.contains((1L, 2L)), "10-token shared span must produce a candidate")
+      assert(!got.exists(k => k._1._1 == 3L || k._1._2 == 3L),
+        "unrelated doc must not pair")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
   test("winnowing: fingerprints equal the naive window-min construction; coverage property holds") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val dir = corpusDir(Seq(

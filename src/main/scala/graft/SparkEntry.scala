@@ -193,6 +193,9 @@ object SparkEntry {
     // near-dup candidates from shared winnowing fingerprints
     "q93_winnowing_candidates" -> ((s: SparkSession, d: String) =>
       TextAnalysis.winnowingCandidates(s, d)),
+    // deterministic shards + order-independent XOR content digests
+    "q94_shard_manifest" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.shardManifest(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1605,5 +1608,18 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_shared
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // q94: the 60-bit md5-prefix doc hash keeps bit_xor inside BIGINT
+    // on both engines; XOR is order-free, so no ORDER BY is needed for
+    // the digests to agree
+    "q94_shard_manifest" ->
+      """SELECT
+        | CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16 AS BIGINT) AS shard_id,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+        | CAST(bit_xor(('0x' || substring(md5(text), 1, 15))::UBIGINT) AS BIGINT) AS content_digest,
+        | min(doc_id) AS min_doc_id,
+        | max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }

@@ -144,6 +144,41 @@ object PipelinePrep {
     * integer math ((n + size − 1) div size), not doubles, so the oracle
     * comparison is exact.
     */
+  /** Deterministic shard manifest — the "prepare training shards" step:
+    * every document lands in one of `nShards` shards by an md5 coin on
+    * its id (retry-stable, no RNG), and each shard reports counts,
+    * token/char totals, the id range, and an ORDER-INDEPENDENT content
+    * digest (bit_xor of a per-doc 60-bit md5 prefix). The XOR digest is
+    * the point: distributed writers cannot cheaply guarantee row order,
+    * and the reference's order-dependent digest fold needs a total sort
+    * to be reproducible — XOR commutes, so two runs that shard
+    * identically verify byte-identical content with no sort at all
+    * (a corrupted/missing doc flips the digest with probability
+    * 1 − 2⁻⁶⁰).
+    *
+    * Scale: one narrow scan into an nShards-sized aggregate with
+    * map-side combine — flat in corpus size, the q13 absorption shape.
+    */
+  def shardManifest(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(
+        (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long")
+          % nShards).as("shard_id"),
+        $"doc_id",
+        size(toks).cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars"),
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"n_chars").as("total_chars"),
+        bit_xor($"h").as("content_digest"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"))
+  }
+
   def trainingMix(spark: SparkSession, dir: String, chunkSize: Int = 64): DataFrame = {
     import spark.implicits._
     val cleaned = docs(spark, dir)

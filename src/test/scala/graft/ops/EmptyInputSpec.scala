@@ -96,7 +96,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q90 cross-source dups" -> (() => Dedup.crossSourceDups(spark, emptyDir)),
     "q91 winnowing" -> (() => TextAnalysis.winnowingFingerprints(spark, emptyDir)),
     "q92 perplexity buckets" -> (() => TextAnalysis.perplexityBuckets(spark, emptyDir)),
-    "q93 winnowing candidates" -> (() => TextAnalysis.winnowingCandidates(spark, emptyDir)))
+    "q93 winnowing candidates" -> (() => TextAnalysis.winnowingCandidates(spark, emptyDir)),
+    "q94 shard manifest" -> (() => PipelinePrep.shardManifest(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

@@ -140,6 +140,8 @@ class OpsSpec extends AnyFunSuite {
       "fp_digest"),
     "q92_perplexity_buckets" -> Set("doc_id", "lang", "avg_neg_logprob", "bucket"),
     "q93_winnowing_candidates" -> Set("doc_a", "doc_b", "n_shared"),
+    "q94_shard_manifest" -> Set("shard_id", "n_docs", "total_tokens",
+      "total_chars", "content_digest", "min_doc_id", "max_doc_id"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -266,6 +266,39 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
   }
 
+  test("shard manifest: digest is row-order independent; totals partition the corpus") {
+    val docs = (0 until 40).map(i => (i.toLong, s"doc number $i with tokens " * (1 + i % 3), "s"))
+    val dirA = corpusDir(docs)
+    val dirB = corpusDir(docs.reverse) // same corpus, reversed write order
+    try {
+      def manifest(dir: String) = PipelinePrep.shardManifest(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6))).toMap
+      val (ma, mb) = (manifest(dirA), manifest(dirB))
+      assert(ma == mb, "manifest must not depend on row order")
+      // shards partition the corpus: doc counts and token totals sum up
+      assert(ma.values.map(_._1).sum == docs.length.toLong)
+      val totalToks = docs.map(_._2.split(" ", -1).length.toLong).sum
+      assert(ma.values.map(_._2).sum == totalToks)
+      // a one-doc content change flips exactly its shard's digest
+      val mutated = docs.updated(7, (7L, "entirely different content", "s"))
+      val dirC = corpusDir(mutated)
+      try {
+        val mc = manifest(dirC)
+        val shard7 = java.lang.Long.parseLong(md5hex("7").take(8), 16) % 16
+        assert(mc(shard7)._4 != ma(shard7)._4, "mutated shard digest must flip")
+        ma.keys.filter(_ != shard7).foreach { s =>
+          assert(mc.get(s).map(_._4) == ma.get(s).map(_._4),
+            s"untouched shard $s digest changed")
+        }
+      } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dirC))
+    } finally {
+      graft.TestFiles.rmrf(java.nio.file.Paths.get(dirA))
+      graft.TestFiles.rmrf(java.nio.file.Paths.get(dirB))
+    }
+  }
+
   test("winnowing: fingerprints equal the naive window-min construction; coverage property holds") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val dir = corpusDir(Seq(

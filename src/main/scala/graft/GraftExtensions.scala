@@ -43,5 +43,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("chunk_hash"),
       info("chunk_hash", "chunk_hash(path, idx, content, algo) - domain-separated chunk digest"),
       exprs => ChunkHashOps.ChunkHash(exprs(0), exprs(1), exprs(2), exprs(3))))
+    // the gram/char expressions take the literal-only length argument the
+    // register() route enforces; share one extractor so both routes
+    // reject a non-literal identically
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"gram length must be an integer literal, got $other")
+    }
+    ext.injectFunction((FunctionIdentifier("gram_hashes"),
+      info("gram_hashes", "gram_hashes(text, n) - xxhash64 of every word n-gram, document order"),
+      exprs => TextOps.GramHashes(exprs.head, litInt(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("distinct_grams"),
+      info("distinct_grams", "distinct_grams(text, n) - per-doc distinct word n-gram strings"),
+      exprs => TextOps.DistinctGrams(exprs.head, litInt(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("char_counts"),
+      info("char_counts", "char_counts(text) - map<char, count> in char-code order"),
+      exprs => TextOps.CharCounts(exprs.head)))
   }
 }

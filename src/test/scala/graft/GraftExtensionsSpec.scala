@@ -31,12 +31,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
           |  bigram_counts('abab') AS bc,
           |  lower(hex(chunk_hash('p', 0L, CAST('x' AS BINARY), 'sha256'))) AS ch,
-          |  feature_hash('a b a') AS fh
+          |  feature_hash('a b a') AS fh,
+          |  gram_hashes('a b c d', 3) AS gh,
+          |  distinct_grams('a b a b c', 2) AS dg,
+          |  char_counts('abab') AS cc
           |""".stripMargin).head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 5.0)
       assert(row.getMap[String, Long](2).toSeq.sorted == Seq("ab" -> 2L, "ba" -> 1L))
       assert(row.getSeq[Long](4).sum == 3L) // 3 tokens hashed into 64 dims
+      assert(row.getSeq[Long](5).length == 2) // "a b c", "b c d"
+      assert(row.getSeq[String](6) == Seq("a b", "b a", "b c"))
+      assert(row.getMap[String, Long](7).toSeq.sorted == Seq("a" -> 2L, "b" -> 2L))
       // same digest the per-session register() route produces
       graft.functions.ChunkHashOps.register(shared)
       val expected = shared.sql(

@@ -159,16 +159,30 @@ object PipelinePrep {
     * Scale: one narrow scan into an nShards-sized aggregate with
     * map-side combine — flat in corpus size, the q13 absorption shape.
     */
-  def shardManifest(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
-    import spark.implicits._
-    docs(spark, dir)
-      .select(
-        (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long")
-          % nShards).as("shard_id"),
-        $"doc_id",
-        size(toks).cast("long").as("n_tokens"),
-        length($"text").cast("long").as("n_chars"),
-        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("h"))
+  def shardManifest(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame =
+    manifestAgg(withShardCols(docs(spark, dir), nShards))
+
+  /** The per-doc manifest projection and the shard aggregate, split out
+    * so the batch query (q94) and the streaming accounting stage
+    * (`DocStreams.manifestStream`) share one definition — XOR commutes
+    * and every other aggregate here is mergeable, which is exactly why
+    * the incremental per-micro-batch state converges to the batch
+    * answer. Input needs the document contract's (doc_id, text).
+    */
+  private[graft] def withShardCols(df: DataFrame, nShards: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(
+      (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long")
+        % nShards).as("shard_id"),
+      $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"),
+      length($"text").cast("long").as("n_chars"),
+      conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  private[graft] def manifestAgg(sharded: DataFrame): DataFrame = {
+    import sharded.sparkSession.implicits._
+    sharded
       .groupBy($"shard_id")
       .agg(
         count(lit(1)).as("n_docs"),

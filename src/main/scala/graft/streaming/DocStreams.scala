@@ -111,6 +111,20 @@ object DocStreams {
       .withWatermark(ingestTs, horizon)
       .dropDuplicatesWithinWatermark(Seq("content_hash"))
 
+  /** Streaming shard-manifest accounting: the q94 manifest maintained
+    * LIVE over the ingest stream. Every aggregate in the manifest is
+    * mergeable — count/sum/min/max trivially, and the content digest
+    * because XOR commutes — so incremental micro-batch state converges
+    * to exactly the batch manifest of everything ingested (the
+    * stream==batch gate replays multi-batch ingestion and diffs against
+    * `PipelinePrep.shardManifest`). Both sides are the SAME shared
+    * projection + aggregate definitions; state is nShards rows, so
+    * Complete output mode is safe at any corpus size.
+    */
+  def manifestStream(docs: DataFrame, nShards: Int = 16): DataFrame =
+    graft.ops.PipelinePrep.manifestAgg(
+      graft.ops.PipelinePrep.withShardCols(docs, nShards))
+
   /** The WHOLE ingest DAG as one streaming pipeline: rule gate →
     * clean/quality prep → classifier score gate → watermarked content
     * dedup. Every selection stage is the shared batch definition

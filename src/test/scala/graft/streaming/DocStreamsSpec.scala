@@ -134,6 +134,35 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(tmp)
   }
 
+  test("streaming manifest converges to the batch q94 manifest across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docmanifest")
+    try {
+      val docsDir = tmp.resolve("documents.parquet")
+      // several part files + maxFilesPerTrigger=1 → several micro-batches,
+      // so the XOR/sum/min/max merge across batches is actually exercised
+      spark.read.schema(DocStreams.docSchema).parquet(s"$sf/documents.parquet")
+        .repartition(4).write.parquet(docsDir.toString)
+      val batch = graft.ops.PipelinePrep.shardManifest(spark, tmp.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+      val q = DocStreams.manifestStream(
+          DocStreams.readDocStream(spark, docsDir.toString, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName("doc_manifest")
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = spark.table("doc_manifest")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple non-empty micro-batches")
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
   test("content dedup collapses re-crawled duplicates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

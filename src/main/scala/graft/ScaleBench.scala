@@ -60,7 +60,8 @@ object ScaleBench {
     "q83_balanced_sample", "q84_bigram_pmi", "q85_contamination_report",
     "q86_bm25_topk", "q87_source_divergence", "q88_containment_pairs",
     "q89_char_profile", "q90_cross_source_dups", "q91_winnowing",
-    "q92_perplexity_buckets", "q93_winnowing_candidates", "q94_shard_manifest")
+    "q92_perplexity_buckets", "q93_winnowing_candidates", "q94_shard_manifest",
+    "q95_source_vocab_overlap")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -71,7 +72,8 @@ object ScaleBench {
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",
     "q35_asof_attribution", "q36_range_join_conversions", "q40_json_props",
-    "q60_funnel", "q61_retention_cohorts", "q62_value_outliers")
+    "q60_funnel", "q61_retention_cohorts", "q62_value_outliers",
+    "q96_user_burstiness")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

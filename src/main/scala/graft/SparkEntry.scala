@@ -196,6 +196,12 @@ object SparkEntry {
     // deterministic shards + order-independent XOR content digests
     "q94_shard_manifest" -> ((s: SparkSession, d: String) =>
       PipelinePrep.shardManifest(s, d)),
+    // source-vocabulary Jaccard overlap matrix
+    "q95_source_vocab_overlap" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceVocabOverlap(s, d)),
+    // per-user burstiness (bot/scraper rate anomaly)
+    "q96_user_burstiness" -> ((s: SparkSession, d: String) =>
+      Sessionize.userBurstiness(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1621,5 +1627,34 @@ object SparkEntry {
         | min(doc_id) AS min_doc_id,
         | max(doc_id) AS max_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // q95: distinct (source, word) sets, canonical source-pair join
+    "q95_source_vocab_overlap" ->
+      """WITH sv AS (SELECT DISTINCT source, w FROM (
+        |       SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |sizes AS (SELECT source, count(*) AS n FROM sv GROUP BY 1),
+        |common AS (SELECT a.source AS source_a, b.source AS source_b,
+        |            count(*) AS common
+        |           FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        |           GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(common AS BIGINT) AS common,
+        | round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM common
+        | JOIN sizes sa ON source_a = sa.source
+        | JOIN sizes sb ON source_b = sb.source""".stripMargin,
+    // q96: hour buckets are integer division on epoch nanos on both
+    // engines — no timezone/calendar surface; the ratio multiplies in
+    // integers before the one division
+    "q96_user_burstiness" ->
+      """WITH h AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour,
+        |            CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_hours,
+        |       CAST(max(c) AS BIGINT) AS max_hourly
+        |      FROM h GROUP BY 1)
+        |SELECT user_id, n_events, n_hours, max_hourly,
+        | round(CAST(max_hourly * n_hours AS DOUBLE) / n_events, 6) AS peak_to_mean,
+        | (round(CAST(max_hourly * n_hours AS DOUBLE) / n_events, 6) >= 3.0) AS bursty
+        |FROM u""".stripMargin,
   )
 }

@@ -226,4 +226,32 @@ object Sessionize {
       .select($"event_id", $"event_type", round($"value", 2).as("value"),
         round(($"value" - $"mean") / $"std", 4).as("z"))
   }
+
+  /** Per-user burstiness — the bot/scraper rate-anomaly signal: the
+    * peak-to-mean ratio of a user's hourly event counts (an organic
+    * user's peak hour sits near their mean; a burst-scripted one spikes).
+    * Hour buckets are integer division on the epoch-nano timestamp, so
+    * both engines bucket identically with no timezone/calendar surface.
+    *
+    * Scale: (user, hour) counts map-side combine off the scan, then a
+    * user-keyed rollup — both shuffles on aggregated rows. Nothing is
+    * corpus-sized downstream of the first aggregate and no per-user
+    * window is involved.
+    */
+  def userBurstiness(spark: SparkSession, dir: String,
+      ratioThreshold: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"user_id", expr("ts div 3600000000000").as("hour"))
+      .groupBy($"user_id", $"hour").agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(
+        sum($"c").as("n_events"),
+        count(lit(1)).as("n_hours"),
+        max($"c").as("max_hourly"))
+      .select($"user_id", $"n_events", $"n_hours", $"max_hourly",
+        round(($"max_hourly" * $"n_hours").cast("double") / $"n_events", 6)
+          .as("peak_to_mean"))
+      .withColumn("bursty", $"peak_to_mean" >= ratioThreshold)
+  }
 }

@@ -714,6 +714,39 @@ object TextAnalysis {
     } finally sw.unpersist()
   }
 
+  /** Source-vocabulary overlap matrix: Jaccard over each source pair's
+    * DISTINCT word sets — the coarse complement of [[sourceDivergence]]
+    * (KL weighs frequencies; this asks only "do these feeds even speak
+    * the same vocabulary", the cheap first split between same-domain
+    * mirrors and unrelated feeds).
+    *
+    * Scale: the corpus scan ends at the distinct (source, word) table —
+    * vocabulary × sources bounded, like q87's first aggregate. The
+    * word-keyed self-join fans out at most sources²/2 pairs per word
+    * (sources is small and fixed; the vocabulary grows, the pair space
+    * doesn't), and per-source set sizes broadcast back.
+    */
+  def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sv = docs(spark, dir)
+      .select($"source", explode(toks).as("w")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sv.groupBy($"source").agg(count(lit(1)).as("n"))
+      sv.as("a")
+        .join(sv.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("na"))), "source_a")
+        .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("nb"))), "source_b")
+        .select($"source_a", $"source_b", $"common",
+          round($"common".cast("double") / ($"na" + $"nb" - $"common"), 6)
+            .as("jaccard"))
+        .localCheckpoint(true)
+    } finally sv.unpersist()
+  }
+
   /** The rule battery as appended columns over any frame with a raw
     * text column — STATELESS, so the batch query (q78) and the
     * streaming ingest gate (DocStreams.ruleGate) share one definition

@@ -97,7 +97,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q91 winnowing" -> (() => TextAnalysis.winnowingFingerprints(spark, emptyDir)),
     "q92 perplexity buckets" -> (() => TextAnalysis.perplexityBuckets(spark, emptyDir)),
     "q93 winnowing candidates" -> (() => TextAnalysis.winnowingCandidates(spark, emptyDir)),
-    "q94 shard manifest" -> (() => PipelinePrep.shardManifest(spark, emptyDir)))
+    "q94 shard manifest" -> (() => PipelinePrep.shardManifest(spark, emptyDir)),
+    "q95 source vocab overlap" -> (() => TextAnalysis.sourceVocabOverlap(spark, emptyDir)),
+    "q96 user burstiness" -> (() => Sessionize.userBurstiness(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

@@ -142,6 +142,9 @@ class OpsSpec extends AnyFunSuite {
     "q93_winnowing_candidates" -> Set("doc_a", "doc_b", "n_shared"),
     "q94_shard_manifest" -> Set("shard_id", "n_docs", "total_tokens",
       "total_chars", "content_digest", "min_doc_id", "max_doc_id"),
+    "q95_source_vocab_overlap" -> Set("source_a", "source_b", "common", "jaccard"),
+    "q96_user_burstiness" -> Set("user_id", "n_events", "n_hours", "max_hourly",
+      "peak_to_mean", "bursty"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -266,6 +266,58 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
   }
 
+  test("source vocab overlap: jaccard matches naive sets; disjoint sources score 0 pairs") {
+    val dir = corpusDir(Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta epsilon zeta", "s2"),
+      (3L, "unrelated vocabulary entirely different", "s3")))
+    try {
+      val vocab = Map(
+        "s1" -> Set("alpha", "beta", "gamma", "delta"),
+        "s2" -> Set("alpha", "beta", "epsilon", "zeta"),
+        "s3" -> Set("unrelated", "vocabulary", "entirely", "different"))
+      val expect = (for {
+        (a, va) <- vocab; (b, vb) <- vocab if a < b
+        common = (va & vb).size if common > 0
+      } yield (a, b) -> (common.toLong,
+        common.toDouble / (va.size + vb.size - common))).toMap
+      val got = TextAnalysis.sourceVocabOverlap(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got.keySet == expect.keySet, s"$got vs $expect")
+      expect.foreach { case (k, (c, j)) =>
+        assert(got(k)._1 == c && math.abs(got(k)._2 - j) < 1e-6, s"$k")
+      }
+      assert(got(("s1", "s2"))._1 == 2L &&
+        math.abs(got(("s1", "s2"))._2 - 2.0 / 6) < 1e-6, "engineered overlap")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
+  test("user burstiness: peak-to-mean matches naive; a burst-scripted user flags") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    try {
+      val hourNs = 3600000000000L
+      // user 1: one event per hour for 6 hours (flat, ratio 1)
+      // user 2: 9 events in one hour + 1 in another (ratio 9*2/10 = 1.8)
+      // user 3: 12 in one hour, 1 in each of 3 others (ratio 12*4/15 = 3.2)
+      val rows = Seq.tabulate(6)(h => (1L, h * hourNs + 1)) ++
+        (Seq.fill(9)((2L, 10 * hourNs + 5)) :+ (2L, 11 * hourNs + 5)) ++
+        (Seq.fill(12)((3L, 20 * hourNs + 7)) ++ Seq(
+          (3L, 21 * hourNs + 7), (3L, 22 * hourNs + 7), (3L, 23 * hourNs + 7)))
+      rows.zipWithIndex.map { case ((u, ts), i) =>
+        (i.toLong, ts, u, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$tmp/events.parquet")
+      val got = Sessionize.userBurstiness(spark, tmp)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+        .toMap
+      assert(got(1L) == ((6L, 6L, 1L, 1.0, false)))
+      assert(got(2L) == ((10L, 2L, 9L, 1.8, false)))
+      assert(got(3L) == ((15L, 4L, 12L, 3.2, true)))
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("shard manifest: digest is row-order independent; totals partition the corpus") {
     val docs = (0 until 40).map(i => (i.toLong, s"doc number $i with tokens " * (1 + i % 3), "s"))
     val dirA = corpusDir(docs)

@@ -303,30 +303,40 @@ object Dedup {
   def dedupedJaccardPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.05): DataFrame = {
     import spark.implicits._
+    val joined = keeperShingleIntersections(spark, dir)
+    joined
+      .select($"doc_a", $"doc_b", $"common",
+        round($"common".cast("double") /
+          (col("na") + col("nb") - $"common"), 6).as("jaccard"))
+      .filter($"jaccard" >= minJaccard)
+  }
+
+  /** The shared skeleton under the keeper-pair verifiers (q39 Jaccard,
+    * q88 containment): exact-dedup keepers, per-doc hashed shingle sets
+    * (hash BEFORE the per-doc distinct so intersections and set sizes
+    * count the same hashed set, consistent under a collision — the
+    * [[jaccardPairs]] rule), the shared-shingle intersection counts, and
+    * both pair set sizes joined on as (na, nb). One definition, so the
+    * two verifiers cannot drift on keepers or set semantics.
+    */
+  private def keeperShingleIntersections(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val keepers = docs(spark, dir)
       .groupBy(sha2($"text", 256).as("content_hash"))
       .agg(min($"doc_id").as("doc_id"), first($"text").as("text"))
       .select($"doc_id", $"text")
-    // join on the 64-bit shingle hash, as in [[jaccardPairs]]; hash
-    // BEFORE the per-doc distinct so intersection and set sizes count
-    // the same (hashed) set and stay consistent under a collision
     val sh = keepers
       .select($"doc_id", toks.as("t"))
       .select($"doc_id", explode(hashedShingleSet($"t")).as("sh"))
     val sizes = keepers
       .select($"doc_id", toks.as("t"))
       .select($"doc_id", size(hashedShingleSet($"t")).cast("long").as("n"))
-    val common = sh.as("a")
+    sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
-      .select($"doc_a", $"doc_b", $"common",
-        round($"common".cast("double") /
-          (col("sa.n") + col("sb.n") - $"common"), 6).as("jaccard"))
-      .filter($"jaccard" >= minJaccard)
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
   }
 
   /** Asymmetric containment near-dup detection over exact-dedup keepers:
@@ -342,28 +352,12 @@ object Dedup {
   def containmentPairs(spark: SparkSession, dir: String,
       minContainment: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val keepers = docs(spark, dir)
-      .groupBy(sha2($"text", 256).as("content_hash"))
-      .agg(min($"doc_id").as("doc_id"), first($"text").as("text"))
-      .select($"doc_id", $"text")
-    val sh = keepers
-      .select($"doc_id", toks.as("t"))
-      .select($"doc_id", explode(hashedShingleSet($"t")).as("sh"))
-    val sizes = keepers
-      .select($"doc_id", toks.as("t"))
-      .select($"doc_id", size(hashedShingleSet($"t")).cast("long").as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+    keeperShingleIntersections(spark, dir)
       .select($"doc_a", $"doc_b", $"common",
         round($"common".cast("double") /
-          (col("sa.n") + col("sb.n") - $"common"), 6).as("jaccard"),
-        round($"common".cast("double") / col("sa.n"), 6).as("containment_a"),
-        round($"common".cast("double") / col("sb.n"), 6).as("containment_b"))
+          (col("na") + col("nb") - $"common"), 6).as("jaccard"),
+        round($"common".cast("double") / col("na"), 6).as("containment_a"),
+        round($"common".cast("double") / col("nb"), 6).as("containment_b"))
       .filter(greatest($"containment_a", $"containment_b") >= minContainment)
       .withColumn("partial_dup",
         greatest($"containment_a", $"containment_b") >= 0.9 && $"jaccard" < 0.8)

@@ -43,14 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("chunk_hash"),
       info("chunk_hash", "chunk_hash(path, idx, content, algo) - domain-separated chunk digest"),
       exprs => ChunkHashOps.ChunkHash(exprs(0), exprs(1), exprs(2), exprs(3))))
-    // the gram/char expressions take the literal-only length argument the
-    // register() route enforces; share one extractor so both routes
-    // reject a non-literal identically
-    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"gram length must be an integer literal, got $other")
-    }
+    // the gram/char expressions take the literal-only length argument;
+    // TextOps.litInt is the one shared extractor, so both deployment
+    // routes reject a non-literal identically
+    import graft.functions.TextOps.litInt
     ext.injectFunction((FunctionIdentifier("gram_hashes"),
       info("gram_hashes", "gram_hashes(text, n) - xxhash64 of every word n-gram, document order"),
       exprs => TextOps.GramHashes(exprs.head, litInt(exprs(1)))))

@@ -1551,14 +1551,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN ch >= 'a' AND ch <= 'z' THEN c ELSE 0 END) AS BIGINT) AS n_alpha,
         |  list(c ORDER BY ch) AS cl
         | FROM cc GROUP BY doc_id)
-        |SELECT doc_id, n_chars, n_distinct_chars,
-        | round(CAST(n_space AS DOUBLE) / n_chars, 6) AS space_frac,
-        | round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_frac,
-        | round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_frac,
-        | round(ln(CAST(n_chars AS DOUBLE))
-        |  - list_sum([CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) for c in cl]) / n_chars,
+        |-- total over documents: an empty-text doc has no char rows, but
+        |-- must still appear (0 chars, null ratios/entropy) as on the
+        |-- engine side
+        |SELECT d.doc_id,
+        | CAST(coalesce(agg.n_chars, 0) AS BIGINT) AS n_chars,
+        | CAST(coalesce(agg.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars,
+        | round(CAST(agg.n_space AS DOUBLE) / agg.n_chars, 6) AS space_frac,
+        | round(CAST(agg.n_digit AS DOUBLE) / agg.n_chars, 6) AS digit_frac,
+        | round(CAST(agg.n_alpha AS DOUBLE) / agg.n_chars, 6) AS alpha_frac,
+        | round(ln(CAST(agg.n_chars AS DOUBLE))
+        |  - list_sum([CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) for c in agg.cl]) / agg.n_chars,
         |  4) AS char_entropy
-        |FROM agg""".stripMargin,
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     // q91: both sides take per-window minima over the SAME 32-bit
     // md5-prefix gram hashes, so the selected fingerprints are
     // identical; the set digest canonicalizes by numeric sort
@@ -1622,7 +1627,9 @@ object SparkEntry {
         | CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16 AS BIGINT) AS shard_id,
         | CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        | CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+        | -- length() = characters, matching Spark's length(); strlen
+        | -- (bytes) would diverge on any non-ASCII doc
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
         | CAST(bit_xor(('0x' || substring(md5(text), 1, 15))::UBIGINT) AS BIGINT) AS content_digest,
         | min(doc_id) AS min_doc_id,
         | max(doc_id) AS max_doc_id

@@ -8,8 +8,12 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional extra args: run (and emit oracle SQL for) only these
-    // queries — a local iteration shortcut; the driver passes two args
+    // queries — a local iteration shortcut; the driver passes two args.
+    // A typo'd name would otherwise filter to NOTHING and a downstream
+    // compare over the empty oracle map would vacuously pass
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     def sel[T](m: Map[String, T]): Map[String, T] =
       if (only.isEmpty) m else m.filter(kv => only(kv._1))
     val spark = LocalSession.build()

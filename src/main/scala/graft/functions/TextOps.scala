@@ -74,22 +74,31 @@ object TextOps {
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
-  /** Single-char counts of `text` as a MapData, keys in char-code order
-    * (== byte/lexicographic order for the ASCII corpus). Same run-length
+  /** Single-char counts of `text` as a MapData, keys in code-point
+    * order (== UTF-8 byte order == DuckDB string order). Same run-length
     * construction as [[bigramCounts]]; consumers fold the map per doc —
     * char-level profiling never explodes one row per corpus character.
-    * Chars are UTF-16 code units (BMP corpora: == code points).
+    * Iterates CODE POINTS (a surrogate pair is one key), so the value
+    * total always equals Spark's `length(text)` / DuckDB's `len(text)`
+    * — counting UTF-16 units here would make entropy derived from a
+    * different total than n_chars (negative entropy on astral text).
     */
   def charCounts(text: UTF8String): MapData = {
     val s = text.toString
-    val n = s.length
-    if (n == 0) {
+    if (s.isEmpty) {
       return new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
         new GenericArrayData(Array.empty[Any]))
     }
+    val n = s.codePointCount(0, s.length)
     val packed = new Array[Int](n)
     var i = 0
-    while (i < n) { packed(i) = s.charAt(i).toInt; i += 1 }
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      packed(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
     java.util.Arrays.sort(packed)
     var distinct = 1
     i = 1
@@ -104,7 +113,8 @@ object TextOps {
     i = 1
     while (i <= packed.length) {
       if (i == packed.length || packed(i) != packed(runStart)) {
-        keys(out) = UTF8String.fromString(packed(runStart).toChar.toString)
+        keys(out) = UTF8String.fromString(
+          new String(Character.toChars(packed(runStart))))
         vals(out) = (i - runStart).toLong
         out += 1
         runStart = i
@@ -345,13 +355,18 @@ object TextOps {
     * session (idempotent). `feature_hash(text)` uses dim 64; the
     * expression itself takes any dim.
     */
+  /** The ONE literal-only gram-length extractor, shared by this
+    * register() route and GraftExtensions, so the two deployment routes
+    * cannot drift on what they reject.
+    */
+  private[graft] def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"gram length must be an integer literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def litInt(e: Expression): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"gram length must be an integer literal, got $other")
-    }
     reg.createOrReplaceTempFunction(
       "bigram_counts", exprs => BigramCounts(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

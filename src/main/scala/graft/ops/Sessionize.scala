@@ -242,7 +242,12 @@ object Sessionize {
       ratioThreshold: Double = 3.0): DataFrame = {
     import spark.implicits._
     events(spark, dir)
-      .select($"user_id", expr("ts div 3600000000000").as("hour"))
+      // FLOOR division (Math.floorDiv semantics), matching DuckDB's `//`:
+      // Spark's `div` truncates toward zero, which would bucket a
+      // pre-1970 timestamp one hour off the oracle
+      .select($"user_id",
+        (expr("ts div 3600000000000") +
+          when(expr("ts % 3600000000000") < 0, -1).otherwise(0)).as("hour"))
       .groupBy($"user_id", $"hour").agg(count(lit(1)).as("c"))
       .groupBy($"user_id")
       .agg(

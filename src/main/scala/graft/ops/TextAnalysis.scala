@@ -511,10 +511,16 @@ object TextAnalysis {
         aggregate(map_values($"m"), lit(0.0),
           (acc, c) => acc + c.cast("double") * log(c.cast("double"))).as("sum_clnc"))
       .select($"doc_id", $"n_chars", $"n_distinct_chars",
-        round($"n_space".cast("double") / $"n_chars", 6).as("space_frac"),
-        round($"n_digit".cast("double") / $"n_chars", 6).as("digit_frac"),
-        round($"n_alpha".cast("double") / $"n_chars", 6).as("alpha_frac"),
-        round(log($"n_chars".cast("double")) - $"sum_clnc" / $"n_chars", 4)
+        // empty docs get null ratios/entropy, not NaN/ln(0) — and the
+        // oracle totals over documents so both sides emit the row
+        when($"n_chars" > 0,
+          round($"n_space".cast("double") / $"n_chars", 6)).as("space_frac"),
+        when($"n_chars" > 0,
+          round($"n_digit".cast("double") / $"n_chars", 6)).as("digit_frac"),
+        when($"n_chars" > 0,
+          round($"n_alpha".cast("double") / $"n_chars", 6)).as("alpha_frac"),
+        when($"n_chars" > 0,
+          round(log($"n_chars".cast("double")) - $"sum_clnc" / $"n_chars", 4))
           .as("char_entropy"))
   }
 

@@ -150,12 +150,18 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
   }
 
   test("char profile: ratios and entropy match naive; uniform text maxes entropy") {
+    val astral = new String(Character.toChars(0x1D11E)) // 𝄞, outside the BMP
     val dir = corpusDir(Seq(
       (1L, "aabb 1199", "s"),
       (2L, "abcdefgh", "s"), // 8 distinct chars → H = ln 8
-      (3L, "zzzzzzzz", "s"))) // 1 char → H = 0
+      (3L, "zzzzzzzz", "s"), // 1 char → H = 0
+      (4L, "", "s"), // empty: zero counts, null ratios/entropy
+      (5L, astral + astral, "s"))) // surrogate pairs count as ONE char
     try {
+      // getDouble throws on null fields — collect the non-empty docs
+      // here, the all-null empty-doc row separately below
       val got = TextAnalysis.charClassProfile(spark, dir)
+        .filter("n_chars > 0")
         .collect().map(r => r.getLong(0) ->
           (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
             r.getDouble(6))).toMap
@@ -178,6 +184,16 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
       }
       assert(math.abs(got(2L)._6 - math.log(8.0)) < 5e-4)
       assert(got(3L)._6 == 0.0)
+      // the empty doc is EMITTED with zero counts and null stats (the
+      // oracle totals over documents identically)
+      val emptyRow = TextAnalysis.charClassProfile(spark, dir)
+        .filter("doc_id = 4").collect().head
+      assert(emptyRow.getLong(1) == 0L && emptyRow.getLong(2) == 0L)
+      (3 to 6).foreach(i => assert(emptyRow.isNullAt(i), s"field $i"))
+      // code-point iteration: two identical astral chars are n_chars=2,
+      // one distinct key, entropy exactly 0 — never the negative value
+      // UTF-16-unit counting would produce
+      assert(got(5L)._1 == 2L && got(5L)._2 == 1L && got(5L)._6 == 0.0, got(5L))
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
   }
 
@@ -300,10 +316,14 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
       // user 1: one event per hour for 6 hours (flat, ratio 1)
       // user 2: 9 events in one hour + 1 in another (ratio 9*2/10 = 1.8)
       // user 3: 12 in one hour, 1 in each of 3 others (ratio 12*4/15 = 3.2)
+      // user 4: one event just before and one just after the epoch —
+      // FLOOR division puts them in hours -1 and 0 (truncation would
+      // collapse both into hour 0 and report n_hours = 1)
       val rows = Seq.tabulate(6)(h => (1L, h * hourNs + 1)) ++
         (Seq.fill(9)((2L, 10 * hourNs + 5)) :+ (2L, 11 * hourNs + 5)) ++
         (Seq.fill(12)((3L, 20 * hourNs + 7)) ++ Seq(
-          (3L, 21 * hourNs + 7), (3L, 22 * hourNs + 7), (3L, 23 * hourNs + 7)))
+          (3L, 21 * hourNs + 7), (3L, 22 * hourNs + 7), (3L, 23 * hourNs + 7))) ++
+        Seq((4L, -1L), (4L, 1L))
       rows.zipWithIndex.map { case ((u, ts), i) =>
         (i.toLong, ts, u, "click", 1.0, "{}")
       }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -315,6 +335,7 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
       assert(got(1L) == ((6L, 6L, 1L, 1.0, false)))
       assert(got(2L) == ((10L, 2L, 9L, 1.8, false)))
       assert(got(3L) == ((15L, 4L, 12L, 3.2, true)))
+      assert(got(4L) == ((2L, 2L, 1L, 1.0, false)), s"floor-div: ${got(4L)}")
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 

@@ -202,6 +202,12 @@ object SparkEntry {
     // per-user burstiness (bot/scraper rate anomaly)
     "q96_user_burstiness" -> ((s: SparkSession, d: String) =>
       Sessionize.userBurstiness(s, d)),
+    // bigram-LM conditional logprob (order-2 perplexity proxy)
+    "q97_bigram_logprob" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bigramLogprob(s, d)),
+    // semi-supervised KNN label vote over the bucketed graph
+    "q98_knn_label_vote" -> ((s: SparkSession, d: String) =>
+      Similarity.knnLabelVote(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1663,5 +1669,50 @@ object SparkEntry {
         | round(CAST(max_hourly * n_hours AS DOUBLE) / n_events, 6) AS peak_to_mean,
         | (round(CAST(max_hourly * n_hours AS DOUBLE) / n_events, 6) >= 3.0) AS bursty
         |FROM u""".stripMargin,
+    // q97: add-one smoothing over the observed continuation vocabulary;
+    // the integer addition happens before the one division on both
+    // sides, and the avg-of-logs rounds to 4 (the q64 precedent)
+    "q97_bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |       SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+        |                              for i in range(1, len(t))]) AS u FROM tok)),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM p GROUP BY 1, 2),
+        |cctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cctx FROM cb GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM cb),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        round(avg(-ln(CAST(cb + 1 AS DOUBLE) / (cctx + v))), 4) AS avg_neg_logprob
+        |       FROM p JOIN cb USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs,
+        | sc.avg_neg_logprob
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // q98: the q54 graph CTEs verbatim, the q72 md5 split, and the
+    // same (count desc, label) vote tie-break on both sides
+    "q98_knn_label_vote" ->
+      s"""$knnOracleCtes,
+         |sp AS (SELECT vec_id, label,
+         |        substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '7f' AS is_train
+         |       FROM embeddings),
+        |votes AS (SELECT k.vec_id, sn.label AS nlabel, CAST(count(*) AS BIGINT) AS c
+        |          FROM knn k
+        |           JOIN sp se ON k.vec_id = se.vec_id AND NOT se.is_train
+        |           JOIN sp sn ON k.neighbor_id = sn.vec_id AND sn.is_train
+        |          GROUP BY 1, 2),
+        |best AS (SELECT vec_id, nlabel FROM (
+        |          SELECT vec_id, nlabel,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nlabel) AS rn
+        |          FROM votes) WHERE rn = 1),
+        |cnt AS (SELECT vec_id, CAST(sum(c) AS BIGINT) AS n_train_neighbors
+        |        FROM votes GROUP BY 1)
+        |SELECT e.vec_id, e.label AS true_label,
+        | CAST(coalesce(cnt.n_train_neighbors, 0) AS BIGINT) AS n_train_neighbors,
+        | best.nlabel AS pred_label,
+        | (best.nlabel = e.label) AS correct
+        |FROM sp e
+        | LEFT JOIN best ON e.vec_id = best.vec_id
+        | LEFT JOIN cnt ON e.vec_id = cnt.vec_id
+        |WHERE NOT e.is_train""".stripMargin,
   )
 }

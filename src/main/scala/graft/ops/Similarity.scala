@@ -564,4 +564,48 @@ object Similarity {
         round($"n_hits".cast("double") / k, 6).as("recall"),
         ($"n_hits".cast("double") / k >= floor).as("recall_ok"))
   }
+
+  /** Semi-supervised KNN label vote: predict each EVAL vector's label
+    * from the majority label of its TRAIN-side KNN neighbors (md5
+    * split, the q72 convention) — the cheap label-propagation baseline
+    * a labeling pipeline runs before training a classifier, and a
+    * direct quality probe of the KNN graph (a graph whose votes can't
+    * recover held-out labels is a bad graph). Ties break to the
+    * smallest label; eval vectors with no train neighbor in the graph
+    * emit a null prediction rather than vanishing (q72's totality
+    * contract).
+    *
+    * Scale: the vote consumes [[knnGraph]]'s bounded-degree edges —
+    * per-vec vote tables are ≤ k rows, the ranking window partitions
+    * by vec_id (millions of tiny partitions, no skew), and the label
+    * map joins on vec_id. Nothing quadratic beyond the bucketed graph
+    * itself.
+    */
+  def knnLabelVote(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val split = emb(spark, dir).select($"vec_id", $"label",
+      (substring(md5($"vec_id".cast("string")), 1, 2) <= "7f").as("is_train"))
+    val votes = knnGraph(spark, dir, nPlanes, k)
+      .join(split.filter(!$"is_train").select($"vec_id"), "vec_id")
+      .join(split.filter($"is_train")
+        .select($"vec_id".as("neighbor_id"), $"label".as("nlabel")), "neighbor_id")
+      .groupBy($"vec_id", $"nlabel").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"c".desc, $"nlabel")
+    val best = votes
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"nlabel".as("pred_label"))
+    val counts = votes.groupBy($"vec_id")
+      .agg(sum($"c").as("n_train_neighbors"))
+    split.filter(!$"is_train")
+      .select($"vec_id", $"label".as("true_label"))
+      .join(best, Seq("vec_id"), "left")
+      .join(counts, Seq("vec_id"), "left")
+      .select($"vec_id", $"true_label",
+        coalesce($"n_train_neighbors", lit(0L)).as("n_train_neighbors"),
+        $"pred_label",
+        ($"pred_label" === $"true_label").as("correct"))
+  }
 }

@@ -237,6 +237,52 @@ object TextAnalysis {
         round(avg(-log($"cnt".cast("double") / $"total")), 4).as("avg_neg_logprob"))
   }
 
+  /** Bigram language-model score — the order-2 upgrade of
+    * [[unigramLogprob]]: mean −ln p(w₂|w₁) over a doc's adjacent token
+    * pairs, with add-one smoothing over the observed continuation
+    * vocabulary (p = (c(w₁w₂)+1) / (c(w₁·)+V)). Conditional
+    * probabilities catch scrambled/templated text that unigram
+    * frequency cannot (same words, impossible transitions).
+    *
+    * Scale: the q84 shape — one adjacent-pair explode (n−1 rows per
+    * doc, never a co-occurrence matrix), then every table downstream is
+    * vocabulary-sized: bigram counts with map-side combine, context
+    * counts as a rollup OF the bigram table, V as a one-row broadcast.
+    * The pair stream is cached because counts and scoring both consume
+    * it. Docs with <2 tokens emit 0 pairs and a null score (q81's
+    * total-output contract).
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", explode(zip_with(
+        slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
+        slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      val cctx = cb.groupBy($"w1").agg(sum($"cb").as("cctx"))
+      val vocab = cb.agg(count_distinct($"w2").as("v"))
+      val scored = pairs
+        .join(cb, Seq("w1", "w2"))
+        .join(cctx, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(-log(($"cb" + lit(1L)).cast("double") / ($"cctx" + $"v"))), 4)
+            .as("avg_neg_logprob"))
+      docs(spark, dir).select($"doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          $"avg_neg_logprob")
+        .localCheckpoint(true)
+    } finally pairs.unpersist()
+  }
+
   /** Within-document repetition ratio: the fraction of word 3-grams that
     * are repeats of an earlier 3-gram in the same doc — the Gopher-style
     * "repetitious text" quality signal (high values flag spam/template

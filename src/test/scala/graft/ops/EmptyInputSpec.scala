@@ -99,7 +99,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q93 winnowing candidates" -> (() => TextAnalysis.winnowingCandidates(spark, emptyDir)),
     "q94 shard manifest" -> (() => PipelinePrep.shardManifest(spark, emptyDir)),
     "q95 source vocab overlap" -> (() => TextAnalysis.sourceVocabOverlap(spark, emptyDir)),
-    "q96 user burstiness" -> (() => Sessionize.userBurstiness(spark, emptyDir)))
+    "q96 user burstiness" -> (() => Sessionize.userBurstiness(spark, emptyDir)),
+    "q97 bigram logprob" -> (() => TextAnalysis.bigramLogprob(spark, emptyDir)),
+    "q98 knn label vote" -> (() => Similarity.knnLabelVote(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

@@ -145,6 +145,9 @@ class OpsSpec extends AnyFunSuite {
     "q95_source_vocab_overlap" -> Set("source_a", "source_b", "common", "jaccard"),
     "q96_user_burstiness" -> Set("user_id", "n_events", "n_hours", "max_hourly",
       "peak_to_mean", "bursty"),
+    "q97_bigram_logprob" -> Set("doc_id", "n_pairs", "avg_neg_logprob"),
+    "q98_knn_label_vote" -> Set("vec_id", "true_label", "n_train_neighbors",
+      "pred_label", "correct"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -339,6 +339,78 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("bigram logprob: scores match the naive add-one model; short docs emit null") {
+    val docs = Seq(
+      (1L, "a b a b a c", "s"),
+      (2L, "a b a b", "s"),
+      (3L, "c a b", "s"),
+      (4L, "solo", "s")) // one token → 0 pairs, null score
+    val dir = corpusDir(docs)
+    try {
+      val allPairs = docs.flatMap { case (_, tx, _) =>
+        toks(tx).sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+      }
+      val cb = allPairs.groupBy(identity).view.mapValues(_.size).toMap
+      val cctx = allPairs.groupBy(_._1).view.mapValues(_.size).toMap
+      val v = allPairs.map(_._2).distinct.size
+      def score(tx: String): Option[Double] = {
+        val ps = toks(tx).sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+        if (ps.isEmpty) None
+        else Some(ps.map(p =>
+          -math.log((cb(p) + 1.0) / (cctx(p._1) + v))).sum / ps.length)
+      }
+      val got = TextAnalysis.bigramLogprob(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      docs.foreach { case (id, tx, _) =>
+        val nPairs = math.max(toks(tx).length - 1, 0).toLong
+        assert(got(id)._1 == nPairs, s"doc $id n_pairs")
+        (got(id)._2, score(tx)) match {
+          case (Some(g), Some(e)) => assert(math.abs(g - e) < 5e-4, s"doc $id: $g vs $e")
+          case (None, None) =>
+          case other => fail(s"doc $id: $other")
+        }
+      }
+      // the repeated "a b" transition is more probable than the rare
+      // "b c"-style ones: doc 2 (all high-prob transitions) must score
+      // lower than doc 3 (novel transitions)
+      assert(got(2L)._2.get < got(3L)._2.get)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
+  test("knn label vote: votes equal a direct majority over the graph's train edges") {
+    val sf = "/root/testdata/sf0.001"
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def isTrain(id: Long) = md5hex(id.toString).take(2) <= "7f"
+    val knn = Similarity.knnGraph(spark, sf)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = knn.filter { case (v, n) => !isTrain(v) && isTrain(n) }
+      .groupBy(_._1).view.mapValues { es =>
+        val counts = es.map(e => labels(e._2)).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        (es.size.toLong, best)
+      }.toMap
+    val got = Similarity.knnLabelVote(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getInt(1))).toMap
+    assert(got.keySet == labels.keySet.filterNot(isTrain), "every eval vec, exactly once")
+    got.foreach { case (v, (n, pred, trueLabel)) =>
+      expected.get(v) match {
+        case Some((en, ebest)) =>
+          assert(n == en && pred.contains(ebest), s"vec $v: ($n, $pred) vs ($en, $ebest)")
+        case None =>
+          assert(n == 0L && pred.isEmpty, s"vec $v without train neighbors: ($n, $pred)")
+      }
+      assert(trueLabel == labels(v))
+    }
+    assert(expected.nonEmpty)
+  }
+
   test("shard manifest: digest is row-order independent; totals partition the corpus") {
     val docs = (0 until 40).map(i => (i.toLong, s"doc number $i with tokens " * (1 + i % 3), "s"))
     val dirA = corpusDir(docs)

@@ -61,7 +61,8 @@ object ScaleBench {
     "q86_bm25_topk", "q87_source_divergence", "q88_containment_pairs",
     "q89_char_profile", "q90_cross_source_dups", "q91_winnowing",
     "q92_perplexity_buckets", "q93_winnowing_candidates", "q94_shard_manifest",
-    "q95_source_vocab_overlap", "q97_bigram_logprob", "q98_knn_label_vote")
+    "q95_source_vocab_overlap", "q97_bigram_logprob", "q98_knn_label_vote",
+    "q99_minhash_estimate", "q100_source_health")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -208,6 +208,12 @@ object SparkEntry {
     // semi-supervised KNN label vote over the bucketed graph
     "q98_knn_label_vote" -> ((s: SparkSession, d: String) =>
       Similarity.knnLabelVote(s, d)),
+    // MinHash estimate vs exact Jaccard on the candidate pairs
+    "q99_minhash_estimate" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashEstimateVsExact(s, d)),
+    // composite per-source corpus-health report (q75 + q87 + q90)
+    "q100_source_health" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.sourceHealthReport(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -286,6 +292,67 @@ object SparkEntry {
     * vector — ONE definition so the two oracles cannot gate against
     * diverging graph constructions if planes/k/tie-break ever change.
     */
+  /** The three per-source signal oracles, shared verbatim with the
+    * source-health report (q100) — one definition each, so the report's
+    * oracle cannot drift from the signals it composes (the q85 rule).
+    */
+  private val srcRepOracleSql: String =
+      """WITH tok AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, source, text,
+        |       CASE WHEN len(w) > 0
+        |            THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS ttr
+        |      FROM tok),
+        |hc AS (SELECT text, count(*) AS n_copies FROM p GROUP BY 1),
+        |f AS (SELECT p.source, p.ttr, hc.n_copies FROM p JOIN hc USING (text)),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(avg(ttr), 6) AS mean_ttr,
+        |       round(avg(CAST(n_copies > 1 AS INT)), 6) AS dup_rate
+        |      FROM f GROUP BY 1),
+        |thr AS (SELECT round(avg(mean_ttr), 6) AS thr FROM s)
+        |SELECT source, n_docs, mean_ttr, dup_rate,
+        | (mean_ttr >= thr AND dup_rate <= 0.5) AS keep
+        |FROM s CROSS JOIN thr""".stripMargin
+
+  private val srcDivOracleSql: String =
+      """WITH sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cw FROM (
+        |       SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |      GROUP BY 1, 2),
+        |cwt AS (SELECT w, CAST(sum(cw) AS BIGINT) AS ct FROM sw GROUP BY 1),
+        |ts AS (SELECT source, CAST(sum(cw) AS BIGINT) AS ts FROM sw GROUP BY 1),
+        |tc AS (SELECT CAST(sum(ct) AS BIGINT) AS tc FROM cwt)
+        |SELECT sw.source AS source,
+        | max(ts.ts) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | round(sum((CAST(cw AS DOUBLE) / ts.ts)
+        |   * ln((CAST(cw AS DOUBLE) / ts.ts) / (CAST(ct AS DOUBLE) / tc.tc))), 4)
+        |  AS kl_divergence
+        |FROM sw JOIN cwt USING (w) JOIN ts ON sw.source = ts.source CROSS JOIN tc
+        |GROUP BY sw.source""".stripMargin
+
+  private val crossSrcOracleSql: String =
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sigs a JOIN sigs b
+        |          ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id)
+        |SELECT least(da.source, db.source) AS source_a,
+        | greatest(da.source, db.source) AS source_b,
+        | CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM cand
+        | JOIN documents da ON cand.doc_a = da.doc_id
+        | JOIN documents db ON cand.doc_b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin
+
   private val knnOracleCtes: String =
     """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
       |sig AS (SELECT e.vec_id, e.embedding,
@@ -1217,22 +1284,7 @@ object SparkEntry {
     // q75: the oracle groups copies by the text itself where Spark
     // groups by sha256(text) — identical partitions, and both sides
     // round the per-source means to 6 before the threshold compare
-    "q75_source_reputation" ->
-      """WITH tok AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
-        |p AS (SELECT doc_id, source, text,
-        |       CASE WHEN len(w) > 0
-        |            THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS ttr
-        |      FROM tok),
-        |hc AS (SELECT text, count(*) AS n_copies FROM p GROUP BY 1),
-        |f AS (SELECT p.source, p.ttr, hc.n_copies FROM p JOIN hc USING (text)),
-        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |       round(avg(ttr), 6) AS mean_ttr,
-        |       round(avg(CAST(n_copies > 1 AS INT)), 6) AS dup_rate
-        |      FROM f GROUP BY 1),
-        |thr AS (SELECT round(avg(mean_ttr), 6) AS thr FROM s)
-        |SELECT source, n_docs, mean_ttr, dup_rate,
-        | (mean_ttr >= thr AND dup_rate <= 0.5) AS keep
-        |FROM s CROSS JOIN thr""".stripMargin,
+    "q75_source_reputation" -> srcRepOracleSql,
     // q76: rates normalize against max(n_docs) — integer max, no
     // order-dependent float sum — and the keep coin compares 7-digit
     // zero-padded hex strings, identical to the 24-bit integer compare
@@ -1475,21 +1527,7 @@ object SparkEntry {
     // q87: KL summands divide and multiply in identical order on both
     // sides; the sum itself is order-free only up to float association,
     // hence round 4 (the q64 precedent)
-    "q87_source_divergence" ->
-      """WITH sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cw FROM (
-        |       SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
-        |      GROUP BY 1, 2),
-        |cwt AS (SELECT w, CAST(sum(cw) AS BIGINT) AS ct FROM sw GROUP BY 1),
-        |ts AS (SELECT source, CAST(sum(cw) AS BIGINT) AS ts FROM sw GROUP BY 1),
-        |tc AS (SELECT CAST(sum(ct) AS BIGINT) AS tc FROM cwt)
-        |SELECT sw.source AS source,
-        | max(ts.ts) AS n_tokens,
-        | CAST(count(*) AS BIGINT) AS n_types,
-        | round(sum((CAST(cw AS DOUBLE) / ts.ts)
-        |   * ln((CAST(cw AS DOUBLE) / ts.ts) / (CAST(ct AS DOUBLE) / tc.tc))), 4)
-        |  AS kl_divergence
-        |FROM sw JOIN cwt USING (w) JOIN ts ON sw.source = ts.source CROSS JOIN tc
-        |GROUP BY sw.source""".stripMargin,
+    "q87_source_divergence" -> srcDivOracleSql,
     // q88: the q39 keeper/shingle skeleton plus the two containment
     // divisions; the filter reads the ROUNDED greatest on both sides
     "q88_containment_pairs" ->
@@ -1517,29 +1555,7 @@ object SparkEntry {
         |WHERE greatest(containment_a, containment_b) >= 0.5""".stripMargin,
     // q90: the q15 candidate CTEs verbatim, rolled up by canonical
     // source pair
-    "q90_cross_source_dups" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
-        |       FROM tok),
-        |h AS (SELECT doc_id,
-        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
-        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
-        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
-        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
-        |          GROUP BY doc_id, i),
-        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
-        |         FROM hmins GROUP BY doc_id, i // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM sigs a JOIN sigs b
-        |          ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id)
-        |SELECT least(da.source, db.source) AS source_a,
-        | greatest(da.source, db.source) AS source_b,
-        | CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM cand
-        | JOIN documents da ON cand.doc_a = da.doc_id
-        | JOIN documents db ON cand.doc_b = db.doc_id
-        |GROUP BY 1, 2""".stripMargin,
+    "q90_cross_source_dups" -> crossSrcOracleSql,
     // q89: the oracle unnests one row per character (fine at oracle
     // scale; the engine side is the per-doc count map precisely to
     // avoid that shape). Entropy folds c·ln c in char-sorted order on
@@ -1714,5 +1730,70 @@ object SparkEntry {
         | LEFT JOIN best ON e.vec_id = best.vec_id
         | LEFT JOIN cnt ON e.vec_id = cnt.vec_id
         |WHERE NOT e.is_train""".stripMargin,
+    // q99: the q15 candidate CTEs verbatim, per-pair permutation-min
+    // agreement, and the q16-style exact intersection restricted to the
+    // candidate set; est is an exact multiple of 1/16, so every
+    // compared value is an exact rational on both engines
+    "q99_minhash_estimate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sigs a JOIN sigs b
+        |          ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id),
+        |agree AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_agree
+        |          FROM cand c
+        |           JOIN hmins x ON x.doc_id = c.doc_a
+        |           JOIN hmins y ON y.doc_id = c.doc_b AND y.i = x.i AND y.m = x.m
+        |          GROUP BY 1, 2),
+        |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
+        |ex AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+        |       FROM cand c
+        |        JOIN dsh a ON a.doc_id = c.doc_a
+        |        JOIN dsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        |       GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, agree.n_agree,
+        | round(CAST(agree.n_agree AS DOUBLE) / 16, 6) AS est_jaccard,
+        | round(CAST(coalesce(ex.common, 0) AS DOUBLE)
+        |   / (sa.n + sb.n - coalesce(ex.common, 0)), 6) AS jaccard,
+        | (abs(round(CAST(agree.n_agree AS DOUBLE) / 16, 6)
+        |   - round(CAST(coalesce(ex.common, 0) AS DOUBLE)
+        |      / (sa.n + sb.n - coalesce(ex.common, 0)), 6)) <= 0.35) AS within_tol
+        |FROM cand c
+        | JOIN agree ON c.doc_a = agree.doc_a AND c.doc_b = agree.doc_b
+        | LEFT JOIN ex ON c.doc_a = ex.doc_a AND c.doc_b = ex.doc_b
+        | JOIN sizes sa ON c.doc_a = sa.doc_id
+        | JOIN sizes sb ON c.doc_b = sb.doc_id""".stripMargin,
+    // q100: composes the three per-source signal oracles VERBATIM (the
+    // shared vals above); cross pairs count once per endpoint, self
+    // pairs once for their source
+    "q100_source_health" ->
+      s"""SELECT r.source, r.n_docs, r.mean_ttr, r.dup_rate, r.keep,
+         | d.n_tokens, d.n_types, d.kl_divergence,
+         | CAST(coalesce(x.self_pairs, 0) AS BIGINT) AS n_self_dup_pairs,
+         | CAST(coalesce(x.cross_pairs, 0) AS BIGINT) AS n_cross_dup_pairs
+         |FROM ($srcRepOracleSql) r
+         |LEFT JOIN ($srcDivOracleSql) d ON r.source = d.source
+         |LEFT JOIN (
+         | SELECT source, CAST(sum(sp) AS BIGINT) AS self_pairs,
+         |        CAST(sum(cp) AS BIGINT) AS cross_pairs FROM (
+         |  SELECT source_a AS source,
+         |   CASE WHEN source_a = source_b THEN n_pairs ELSE 0 END AS sp,
+         |   CASE WHEN source_a <> source_b THEN n_pairs ELSE 0 END AS cp
+         |  FROM ($crossSrcOracleSql)
+         |  UNION ALL
+         |  SELECT source_b, 0, n_pairs FROM ($crossSrcOracleSql)
+         |  WHERE source_a <> source_b
+         | ) GROUP BY 1) x ON r.source = x.source""".stripMargin,
   )
 }

@@ -99,10 +99,12 @@ object Dedup {
     * per-band union chain's b of each. Package-private so the S-curve
     * property test can feed synthetic shingle sets with exact Jaccard.
     */
-  private[ops] def bandSignatures(sh: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
+  /** Per-doc MinHash row-mins m0..m(k−1) — the Kirsch–Mitzenmacher
+    * permutation mins before any banding. Shared by [[bandSignatures]]
+    * and the estimate-vs-exact gate so the two read identical sketches.
+    */
+  private[ops] def rowMins(sh: DataFrame, k: Int): DataFrame = {
     import sh.sparkSession.implicits._
-    val k = bands * rowsPerBand
     // one md5, materialized once, then k derived permutations; operands
     // stay < 2³⁶ so the long arithmetic can't overflow (ANSI mode)
     val hashed = sh
@@ -113,6 +115,13 @@ object Dedup {
     val mins = (0 until k).map(i =>
       min(($"h1" + lit(i.toLong) * $"h2") % lit(4294967296L)).as(s"m$i"))
     hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  private[ops] def bandSignatures(sh: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    import sh.sparkSession.implicits._
+    val k = bands * rowsPerBand
+    rowMins(sh, k)
       .select($"doc_id", explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
@@ -142,6 +151,49 @@ object Dedup {
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** MinHash Jaccard ESTIMATE vs ground truth on the candidate pairs —
+    * the sketch-accuracy gate for the dedup pipeline (the q65/q29/q58
+    * estimate-vs-exact pattern applied to MinHash): est = fraction of
+    * the k=16 permutation mins two docs agree on, exact = hashed
+    * shingle-set Jaccard via array_intersect on the per-doc sets, and
+    * `within_tol` pins |est − exact| ≤ 0.35 (3σ of the k=16 binomial
+    * at j ≈ 0.5). Everything is integer agreement counts and exact
+    * rationals — no float fold anywhere — so the oracle recomputes the
+    * identical values from the same md5 double-hashing construction.
+    *
+    * Scale: candidates are the banded q15 output (never all-pairs);
+    * the mins table is k longs per doc and the exact re-score joins
+    * each candidate to two bounded per-doc arrays — the verification
+    * cost is candidates × set size, the same as q39's.
+    */
+  def minhashEstimateVsExact(spark: SparkSession, dir: String,
+      k: Int = 16, tol: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val mins = rowMins(shingleRows(spark, dir), k)
+    val sets = docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", hashedShingleSet($"t").as("set"))
+      .select($"doc_id", $"set", size($"set").cast("long").as("n"))
+    val agree = (0 until k)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    minhashCandidates(spark, dir)
+      .join(mins.as("a"), $"doc_a" === col("a.doc_id"))
+      .join(mins.as("b"), $"doc_b" === col("b.doc_id"))
+      .select($"doc_a", $"doc_b", agree.as("n_agree"))
+      .join(sets.select($"doc_id".as("doc_a"), $"set".as("sa"), $"n".as("na")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"set".as("sb"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"n_agree",
+        round($"n_agree".cast("double") / k, 6).as("est_jaccard"),
+        size(array_intersect($"sa", $"sb")).cast("long").as("common"),
+        $"na", $"nb")
+      .select($"doc_a", $"doc_b", $"n_agree", $"est_jaccard",
+        round($"common".cast("double") / ($"na" + $"nb" - $"common"), 6)
+          .as("jaccard"))
+      .withColumn("within_tol",
+        abs($"est_jaccard" - $"jaccard") <= tol)
   }
 
   /** Dedup clusters: connected components over the MinHash candidate

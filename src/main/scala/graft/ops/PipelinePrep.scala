@@ -193,6 +193,41 @@ object PipelinePrep {
         max($"doc_id").as("max_doc_id"))
   }
 
+  /** The per-source corpus-health REPORT — the q85 composite pattern at
+    * source level: reputation signals (q75), distribution drift vs the
+    * corpus mixture (q87) and near-dup pair counts split self/cross
+    * (q90 rolled to one row per source), joined on the source key. One
+    * table answers "which feeds should we keep, down-weight, or
+    * investigate" — each signal keeps its own documented scale shape
+    * and the report adds only sources-sized joins. The oracle composes
+    * the three signal oracles verbatim, so the report cannot drift from
+    * the operators it summarizes.
+    */
+  def sourceHealthReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rep = sourceReputation(spark, dir)
+    val div = TextAnalysis.sourceDivergence(spark, dir)
+    val x = Dedup.crossSourceDups(spark, dir)
+    // self pairs count once for their source; cross pairs once for EACH
+    // endpoint (the union leg re-emits the second endpoint)
+    val pairRollup = x.select(
+        $"source_a".as("source"),
+        when($"source_a" === $"source_b", $"n_pairs").otherwise(0L).as("sp"),
+        when($"source_a" =!= $"source_b", $"n_pairs").otherwise(0L).as("cp"))
+      .union(x.filter($"source_a" =!= $"source_b")
+        .select($"source_b".as("source"), lit(0L).as("sp"), $"n_pairs".as("cp")))
+      .groupBy($"source")
+      .agg(sum($"sp").as("n_self_dup_pairs"), sum($"cp").as("n_cross_dup_pairs"))
+    rep
+      .join(div.select($"source", $"n_tokens", $"n_types", $"kl_divergence"),
+        Seq("source"), "left")
+      .join(pairRollup, Seq("source"), "left")
+      .select($"source", $"n_docs", $"mean_ttr", $"dup_rate", $"keep",
+        $"n_tokens", $"n_types", $"kl_divergence",
+        coalesce($"n_self_dup_pairs", lit(0L)).as("n_self_dup_pairs"),
+        coalesce($"n_cross_dup_pairs", lit(0L)).as("n_cross_dup_pairs"))
+  }
+
   def trainingMix(spark: SparkSession, dir: String, chunkSize: Int = 64): DataFrame = {
     import spark.implicits._
     val cleaned = docs(spark, dir)

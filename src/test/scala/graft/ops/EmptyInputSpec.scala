@@ -101,7 +101,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q95 source vocab overlap" -> (() => TextAnalysis.sourceVocabOverlap(spark, emptyDir)),
     "q96 user burstiness" -> (() => Sessionize.userBurstiness(spark, emptyDir)),
     "q97 bigram logprob" -> (() => TextAnalysis.bigramLogprob(spark, emptyDir)),
-    "q98 knn label vote" -> (() => Similarity.knnLabelVote(spark, emptyDir)))
+    "q98 knn label vote" -> (() => Similarity.knnLabelVote(spark, emptyDir)),
+    "q99 minhash estimate" -> (() => Dedup.minhashEstimateVsExact(spark, emptyDir)),
+    "q100 source health" -> (() => PipelinePrep.sourceHealthReport(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

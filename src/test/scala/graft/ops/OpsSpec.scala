@@ -148,6 +148,11 @@ class OpsSpec extends AnyFunSuite {
     "q97_bigram_logprob" -> Set("doc_id", "n_pairs", "avg_neg_logprob"),
     "q98_knn_label_vote" -> Set("vec_id", "true_label", "n_train_neighbors",
       "pred_label", "correct"),
+    "q99_minhash_estimate" -> Set("doc_a", "doc_b", "n_agree", "est_jaccard",
+      "jaccard", "within_tol"),
+    "q100_source_health" -> Set("source", "n_docs", "mean_ttr", "dup_rate",
+      "keep", "n_tokens", "n_types", "kl_divergence", "n_self_dup_pairs",
+      "n_cross_dup_pairs"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -411,6 +411,59 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("minhash estimate: identical docs score 1.0; exact column matches naive sets; tolerance is honest") {
+    val dir = corpusDir(corpus) // docs 1 and 6 are byte-identical
+    try {
+      val sets = corpus.map { case (id, tx, _) => id -> shingles(tx) }.toMap
+      val got = Dedup.minhashEstimateVsExact(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+      assert(got.nonEmpty)
+      got.foreach { case ((a, b), (nAgree, est, j, tol)) =>
+        // candidates share a band = 4 consecutive equal mins
+        assert(nAgree >= 4L, s"($a,$b) agree $nAgree")
+        assert(est == math.round(est * 16) / 16.0, s"est is a multiple of 1/16")
+        val (sa, sb) = (sets(a), sets(b))
+        val nj = (sa & sb).size.toDouble / (sa | sb).size
+        assert(math.abs(j - nj) < 1e-6, s"($a,$b) exact: $j vs $nj")
+        assert(tol == (math.abs(est - j) <= 0.35), s"($a,$b) tolerance flag")
+      }
+      val idPair = got((1L, 6L))
+      assert(idPair._2 == 1.0 && idPair._3 == 1.0 && idPair._4,
+        s"identical pair: $idPair")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
+  test("source health: report rows equal the three signal operators joined") {
+    val dir = corpusDir(corpus)
+    try {
+      val rep = PipelinePrep.sourceReputation(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+      val div = TextAnalysis.sourceDivergence(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val pairs = Dedup.crossSourceDups(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      def selfOf(s: String) = pairs.collect {
+        case (a, b, n) if a == s && b == s => n }.sum
+      def crossOf(s: String) = pairs.collect {
+        case (a, b, n) if a != b && (a == s || b == s) => n }.sum
+      val got = PipelinePrep.sourceHealthReport(spark, dir)
+        .collect().map { r =>
+          r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getBoolean(4), r.getLong(5), r.getLong(6), r.getDouble(7),
+            r.getLong(8), r.getLong(9))
+        }.toMap
+      assert(got.keySet == rep.keySet)
+      got.foreach { case (s, (nd, ttr, dup, keep, nt, ntyp, kl, sp, cp)) =>
+        assert((nd, ttr, dup, keep) == rep(s), s"$s reputation")
+        assert((nt, ntyp, kl) == div(s), s"$s divergence")
+        assert(sp == selfOf(s) && cp == crossOf(s), s"$s pair counts")
+      }
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
   test("shard manifest: digest is row-order independent; totals partition the corpus") {
     val docs = (0 until 40).map(i => (i.toLong, s"doc number $i with tokens " * (1 + i % 3), "s"))
     val dirA = corpusDir(docs)

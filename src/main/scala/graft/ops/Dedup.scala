@@ -93,15 +93,11 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame =
     bandSignatures(shingleRows(spark, dir), bands, rowsPerBand)
 
-  /** The banding core over pre-exploded (doc_id, sh) rows. All k row-mins
-    * aggregate in ONE groupBy (k min-columns with map-side combine), then
-    * unpivot to b (band, sig) rows — one scan + one shuffle instead of a
-    * per-band union chain's b of each. Package-private so the S-curve
-    * property test can feed synthetic shingle sets with exact Jaccard.
-    */
   /** Per-doc MinHash row-mins m0..m(k−1) — the Kirsch–Mitzenmacher
     * permutation mins before any banding. Shared by [[bandSignatures]]
     * and the estimate-vs-exact gate so the two read identical sketches.
+    * All k row-mins aggregate in ONE groupBy (k min-columns with
+    * map-side combine).
     */
   private[ops] def rowMins(sh: DataFrame, k: Int): DataFrame = {
     import sh.sparkSession.implicits._
@@ -117,11 +113,24 @@ object Dedup {
     hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** The banding core over pre-exploded (doc_id, sh) rows: the
+    * [[rowMins]] table unpivots to b (band, sig) rows — one scan + one
+    * shuffle instead of a per-band union chain's b of each.
+    * Package-private so the S-curve property test can feed synthetic
+    * shingle sets with exact Jaccard.
+    */
   private[ops] def bandSignatures(sh: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    bandSignaturesFromMins(rowMins(sh, bands * rowsPerBand), bands, rowsPerBand)
+
+  /** The band fold alone, over a pre-computed (possibly cached) row-mins
+    * table — split out so the estimate gate can derive candidates and
+    * agreement from ONE cached sketch.
+    */
+  private[ops] def bandSignaturesFromMins(mins: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
-    import sh.sparkSession.implicits._
-    val k = bands * rowsPerBand
-    rowMins(sh, k)
+    import mins.sparkSession.implicits._
+    mins
       .select($"doc_id", explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
@@ -156,44 +165,69 @@ object Dedup {
   /** MinHash Jaccard ESTIMATE vs ground truth on the candidate pairs —
     * the sketch-accuracy gate for the dedup pipeline (the q65/q29/q58
     * estimate-vs-exact pattern applied to MinHash): est = fraction of
-    * the k=16 permutation mins two docs agree on, exact = hashed
+    * the 16 permutation mins two docs agree on, exact = hashed
     * shingle-set Jaccard via array_intersect on the per-doc sets, and
-    * `within_tol` pins |est − exact| ≤ 0.35 (3σ of the k=16 binomial
-    * at j ≈ 0.5). Everything is integer agreement counts and exact
-    * rationals — no float fold anywhere — so the oracle recomputes the
-    * identical values from the same md5 double-hashing construction.
+    * `within_tol` pins |est − exact| ≤ 0.35 (slightly tighter than the
+    * 3σ binomial bound at j ≈ 0.5, which is 3·√(0.25/16) = 0.375).
+    * The banding geometry is PINNED to the pipeline's 4×4 default — a
+    * knob here would desync the gate from the sketch q15/q41 actually
+    * use (and from the oracle's range(16)). Everything is integer
+    * agreement counts and exact rationals — no float fold anywhere —
+    * so the oracle recomputes the identical values from the same md5
+    * double-hashing construction.
     *
-    * Scale: candidates are the banded q15 output (never all-pairs);
-    * the mins table is k longs per doc and the exact re-score joins
-    * each candidate to two bounded per-doc arrays — the verification
-    * cost is candidates × set size, the same as q39's.
+    * Scale: candidates are the banded q15 output (never all-pairs) and
+    * derive from the SAME cached row-mins table the agreement reads —
+    * one corpus scan for the sketch, one for the exact sets (cached:
+    * two candidate-side consumers each), instead of rebuilding the
+    * shingle pipeline per consumer (the q39/q88 lesson). The exact
+    * re-score joins each candidate to two bounded per-doc arrays.
     */
   def minhashEstimateVsExact(spark: SparkSession, dir: String,
-      k: Int = 16, tol: Double = 0.35): DataFrame = {
+      tol: Double = 0.35): DataFrame = {
     import spark.implicits._
-    val mins = rowMins(shingleRows(spark, dir), k)
+    val bands = 4
+    val rowsPerBand = 4
+    val k = bands * rowsPerBand
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val mins = rowMins(shingleRows(spark, dir), k).persist(lvl)
     val sets = docs(spark, dir)
       .select($"doc_id", toks.as("t"))
       .select($"doc_id", hashedShingleSet($"t").as("set"))
       .select($"doc_id", $"set", size($"set").cast("long").as("n"))
-    val agree = (0 until k)
-      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    minhashCandidates(spark, dir)
-      .join(mins.as("a"), $"doc_a" === col("a.doc_id"))
-      .join(mins.as("b"), $"doc_b" === col("b.doc_id"))
-      .select($"doc_a", $"doc_b", agree.as("n_agree"))
-      .join(sets.select($"doc_id".as("doc_a"), $"set".as("sa"), $"n".as("na")), "doc_a")
-      .join(sets.select($"doc_id".as("doc_b"), $"set".as("sb"), $"n".as("nb")), "doc_b")
-      .select($"doc_a", $"doc_b", $"n_agree",
-        round($"n_agree".cast("double") / k, 6).as("est_jaccard"),
-        size(array_intersect($"sa", $"sb")).cast("long").as("common"),
-        $"na", $"nb")
-      .select($"doc_a", $"doc_b", $"n_agree", $"est_jaccard",
-        round($"common".cast("double") / ($"na" + $"nb" - $"common"), 6)
-          .as("jaccard"))
-      .withColumn("within_tol",
-        abs($"est_jaccard" - $"jaccard") <= tol)
+      .persist(lvl)
+    try {
+      val sigs = bandSignaturesFromMins(mins, bands, rowsPerBand)
+        .select($"doc_id", $"band", $"sig", xxhash64($"band", $"sig").as("bucket"))
+      val cand = sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val agree = (0 until k)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand
+        .join(mins.as("a"), $"doc_a" === col("a.doc_id"))
+        .join(mins.as("b"), $"doc_b" === col("b.doc_id"))
+        .select($"doc_a", $"doc_b", agree.as("n_agree"))
+        .join(sets.select($"doc_id".as("doc_a"), $"set".as("sa"), $"n".as("na")), "doc_a")
+        .join(sets.select($"doc_id".as("doc_b"), $"set".as("sb"), $"n".as("nb")), "doc_b")
+        .select($"doc_a", $"doc_b", $"n_agree",
+          round($"n_agree".cast("double") / k, 6).as("est_jaccard"),
+          size(array_intersect($"sa", $"sb")).cast("long").as("common"),
+          $"na", $"nb")
+        .select($"doc_a", $"doc_b", $"n_agree", $"est_jaccard",
+          round($"common".cast("double") / ($"na" + $"nb" - $"common"), 6)
+            .as("jaccard"))
+        .withColumn("within_tol",
+          abs($"est_jaccard" - $"jaccard") <= tol)
+        .localCheckpoint(true)
+    } finally {
+      mins.unpersist()
+      sets.unpersist()
+    }
   }
 
   /** Dedup clusters: connected components over the MinHash candidate
@@ -384,7 +418,7 @@ object Dedup {
     * pair table plus the release handle; callers checkpoint their
     * result and release.
     */
-  private def keeperShingleIntersections(
+  private[ops] def keeperShingleIntersections(
       spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     import spark.implicits._
     val keepers = docs(spark, dir)

@@ -27,6 +27,14 @@ object Similarity {
 
   private def norm(a: Column): Column = call_function("vec_norm", a)
 
+  /** The ONE md5 train/eval split over vec_id (~50/50), shared by
+    * embedding decontamination (q72) and the KNN label vote (q98) so
+    * the two surfaces cannot drift on which vectors are train. The
+    * oracles pin the same `substring(md5(...), 1, 2) <= '7f'` text.
+    */
+  private def isTrainVec: Column =
+    substring(md5(col("vec_id").cast("string")), 1, 2) <= "7f"
+
   /** The first `n` embeddings as (id, array<float> literal) pairs —
     * the deterministic hyperplanes / centroids of the LSH and IVF
     * operators, collected ONCE at plan time (n × dim floats; the
@@ -399,7 +407,7 @@ object Similarity {
     val bucketed = e.select($"vec_id", $"embedding",
       srpBucket(headVectors(spark, dir, nPlanes)).as("bucket"),
       norm($"embedding").as("nrm"),
-      (substring(md5($"vec_id".cast("string")), 1, 2) <= "7f").as("is_train"))
+      isTrainVec.as("is_train"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val train = bucketed.filter($"is_train")
@@ -585,7 +593,7 @@ object Similarity {
       k: Int = 3): DataFrame = {
     import spark.implicits._
     val split = emb(spark, dir).select($"vec_id", $"label",
-      (substring(md5($"vec_id".cast("string")), 1, 2) <= "7f").as("is_train"))
+      isTrainVec.as("is_train"))
     val votes = knnGraph(spark, dir, nPlanes, k)
       .join(split.filter(!$"is_train").select($"vec_id"), "vec_id")
       .join(split.filter($"is_train")

@@ -259,7 +259,10 @@ object SparkEntry {
         |SELECT g.doc_id,
         | CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared_grams,
         | CAST(len(g.grams) AS BIGINT) AS n_grams,
-        | round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(g.grams), 6) AS shared_frac
+        | -- gram-less docs (< n tokens): null fraction on both engines
+        | CASE WHEN len(g.grams) > 0
+        |      THEN round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(g.grams), 6)
+        | END AS shared_frac
         |FROM g LEFT JOIN sh USING (doc_id)
         |WHERE NOT g.is_train""".stripMargin
 

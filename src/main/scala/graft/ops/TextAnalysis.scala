@@ -207,7 +207,10 @@ object TextAnalysis {
       .select($"doc_id",
         coalesce($"n_shared_grams", lit(0L)).as("n_shared_grams"),
         $"n_grams",
-        round(coalesce($"n_shared_grams", lit(0L)).cast("double") / $"n_grams", 6)
+        // total output admits gram-less docs (< n tokens, empty/null
+        // text): null fraction, not an ANSI divide-by-zero
+        when($"n_grams" > 0,
+          round(coalesce($"n_shared_grams", lit(0L)).cast("double") / $"n_grams", 6))
           .as("shared_frac"))
   }
 

@@ -150,9 +150,17 @@ object Dedup {
     * shuffle is noise; the savings of the 8-byte key matter in the
     * shingle joins below, which keep it.
     */
-  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sigs = minhashSignatures(spark, dir)
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(minhashSignatures(spark, dir))
+
+  /** The bucket self-join over a (doc_id, band, sig) signature table —
+    * shared by [[minhashCandidates]] and the estimate gate (which feeds
+    * it signatures derived from a cached mins table) so the candidate
+    * semantics cannot drift between the two.
+    */
+  private[ops] def candidatePairs(signatures: DataFrame): DataFrame = {
+    import signatures.sparkSession.implicits._
+    val sigs = signatures
       .select($"doc_id", $"band", $"sig", xxhash64($"band", $"sig").as("bucket"))
     sigs.as("a")
       .join(sigs.as("b"),
@@ -197,14 +205,7 @@ object Dedup {
       .select($"doc_id", $"set", size($"set").cast("long").as("n"))
       .persist(lvl)
     try {
-      val sigs = bandSignaturesFromMins(mins, bands, rowsPerBand)
-        .select($"doc_id", $"band", $"sig", xxhash64($"band", $"sig").as("bucket"))
-      val cand = sigs.as("a")
-        .join(sigs.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = candidatePairs(bandSignaturesFromMins(mins, bands, rowsPerBand))
       val agree = (0 until k)
         .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
         .reduce(_ + _)

@@ -163,6 +163,50 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(tmp)
   }
 
+  test("checkpoint resume is exactly-once: a restarted query never reprocesses delivered batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docresume")
+    try {
+      val in = tmp.resolve("in"); val out = tmp.resolve("out")
+      val ckpt = tmp.resolve("ckpt")
+      java.nio.file.Files.createDirectories(in)
+      val docs = spark.read.schema(DocStreams.docSchema)
+        .parquet(s"$sf/documents.parquet")
+      // the file source watches FILES in `in`, not subdirectories —
+      // stage each wave and move its part file into the watched dir
+      def writeWave(wave: Int, filter: String): Unit = {
+        val staging = tmp.resolve(s"stage$wave")
+        docs.filter(filter).coalesce(1).write.parquet(staging.toString)
+        val part = java.nio.file.Files.list(staging)
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        java.nio.file.Files.copy(part, in.resolve(s"wave$wave.parquet"))
+      }
+      def runToCompletion(): Unit = {
+        val q = DocStreams.prepDocs(
+            DocStreams.readDocStream(spark, in.toString, maxFilesPerTrigger = 1))
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      writeWave(1, "doc_id % 2 = 0")
+      runToCompletion()
+      // second run, SAME checkpoint + sink: only the new wave may land
+      writeWave(2, "doc_id % 2 = 1")
+      runToCompletion()
+      val batch = DocStreams.prepDocs(docs).collect().map(_.getLong(0)).toSeq.sorted
+      val sunk = spark.read.parquet(out.toString).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      // exactly-once: equal as MULTISETS — a reprocessed batch would
+      // duplicate wave-1 ids, a lost checkpoint would drop them
+      assert(sunk == batch)
+      assert(batch.nonEmpty)
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
   test("content dedup collapses re-crawled duplicates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   * of the corpus), and `Skew.saltedJoin` (the explicit fallback, AQE
   * off). Row counts are asserted equal across all three.
   *
-  * Usage: ScaleBench [docs|tpch|events|layout|skew] [outBaseDir] [factors...]
+  * Usage: ScaleBench [docs|tpch|events|layout|skew|stream] [outBaseDir] [factors...]
   *        (defaults: docs /tmp/graft_scale 1 3 10)
   */
 object ScaleBench {
@@ -130,6 +130,7 @@ object ScaleBench {
       case "events" => eventQueries
       case "layout" => Seq("layout_join") // custom runner below, not SparkEntry
       case "skew" => Seq("skew_join")     // custom runner below, not SparkEntry
+      case "stream" => Seq("stream_ingest") // custom runner below, not SparkEntry
       case _ => docQueries
     }
     // optional csv filter (e.g. SPARK_GRAFT_SCALE_QUERIES=q27,q28) to
@@ -247,6 +248,46 @@ object ScaleBench {
       }
     }
 
+    /** Streaming ingest throughput: the WHOLE DocStreams.ingestPipeline
+      * (rule gate → prep → classifier → watermarked dedup) replayed
+      * through a real file-source micro-batch run into the noop sink,
+      * reported as wall seconds + docs/sec. Timestamps stay within one
+      * minute (the DocStreamsSpec convention) so unordered file replay
+      * can never push a row past the dedup watermark; a fresh checkpoint
+      * per run keeps every measurement a full replay, not a resume.
+      */
+    def streamBench(dir: String, k: Int): Unit = {
+      import org.apache.spark.sql.types.{StructType, StructField, TimestampType}
+      val tsDir = s"$dir/stream_docs"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ingest_ts",
+          to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") % 60)))
+        .repartition(8).write.mode("overwrite").parquet(tsDir)
+      val nDocs = spark.read.parquet(tsDir).count()
+      val ckpt = java.nio.file.Paths.get(s"$dir/stream_ckpt")
+      if (java.nio.file.Files.exists(ckpt)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val tsSchema = StructType(
+        graft.streaming.DocStreams.docSchema.fields :+
+          StructField("ingest_ts", TimestampType))
+      val t0 = System.nanoTime()
+      val q = graft.streaming.DocStreams.ingestPipeline(
+          spark.readStream.schema(tsSchema)
+            .option("maxFilesPerTrigger", "2").parquet(tsDir),
+          "ingest_ts")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = if (secs > 0) nDocs / secs else 0.0
+      println(f"""{"factor":$k,"query":"stream_ingest","secs":$secs%.2f,"rows":$nDocs,"docs_per_sec":$rate%.0f}""")
+    }
+
     for (k <- factors) {
       val dir = s"$base/x$k"
       mode match {
@@ -275,6 +316,7 @@ object ScaleBench {
       }
       if (mode == "layout") { layoutBench(dir, k) }
       else if (mode == "skew") { skewBench(dir, k) }
+      else if (mode == "stream") { streamBench(dir, k) }
       else for (name <- queries) {
         val fn = SparkEntry.queries(name)
         // timed: the noop materialization only (same action Bench times);

@@ -231,6 +231,9 @@ object PipelinePrep {
         $"n_tokens", $"n_types", $"kl_divergence",
         coalesce($"n_self_dup_pairs", lit(0L)).as("n_self_dup_pairs"),
         coalesce($"n_cross_dup_pairs", lit(0L)).as("n_cross_dup_pairs"))
+      // eager: the pair rollup rides the live MinHash candidate DAG,
+      // which would otherwise re-run per action on the returned frame
+      .localCheckpoint(true)
   }
 
   def trainingMix(spark: SparkSession, dir: String, chunkSize: Int = 64): DataFrame = {

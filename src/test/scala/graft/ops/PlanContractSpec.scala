@@ -277,6 +277,25 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q27/q52/q89: the custom text expressions stay inside whole-stage codegen") {
+    // the k-means lesson: an expression that silently falls out of
+    // codegen runs interpreted and costs 3-5x — pin participation for
+    // the scan-stage projections of each codegen'd text expression
+    Seq(
+      Dedup.simhash(spark, sf) -> "simhash",
+      TextAnalysis.repetitionRatio(spark, sf) -> "gramhashes",
+      TextAnalysis.charClassProfile(spark, sf) -> "charcounts").foreach {
+      case (df, exprName) =>
+        val p = plan(df)
+        val projLine = p.linesIterator
+          .find(l => l.matches(""".*\(\d+\) Project.*""") &&
+            l.contains("[codegen id"))
+        assert(projLine.isDefined,
+          s"no codegen'd Project found for $exprName:\n$p")
+        assert(p.toLowerCase.contains(exprName), s"$exprName missing from plan:\n$p")
+    }
+  }
+
   test("q33: chunk_hash participates in whole-stage codegen") {
     val df = Dedup.chunkHashDigests(spark, sf)
     val p = plan(df)

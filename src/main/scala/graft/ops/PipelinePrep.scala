@@ -211,7 +211,11 @@ object PipelinePrep {
     // self pairs count once for their source; cross pairs once for EACH
     // endpoint. One conditional explode, not a union of two reads of x —
     // a second consumer would re-run the whole MinHash candidate
-    // pipeline (measured: 5.8 s → 4.0 s for the report at sf0.1)
+    // pipeline (measured: 5.8 s → 4.0 s for the report at sf0.1).
+    // Checkpointed so the candidate DAG never re-runs per action; the
+    // final compose stays a LIVE join of three sources-sized
+    // checkpointed tables — trivially cheap per action, and every
+    // retained RDD backs the returned frame (nothing unreachable)
     val pairRollup = x.select(explode(
         when($"source_a" === $"source_b",
           array(struct($"source_a".as("source"),
@@ -223,6 +227,7 @@ object PipelinePrep {
       .select($"e.source".as("source"), $"e.sp".as("sp"), $"e.cp".as("cp"))
       .groupBy($"source")
       .agg(sum($"sp").as("n_self_dup_pairs"), sum($"cp").as("n_cross_dup_pairs"))
+      .localCheckpoint(true)
     rep
       .join(div.select($"source", $"n_tokens", $"n_types", $"kl_divergence"),
         Seq("source"), "left")
@@ -231,9 +236,6 @@ object PipelinePrep {
         $"n_tokens", $"n_types", $"kl_divergence",
         coalesce($"n_self_dup_pairs", lit(0L)).as("n_self_dup_pairs"),
         coalesce($"n_cross_dup_pairs", lit(0L)).as("n_cross_dup_pairs"))
-      // eager: the pair rollup rides the live MinHash candidate DAG,
-      // which would otherwise re-run per action on the returned frame
-      .localCheckpoint(true)
   }
 
   def trainingMix(spark: SparkSession, dir: String, chunkSize: Int = 64): DataFrame = {

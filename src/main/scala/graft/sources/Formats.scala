@@ -30,17 +30,21 @@ object Formats {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
-  /** (clean rows with the contract schema, quarantined raw lines).
-    * The parsed frame is cached before splitting: Spark's JSON parser
-    * populates the corrupt column lazily, and the documented pattern
-    * (filter on it straight off the scan) otherwise throws
-    * AnalysisException on referencing the corrupt column alone.
+  /** (clean rows with the contract schema, quarantined raw lines,
+    * release handle). The parsed frame is cached before splitting:
+    * Spark's JSON parser populates the corrupt column lazily, and the
+    * documented pattern (filter on it straight off the scan) otherwise
+    * throws AnalysisException on referencing the corrupt column alone.
+    * Callers MUST invoke the release handle once both sides are
+    * consumed — a per-batch ingest that never releases pins every
+    * batch's parse in storage memory (the keeperShingleIntersections
+    * contract, same shape).
     */
-  def splitQuarantine(parsed: DataFrame): (DataFrame, DataFrame) = {
+  def splitQuarantine(parsed: DataFrame): (DataFrame, DataFrame, () => Unit) = {
     val cached = parsed.cache()
     val clean = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val quarantine = cached.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
-    (clean, quarantine)
+    (clean, quarantine, () => { cached.unpersist(); () })
   }
 }

@@ -228,16 +228,20 @@ class PlanContractSpec extends AnyFunSuite {
       Dedup.minhashEstimateVsExact(spark, sf),
       PipelinePrep.sourceHealthReport(spark, sf))
     val after = spark.sparkContext.getPersistentRDDs.size
-    // each op may retain its checkpointed RESULT (that is the data);
-    // q100 composes two checkpointed sub-reports, so it retains three.
-    // Anything beyond 7 is a leaked working cache (per-doc tables,
-    // sketches, count tables), which must be released on return
+    // each op may retain checkpoints that BACK its returned frame (that
+    // is the data): one each for q86/q87/q97/q99, three for q100 (two
+    // sub-reports + the pair rollup, all referenced by its live
+    // compose). Anything beyond 7 is a leaked working cache (per-doc
+    // tables, sketches, count tables), which must be released on return
     assert(after <= before + 7,
       s"per-doc/count/sketch caches leaked: $before -> $after")
     dfs.foreach { df =>
       val p = plan(df)
-      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-        s"returned plan is a live DAG that would recompute per action:\n$p")
+      // the returned plan must never re-read the corpus: either a
+      // materialized checkpoint, or (q100) a join of checkpointed
+      // sources-sized tables
+      assert(!p.contains("Scan parquet"),
+        s"returned plan re-scans the corpus per action:\n$p")
     }
   }
 
@@ -279,20 +283,26 @@ class PlanContractSpec extends AnyFunSuite {
 
   test("q27/q52/q89: the custom text expressions stay inside whole-stage codegen") {
     // the k-means lesson: an expression that silently falls out of
-    // codegen runs interpreted and costs 3-5x — pin participation for
-    // the scan-stage projections of each codegen'd text expression
+    // codegen runs interpreted and costs 3-5x. The assertion binds the
+    // expression to ITS OWN Project: the detail block whose Output
+    // mentions the expression must carry [codegen id] in its header —
+    // some OTHER codegen'd Project in the plan must not vouch for it
     Seq(
       Dedup.simhash(spark, sf) -> "simhash",
       TextAnalysis.repetitionRatio(spark, sf) -> "gramhashes",
       TextAnalysis.charClassProfile(spark, sf) -> "charcounts").foreach {
       case (df, exprName) =>
         val p = plan(df)
-        val projLine = p.linesIterator
-          .find(l => l.matches(""".*\(\d+\) Project.*""") &&
-            l.contains("[codegen id"))
-        assert(projLine.isDefined,
-          s"no codegen'd Project found for $exprName:\n$p")
-        assert(p.toLowerCase.contains(exprName), s"$exprName missing from plan:\n$p")
+        // split the formatted detail section into per-node blocks
+        val blocks = p.split("""(?m)^(?=\(\d+\) )""")
+        val owning = blocks.filter(b =>
+          b.linesIterator.next().matches("""\(\d+\) Project.*""") &&
+            b.toLowerCase.contains(exprName))
+        assert(owning.nonEmpty, s"no Project emits $exprName:\n$p")
+        owning.foreach { b =>
+          assert(b.linesIterator.next().contains("[codegen id"),
+            s"the Project emitting $exprName runs interpreted:\n$b")
+        }
     }
   }
 

@@ -46,7 +46,9 @@ class SourcesSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val root = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
     try {
-      docs.limit(50).coalesce(1).write.json(s"$root/jsonl")
+      // deterministic predicate, not limit(50): LIMIT without ORDER BY
+      // may pick different rows across the write and the expect actions
+      docs.filter("doc_id < 50").coalesce(1).write.json(s"$root/jsonl")
       // damage the dump: a truncated JSON object, a non-JSON log line,
       // and an empty-object line (parseable but missing every field) —
       // as a sibling file (appending to Spark's part file would trip
@@ -58,24 +60,21 @@ class SourcesSpec extends AnyFunSuite {
         (broken.mkString("\n") + "\n").getBytes("UTF-8"))
 
       val parsed = Formats.readJsonlQuarantined(spark, s"$root/jsonl", docs.schema)
-      val (clean, quarantine) = Formats.splitQuarantine(parsed)
-      // every clean row survives with its content intact
-      val expect = docs.limit(50).collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSet
-      val got = clean.filter("doc_id < 999999 AND doc_id IS NOT NULL")
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-      assert(got == expect)
-      // the two unparseable lines are quarantined byte-for-byte; the
-      // parseable-but-empty object is a (useless) clean row, not lost
-      val q = quarantine.collect().map(_.getString(0)).toSet
-      assert(q == Set("""{"doc_id": 999999, "text": "trunca""",
-        "WARN ingest: retrying fetch"), q)
-      assert(clean.count() == 51) // 50 real + the empty object
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(root)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+      val (clean, quarantine, release) = Formats.splitQuarantine(parsed)
+      try {
+        // every clean row survives with its content intact
+        val expect = docs.filter("doc_id < 50").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        val got = clean.filter("doc_id < 999999 AND doc_id IS NOT NULL")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got == expect)
+        // the two unparseable lines are quarantined byte-for-byte; the
+        // parseable-but-empty object is a (useless) clean row, not lost
+        val q = quarantine.collect().map(_.getString(0)).toSet
+        assert(q == Set("""{"doc_id": 999999, "text": "trunca""",
+          "WARN ingest: retrying fetch"), q)
+        assert(clean.count() == 51) // 50 real + the empty object
+      } finally release()
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(root))
   }
 }

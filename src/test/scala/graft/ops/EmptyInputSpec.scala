@@ -103,7 +103,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q97 bigram logprob" -> (() => TextAnalysis.bigramLogprob(spark, emptyDir)),
     "q98 knn label vote" -> (() => Similarity.knnLabelVote(spark, emptyDir)),
     "q99 minhash estimate" -> (() => Dedup.minhashEstimateVsExact(spark, emptyDir)),
-    "q100 source health" -> (() => PipelinePrep.sourceHealthReport(spark, emptyDir)))
+    "q100 source health" -> (() => PipelinePrep.sourceHealthReport(spark, emptyDir)),
+    "q101 inverted index" -> (() => TextAnalysis.invertedIndex(spark, emptyDir)),
+    "q102 phrase search" -> (() => TextAnalysis.phraseSearch(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

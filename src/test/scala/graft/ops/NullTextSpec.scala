@@ -43,12 +43,13 @@ class NullTextSpec extends AnyFunSuite {
     tmp
   }
 
-  // the relational (tpch) queries read tables this corpus doesn't carry
+  // the relational (tpch) queries read tables this corpus doesn't carry.
+  // Match the full qNN prefix — take(3) would make q100+ collide with q10
   private def readsDocsOnly(name: String): Boolean = {
     val tpch = Set("q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08",
       "q09", "q10", "q11", "q12", "q29", "q37", "q38", "q42", "q43", "q44",
       "q58", "q71")
-    !tpch.contains(name.take(3))
+    !tpch.contains(name.takeWhile(_ != '_'))
   }
 
   for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)

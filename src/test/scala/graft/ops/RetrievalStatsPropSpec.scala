@@ -464,6 +464,37 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
   }
 
+  test("inverted index and phrase search match naive references; index route misses nothing") {
+    val dir = corpusDir(Seq(
+      (1L, "alpha beta gamma alpha beta gamma tail", "s"),
+      (2L, "alpha beta gamma prefix and more words", "s"),
+      (3L, "unrelated words only here today", "s"),
+      (4L, "monkeyalpha beta gamma embedded mid token case", "s")))
+    try {
+      // index: df over distinct (term, doc), digest over sorted ids
+      val naiveIdx = Seq(1L -> "alpha beta gamma alpha beta gamma tail",
+        2L -> "alpha beta gamma prefix and more words",
+        3L -> "unrelated words only here today",
+        4L -> "monkeyalpha beta gamma embedded mid token case")
+        .flatMap { case (id, tx) => toks(tx).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        .filter(_._2.size >= 2)
+      val gotIdx = TextAnalysis.invertedIndex(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(gotIdx.keySet == naiveIdx.keySet)
+      naiveIdx.foreach { case (term, ids) =>
+        assert(gotIdx(term)._1 == ids.size.toLong, s"$term df")
+        assert(gotIdx(term)._2 == md5hex(ids.mkString(",")), s"$term digest")
+      }
+      // phrase search: docs 1 (×2) and 2 (×1) contain the word phrase;
+      // doc 4's "monkeyalpha beta gamma" is a substring hit but NOT a
+      // word-gram occurrence and must be excluded
+      val got = TextAnalysis.phraseSearch(spark, dir, "alpha beta gamma")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 2L, 2L -> 1L), got)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(dir))
+  }
+
   test("shard manifest: digest is row-order independent; totals partition the corpus") {
     val docs = (0 until 40).map(i => (i.toLong, s"doc number $i with tokens " * (1 + i % 3), "s"))
     val dirA = corpusDir(docs)

@@ -1805,11 +1805,13 @@ object SparkEntry {
          |  WHERE source_a <> source_b
          | ) GROUP BY 1) x ON r.source = x.source""".stripMargin,
     // q101: posting digests canonicalize by numeric doc_id sort; the
-    // long→string rendering is identical digits on both engines
+    // long→string rendering is identical digits on both engines. The
+    // xor digest is the q94 order-independent md5-prefix technique.
     "q101_inverted_index" ->
       """WITH td AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
         |            FROM documents)
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        | CAST(bit_xor(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT) AS BIGINT) AS posting_xor,
         | md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS posting_digest
         |FROM td GROUP BY term HAVING count(*) >= 2""".stripMargin,
     // q102: the oracle counts WORD-gram positions equal to the phrase

@@ -678,27 +678,55 @@ object TextAnalysis {
       .filter($"n_shared" >= minShared)
   }
 
+  /** The per-doc distinct (term, doc_id) projection behind the inverted
+    * index. The distinct is LOCAL to the row — `array_distinct` before
+    * the explode — because each doc_id owns exactly one document row, so
+    * no cross-row shuffle is ever needed to dedup (the naive
+    * explode-then-distinct shape pays a full (term, doc) exchange for
+    * nothing). Stateless, which is what lets the streaming index twin
+    * ([[graft.streaming.DocStreams.indexStream]]) share it verbatim.
+    */
+  private[graft] def termDocs(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+
+  /** The MERGEABLE half of the index aggregate: document frequency and
+    * an order-independent posting digest (bit_xor over a per-doc md5
+    * prefix, the q94 manifest technique). Shared by the batch build and
+    * the streaming twin — XOR and count commute, so per-micro-batch
+    * state converges to the batch answer, and per-shard index builds
+    * merge by xor/sum without re-reading postings.
+    */
+  private[graft] def indexAgg(td: DataFrame): DataFrame = {
+    import td.sparkSession.implicits._
+    td.groupBy($"term").agg(
+      count(lit(1)).as("df"),
+      bit_xor(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+        .cast("long")).as("posting_xor"))
+  }
+
   /** Inverted-index construction: one row per term with document
-    * frequency and an order-canonical digest of the posting list — the
-    * batch index-build pass behind BM25/phrase retrieval. Postings are
-    * digested (md5 of the sorted id list) rather than materialized as
-    * an array column: the engine-side contract a sharded index verifies
-    * against, and what keeps the oracle compare scalar.
+    * frequency, an order-canonical digest of the posting list (md5 of
+    * the sorted id list) and the mergeable xor digest — the batch
+    * index-build pass behind BM25/phrase retrieval. Postings are
+    * digested rather than materialized as an array column: the
+    * engine-side contract a sharded index verifies against, and what
+    * keeps the oracle compare scalar.
     *
-    * Scale: one explode into a (term, doc) distinct + vocabulary-keyed
-    * aggregate with map-side combine. A common term's posting list is
-    * corpus-sized — a production index SHARDS postings (term, shard)
-    * exactly like q94 shards documents; the digest contract is
-    * per-shard-mergeable because sorted-list concatenation over id
-    * ranges composes. `minDf` drops hapax noise.
+    * Scale: ONE shuffle — the per-doc row-local distinct feeds the
+    * vocabulary-keyed aggregate with map-side combine directly. A
+    * common term's posting list is corpus-sized — a production index
+    * SHARDS postings (term, shard) exactly like q94 shards documents;
+    * the md5 contract composes over sorted id ranges, the xor contract
+    * composes over ANY partitioning. `minDf` drops hapax noise.
     */
   def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
-      .select($"doc_id", explode(toks).as("term"))
-      .distinct()
+    termDocs(docs(spark, dir))
       .groupBy($"term")
       .agg(count(lit(1)).as("df"),
+        bit_xor(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long")).as("posting_xor"),
         md5(concat_ws(",",
           transform(sort_array(collect_list($"doc_id")), x => x.cast("string"))))
           .as("posting_digest"))
@@ -710,29 +738,25 @@ object TextAnalysis {
     * phrase's hash — the q91/q77 gram machinery as a SEARCH structure),
     * then exact substring verification on the candidates only. The
     * verify step can never be wrong (contains() on the raw text); the
-    * index step makes it cheap — at 100 TB the gram-hash join touches
-    * the posting rows for ONE hash instead of scanning every document,
-    * and a false candidate (hash collision) is filtered by the verify.
-    * Emits the verified doc list with occurrence counts.
+    * index step makes it cheap — at 100 TB the gram hashes are the
+    * precomputed posting table and the candidate fetch touches ONE
+    * hash key instead of scanning every document; a false candidate
+    * (64-bit collision) is filtered by the verify. Here both steps
+    * fuse into a single scan — one gram_hashes evaluation per row,
+    * no second read of the corpus, no join.
     */
   def phraseSearch(spark: SparkSession, dir: String,
       phrase: String = "big order scan"): DataFrame = {
     import spark.implicits._
     graft.functions.TextOps.register(spark)
     val n = phrase.split(" ", -1).length
-    val candidates = docs(spark, dir)
+    docs(spark, dir)
       .select($"doc_id", $"text",
-        call_function("gram_hashes", $"text", lit(n)).as("g"))
-      .filter(array_contains($"g", xxhash64(lit(phrase))))
-    candidates
-      .select($"doc_id",
-        // occurrences of the phrase as a WORD n-gram (not mid-token):
-        // count matching gram hashes, exact up to a 64-bit collision,
-        // then require a true substring match as the verify
-        size(filter($"g", h => h === xxhash64(lit(phrase)))).cast("long")
-          .as("n_occurrences"))
-      .join(docs(spark, dir).filter($"text".contains(phrase)).select($"doc_id"),
-        "doc_id")
+        // occurrences of the phrase as a WORD n-gram (not mid-token)
+        size(filter(call_function("gram_hashes", $"text", lit(n)),
+          h => h === xxhash64(lit(phrase)))).cast("long").as("n_occurrences"))
+      .filter($"n_occurrences" > 0 && $"text".contains(phrase))
+      .select($"doc_id", $"n_occurrences")
   }
 
   /** BM25 relevance ranking (Robertson/Spärck Jones, the Lucene-default

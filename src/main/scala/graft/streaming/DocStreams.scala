@@ -125,6 +125,21 @@ object DocStreams {
     graft.ops.PipelinePrep.manifestAgg(
       graft.ops.PipelinePrep.withShardCols(docs, nShards))
 
+  /** The q101 inverted index maintained LIVE: per-doc distinct terms are
+    * a stateless row-local projection (`TextAnalysis.termDocs` — no
+    * cross-row distinct, so no extra stateful operator), and both
+    * aggregates in `TextAnalysis.indexAgg` are mergeable (count sums,
+    * XOR commutes), so Complete-mode state per term converges to the
+    * batch index's (df, posting_xor) no matter how arrivals are split
+    * across micro-batches. The order-canonical md5 digest is the one
+    * batch-only column — it needs the full sorted posting list, which
+    * is exactly why the xor digest exists. `minDf` is left to the
+    * reader (a live index wants new terms visible at df=1).
+    */
+  def indexStream(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.indexAgg(
+      graft.ops.TextAnalysis.termDocs(docs))
+
   /** The WHOLE ingest DAG as one streaming pipeline: rule gate →
     * clean/quality prep → classifier score gate → watermarked content
     * dedup. Every selection stage is the shared batch definition

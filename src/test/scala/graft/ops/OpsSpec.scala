@@ -153,7 +153,7 @@ class OpsSpec extends AnyFunSuite {
     "q100_source_health" -> Set("source", "n_docs", "mean_ttr", "dup_rate",
       "keep", "n_tokens", "n_types", "kl_divergence", "n_self_dup_pairs",
       "n_cross_dup_pairs"),
-    "q101_inverted_index" -> Set("term", "df", "posting_digest"),
+    "q101_inverted_index" -> Set("term", "df", "posting_xor", "posting_digest"),
     "q102_phrase_search" -> Set("doc_id", "n_occurrences"),
   )
 

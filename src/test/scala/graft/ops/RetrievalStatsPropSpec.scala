@@ -480,11 +480,18 @@ class RetrievalStatsPropSpec extends AnyFunSuite {
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
         .filter(_._2.size >= 2)
       val gotIdx = TextAnalysis.invertedIndex(spark, dir)
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+        .collect().map(r => r.getAs[String]("term") ->
+          (r.getAs[Long]("df"), r.getAs[String]("posting_digest"),
+            r.getAs[Long]("posting_xor"))).toMap
       assert(gotIdx.keySet == naiveIdx.keySet)
       naiveIdx.foreach { case (term, ids) =>
         assert(gotIdx(term)._1 == ids.size.toLong, s"$term df")
         assert(gotIdx(term)._2 == md5hex(ids.mkString(",")), s"$term digest")
+        // xor digest: order-independent fold of per-id md5 prefixes
+        val xorRef = ids.map(id =>
+          java.lang.Long.parseLong(md5hex(id.toString).take(15), 16))
+          .reduce(_ ^ _)
+        assert(gotIdx(term)._3 == xorRef, s"$term xor")
       }
       // phrase search: docs 1 (×2) and 2 (×1) contain the word phrase;
       // doc 4's "monkeyalpha beta gamma" is a substring hit but NOT a

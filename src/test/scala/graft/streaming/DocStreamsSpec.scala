@@ -163,6 +163,36 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(tmp)
   }
 
+  test("streaming inverted index converges to the batch q101 mergeable columns across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docindex")
+    try {
+      val docsDir = tmp.resolve("documents.parquet")
+      // several part files + maxFilesPerTrigger=1 → several micro-batches,
+      // so per-term (count, XOR) state genuinely merges across batches
+      spark.read.schema(DocStreams.docSchema).parquet(s"$sf/documents.parquet")
+        .repartition(4).write.parquet(docsDir.toString)
+      // batch twin: the mergeable (term, df, posting_xor) columns of the
+      // q101 index, at minDf=1 (a live index surfaces new terms at df=1)
+      val batch = graft.ops.TextAnalysis.invertedIndex(spark, tmp.toString, minDf = 1)
+        .select("term", "df", "posting_xor")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+      val q = DocStreams.indexStream(
+          DocStreams.readDocStream(spark, docsDir.toString, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName("doc_index")
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = spark.table("doc_index")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple non-empty micro-batches")
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
   test("checkpoint resume is exactly-once: a restarted query never reprocesses delivered batches") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-docresume")
     try {

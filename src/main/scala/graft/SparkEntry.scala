@@ -220,6 +220,12 @@ object SparkEntry {
     // index-accelerated exact phrase search with verify
     "q102_phrase_search" -> ((s: SparkSession, d: String) =>
       TextAnalysis.phraseSearch(s, d)),
+    // snapshot delta: added/removed/changed docs between two revisions
+    "q103_snapshot_diff" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.snapshotDiffQuery(s, d)),
+    // blocklist token scrub with removal counts + clean digests
+    "q104_blocklist_scrub" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.blocklistScrub(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1828,5 +1834,29 @@ object SparkEntry {
         |WHERE contains(text, 'big order scan')
         |  AND len([i for i in range(1, len(t) - 1)
         |           if array_to_string(t[i:i+2], ' ') = 'big order scan']) > 0""".stripMargin,
+    // q103: the same deterministic snapshot derivation, then the diff
+    // by digest over a full outer join
+    "q103_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 5 = 0 THEN text || ' legacy rev' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 7 <> 0),
+        | nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN n.doc_id IS NULL THEN 'removed'
+        |      ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR md5(o.text) <> md5(n.text)""".stripMargin,
+    // q104: list_filter mirrors the array filter; coalesce('') covers
+    // DuckDB's NULL for array_to_string on an empty list where Spark's
+    // concat_ws gives ''
+    "q104_blocklist_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+        | md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_digest
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t,
+        |       list_filter(string_split(text, ' '),
+        |         x -> NOT list_contains(['customer', 'order', 'slow'], x)) AS kept
+        |      FROM documents)""".stripMargin,
   )
 }

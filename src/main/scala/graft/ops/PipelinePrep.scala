@@ -162,6 +162,65 @@ object PipelinePrep {
   def shardManifest(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame =
     manifestAgg(withShardCols(docs(spark, dir), nShards))
 
+  /** Snapshot delta between two corpus revisions — the incremental-
+    * ingest primitive: which docs a new crawl ADDED, REMOVED, or
+    * CHANGED relative to the previous snapshot. Both sides are reduced
+    * to (doc_id, md5) BEFORE the full-outer join, so the id-keyed
+    * sort-merge shuffles 16-byte digests, never document bodies — at
+    * 100 TB the join input is ~0.1% of the corpus size. Unchanged docs
+    * (the overwhelming majority of a re-crawl) are dropped.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    import oldDf.sparkSession.implicits._
+    val o = oldDf.select($"doc_id".as("old_id"), md5($"text").as("old_digest"))
+    val n = newDf.select($"doc_id".as("new_id"), md5($"text").as("new_digest"))
+    o.join(n, $"old_id" === $"new_id", "full_outer")
+      .select(
+        coalesce($"old_id", $"new_id").as("doc_id"),
+        when($"old_id".isNull, "added")
+          .when($"new_id".isNull, "removed")
+          .when($"old_digest" =!= $"new_digest", "changed")
+          .otherwise("unchanged").as("status"))
+      .filter($"status" =!= "unchanged")
+  }
+
+  /** The q104 query wrapper: both snapshots derived deterministically
+    * from the one documents table (old = drop every 7th doc, age every
+    * 5th's content; new = drop every 11th) so the oracle can replay the
+    * derivation — the operator under test is [[snapshotDiff]] itself.
+    */
+  def snapshotDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val old = d.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" legacy rev")))
+          .otherwise($"text").as("text"))
+    val nw = d.filter($"doc_id" % 11 =!= 0).select($"doc_id", $"text")
+    snapshotDiff(old, nw)
+  }
+
+  /** Blocklist scrub: drop exact blocklisted tokens from every doc and
+    * report how many were removed plus a digest of the scrubbed text —
+    * the targeted-removal pass (toxic terms, markup debris, stop-phrases)
+    * that runs after cleaning and before tokenization. Pure row-local
+    * array filter in the scan stage: no shuffle, no UDF, and the
+    * blocklist is a literal folded into codegen (a production-sized
+    * blocklist would broadcast-join on the token instead).
+    */
+  def blocklistScrub(spark: SparkSession, dir: String,
+      blocklist: Seq[String] = Seq("customer", "order", "slow")): DataFrame = {
+    import spark.implicits._
+    val bl = array(blocklist.map(lit): _*)
+    docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", $"t",
+        filter($"t", x => !array_contains(bl, x)).as("kept"))
+      .select($"doc_id",
+        (size($"t") - size($"kept")).cast("long").as("n_removed"),
+        md5(concat_ws(" ", $"kept")).as("clean_digest"))
+  }
+
   /** The per-doc manifest projection and the shard aggregate, split out
     * so the batch query (q94) and the streaming accounting stage
     * (`DocStreams.manifestStream`) share one definition — XOR commutes

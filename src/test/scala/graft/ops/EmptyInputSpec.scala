@@ -105,7 +105,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q99 minhash estimate" -> (() => Dedup.minhashEstimateVsExact(spark, emptyDir)),
     "q100 source health" -> (() => PipelinePrep.sourceHealthReport(spark, emptyDir)),
     "q101 inverted index" -> (() => TextAnalysis.invertedIndex(spark, emptyDir)),
-    "q102 phrase search" -> (() => TextAnalysis.phraseSearch(spark, emptyDir)))
+    "q102 phrase search" -> (() => TextAnalysis.phraseSearch(spark, emptyDir)),
+    "q103 snapshot diff" -> (() => PipelinePrep.snapshotDiffQuery(spark, emptyDir)),
+    "q104 blocklist scrub" -> (() => PipelinePrep.blocklistScrub(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

@@ -155,6 +155,8 @@ class OpsSpec extends AnyFunSuite {
       "n_cross_dup_pairs"),
     "q101_inverted_index" -> Set("term", "df", "posting_xor", "posting_digest"),
     "q102_phrase_search" -> Set("doc_id", "n_occurrences"),
+    "q103_snapshot_diff" -> Set("doc_id", "status"),
+    "q104_blocklist_scrub" -> Set("doc_id", "n_removed", "clean_digest"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

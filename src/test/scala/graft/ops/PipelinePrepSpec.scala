@@ -38,6 +38,41 @@ class PipelinePrepSpec extends AnyFunSuite {
     assert(nonLast.filter($"n_chunk_tokens" =!= 32L).count() == 0)
   }
 
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "same text"), (2L, "old body"), (3L, "going away"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "same text"), (2L, "new body"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = PipelinePrep.snapshotDiff(old, nw)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("blocklistScrub counts match a naive scrub and digests the filtered text") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scrub")
+    try {
+      val corpus = Seq(
+        (1L, "customer order slow fast"),
+        (2L, "no listed words here"),
+        (3L, "order order order"))
+      corpus.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val bl = Set("customer", "order", "slow")
+      val got = PipelinePrep.blocklistScrub(spark, tmp.toString)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      corpus.foreach { case (id, tx) =>
+        val toks = tx.split(" ", -1)
+        val kept = toks.filterNot(bl)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(got(id) == ((toks.length - kept.length).toLong, digest), s"doc $id")
+      }
+      // doc 3 scrubs to empty — the digest must be md5("") on both engines
+      assert(got(3L)._1 == 3L)
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
   test("docChunks: a 0-token corpus row yields no chunks, not an error") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-empty")
     try {

@@ -63,7 +63,8 @@ object ScaleBench {
     "q92_perplexity_buckets", "q93_winnowing_candidates", "q94_shard_manifest",
     "q95_source_vocab_overlap", "q97_bigram_logprob", "q98_knn_label_vote",
     "q99_minhash_estimate", "q100_source_health", "q101_inverted_index",
-    "q102_phrase_search", "q103_snapshot_diff", "q104_blocklist_scrub")
+    "q102_phrase_search", "q103_snapshot_diff", "q104_blocklist_scrub",
+    "q105_principal_component")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

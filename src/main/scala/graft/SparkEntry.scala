@@ -226,6 +226,9 @@ object SparkEntry {
     // blocklist token scrub with removal counts + clean digests
     "q104_blocklist_scrub" -> ((s: SparkSession, d: String) =>
       PipelinePrep.blocklistScrub(s, d)),
+    // top principal component by power iteration + per-vector projection
+    "q105_principal_component" -> ((s: SparkSession, d: String) =>
+      Similarity.principalComponent(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -386,6 +389,36 @@ object SparkEntry {
       |  SELECT vec_id, neighbor_id, cosine,
       |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
       |  FROM pairs) WHERE rn <= 3)""".stripMargin
+
+  /** The q105 oracle replays the IDENTICAL power-iteration trajectory:
+    * per-dimension averages round to 4 each round (so both engines
+    * re-broadcast the same literals), the norm folds the ROUNDED
+    * components in o-order (matching the driver's left-to-right fold),
+    * and the final projection rounds to 6 like every cosine.
+    */
+  private def pcOracleSql(dim: Int, iters: Int): String = {
+    val init =
+      s"""WITH c0 AS (SELECT [1.0/sqrt(${dim}.0) for j in range(1, ${dim + 1})] AS v)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |x$i AS (SELECT list_sum([CAST(embedding[j] AS DOUBLE) * c.v[j]
+         |                         for j in range(1, len(embedding)+1)]) AS p,
+         |        unnest([{'o': j, 'x': CAST(embedding[j] AS DOUBLE)}
+         |                for j in range(1, len(embedding)+1)]) AS s
+         |        FROM embeddings CROSS JOIN c${i - 1} c),
+         |w$i AS (SELECT s.o AS o, round(avg(p * s.x), 4) AS w FROM x$i GROUP BY 1),
+         |n$i AS (SELECT sqrt(list_sum([w * w for w in ws])) AS nrm
+         |        FROM (SELECT list(w ORDER BY o) AS ws FROM w$i)),
+         |c$i AS (SELECT list(round(w / (SELECT nrm FROM n$i), 4) ORDER BY o) AS v
+         |        FROM w$i)""".stripMargin
+    }.mkString
+    init + steps +
+      s"""
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         | round(list_sum([CAST(embedding[j] AS DOUBLE) * c.v[j]
+         |                 for j in range(1, len(embedding)+1)]), 6) AS pc_score
+         |FROM embeddings CROSS JOIN c$iters c""".stripMargin
+  }
 
   private def kmeansOracleSql(k: Int, iters: Int): String = {
     val init =
@@ -1847,6 +1880,8 @@ object SparkEntry {
         |      ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR md5(o.text) <> md5(n.text)""".stripMargin,
+    // q105: replayed power-iteration trajectory (see pcOracleSql)
+    "q105_principal_component" -> pcOracleSql(64, 4),
     // q104: list_filter mirrors the array filter; coalesce('') covers
     // DuckDB's NULL for array_to_string on an empty list where Spark's
     // concat_ws gives ''

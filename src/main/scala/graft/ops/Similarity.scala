@@ -551,6 +551,54 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** Top principal component by power iteration — the embedding-space
+    * diagnostic behind whitening / anisotropy checks ("is the space
+    * collapsing onto one axis?"): v ← normalize(E[(x·v)·x]) for a fixed
+    * iteration count from the deterministic all-equal start, then every
+    * vector's projection onto the converged axis. The q74 trajectory
+    * discipline makes it oracle-replayable: the per-dimension averages
+    * round to 4 BEFORE re-broadcast each round, so both engines iterate
+    * on identical literals and summation-order noise cannot accumulate.
+    *
+    * Scale: each round is ONE pass — a codegen'd vec_dot projection and
+    * a posexplode into a dim-sized (≤64-row) aggregate; driver state is
+    * one dim-vector per round (the same bounded-collect argument as the
+    * k-means means and the digest fold). T rounds = T scans; the final
+    * scores are a last narrow pass. No shuffle ever exceeds dim rows.
+    */
+  def principalComponent(spark: SparkSession, dir: String,
+      dim: Int = 64, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var v: IndexedSeq[Double] = IndexedSeq.fill(dim)(1.0 / math.sqrt(dim))
+      var live = true
+      for (_ <- 1 to iters if live) {
+        val w = e
+          .select(dot($"embedding", lit(v.toArray)).as("p"),
+            posexplode($"embedding").as(Seq("o", "x")))
+          .groupBy($"o")
+          .agg(round(avg($"p" * $"x".cast("double")), 4).as("w"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getDouble(1))
+          .sortBy(_._1).map(_._2).toIndexedSeq
+        if (w.isEmpty) live = false
+        else {
+          // norm over the ROUNDED components, left-to-right like the
+          // oracle's ordered list_sum — identical inputs, same fold
+          val nrm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+          if (nrm == 0.0) live = false
+          else v = w.map(x => BigDecimal(x / nrm)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      e.select($"vec_id", $"label".cast("long").as("label"),
+          round(dot($"embedding", lit(v.toArray)), 6).as("pc_score"))
+        .localCheckpoint(true)
+    } finally e.unpersist()
+  }
+
   /** Measured recall@k of the IVF cell probe against [[cosineTopK]]'s
     * exact brute-force ranking — the go/no-go number for shipping the
     * approximate index. Both sides are deterministic (round-6 cosine,

@@ -107,7 +107,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q101 inverted index" -> (() => TextAnalysis.invertedIndex(spark, emptyDir)),
     "q102 phrase search" -> (() => TextAnalysis.phraseSearch(spark, emptyDir)),
     "q103 snapshot diff" -> (() => PipelinePrep.snapshotDiffQuery(spark, emptyDir)),
-    "q104 blocklist scrub" -> (() => PipelinePrep.blocklistScrub(spark, emptyDir)))
+    "q104 blocklist scrub" -> (() => PipelinePrep.blocklistScrub(spark, emptyDir)),
+    "q105 principal component" -> (() => Similarity.principalComponent(spark, emptyDir)))
 
   for ((name, fn) <- underTest)
     test(s"$name returns 0 rows on an empty corpus") {

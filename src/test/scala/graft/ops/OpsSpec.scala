@@ -157,6 +157,7 @@ class OpsSpec extends AnyFunSuite {
     "q102_phrase_search" -> Set("doc_id", "n_occurrences"),
     "q103_snapshot_diff" -> Set("doc_id", "status"),
     "q104_blocklist_scrub" -> Set("doc_id", "n_removed", "clean_digest"),
+    "q105_principal_component" -> Set("vec_id", "label", "pc_score"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -315,4 +315,40 @@ class PlanContractSpec extends AnyFunSuite {
     assert(projLine.contains("[codegen id"), p)
     assert(p.contains("chunkhash"), p)
   }
+
+  test("q101: the index build pays exactly ONE exchange (the vocabulary shuffle)") {
+    val p = plan(TextAnalysis.invertedIndex(spark, sf))
+    // row-local array_distinct dedup: an explode-then-distinct shape
+    // would show a second exchange node here (formatted mode prints
+    // each exchange as its own "(N) Exchange" detail block)
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("q102: phrase search is one scan with the substring filter pushed to parquet") {
+    val p = plan(TextAnalysis.phraseSearch(spark, sf))
+    assert(p.contains("StringContains"), p)
+    assert(!p.contains("Exchange"), s"phrase search must not shuffle:\n$p")
+    // one corpus read, not a candidates+verify double scan
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+  }
+
+  test("q103: the snapshot join shuffles digests, not document bodies") {
+    val p = plan(PipelinePrep.snapshotDiffQuery(spark, sf))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    // the join's output must be the md5 projections — text is consumed
+    // inside the scan-side Projects, never carried through the exchange
+    val smjBlock = p.split("""(?m)^(?=\(\d+\) )""")
+      .find(_.linesIterator.next().contains("SortMergeJoin")).get
+    assert(!smjBlock.contains("text#"), smjBlock)
+  }
+
+  test("q104: blocklist scrub is a pure scan — zero exchanges, two-column read") {
+    val p = plan(PipelinePrep.blocklistScrub(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"), read)
+  }
 }

@@ -409,8 +409,14 @@ object SparkEntry {
          |w$i AS (SELECT s.o AS o, round(avg(p * s.x), 4) AS w FROM x$i GROUP BY 1),
          |n$i AS (SELECT sqrt(list_sum([w * w for w in ws])) AS nrm
          |        FROM (SELECT list(w ORDER BY o) AS ws FROM w$i)),
-         |c$i AS (SELECT list(round(w / (SELECT nrm FROM n$i), 4) ORDER BY o) AS v
-         |        FROM w$i)""".stripMargin
+         |-- zero/NULL norm (all-zero averages, empty table): carry the
+         |-- previous iterate forward, mirroring the engine's early-exit
+         |c$i AS (SELECT CASE
+         |          WHEN (SELECT nrm FROM n$i) IS NULL OR (SELECT nrm FROM n$i) = 0
+         |            THEN (SELECT v FROM c${i - 1})
+         |          ELSE (SELECT list(round(w / (SELECT nrm FROM n$i), 4) ORDER BY o)
+         |                FROM w$i)
+         |        END AS v)""".stripMargin
     }.mkString
     init + steps +
       s"""

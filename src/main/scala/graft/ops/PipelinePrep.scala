@@ -179,7 +179,10 @@ object PipelinePrep {
         coalesce($"old_id", $"new_id").as("doc_id"),
         when($"old_id".isNull, "added")
           .when($"new_id".isNull, "removed")
-          .when($"old_digest" =!= $"new_digest", "changed")
+          // null-SAFE compare: a doc whose text transitions between
+          // null and non-null IS a change; plain =!= yields NULL there
+          // and would silently drop the row as "unchanged"
+          .when(!($"old_digest" <=> $"new_digest"), "changed")
           .otherwise("unchanged").as("status"))
       .filter($"status" =!= "unchanged")
   }

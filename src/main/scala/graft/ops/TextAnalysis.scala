@@ -692,18 +692,20 @@ object TextAnalysis {
 
   /** The MERGEABLE half of the index aggregate: document frequency and
     * an order-independent posting digest (bit_xor over a per-doc md5
-    * prefix, the q94 manifest technique). Shared by the batch build and
+    * prefix, the q94 manifest technique). ONE column-list definition
+    * serves the batch build (which appends the order-canonical md5) and
     * the streaming twin — XOR and count commute, so per-micro-batch
     * state converges to the batch answer, and per-shard index builds
     * merge by xor/sum without re-reading postings.
     */
-  private[graft] def indexAgg(td: DataFrame): DataFrame = {
-    import td.sparkSession.implicits._
-    td.groupBy($"term").agg(
-      count(lit(1)).as("df"),
-      bit_xor(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-        .cast("long")).as("posting_xor"))
-  }
+  private def mergeableIndexCols: Seq[Column] = Seq(
+    count(lit(1)).as("df"),
+    bit_xor(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")).as("posting_xor"))
+
+  private[graft] def indexAgg(td: DataFrame): DataFrame =
+    td.groupBy(col("term"))
+      .agg(mergeableIndexCols.head, mergeableIndexCols.tail: _*)
 
   /** Inverted-index construction: one row per term with document
     * frequency, an order-canonical digest of the posting list (md5 of
@@ -722,14 +724,13 @@ object TextAnalysis {
     */
   def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
     import spark.implicits._
+    val aggs = mergeableIndexCols :+
+      md5(concat_ws(",",
+        transform(sort_array(collect_list($"doc_id")), x => x.cast("string"))))
+        .as("posting_digest")
     termDocs(docs(spark, dir))
       .groupBy($"term")
-      .agg(count(lit(1)).as("df"),
-        bit_xor(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long")).as("posting_xor"),
-        md5(concat_ws(",",
-          transform(sort_array(collect_list($"doc_id")), x => x.cast("string"))))
-          .as("posting_digest"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter($"df" >= minDf)
   }
 
@@ -741,9 +742,13 @@ object TextAnalysis {
     * index step makes it cheap — at 100 TB the gram hashes are the
     * precomputed posting table and the candidate fetch touches ONE
     * hash key instead of scanning every document; a false candidate
-    * (64-bit collision) is filtered by the verify. Here both steps
-    * fuse into a single scan — one gram_hashes evaluation per row,
-    * no second read of the corpus, no join.
+    * (64-bit collision) is filtered by the verify — membership is
+    * exact; the per-doc occurrence COUNT is exact up to a residual
+    * 2⁻⁶⁴ per-gram collision (a colliding gram in a doc that also
+    * genuinely contains the phrase would inflate its count). Here both
+    * steps fuse into a single scan — contains() short-circuits first,
+    * so gram hashing runs only on substring survivors — no second read
+    * of the corpus, no join.
     */
   def phraseSearch(spark: SparkSession, dir: String,
       phrase: String = "big order scan"): DataFrame = {
@@ -755,7 +760,7 @@ object TextAnalysis {
         // occurrences of the phrase as a WORD n-gram (not mid-token)
         size(filter(call_function("gram_hashes", $"text", lit(n)),
           h => h === xxhash64(lit(phrase)))).cast("long").as("n_occurrences"))
-      .filter($"n_occurrences" > 0 && $"text".contains(phrase))
+      .filter($"text".contains(phrase) && $"n_occurrences" > 0)
       .select($"doc_id", $"n_occurrences")
   }
 

@@ -39,13 +39,18 @@ class PipelinePrepSpec extends AnyFunSuite {
   }
 
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
-    val old = Seq((1L, "same text"), (2L, "old body"), (3L, "going away"))
+    // docs 5/6: null<->non-null transitions ARE changes (null-safe
+    // digest compare); doc 7: null on both sides is unchanged
+    val old = Seq((1L, "same text"), (2L, "old body"), (3L, "going away"),
+        (5L, null), (6L, "had a body"), (7L, null))
       .toDF("doc_id", "text")
-    val nw = Seq((1L, "same text"), (2L, "new body"), (4L, "brand new"))
+    val nw = Seq((1L, "same text"), (2L, "new body"), (4L, "brand new"),
+        (5L, "recovered body"), (6L, null), (7L, null))
       .toDF("doc_id", "text")
     val got = PipelinePrep.snapshotDiff(old, nw)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed", 6L -> "changed"))
   }
 
   test("blocklistScrub counts match a naive scrub and digests the filtered text") {

@@ -229,6 +229,15 @@ object SparkEntry {
     // top principal component by power iteration + per-vector projection
     "q105_principal_component" -> ((s: SparkSession, d: String) =>
       Similarity.principalComponent(s, d)),
+    // highest-quality keeper per near-dup cluster (q41 ∘ q22 policy)
+    "q106_quality_keeper" -> ((s: SparkSession, d: String) =>
+      Dedup.qualityKeeperDedup(s, d)),
+    // deterministic epoch shuffle: global position + round-robin shard
+    "q107_training_order" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.trainingOrder(s, d)),
+    // k-means convergence report: per-centroid count/cosine/shift
+    "q108_lloyd_update" -> ((s: SparkSession, d: String) =>
+      Similarity.lloydUpdate(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -426,6 +435,36 @@ object SparkEntry {
          |FROM embeddings CROSS JOIN c$iters c""".stripMargin
   }
 
+  /** The q41/q106 shared cluster CTE chain: shingle → double-hashed
+    * MinHash → b×r band signatures → candidate pairs → recursive
+    * connected components, ending in `cl(doc_id, cluster_id)`. Kept as
+    * ONE string so the two oracles cannot drift.
+    */
+  private val clusterCteSql: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+      |       FROM tok),
+      |h AS (SELECT doc_id,
+      |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
+      |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
+      |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+      |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+      |          GROUP BY doc_id, i),
+      |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+      |         FROM hmins GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM sigs a JOIN sigs b
+      |          ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id),
+      |e2 AS (SELECT doc_a AS s, doc_b AS d FROM cand
+      |       UNION ALL SELECT doc_b, doc_a FROM cand),
+      |cc(doc_id, r) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT cc.doc_id, e2.d FROM cc JOIN e2 ON e2.s = cc.r),
+      |cl AS (SELECT doc_id, min(r) AS cluster_id FROM cc GROUP BY doc_id)""".stripMargin
+
   private def kmeansOracleSql(k: Int, iters: Int): String = {
     val init =
       s"""WITH c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -459,6 +498,31 @@ object SparkEntry {
       s"""
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cos AS cosine
          |FROM aout""".stripMargin
+  }
+
+  /** The q108 oracle replays the q74 trajectory (same init/score/step
+    * CTE text) but instruments the FINAL round: member count and round-4
+    * mean cosine from the last assignment `a{iters}`, and the L2 shift
+    * between the last two rounded centroid generations — the exact
+    * left-to-right list_sum the Scala driver fold mirrors.
+    */
+  private def lloydUpdateOracleSql(k: Int, iters: Int): String = {
+    val traj = kmeansOracleSql(k, iters)
+    // reuse the generator's CTE chain verbatim; swap only the final
+    // SELECT (everything after the last a-out scoring block is the tail)
+    val cteEnd = traj.lastIndexOf(",\nsout AS")
+    require(cteEnd > 0, "kmeans oracle shape changed; update lloydUpdateOracleSql")
+    traj.substring(0, cteEnd) +
+      s""",
+         |stats AS (SELECT cid, count(*) AS n_assigned,
+         |          round(avg(cos), 4) AS mean_cosine FROM a$iters GROUP BY cid)
+         |SELECT CAST(c.cid AS BIGINT) AS cluster_id,
+         | CAST(coalesce(s.n_assigned, 0) AS BIGINT) AS n_assigned,
+         | s.mean_cosine,
+         | round(sqrt(list_sum([(c.ce[j] - p.ce[j]) * (c.ce[j] - p.ce[j])
+         |                      for j in range(1, len(c.ce)+1)])), 6) AS shift
+         |FROM c$iters c JOIN c${iters - 1} p USING (cid)
+         | LEFT JOIN stats s ON s.cid = c.cid""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -826,29 +890,7 @@ object SparkEntry {
         | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q41_dedup_clusters" ->
-      """WITH RECURSIVE
-        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
-        |       FROM tok),
-        |h AS (SELECT doc_id,
-        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
-        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
-        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
-        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
-        |          GROUP BY doc_id, i),
-        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
-        |         FROM hmins GROUP BY doc_id, i // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM sigs a JOIN sigs b
-        |          ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id),
-        |e2 AS (SELECT doc_a AS s, doc_b AS d FROM cand
-        |       UNION ALL SELECT doc_b, doc_a FROM cand),
-        |cc(doc_id, r) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT cc.doc_id, e2.d FROM cc JOIN e2 ON e2.s = cc.r)
-        |SELECT doc_id, min(r) AS cluster_id FROM cc GROUP BY doc_id""".stripMargin,
+      (clusterCteSql + "\nSELECT doc_id, cluster_id FROM cl"),
     "q42_moving_revenue" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d_days,
@@ -1899,5 +1941,28 @@ object SparkEntry {
         |       list_filter(string_split(text, ' '),
         |         x -> NOT list_contains(['customer', 'order', 'slow'], x)) AS kept
         |      FROM documents)""".stripMargin,
+    // q106: the q41 cluster chain + the q22 type-token score; keeper =
+    // highest score, ties to min doc_id, singleton clusters dropped
+    "q106_quality_keeper" ->
+      (clusterCteSql +
+        """,
+          |sc AS (SELECT doc_id,
+          |        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS score
+          |       FROM tok)
+          |SELECT cluster_id, keeper, keeper_score, n_docs FROM (
+          | SELECT cl.cluster_id, sc.doc_id AS keeper, sc.score AS keeper_score,
+          |  count(*) OVER (PARTITION BY cl.cluster_id) AS n_docs,
+          |  row_number() OVER (PARTITION BY cl.cluster_id
+          |                     ORDER BY sc.score DESC, sc.doc_id) AS rk
+          | FROM cl JOIN sc USING (doc_id)) t
+          |WHERE rk = 1 AND n_docs >= 2""".stripMargin),
+    "q107_training_order" ->
+      """SELECT doc_id,
+        | md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        | row_number() OVER w - 1 AS pos,
+        | (row_number() OVER w - 1) % 8 AS shard
+        |FROM documents
+        |WINDOW w AS (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)""".stripMargin,
+    "q108_lloyd_update" -> lloydUpdateOracleSql(8, 3),
   )
 }

@@ -295,6 +295,38 @@ object Dedup {
       .select($"doc_id", coalesce($"root", $"doc_id").as("cluster_id"))
   }
 
+  /** Quality-aware keeper selection per near-dup cluster: instead of
+    * q13/q41's "keeper = min doc_id", keep the HIGHEST-quality member of
+    * each [[dedupClusters]] cluster (score = type-token ratio, the q22
+    * lexical-diversity signal; ties break to min doc_id). This is the
+    * policy real pretraining dedup runs — near-duplicates differ
+    * slightly, and dropping the cleaner copy to keep the boilerplate one
+    * throws away exactly the data the pipeline wanted.
+    *
+    * Scale: the cluster assignment is the q41 pipeline (LSH-bounded);
+    * the score is a narrow projection; the argmax is one groupBy with a
+    * min(struct) — map-side combinable, no window, no second pass.
+    * Singleton clusters are dropped (they have nothing to decide).
+    */
+  def qualityKeeperDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id",
+        round(size(array_distinct($"t")).cast("double") / size($"t"), 6)
+          .as("score"))
+    dedupClusters(spark, dir)
+      .join(scored, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        // deterministic argmax: lowest (-score, doc_id) = highest score,
+        // ties to the smallest id — same trick as the centroid assign
+        min(struct((-$"score").as("neg_score"), $"doc_id".as("kid"))).as("kb"))
+      .filter($"n_docs" >= 2)
+      .select($"cluster_id", $"kb.kid".as("keeper"),
+        (-$"kb.neg_score").as("keeper_score"), $"n_docs")
+  }
+
   /** Distributed connected components via alternating large-star /
     * small-star (Kiveris et al., "Connected Components in MapReduce and
     * Beyond"): each round is two groupBy-shuffles over the CURRENT edge

@@ -501,4 +501,38 @@ object PipelinePrep {
         (concat(lit("0"), substring(md5($"doc_id".cast("string")), 1, 6))
           < $"thr_hex").as("keep"))
   }
+
+  /** Deterministic global training order + shard assignment: every doc
+    * gets a contiguous position 0..n-1 in a seeded-hash permutation and
+    * a round-robin shard (pos % nShards). Training runs need a
+    * reproducible epoch shuffle — rand() would give each retry a
+    * different order — and contiguous positions, so readers can seek to
+    * "sample 3.2B" without scanning.
+    *
+    * Scale: the naive row_number() OVER (ORDER BY key) coalesces the
+    * whole corpus into ONE partition for the window — a driver-sized
+    * bottleneck at 100 TB. Here the sort is a distributed range sort
+    * (sampled range boundaries, each partition sorts locally) and the
+    * contiguous index comes from `zipWithIndex`, which runs one extra
+    * lightweight count-per-partition job and then offsets each
+    * partition's local indices — the standard two-phase global
+    * numbering. This is the one deliberate RDD drop-down in the repo:
+    * per-partition offset arithmetic is imperative by nature, and no
+    * Dataset operator exposes it.
+    */
+  def trainingOrder(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val keyed = docs(spark, dir)
+      .select($"doc_id",
+        // seeded permutation key both engines can recompute
+        md5(concat(lit("seed42:"), $"doc_id".cast("string")))
+          .as("shuffle_key"))
+      // doc_id tiebreak makes the order total even under key collisions
+      .orderBy($"shuffle_key", $"doc_id")
+      .as[(Long, String)]
+    keyed.rdd.zipWithIndex()
+      .map { case ((id, key), pos) => (id, key, pos, pos % nShards) }
+      .toDF("doc_id", "shuffle_key", "pos", "shard")
+  }
 }

@@ -509,45 +509,119 @@ object Similarity {
       return e.select($"vec_id", lit(0L).as("cluster_id"),
         lit(0.0).as("cosine")).limit(0)
     }
-    val dim = cents.head._2.length
-    // double-precision dot against a literal centroid array via the
-    // codegen'd vec_dot (float×double variant): the same left-to-right
-    // double accumulation as the oracle's list_sum comprehension, but
-    // one expression per centroid instead of an unrolled 64-term
-    // element_at chain per centroid (k×dim AST nodes blew the
-    // whole-stage-codegen budget and fell back to interpreted eval)
-    def dotD(ce: IndexedSeq[Double]): Column =
-      dot($"embedding", lit(ce.toArray))
+    for (_ <- 1 to iters) cents = lloydStep(e, cents)
+    // a failed mid-loop collect must not leak the cached table for the
+    // JVM's lifetime (Bench keeps running after a query fails)
+    assignToLloyd(e, cents).select($"vec_id", $"cluster_id", $"cosine")
+      .localCheckpoint(true)
+    } finally e.unpersist()
+  }
+
+  /** Nearest-centroid assignment against literal double centroids (the
+    * Lloyd-loop twin of [[assignToCentroids]]): max round-6 cosine, ties
+    * to the lowest centroid id, as a pure scan projection — a
+    * greatest(struct) over one codegen'd vec_dot per centroid. The
+    * double-precision dot keeps the same left-to-right accumulation as
+    * the oracle's list_sum comprehension; one expression per centroid
+    * rather than an unrolled k×dim element_at chain (which blew the
+    * whole-stage-codegen budget and fell back to interpreted eval).
+    */
+  private def assignToLloyd(e: DataFrame,
+      cs: Seq[(Int, IndexedSeq[Double])]): DataFrame = {
+    import e.sparkSession.implicits._
     // same left-to-right accumulation contract as litNorm (floats widen
     // losslessly, so one definition serves both element types)
     def litNormD(ce: IndexedSeq[Double]): Double =
       math.sqrt(ce.foldLeft(0.0)((a, v) => a + v * v))
     def cosTo(ce: IndexedSeq[Double]): Column =
-      round(dotD(ce) / (norm($"embedding") * lit(litNormD(ce))), 6)
-    def assign(cs: Seq[(Int, IndexedSeq[Double])]): DataFrame = {
-      val cands = cs.map { case (cid, ce) =>
-        struct(cosTo(ce).as("cos"), lit(-cid).as("neg_cid")) }
-      val best = if (cands.sizeIs == 1) cands.head else greatest(cands: _*)
-      e.select($"vec_id", $"embedding",
-        (-best.getField("neg_cid")).cast("long").as("cluster_id"),
-        best.getField("cos").as("cosine"))
-    }
-    for (_ <- 1 to iters) {
-      val means = assign(cents)
-        .select($"cluster_id", posexplode($"embedding").as(Seq("p", "v")))
-        .groupBy($"cluster_id", $"p").agg(avg($"v".cast("double")).as("c"))
-        .groupBy($"cluster_id")
-        .agg(transform(array_sort(collect_list(struct($"p", $"c"))),
-          s => round(s("c"), 4)).as("ce"))
-        .collect()
-        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toIndexedSeq)
-        .toMap
-      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-    }
-    // a failed mid-loop collect must not leak the cached table for the
-    // JVM's lifetime (Bench keeps running after a query fails)
-    assign(cents).select($"vec_id", $"cluster_id", $"cosine")
-      .localCheckpoint(true)
+      round(dot($"embedding", lit(ce.toArray)) /
+        (norm($"embedding") * lit(litNormD(ce))), 6)
+    val cands = cs.map { case (cid, ce) =>
+      struct(cosTo(ce).as("cos"), lit(-cid).as("neg_cid")) }
+    val best = if (cands.sizeIs == 1) cands.head else greatest(cands: _*)
+    e.select($"vec_id", $"embedding",
+      (-best.getField("neg_cid")).cast("long").as("cluster_id"),
+      best.getField("cos").as("cosine"))
+  }
+
+  /** One Lloyd mean-update: per-cluster per-dimension averages, rounded
+    * to 4 decimals BEFORE re-broadcast (trajectory discipline — both
+    * engines iterate on identical literals, see [[kmeansAssign]]).
+    * Clusters that lost every member keep their old centroid.
+    */
+  private def lloydStep(e: DataFrame,
+      cents: Seq[(Int, IndexedSeq[Double])]): Seq[(Int, IndexedSeq[Double])] = {
+    val means = lloydMeans(assignToLloyd(e, cents))
+    cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+  }
+
+  private def lloydMeans(assigned: DataFrame): Map[Int, IndexedSeq[Double]] = {
+    import assigned.sparkSession.implicits._
+    assigned
+      .select($"cluster_id", posexplode($"embedding").as(Seq("p", "v")))
+      .groupBy($"cluster_id", $"p").agg(avg($"v".cast("double")).as("c"))
+      .groupBy($"cluster_id")
+      .agg(transform(array_sort(collect_list(struct($"p", $"c"))),
+        s => round(s("c"), 4)).as("ce"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toIndexedSeq)
+      .toMap
+  }
+
+  /** The convergence REPORT for the final Lloyd round — what an operator
+    * monitoring a real k-means-at-scale run reads: per centroid, the
+    * member count, mean assignment cosine, and the L2 distance the
+    * centroid moved ("shift" → 0 as the clustering converges). Runs the
+    * same rounded trajectory as [[kmeansAssign]] for iters-1 rounds,
+    * then instruments the last round instead of discarding it.
+    *
+    * Scale: identical to kmeansAssign — per round one scan-projection
+    * assignment plus a dim-bounded aggregate; the report adds only a
+    * k-row stats aggregate and a driver-side k×dim shift computation
+    * (the same bounded-collect argument as the means themselves).
+    */
+  def lloydUpdate(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Int, IndexedSeq[Double])] = sampledCentroids(spark, dir, k)
+        .map { case (cid, v) => (cid, v.map(_.toDouble).toIndexedSeq) }
+      if (cents.isEmpty) {
+        return e.sparkSession.emptyDataFrame
+          .select(lit(0L).as("cluster_id"), lit(0L).as("n_assigned"),
+            lit(0.0).as("mean_cosine"), lit(0.0).as("shift")).limit(0)
+      }
+      for (_ <- 1 until iters) cents = lloydStep(e, cents)
+      val prev = cents
+      // the final round's assignment feeds both the stats aggregate and
+      // the mean update — persist so the scan projection runs once
+      val a = assignToLloyd(e, prev)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val means = lloydMeans(a)
+        val next = prev.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+        val shifts = prev.zip(next).map { case ((cid, p), (_, n)) =>
+          // left-to-right fold over the round-4 literals: the exact
+          // summation order the oracle's list_sum comprehension uses
+          val ss = p.zip(n).foldLeft(0.0) { case (acc, (x, y)) =>
+            acc + (x - y) * (x - y) }
+          (cid.toLong,
+            BigDecimal(math.sqrt(ss))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toDF("cluster_id", "shift")
+        val stats = a.groupBy($"cluster_id")
+          .agg(count(lit(1)).as("n_assigned"),
+            round(avg($"cosine"), 4).as("mean_cosine"))
+        // k-row join: a centroid that lost every member still reports,
+        // with n_assigned = 0 and a null mean cosine
+        shifts.join(stats, Seq("cluster_id"), "left")
+          .select($"cluster_id",
+            coalesce($"n_assigned", lit(0L)).as("n_assigned"),
+            $"mean_cosine", $"shift")
+          .localCheckpoint(true)
+      } finally a.unpersist()
     } finally e.unpersist()
   }
 

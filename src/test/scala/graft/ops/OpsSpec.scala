@@ -158,6 +158,9 @@ class OpsSpec extends AnyFunSuite {
     "q103_snapshot_diff" -> Set("doc_id", "status"),
     "q104_blocklist_scrub" -> Set("doc_id", "n_removed", "clean_digest"),
     "q105_principal_component" -> Set("vec_id", "label", "pc_score"),
+    "q106_quality_keeper" -> Set("cluster_id", "keeper", "keeper_score", "n_docs"),
+    "q107_training_order" -> Set("doc_id", "shuffle_key", "pos", "shard"),
+    "q108_lloyd_update" -> Set("cluster_id", "n_assigned", "mean_cosine", "shift"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -562,6 +565,60 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach { case (id, exact, nc, keep) =>
       assert(nc >= 0, s"doc $id")
       assert(keep == !exact, s"doc $id")
+    }
+  }
+
+  test("q106: keeper is the cluster argmax of the q22 score, ties to min id") {
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scores = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id",
+        "round(cast(size(array_distinct(split(text, ' '))) as double)" +
+          " / size(split(text, ' ')), 6) as score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = clusters.groupBy(_._2)
+      .filter(_._2.size >= 2)
+      .map { case (cid, members) =>
+        val best = members.keys.toSeq
+          .sortBy(id => (-scores(id), id)).head
+        cid -> (best, scores(best), members.size.toLong)
+      }
+    val got = Dedup.qualityKeeperDedup(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q107: pos is a contiguous permutation in key order, shards balanced") {
+    val rows = PipelinePrep.trainingOrder(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong == n)
+    // contiguous 0..n-1, no gaps or repeats
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    // position order IS (shuffle_key, doc_id) order
+    val byPos = rows.sortBy(_._3).map(r => (r._2, r._1)).toSeq
+    assert(byPos == byPos.sorted, "pos disagrees with the seeded sort order")
+    // round-robin: shard counts differ by at most one
+    val counts = rows.groupBy(_._4).values.map(_.size)
+    assert(rows.forall(r => r._4 == r._3 % 8))
+    assert(counts.max - counts.min <= 1)
+  }
+
+  test("q108: one row per centroid, members conserved, shift non-negative") {
+    val rows = Similarity.lloydUpdate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getDouble(3)))
+    assert(rows.length == 8)
+    assert(rows.map(_._1).toSet == (0L until 8L).toSet)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // every vector lands in exactly one cluster
+    assert(rows.map(_._2).sum == nVecs)
+    rows.foreach { case (cid, nA, meanCos, shift) =>
+      assert(shift >= 0.0, s"centroid $cid")
+      assert(meanCos.isDefined == (nA > 0), s"centroid $cid")
+      meanCos.foreach(c => assert(c >= -1.000001 && c <= 1.000001, s"centroid $cid"))
     }
   }
 }

@@ -238,6 +238,12 @@ object SparkEntry {
     // k-means convergence report: per-centroid count/cosine/shift
     "q108_lloyd_update" -> ((s: SparkSession, d: String) =>
       Similarity.lloydUpdate(s, d)),
+    // per-dimension embedding profile (dead-dim / drift diagnostic)
+    "q109_embedding_profile" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingProfile(s, d)),
+    // BM25 retrieve → cosine rerank (query-by-top-document)
+    "q110_hybrid_rerank" -> ((s: SparkSession, d: String) =>
+      Similarity.hybridRerank(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -464,6 +470,44 @@ object SparkEntry {
       | UNION
       | SELECT cc.doc_id, e2.d FROM cc JOIN e2 ON e2.s = cc.r),
       |cl AS (SELECT doc_id, min(r) AS cluster_id FROM cc GROUP BY doc_id)""".stripMargin
+
+  /** The q86/q110 shared BM25 CTE chain, ending in `hits(doc_id,
+    * n_tokens, score)` — the lexical top-15. One string so the retrieval
+    * and rerank oracles cannot drift.
+    */
+  private val bm25CteSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+      |  CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |  CAST(len(list_filter(t, x -> x = 'join')) AS BIGINT) AS tf1,
+      |  CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
+      | FROM tok),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+      |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+      |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      | FROM base),
+      |scored AS (
+      | SELECT doc_id, dl AS n_tokens,
+      |  round(
+      |   (CASE WHEN tf0 > 0
+      |     THEN ln((CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf0 AS DOUBLE) * 2.2)
+      |      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |     ELSE 0.0 END)
+      |   + (CASE WHEN tf1 > 0
+      |     THEN ln((CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf1 AS DOUBLE) * 2.2)
+      |      / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |     ELSE 0.0 END)
+      |   + (CASE WHEN tf2 > 0
+      |     THEN ln((CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf2 AS DOUBLE) * 2.2)
+      |      / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |     ELSE 0.0 END), 6) AS score
+      | FROM base CROSS JOIN st),
+      |hits AS (SELECT doc_id, n_tokens, score FROM scored
+      |         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15)""".stripMargin
 
   private def kmeansOracleSql(k: Int, iters: Int): String = {
     val init =
@@ -1588,38 +1632,7 @@ object SparkEntry {
     // happens before the +0.5, so no derived double can differ; the
     // three term-scores add left to right on both engines
     "q86_bm25_topk" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-        |  CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0,
-        |  CAST(len(list_filter(t, x -> x = 'join')) AS BIGINT) AS tf1,
-        |  CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
-        | FROM tok),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
-        |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-        |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-        |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
-        | FROM base)
-        |SELECT doc_id, n_tokens, score FROM (
-        | SELECT doc_id, dl AS n_tokens,
-        |  round(
-        |   (CASE WHEN tf0 > 0
-        |     THEN ln((CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf0 AS DOUBLE) * 2.2)
-        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-        |     ELSE 0.0 END)
-        |   + (CASE WHEN tf1 > 0
-        |     THEN ln((CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf1 AS DOUBLE) * 2.2)
-        |      / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-        |     ELSE 0.0 END)
-        |   + (CASE WHEN tf2 > 0
-        |     THEN ln((CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf2 AS DOUBLE) * 2.2)
-        |      / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-        |     ELSE 0.0 END), 6) AS score
-        | FROM base CROSS JOIN st)
-        |WHERE score > 0
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+      (bm25CteSql + "\nSELECT doc_id, n_tokens, score FROM hits"),
     // q87: KL summands divide and multiply in identical order on both
     // sides; the sum itself is order-free only up to float association,
     // hence round 4 (the q64 precedent)
@@ -1964,5 +1977,34 @@ object SparkEntry {
         |FROM documents
         |WINDOW w AS (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)""".stripMargin,
     "q108_lloyd_update" -> lloydUpdateOracleSql(8, 3),
+    // q109: 0-based dim from 1-based ordinality; all stats on
+    // doubles-of-floats so both engines aggregate identical values
+    "q109_embedding_profile" ->
+      """SELECT CAST(s.o - 1 AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        | round(avg(s.v), 6) AS mean_v,
+        | round(stddev_samp(s.v), 6) AS std_v,
+        | round(min(s.v), 6) AS min_v,
+        | round(max(s.v), 6) AS max_v
+        |FROM (SELECT unnest([{'o': j, 'v': CAST(embedding[j] AS DOUBLE)}
+        |                     for j in range(1, len(embedding)+1)]) AS s
+        |      FROM embeddings) t
+        |GROUP BY 1""".stripMargin,
+    // q110: the q86 hits reranked by cosine to the top lexical hit
+    "q110_hybrid_rerank" ->
+      (bm25CteSql +
+        """,
+          |be AS (SELECT h.doc_id, h.score, e.embedding
+          |       FROM hits h JOIN embeddings e ON e.vec_id = h.doc_id),
+          |q AS (SELECT embedding AS qe, score AS ms FROM be
+          |      ORDER BY score DESC, doc_id LIMIT 1)
+          |SELECT doc_id, bm25, cosine,
+          | round(0.5 * bm25 / ms + 0.5 * cosine, 6) AS hybrid
+          |FROM (
+          | SELECT be.doc_id, be.score AS bm25, q.ms AS ms,
+          |  round(list_sum([CAST(be.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+          |                  for i in range(1, len(be.embedding)+1)]) /
+          |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in be.embedding])) *
+          |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.qe]))), 6) AS cosine
+          | FROM be CROSS JOIN q) t""".stripMargin),
   )
 }

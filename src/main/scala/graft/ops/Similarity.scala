@@ -738,4 +738,68 @@ object Similarity {
         $"pred_label",
         ($"pred_label" === $"true_label").as("correct"))
   }
+
+  /** Per-dimension embedding-space profile: mean / sample-stddev / range
+    * for every coordinate — the drift-and-collapse diagnostic a pipeline
+    * runs when an embedding model changes (a dimension whose stddev → 0
+    * is dead; a mean far off 0 signals an un-centered batch). Complements
+    * q105's global anisotropy check with per-axis detail.
+    *
+    * Scale: one pass — posexplode multiplies rows by dim (bounded, ≤64)
+    * into a dim-keyed aggregate with map-side combine, so the shuffle is
+    * dim rows regardless of corpus size. Same shape as the Lloyd means.
+    */
+  def embeddingProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    emb(spark, dir)
+      .select(posexplode($"embedding").as(Seq("p", "f")))
+      .select($"p".cast("long").as("dim"), $"f".cast("double").as("v"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"v"), 6).as("mean_v"),
+        round(stddev_samp($"v"), 6).as("std_v"),
+        round(min($"v"), 6).as("min_v"),
+        round(max($"v"), 6).as("max_v"))
+  }
+
+  /** Hybrid retrieval: BM25 lexical top-k (q86), reranked by embedding
+    * cosine to the top lexical hit (query-by-document — the standard
+    * two-stage retrieve-then-rerank shape when no query embedding
+    * exists). hybrid = 0.5·(bm25/max_bm25) + 0.5·cosine, both halves
+    * normalized to comparable ranges.
+    *
+    * Scale: stage 1 is the q86 scan+aggregate; stage 2 touches only the
+    * k hit rows — their embeddings come from ONE join of the broadcast
+    * hit list against the vector table, checkpointed so the pseudo-query
+    * collect (one bounded vector, the centroid-collect argument) and the
+    * rerank projection reuse it instead of re-scanning.
+    */
+  def hybridRerank(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "window"),
+      k: Int = 15): DataFrame = {
+    import spark.implicits._
+    val hitList = TextAnalysis.bm25TopK(spark, dir, terms, k)
+      .select($"doc_id", $"score")
+    val hits = emb(spark, dir)
+      .join(broadcast(hitList), $"vec_id" === $"doc_id")
+      .select($"doc_id", $"score", $"embedding")
+      .localCheckpoint(true)
+    val top = hits.orderBy($"score".desc, $"doc_id").limit(1)
+      .select($"embedding", $"score").collect()
+    if (top.isEmpty) {
+      return hits.select($"doc_id", $"score".as("bm25"),
+        lit(0.0).as("cosine"), lit(0.0).as("hybrid")).limit(0)
+    }
+    // pseudo-query vector as exact doubles-of-floats: the same values
+    // the oracle's CAST(qe[i] AS DOUBLE) comprehension sees
+    val qe = top.head.getSeq[Float](0).map(_.toDouble).toArray
+    val qNorm = math.sqrt(qe.foldLeft(0.0)((a, v) => a + v * v))
+    val maxScore = top.head.getDouble(1)
+    hits.select($"doc_id", $"score".as("bm25"),
+        round(dot($"embedding", lit(qe)) /
+          (norm($"embedding") * lit(qNorm)), 6).as("cosine"))
+      .select($"doc_id", $"bm25", $"cosine",
+        round(lit(0.5) * $"bm25" / lit(maxScore) + lit(0.5) * $"cosine", 6)
+          .as("hybrid"))
+  }
 }

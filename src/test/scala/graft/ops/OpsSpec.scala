@@ -161,6 +161,8 @@ class OpsSpec extends AnyFunSuite {
     "q106_quality_keeper" -> Set("cluster_id", "keeper", "keeper_score", "n_docs"),
     "q107_training_order" -> Set("doc_id", "shuffle_key", "pos", "shard"),
     "q108_lloyd_update" -> Set("cluster_id", "n_assigned", "mean_cosine", "shift"),
+    "q109_embedding_profile" -> Set("dim", "n", "mean_v", "std_v", "min_v", "max_v"),
+    "q110_hybrid_rerank" -> Set("doc_id", "bm25", "cosine", "hybrid"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -604,6 +606,36 @@ class OpsSpec extends AnyFunSuite {
     val counts = rows.groupBy(_._4).values.map(_.size)
     assert(rows.forall(r => r._4 == r._3 % 8))
     assert(counts.max - counts.min <= 1)
+  }
+
+  test("q109: one row per dimension, n = corpus size, range brackets mean") {
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val rows = Similarity.embeddingProfile(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until 64L).toSeq)
+    rows.foreach { case (dim, n, mean, std, mn, mx) =>
+      assert(n == nVecs, s"dim $dim")
+      assert(mn <= mean && mean <= mx, s"dim $dim")
+      assert(std >= 0.0, s"dim $dim")
+    }
+  }
+
+  test("q110: rerank preserves the q86 hit set; hybrid combines both halves") {
+    val bm25 = TextAnalysis.bm25TopK(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = Similarity.hybridRerank(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet == bm25.keySet)
+    val ms = bm25.values.max
+    // the top lexical hit is the pseudo-query: cosine to itself = 1
+    val top = bm25.toSeq.sortBy { case (id, s) => (-s, id) }.head._1
+    rows.foreach { case (id, b, c, h) =>
+      assert(math.abs(b - bm25(id)) < 1e-9, s"doc $id")
+      assert(c >= -1.000001 && c <= 1.000001, s"doc $id")
+      assert(math.abs(h - (0.5 * b / ms + 0.5 * c)) < 1e-6, s"doc $id")
+    }
+    assert(rows.find(_._1 == top).exists(r => math.abs(r._3 - 1.0) < 1e-6))
   }
 
   test("q108: one row per centroid, members conserved, shift non-negative") {

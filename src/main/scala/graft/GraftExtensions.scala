@@ -56,5 +56,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_counts"),
       info("char_counts", "char_counts(text) - map<char, count> in char-code order"),
       exprs => TextOps.CharCounts(exprs.head)))
+    // bloom sketch surface: Spark's own runtime-filter expressions under
+    // stable SQL names (see graft.functions.SketchOps)
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(xxhash64(key), est_items, num_bits) - serialized bloom filter"),
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((FunctionIdentifier("bloom_contains"),
+      info("bloom_contains", "bloom_contains(bf, xxhash64(key)) - bloom membership probe"),
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

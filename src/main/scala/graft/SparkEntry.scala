@@ -244,6 +244,21 @@ object SparkEntry {
     // BM25 retrieve → cosine rerank (query-by-top-document)
     "q110_hybrid_rerank" -> ((s: SparkSession, d: String) =>
       Similarity.hybridRerank(s, d)),
+    // z-order vs single-column sort: per-bucket extent audit
+    "q111_zorder_locality" -> ((s: SparkSession, d: String) =>
+      graft.sources.Layouts.zorderLocality(s, d)),
+    // forward-filled daily series per user, grid never materialized
+    "q112_event_gapfill" -> ((s: SparkSession, d: String) =>
+      Sessionize.eventGapfill(s, d)),
+    // recency-weighted engagement: sum(value * exp(-age/tau)) per user
+    "q113_decayed_engagement" -> ((s: SparkSession, d: String) =>
+      Sessionize.decayedEngagement(s, d)),
+    // explicit runtime-filter pruning via Spark's bloom sketch exprs
+    "q114_bloom_prune" -> ((s: SparkSession, d: String) =>
+      Relational.bloomPrune(s, d)),
+    // pairwise corr + price~qty regression over lineitem numerics
+    "q115_numeric_correlation" -> ((s: SparkSession, d: String) =>
+      Relational.numericCorrelation(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2006,5 +2021,78 @@ object SparkEntry {
           |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in be.embedding])) *
           |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.qe]))), 6) AS cosine
           | FROM be CROSS JOIN q) t""".stripMargin),
+    // q111: the Morton interleave re-derived with DuckDB bit ops; spans
+    // and counts are exact integers, the avgs exact rationals (round 6)
+    "q111_zorder_locality" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+        |            CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS y
+        |           FROM orders),
+        |z AS (SELECT o_orderkey, x, y,
+        |       list_sum([(((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))
+        |                 for i in range(0, 16)]) AS zkey FROM o),
+        |b AS (SELECT 'zorder' AS layout, zkey >> 20 AS bucket, x, y FROM z
+        |      UNION ALL SELECT 'dateorder', y >> 4, x, y FROM z
+        |      UNION ALL SELECT 'keyorder', o_orderkey >> 6, x, y FROM z),
+        |s AS (SELECT layout, bucket, max(x) - min(x) AS x_span,
+        |       max(y) - min(y) AS y_span
+        |      FROM b GROUP BY 1, 2)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+        | round(avg(x_span), 6) AS avg_x_span,
+        | CAST(max(x_span) AS BIGINT) AS max_x_span,
+        | round(avg(y_span), 6) AS avg_y_span,
+        | CAST(max(y_span) AS BIGINT) AS max_y_span
+        |FROM s GROUP BY 1""".stripMargin,
+    // q112: the naive grid derivation (generate_series + left join +
+    // IGNORE NULLS forward fill) checks the engine's run-length form —
+    // two independent derivations of the same filled series
+    "q112_event_gapfill" ->
+      """WITH daily AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |                sum(value) AS v
+        |               FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |          FROM daily GROUP BY 1),
+        |grid AS (SELECT s.user_id, g.d AS day FROM spans s,
+        |          LATERAL (SELECT unnest(generate_series(s.lo, s.hi)) AS d) g),
+        |f AS (SELECT g.user_id, g.day, d.v,
+        |       last_value(d.v IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |      FROM grid g LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id,
+        | CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+        | CAST(count(v) AS BIGINT) AS active_days,
+        | CAST(count(*) - count(v) AS BIGINT) AS filled_days,
+        | round(sum(carried), 4) AS filled_sum
+        |FROM f GROUP BY 1""".stripMargin,
+    // q113: same double dataflow as the engine ((t0-sec)/86400.0, /tau,
+    // exp); per-user sums of ~100 bounded terms round to 4
+    "q113_decayed_engagement" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
+        |           FROM events),
+        |t AS (SELECT max(sec) AS t0 FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value * exp(-((t.t0 - sec) / 86400.0) / 7.0)), 4) AS score
+        |FROM e, t GROUP BY 1""".stripMargin,
+    // q114: exact counts recomputed; the bloom's no-false-negative
+    // guarantee and its fp budget are pinned booleans (q29 pattern)
+    "q114_bloom_prune" ->
+      """WITH hot AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_hot,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_total,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM hot)) AS n_exact,
+        | true AS superset_ok, true AS fp_ok""".stripMargin,
+    // q115: both engines' corr/regr are single-pass co-moment
+    // aggregates; round 4 absorbs the summation-order ulps
+    "q115_numeric_correlation" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+        | round(corr(l_quantity, l_tax), 4) AS corr_qty_tax,
+        | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+        | round(corr(l_extendedprice, l_tax), 4) AS corr_price_tax,
+        | round(corr(l_discount, l_tax), 4) AS corr_disc_tax,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_price_qty
+        |FROM lineitem""".stripMargin,
   )
 }

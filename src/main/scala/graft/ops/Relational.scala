@@ -378,4 +378,70 @@ object Relational {
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(profile).reduce(_ unionAll _)
   }
+
+  /** Pairwise Pearson correlation + the price~quantity regression line
+    * over the lineitem numeric columns (q115) — the dependence screen
+    * run after [[columnProfile]] before anyone trusts a "random" column
+    * for stratification or sampling keys. One single-pass global
+    * aggregate: every corr/regr is a co-moment the partial-aggregation
+    * layer combines, so the 100-TB cost is the scan, not the agg.
+    */
+  def numericCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .select($"l_quantity".as("q"), $"l_extendedprice".as("p"),
+        $"l_discount".as("d"), $"l_tax".as("x"))
+      .agg(
+        round(corr($"q", $"p"), 4).as("corr_qty_price"),
+        round(corr($"q", $"d"), 4).as("corr_qty_disc"),
+        round(corr($"q", $"x"), 4).as("corr_qty_tax"),
+        round(corr($"p", $"d"), 4).as("corr_price_disc"),
+        round(corr($"p", $"x"), 4).as("corr_price_tax"),
+        round(corr($"d", $"x"), 4).as("corr_disc_tax"),
+        round(regr_slope($"p", $"q"), 4).as("slope_price_qty"),
+        round(regr_intercept($"p", $"q"), 4).as("icept_price_qty"))
+  }
+
+  /** Bloom-filter semi-join pruning (q114): the explicit form of
+    * Spark's runtime-filter optimization, using Spark's own sketch
+    * expressions (see [[graft.functions.SketchOps]]). The "hot" order
+    * keys (totalprice above `priceFloor`) are aggregated into a bloom
+    * filter; the KB-sized serialized sketch comes back to the driver
+    * (the same bounded-collect pattern as a broadcast hash-join build)
+    * and is folded into the lineitem scan as a literal, so the probe is
+    * a shuffle-free codegen'd filter at the scan. The payoff at 100 TB:
+    * the probe side is cut to ~hot fraction BEFORE the join shuffle,
+    * for the price of one aggregate over the small side and zero
+    * repartitioning.
+    *
+    * Output contract: exact counts (hot orders, exact semi-join rows,
+    * total probe rows) plus two tolerance booleans the oracle pins to
+    * true — the bloom never drops a real match (`superset_ok`, a hard
+    * guarantee) and its false-positive rate stays under `maxFpRate`
+    * (1M bits over ≲15k keys at the bench scale: ~0 observed).
+    */
+  def bloomPrune(spark: SparkSession, dir: String,
+      priceFloor: Double = 400000.0, maxFpRate: Double = 0.02): DataFrame = {
+    import spark.implicits._
+    graft.functions.SketchOps.register(spark)
+    val hotKeys = t(spark, dir, "orders")
+      .filter($"o_totalprice" > priceFloor)
+      .select($"o_orderkey")
+    val bf = hotKeys
+      .agg(call_function("bloom_agg", xxhash64($"o_orderkey"),
+        lit(65536L), lit(1048576L)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val li = t(spark, dir, "lineitem").select($"l_orderkey")
+    val bloomed = li.filter(
+      call_function("bloom_contains", lit(bf), xxhash64($"l_orderkey")))
+    val exact = li.join(hotKeys, $"l_orderkey" === $"o_orderkey", "left_semi")
+    val counts = li.agg(count(lit(1)).as("n_total"))
+      .crossJoin(hotKeys.agg(count(lit(1)).as("n_hot")))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(bloomed.agg(count(lit(1)).as("n_bloom")))
+    counts.select($"n_hot", $"n_total", $"n_exact",
+      ($"n_bloom" >= $"n_exact").as("superset_ok"),
+      (($"n_bloom" - $"n_exact").cast("double") <=
+        ($"n_total" - $"n_exact") * maxFpRate).as("fp_ok"))
+  }
 }

@@ -259,4 +259,68 @@ object Sessionize {
           .as("peak_to_mean"))
       .withColumn("bursty", $"peak_to_mean" >= ratioThreshold)
   }
+
+  /** Gap-filled daily series per user (q112): the forward-fill /
+    * interpolation pass every time-series feature pipeline runs before
+    * training on regular grids. Semantically: build each user's daily
+    * grid from first to last active day, carry the last observed daily
+    * value forward across inactive days, and report per user the span,
+    * active/filled day counts and the sum of the filled series.
+    *
+    * The plan never materializes the grid: a carried value v persists
+    * for (next_active_day - day) grid days, so the filled-series sum is
+    * `sum(v * run_length)` over ACTIVE days only — one (user, day)
+    * aggregate, one user-partitioned window, no sequence-explode and no
+    * grid join. That is the difference between shuffling O(active days)
+    * and O(span × users) rows: a 100-TB corpus with years-long sparse
+    * users pays for its events, not its calendar. (The DuckDB oracle
+    * computes the same numbers the naive way — generate_series grid,
+    * left join, IGNORE NULLS window — so the two derivations check each
+    * other.)
+    */
+  def eventGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      // events are 2024 epoch-nanos (positive), so truncating `div` and
+      // floor-division agree; day = nanos // 86400e9 on both engines
+      .select($"user_id", expr("ts div 86400000000000").as("day"), $"value")
+      .groupBy($"user_id", $"day").agg(sum($"value").as("v"))
+    val byUser = Window.partitionBy($"user_id")
+    val ordered = byUser.orderBy($"day")
+    daily
+      .withColumn("hi", max($"day").over(byUser))
+      .withColumn("run", coalesce(lead($"day", 1).over(ordered), $"hi" + 1) - $"day")
+      .groupBy($"user_id")
+      .agg((max($"day") - min($"day") + 1).as("span_days"),
+        count(lit(1)).as("active_days"),
+        (max($"day") - min($"day") + 1 - count(lit(1))).as("filled_days"),
+        round(sum($"v" * $"run"), 4).as("filled_sum"))
+  }
+
+  /** Time-decayed engagement score per user (q113): each event
+    * contributes `value * exp(-age/tau)` with age measured in days back
+    * from the newest event in the table and tau = `tauDays`. The
+    * standard recency-weighted activity feature — unlike a windowed
+    * count it needs no cutoff choice, and unlike an EWMA recurrence it
+    * is order-independent, so it is a plain one-shuffle aggregate.
+    *
+    * The reference instant is a one-row aggregate broadcast into the
+    * scan projection (no driver collect, no second pass); everything
+    * after it is map-side-combined `sum`/`count` per user.
+    */
+  def decayedEngagement(spark: SparkSession, dir: String,
+      tauDays: Double = 7.0): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", expr("ts div 1000000000").as("sec"), $"value")
+    val t0 = ev.agg(max($"sec").as("t0"))
+    ev.crossJoin(broadcast(t0))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        // identical double dataflow to the oracle: (t0-sec)/86400.0,
+        // then /tau, then exp — negation is exact, so the unary minus
+        // can sit anywhere
+        round(sum($"value" *
+          exp(-(($"t0" - $"sec") / lit(86400.0)) / lit(tauDays))), 4).as("score"))
+  }
 }

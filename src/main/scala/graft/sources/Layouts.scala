@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for the 100-TB read path: bucketed tables
   * (co-located joins — the shuffle on the join key is paid ONCE at write
@@ -88,5 +89,61 @@ object Layouts {
     val sized = if (evenSizes) df.repartition(nFiles) else df.coalesce(nFiles)
     sized.write.mode("overwrite").parquet(outPath)
     nFiles
+  }
+
+  /** 32-bit Morton (z-order) key: the bits of two 16-bit dimensions
+    * interleaved, built as a static fold of shift/mask Columns — pure
+    * codegen'd integer arithmetic, no UDF.
+    */
+  def interleave16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Multi-dimensional clustering diagnostic (q111): how well three
+    * candidate sort orders for the orders table co-locate BOTH
+    * `o_custkey` and order date inside fixed-width file-sized buckets.
+    * For each layout — `zorder` (Morton key of custkey × day),
+    * `dateorder` (date-sorted, the usual ingest order), `keyorder`
+    * (orderkey-sorted, i.e. arrival order) — every bucket's per-dim
+    * extent is aggregated to (avg, max) spans. Small spans in a
+    * dimension mean a min/max zone filter on that dimension skips
+    * whole buckets; z-order is the only layout with bounded spans in
+    * BOTH dims, which is the entire case for Morton-sorting a 100-TB
+    * table queried by two independent predicates.
+    *
+    * Scale shape: one scan; the 3-way struct explode triples rows
+    * before two partial-aggregated groupBys on (layout, bucket) then
+    * layout — shuffle rows are bounded by bucket counts, not table
+    * size. The key itself would be the sort column of a
+    * `repartitionByRange(...).sortWithinPartitions(...)` write at
+    * 100 TB; here it is computed and audited, not written, so the
+    * oracle can recompute the identical integers.
+    */
+  def zorderLocality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey",
+        pmod($"o_custkey", lit(65536L)).as("x"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("y"))
+      .withColumn("zkey", interleave16($"x", $"y"))
+    base
+      .select($"x", $"y", explode(array(
+        struct(lit("zorder").as("layout"), shiftright($"zkey", 20).as("bucket")),
+        struct(lit("dateorder").as("layout"), shiftright($"y", 4).as("bucket")),
+        struct(lit("keyorder").as("layout"),
+          shiftright($"o_orderkey", 6).as("bucket")))).as("lb"))
+      .select($"lb.layout".as("layout"), $"lb.bucket".as("bucket"), $"x", $"y")
+      .groupBy($"layout", $"bucket")
+      .agg((max($"x") - min($"x")).as("x_span"),
+        (max($"y") - min($"y")).as("y_span"))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_buckets"),
+        round(avg($"x_span"), 6).as("avg_x_span"),
+        max($"x_span").as("max_x_span"),
+        round(avg($"y_span"), 6).as("avg_y_span"),
+        max($"y_span").as("max_y_span"))
   }
 }

@@ -34,7 +34,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  feature_hash('a b a') AS fh,
           |  gram_hashes('a b c d', 3) AS gh,
           |  distinct_grams('a b a b c', 2) AS dg,
-          |  char_counts('abab') AS cc
+          |  char_counts('abab') AS cc,
+          |  bloom_contains((SELECT bloom_agg(xxhash64(k), 1024L, 8192L)
+          |                  FROM VALUES (1L), (2L) AS t(k)),
+          |                 xxhash64(1L)) AS bl
           |""".stripMargin).head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 5.0)
@@ -43,6 +46,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[Long](5).length == 2) // "a b c", "b c d"
       assert(row.getSeq[String](6) == Seq("a b", "b a", "b c"))
       assert(row.getMap[String, Long](7).toSeq.sorted == Seq("a" -> 2L, "b" -> 2L))
+      assert(row.getBoolean(8)) // inserted key: bloom may never say no
       // same digest the per-session register() route produces
       graft.functions.ChunkHashOps.register(shared)
       val expected = shared.sql(

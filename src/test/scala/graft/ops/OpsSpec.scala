@@ -163,6 +163,16 @@ class OpsSpec extends AnyFunSuite {
     "q108_lloyd_update" -> Set("cluster_id", "n_assigned", "mean_cosine", "shift"),
     "q109_embedding_profile" -> Set("dim", "n", "mean_v", "std_v", "min_v", "max_v"),
     "q110_hybrid_rerank" -> Set("doc_id", "bm25", "cosine", "hybrid"),
+    "q111_zorder_locality" -> Set("layout", "n_buckets", "avg_x_span",
+      "max_x_span", "avg_y_span", "max_y_span"),
+    "q112_event_gapfill" -> Set("user_id", "span_days", "active_days",
+      "filled_days", "filled_sum"),
+    "q113_decayed_engagement" -> Set("user_id", "n_events", "score"),
+    "q114_bloom_prune" -> Set("n_hot", "n_total", "n_exact",
+      "superset_ok", "fp_ok"),
+    "q115_numeric_correlation" -> Set("corr_qty_price", "corr_qty_disc",
+      "corr_qty_tax", "corr_price_disc", "corr_price_tax", "corr_disc_tax",
+      "slope_price_qty", "icept_price_qty"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -70,13 +70,14 @@ object ScaleBench {
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
     "q06_top_orders_per_customer", "q12_brand_revenue_by_region",
     "q29_approx_distinct", "q37_price_quantiles", "q42_moving_revenue",
-    "q44_correlated_subquery", "q71_column_profile")
+    "q44_correlated_subquery", "q71_column_profile",
+    "q111_zorder_locality", "q114_bloom_prune", "q115_numeric_correlation")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",
     "q35_asof_attribution", "q36_range_join_conversions", "q40_json_props",
     "q60_funnel", "q61_retention_cohorts", "q62_value_outliers",
-    "q96_user_burstiness")
+    "q96_user_burstiness", "q112_event_gapfill", "q113_decayed_engagement")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

@@ -64,20 +64,23 @@ object ScaleBench {
     "q95_source_vocab_overlap", "q97_bigram_logprob", "q98_knn_label_vote",
     "q99_minhash_estimate", "q100_source_health", "q101_inverted_index",
     "q102_phrase_search", "q103_snapshot_diff", "q104_blocklist_scrub",
-    "q105_principal_component")
+    "q105_principal_component", "q106_quality_keeper", "q107_training_order",
+    "q119_zipf_profile")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
     "q06_top_orders_per_customer", "q12_brand_revenue_by_region",
     "q29_approx_distinct", "q37_price_quantiles", "q42_moving_revenue",
     "q44_correlated_subquery", "q71_column_profile",
-    "q111_zorder_locality", "q114_bloom_prune", "q115_numeric_correlation")
+    "q111_zorder_locality", "q114_bloom_prune", "q115_numeric_correlation",
+    "q120_key_skew")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",
     "q35_asof_attribution", "q36_range_join_conversions", "q40_json_props",
     "q60_funnel", "q61_retention_cohorts", "q62_value_outliers",
-    "q96_user_burstiness", "q112_event_gapfill", "q113_decayed_engagement")
+    "q96_user_burstiness", "q112_event_gapfill", "q113_decayed_engagement",
+    "q116_event_paths", "q117_daily_autocorr", "q118_dow_seasonality")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

@@ -259,6 +259,21 @@ object SparkEntry {
     // pairwise corr + price~qty regression over lineitem numerics
     "q115_numeric_correlation" -> ((s: SparkSession, d: String) =>
       Relational.numericCorrelation(s, d)),
+    // top event-type trigram journeys, deterministic tie-break
+    "q116_event_paths" -> ((s: SparkSession, d: String) =>
+      Sessionize.eventPaths(s, d)),
+    // lag-1/lag-7 autocorrelation of daily counts per event type
+    "q117_daily_autocorr" -> ((s: SparkSession, d: String) =>
+      Sessionize.dailyAutocorr(s, d)),
+    // day-of-week seasonality profile (integer dow, no calendar)
+    "q118_dow_seasonality" -> ((s: SparkSession, d: String) =>
+      Sessionize.dowSeasonality(s, d)),
+    // Zipf head-coverage curve over power-of-two frequency classes
+    "q119_zipf_profile" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.zipfProfile(s, d)),
+    // join-key fanout histogram: the salting decision, quantified
+    "q120_key_skew" -> ((s: SparkSession, d: String) =>
+      Skew.keySkewProfile(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2094,5 +2109,79 @@ object SparkEntry {
         | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
         | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_price_qty
         |FROM lineitem""".stripMargin,
+    // q116: leads over the same (ts, event_id) order; the (n desc, path)
+    // tie-break makes the LIMIT deterministic on both engines
+    "q116_event_paths" ->
+      """WITH s AS (SELECT user_id, event_type, ts, event_id,
+        |            lead(event_type, 1) OVER w AS e2,
+        |            lead(event_type, 2) OVER w AS e3
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin,
+    // q117: lag pairs validated against the true day distance, so gaps
+    // null out instead of smearing; corr rounds to 4 (co-moment ulps)
+    "q117_daily_autocorr" ->
+      """WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |            CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, n,
+        |       CASE WHEN lag(day, 1) OVER w = day - 1
+        |            THEN lag(n, 1) OVER w END AS n1,
+        |       CASE WHEN lag(day, 7) OVER w = day - 7
+        |            THEN lag(n, 7) OVER w END AS n7
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        | round(corr(n, n1), 4) AS autocorr_1,
+        | round(corr(n, n7), 4) AS autocorr_7
+        |FROM l GROUP BY 1""".stripMargin,
+    // q118: dow = day % 7 — pure integer arithmetic, no calendar; avg
+    // is an exact rational (round 6), std the q109 precedent
+    "q118_dow_seasonality" ->
+      """WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |            CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, day % 7 AS dow,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       round(avg(n), 6) AS avg_n,
+        |       round(stddev_samp(n), 6) AS std_n
+        |      FROM d GROUP BY 1, 2)
+        |SELECT event_type, dow, n_days, avg_n, std_n,
+        | avg_n = max(avg_n) OVER (PARTITION BY event_type) AS peak
+        |FROM p""".stripMargin,
+    // q119: floor(log2) via the binary-string length on both engines —
+    // no floating log; the cumulative window runs over ≤64 class rows
+    "q119_zipf_profile" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        |      WHERE tok <> '' GROUP BY 1),
+        |cls AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS freq_class,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(cnt) AS BIGINT) AS occurrences
+        |        FROM c GROUP BY 1)
+        |SELECT freq_class, n_types, occurrences,
+        | CAST(sum(occurrences) OVER (ORDER BY freq_class DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_occurrences,
+        | round(CAST(sum(occurrences) OVER (ORDER BY freq_class DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |   (sum(occurrences) OVER ()), 6) AS coverage
+        |FROM cls""".stripMargin,
+    // q120: same exact-integer log2 class trick over per-key fanout
+    "q120_key_skew" ->
+      """WITH k AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+        |           FROM lineitem GROUP BY 1),
+        |cls AS (SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS fanout_class,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(n) AS BIGINT) AS rows_in_class,
+        |         CAST(max(n) AS BIGINT) AS max_fanout
+        |        FROM k GROUP BY 1)
+        |SELECT fanout_class, n_keys, rows_in_class, max_fanout,
+        | round(CAST(rows_in_class AS DOUBLE) / (sum(rows_in_class) OVER ()), 6)
+        |   AS share_rows
+        |FROM cls""".stripMargin,
   )
 }

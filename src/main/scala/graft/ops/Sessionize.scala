@@ -323,4 +323,72 @@ object Sessionize {
         round(sum($"value" *
           exp(-(($"t0" - $"sec") / lit(86400.0)) / lit(tauDays))), 4).as("score"))
   }
+
+  /** User-journey path mining (q116): the `k` most common event-type
+    * trigram paths across all users, paths read off per-user
+    * time-ordered streams. Two `lead`s over one user-partitioned window
+    * (no per-user collect_list, whose single array would concentrate a
+    * power user's whole history in one task), then a count and a
+    * deterministic top-k — ties broken by path text so the limit is
+    * stable across engines and runs.
+    */
+  def eventPaths(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path").limit(k)
+  }
+
+  /** Daily-count autocorrelation per event type (q117): lag-1 and lag-7
+    * Pearson autocorrelation of the daily event-count series — the
+    * cheap screen for trend stickiness and weekly seasonality before
+    * anyone fits a forecast. Lags are validated against the REAL day
+    * distance (a missing day nulls the pair out) rather than row
+    * offsets, so sparse series don't smear across gaps. Everything
+    * after the (type, day) count is per-type window + aggregate on a
+    * series bounded by the calendar, not the corpus.
+    */
+  def dailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("n1",
+        when(lag($"day", 1).over(w) === $"day" - 1, lag($"n", 1).over(w)))
+      .withColumn("n7",
+        when(lag($"day", 7).over(w) === $"day" - 7, lag($"n", 7).over(w)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(corr($"n", $"n1"), 4).as("autocorr_1"),
+        round(corr($"n", $"n7"), 4).as("autocorr_7"))
+  }
+
+  /** Day-of-week seasonality profile per event type (q118): mean/std of
+    * daily counts per weekday slot plus the peak-slot flag. The weekday
+    * is `day_index % 7` — pure integer arithmetic, no calendar or
+    * timezone surface for the two engines to disagree on. Count rows
+    * are calendar-bounded; the profile is a 7-row-per-type aggregate.
+    */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy($"event_type")
+    daily
+      .withColumn("dow", pmod($"day", lit(7L)))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg($"n"), 6).as("avg_n"),
+        round(stddev_samp($"n"), 6).as("std_n"))
+      .withColumn("peak", $"avg_n" === max($"avg_n").over(byType))
+  }
 }

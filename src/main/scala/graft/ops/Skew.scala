@@ -37,4 +37,30 @@ object Skew {
   def keyHistogram(df: DataFrame, c: Column, topN: Int = 20): DataFrame =
     df.groupBy(c.as("key")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n")).limit(topN)
+
+  /** Join-key fanout profile (q120): per power-of-two fanout class of
+    * `l_orderkey`, how many keys and rows land there and each class's
+    * share of all rows — the quantified answer to "is this join key
+    * skewed enough to need salting". Unlike [[keyHistogram]] (top-N
+    * hottest keys) this is a full distribution in a bounded number of
+    * rows: one per-key count aggregate, one ≤64-class histogram, and a
+    * window over those classes; nothing downstream of the first
+    * aggregate scales with the table. The class index reuses the exact
+    * integer floor(log2) trick (`length(bin(n)) - 1`).
+    */
+  def keySkewProfile(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val perKey = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+    val classes = perKey
+      .withColumn("fanout_class", (length(bin($"n")) - 1).cast("long"))
+      .groupBy($"fanout_class")
+      .agg(count(lit(1)).as("n_keys"), sum($"n").as("rows_in_class"),
+        max($"n").as("max_fanout"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+    classes.withColumn("share_rows",
+      round($"rows_in_class" / sum($"rows_in_class").over(total), 6))
+  }
 }

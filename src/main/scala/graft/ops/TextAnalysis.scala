@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.12 /
@@ -924,5 +925,35 @@ object TextAnalysis {
       .withColumn("r_repetition", $"top_word_frac" <= 0.2)
       .withColumn("keep",
         $"r_word_count" && $"r_mean_word_len" && $"r_stopwords" && $"r_repetition")
+  }
+
+  /** Corpus Zipf profile (q119): token types and occurrences grouped
+    * into power-of-two frequency classes, with the cumulative share of
+    * all occurrences covered by classes at-or-above each class — the
+    * head-coverage curve that sizes a tokenizer vocabulary ("the top
+    * classes cover X% of the corpus") without EVER ranking the
+    * vocabulary: a global row_number over a 100-TB corpus's vocab is a
+    * single-partition sort, while the frequency-class histogram is one
+    * token-count aggregate plus a window over ≤64 rows. The class index
+    * is `length(bin(count)) - 1` = floor(log2) in exact integer/string
+    * arithmetic — no floating log for the engines to disagree on.
+    */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val classes = counts
+      .withColumn("freq_class", (length(bin($"cnt")) - 1).cast("long"))
+      .groupBy($"freq_class")
+      .agg(count(lit(1)).as("n_types"), sum($"cnt").as("occurrences"))
+    val wDesc = Window.orderBy($"freq_class".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    classes
+      .withColumn("cum_occurrences", sum($"occurrences").over(wDesc))
+      .withColumn("coverage",
+        round($"cum_occurrences" / sum($"occurrences").over(total), 6))
   }
 }

@@ -173,6 +173,15 @@ class OpsSpec extends AnyFunSuite {
     "q115_numeric_correlation" -> Set("corr_qty_price", "corr_qty_disc",
       "corr_qty_tax", "corr_price_disc", "corr_price_tax", "corr_disc_tax",
       "slope_price_qty", "icept_price_qty"),
+    "q116_event_paths" -> Set("path", "n"),
+    "q117_daily_autocorr" -> Set("event_type", "n_days", "autocorr_1",
+      "autocorr_7"),
+    "q118_dow_seasonality" -> Set("event_type", "dow", "n_days", "avg_n",
+      "std_n", "peak"),
+    "q119_zipf_profile" -> Set("freq_class", "n_types", "occurrences",
+      "cum_occurrences", "coverage"),
+    "q120_key_skew" -> Set("fanout_class", "n_keys", "rows_in_class",
+      "max_fanout", "share_rows"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

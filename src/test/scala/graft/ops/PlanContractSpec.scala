@@ -351,4 +351,44 @@ class PlanContractSpec extends AnyFunSuite {
     assert(read.contains("doc_id") && read.contains("text") &&
       !read.contains("lang") && !read.contains("source"), read)
   }
+
+  test("q111: the Morton fold is pure shift/mask arithmetic — no UDF, 3-column read") {
+    val p = plan(graft.sources.Layouts.zorderLocality(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("o_orderkey") && read.contains("o_custkey") &&
+      read.contains("o_orderdate") && !read.contains("o_totalprice"), read)
+  }
+
+  test("q113: the reference instant arrives by broadcast, not a driver collect") {
+    val p = plan(Sessionize.decayedEngagement(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // exactly one hash-partitioned data exchange (the per-user agg); the
+    // only other exchange is the SinglePartition gather for the 1-row max
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) == 1, p)
+  }
+
+  test("q114: the bloom probe is a scan-level filter — no join, no exchange on the probe") {
+    graft.functions.SketchOps.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hot = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_totalprice" > 400000.0).select($"o_orderkey")
+    val bf = hot.agg(call_function("bloom_agg", xxhash64($"o_orderkey"),
+      lit(65536L), lit(1048576L))).head().getAs[Array[Byte]](0)
+    val probe = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey")
+      .filter(call_function("bloom_contains", lit(bf), xxhash64($"l_orderkey")))
+    val p = plan(probe)
+    assert(p.contains("might_contain") || p.contains("bloom"), p)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("q115: the correlation screen is ONE aggregate pass — no Expand, no second scan") {
+    val p = plan(Relational.numericCorrelation(spark, sf))
+    assert(!p.contains("Expand"), p)
+    // one scan node: formatted explain prints it once in the tree and
+    // once as a detail header
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+  }
 }

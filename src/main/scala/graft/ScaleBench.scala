@@ -222,7 +222,7 @@ object ScaleBench {
       val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val ev = graft.ops.Tables.eventsNs(spark, dir)
           .select($"event_id", $"user_id", $"value")
           // 90% of the corpus lands on user 0 — the null-key/default-value
           // pathology, where one shuffle partition IS the dataset

@@ -11,16 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects outright; read nanos as raw longs and derive epoch-seconds /
-    * microsecond timestamps explicitly. `ts div 1e9` stays in integer
-    * arithmetic — 2024 epoch-nanos (~1.7e18) exceed double's 53-bit
-    * mantissa, so a `/`-then-cast would corrupt seconds.
+  /** Shared adaptive loader (Tables.eventsNs): `ts` is epoch-nanos BIGINT
+    * regardless of the parquet physical encoding, so `ts div 1e9` stays
+    * in integer arithmetic — 2024 epoch-nanos (~1.7e18) exceed double's
+    * 53-bit mantissa, so a `/`-then-cast would corrupt seconds.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsNs(spark, dir)
 
   /** Gap-based sessionization (30-minute inactivity gap): session id =
     * running count of gap-breaks per user. One shuffle on user_id; the

@@ -50,8 +50,7 @@ class SeriesSketchSpec extends AnyFunSuite {
   test("eventGapfill equals the naive grid + forward-fill derivation") {
     val got = Sessionize.eventGapfill(spark, sf)
     // independent derivation: materialized grid, left join, last() ffill
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val daily = spark.read.parquet(s"$sf/events.parquet")
+    val daily = graft.ops.Tables.eventsNs(spark, sf)
       .select($"user_id", expr("ts div 86400000000000").as("day"), $"value")
       .groupBy($"user_id", $"day").agg(sum($"value").as("v"))
     val grid = daily.groupBy($"user_id")
@@ -72,8 +71,7 @@ class SeriesSketchSpec extends AnyFunSuite {
 
   test("decayedEngagement matches a driver-side recompute") {
     val rows = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sf/events.parquet")
+      graft.ops.Tables.eventsNs(spark, sf)
         .select($"user_id", expr("ts div 1000000000").as("sec"), $"value")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     }

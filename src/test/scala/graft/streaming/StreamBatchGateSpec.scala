@@ -105,8 +105,7 @@ class StreamBatchGateSpec extends AnyFunSuite {
   private def writeEventFiles(tmp: Path, nFiles: Int): String = {
     import scala.jdk.CollectionConverters._
     val in = s"$tmp/in"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.ops.Tables.eventsNs(spark, sf)
       .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ts"),
         $"user_id", $"event_type", $"value")
     val Array(lo, hi) = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts")))

@@ -274,6 +274,24 @@ object SparkEntry {
     // join-key fanout histogram: the salting decision, quantified
     "q120_key_skew" -> ((s: SparkSession, d: String) =>
       Skew.keySkewProfile(s, d)),
+    // regex PII/sensitive-term redaction profile per source
+    "q121_pii_scrub" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.piiScrub(s, d)),
+    // trailing 7-day distinct active users per calendar day
+    "q122_rolling_active" -> ((s: SparkSession, d: String) =>
+      Series.rollingActive(s, d)),
+    // best mean-split day per event type (changepoint screen)
+    "q123_changepoint" -> ((s: SparkSession, d: String) =>
+      Series.changepoint(s, d)),
+    // recursive EWMA of daily counts (higher-order aggregate fold)
+    "q124_ewma_daily" -> ((s: SparkSession, d: String) =>
+      Series.ewmaDaily(s, d)),
+    // median-absolute-deviation robust outlier profile per type
+    "q125_mad_outliers" -> ((s: SparkSession, d: String) =>
+      Series.madOutliers(s, d)),
+    // population-stability-index value drift, first vs second half
+    "q126_psi_drift" -> ((s: SparkSession, d: String) =>
+      Series.psiDrift(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2183,5 +2201,120 @@ object SparkEntry {
         | round(CAST(rows_in_class AS DOUBLE) / (sum(rows_in_class) OVER ()), 6)
         |   AS share_rows
         |FROM cls""".stripMargin,
+    // q121: the pattern strings are the RE2 ∩ java.util.regex common
+    // subset, evaluated verbatim by both engines; DuckDB regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all default
+    "q121_pii_scrub" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN regexp_matches(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_email_docs,
+        | CAST(sum(CASE WHEN regexp_matches(text,
+        |   '\b\d{1,3}(\.\d{1,3}){3}\b') THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_ipv4_docs,
+        | CAST(sum(CASE WHEN regexp_matches(text,
+        |   '\b(customer|key|value)\b') THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_term_docs,
+        | CAST(sum(length(regexp_extract_all(text,
+        |   '\b(customer|key|value)\b'))) AS BIGINT) AS n_term_matches,
+        | CAST(sum(length(text) - length(regexp_replace(text,
+        |   '\b(customer|key|value)\b', '[X]', 'g'))) AS BIGINT)
+        |   AS n_redacted_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q122: the grid spans [min_day, max_day]; LEFT JOIN + count(DISTINCT)
+    // yields 0 on quiet windows, matching the Spark-side coalesce
+    "q122_rolling_active" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |g AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b)
+        |SELECT g.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_7d
+        |FROM g LEFT JOIN e ON e.day BETWEEN g.day - 6 AND g.day
+        |GROUP BY 1""".stripMargin,
+    // q123: both engines compute cs/rn − (s−cs)/(t−rn) in double with
+    // identical integer inputs; ties on the stat break by earliest day
+    "q123_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        |   FROM daily),
+        |y AS (SELECT event_type, day AS split_day, t AS n_days,
+        |    abs(CAST(cs AS DOUBLE) / rn - CAST(s - cs AS DOUBLE) / (t - rn))
+        |      AS stat
+        |   FROM x WHERE rn < t)
+        |SELECT event_type, split_day, round(stat, 4) AS split_stat, n_days
+        |FROM y
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY stat DESC, split_day) = 1""".stripMargin,
+    // q124: the same ewma recurrence the Spark side folds with a
+    // higher-order aggregate, expressed as a recursive CTE — identical
+    // double operation order, so values agree to the bit before round()
+    "q124_ewma_daily" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |   FROM daily),
+        |r AS (
+        | SELECT event_type, day, rn, CAST(n AS DOUBLE) AS ewma
+        | FROM d WHERE rn = 1
+        | UNION ALL
+        | SELECT d.event_type, d.day, d.rn, 0.8 * r.ewma + 0.2 * d.n
+        | FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+        |SELECT event_type, day, round(ewma, 4) AS ewma FROM r""".stripMargin,
+    // q125: DuckDB median == Spark percentile(0.5) (interpolating), so
+    // med/mad agree exactly; the per-type constants join back via min()
+    "q125_mad_outliers" ->
+      """WITH m AS (SELECT event_type, median(value) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        |      FROM events e JOIN m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(min(m.med), 6) AS med, round(min(d.mad), 6) AS mad,
+        | CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | round(CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+        |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_frac
+        |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    // q126: fixed-width bins over the global [min, max] — identical
+    // double bin arithmetic `floor((v - vlo) * 10 / (vhi - vlo))` both
+    // sides; +0.5 Laplace smoothing keeps empty bins finite
+    "q126_psi_drift" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day, value FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi,
+        |       min(value) AS vlo, max(value) AS vhi FROM ev),
+        |binned AS (SELECT event_type,
+        |    day <= (lo + hi) // 2 AS first_half,
+        |    least(9, CAST(floor((value - vlo) * 10 / (vhi - vlo)) AS BIGINT))
+        |      AS bin
+        |   FROM ev CROSS JOIN b),
+        |c AS (SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |   FROM binned GROUP BY 1, 2),
+        |grid AS (SELECT event_type, unnest(generate_series(0, 9)) AS bin
+        |         FROM (SELECT DISTINCT event_type FROM c)),
+        |f AS (SELECT g.event_type, g.bin,
+        |    coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+        |   FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+        |     AND g.bin = c.bin),
+        |w AS (SELECT event_type, ca, cb,
+        |    CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |   FROM f)
+        |SELECT event_type, min(na) AS n_first, min(nb) AS n_second,
+        | round(sum(((ca + 0.5) / (na + 5.0) - (cb + 0.5) / (nb + 5.0)) *
+        |   ln(((ca + 0.5) / (na + 5.0)) / ((cb + 0.5) / (nb + 5.0)))), 6)
+        |   AS psi
+        |FROM w GROUP BY 1""".stripMargin,
   )
 }

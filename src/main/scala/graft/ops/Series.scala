@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series monitoring operators over the `events` table — the
+  * drift/trend/robust-stats battery a training-data pipeline runs on its
+  * ingest telemetry: rolling actives, changepoint screening, exponential
+  * smoothing, robust outliers and distribution drift. All share
+  * [[Tables.eventsNs]] (epoch-nanos BIGINT `ts`, any physical encoding)
+  * and integer day bucketing, so the DuckDB oracle can mirror every
+  * bucket boundary exactly.
+  */
+object Series {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsNs(spark, dir)
+
+  private val dayNs = 86400000000000L
+
+  /** Trailing-window distinct active users per calendar day (q122) — the
+    * WAU/DAU-style engagement series. Day d counts users with ≥1 event in
+    * [d−w+1, d]; the grid covers every day between the corpus' first and
+    * last active day, gap days included (reported as their trailing
+    * count, 0 only when the whole window is quiet).
+    *
+    * Scale: the corpus-sized work is two (user, day)-keyed distincts with
+    * map-side partial dedup; the window is applied by exploding each
+    * DISTINCT (user, day) row into w grid days — a constant ×w fan-out of
+    * the already-deduplicated activity table, NOT of raw events — and the
+    * final count groups on ~calendar-many keys. No per-day window over
+    * raw events, no day×user matrix materialized. The grid itself comes
+    * from a one-row bounds aggregate broadcast-joined at the end.
+    */
+  def rollingActive(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val userDays = events(spark, dir)
+      .select($"user_id", expr(s"ts div $dayNs").as("day"))
+      .distinct()
+    val grid = userDays.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+    val counts = userDays
+      .select($"user_id",
+        explode(sequence($"day", $"day" + (windowDays - 1))).as("gday"))
+      .distinct()
+      .groupBy($"gday").agg(count(lit(1)).as("active"))
+    grid.join(counts, grid("day") === counts("gday"), "left")
+      .select($"day", coalesce($"active", lit(0L)).as(s"active_${windowDays}d"))
+  }
+
+  /** Mean-split changepoint screen per event type (q123): for every
+    * candidate split point k in the daily-count series, the absolute gap
+    * |mean(days ≤ k) − mean(days > k)|; report the split maximizing the
+    * gap (ties → earliest day). The cheap screen run before fitting any
+    * segmented model — a level shift in ingest volume shows up as a
+    * sharp max; flat series score near 0.
+    *
+    * One shuffle: the (type, day) count aggregate; every window below it
+    * (cumulative sums, per-type totals, the final argmax rank) shares the
+    * type partitioning, and the series length is calendar-bounded.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr(s"ts div $dayNs").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy($"event_type").orderBy($"day")
+    val whole = Window.partitionBy($"event_type")
+    val scored = daily
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("cs", sum($"n").over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", count(lit(1)).over(whole))
+      .withColumn("s", sum($"n").over(whole))
+      .filter($"rn" < $"t")
+      .withColumn("stat",
+        abs($"cs".cast("double") / $"rn" -
+          ($"s" - $"cs").cast("double") / ($"t" - $"rn")))
+    scored
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"stat".desc, $"day")))
+      .filter($"pick" === 1)
+      .select($"event_type", $"day".as("split_day"),
+        round($"stat", 4).as("split_stat"), $"t".as("n_days"))
+  }
+
+  /** Exponentially-weighted moving average of daily counts per event type
+    * (q124): the standard recursive smoother ewma_k = (1−α)·ewma_{k−1} +
+    * α·x_k, seeded ewma_1 = x_1 — order-dependent, so it cannot be a
+    * plain window sum. The per-type daily series is CALENDAR-bounded
+    * (days, not events — the q117 argument), so each series is collected
+    * into one array and folded by a higher-order `aggregate` lambda
+    * entirely inside codegen: no UDF, no driver loop, one (type, day)
+    * aggregate plus one per-type shuffle of day-sized rows. The DuckDB
+    * oracle runs the same recurrence as a recursive CTE — two engines,
+    * two recursion mechanisms, identical doubles (same fold order).
+    */
+  def ewmaDaily(spark: SparkSession, dir: String, alpha: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val a = alpha
+    val daily = events(spark, dir)
+      .select($"event_type", expr(s"ts div $dayNs").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    daily
+      .groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"n"))).as("s"))
+      .select($"event_type", explode(expr(
+        s"""aggregate(
+           |  s,
+           |  named_struct(
+           |    'prev', cast(null as double),
+           |    'out', cast(array() as array<struct<day:bigint,ewma:double>>)),
+           |  (acc, e) -> named_struct(
+           |    'prev',
+           |      if(acc.prev is null, cast(e.n as double),
+           |         ${1.0 - a}d * acc.prev + ${a}d * e.n),
+           |    'out', array_append(acc.out, named_struct(
+           |      'day', e.day,
+           |      'ewma',
+           |        if(acc.prev is null, cast(e.n as double),
+           |           ${1.0 - a}d * acc.prev + ${a}d * e.n)))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select($"event_type", $"r.day".as("day"), round($"r.ewma", 4).as("ewma"))
+  }
+
+  /** Robust outliers by median absolute deviation per event type (q125):
+    * |v − median| > k·MAD — the z-score screen (q62) rerun with
+    * estimators a heavy tail can't drag. Exact interpolating medians
+    * (Spark `percentile` == DuckDB `median`/quantile_cont), so the two
+    * engines agree to the bit before rounding.
+    *
+    * Three scans — median, MAD, flag counts — each a map-side-combined
+    * aggregate on the handful of event types, stitched by broadcast
+    * joins of the per-type constants. Exact medians need a sorted buffer
+    * per (type) partial; at 100 TB swap `percentile` for
+    * `percentile_approx` (the q58 pattern) and keep the plan.
+    */
+  def madOutliers(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val stats = ev.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(first($"med").as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        first($"med").as("m"), first($"mad").as("d"),
+        sum(when(abs($"value" - $"med") > lit(k) * $"mad", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select($"event_type", $"n", round($"m", 6).as("med"),
+        round($"d", 6).as("mad"), $"n_outliers",
+        round($"n_outliers".cast("double") / $"n", 6).as("outlier_frac"))
+  }
+
+  /** Population stability index of the value distribution, first half of
+    * the time range vs second (q126) — the drift monitor run before a
+    * model trained on last month's data scores this month's. Values are
+    * bucketed into `nBins` fixed-width bins over the GLOBAL [min, max]
+    * (one-row bounds aggregate folded into the scan projection — a
+    * per-half ntile would total-sort the corpus); PSI = Σ_b (p_b −
+    * q_b)·ln(p_b/q_b) with +0.5 Laplace smoothing so empty bins stay
+    * finite. The per-(type, bin, half) counts are one map-side-combined
+    * aggregate; the bin grid join is constant-sized.
+    */
+  def psiDrift(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_type", expr(s"ts div $dayNs").as("day"), $"value")
+    val bounds = ev.agg(min($"day").as("lo"), max($"day").as("hi"),
+      min($"value").as("vlo"), max($"value").as("vhi"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .select($"event_type",
+        // integer midpoint (days are positive, so truncating div ==
+        // DuckDB's floor //)
+        ($"day" <= expr("(lo + hi) div 2")).as("first_half"),
+        least(lit(nBins - 1L),
+          floor(($"value" - $"vlo") * nBins / ($"vhi" - $"vlo"))).as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"first_half", 1L).otherwise(0L)).as("ca"),
+        sum(when($"first_half", 0L).otherwise(1L)).as("cb"))
+    val grid = counts.select($"event_type").distinct()
+      .select($"event_type", explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+    val filled = grid.join(counts, Seq("event_type", "bin"), "left")
+      .select($"event_type", $"bin",
+        coalesce($"ca", lit(0L)).as("ca"), coalesce($"cb", lit(0L)).as("cb"))
+    val half = lit(0.5)
+    filled
+      .withColumn("na", sum($"ca").over(Window.partitionBy($"event_type")))
+      .withColumn("nb", sum($"cb").over(Window.partitionBy($"event_type")))
+      .withColumn("p", ($"ca" + half) / ($"na" + half * nBins))
+      .withColumn("q", ($"cb" + half) / ($"nb" + half * nBins))
+      .groupBy($"event_type")
+      .agg(first($"na").as("n_first"), first($"nb").as("n_second"),
+        round(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi"))
+  }
+}

@@ -956,4 +956,45 @@ object TextAnalysis {
       .withColumn("coverage",
         round($"cum_occurrences" / sum($"occurrences").over(total), 6))
   }
+
+  /** PII / sensitive-content scrub profile per source (q121): the
+    * redaction pass every corpus runs before release. Three detector
+    * families — emails, IPv4 literals, and a configurable sensitive-term
+    * list — each counted per document, plus the total character delta a
+    * term redaction would remove. The synthetic corpus contains no real
+    * PII, so the email/IPv4 columns exercise the structural path (and
+    * honestly report 0), while the term detector matches live tokens —
+    * the oracle checks real non-zero values end to end.
+    *
+    * All regex work (`rlike`, `regexp_extract_all`, `regexp_replace`) is
+    * codegen'd per-row scan projection — no UDF, no explode; the only
+    * shuffle is the per-source aggregate over ~source-many keys. The
+    * patterns stay inside the RE2 ∩ java.util.regex common subset
+    * (character classes, bounded repeats, `\b`, alternation — no
+    * lookarounds/backrefs) so the DuckDB oracle evaluates the SAME
+    * pattern strings.
+    */
+  def piiScrub(spark: SparkSession, dir: String,
+      termPattern: String = "\\b(customer|key|value)\\b"): DataFrame = {
+    import spark.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+    docs(spark, dir)
+      .select($"source",
+        $"text".rlike(email).cast("long").as("has_email"),
+        $"text".rlike(ipv4).cast("long").as("has_ipv4"),
+        $"text".rlike(termPattern).cast("long").as("has_term"),
+        size(regexp_extract_all($"text", lit(termPattern), lit(0)))
+          .cast("long").as("n_terms"),
+        (length($"text") -
+          length(regexp_replace($"text", termPattern, "[X]")))
+          .cast("long").as("redacted_chars"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"has_email").as("n_email_docs"),
+        sum($"has_ipv4").as("n_ipv4_docs"),
+        sum($"has_term").as("n_term_docs"),
+        sum($"n_terms").as("n_term_matches"),
+        sum($"redacted_chars").as("n_redacted_chars"))
+  }
 }

@@ -391,4 +391,48 @@ class PlanContractSpec extends AnyFunSuite {
     // once as a detail header
     assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
   }
+
+  test("q121: PII scrub is one scan + one exchange, regexes in the projection, 2-column read") {
+    val p = plan(TextAnalysis.piiScrub(spark, sf))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) == 1, p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("text") && read.contains("source") &&
+      !read.contains("doc_id") && !read.contains("n_chars"), read)
+  }
+
+  test("q122: rolling actives explode the deduped activity table, not raw events") {
+    val p = plan(Series.rollingActive(spark, sf))
+    // the ×7 generator must sit ABOVE a HashAggregate (the (user, day)
+    // dedup), i.e. some aggregate appears before the explode in the
+    // bottom-up tree — a Generate directly over the scan means the
+    // window fan-out multiplied raw events
+    val lines = p.linesIterator.toSeq
+    val scanIdx = lines.lastIndexWhere(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scanIdx >= 0, p)
+    val firstGen = lines.indexWhere(_.contains("Generate"))
+    val aggBetween = lines.slice(firstGen, lines.length)
+      .exists(_.contains("HashAggregate"))
+    assert(firstGen >= 0 && aggBetween, s"explode sits on raw events:\n$p")
+  }
+
+  test("q124: the EWMA fold is a higher-order lambda, not a UDF or driver loop") {
+    val p = plan(Series.ewmaDaily(spark, sf))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // two shuffles total: (type, day) count + per-type collect
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) == 2, p)
+  }
+
+  test("q126: PSI bins come from a broadcast bounds row — no corpus-wide sort/ntile") {
+    val p = plan(Series.psiDrift(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // a global ntile would show as an empty-partition Window over the
+    // whole corpus feeding a single-partition sort; the only Window here
+    // runs per event_type
+    assert(!p.contains("ntile"), p)
+    val windowPartByType = p.linesIterator
+      .filter(_.contains("Window"))
+      .forall(!_.contains("SinglePartition"))
+    assert(windowPartByType, p)
+  }
 }

@@ -292,6 +292,24 @@ object SparkEntry {
     // population-stability-index value drift, first vs second half
     "q126_psi_drift" -> ((s: SparkSession, d: String) =>
       Series.psiDrift(s, d)),
+    // top-k vocabulary coverage / OOV rate per language
+    "q127_vocab_oov" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabOov(s, d)),
+    // deterministic md5-bucket train/val/test split audit
+    "q128_split_assign" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.splitAssign(s, d)),
+    // first-order Markov transition matrix over user event streams
+    "q129_transition_matrix" -> ((s: SparkSession, d: String) =>
+      Series.transitionMatrix(s, d)),
+    // frame-sampling manifest with content signatures (multimodal)
+    "q130_frame_manifest" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.frameManifest(s, d)),
+    // Heaps-law vocabulary growth over power-of-two doc ladder
+    "q131_vocab_growth" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabGrowth(s, d)),
+    // label purity per SRP-LSH bucket
+    "q132_lsh_purity" -> ((s: SparkSession, d: String) =>
+      Similarity.lshLabelPurity(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2316,5 +2334,105 @@ object SparkEntry {
         |   ln(((ca + 0.5) / (na + 5.0)) / ((cb + 0.5) / (nb + 5.0)))), 6)
         |   AS psi
         |FROM w GROUP BY 1""".stripMargin,
+    // q127: the top-k vocab is deterministic (count desc, token asc);
+    // OOV occurrences come off a LEFT JOIN against it
+    "q127_vocab_oov" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |t2 AS (SELECT lang, tok FROM t WHERE tok <> ''),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM t2 GROUP BY 1)
+        |      ORDER BY cnt DESC, tok LIMIT 20)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_oov,
+        | CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN t2.tok END)
+        |   AS BIGINT) AS n_oov_types,
+        | round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS oov_rate
+        |FROM t2 LEFT JOIN v ON t2.tok = v.tok GROUP BY 1""".stripMargin,
+    // q128: identical md5-nibble bucketing — Spark conv(hex,16,10) ==
+    // DuckDB '0x'-prefix cast, both on md5(doc_id-as-string)
+    "q128_split_assign" ->
+      """WITH d AS (SELECT source, n_chars,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 100 AS bucket FROM documents),
+        |s AS (SELECT source, n_chars, bucket,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |   FROM d)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | CAST(min(bucket) AS BIGINT) AS lo_bucket,
+        | CAST(max(bucket) AS BIGINT) AS hi_bucket
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // q129: lead over (user, time, event_id) — same total order both
+    // engines; probabilities normalize within the current type
+    "q129_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type FROM events),
+        |c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        | round(CAST(n AS DOUBLE) /
+        |   sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c""".stripMargin,
+    // q130: the corpus is pure ASCII (strlen == len pinned by a spec),
+    // so DuckDB's character substring slices the same bytes the Spark
+    // side's byte-array grouped() does; stride 2 keeps even chunk ids
+    "q130_frame_manifest" ->
+      """WITH v AS (SELECT doc_id AS media_id, text FROM documents
+        |           WHERE doc_id % 3 = 2 AND text IS NOT NULL),
+        |f AS (SELECT media_id,
+        |    [i for i in range(0, CAST((strlen(text) + 63) // 64 AS INTEGER))
+        |       if i % 2 = 0] AS idxs,
+        |    [substring(text, 1 + i * 64, 64)
+        |       for i in range(0, CAST((strlen(text) + 63) // 64 AS INTEGER))
+        |       if i % 2 = 0] AS chunks
+        |   FROM v),
+        |u AS (SELECT media_id, unnest(idxs) AS idx, unnest(chunks) AS chunk
+        |      FROM f)
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(sum(strlen(chunk)) AS BIGINT) AS frame_bytes,
+        | CAST(max(idx) AS BIGINT) AS last_idx,
+        | CAST(sum(CAST(('0x' || substring(md5(chunk), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS sig_sum
+        |FROM u GROUP BY 1""".stripMargin,
+    // q131: rung c covers first_doc+1 in [2^c, 2^(c+1)-1], so the
+    // cumulative vocab at rung c is "types seen in the first 2^(c+1)-1
+    // docs"; exact integer log2 via binary-string length (q119 trick)
+    "q131_vocab_growth" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |fd AS (SELECT tok, min(doc_id) AS first_doc FROM t
+        |       WHERE tok <> '' GROUP BY 1),
+        |r AS (SELECT CAST(length(bin(first_doc + 1)) - 1 AS BIGINT) AS ladder,
+        |       CAST(count(*) AS BIGINT) AS new_types FROM fd GROUP BY 1)
+        |SELECT ladder, new_types,
+        | CAST(sum(new_types) OVER (ORDER BY ladder
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_vocab,
+        | CAST(2 * (CAST(1 AS BIGINT) << CAST(ladder AS INTEGER)) - 1
+        |   AS BIGINT) AS docs_seen
+        |FROM r""".stripMargin,
+    // q132: the bucket CTE is the q31 static-plane signature; majority
+    // ties break toward the smaller label on both engines
+    "q132_lsh_purity" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+        |           WHERE vec_id < 4),
+        |b AS (SELECT e.vec_id, e.label,
+        |       CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                       for i in range(1, len(e.embedding)+1)]) >= 0
+        |                THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.label),
+        |c AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1, 2),
+        |w AS (SELECT bucket, label, n,
+        |    CAST(sum(n) OVER (PARTITION BY bucket) AS BIGINT) AS n_vecs,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY n DESC, label)
+        |      AS rk FROM c)
+        |SELECT bucket, n_vecs, CAST(label AS BIGINT) AS majority_label,
+        | n AS majority_n, round(CAST(n AS DOUBLE) / n_vecs, 6) AS purity
+        |FROM w WHERE rk = 1""".stripMargin,
   )
 }

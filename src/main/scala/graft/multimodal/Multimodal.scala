@@ -180,6 +180,29 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling manifest (q130): run [[frameSample]] over the video
+    * payloads and roll the sampled frames up per media — frame count,
+    * sampled byte total, last frame index, and a content signature (sum
+    * of each frame's md5 prefix) so the oracle checks the FRAME BYTES,
+    * not just the arithmetic: a stride/boundary bug in the sampler
+    * changes the signature even when counts survive. One mapPartitions
+    * pass (no materialized frame array) feeding a media-keyed aggregate;
+    * output is media-sized, frames never shuffle anywhere whole.
+    */
+  def frameManifest(spark: SparkSession, dir: String, frameSize: Int = 64,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    frameSample(mediaTable(spark, dir), frameSize, stride).toDF()
+      .select($"media_id", $"frame_idx",
+        length($"frame").cast("long").as("n_bytes"),
+        expr("cast(conv(substring(md5(frame), 1, 8), 16, 10) as bigint)").as("sig"))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum($"n_bytes").as("frame_bytes"),
+        max($"frame_idx").cast("long").as("last_idx"),
+        sum($"sig").as("sig_sum"))
+  }
+
   /** The queries-surface entry: media → decode → featurize → per-kind
     * rollup, every column a VALUE the oracle recomputes from the payload
     * bytes: counts, byte totals, durations (= 8×bytes by the stub's

@@ -535,4 +535,27 @@ object PipelinePrep {
       .map { case ((id, key), pos) => (id, key, pos, pos % nShards) }
       .toDF("doc_id", "shuffle_key", "pos", "shard")
   }
+
+  /** Deterministic train/val/test split assignment (q128): bucket =
+    * md5(doc_id) nibbles mod 100 → 80/10/10. Hash-based (not random, not
+    * modulo-on-id): membership is a pure function of the id, so re-runs,
+    * backfills and late-arriving shards land every document in the SAME
+    * split — the property that prevents silent train/test leakage when
+    * the corpus is rebuilt. Summary is per (source, split) with the
+    * observed bucket range as an audit column; the assignment itself is
+    * a scan-stage projection (no shuffle, no sort, no RNG state).
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"source", $"n_chars",
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)")
+          % 100).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        min($"bucket").as("lo_bucket"), max($"bucket").as("hi_bucket"))
+  }
 }

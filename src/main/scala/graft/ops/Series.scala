@@ -124,6 +124,27 @@ object Series {
       .select($"event_type", $"r.day".as("day"), round($"r.ewma", 4).as("ewma"))
   }
 
+  /** First-order Markov transition matrix over per-user event streams
+    * (q129): P(next event type | current) with counts, read off each
+    * user's time-ordered stream by ONE `lead` per row — no per-user
+    * collect_list (a power user's whole history in one task), no
+    * self-join on adjacency. One user-keyed window shuffle; the
+    * (type, next) aggregate and its per-type normalizing window are
+    * type²-bounded. The q116 trigram miner's pairwise sibling, with
+    * probabilities instead of a top-k.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"event_type")), 6))
+  }
+
   /** Robust outliers by median absolute deviation per event type (q125):
     * |v − median| > k·MAD — the z-score screen (q62) rerun with
     * estimators a heavy tail can't drag. Exact interpolating medians

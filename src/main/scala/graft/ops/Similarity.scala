@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (north-star surface):
@@ -801,5 +802,31 @@ object Similarity {
       .select($"doc_id", $"bm25", $"cosine",
         round(lit(0.5) * $"bm25" / lit(maxScore) + lit(0.5) * $"cosine", 6)
           .as("hybrid"))
+  }
+
+  /** Label purity per SRP-LSH bucket (q132): for each of the 2^nPlanes
+    * hash buckets, the share of its vectors carrying the bucket's
+    * majority label (ties → smallest label) — the cheap external check
+    * of whether the LSH partitioning respects the label structure, run
+    * before anyone trusts bucketed near-dup candidates. Signatures are
+    * the same static-plane scan projection as every SRP operator (zero
+    * shuffle); everything downstream aggregates (bucket, label) cells —
+    * at most 2^nPlanes × |labels| rows.
+    */
+  def lshLabelPurity(spark: SparkSession, dir: String, nPlanes: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cells = emb(spark, dir)
+      .select($"vec_id", $"label",
+        srpBucket(headVectors(spark, dir, nPlanes)).as("bucket"))
+      .groupBy($"bucket", $"label").agg(count(lit(1)).as("n"))
+    val byBucket = Window.partitionBy($"bucket")
+    cells
+      .withColumn("n_vecs", sum($"n").over(byBucket))
+      .withColumn("rk", row_number().over(
+        byBucket.orderBy($"n".desc, $"label")))
+      .filter($"rk" === 1)
+      .select($"bucket", $"n_vecs",
+        $"label".cast("long").as("majority_label"), $"n".as("majority_n"),
+        round($"n".cast("double") / $"n_vecs", 6).as("purity"))
   }
 }

@@ -957,6 +957,58 @@ object TextAnalysis {
         round($"cum_occurrences" / sum($"occurrences").over(total), 6))
   }
 
+  /** Tokenizer vocabulary coverage / OOV rate per language (q127): fix
+    * the top-`k` corpus tokens (count desc, token asc — the tie at the
+    * rank-k boundary is deterministic) as the "vocabulary", then measure
+    * per language the share of token OCCURRENCES falling outside it plus
+    * the distinct OOV type count — the first number a tokenizer budget
+    * decision needs.
+    *
+    * Scale: the vocabulary is top-k of a token-count aggregate
+    * (TakeOrdered, never a full vocab sort) and joins back by broadcast
+    * — k rows against the exploded corpus; the per-lang rollup
+    * map-side-combines. Nothing is ever corpus-sized but the scan.
+    */
+  def vocabOov(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val tokens = docs(spark, dir)
+      .select($"lang", explode(toks).as("tok"))
+      .filter($"tok" =!= "")
+    val vocab = tokens.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(k)
+      .select($"tok", lit(1).as("in_vocab"))
+    tokens.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when($"in_vocab".isNull, $"tok")).as("n_oov_types"))
+      .withColumn("oov_rate", round($"n_oov".cast("double") / $"n_tokens", 6))
+  }
+
+  /** Heaps-law vocabulary growth curve (q131): distinct token types seen
+    * within the first 2^c documents, for every power-of-two ladder rung
+    * — the sizing curve for "how much more vocab does 10× more data
+    * buy". Each token carries only its FIRST document (a min aggregate);
+    * the ladder class is exact integer log2 via binary-string length
+    * (the q119 trick) and the cumulative window runs over ≤64 rung rows.
+    * Never ranks or re-scans: one explode + one token-keyed aggregate.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firstDoc = docs(spark, dir)
+      .select($"doc_id", explode(toks).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+    val rungs = firstDoc
+      .withColumn("ladder", (length(bin($"first_doc" + 1)) - 1).cast("long"))
+      .groupBy($"ladder").agg(count(lit(1)).as("new_types"))
+    rungs
+      .withColumn("cum_vocab", sum($"new_types").over(
+        Window.orderBy($"ladder")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("docs_seen", expr("2L * shiftleft(1L, cast(ladder as int)) - 1L"))
+  }
+
   /** PII / sensitive-content scrub profile per source (q121): the
     * redaction pass every corpus runs before release. Three detector
     * families — emails, IPv4 literals, and a configurable sensitive-term

@@ -80,7 +80,9 @@ object ScaleBench {
     "q35_asof_attribution", "q36_range_join_conversions", "q40_json_props",
     "q60_funnel", "q61_retention_cohorts", "q62_value_outliers",
     "q96_user_burstiness", "q112_event_gapfill", "q113_decayed_engagement",
-    "q116_event_paths", "q117_daily_autocorr", "q118_dow_seasonality")
+    "q116_event_paths", "q117_daily_autocorr", "q118_dow_seasonality",
+    "q122_rolling_active", "q123_changepoint", "q124_ewma_daily",
+    "q125_mad_outliers", "q126_psi_drift", "q129_transition_matrix")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

@@ -310,6 +310,15 @@ object SparkEntry {
     // label purity per SRP-LSH bucket
     "q132_lsh_purity" -> ((s: SparkSession, d: String) =>
       Similarity.lshLabelPurity(s, d)),
+    // trend+seasonality residual anomaly days per event type
+    "q133_anomaly_days" -> ((s: SparkSession, d: String) =>
+      Series.anomalyDays(s, d)),
+    // resize stub audit: byte reduction + resized-content signatures
+    "q134_resize_audit" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.resizeAudit(s, d)),
+    // fixed-round k-core pruning over the KNN graph
+    "q135_kcore" -> ((s: SparkSession, d: String) =>
+      Graph.kCore(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2434,5 +2443,76 @@ object SparkEntry {
         |SELECT bucket, n_vecs, CAST(label AS BIGINT) AS majority_label,
         | n AS majority_n, round(CAST(n AS DOUBLE) / n_vecs, 6) AS purity
         |FROM w WHERE rk = 1""".stripMargin,
+    // q133: averages are exact-integer-sum/divide on both engines; the
+    // residual rounds to 4 BEFORE the sigma fold; greatest(0, var)
+    // guards ulp-negative variance (NaN comparisons differ per engine)
+    "q133_anomaly_days" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t1 AS (SELECT event_type, day, n,
+        |    avg(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    avg(n) OVER (PARTITION BY event_type, day % 7) AS dow_mean,
+        |    avg(n) OVER (PARTITION BY event_type) AS type_mean
+        |   FROM daily),
+        |t2 AS (SELECT event_type, day, n, trend,
+        |    round(n - trend - (dow_mean - type_mean), 4) AS resid FROM t1),
+        |t3 AS (SELECT event_type, day, n, trend, resid,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+        |    sum(resid) OVER (PARTITION BY event_type) AS s1,
+        |    sum(resid * resid) OVER (PARTITION BY event_type) AS s2
+        |   FROM t2)
+        |SELECT event_type, day, n, round(trend, 4) AS trend, resid,
+        | CASE WHEN m >= 2 THEN abs(resid) > 2.0 *
+        |   sqrt(greatest(0.0, (s2 - s1 * s1 / m) / (m - 1)))
+        |  ELSE false END AS is_anomaly
+        |FROM t3""".stripMargin,
+    // q134: the oracle rebuilds each resized payload character by
+    // character ((i-1) % scale = 0, 1-based) — pure-ASCII corpus makes
+    // char slicing identical to the Spark side's byte stride
+    "q134_resize_audit" ->
+      """WITH m AS (SELECT
+        |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    text FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT kind, CAST(strlen(text) AS BIGINT) AS orig_bytes,
+        |    array_to_string([text[i]
+        |      for i in range(1, CAST(strlen(text) AS INTEGER) + 1)
+        |      if (i - 1) % 4 = 0], '') AS rz
+        |   FROM m)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+        | CAST(sum(orig_bytes) AS BIGINT) AS total_orig_bytes,
+        | CAST(sum(strlen(rz)) AS BIGINT) AS total_out_bytes,
+        | CAST(sum(CAST(('0x' || substring(md5(rz), 1, 8)) AS BIGINT))
+        |   AS BIGINT) AS sig_sum
+        |FROM r GROUP BY 1""".stripMargin,
+    // q135: the three pruning rounds unroll as CTE triples (deg → keep →
+    // filtered edges), mechanically in lockstep with the Spark loop
+    "q135_kcore" ->
+      s"""$knnOracleCtes,
+         |und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |         greatest(vec_id, neighbor_id) AS b FROM knn),
+        |d1 AS (SELECT node, count(*) AS deg FROM (
+        |        SELECT unnest([a, b]) AS node FROM und) GROUP BY 1),
+        |k1 AS (SELECT node FROM d1 WHERE deg >= 2),
+        |e1 AS (SELECT a, b FROM und
+        |       WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+        |d2 AS (SELECT node, count(*) AS deg FROM (
+        |        SELECT unnest([a, b]) AS node FROM e1) GROUP BY 1),
+        |k2 AS (SELECT node FROM d2 WHERE deg >= 2),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2)),
+        |d3 AS (SELECT node, count(*) AS deg FROM (
+        |        SELECT unnest([a, b]) AS node FROM e2) GROUP BY 1),
+        |k3 AS (SELECT node FROM d3 WHERE deg >= 2),
+        |e3 AS (SELECT a, b FROM e2
+        |       WHERE a IN (SELECT node FROM k3) AND b IN (SELECT node FROM k3)),
+        |cd AS (SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+        |        SELECT unnest([a, b]) AS node FROM e3) GROUP BY 1)
+        |SELECT emb.vec_id,
+        | emb.vec_id IN (SELECT node FROM k3) AS in_core,
+        | CAST(coalesce(cd.core_deg, 0) AS BIGINT) AS core_deg
+        |FROM embeddings emb LEFT JOIN cd ON emb.vec_id = cd.node""".stripMargin,
   )
 }

@@ -180,6 +180,28 @@ object Multimodal {
     }
   }
 
+  /** Resize audit (q134): run the batched [[resize]] stub (keep every
+    * `scale`-th byte) over every media payload and roll up per kind —
+    * media count, original vs resized byte totals (the shuffle-volume
+    * reduction a real resize stage buys), and a content signature (sum
+    * of each resized payload's md5 prefix) so the oracle re-derives the
+    * RESIZED BYTES character by character: an off-by-one in the stride
+    * or the tail handling changes the signature. The resize itself is a
+    * mapPartitions scan stage; only kind-keyed aggregates shuffle.
+    */
+  def resizeAudit(spark: SparkSession, dir: String, scale: Int = 4): DataFrame = {
+    import spark.implicits._
+    resize(mediaTable(spark, dir), scale).toDF()
+      .select($"kind", $"orig_bytes",
+        length($"content").cast("long").as("out_bytes"),
+        expr("cast(conv(substring(md5(content), 1, 8), 16, 10) as bigint)").as("sig"))
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum($"orig_bytes").as("total_orig_bytes"),
+        sum($"out_bytes").as("total_out_bytes"),
+        sum($"sig").as("sig_sum"))
+  }
+
   /** Frame-sampling manifest (q130): run [[frameSample]] over the video
     * payloads and roll the sampled frames up per media — frame count,
     * sampled byte total, last frame index, and a content signature (sum

@@ -117,4 +117,49 @@ object Graph {
       .localCheckpoint(true)
     } finally und.unpersist()
   }
+
+  /** k-core decomposition, `rounds` fixed pruning rounds (q135): rounds
+    * of "drop nodes with degree < k, re-derive degrees among survivors"
+    * over the undirected KNN closure — the density filter that separates
+    * tight near-dup communities from hub-and-spoke noise before anyone
+    * trusts a cluster. Fixed-round (not to-convergence) keeps the
+    * lineage plan-time-bounded — the q70 lesson: no per-round
+    * materialization barrier — and makes the operator deterministic for
+    * the oracle, which unrolls the same rounds as CTEs.
+    *
+    * Per round: one explode + node-keyed count and two semi-joins on
+    * node ids — degree ≤ 2·knnK bounds every fan-out by a CONSTANT; no
+    * step is ever corpus² even on a 100-TB graph.
+    */
+  def kCore(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 3,
+      nPlanes: Int = 8, knnK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und0 = Similarity.knnGraph(spark, dir, nPlanes, knnK)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    var edges = und0.select($"a", $"b")
+    var keep: DataFrame = null
+    for (_ <- 1 to rounds) {
+      keep = edges.select(explode(array($"a", $"b")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k)
+      edges = edges
+        .join(keep.select($"node".as("a")), Seq("a"), "left_semi")
+        .join(keep.select($"node".as("b")), Seq("b"), "left_semi")
+    }
+    val coreDeg = edges.select(explode(array($"a", $"b")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("core_deg"))
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id")
+      .join(keep.withColumnRenamed("node", "vec_id").select($"vec_id", lit(true).as("in_core")),
+        Seq("vec_id"), "left")
+      .join(coreDeg.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"in_core", lit(false)).as("in_core"),
+        coalesce($"core_deg", lit(0L)).as("core_deg"))
+      .localCheckpoint(true)
+    } finally und0.unpersist()
+  }
 }

@@ -177,6 +177,45 @@ object Series {
         round($"n_outliers".cast("double") / $"n", 6).as("outlier_frac"))
   }
 
+  /** Anomalous-day report per event type (q133): residual = daily count
+    * − centered 7-day trend − day-of-week effect, flagged when the
+    * absolute residual exceeds `zK`·σ of the type's residuals — the
+    * composed screen (trend + seasonality + robustness) an ingest
+    * monitor actually pages on, where q117/q118/q123 each measure one
+    * factor in isolation. Every window (trend frame, dow means, residual
+    * moments) shares the per-type partitioning of the one (type, day)
+    * aggregate; series lengths are calendar-bounded. Averages are
+    * exact-integer-sum-then-divide on both engines, and the residual is
+    * rounded before the σ fold so the engines sum identical values.
+    */
+  def anomalyDays(spark: SparkSession, dir: String, zK: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr(s"ts div $dayNs").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy($"event_type").orderBy($"day")
+    val whole = Window.partitionBy($"event_type")
+    val scored = daily
+      .withColumn("trend", avg($"n").over(byDay.rowsBetween(-3, 3)))
+      .withColumn("dow_mean", avg($"n").over(
+        Window.partitionBy($"event_type", pmod($"day", lit(7L)))))
+      .withColumn("type_mean", avg($"n").over(whole))
+      .withColumn("resid",
+        round($"n" - $"trend" - ($"dow_mean" - $"type_mean"), 4))
+    scored
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("s1", sum($"resid").over(whole))
+      .withColumn("s2", sum($"resid" * $"resid").over(whole))
+      // greatest(0, var): FP cancellation can push a zero variance a few
+      // ulps negative, and Spark/DuckDB disagree on NaN comparisons
+      .withColumn("std",
+        when($"m" >= 2, sqrt(greatest(lit(0.0),
+          ($"s2" - $"s1" * $"s1" / $"m") / ($"m" - 1)))))
+      .select($"event_type", $"day", $"n", round($"trend", 4).as("trend"),
+        $"resid",
+        ($"std".isNotNull && abs($"resid") > lit(zK) * $"std").as("is_anomaly"))
+  }
+
   /** Population stability index of the value distribution, first half of
     * the time range vs second (q126) — the drift monitor run before a
     * model trained on last month's data scores this month's. Values are

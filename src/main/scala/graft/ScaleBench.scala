@@ -82,7 +82,8 @@ object ScaleBench {
     "q96_user_burstiness", "q112_event_gapfill", "q113_decayed_engagement",
     "q116_event_paths", "q117_daily_autocorr", "q118_dow_seasonality",
     "q122_rolling_active", "q123_changepoint", "q124_ewma_daily",
-    "q125_mad_outliers", "q126_psi_drift", "q129_transition_matrix")
+    "q125_mad_outliers", "q126_psi_drift", "q129_transition_matrix",
+    "q133_anomaly_days", "q136_daily_trend", "q139_asof_forward")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

@@ -319,6 +319,18 @@ object SparkEntry {
     // fixed-round k-core pruning over the KNN graph
     "q135_kcore" -> ((s: SparkSession, d: String) =>
       Graph.kCore(s, d)),
+    // per-type OLS trend of daily counts (slope/intercept/R²)
+    "q136_daily_trend" -> ((s: SparkSession, d: String) =>
+      Series.dailyTrend(s, d)),
+    // skip-gram PMI at context distances 1..2
+    "q137_skipgram_pmi" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.skipgramPmi(s, d)),
+    // HLL sketch mergeability: per-source sketches union to global
+    "q138_sketch_union" -> ((s: SparkSession, d: String) =>
+      Relational.sketchUnion(s, d)),
+    // forward as-of: click to earliest at-or-after purchase
+    "q139_asof_forward" -> ((s: SparkSession, d: String) =>
+      Sessionize.asofForwardAttribution(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2514,5 +2526,88 @@ object SparkEntry {
         | emb.vec_id IN (SELECT node FROM k3) AS in_core,
         | CAST(coalesce(cd.core_deg, 0) AS BIGINT) AS core_deg
         |FROM embeddings emb LEFT JOIN cd ON emb.vec_id = cd.node""".stripMargin,
+    // q136: x rebased per type so every co-moment is an exact integer;
+    // one double division at the end, identical on both engines
+    "q136_daily_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, n,
+        |    day - min(day) OVER (PARTITION BY event_type) AS x FROM daily),
+        |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(x * n) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2,
+        |    CAST(sum(n * n) AS BIGINT) AS sy2
+        |   FROM x GROUP BY 1),
+        |c AS (SELECT event_type, m, m * sxy - sx * sy AS cov,
+        |    m * sx2 - sx * sx AS vx, m * sy2 - sy * sy AS vy, sx, sy
+        |   FROM mom)
+        |SELECT event_type, m AS n_days,
+        | CASE WHEN vx > 0 THEN round(CAST(cov AS DOUBLE) / vx, 6) END AS slope,
+        | CASE WHEN vx > 0 THEN
+        |   round((sy - CAST(cov AS DOUBLE) / vx * sx) / m, 6) END AS intercept,
+        | CASE WHEN vx > 0 AND vy > 0 THEN
+        |   round(CAST(cov AS DOUBLE) * cov / (CAST(vx AS DOUBLE) * vy), 6)
+        |  END AS r2
+        |FROM c""".stripMargin,
+    // q137: distance-1 and distance-2 pairs via the same shifted-zip the
+    // Spark side runs; PMI division chain parenthesized identically
+    "q137_skipgram_pmi" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+        |         SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |pr AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cp FROM (
+        |    SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+        |      for i in range(1, len(t))]) AS p FROM tok WHERE len(t) >= 2
+        |    UNION ALL
+        |    SELECT unnest([{'w1': t[i], 'w2': t[i+2]}
+        |      for i in range(1, len(t) - 1)]) AS p FROM tok WHERE len(t) >= 3
+        |   ) u CROSS JOIN LATERAL (SELECT u.p.w1 AS w1, u.p.w2 AS w2)
+        |   GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pairs FROM pr),
+        |ut AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tokens FROM uni)
+        |SELECT w1, w2, cp, cw1, cw2, pmi FROM (
+        | SELECT p.w1, p.w2, p.cp, u1.cw AS cw1, u2.cw AS cw2,
+        |  round(ln((CAST(p.cp AS DOUBLE) / n_pairs) /
+        |    ((CAST(u1.cw AS DOUBLE) / n_tokens) *
+        |     (CAST(u2.cw AS DOUBLE) / n_tokens))), 6) AS pmi
+        | FROM pr p, tot, ut
+        |  JOIN uni u1 ON p.w1 = u1.w
+        |  JOIN uni u2 ON p.w2 = u2.w
+        | WHERE p.cp >= 5)
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // q138: sketch estimates are engine-specific — the oracle pins the
+    // exact distincts and emits `true` for the ±5% tolerance booleans
+    // (q29 pattern); '__ALL__' is the union-merged global row
+    "q138_sketch_union" ->
+      """SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+        | true AS within_tol
+        |FROM documents GROUP BY 1
+        |UNION ALL
+        |SELECT '__ALL__' AS source,
+        | CAST(count(DISTINCT text) AS BIGINT) AS n_exact, true AS within_tol
+        |FROM documents""".stripMargin,
+    // q139: min over the [current, unbounded following) frame mirrors
+    // the Spark window verbatim; clicks sort before simultaneous
+    // purchases so ties attribute
+    "q139_asof_forward" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
+        |             event_type FROM events),
+        |u AS (
+        | SELECT event_id, user_id, us, 1 AS is_click FROM ev
+        |  WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT CAST(-1 AS BIGINT) AS event_id, user_id, us, 0 AS is_click
+        |  FROM ev WHERE event_type = 'purchase'),
+        |w AS (SELECT event_id, user_id, us, is_click,
+        |    min(CASE WHEN is_click = 0 THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, is_click DESC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS purchase_us
+        |   FROM u)
+        |SELECT event_id, user_id, us AS click_us, purchase_us,
+        | purchase_us - us AS wait_us
+        |FROM w WHERE is_click = 1 AND purchase_us IS NOT NULL""".stripMargin,
   )
 }

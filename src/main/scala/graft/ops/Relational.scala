@@ -326,6 +326,36 @@ object Relational {
           .as("supps_within_tol"))
   }
 
+  /** HLL sketch MERGEABILITY demonstration (q138): one DataSketches HLL
+    * per source, then a global estimate from `hll_union_agg` over the
+    * per-source sketches — never re-touching the rows. Mergeability is
+    * THE 100-TB property: per-shard sketches union in KB-sized state
+    * where an exact global distinct re-shuffles the corpus. The sketch
+    * estimates are engine-specific, so (the q29 pattern) the oracle
+    * checks exact distincts plus ±5% tolerance booleans; the exact
+    * columns double as the accuracy ground truth.
+    */
+  def sketchUnion(spark: SparkSession, dir: String, tol: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"text")
+    val per = d.groupBy($"source")
+      .agg(hll_sketch_agg($"text").as("sk"),
+        count_distinct($"text").as("n_exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perRows = per.select($"source", $"n_exact",
+        (abs(hll_sketch_estimate($"sk") - $"n_exact") <=
+          lit(tol) * $"n_exact").as("within_tol"))
+      val globalExact = d.agg(count_distinct($"text").as("g"))
+      val merged = per.agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+        .crossJoin(broadcast(globalExact))
+        .select(lit("__ALL__").as("source"), $"g".as("n_exact"),
+          (abs($"est" - $"g") <= lit(tol) * $"g").as("within_tol"))
+      perRows.unionByName(merged).localCheckpoint(true)
+    } finally per.unpersist()
+  }
+
   /** Multi-way star join with two broadcast dims + selective filter:
     * revenue by part brand for one region's suppliers.
     */

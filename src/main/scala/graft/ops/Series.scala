@@ -177,6 +177,39 @@ object Series {
         round($"n_outliers".cast("double") / $"n", 6).as("outlier_frac"))
   }
 
+  /** Per-type daily-count trend line (q136): ordinary-least-squares
+    * slope/intercept/R² of count vs day offset — "is this source
+    * growing, and how fast", the number capacity planning reads off the
+    * ingest dashboard. Day offsets are rebased to each type's first day
+    * (small integers), so every co-moment (Σx, Σy, Σxy, Σx², Σy²) is an
+    * EXACT integer sum on both engines; division happens once at the
+    * end. One (type, day) aggregate, one per-type co-moment aggregate —
+    * the q115 one-pass regression shape, per group.
+    */
+  def dailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr(s"ts div $dayNs").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      .withColumn("x", $"day" - min($"day").over(Window.partitionBy($"event_type")))
+    val mom = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("m"), sum($"x").as("sx"), sum($"n").as("sy"),
+        sum($"x" * $"n").as("sxy"), sum($"x" * $"x").as("sx2"),
+        sum($"n" * $"n").as("sy2"))
+      .select($"event_type", $"m",
+        ($"m" * $"sxy" - $"sx" * $"sy").as("cov"),
+        ($"m" * $"sx2" - $"sx" * $"sx").as("vx"),
+        ($"m" * $"sy2" - $"sy" * $"sy").as("vy"),
+        $"sx", $"sy")
+    mom.select($"event_type", $"m".as("n_days"),
+      when($"vx" > 0, round($"cov".cast("double") / $"vx", 6)).as("slope"),
+      when($"vx" > 0, round(($"sy" - $"cov".cast("double") / $"vx" * $"sx")
+        / $"m", 6)).as("intercept"),
+      when($"vx" > 0 && $"vy" > 0,
+        round($"cov".cast("double") * $"cov" / ($"vx".cast("double") * $"vy"), 6))
+        .as("r2"))
+  }
+
   /** Anomalous-day report per event type (q133): residual = daily count
     * − centered 7-day trend − day-of-week effect, flagged when the
     * absolute residual exceeds `zK`·σ of the type's residuals — the

@@ -77,6 +77,32 @@ object Sessionize {
         ($"us" - $"purchase_us").as("gap_us"))
   }
 
+  /** Forward as-of join (q139): each click attributed to the user's
+    * EARLIEST at-or-after purchase — [[asofPurchaseAttribution]]'s time
+    * mirror ("how long until conversion" vs "what preceded this"). Same
+    * scalable composition: union both sides tagged, ONE user-keyed
+    * shuffle, and a `min(purchase time)` over the [current, ∞) frame —
+    * min ignores nulls and is frame-order-insensitive, so both engines
+    * state the window identically; clicks sort before simultaneous
+    * purchases so "at-or-after" includes ties.
+    */
+  def asofForwardAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("us"), $"event_type")
+    val clicks = base.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"us", lit(1).as("is_click"))
+    val purchases = base.filter($"event_type" === "purchase")
+      .select(lit(-1L).as("event_id"), $"user_id", $"us", lit(0).as("is_click"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"is_click".desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("purchase_us", min(when($"is_click" === 0, $"us")).over(w))
+      .filter($"is_click" === 1 && $"purchase_us".isNotNull)
+      .select($"event_id", $"user_id", $"us".as("click_us"), $"purchase_us",
+        ($"purchase_us" - $"us").as("wait_us"))
+  }
+
   /** Semi-structured extraction: event props is a JSON string column;
     * `get_json_object` pulls `$.k` in the scan projection (codegen'd
     * Jayway path, no UDF) and the rollup aggregates it per event type.

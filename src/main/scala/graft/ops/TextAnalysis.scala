@@ -498,6 +498,54 @@ object TextAnalysis {
     }
   }
 
+  /** Skip-gram PMI at context distances 1..`window` (q137): the
+    * co-occurrence statistic embedding training actually consumes —
+    * adjacent-only PMI (q84) misses "hash ... join" at distance 2. Pair
+    * generation is the same zip-with-shifted-self projection as q84 run
+    * once per distance — a constant ×window map-side fan-out of the
+    * token stream, never a per-doc position self-join (whose fan-out is
+    * tokens² within a document). Count aggregates, two broadcast
+    * unigram joins, deterministic (pmi, w1, w2) top-k.
+    */
+  def skipgramPmi(spark: SparkSession, dir: String, window: Int = 2,
+      k: Int = 20, minCount: Int = 5): DataFrame = {
+    import spark.implicits._
+    val uni = docs(spark, dir)
+      .select(explode(toks).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arr = docs(spark, dir).select(toks.as("t"))
+    val pairCols = (1 to window).map { d =>
+      zip_with(
+        slice($"t", lit(1), greatest(size($"t") - d, lit(0))),
+        slice($"t", lit(d + 1), greatest(size($"t") - d, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val pairs = arr
+      .select(explode(flatten(array(pairCols: _*))).as("p"))
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pairs
+        .filter($"cp" >= minCount)
+        .crossJoin(broadcast(pairs.agg(sum($"cp").as("n_pairs"))))
+        .join(uni.select($"w".as("w1"), $"cw".as("cw1")), Seq("w1"))
+        .join(uni.select($"w".as("w2"), $"cw".as("cw2")), Seq("w2"))
+        .crossJoin(broadcast(uni.agg(sum($"cw").as("n_tokens"))))
+        .select($"w1", $"w2", $"cp", $"cw1", $"cw2",
+          round(log(($"cp".cast("double") / $"n_pairs") /
+            (($"cw1".cast("double") / $"n_tokens") *
+              ($"cw2".cast("double") / $"n_tokens"))), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(k)
+        .localCheckpoint(true)
+    } finally {
+      uni.unpersist()
+      pairs.unpersist()
+    }
+  }
+
   /** The composite decontamination REPORT — the multi-signal gate a
     * production eval-protection pipeline actually runs: per eval
     * document, the n=3 exact-gram overlap (q63), the n=8 hashed-gram

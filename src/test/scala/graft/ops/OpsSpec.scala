@@ -182,6 +182,37 @@ class OpsSpec extends AnyFunSuite {
       "cum_occurrences", "coverage"),
     "q120_key_skew" -> Set("fanout_class", "n_keys", "rows_in_class",
       "max_fanout", "share_rows"),
+    "q121_pii_scrub" -> Set("source", "n_docs", "n_email_docs",
+      "n_ipv4_docs", "n_term_docs", "n_term_matches", "n_redacted_chars"),
+    "q122_rolling_active" -> Set("day", "active_7d"),
+    "q123_changepoint" -> Set("event_type", "split_day", "split_stat",
+      "n_days"),
+    "q124_ewma_daily" -> Set("event_type", "day", "ewma"),
+    "q125_mad_outliers" -> Set("event_type", "n", "med", "mad",
+      "n_outliers", "outlier_frac"),
+    "q126_psi_drift" -> Set("event_type", "n_first", "n_second", "psi"),
+    "q127_vocab_oov" -> Set("lang", "n_tokens", "n_oov", "n_oov_types",
+      "oov_rate"),
+    "q128_split_assign" -> Set("source", "split", "n_docs", "avg_chars",
+      "lo_bucket", "hi_bucket"),
+    "q129_transition_matrix" -> Set("event_type", "next_type", "n", "p"),
+    "q130_frame_manifest" -> Set("media_id", "n_frames", "frame_bytes",
+      "last_idx", "sig_sum"),
+    "q131_vocab_growth" -> Set("ladder", "new_types", "cum_vocab",
+      "docs_seen"),
+    "q132_lsh_purity" -> Set("bucket", "n_vecs", "majority_label",
+      "majority_n", "purity"),
+    "q133_anomaly_days" -> Set("event_type", "day", "n", "trend", "resid",
+      "is_anomaly"),
+    "q134_resize_audit" -> Set("kind", "n_media", "total_orig_bytes",
+      "total_out_bytes", "sig_sum"),
+    "q135_kcore" -> Set("vec_id", "in_core", "core_deg"),
+    "q136_daily_trend" -> Set("event_type", "n_days", "slope", "intercept",
+      "r2"),
+    "q137_skipgram_pmi" -> Set("w1", "w2", "cp", "cw1", "cw2", "pmi"),
+    "q138_sketch_union" -> Set("source", "n_exact", "within_tol"),
+    "q139_asof_forward" -> Set("event_id", "user_id", "click_us",
+      "purchase_us", "wait_us"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

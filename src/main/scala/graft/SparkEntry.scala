@@ -331,6 +331,15 @@ object SparkEntry {
     // forward as-of: click to earliest at-or-after purchase
     "q139_asof_forward" -> ((s: SparkSession, d: String) =>
       Sessionize.asofForwardAttribution(s, d)),
+    // explicit GROUPING SETS with grouping_id at four grains
+    "q140_grouping_sets" -> ((s: SparkSession, d: String) =>
+      Relational.groupingSetsSummary(s, d)),
+    // ntile / percent_rank / cume_dist / nth_value window suite
+    "q141_window_suite" -> ((s: SparkSession, d: String) =>
+      Relational.windowSuite(s, d)),
+    // unpivot wide per-lang stats to (lang, metric, value)
+    "q142_unpivot" -> ((s: SparkSession, d: String) =>
+      Relational.unpivotStats(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2609,5 +2618,36 @@ object SparkEntry {
         |SELECT event_id, user_id, us AS click_us, purchase_us,
         | purchase_us - us AS wait_us
         |FROM w WHERE is_click = 1 AND purchase_us IS NOT NULL""".stripMargin,
+    // q140: GROUPING_ID bit order follows the listed columns (lang,
+    // source) on both engines; null group keys mark the coarser grains
+    "q140_grouping_sets" ->
+      """SELECT lang, source, CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())""".stripMargin,
+    // q141: nth_value over an EXPLICIT rows frame (default frames
+    // differ across engines); total order pinned by (date, key)
+    "q141_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume,
+        | round(nth_value(o_totalprice, 3) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |   AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    // q142: UNPIVOT mirrors Spark's unpivot; metrics pre-cast to double
+    // so the long value column is one type on both engines
+    "q142_unpivot" ->
+      """WITH wide AS (SELECT lang,
+        |    CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(strlen(text)) AS DOUBLE) AS total_chars,
+        |    round(avg(n_chars), 4) AS avg_chars
+        |   FROM documents GROUP BY 1)
+        |UNPIVOT wide ON n_docs, total_chars, avg_chars
+        |INTO NAME metric VALUE value""".stripMargin,
   )
 }

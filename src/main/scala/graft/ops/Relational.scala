@@ -356,6 +356,63 @@ object Relational {
     } finally per.unpersist()
   }
 
+  /** Explicit GROUPING SETS (q140): doc counts/char averages at four
+    * aggregation grains — (lang, source), (lang), (source), () — in ONE
+    * pass, with `grouping_id()` disambiguating the grain of each output
+    * row (rollup/cube are the two fixed lattices; arbitrary sets are the
+    * general operator a metrics layer compiles to). Spark plans one
+    * Expand + one shuffle — same cost as cube, grains chosen freely.
+    */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupingSets(
+        Seq(Seq($"lang", $"source"), Seq($"lang"), Seq($"source"), Seq()),
+        $"lang", $"source")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+  }
+
+  /** Distribution-rank window suite (q141): ntile quartile,
+    * percent_rank, cume_dist and the running 3rd-order price
+    * (nth_value over an EXPLICIT rows frame — engines default that
+    * frame differently) per customer's order history. The four
+    * rank-family functions q06/q07/q42 don't cover, one shuffle on the
+    * customer key, total order pinned by (date, key) so every rank is
+    * deterministic.
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("third_price", nth_value($"o_totalprice", 3).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"o_custkey", $"o_orderkey", $"quartile", $"pct_rank",
+        $"cume", round($"third_price", 2).as("third_price"))
+  }
+
+  /** Unpivot / melt (q142): the per-language corpus stats rotated from
+    * one wide row per lang to (lang, metric, value) long form — the
+    * reshape every metrics store and plotting layer wants, and the
+    * inverse of q38's pivot. Spark's native `unpivot` (Expand under the
+    * hood, no join, no union-of-selects); values cast to double first
+    * so the long column is one type.
+    */
+  def unpivotStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(length($"text")).cast("double").as("total_chars"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+    wide.unpivot(Array($"lang"),
+      Array($"n_docs", $"total_chars", $"avg_chars"), "metric", "value")
+  }
+
   /** Multi-way star join with two broadcast dims + selective filter:
     * revenue by part brand for one region's suppliers.
     */

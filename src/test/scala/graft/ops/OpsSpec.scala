@@ -213,6 +213,11 @@ class OpsSpec extends AnyFunSuite {
     "q138_sketch_union" -> Set("source", "n_exact", "within_tol"),
     "q139_asof_forward" -> Set("event_id", "user_id", "click_us",
       "purchase_us", "wait_us"),
+    "q140_grouping_sets" -> Set("lang", "source", "gid", "n_docs",
+      "avg_chars"),
+    "q141_window_suite" -> Set("o_custkey", "o_orderkey", "quartile",
+      "pct_rank", "cume", "third_price"),
+    "q142_unpivot" -> Set("lang", "metric", "value"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the q140-q142 batch: grouping-set grain accounting,
+  * rank-family window invariants, and unpivot round-trip against the
+  * wide aggregate.
+  */
+class RelationalSuiteSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("groupingSets: four grains, each grain's doc total equals the corpus") {
+    val rows = Relational.groupingSetsSummary(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    // gid bitmask over (lang, source): 0 = both set, 1 = lang only
+    // (source aggregated), 2 = source only, 3 = grand total
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    for ((gid, rs) <- byGid)
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == total, s"gid $gid")
+    assert(byGid(3L).length == 1)
+    assert(byGid(1L).forall(r => r.getString(0) != null && r.isNullAt(1)))
+    assert(byGid(2L).forall(r => r.isNullAt(0) && r.getString(1) != null))
+  }
+
+  test("windowSuite: rank-family invariants hold per customer") {
+    val rows = Relational.windowSuite(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val q = r.getAs[Long]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = r.getAs[Double]("pct_rank")
+      assert(pr >= 0.0 && pr <= 1.0)
+      val c = r.getAs[Double]("cume")
+      assert(c > 0.0 && c <= 1.0)
+    }
+    // every customer's last order has cume_dist exactly 1; customers
+    // with < 3 orders never get a third_price
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    for ((_, rs) <- perCust) {
+      assert(rs.map(_.getAs[Double]("cume")).max == 1.0)
+      if (rs.length < 3) assert(rs.forall(_.isNullAt(5)))
+      else assert(rs.count(!_.isNullAt(5)) == rs.length - 2)
+    }
+  }
+
+  test("unpivot: long rows reproduce the wide aggregate exactly") {
+    val long = Relational.unpivotStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val wide = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(length($"text")).cast("double").as("total_chars"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+      .collect()
+    assert(long.size == wide.length * 3)
+    for (w <- wide; m <- Seq("n_docs", "total_chars", "avg_chars"))
+      assert(long((w.getString(0), m)) == w.getAs[Double](m), s"${w.getString(0)}/$m")
+  }
+}

@@ -435,4 +435,35 @@ class PlanContractSpec extends AnyFunSuite {
       .forall(!_.contains("SinglePartition"))
     assert(windowPartByType, p)
   }
+
+  test("q135: the returned k-core table has a CUT lineage (checkpointed rows, no live KNN subtree)") {
+    // the un-checkpointed loop re-evaluated each prior round 3^r times
+    // (19 s vs 3 s at sf0.1); a cut lineage means the result plan reads
+    // materialized rows rather than replaying the KNN pipeline
+    val p = plan(Graph.kCore(spark, sf))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("vec_dot"), s"KNN subtree still live in the result plan:\n$p")
+  }
+
+  test("q137: skip-gram pairs come from shifted-zip projections, not a position self-join") {
+    val p = plan(TextAnalysis.skipgramPmi(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // posexplode + equi-join on doc_id would shuffle corpus-sized
+    // position rows; the zip projection keeps pair generation map-side
+    assert(!p.contains("posexplode"), p)
+  }
+
+  test("q140: grouping sets compile to ONE Expand over one scan") {
+    val p = plan(Relational.groupingSetsSummary(spark, sf))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Expand\s*""")) == 1, p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("q142: unpivot is an Expand, not a union of per-metric selects") {
+    val p = plan(Relational.unpivotStats(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Union"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+  }
 }

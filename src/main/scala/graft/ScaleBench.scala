@@ -65,7 +65,11 @@ object ScaleBench {
     "q99_minhash_estimate", "q100_source_health", "q101_inverted_index",
     "q102_phrase_search", "q103_snapshot_diff", "q104_blocklist_scrub",
     "q105_principal_component", "q106_quality_keeper", "q107_training_order",
-    "q119_zipf_profile")
+    "q119_zipf_profile",
+    "q121_pii_scrub", "q127_vocab_oov", "q128_split_assign",
+    "q130_frame_manifest", "q131_vocab_growth", "q132_lsh_purity",
+    "q134_resize_audit", "q135_kcore", "q137_skipgram_pmi",
+    "q138_sketch_union")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

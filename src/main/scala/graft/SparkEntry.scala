@@ -340,6 +340,12 @@ object SparkEntry {
     // unpivot wide per-lang stats to (lang, metric, value)
     "q142_unpivot" -> ((s: SparkSession, d: String) =>
       Relational.unpivotStats(s, d)),
+    // langid confusion matrix with per-true-lang recall
+    "q143_langid_confusion" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langIdConfusion(s, d)),
+    // per-source percent_rank → global decile calibration histogram
+    "q144_quantile_normalize" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.quantileNormalize(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2649,5 +2655,36 @@ object SparkEntry {
         |   FROM documents GROUP BY 1)
         |UNPIVOT wide ON n_docs, total_chars, avg_chars
         |INTO NAME metric VALUE value""".stripMargin,
+    // q143: the q23 scorer verbatim as a CTE, then a langs²-bounded
+    // confusion aggregate; recall normalizes within the true lang
+    "q143_langid_confusion" ->
+      """WITH scored AS (
+        | SELECT doc_id, true_lang,
+        |  CASE WHEN score_en>=score_de AND score_en>=score_fr AND score_en>=score_es THEN 'en'
+        |       WHEN score_de>=score_fr AND score_de>=score_es THEN 'de'
+        |       WHEN score_fr>=score_es THEN 'fr' ELSE 'es' END AS pred_lang
+        | FROM (SELECT doc_id, lang AS true_lang,
+        |   round(CAST(len(list_filter(t, x -> x IN ('the','a','and'))) AS DOUBLE)/len(t),6) AS score_en,
+        |   round(CAST(len(list_filter(t, x -> x IN ('der','die','und'))) AS DOUBLE)/len(t),6) AS score_de,
+        |   round(CAST(len(list_filter(t, x -> x IN ('le','la','et'))) AS DOUBLE)/len(t),6) AS score_fr,
+        |   round(CAST(len(list_filter(t, x -> x IN ('el','la','y'))) AS DOUBLE)/len(t),6) AS score_es
+        |  FROM (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents) b) t),
+        |c AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |      FROM scored GROUP BY 1, 2)
+        |SELECT true_lang, pred_lang, n,
+        | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY true_lang), 6)
+        |   AS recall
+        |FROM c""".stripMargin,
+    // q144: percent_rank ties resolve identically under the (n_chars,
+    // doc_id) total order; decile = floor(pct*10) capped, both engines
+    "q144_quantile_normalize" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    percent_rank() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS pct
+        |   FROM documents)
+        |SELECT source, CAST(least(9, floor(pct * 10)) AS BIGINT) AS decile,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(n_chars), 4) AS avg_chars
+        |FROM r GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -536,6 +536,26 @@ object PipelinePrep {
       .toDF("doc_id", "shuffle_key", "pos", "shard")
   }
 
+  /** Cross-source rank normalization (q144): each document's length
+    * score mapped to its percent_rank WITHIN its source, then bucketed
+    * into global deciles — the calibration step before mixing sources
+    * whose raw score scales disagree (one source's "long" is another's
+    * median). The window partitions by source, so the sort is
+    * per-source-distributed, never a global order; output is
+    * (source × 10)-bounded.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    docs(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("pct", percent_rank().over(w))
+      .withColumn("decile", least(lit(9L), floor($"pct" * 10)))
+      .groupBy($"source", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+  }
+
   /** Deterministic train/val/test split assignment (q128): bucket =
     * md5(doc_id) nibbles mod 100 → 80/10/10. Hash-based (not random, not
     * modulo-on-id): membership is a pure function of the id, so re-runs,

@@ -498,6 +498,20 @@ object TextAnalysis {
     }
   }
 
+  /** Language-ID confusion matrix (q143): (true lang, predicted lang)
+    * counts with per-true-lang recall — the eval view of the q23 scorer
+    * that says WHICH languages the n-gram heuristic confuses, not just
+    * how often. Composes [[langIdScores]] verbatim (one scan, scoring
+    * in the projection) and adds a langs²-bounded aggregate + window.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    langIdScores(spark, dir)
+      .groupBy($"true_lang", $"pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("recall", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"true_lang")), 6))
+  }
+
   /** Skip-gram PMI at context distances 1..`window` (q137): the
     * co-occurrence statistic embedding training actually consumes —
     * adjacent-only PMI (q84) misses "hash ... join" at distance 2. Pair

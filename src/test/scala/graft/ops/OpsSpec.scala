@@ -218,6 +218,9 @@ class OpsSpec extends AnyFunSuite {
     "q141_window_suite" -> Set("o_custkey", "o_orderkey", "quartile",
       "pct_rank", "cume", "third_price"),
     "q142_unpivot" -> Set("lang", "metric", "value"),
+    "q143_langid_confusion" -> Set("true_lang", "pred_lang", "n", "recall"),
+    "q144_quantile_normalize" -> Set("source", "decile", "n_docs",
+      "avg_chars"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

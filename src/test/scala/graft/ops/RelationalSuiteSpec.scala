@@ -48,6 +48,28 @@ class RelationalSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("langIdConfusion: recalls sum to 1 per true lang; counts partition the corpus") {
+    val rows = TextAnalysis.langIdConfusion(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    for ((_, rs) <- rows.groupBy(_.getString(0)))
+      assert(math.abs(rs.map(_.getAs[Double]("recall")).sum - 1.0) < 1e-4)
+  }
+
+  test("quantileNormalize: deciles partition each source; counts near-uniform") {
+    val rows = PipelinePrep.quantileNormalize(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    for ((src, rs) <- rows.groupBy(_.getString(0))) {
+      val byDec = rs.map(r => r.getAs[Long]("decile") -> r.getAs[Long]("n_docs")).toMap
+      assert(byDec.keySet.subsetOf((0L to 9L).toSet), src)
+      // percent_rank deciles are balanced within ±2 of n/10 per source
+      val n = byDec.values.sum
+      for ((d, c) <- byDec if n >= 20)
+        assert(math.abs(c - n / 10.0) <= n / 10.0 + 2, s"$src decile $d: $c of $n")
+    }
+  }
+
   test("unpivot: long rows reproduce the wide aggregate exactly") {
     val long = Relational.unpivotStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap

@@ -346,6 +346,12 @@ object SparkEntry {
     // per-source percent_rank → global decile calibration histogram
     "q144_quantile_normalize" -> ((s: SparkSession, d: String) =>
       PipelinePrep.quantileNormalize(s, d)),
+    // exact edit-distance verify of MinHash candidate pairs
+    "q145_edit_verify" -> ((s: SparkSession, d: String) =>
+      Dedup.editVerifyCandidates(s, d)),
+    // per-source data-contract audit (ids, nulls, length mismatches)
+    "q146_contract_audit" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.contractAudit(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2686,5 +2692,47 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_docs,
         | round(avg(n_chars), 4) AS avg_chars
         |FROM r GROUP BY 1, 2""".stripMargin,
+    // q145: the q15 candidate CTE verbatim, then native levenshtein —
+    // identical DP integers on both engines; empty-vs-empty pairs
+    // define sim = 1
+    "q145_edit_verify" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT) AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT) AS h2 FROM sh),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sigs a JOIN sigs b
+        |          ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.doc_a, c.doc_b,
+        |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+        |    CAST(greatest(strlen(da.text), strlen(db.text)) AS BIGINT) AS max_len
+        |   FROM cand c JOIN documents da ON c.doc_a = da.doc_id
+        |    JOIN documents db ON c.doc_b = db.doc_id)
+        |SELECT doc_a, doc_b, edit_dist, max_len,
+        | CASE WHEN max_len = 0 THEN 1.0
+        |      ELSE round(1.0 - edit_dist / CAST(max_len AS DOUBLE), 6)
+        | END AS sim
+        |FROM v
+        |WHERE (CASE WHEN max_len = 0 THEN 1.0
+        |       ELSE round(1.0 - edit_dist / CAST(max_len AS DOUBLE), 6) END) >= 0.8""".stripMargin,
+    // q146: contract violations as data — mirrored aggregate; strlen is
+    // bytes == chars on the pure-ASCII corpus (the q130 precedent)
+    "q146_contract_audit" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+        | CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_null_text,
+        | CAST(sum(CASE WHEN text IS NOT NULL AND strlen(text) <> n_chars
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+        | count(DISTINCT doc_id) = count(*) AS id_unique
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }

@@ -822,4 +822,31 @@ object Dedup {
       d.unpersist()
     }
   }
+
+  /** Edit-distance verification of LSH candidates (q145): exact
+    * Levenshtein similarity (1 − dist/max_len) on the MinHash candidate
+    * pairs, keeping those ≥ `threshold` — the final verify stage of a
+    * production dedup pipeline, where character-level distance re-scores
+    * what the sketch merely suspects. Exact edit distance is O(n·m) per
+    * pair — affordable ONLY because the banding already shrank the pair
+    * space (the all-pairs version is the q16 anti-pattern squared);
+    * `levenshtein` is a native codegen'd function on both engines, so
+    * the oracle re-derives identical integers. Two broadcast-friendly
+    * text joins on the bounded candidate set; nothing corpus² anywhere.
+    */
+  def editVerifyCandidates(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val texts = docs(spark, dir).select($"doc_id", $"text")
+    minhashCandidates(spark, dir)
+      .join(texts.select($"doc_id".as("doc_a"), $"text".as("ta")), Seq("doc_a"))
+      .join(texts.select($"doc_id".as("doc_b"), $"text".as("tb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+        greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
+      .withColumn("sim",
+        when($"max_len" === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - $"edit_dist" / $"max_len".cast("double"), 6)))
+      .filter($"sim" >= threshold)
+  }
 }

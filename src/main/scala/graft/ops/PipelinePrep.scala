@@ -536,6 +536,28 @@ object PipelinePrep {
       .toDF("doc_id", "shuffle_key", "pos", "shard")
   }
 
+  /** Data-contract audit (q146): the schema-level assertions a corpus
+    * intake gate runs as DATA, not as exceptions — per source: row
+    * count, id uniqueness, null-payload count, and the declared-vs-
+    * actual length mismatch count (n_chars must equal length(text)).
+    * Violations become queryable numbers a dashboard can trend instead
+    * of a job that dies on the first bad row. One scan, one aggregate
+    * over source-many keys; the distinct-id check is the only extra
+    * shuffle and it carries (source, id) pairs, nothing wider.
+    */
+  def contractAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"doc_id").as("n_ids"),
+        sum(when($"text".isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(when($"text".isNotNull &&
+          length($"text").cast("long") =!= $"n_chars", 1L).otherwise(0L))
+          .as("n_len_mismatch"))
+      .withColumn("id_unique", $"n_ids" === $"n_rows")
+  }
+
   /** Cross-source rank normalization (q144): each document's length
     * score mapped to its percent_rank WITHIN its source, then bucketed
     * into global deciles — the calibration step before mixing sources

@@ -221,6 +221,10 @@ class OpsSpec extends AnyFunSuite {
     "q143_langid_confusion" -> Set("true_lang", "pred_lang", "n", "recall"),
     "q144_quantile_normalize" -> Set("source", "decile", "n_docs",
       "avg_chars"),
+    "q145_edit_verify" -> Set("doc_a", "doc_b", "edit_dist", "max_len",
+      "sim"),
+    "q146_contract_audit" -> Set("source", "n_rows", "n_ids",
+      "n_null_text", "n_len_mismatch", "id_unique"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -70,6 +70,48 @@ class RelationalSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("editVerifyCandidates: similarity bounds hold and a planted near-pair scores right") {
+    val tmp = java.nio.file.Files.createTempDirectory("editv").toString
+    try {
+      // two near-identical docs (1-char edit over 39 chars) + one far doc;
+      // texts share shingles so minhash banding emits the near pair
+      val a = "the quick brown fox jumps over the dog"
+      val b = "the quick brown fox jumps over the hog"
+      Seq((1L, a, "en", "s", a.length.toLong), (2L, b, "en", "s", b.length.toLong),
+        (3L, "completely different words entirely here", "en", "s", 40L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+      val got = Dedup.editVerifyCandidates(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(4))).toMap
+      assert(got.contains((1L, 2L)), s"near pair must survive: $got")
+      val (dist, sim) = got((1L, 2L))
+      assert(dist == 1L)
+      assert(sim == BigDecimal(1.0 - 1.0 / a.length).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got.values.forall { case (_, s) => s >= 0.8 && s <= 1.0 })
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("contractAudit: clean corpus audits clean; planted violations are counted") {
+    val clean = PipelinePrep.contractAudit(spark, sf).collect()
+    assert(clean.forall(_.getAs[Boolean]("id_unique")))
+    assert(clean.map(_.getAs[Long]("n_len_mismatch")).sum == 0L)
+    val tmp = java.nio.file.Files.createTempDirectory("contract").toString
+    try {
+      Seq((1L, "abc", "en", "s", 3L), (1L, "abcd", "en", "s", 99L),
+        (2L, null.asInstanceOf[String], "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+      val r = PipelinePrep.contractAudit(spark, tmp).collect().head
+      assert(r.getAs[Long]("n_rows") == 3L)
+      assert(r.getAs[Long]("n_ids") == 2L)
+      assert(!r.getAs[Boolean]("id_unique"))
+      assert(r.getAs[Long]("n_null_text") == 1L)
+      assert(r.getAs[Long]("n_len_mismatch") == 1L)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("unpivot: long rows reproduce the wide aggregate exactly") {
     val long = Relational.unpivotStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap

@@ -352,6 +352,9 @@ object SparkEntry {
     // per-source data-contract audit (ids, nulls, length mismatches)
     "q146_contract_audit" -> ((s: SparkSession, d: String) =>
       PipelinePrep.contractAudit(s, d)),
+    // count-min sketch token frequencies vs both CMS guarantees
+    "q147_cms_topk" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.cmsTokenFreq(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2734,5 +2737,15 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
         | count(DISTINCT doc_id) = count(*) AS id_unique
         |FROM documents GROUP BY 1""".stripMargin,
+    // q147: sketch estimates are engine-specific; the oracle pins the
+    // deterministic top-k exact counts and `true` for both CMS
+    // guarantee booleans (q29/q138 pattern)
+    "q147_cms_topk" ->
+      """SELECT tok, n_exact, true AS never_undercounts, true AS within_eps
+        |FROM (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents)
+        |      WHERE tok <> '' GROUP BY 1
+        |      ORDER BY n_exact DESC, tok LIMIT 20)""".stripMargin,
   )
 }

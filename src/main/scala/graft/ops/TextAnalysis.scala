@@ -498,6 +498,45 @@ object TextAnalysis {
     }
   }
 
+  /** Count-min-sketch token frequencies (q147): Spark's native
+    * `count_min_sketch` aggregate folded over the token stream, probed
+    * for the deterministic top-`k` tokens and checked against BOTH
+    * sketch guarantees — never undercounts, overcounts by at most
+    * ε·N with the configured confidence. The sketch is the streaming/
+    * mergeable path to frequency under a fixed KB budget at 100 TB
+    * (exact counts shuffle the vocabulary; the sketch is one fixed-size
+    * map-side fold). Estimates are seed-deterministic but engine-
+    * specific, so (the q29/q138 pattern) the oracle pins exact counts
+    * and `true` guarantee booleans. The only driver-side step probes k
+    * tokens against the collected KB-sized sketch — bounded by k, not
+    * the corpus or the vocabulary.
+    */
+  def cmsTokenFreq(spark: SparkSession, dir: String, k: Int = 20,
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val stream = docs(spark, dir)
+      .select(explode(toks).as("tok")).filter($"tok" =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exact = stream.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"tok").limit(k)
+      val agg = stream.agg(
+        expr(s"count_min_sketch(tok, ${eps}d, ${confidence}d, 42)").as("sk"),
+        count(lit(1)).as("n_total")).head()
+      val n = agg.getAs[Long]("n_total")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("sk")))
+      val bound = math.ceil(eps * n).toLong
+      val rows = exact.collect().map { r =>
+        val est = cms.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1), est >= r.getLong(1),
+          est <= r.getLong(1) + bound)
+      }
+      spark.createDataFrame(rows.toSeq)
+        .toDF("tok", "n_exact", "never_undercounts", "within_eps")
+    } finally stream.unpersist()
+  }
+
   /** Language-ID confusion matrix (q143): (true lang, predicted lang)
     * counts with per-true-lang recall — the eval view of the q23 scorer
     * that says WHICH languages the n-gram heuristic confuses, not just

@@ -225,6 +225,8 @@ class OpsSpec extends AnyFunSuite {
       "sim"),
     "q146_contract_audit" -> Set("source", "n_rows", "n_ids",
       "n_null_text", "n_len_mismatch", "id_unique"),
+    "q147_cms_topk" -> Set("tok", "n_exact", "never_undercounts",
+      "within_eps"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

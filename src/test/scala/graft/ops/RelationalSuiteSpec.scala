@@ -112,6 +112,20 @@ class RelationalSuiteSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("cmsTokenFreq: exact counts match a direct recount; guarantees hold") {
+    val got = TextAnalysis.cmsTokenFreq(spark, sf).collect()
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split($"text", " ")).as("tok")).filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.length == 20)
+    for (r <- got) {
+      assert(r.getLong(1) == want(r.getString(0)))
+      assert(r.getBoolean(2), s"${r.getString(0)} undercounted")
+      assert(r.getBoolean(3), s"${r.getString(0)} overcount beyond eps*N")
+    }
+  }
+
   test("unpivot: long rows reproduce the wide aggregate exactly") {
     val long = Relational.unpivotStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap

@@ -355,6 +355,9 @@ object SparkEntry {
     // count-min sketch token frequencies vs both CMS guarantees
     "q147_cms_topk" -> ((s: SparkSession, d: String) =>
       TextAnalysis.cmsTokenFreq(s, d)),
+    // prefix-filtered EXACT Jaccard join (no false negatives)
+    "q148_prefix_join" -> ((s: SparkSession, d: String) =>
+      Dedup.prefixJaccardJoin(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2747,5 +2750,24 @@ object SparkEntry {
         |            FROM documents)
         |      WHERE tok <> '' GROUP BY 1
         |      ORDER BY n_exact DESC, tok LIMIT 20)""".stripMargin,
+    // q148: the oracle derives the SAME pairs the naive all-pairs way
+    // (q16's SQL, thresholded) — the prefix filter's no-false-negative
+    // guarantee is value-checked against an independent derivation
+    "q148_prefix_join" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, common,
+        | round(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) AS jaccard
+        |FROM common
+        | JOIN sizes sa ON doc_a=sa.doc_id
+        | JOIN sizes sb ON doc_b=sb.doc_id
+        |WHERE round(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.6""".stripMargin,
   )
 }

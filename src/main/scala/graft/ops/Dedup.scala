@@ -823,6 +823,57 @@ object Dedup {
     }
   }
 
+  /** Prefix-filtered EXACT similarity join (q148, PPJoin family): all
+    * pairs with shingle-set Jaccard ≥ `t`, with NO false negatives —
+    * the algorithmic alternative to MinHash banding (probabilistic
+    * recall) and to q16's all-pairs join (quadratic in duplication).
+    * Shingles sort by (document frequency, hash) — one global order,
+    * realized per doc by sorting the (df, sh) pairs, NO materialized
+    * global rank — and only each set's safe prefix (n − ⌈t·n⌉ + 1
+    * rarest shingles) enters the candidate self-join: two sets with
+    * J ≥ t provably share a prefix element, and rare-shingle blocks
+    * are small, so the join fans out where near-dups actually are.
+    * Candidates then verify by exact intersection counting. The oracle
+    * computes the same pairs the NAIVE way (q16's SQL + threshold), so
+    * the no-false-negative claim is value-checked, not asserted.
+    */
+  def prefixJaccardJoin(spark: SparkSession, dir: String,
+      t: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val sh = docs(spark, dir)
+      .select($"doc_id", toks.as("tk"))
+      .select($"doc_id", explode(hashedShingleSet($"tk")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      val pref = sh.join(dfreq, "sh")
+        .groupBy($"doc_id")
+        .agg(array_sort(collect_list(struct($"df", $"sh"))).as("sorted"))
+        .select($"doc_id", expr(
+          s"slice(sorted, 1, greatest(0, cast(size(sorted) - ceil(${t}d * size(sorted)) + 1 as int)))"
+        ).as("prefix"))
+        .select($"doc_id", explode($"prefix.sh").as("sh"))
+      val cand = pref.as("a")
+        .join(pref.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+        .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b", $"common",
+          round($"common".cast("double") / ($"na" + $"nb" - $"common"), 6)
+            .as("jaccard"))
+        .filter($"jaccard" >= t)
+        .localCheckpoint(true)
+    } finally sh.unpersist()
+  }
+
   /** Edit-distance verification of LSH candidates (q145): exact
     * Levenshtein similarity (1 − dist/max_len) on the MinHash candidate
     * pairs, keeping those ≥ `threshold` — the final verify stage of a

@@ -227,6 +227,7 @@ class OpsSpec extends AnyFunSuite {
       "n_null_text", "n_len_mismatch", "id_unique"),
     "q147_cms_topk" -> Set("tok", "n_exact", "never_undercounts",
       "within_eps"),
+    "q148_prefix_join" -> Set("doc_a", "doc_b", "common", "jaccard"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -112,6 +112,17 @@ class RelationalSuiteSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("prefixJaccardJoin equals the naive all-pairs join at the same threshold") {
+    // the no-false-negative property, checked pair-for-pair: the prefix
+    // route and q16's exhaustive route must produce identical sets
+    val fast = Dedup.prefixJaccardJoin(spark, sf, t = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val naive = Dedup.jaccardPairs(spark, sf, minJaccard = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(fast == naive)
+    assert(fast.nonEmpty, "corpus has near-dups by construction")
+  }
+
   test("cmsTokenFreq: exact counts match a direct recount; guarantees hold") {
     val got = TextAnalysis.cmsTokenFreq(spark, sf).collect()
     val want = spark.read.parquet(s"$sf/documents.parquet")

@@ -854,11 +854,15 @@ object Dedup {
       .select($"doc_id", $"shs",
         md5(to_json(struct($"shs"))).as("gkey"), size($"shs").as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // reps is read by three consumers (shingle explode, the two verify
+    // array fetches) — without the persist each one re-runs the
+    // groupBy(gkey)+self-join dedup pipeline from the top
+    val reps = grouped
+      .groupBy($"gkey").agg(min($"doc_id").as("doc_id"))
+      .join(grouped.select($"doc_id", $"shs", $"n"), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val members = grouped.select($"doc_id", $"gkey", $"n")
-      val reps = grouped
-        .groupBy($"gkey").agg(min($"doc_id").as("doc_id"))
-        .join(grouped.select($"doc_id", $"shs", $"n"), Seq("doc_id"))
       val sh = reps.select($"doc_id", explode($"shs").as("sh"))
       val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
       val pref = sh.join(dfreq, "sh")
@@ -873,13 +877,18 @@ object Dedup {
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
         .distinct()
-      val sizes = reps.select($"doc_id", $"n")
+      // verify by hashed array intersection on the (distinct) shingle
+      // sets — one pass over na+nb elements per candidate pair, vs the
+      // exploded pair×shingle shuffle + count the same check costs as a
+      // join-then-groupBy
       val repPairs = cand
-        .join(sh.select($"doc_id".as("rep_a"), $"sh"), Seq("rep_a"))
-        .join(sh.select($"doc_id".as("rep_b"), $"sh"), Seq("rep_b", "sh"))
-        .groupBy($"rep_a", $"rep_b").agg(count(lit(1)).as("common"))
-        .join(sizes.select($"doc_id".as("rep_a"), $"n".as("na")), Seq("rep_a"))
-        .join(sizes.select($"doc_id".as("rep_b"), $"n".as("nb")), Seq("rep_b"))
+        .join(reps.select($"doc_id".as("rep_a"), $"shs".as("sa"),
+          $"n".as("na")), Seq("rep_a"))
+        .join(reps.select($"doc_id".as("rep_b"), $"shs".as("sb"),
+          $"n".as("nb")), Seq("rep_b"))
+        .select($"rep_a", $"rep_b",
+          size(array_intersect($"sa", $"sb")).cast("long").as("common"),
+          $"na", $"nb")
         .select($"rep_a", $"rep_b", $"common",
           round($"common".cast("double") / ($"na" + $"nb" - $"common"), 6)
             .as("jaccard"))
@@ -904,7 +913,7 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.n").cast("long").as("common"), lit(1.0).as("jaccard"))
       crossPairs.unionByName(withinPairs).localCheckpoint(true)
-    } finally grouped.unpersist()
+    } finally { reps.unpersist(); grouped.unpersist() }
   }
 
   /** Edit-distance verification of LSH candidates (q145): exact

@@ -358,6 +358,15 @@ object SparkEntry {
     // prefix-filtered EXACT Jaccard join (no false negatives)
     "q148_prefix_join" -> ((s: SparkSession, d: String) =>
       Dedup.prefixJaccardJoin(s, d)),
+    // Spearman rank corr via value-frequency midranks (no total sort)
+    "q149_spearman_corr" -> ((s: SparkSession, d: String) =>
+      Relational.spearmanCorrelation(s, d)),
+    // Benford leading-digit audit with chi-square contributions
+    "q150_benford_prices" -> ((s: SparkSession, d: String) =>
+      Relational.benfordPrices(s, d)),
+    // SCD type-2 version build over order-priority streams
+    "q151_scd2_history" -> ((s: SparkSession, d: String) =>
+      Relational.scd2History(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2769,5 +2778,67 @@ object SparkEntry {
         | JOIN sizes sa ON doc_a=sa.doc_id
         | JOIN sizes sb ON doc_b=sb.doc_id
         |WHERE round(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.6""".stripMargin,
+    // q149: midranks from value-frequency tables — identical integer-
+    // derived rationals on both engines, so corr-on-ranks matches to
+    // the co-moment ulps the round(4) absorbs
+    "q149_spearman_corr" ->
+      """WITH li AS (SELECT l_quantity, l_discount, l_tax FROM lineitem),
+        |rq AS (SELECT l_quantity AS v, count(*) AS cnt FROM li GROUP BY 1),
+        |rq2 AS (SELECT v, (sum(cnt) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |         + (cnt + 1) / 2.0 AS fr FROM rq),
+        |rd AS (SELECT l_discount AS v, count(*) AS cnt FROM li GROUP BY 1),
+        |rd2 AS (SELECT v, (sum(cnt) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |         + (cnt + 1) / 2.0 AS fr FROM rd),
+        |rt AS (SELECT l_tax AS v, count(*) AS cnt FROM li GROUP BY 1),
+        |rt2 AS (SELECT v, (sum(cnt) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |         + (cnt + 1) / 2.0 AS fr FROM rt)
+        |SELECT round(corr(q.fr, d.fr), 4) AS rho_qty_disc,
+        | round(corr(q.fr, t.fr), 4) AS rho_qty_tax,
+        | round(corr(d.fr, t.fr), 4) AS rho_disc_tax,
+        | round(corr(li.l_quantity, li.l_discount), 4) AS pearson_qty_disc
+        |FROM li
+        | JOIN rq2 q ON li.l_quantity = q.v
+        | JOIN rd2 d ON li.l_discount = d.v
+        | JOIN rt2 t ON li.l_tax = t.v""".stripMargin,
+    // q150: the digit comes from the decimal string of an explicit
+    // floor — double→int casts round differently across engines
+    "q150_benford_prices" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n,
+        | round(CAST(n AS DOUBLE) / total, 6) AS observed,
+        | round(log10(1 + 1.0 / digit), 6) AS benford,
+        | round(pow(n - total * log10(1 + 1.0 / digit), 2)
+        |   / (total * log10(1 + 1.0 / digit)), 4) AS chi2
+        |FROM c, t""".stripMargin,
+    // q151: same change-point + interval construction; the min_by/max_by
+    // key is the packed (epoch-day ≪ 44 | orderkey) scalar
+    "q151_scd2_history" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+        |            CAST(date_diff('day', DATE '1970-01-01',
+        |              CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |           FROM orders),
+        |s AS (SELECT *, lag(o_orderpriority) OVER
+        |       (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS prev
+        |      FROM o),
+        |ch AS (SELECT o_custkey, o_orderkey, o_orderpriority, d FROM s
+        |       WHERE prev IS NULL OR prev <> o_orderpriority),
+        |iv AS (SELECT *, lead(d) OVER
+        |        (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS valid_to
+        |       FROM ch)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_versions,
+        | CAST(coalesce(sum(CASE WHEN valid_to IS NOT NULL
+        |   THEN valid_to - d END), 0) AS BIGINT) AS closed_days,
+        | min_by(o_orderpriority, d * 17592186044416 + o_orderkey)
+        |   AS first_priority,
+        | max_by(o_orderpriority, d * 17592186044416 + o_orderkey)
+        |   AS current_priority
+        |FROM iv GROUP BY 1""".stripMargin,
   )
 }

@@ -531,4 +531,106 @@ object Relational {
       (($"n_bloom" - $"n_exact").cast("double") <=
         ($"n_total" - $"n_exact") * maxFpRate).as("fp_ok"))
   }
+
+  /** Spearman rank correlation between lineitem's discrete numerics
+    * (q149) — the monotone-association counterpart to q115's Pearson,
+    * robust to the price columns' heavy tails. Fractional (midrank)
+    * ranks are derived from each column's VALUE-FREQUENCY table, not a
+    * global sort: fr(v) = #{x < v} + (#{x = v} + 1)/2, computed as a
+    * cumulative window over the ≤64 distinct values each of these
+    * columns takes, then broadcast-joined back onto the scan. That is
+    * the scale-safe construction for discrete columns — the corpus-wide
+    * work is three map-side-combined frequency aggregates and three
+    * broadcast joins, no total sort, no single-partition rank window
+    * (continuous columns would get q144's percent_rank or binning
+    * treatment instead). Ranks are exact integer-derived rationals, so
+    * the final Pearson-on-ranks co-moments match DuckDB bit-for-bit
+    * before the round(4).
+    */
+  def spearmanCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+      .select($"l_quantity", $"l_discount", $"l_tax")
+    def ranks(c: String): DataFrame = {
+      val freq = li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      freq
+        .withColumn("cum", sum($"cnt").over(
+          Window.orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col(c),
+          (($"cum" - $"cnt") + ($"cnt" + 1) / lit(2.0)).as(s"fr_$c"))
+    }
+    val ranked = li
+      .join(broadcast(ranks("l_quantity")), Seq("l_quantity"))
+      .join(broadcast(ranks("l_discount")), Seq("l_discount"))
+      .join(broadcast(ranks("l_tax")), Seq("l_tax"))
+    ranked.agg(
+      round(corr($"fr_l_quantity", $"fr_l_discount"), 4).as("rho_qty_disc"),
+      round(corr($"fr_l_quantity", $"fr_l_tax"), 4).as("rho_qty_tax"),
+      round(corr($"fr_l_discount", $"fr_l_tax"), 4).as("rho_disc_tax"),
+      round(corr($"l_quantity", $"l_discount"), 4).as("pearson_qty_disc"))
+  }
+
+  /** Benford leading-digit audit of order totals (q150): the fraud/
+    * data-quality screen comparing the observed first-digit distribution
+    * of o_totalprice against Benford's law p(d) = log10(1 + 1/d), with
+    * each digit's chi-square contribution. The digit comes from the
+    * DECIMAL string of floor(price) — integer-exact on both engines
+    * (double→int casts round differently between Spark and DuckDB, so
+    * the floor is explicit). One map-side-combined 9-group aggregate
+    * over the scan; the expected-share join is a 9-row literal grid.
+    */
+  def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = t(spark, dir, "orders")
+      .filter($"o_totalprice" > 0)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum($"n").as("total"))
+    digits.crossJoin(broadcast(total))
+      .select($"digit", $"n",
+        round($"n".cast("double") / $"total", 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / $"digit"), 6).as("benford"),
+        round(pow($"n" - $"total" * log10(lit(1.0) + lit(1.0) / $"digit"), 2)
+          / ($"total" * log10(lit(1.0) + lit(1.0) / $"digit")), 4).as("chi2"))
+  }
+
+  /** Slowly-changing-dimension (type 2) history build over each
+    * customer's order-priority stream (q151): collapse consecutive
+    * same-priority runs into [valid_from, valid_to) versions — lag() to
+    * find change points, lead() on the changes to close each interval —
+    * then audit per customer: version count, closed-version day span,
+    * first/last priority. The warehouse op that turns an event log into
+    * a dimension table; the per-customer audit keeps the output
+    * customer-sized while its sums depend on every interval bound.
+    * One customer-keyed window shuffle; both window passes and the
+    * final aggregate share the same partitioning, and dates are
+    * epoch-day integers (exact on both engines).
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"d", $"o_orderkey")
+    val orders = t(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("d"))
+    val changes = orders
+      .withColumn("prev", lag($"o_orderpriority", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+      .withColumn("valid_to", lead($"d", 1).over(w))
+    changes
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when($"valid_to".isNotNull, $"valid_to" - $"d")).as("closed_days"),
+        // scalar (d, orderkey) key: list/struct ordering semantics differ
+        // across engines; the packed integer (epoch-day ≪ 44 | orderkey,
+        // orderkey < 2^44 at any plausible SF) compares identically
+        min_by($"o_orderpriority", $"d" * lit(1L << 44) + $"o_orderkey")
+          .as("first_priority"),
+        max_by($"o_orderpriority", $"d" * lit(1L << 44) + $"o_orderkey")
+          .as("current_priority"))
+      .select($"o_custkey", $"n_versions",
+        coalesce($"closed_days", lit(0L)).as("closed_days"),
+        $"first_priority", $"current_priority")
+  }
 }

@@ -150,4 +150,67 @@ class RelationalSuiteSpec extends AnyFunSuite {
     for (w <- wide; m <- Seq("n_docs", "total_chars", "avg_chars"))
       assert(long((w.getString(0), m)) == w.getAs[Double](m), s"${w.getString(0)}/$m")
   }
+
+  test("spearman: bounded in [-1,1]; midrank construction matches a driver-side recompute") {
+    val r = Relational.spearmanCorrelation(spark, sf).collect()(0)
+    for (c <- Seq("rho_qty_disc", "rho_qty_tax", "rho_disc_tax"))
+      assert(math.abs(r.getAs[Double](c)) <= 1.0, c)
+    // independent driver-side Spearman on (quantity, discount)
+    val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_quantity", $"l_discount").collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    def midranks(xs: Array[Double]): Map[Double, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val lt = sorted.count(_ < v); val eq = sorted.count(_ == v)
+        v -> (lt + (eq + 1) / 2.0)
+      }.toMap
+    }
+    val rx = midranks(pairs.map(_._1)); val ry = midranks(pairs.map(_._2))
+    val xs = pairs.map(p => rx(p._1)); val ys = pairs.map(p => ry(p._2))
+    val n = xs.length
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val rho = cov / math.sqrt(
+      xs.map(a => (a - mx) * (a - mx)).sum * ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(r.getAs[Double]("rho_qty_disc") - rho) < 1e-3)
+  }
+
+  test("benford: digits are 1..9, observed shares partition the order count") {
+    val rows = Relational.benfordPrices(spark, sf).collect()
+    val digits = rows.map(_.getAs[Long]("digit")).toSet
+    assert(digits.subsetOf((1L to 9L).toSet) && digits.nonEmpty)
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
+    // Benford expectations themselves sum to 1 over the full digit set
+    if (digits == (1L to 9L).toSet)
+      assert(math.abs(rows.map(_.getAs[Double]("benford")).sum - 1.0) < 1e-4)
+    for (r <- rows) assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("scd2: versions bound order counts; closed days span first to last change") {
+    val rows = Relational.scd2History(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("d"))
+      .collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    assert(rows.length == orders.size)
+    for (r <- rows) {
+      val cust = r.getAs[Long]("o_custkey")
+      val hist = orders(cust).sortBy(x => (x.getAs[Int]("d"), x.getAs[Long]("o_orderkey")))
+      val prios = hist.map(_.getAs[String]("o_orderpriority"))
+      // independent change-point count on the driver
+      val nVersions = 1 + prios.sliding(2).count(w => w.length == 2 && w(0) != w(1))
+      assert(r.getAs[Long]("n_versions") == nVersions, s"cust $cust")
+      assert(r.getAs[String]("current_priority") == prios.last, s"cust $cust")
+      assert(r.getAs[String]("first_priority") == prios.head, s"cust $cust")
+      // closed intervals tile [first change, last change]
+      val changeDays = prios.zip(hist.map(_.getAs[Int]("d"))).foldLeft(List.empty[(String, Int)]) {
+        case (acc, (p, d)) => if (acc.headOption.exists(_._1 == p)) acc else (p, d) :: acc
+      }.reverse.map(_._2)
+      val expectedClosed = if (changeDays.length < 2) 0L else (changeDays.last - changeDays.head).toLong
+      assert(r.getAs[Long]("closed_days") == expectedClosed, s"cust $cust")
+    }
+  }
 }

@@ -367,6 +367,12 @@ object SparkEntry {
     // SCD type-2 version build over order-priority streams
     "q151_scd2_history" -> ((s: SparkSession, d: String) =>
       Relational.scd2History(s, d)),
+    // zero-shuffle per-doc token entropy via sorted-run fold
+    "q152_token_entropy" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenEntropy(s, d)),
+    // exact two-sample KS drift, first vs second half
+    "q153_ks_drift" -> ((s: SparkSession, d: String) =>
+      Series.ksDrift(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2840,5 +2846,46 @@ object SparkEntry {
         | max_by(o_orderpriority, d * 17592186044416 + o_orderkey)
         |   AS current_priority
         |FROM iv GROUP BY 1""".stripMargin,
+    // q152: the oracle derives per-doc counts the explode-and-group way,
+    // value-checking the sorted-run fold against an independent
+    // construction; ln summation order differs → round(4)
+    "q152_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | round(ln(CAST(sum(c) AS DOUBLE))
+        |   - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy,
+        | CASE WHEN count(*) > 1 THEN
+        |   round((ln(CAST(sum(c) AS DOUBLE))
+        |     - sum(c * ln(CAST(c AS DOUBLE))) / sum(c))
+        |    / ln(CAST(count(*) AS DOUBLE)), 6) END AS norm_entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
+    // q153: CDFs are exact integer cumsums divided once — identical
+    // doubles on both engines before the round
+    "q153_ks_drift" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |            value FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |h AS (SELECT event_type, day <= (lo + hi) // 2 AS first_half, value
+        |      FROM e, b),
+        |c AS (SELECT event_type, value,
+        |       CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |       CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |      FROM h GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |       abs(CAST(sum(ca) OVER w AS DOUBLE)
+        |           / sum(ca) OVER (PARTITION BY event_type)
+        |         - CAST(sum(cb) OVER w AS DOUBLE)
+        |           / sum(cb) OVER (PARTITION BY event_type)) AS gap,
+        |       sum(ca) OVER (PARTITION BY event_type) AS na,
+        |       sum(cb) OVER (PARTITION BY event_type) AS nb
+        |      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_first,
+        | CAST(max(nb) AS BIGINT) AS n_second,
+        | round(max(gap), 6) AS ks_stat
+        |FROM g GROUP BY 1""".stripMargin,
   )
 }

@@ -290,4 +290,44 @@ object Series {
       .agg(first($"na").as("n_first"), first($"nb").as("n_second"),
         round(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift per event type (q153):
+    * sup |F_first(v) − F_second(v)| between the value distributions of
+    * the first and second halves of the time range — q126's PSI without
+    * the binning approximation: sensitive to ANY distributional change,
+    * not just mass moving between 10 fixed bins. The halves share q126's
+    * integer midpoint split. CDFs are cumulative windows over the
+    * per-(type, value) count table — exact integer sums divided once, so
+    * both engines produce identical doubles before the round(6).
+    *
+    * Scale: the corpus-sized work is one map-side-combined
+    * (type, value) count; the cumulative pass runs over DISTINCT values
+    * per type, which exact KS irreducibly needs sorted — at 100 TB
+    * either accept that per-type range-sort or fall back to q126's
+    * binned drift (the approximate twin in this battery).
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_type", expr(s"ts div $dayNs").as("day"), $"value")
+    val bounds = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .select($"event_type",
+        ($"day" <= expr("(lo + hi) div 2")).as("first_half"), $"value")
+      .groupBy($"event_type", $"value")
+      .agg(sum(when($"first_half", 1L).otherwise(0L)).as("ca"),
+        sum(when($"first_half", 0L).otherwise(1L)).as("cb"))
+    val byVal = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy($"event_type")
+    counts
+      .withColumn("na", sum($"ca").over(whole))
+      .withColumn("nb", sum($"cb").over(whole))
+      .withColumn("gap", abs(
+        sum($"ca").over(byVal).cast("double") / $"na" -
+          sum($"cb").over(byVal).cast("double") / $"nb"))
+      .groupBy($"event_type")
+      .agg(first($"na").as("n_first"), first($"nb").as("n_second"),
+        round(max($"gap"), 6).as("ks_stat"))
+  }
 }

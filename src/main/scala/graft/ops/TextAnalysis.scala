@@ -1150,4 +1150,43 @@ object TextAnalysis {
         sum($"n_terms").as("n_term_matches"),
         sum($"redacted_chars").as("n_redacted_chars"))
   }
+
+  /** Per-document Shannon entropy of the token distribution (q152) — the
+    * information-density quality signal (low entropy = repetitive/
+    * boilerplate text, the q52 ratio's principled cousin). Computed with
+    * ZERO shuffles: sort each doc's token array and fold it once,
+    * accumulating run lengths and Σ c·ln c as runs close — entropy =
+    * ln n − (Σ c·ln c)/n falls out of the final accumulator, all inside
+    * the scan projection. No (doc, token) explode, no corpus-sized
+    * aggregation; the plan is a pure narrow map at any scale. The
+    * oracle recomputes per-doc counts the explode-and-group way, so the
+    * run-length fold is value-checked against an independent
+    * construction (summation order differs → round(4)).
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", array_sort(toks).as("t"))
+      .select($"doc_id", expr(
+        """aggregate(
+          |  t,
+          |  named_struct('prev', cast(null as string), 'run', 0L,
+          |    'n', 0L, 'types', 0L, 's', 0.0d),
+          |  (acc, x) -> if(acc.prev is null or x != acc.prev,
+          |    named_struct('prev', x, 'run', 1L, 'n', acc.n + 1L,
+          |      'types', acc.types + 1L,
+          |      's', acc.s + if(acc.run > 1L,
+          |        acc.run * ln(cast(acc.run as double)), 0.0d)),
+          |    named_struct('prev', x, 'run', acc.run + 1L, 'n', acc.n + 1L,
+          |      'types', acc.types, 's', acc.s)),
+          |  acc -> named_struct('n', acc.n, 'types', acc.types,
+          |    's', acc.s + if(acc.run > 1L,
+          |      acc.run * ln(cast(acc.run as double)), 0.0d)))
+          |""".stripMargin).as("e"))
+      .select($"doc_id", $"e.n".as("n_tokens"), $"e.types".as("n_types"),
+        round(log($"e.n".cast("double")) - $"e.s" / $"e.n", 4).as("entropy"),
+        when($"e.types" > 1,
+          round((log($"e.n".cast("double")) - $"e.s" / $"e.n")
+            / log($"e.types".cast("double")), 6)).as("norm_entropy"))
+  }
 }

@@ -120,4 +120,35 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(got.map(_.getAs[Long]("bucket")).distinct.length == got.length)
   }
+
+  test("tokenEntropy: run-length fold matches closed forms and a naive recompute") {
+    val tmp = docsFixture(Seq(
+      (1L, "a a a a", "en", "s"),          // all same → entropy 0
+      (2L, "a b c d", "en", "s"),          // uniform over 4 → ln 4
+      (3L, "a a b", "en", "s"),            // 2/3, 1/3 mix
+      (4L, "x", "en", "s")))               // single token → 0, norm null
+    try {
+      val r = Mapped(TextAnalysis.tokenEntropy(spark, tmp))
+      assert(r(1L)._3 == 0.0)
+      assert(math.abs(r(2L)._3 - math.log(4)) < 1e-4)
+      val expected3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+      assert(math.abs(r(3L)._3 - expected3) < 1e-4)
+      assert(r(3L)._1 == 3L && r(3L)._2 == 2L)
+      assert(r(4L)._3 == 0.0 && r(4L)._4.isEmpty)
+      // normalized entropy: uniform doc hits exactly 1
+      assert(math.abs(r(2L)._4.get - 1.0) < 1e-6)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+    // corpus-wide invariants at sf0.001: 0 ≤ H ≤ ln(types) + eps
+    for (x <- TextAnalysis.tokenEntropy(spark, sf).collect()) {
+      val h = x.getAs[Double]("entropy")
+      val types = x.getAs[Long]("n_types")
+      assert(h >= 0.0 && h <= math.log(types.toDouble) + 1e-4, s"doc ${x.getLong(0)}")
+    }
+  }
+
+  private def Mapped(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Double, Option[Double])] =
+    df.collect().map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getDouble(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
 }

@@ -137,4 +137,27 @@ class SeriesOpsSpec extends AnyFunSuite {
       assert(halves == Set(("flat", 10L, 10L), ("shift", 10L, 10L)))
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
+
+  test("ksDrift: identical halves score 0; disjoint supports score 1; bounded in [0,1]") {
+    // flat: identical value multisets in both halves → KS 0;
+    // jump: first half values in [0,1), second in [10,11) → KS 1
+    val flat = (0 until 20).map(i =>
+      (i.toLong, i * dayNs, 1L, "flat", (i % 5).toDouble))
+    val jump = (0 until 20).map(i =>
+      (100L + i, i * dayNs, 1L, "jump",
+        if (i < 10) (i % 5).toDouble else 10.0 + (i % 5)))
+    val tmp = eventsFixture(flat ++ jump)
+    try {
+      val r = Series.ksDrift(spark, tmp).collect()
+        .map(x => x.getString(0) -> x.getDouble(3)).toMap
+      assert(r("flat") == 0.0, s"flat KS: ${r("flat")}")
+      assert(r("jump") == 1.0, s"jump KS: ${r("jump")}")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+    val real = Series.ksDrift(spark, sf).collect()
+    for (x <- real) {
+      val ks = x.getDouble(3)
+      assert(ks >= 0.0 && ks <= 1.0)
+      assert(x.getLong(1) > 0 && x.getLong(2) > 0)
+    }
+  }
 }

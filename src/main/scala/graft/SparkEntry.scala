@@ -373,6 +373,12 @@ object SparkEntry {
     // exact two-sample KS drift, first vs second half
     "q153_ks_drift" -> ((s: SparkSession, d: String) =>
       Series.ksDrift(s, d)),
+    // integer-exact size-weighted systematic sampling per source
+    "q154_weighted_sample" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.weightedSystematicSample(s, d)),
+    // Gini coefficient of token-frequency concentration per source
+    "q155_vocab_gini" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabGini(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2887,5 +2893,35 @@ object SparkEntry {
         | CAST(max(nb) AS BIGINT) AS n_second,
         | round(max(gap), 6) AS ks_stat
         |FROM g GROUP BY 1""".stripMargin,
+    // q154: pure integer floor-division arithmetic — both engines pick
+    // identical docs with identical multiplicities, no FP keys
+    "q154_weighted_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |            CAST(length(text) AS BIGINT) AS wt FROM documents),
+        |c AS (SELECT source, doc_id, wt,
+        |       sum(wt) OVER (PARTITION BY source ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |       sum(wt) OVER (PARTITION BY source) AS total
+        |      FROM d)
+        |SELECT source, doc_id, wt, CAST(cum AS BIGINT) AS cum,
+        | CAST((cum * 20) // total - ((cum - wt) * 20) // total AS BIGINT)
+        |   AS n_picks
+        |FROM c
+        |WHERE (cum * 20) // total - ((cum - wt) * 20) // total > 0""".stripMargin,
+    // q155: every Gini term is an exact integer sum; one double division
+    // at the end (tie-invariant, so the row_number tie-break is free)
+    "q155_vocab_gini" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+        |      FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, f,
+        |       row_number() OVER (PARTITION BY source ORDER BY f, tok) AS i
+        |      FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(sum(f) AS BIGINT) AS n_tokens,
+        | round(2.0 * sum(i * f) / (count(*) * sum(f))
+        |   - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r GROUP BY 1""".stripMargin,
   )
 }

@@ -600,4 +600,35 @@ object PipelinePrep {
         round(avg($"n_chars"), 4).as("avg_chars"),
         min($"bucket").as("lo_bucket"), max($"bucket").as("hi_bucket"))
   }
+
+  /** Size-weighted systematic sampling per source (q154): k picks per
+    * source, each doc drawn with multiplicity proportional to its
+    * character weight — the deterministic "sample tokens, not documents"
+    * primitive for assembling a training mix where a 10× longer doc
+    * should be 10× as likely per pick. A doc is picked n times where n =
+    * ⌊cum·k/W⌋ − ⌊(cum−w)·k/W⌋ (cum = running weight in doc_id order, W
+    * = source total): the classic systematic estimator, EXACT-integer on
+    * both engines — no pow/ln keys whose libm ulps could flip a
+    * boundary pick (the Efraimidis–Spirakis trap for cross-engine
+    * determinism). Per-source picks sum to k by telescoping, which the
+    * spec asserts. One source-partitioned window over the doc-weight
+    * table; no corpus-sized sort, no driver state. The packed products
+    * stay under 2^63 for any per-source corpus below ~9·10^18/k chars;
+    * beyond that, widen to DECIMAL or sample within sub-shards.
+    */
+  def weightedSystematicSample(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy($"source")
+    docs(spark, dir)
+      .select($"source", $"doc_id", length($"text").cast("long").as("wt"))
+      .withColumn("cum", sum($"wt").over(w))
+      .withColumn("total", sum($"wt").over(whole))
+      .withColumn("n_picks",
+        expr(s"(cum * $k) div total - ((cum - wt) * $k) div total"))
+      .filter($"n_picks" > 0)
+      .select($"source", $"doc_id", $"wt", $"cum", $"n_picks")
+  }
 }

@@ -1189,4 +1189,31 @@ object TextAnalysis {
           round((log($"e.n".cast("double")) - $"e.s" / $"e.n")
             / log($"e.types".cast("double")), 6)).as("norm_entropy"))
   }
+
+  /** Vocabulary concentration per source (q155): the Gini coefficient of
+    * each source's token-frequency distribution — 0 = every type equally
+    * frequent, →1 = a few types dominate. Complements q119's Zipf curve
+    * (shape of the head) with a single inequality number a curation
+    * dashboard can threshold. Gini = 2·Σᵢ i·fᵢ / (n·Σf) − (n+1)/n over
+    * frequencies sorted ascending (ties broken by token so the rank
+    * assignment — though not the Gini value, which is tie-invariant — is
+    * deterministic). Every term is an exact integer sum; one double
+    * division at the end. The corpus-sized work is the map-side-combined
+    * (source, token) count; the rank window runs over each source's
+    * VOCABULARY (Heaps-law-bounded), not its token stream.
+    */
+  def vocabGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = docs(spark, dir)
+      .select($"source", explode(toks).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("i", row_number().over(
+      Window.partitionBy($"source").orderBy($"f", $"tok")))
+    ranked.groupBy($"source")
+      .agg(count(lit(1)).as("n_types"), sum($"f").as("n_tokens"),
+        sum($"i" * $"f").as("sif"))
+      .select($"source", $"n_types", $"n_tokens",
+        round(lit(2.0) * $"sif" / ($"n_types" * $"n_tokens")
+          - ($"n_types" + lit(1.0)) / $"n_types", 6).as("gini"))
+  }
 }

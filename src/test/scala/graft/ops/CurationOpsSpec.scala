@@ -151,4 +151,22 @@ class CurationOpsSpec extends AnyFunSuite {
     df.collect().map(x => x.getLong(0) ->
       (x.getLong(1), x.getLong(2), x.getDouble(3),
         if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+
+  test("vocabGini: uniform frequencies score 0; extreme skew approaches 1; bounded") {
+    val tmp = docsFixture(Seq(
+      (1L, "a b c d", "en", "flat"),       // every type once → gini 0
+      (2L, ("x " * 99).trim + " y", "en", "skew"))) // 99 vs 1
+    try {
+      val g = TextAnalysis.vocabGini(spark, tmp).collect()
+        .map(x => x.getString(0) -> x.getAs[Double]("gini")).toMap
+      assert(g("flat") == 0.0)
+      // two types, f = (1, 99): gini = 2*(1*1+2*99)/(2*100) - 3/2 = 0.49
+      assert(math.abs(g("skew") - 0.49) < 1e-9)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+    for (x <- TextAnalysis.vocabGini(spark, sf).collect()) {
+      val gini = x.getAs[Double]("gini")
+      assert(gini >= 0.0 && gini < 1.0, s"source ${x.getString(0)}")
+      assert(x.getAs[Long]("n_tokens") >= x.getAs[Long]("n_types"))
+    }
+  }
 }

@@ -141,4 +141,28 @@ class PipelinePrepSpec extends AnyFunSuite {
     })
     assert(out.forall(_.getAs[Double]("centroid_norm") >= 0.0))
   }
+
+  test("weightedSystematicSample: picks telescope to exactly k per source; weights dominate") {
+    val rows = PipelinePrep.weightedSystematicSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // telescoping: Σ n_picks per source = ⌊W·k/W⌋ − ⌊0⌋ = k
+    for ((src, rs) <- rows.groupBy(_.getString(0)))
+      assert(rs.map(_.getAs[Long]("n_picks")).sum == 20L, s"source $src")
+    assert(rows.forall(_.getAs[Long]("n_picks") >= 1))
+    // a doc holding over 2/k of its source's weight must be picked ≥ 2
+    // times wherever it lands (n_picks ≥ ⌊wt·k/W⌋ for any alignment)
+    val tmp = java.nio.file.Files.createTempDirectory("wsys").toString
+    try {
+      import spark.implicits._
+      (Seq((1L, "x" * 900, "en", "s"), (2L, "y" * 50, "en", "s"),
+        (3L, "z" * 50, "en", "s"))).map { case (id, t, l, s0) =>
+        (id, t, l, s0, t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+      val r = PipelinePrep.weightedSystematicSample(spark, tmp)
+        .collect().map(x => x.getLong(1) -> x.getAs[Long]("n_picks")).toMap
+      assert(r(1L) >= 18, s"900/1000 weight doc got ${r(1L)}/20 picks")
+      assert(r.values.sum == 20L)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
 }

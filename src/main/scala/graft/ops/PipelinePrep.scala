@@ -623,11 +623,16 @@ object PipelinePrep {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy($"source")
     docs(spark, dir)
-      .select($"source", $"doc_id", length($"text").cast("long").as("wt"))
+      .select($"source", $"doc_id",
+        coalesce(length($"text").cast("long"), lit(0L)).as("wt"))
       .withColumn("cum", sum($"wt").over(w))
       .withColumn("total", sum($"wt").over(whole))
+      // degenerate all-empty source: total weight 0 picks nothing (the
+      // guard never fires on a corpus with any non-empty text, so the
+      // oracle keeps the unguarded formula)
       .withColumn("n_picks",
-        expr(s"(cum * $k) div total - ((cum - wt) * $k) div total"))
+        expr(s"if(total > 0, (cum * $k) div total" +
+          s" - ((cum - wt) * $k) div total, 0L)"))
       .filter($"n_picks" > 0)
       .select($"source", $"doc_id", $"wt", $"cum", $"n_picks")
   }

@@ -228,6 +228,18 @@ class OpsSpec extends AnyFunSuite {
     "q147_cms_topk" -> Set("tok", "n_exact", "never_undercounts",
       "within_eps"),
     "q148_prefix_join" -> Set("doc_a", "doc_b", "common", "jaccard"),
+    "q149_spearman_corr" -> Set("rho_qty_disc", "rho_qty_tax",
+      "rho_disc_tax", "pearson_qty_disc"),
+    "q150_benford_prices" -> Set("digit", "n", "observed", "benford",
+      "chi2"),
+    "q151_scd2_history" -> Set("o_custkey", "n_versions", "closed_days",
+      "first_priority", "current_priority"),
+    "q152_token_entropy" -> Set("doc_id", "n_tokens", "n_types",
+      "entropy", "norm_entropy"),
+    "q153_ks_drift" -> Set("event_type", "n_first", "n_second", "ks_stat"),
+    "q154_weighted_sample" -> Set("source", "doc_id", "wt", "cum",
+      "n_picks"),
+    "q155_vocab_gini" -> Set("source", "n_types", "n_tokens", "gini"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

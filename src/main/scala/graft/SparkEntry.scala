@@ -379,6 +379,21 @@ object SparkEntry {
     // Gini coefficient of token-frequency concentration per source
     "q155_vocab_gini" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabGini(s, d)),
+    // overlapping-interval union per customer (running max-of-ends)
+    "q156_interval_merge" -> ((s: SparkSession, d: String) =>
+      Relational.intervalMerge(s, d)),
+    // exact per-user modal event type, deterministic tie-break
+    "q157_event_mode" -> ((s: SparkSession, d: String) =>
+      Sessionize.eventTypeMode(s, d)),
+    // lang × source mutual-information / chi-square dependence audit
+    "q158_mi_lang_source" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langSourceMI(s, d)),
+    // token-weighted length quartiles per source (integer-exact)
+    "q159_weighted_median" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.weightedMedianLength(s, d)),
+    // daily first-seen payload novelty curve with cumulative distinct
+    "q160_novelty_curve" -> ((s: SparkSession, d: String) =>
+      Series.noveltyCurve(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -2923,5 +2938,102 @@ object SparkEntry {
         | round(2.0 * sum(i * f) / (count(*) * sum(f))
         |   - (count(*) + 1.0) / count(*), 6) AS gini
         |FROM r GROUP BY 1""".stripMargin,
+    // q156: same running max-of-ends island construction; epoch-day
+    // integers end-to-end, so island bounds are exact on both engines
+    "q156_interval_merge" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |            CAST(date_diff('day', DATE '1970-01-01',
+        |              CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |           FROM orders),
+        |w AS (SELECT o_custkey, o_orderkey, d, d + 7 AS fin FROM o),
+        |m AS (SELECT *, max(fin) OVER (PARTITION BY o_custkey
+        |        ORDER BY d, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS meb
+        |      FROM w),
+        |i AS (SELECT *, sum(CASE WHEN meb IS NULL OR d > meb
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY o_custkey
+        |        ORDER BY d, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM m),
+        |g AS (SELECT o_custkey, island, min(d) AS s, max(fin) AS f,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM i GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(f - s) AS BIGINT) AS covered_days,
+        | CAST(max(f - s) AS BIGINT) AS longest_island_days,
+        | CAST(sum(n_orders) AS BIGINT) AS n_orders
+        |FROM g GROUP BY 1""".stripMargin,
+    // q157: identical (cnt DESC, type ASC) row_number tie-break — the
+    // pick is deterministic on both engines, no arg_max ambiguity
+    "q157_event_mode" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |            CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY cnt DESC, event_type) AS rn,
+        |       CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT)
+        |         AS n_events,
+        |       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |         AS n_types
+        |      FROM c)
+        |SELECT user_id, event_type AS modal_type, cnt AS n_modal,
+        | n_events, n_types,
+        | round(CAST(cnt AS DOUBLE) / n_events, 6) AS modal_share
+        |FROM r WHERE rn = 1""".stripMargin,
+    // q158: marginals are exact integer window sums over the cell
+    // table; both engines build identical doubles before the rounds
+    "q158_mi_lang_source" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |e AS (SELECT *,
+        |       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+        |       CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_source,
+        |       CAST(sum(n) OVER () AS BIGINT) AS total FROM c)
+        |SELECT lang, source, n,
+        | round(n_lang * n_source / CAST(total AS DOUBLE), 6) AS expected,
+        | round(ln(n * total / CAST(n_lang * n_source AS DOUBLE)), 6) AS pmi,
+        | round((n / CAST(total AS DOUBLE))
+        |   * ln(n * total / CAST(n_lang * n_source AS DOUBLE)), 6)
+        |   AS mi_contrib,
+        | round(pow(n - n_lang * n_source / CAST(total AS DOUBLE), 2)
+        |   / (n_lang * n_source / CAST(total AS DOUBLE)), 4) AS chi2
+        |FROM e""".stripMargin,
+    // q159: all-integer m·cum ≥ q·W quartile comparisons — no FP rank
+    // interpolation for the engines to disagree on
+    "q159_weighted_median" ->
+      """WITH d AS (SELECT source, doc_id,
+        |            CAST(length(text) AS BIGINT) AS v,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+        |           FROM documents),
+        |c AS (SELECT *, sum(wt) OVER (PARTITION BY source ORDER BY v, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |       sum(wt) OVER (PARTITION BY source) AS total FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(total) AS BIGINT) AS n_tokens,
+        | CAST(min(CASE WHEN cum * 4 >= total THEN v END) AS BIGINT) AS w_p25,
+        | CAST(min(CASE WHEN cum * 2 >= total THEN v END) AS BIGINT)
+        |   AS w_median,
+        | CAST(min(CASE WHEN cum * 4 >= total * 3 THEN v END) AS BIGINT)
+        |   AS w_p75
+        |FROM c GROUP BY 1""".stripMargin,
+    // q160: first-seen day per payload is an exact min; the cumulative
+    // window is integer summation over the calendar-day table
+    "q160_novelty_curve" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, props
+        |           FROM events),
+        |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        |           CAST(count(DISTINCT props) AS BIGINT) AS n_distinct
+        |          FROM e GROUP BY 1),
+        |fs AS (SELECT props, min(day) AS day FROM e GROUP BY 1),
+        |novel AS (SELECT day, CAST(count(*) AS BIGINT) AS n_novel
+        |          FROM fs GROUP BY 1)
+        |SELECT d.day, d.n_events, d.n_distinct,
+        | CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+        | CAST(sum(coalesce(n.n_novel, 0)) OVER (ORDER BY d.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_distinct,
+        | round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / d.n_distinct, 6)
+        |   AS novelty_rate
+        |FROM daily d LEFT JOIN novel n ON d.day = n.day""".stripMargin,
   )
 }

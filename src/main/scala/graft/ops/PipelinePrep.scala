@@ -636,4 +636,34 @@ object PipelinePrep {
       .filter($"n_picks" > 0)
       .select($"source", $"doc_id", $"wt", $"cum", $"n_picks")
   }
+
+  /** Token-weighted length quartiles per source (q159): the weighted
+    * median (and p25/p75) of document length where each doc counts with
+    * its TOKEN weight — "the median token lives in a doc of this many
+    * chars", the statistic that tells a packing/truncation policy what a
+    * typical training token actually sees (a doc-median is dominated by
+    * the many short docs that contribute few tokens). Lower weighted
+    * quartile: smallest v with m·cumw(v) ≥ q·W — all-integer
+    * comparisons, so both engines pick identical docs (no FP rank
+    * interpolation). One source-partitioned window in (v, doc_id) order;
+    * the quartile extraction is a conditional min in the SAME
+    * source-keyed aggregate, so the op is one Exchange end-to-end.
+    */
+  def weightedMedianLength(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byLen = Window.partitionBy($"source").orderBy($"v", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select($"source", $"doc_id",
+        length($"text").cast("long").as("v"),
+        size(toks).cast("long").as("wt"))
+      .withColumn("cum", sum($"wt").over(byLen))
+      .withColumn("total", sum($"wt").over(Window.partitionBy($"source")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"total").as("n_tokens"),
+        min(when($"cum" * 4 >= $"total", $"v")).as("w_p25"),
+        min(when($"cum" * 2 >= $"total", $"v")).as("w_median"),
+        min(when($"cum" * 4 >= $"total" * 3, $"v")).as("w_p75"))
+  }
 }

@@ -633,4 +633,46 @@ object Relational {
         coalesce($"closed_days", lit(0L)).as("closed_days"),
         $"first_priority", $"current_priority")
   }
+
+  /** Overlapping-interval union per customer (q156): each order opens a
+    * 7-day activity window [d, d+7); overlapping or touching windows
+    * merge into coverage islands. This is true interval algebra — unlike
+    * the point-gap sessionization of q25, containment and chained
+    * overlap are handled by the running max-of-ends: a window starts a
+    * new island iff its start exceeds the max end of ALL earlier windows
+    * (not merely its predecessor's end). Island id = running count of
+    * such breaks; per-customer report = islands, covered days, longest
+    * island. Integer epoch-day arithmetic end-to-end.
+    *
+    * Scale: one shuffle on o_custkey; both window passes, the island
+    * grouping and the final per-customer aggregate all share that
+    * partitioning, so Catalyst plans a single Exchange. The windows run
+    * over each customer's own orders (bounded per key), never globally.
+    */
+  def intervalMerge(spark: SparkSession, dir: String,
+      spanDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val byCust = Window.partitionBy($"o_custkey").orderBy($"d", $"o_orderkey")
+    val orders = t(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01"))
+          .cast("long").as("d"))
+      .withColumn("fin", $"d" + spanDays)
+    val islands = orders
+      .withColumn("max_end_before",
+        max($"fin").over(byCust.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new", when($"max_end_before".isNull
+        || $"d" > $"max_end_before", 1L).otherwise(0L))
+      .withColumn("island", sum($"is_new").over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"o_custkey", $"island")
+      .agg(min($"d").as("start"), max($"fin").as("fin"),
+        count(lit(1)).as("n_orders"))
+    islands
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"fin" - $"start").as("covered_days"),
+        max($"fin" - $"start").as("longest_island_days"),
+        sum($"n_orders").as("n_orders"))
+  }
 }

@@ -330,4 +330,34 @@ object Series {
       .agg(first($"na").as("n_first"), first($"nb").as("n_second"),
         round(max($"gap"), 6).as("ks_stat"))
   }
+
+  /** Daily content-novelty curve (q160): per calendar day the event
+    * volume, distinct payload count, FIRST-SEEN payload count and the
+    * cumulative distinct total — the "is my crawl still finding new
+    * content or re-fetching the same pages" monitor. First-seen day per
+    * payload is one min() aggregate keyed by the payload itself (the
+    * same shape as exact dedup q13 — scales to any corpus); everything
+    * after runs on the DAY table. The cumulative window is ordered by
+    * day with no partition key — a calendar-bounded few-thousand-row
+    * frame, the same boundedness argument as q122's day grid, NOT a
+    * corpus-sized global sort.
+    */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select(expr(s"ts div $dayNs").as("day"), $"props")
+    val daily = ev.groupBy($"day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"props").as("n_distinct"))
+    val novel = ev.groupBy($"props").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_novel"))
+    daily.join(novel, Seq("day"), "left")
+      .withColumn("n_novel", coalesce($"n_novel", lit(0L)))
+      .withColumn("cum_distinct", sum($"n_novel").over(Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"day", $"n_events", $"n_distinct", $"n_novel",
+        $"cum_distinct",
+        round($"n_novel".cast("double") / $"n_distinct", 6)
+          .as("novelty_rate"))
+  }
 }

@@ -414,4 +414,30 @@ object Sessionize {
         round(stddev_samp($"n"), 6).as("std_n"))
       .withColumn("peak", $"avg_n" === max($"avg_n").over(byType))
   }
+
+  /** Exact per-user modal event type (q157): the most frequent type with
+    * a fully deterministic tie-break (highest count, then lexicographic
+    * smallest type), plus its share of the user's events. Mode is the
+    * one "simple" statistic SQL engines have no builtin for — the
+    * composition is a map-side-combined (user, type) count followed by a
+    * row_number window over each user's TYPE rows (bounded by the
+    * event-type vocabulary, not the event stream), so the heavy input
+    * shrinks before the window shuffle touches it.
+    */
+  def eventTypeMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val pick = Window.partitionBy($"user_id")
+      .orderBy($"cnt".desc, $"event_type")
+    counts
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_events", sum($"cnt").over(Window.partitionBy($"user_id")))
+      .withColumn("n_types", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("modal_type"),
+        $"cnt".as("n_modal"), $"n_events", $"n_types",
+        round($"cnt".cast("double") / $"n_events", 6).as("modal_share"))
+  }
 }

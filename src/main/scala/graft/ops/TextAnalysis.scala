@@ -1216,4 +1216,37 @@ object TextAnalysis {
         round(lit(2.0) * $"sif" / ($"n_types" * $"n_tokens")
           - ($"n_types" + lit(1.0)) / $"n_types", 6).as("gini"))
   }
+
+  /** Lang × source dependence audit (q158): per contingency cell the
+    * observed count, independence-expected count, pointwise mutual
+    * information and the cell's contributions to total MI and chi².
+    * The "is my language mix confounded with my crawl sources?" check a
+    * curation dashboard runs before per-source sampling decisions —
+    * corr() can't see it because both variables are categorical.
+    *
+    * Scale: the corpus-sized work is ONE map-side-combined (lang,
+    * source) count; marginals and the grand total are window sums over
+    * the CELL table (langs × sources rows — vocabulary-bounded, so the
+    * single-partition global window is a few-hundred-row driver-free
+    * reduction, the same boundedness argument as q118's profile).
+    */
+  def langSourceMI(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = docs(spark, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+    val enriched = cells
+      .withColumn("n_lang", sum($"n").over(Window.partitionBy($"lang")))
+      .withColumn("n_source", sum($"n").over(Window.partitionBy($"source")))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+    enriched.select($"lang", $"source", $"n",
+        round($"n_lang" * $"n_source" / $"total".cast("double"), 6)
+          .as("expected"),
+        round(log($"n" * $"total" / ($"n_lang" * $"n_source").cast("double")),
+          6).as("pmi"),
+        round(($"n" / $"total".cast("double")) *
+          log($"n" * $"total" / ($"n_lang" * $"n_source").cast("double")), 6)
+          .as("mi_contrib"),
+        round(pow($"n" - $"n_lang" * $"n_source" / $"total".cast("double"), 2)
+          / ($"n_lang" * $"n_source" / $"total".cast("double")), 4).as("chi2"))
+  }
 }

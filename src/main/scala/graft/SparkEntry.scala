@@ -394,6 +394,15 @@ object SparkEntry {
     // daily first-seen payload novelty curve with cumulative distinct
     "q160_novelty_curve" -> ((s: SparkSession, d: String) =>
       Series.noveltyCurve(s, d)),
+    // stationary distribution of the event-type Markov chain
+    "q161_markov_stationary" -> ((s: SparkSession, d: String) =>
+      Series.markovStationary(s, d)),
+    // TF-IDF cosine near-dup pairs via inverted-index partial products
+    "q162_tfidf_cosine_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.tfidfCosinePairs(s, d)),
+    // winsorized moments at exact rank-selected p05/p95 fences
+    "q163_winsorized_stats" -> ((s: SparkSession, d: String) =>
+      Series.winsorizedStats(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3035,5 +3044,95 @@ object SparkEntry {
         | round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / d.n_distinct, 6)
         |   AS novelty_rate
         |FROM daily d LEFT JOIN novel n ON d.day = n.day""".stripMargin,
+    // q161: the oracle replays the identical power iteration as
+    // generated CTE blocks (the q74 pattern); p is one exact-integer
+    // division, the ≤|states| per-round sums land inside round(6)
+    "q161_markov_stationary" -> markovOracleSql(20),
+    // q162: oracle keys grams by their raw strings (q66 hashed-gram
+    // pattern); threshold compares the SAME rounded cosine both sides
+    "q162_tfidf_cosine_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |        for i in range(1, len(t)-1)]) AS g FROM tok),
+        |tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+        |       FROM sh GROUP BY 1, 2),
+        |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, g, tf * ln(CAST(n_docs AS DOUBLE) / df) AS wt
+        |      FROM tf JOIN df USING (g), n),
+        |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY 1),
+        |d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       sum(a.wt * b.wt) AS dot, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared,
+        | round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |FROM d
+        | JOIN nrm na ON doc_a = na.doc_id
+        | JOIN nrm nb ON doc_b = nb.doc_id
+        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.6""".stripMargin,
+    // q163: clip fences are rank-SELECTED order statistics (integer rn
+    // comparisons), so both engines pin identical bounds; only the
+    // moments carry FP and they are rounded
+    "q163_winsorized_stats" ->
+      """WITH ev AS (SELECT event_type, event_id, value FROM events),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value, event_id) AS BIGINT) AS rn,
+        |       CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM ev),
+        |f AS (SELECT event_type, max(n) AS n,
+        |       min(CASE WHEN rn = n * 5 // 100 + 1 THEN value END) AS v_lo,
+        |       min(CASE WHEN rn = n * 95 // 100 THEN value END) AS v_hi
+        |      FROM r GROUP BY 1),
+        |c AS (SELECT ev.event_type, ev.value, f.n, f.v_lo, f.v_hi,
+        |       CASE WHEN ev.value < f.v_lo THEN f.v_lo
+        |            WHEN ev.value > f.v_hi THEN f.v_hi
+        |            ELSE ev.value END AS w
+        |      FROM ev JOIN f USING (event_type))
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        | min(v_lo) AS v_lo, min(v_hi) AS v_hi,
+        | round(avg(value), 6) AS mean_raw,
+        | round(avg(w), 6) AS mean_winsor,
+        | round(stddev_samp(w), 6) AS std_winsor,
+        | CAST(sum(CASE WHEN value < v_lo THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped_lo,
+        | CAST(sum(CASE WHEN value > v_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped_hi
+        |FROM c GROUP BY 1""".stripMargin,
   )
+
+  /** The q161 oracle replays the identical uniform-start power
+    * iteration over the same stochastic matrix (observed transition
+    * probabilities + explicit self-loops for source-less states), one
+    * generated CTE block per round — the q74 mechanical-CTE pattern.
+    */
+  private def markovOracleSql(iters: Int): String = {
+    val init =
+      """WITH pr AS (SELECT user_id, event_type,
+        |       lead(event_type) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) AS next_type
+        |      FROM events),
+        |cnt AS (SELECT event_type AS src, next_type AS dst,
+        |         CAST(count(*) AS BIGINT) AS n
+        |        FROM pr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |obs AS (SELECT src, dst,
+        |         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+        |        FROM cnt),
+        |s AS (SELECT DISTINCT event_type AS state FROM events),
+        |t AS (SELECT * FROM obs UNION ALL
+        |      SELECT state, state, 1.0 FROM s
+        |      WHERE state NOT IN (SELECT src FROM obs)),
+        |ns AS (SELECT count(*) AS c FROM s),
+        |d0 AS (SELECT state, 1.0 / c AS pi FROM s, ns)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |d$i AS (SELECT t.dst AS state, sum(t.p * d.pi) AS pi
+         |        FROM t JOIN d${i - 1} d ON t.src = d.state GROUP BY 1)""".stripMargin
+    }.mkString
+    init + steps +
+      s"""
+         |SELECT s.state, round(coalesce(d.pi, 0), 6) AS pi
+         |FROM s LEFT JOIN d$iters d USING (state)""".stripMargin
+  }
 }

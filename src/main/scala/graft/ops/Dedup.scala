@@ -942,4 +942,55 @@ object Dedup {
           .otherwise(round(lit(1.0) - $"edit_dist" / $"max_len".cast("double"), 6)))
       .filter($"sim" >= threshold)
   }
+
+  /** TF-IDF cosine near-dup pairs over 3-gram shingles (q162): the SOFT
+    * similarity twin of q16's set Jaccard — shingle multiplicity counts
+    * (tf) and corpus rarity weights (idf = ln N/df) both matter, so a
+    * pair sharing one rare boilerplate block scores higher than a pair
+    * sharing the corpus' commonest trigrams. cos(a,b) = Σ wₐw_b /
+    * (‖a‖‖b‖) computed the inverted-index way: partial products
+    * term-by-term (only terms the pair SHARES produce rows), summed per
+    * pair, normalized by the precomputed vector norms.
+    *
+    * Shingles are keyed by xxhash64 (8-byte join keys, the q66 hashed-
+    * gram pattern — the oracle keys by the raw strings; counts and df
+    * agree absent 64-bit collisions). The weight table is persisted: it
+    * feeds both join sides AND the norm aggregate, and recomputing the
+    * shingle explode three times would triple the dominant scan.
+    *
+    * Scale: pair work is Σ_term df², quadratic in per-shingle
+    * duplication — q16's documented hazard, and the same remedy applies
+    * verbatim: at 100 TB run exact-dedup first (q39) or band the pair
+    * space (q15/q51); idf even tells you which terms to drop (weight ≈ 0
+    * ⇒ pruning common terms changes nothing but the constant).
+    */
+  def tfidfCosinePairs(spark: SparkSession, dir: String,
+      minCos: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val tf = shingleRows(spark, dir)
+      .groupBy($"doc_id", xxhash64($"sh").as("g"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"g").agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val wts = tf.join(dfreq, "g")
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"g",
+        ($"tf" * log($"n_docs".cast("double") / $"df")).as("wt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val norms = wts.groupBy($"doc_id").agg(sqrt(sum($"wt" * $"wt")).as("nrm"))
+      val dots = wts.select($"g", $"doc_id".as("doc_a"), $"wt".as("wa"))
+        .join(wts.select($"g", $"doc_id".as("doc_b"), $"wt".as("wb")), Seq("g"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(sum($"wa" * $"wb").as("dot"), count(lit(1)).as("n_shared"))
+      dots
+        .join(norms.select($"doc_id".as("doc_a"), $"nrm".as("na")), Seq("doc_a"))
+        .join(norms.select($"doc_id".as("doc_b"), $"nrm".as("nb")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b", $"n_shared",
+          round($"dot" / ($"na" * $"nb"), 6).as("cosine"))
+        .filter($"cosine" >= minCos)
+        .localCheckpoint(true)
+    } finally wts.unpersist()
+  }
 }

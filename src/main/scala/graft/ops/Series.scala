@@ -360,4 +360,102 @@ object Series {
         round($"n_novel".cast("double") / $"n_distinct", 6)
           .as("novelty_rate"))
   }
+
+  /** Stationary distribution of the per-user event-type Markov chain
+    * (q161): where does a user's behavior settle long-run? Transition
+    * probabilities come from q129's (type → next type) counts; `iters`
+    * synchronous power-iteration rounds of πᵀ ← πᵀP from the uniform
+    * start. Types never observed as a transition SOURCE get an explicit
+    * self-loop so P stays stochastic (no silent mass leak); types with
+    * no INBOUND edges converge to π = 0 and are restored by the final
+    * left join.
+    *
+    * Scale: the corpus-sized work is the one user-partitioned lead()
+    * window building transition pairs (shared shape with q129); the
+    * iteration runs entirely on the states × states table — bounded by
+    * the event-type VOCABULARY, not the event stream — so all `iters`
+    * joins are broadcast-sized and run unbarriered in one job
+    * (pageRankKnn's fixed-iteration lineage argument). The transition
+    * table is persisted so the event scan happens once, not once per
+    * round; the states-sized result is eagerly checkpointed before the
+    * cache is released.
+    */
+  def markovStationary(spark: SparkSession, dir: String,
+      iters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("src"), $"next_type".as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val observed = counts
+      .withColumn("p", $"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"src")))
+      .select($"src", $"dst", $"p")
+    val states = events(spark, dir)
+      .select($"event_type".as("state")).distinct()
+    val selfLoops = states
+      .join(observed.select($"src").distinct(),
+        $"state" === $"src", "left_anti")
+      .select($"state".as("src"), $"state".as("dst"), lit(1.0).as("p"))
+    val trans = observed.unionByName(selfLoops)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded driver scalar: the state count (type vocabulary), the
+      // same pattern as pageRankKnn's node count
+      val nStates = states.count()
+      if (nStates == 0)
+        return states.select($"state", lit(0.0).as("pi"))
+      var dist = states.select($"state", lit(1.0 / nStates).as("pi"))
+      for (_ <- 1 to iters) {
+        dist = trans.join(dist, $"src" === $"state")
+          .groupBy($"dst").agg(sum($"p" * $"pi").as("pi"))
+          .withColumnRenamed("dst", "state")
+      }
+      states.join(dist, Seq("state"), "left")
+        .select($"state", round(coalesce($"pi", lit(0.0)), 6).as("pi"))
+        .localCheckpoint(true)
+    } finally trans.unpersist()
+  }
+
+  /** Winsorized moments per event type (q163): values clipped at the
+    * exact empirical p05/p95 ORDER STATISTICS — rank-selected, not
+    * interpolated, so both engines pick the identical clip bounds by
+    * integer comparison (rn == 5n÷100+1 and rn == 95n÷100 in (value,
+    * event_id) order) — then the clipped mean/std beside the raw mean
+    * and the clip counts. The robust-moments companion to q125's MAD
+    * screen: MAD flags outliers, winsorization measures what the
+    * distribution looks like with them pinned to the fences.
+    *
+    * Scale: one event_type-partitioned rank window (a per-type sort —
+    * the exact-order-statistic cost, same as q153's CDF; at 100 TB swap
+    * in approx quantile fences via q58's sketch and keep the rest), one
+    * broadcast of the per-type fence table, one map-side-combined
+    * moment aggregate.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type", $"event_id", $"value")
+    val byVal = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val fences = ev
+      .withColumn("rn", row_number().over(byVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        min(when($"rn" === expr("n * 5 div 100 + 1"), $"value")).as("v_lo"),
+        min(when($"rn" === expr("n * 95 div 100"), $"value")).as("v_hi"))
+    ev.join(broadcast(fences), "event_type")
+      .withColumn("w", when($"value" < $"v_lo", $"v_lo")
+        .when($"value" > $"v_hi", $"v_hi").otherwise($"value"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), first($"v_lo").as("v_lo"),
+        first($"v_hi").as("v_hi"),
+        round(avg($"value"), 6).as("mean_raw"),
+        round(avg($"w"), 6).as("mean_winsor"),
+        round(stddev_samp($"w"), 6).as("std_winsor"),
+        sum(when($"value" < $"v_lo", 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when($"value" > $"v_hi", 1L).otherwise(0L)).as("n_clipped_hi"))
+  }
 }

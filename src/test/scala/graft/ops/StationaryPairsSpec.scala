@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the q161-q163 batch: power-iteration convergence on
+  * hand-solvable chains (periodic two-cycle, absorbing dangler), TF-IDF
+  * cosine identity/disjointness on tiny corpora, and winsorized fences,
+  * clip counts and mean invariance on a symmetric fixture.
+  */
+class StationaryPairsSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def eventsFixture(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("markov").toString
+    rows.map { case (id, ts, u, et, v) => (id, ts, u, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  private def docsFixture(rows: Seq[(Long, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("cospairs").toString
+    rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("markovStationary: symmetric two-cycle settles at (0.5, 0.5)") {
+    // one user alternating a,b,a,b,... → P(a→b)=P(b→a)=1; uniform start
+    // (0.5, 0.5) is already stationary despite the period-2 chain
+    val tmp = eventsFixture((1L to 8L).map(i =>
+      (i, i, 1L, if (i % 2 == 1) "a" else "b", 1.0)))
+    try {
+      val r = Series.markovStationary(spark, tmp)
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      assert(r("a") == 0.5 && r("b") == 0.5)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("markovStationary: dangling state self-loops and absorbs all mass") {
+    // a→b observed once; b never appears as a source → explicit self-loop
+    // → b is absorbing: π = (0, 1) after the very first iteration
+    val tmp = eventsFixture(Seq(
+      (1L, 1L, 1L, "a", 1.0), (2L, 2L, 1L, "b", 1.0)))
+    try {
+      val r = Series.markovStationary(spark, tmp)
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      assert(r("a") == 0.0 && r("b") == 1.0)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("tfidfCosinePairs: identical docs score 1.0, shingle-disjoint docs never pair") {
+    val tmp = docsFixture(Seq(
+      (1L, "spark table scan filter join"),
+      (2L, "spark table scan filter join"),
+      (3L, "totally different words here now")))
+    try {
+      val rows = Dedup.tfidfCosinePairs(spark, tmp).collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("doc_a") == 1L)
+      assert(rows(0).getAs[Long]("doc_b") == 2L)
+      assert(rows(0).getAs[Double]("cosine") == 1.0)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("tfidfCosinePairs: rare shared shingles outweigh common ones") {
+    // docs 1,2 share a shingle that appears in EVERY doc (idf = ln(1) = 0
+    // → weight 0) plus nothing else → dot = 0 → no pair emitted
+    val tmp = docsFixture(Seq(
+      (1L, "common run of words aaa"),
+      (2L, "common run of words bbb"),
+      (3L, "common run of words ccc"),
+      (4L, "common run of words ddd")))
+    try {
+      // every pair shares only shingles present in all 4 docs ("common
+      // run of", "run of words") with idf 0, or nothing; the per-doc
+      // unique tail shingles never match → all cosines are NaN-free 0
+      val rows = Dedup.tfidfCosinePairs(spark, tmp).collect()
+      assert(rows.isEmpty)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("winsorizedStats pins rank fences, clip counts, and a symmetric mean") {
+    // n=20 values 1..20: lo rank = 20·5÷100+1 = 2 → v_lo=2; hi rank =
+    // 20·95÷100 = 19 → v_hi=19; one clip each side, and winsorizing a
+    // symmetric sample must not move the mean (10.5)
+    val tmp = eventsFixture((1L to 20L).map(i => (i, i, 1L, "e", i.toDouble)))
+    try {
+      val r = Series.winsorizedStats(spark, tmp).collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("n") == 20L)
+      assert(r(0).getAs[Double]("v_lo") == 2.0)
+      assert(r(0).getAs[Double]("v_hi") == 19.0)
+      assert(r(0).getAs[Long]("n_clipped_lo") == 1L)
+      assert(r(0).getAs[Long]("n_clipped_hi") == 1L)
+      assert(r(0).getAs[Double]("mean_raw") == 10.5)
+      assert(r(0).getAs[Double]("mean_winsor") == 10.5)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+}

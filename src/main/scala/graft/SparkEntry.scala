@@ -403,6 +403,15 @@ object SparkEntry {
     // winsorized moments at exact rank-selected p05/p95 fences
     "q163_winsorized_stats" -> ((s: SparkSession, d: String) =>
       Series.winsorizedStats(s, d)),
+    // one-row dataset card: volume, diversity, dup rate, median length
+    "q164_dataset_card" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.datasetCard(s, d)),
+    // audience Jaccard / overlap coefficient between event types
+    "q165_audience_overlap" -> ((s: SparkSession, d: String) =>
+      Sessionize.audienceOverlap(s, d)),
+    // Misra-Gries typed-Aggregator heavy hitters vs exact truth
+    "q166_mg_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.mgHeavyHitters(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3100,6 +3109,62 @@ object SparkEntry {
         | CAST(sum(CASE WHEN value > v_hi THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_clipped_hi
         |FROM c GROUP BY 1""".stripMargin,
+    // q164: n_unique via DISTINCT text (value-equal to the engine's
+    // sha256 groups absent collisions); median == Spark percentile 0.5
+    "q164_dataset_card" ->
+      """WITH d AS (SELECT lang, source, text,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |            CAST(length(text) AS BIGINT) AS n_chars
+        |           FROM documents),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+        |       round(avg(n_toks), 4) AS avg_tokens,
+        |       median(n_chars) AS p50_chars
+        |      FROM d),
+        |tl AS (SELECT lang AS top_lang,
+        |        CAST(count(*) AS BIGINT) AS top_lang_docs,
+        |        row_number() OVER (ORDER BY count(*) DESC, lang) AS rk
+        |       FROM d GROUP BY lang)
+        |SELECT b.*, tl.top_lang, tl.top_lang_docs,
+        | round(1.0 - CAST(n_unique_texts AS DOUBLE) / n_docs, 6) AS dup_rate
+        |FROM b, tl WHERE tl.rk = 1""".stripMargin,
+    // q165: exact distinct-user sets on both engines; set sizes and
+    // intersections are integers, one rounded division each
+    "q165_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       CAST(count(*) AS BIGINT) AS n_both
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS na, sb.n AS nb, n_both,
+        | round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+        |   AS jaccard,
+        | round(CAST(n_both AS DOUBLE) / least(sa.n, sb.n), 6)
+        |   AS overlap_coef
+        |FROM p
+        | JOIN s sa ON type_a = sa.event_type
+        | JOIN s sb ON type_b = sb.event_type""".stripMargin,
+    // q166: the q147 sketch pattern — the oracle pins exact counts,
+    // deterministic ranks and `true` guarantee booleans; Misra-Gries
+    // stored values are merge-order internals and stay internal
+    "q166_mg_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+        |      FROM tok GROUP BY 1),
+        |r AS (SELECT tok AS token, n_exact,
+        |       CAST(row_number() OVER (ORDER BY n_exact DESC, tok)
+        |         AS BIGINT) AS rk
+        |      FROM c)
+        |SELECT token, n_exact, rk, true AS within_bound
+        |FROM r WHERE rk <= 10""".stripMargin,
   )
 
   /** The q161 oracle replays the identical uniform-start power

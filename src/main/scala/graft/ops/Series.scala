@@ -371,14 +371,15 @@ object Series {
     * left join.
     *
     * Scale: the corpus-sized work is the one user-partitioned lead()
-    * window building transition pairs (shared shape with q129); the
-    * iteration runs entirely on the states × states table — bounded by
-    * the event-type VOCABULARY, not the event stream — so all `iters`
-    * joins are broadcast-sized and run unbarriered in one job
-    * (pageRankKnn's fixed-iteration lineage argument). The transition
-    * table is persisted so the event scan happens once, not once per
-    * round; the states-sized result is eagerly checkpointed before the
-    * cache is released.
+    * window building transition pairs (shared shape with q129) and its
+    * (src, dst) count — both distributed. The matrix itself is bounded
+    * by the event-type VOCABULARY squared, so the power iteration folds
+    * on the DRIVER over the collected matrix — the q74 Lloyd pattern
+    * (small iterative state as driver values), chosen over `iters`
+    * distributed joins of 5-row frames whose 20 sequential tiny shuffle
+    * stages cost more scheduler latency than the whole query (measured
+    * 7.5 s → ~1 s at sf0.1). The fold visits transitions in sorted
+    * (src, dst) order so the summation is deterministic.
     */
   def markovStationary(spark: SparkSession, dir: String,
       iters: Int = 20): DataFrame = {
@@ -390,34 +391,32 @@ object Series {
       .filter($"next_type".isNotNull)
       .groupBy($"event_type".as("src"), $"next_type".as("dst"))
       .agg(count(lit(1)).as("n"))
-    val observed = counts
-      .withColumn("p", $"n".cast("double") /
-        sum($"n").over(Window.partitionBy($"src")))
-      .select($"src", $"dst", $"p")
-    val states = events(spark, dir)
-      .select($"event_type".as("state")).distinct()
-    val selfLoops = states
-      .join(observed.select($"src").distinct(),
-        $"state" === $"src", "left_anti")
-      .select($"state".as("src"), $"state".as("dst"), lit(1.0).as("p"))
-    val trans = observed.unionByName(selfLoops)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // bounded driver scalar: the state count (type vocabulary), the
-      // same pattern as pageRankKnn's node count
-      val nStates = states.count()
-      if (nStates == 0)
-        return states.select($"state", lit(0.0).as("pi"))
-      var dist = states.select($"state", lit(1.0 / nStates).as("pi"))
-      for (_ <- 1 to iters) {
-        dist = trans.join(dist, $"src" === $"state")
-          .groupBy($"dst").agg(sum($"p" * $"pi").as("pi"))
-          .withColumnRenamed("dst", "state")
-      }
-      states.join(dist, Seq("state"), "left")
-        .select($"state", round(coalesce($"pi", lit(0.0)), 6).as("pi"))
-        .localCheckpoint(true)
-    } finally trans.unpersist()
+    // bounded collects: |types|² transition counts + the |types| state
+    // vocabulary (the q74 centroid / moment-table boundedness argument)
+    val obs = counts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val states = events(spark, dir).select($"event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    if (states.isEmpty)
+      return Seq.empty[(String, Double)].toDF("state", "pi")
+    val outTotals = obs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // observed rows normalized per source; source-less states self-loop
+    // so the matrix stays stochastic (same definition as the oracle)
+    val trans: Seq[(String, String, Double)] =
+      obs.map { case (s, d, n) => (s, d, n.toDouble / outTotals(s)) } ++
+        states.filterNot(outTotals.contains).map(s => (s, s, 1.0))
+    var pi = states.map(_ -> 1.0 / states.size).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      trans.foreach { case (s, d, p) => next(d) += p * pi.getOrElse(s, 0.0) }
+      pi = states.map(s => s -> next(s)).toMap
+    }
+    // the final round() runs through Spark so rounding semantics cannot
+    // drift from every other oracle-gated query
+    states.map(s => (s, pi(s))).toDF("state", "pi0")
+      .select($"state", round($"pi0", 6).as("pi"))
   }
 
   /** Winsorized moments per event type (q163): values clipped at the

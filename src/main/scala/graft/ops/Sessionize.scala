@@ -440,4 +440,35 @@ object Sessionize {
         $"cnt".as("n_modal"), $"n_events", $"n_types",
         round($"cnt".cast("double") / $"n_events", 6).as("modal_share"))
   }
+
+  /** Audience overlap between event types (q165): exact Jaccard and
+    * overlap coefficient of the USER SETS behind each type pair — "do
+    * the people who purchase also search?" — the behavioral-cohort set
+    * similarity that q16 computes for documents, applied to audiences.
+    *
+    * Scale: the corpus-sized work is ONE (type, user) distinct with
+    * map-side partial dedup; the pair join keys on user_id (uniform
+    * fan-out bounded by the type VOCABULARY per user, ≤ |types|² pair
+    * rows per user), and the per-type sizes arrive by broadcast. Output
+    * is |types|² rows — constant at any corpus size.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ut = events(spark, dir).select($"event_type", $"user_id").distinct()
+    val sizes = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val pairs = ut.select($"event_type".as("type_a"), $"user_id")
+      .join(ut.select($"event_type".as("type_b"), $"user_id"), Seq("user_id"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select($"event_type".as("type_a"), $"n".as("na"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select($"event_type".as("type_b"), $"n".as("nb"))),
+        Seq("type_b"))
+      .select($"type_a", $"type_b", $"na", $"nb", $"n_both",
+        round($"n_both".cast("double") / ($"na" + $"nb" - $"n_both"), 6)
+          .as("jaccard"),
+        round($"n_both".cast("double") / least($"na", $"nb"), 6)
+          .as("overlap_coef"))
+  }
 }

@@ -1249,4 +1249,37 @@ object TextAnalysis {
         round(pow($"n" - $"n_lang" * $"n_source" / $"total".cast("double"), 2)
           / ($"n_lang" * $"n_source" / $"total".cast("double")), 4).as("chi2"))
   }
+
+  /** Misra–Gries heavy hitters vs exact truth (q166): one capacity-k
+    * [[graft.functions.MisraGries]] typed-Aggregator fold over the token
+    * stream beside the exact counts, reporting the deterministic top
+    * `kReport` tokens with BOTH sketch guarantees checked per token —
+    * stored(x) ≤ true(x) and true(x) − stored(x) ≤ n/(capacity+1),
+    * stored(x) = 0 when evicted. The q147 pattern: stored values are
+    * merge-order-dependent, so the oracle pins exact counts and `true`
+    * booleans, never the sketch internals.
+    *
+    * Scale: the summary is capacity-bounded per partition partial and
+    * merges in one constant-size reduction — frequency monitoring
+    * without shuffling the vocabulary. The exact side (the audit
+    * baseline) is a map-side-combined vocabulary aggregate; its top-k
+    * window runs over the Heaps-law-bounded type table, not the stream.
+    */
+  def mgHeavyHitters(spark: SparkSession, dir: String, capacity: Int = 20,
+      kReport: Int = 10): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir).select(explode(toks).as("tok"))
+    val summary = tok.agg(
+      graft.functions.MisraGries.mgSummary(capacity)($"tok").as("mg"))
+    val totals = tok.agg(count(lit(1)).as("n_total"))
+    val top = tok.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"n_exact".desc, $"tok")).cast("long"))
+      .filter($"rk" <= kReport)
+    val est = coalesce(element_at($"mg", $"tok"), lit(0L))
+    top.crossJoin(broadcast(summary)).crossJoin(broadcast(totals))
+      .select($"tok".as("token"), $"n_exact", $"rk",
+        (est <= $"n_exact" && ($"n_exact" - est).cast("double") <=
+          $"n_total".cast("double") / (capacity + 1)).as("within_bound"))
+  }
 }

@@ -100,4 +100,43 @@ class StationaryPairsSpec extends AnyFunSuite {
       assert(r(0).getAs[Double]("mean_winsor") == 10.5)
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
+
+  test("datasetCard: dup rate counts exact text copies, top lang ties break lexicographically") {
+    val tmp = java.nio.file.Files.createTempDirectory("card").toString
+    try {
+      Seq(
+        (1L, "a b", "en", "s1"), (2L, "a b", "en", "s2"),
+        (3L, "c d e", "de", "s1"), (4L, "f g", "de", "s2"))
+        .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+      val r = PipelinePrep.datasetCard(spark, tmp).collect()(0)
+      assert(r.getAs[Long]("n_docs") == 4L)
+      assert(r.getAs[Long]("n_sources") == 2L)
+      assert(r.getAs[Long]("n_unique_texts") == 3L)
+      assert(r.getAs[Long]("n_tokens") == 9L)
+      assert(r.getAs[Double]("dup_rate") == 0.25)
+      // en and de both have 2 docs → lexicographic tie-break: de
+      assert(r.getAs[String]("top_lang") == "de")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("audienceOverlap: hand-built user sets give exact jaccard and overlap") {
+    // users by type: a={1,2,3}, b={2,3,4}, c={9}
+    val tmp = eventsFixture(Seq(
+      (1L, 1L, 1L, "a", 0.0), (2L, 2L, 2L, "a", 0.0), (3L, 3L, 3L, "a", 0.0),
+      (4L, 4L, 2L, "b", 0.0), (5L, 5L, 3L, "b", 0.0), (6L, 6L, 4L, "b", 0.0),
+      (7L, 7L, 2L, "b", 0.0), // duplicate (user 2, b) must not inflate
+      (8L, 8L, 9L, "c", 0.0)))
+    try {
+      val r = Sessionize.audienceOverlap(spark, tmp)
+        .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+      val ab = r(("a", "b"))
+      assert(ab.getAs[Long]("n_both") == 2L)
+      assert(ab.getAs[Double]("jaccard") == 0.5) // 2 / (3+3-2)
+      assert(ab.getAs[Double]("overlap_coef") == 0.666667) // round(2/3, 6)
+      // disjoint sets never meet on user_id → no (a, c) row at all
+      assert(!r.contains(("a", "c")))
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
 }

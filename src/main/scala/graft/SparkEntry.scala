@@ -412,6 +412,15 @@ object SparkEntry {
     // Misra-Gries typed-Aggregator heavy hitters vs exact truth
     "q166_mg_heavy_hitters" -> ((s: SparkSession, d: String) =>
       TextAnalysis.mgHeavyHitters(s, d)),
+    // delete-one-block jackknife CI for per-type mean value
+    "q167_jackknife_ci" -> ((s: SparkSession, d: String) =>
+      Series.jackknifeCI(s, d)),
+    // hash-armed A/B lift report with two-sample z statistic
+    "q168_ab_lift" -> ((s: SparkSession, d: String) =>
+      Series.abLift(s, d)),
+    // rank-exact funnel step latency quartiles (shares q60 stages)
+    "q169_funnel_latency" -> ((s: SparkSession, d: String) =>
+      Sessionize.funnelLatency(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3165,6 +3174,90 @@ object SparkEntry {
         |      FROM c)
         |SELECT token, n_exact, rk, true AS within_bound
         |FROM r WHERE rk <= 10""".stripMargin,
+    // q167: identical md5 block assignment (q128 hex-cast pattern);
+    // block sums are the only corpus-order FP and land inside round(6)
+    "q167_jackknife_ci" ->
+      """WITH ev AS (SELECT event_type, value,
+        |    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 20 AS blk
+        |           FROM events),
+        |bs AS (SELECT event_type, blk, sum(value) AS s,
+        |        CAST(count(*) AS BIGINT) AS c
+        |       FROM ev GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(s) AS st, CAST(sum(c) AS BIGINT) AS ct,
+        |       CAST(count(*) AS BIGINT) AS b FROM bs GROUP BY 1),
+        |loo AS (SELECT bs.event_type, t.st, t.ct, t.b,
+        |         (t.st - bs.s) / (t.ct - bs.c) AS loo_mean
+        |        FROM bs JOIN t USING (event_type))
+        |SELECT event_type, CAST(max(ct) AS BIGINT) AS n,
+        | CAST(max(b) AS BIGINT) AS n_blocks,
+        | round(max(st) / max(ct), 6) AS mean,
+        | round(sqrt((max(b) - 1.0) * var_pop(loo_mean)), 6) AS se_jack,
+        | round(max(st) / max(ct)
+        |   - 1.96 * sqrt((max(b) - 1.0) * var_pop(loo_mean)), 4) AS ci_lo,
+        | round(max(st) / max(ct)
+        |   + 1.96 * sqrt((max(b) - 1.0) * var_pop(loo_mean)), 4) AS ci_hi
+        |FROM loo GROUP BY 1""".stripMargin,
+    // q168: arm assignment is the same md5 parity on both engines;
+    // null-skipping conditional aggregates mirror exactly
+    "q168_ab_lift" ->
+      """WITH ev AS (SELECT event_type, value,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 2 AS arm
+        |           FROM events)
+        |SELECT event_type,
+        | CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        | CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        | round(avg(CASE WHEN arm = 0 THEN value END), 6) AS mean_a,
+        | round(avg(CASE WHEN arm = 1 THEN value END), 6) AS mean_b,
+        | round(avg(CASE WHEN arm = 1 THEN value END)
+        |   - avg(CASE WHEN arm = 0 THEN value END), 6) AS lift,
+        | round(CASE WHEN avg(CASE WHEN arm = 0 THEN value END) <> 0 THEN
+        |   (avg(CASE WHEN arm = 1 THEN value END)
+        |    - avg(CASE WHEN arm = 0 THEN value END))
+        |   / avg(CASE WHEN arm = 0 THEN value END) END, 6) AS rel_lift,
+        | round(CASE WHEN var_samp(CASE WHEN arm = 0 THEN value END)
+        |       / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |     + var_samp(CASE WHEN arm = 1 THEN value END)
+        |       / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0 THEN
+        |   (avg(CASE WHEN arm = 1 THEN value END)
+        |    - avg(CASE WHEN arm = 0 THEN value END))
+        |   / sqrt(var_samp(CASE WHEN arm = 0 THEN value END)
+        |       / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |     + var_samp(CASE WHEN arm = 1 THEN value END)
+        |       / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) END, 4) AS z_stat
+        |FROM ev GROUP BY 1""".stripMargin,
+    // q169: stage tables replay q60's joins; quartiles are integer
+    // rank-selected microsecond order statistics — no interpolation
+    "q169_funnel_latency" ->
+      """WITH base AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |              FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM base
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT b.user_id, min(b.us) AS t2, min(t1.t1) AS t1
+        |       FROM base b JOIN t1 ON b.user_id = t1.user_id
+        |       WHERE b.event_type = 'click' AND b.us >= t1.t1 GROUP BY 1),
+        |t3 AS (SELECT b.user_id, min(b.us) AS t3, min(t2.t2) AS t2
+        |       FROM base b JOIN t2 ON b.user_id = t2.user_id
+        |       WHERE b.event_type = 'purchase' AND b.us >= t2.t2 GROUP BY 1),
+        |l AS (SELECT user_id, 'view_to_click' AS step, t2 - t1 AS lat_us
+        |      FROM t2
+        |      UNION ALL
+        |      SELECT user_id, 'click_to_purchase' AS step, t3 - t2 AS lat_us
+        |      FROM t3),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY step
+        |        ORDER BY lat_us, user_id) AS BIGINT) AS rn,
+        |       CAST(count(*) OVER (PARTITION BY step) AS BIGINT) AS n
+        |      FROM l)
+        |SELECT step, CAST(max(n) AS BIGINT) AS n_users,
+        | round(min(CASE WHEN rn = (n * 25 + 99) // 100 THEN lat_us END)
+        |   / 1000000.0, 3) AS p25_sec,
+        | round(min(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_us END)
+        |   / 1000000.0, 3) AS median_sec,
+        | round(min(CASE WHEN rn = (n * 75 + 99) // 100 THEN lat_us END)
+        |   / 1000000.0, 3) AS p75_sec,
+        | round(avg(lat_us) / 1000000.0, 4) AS mean_sec
+        |FROM r GROUP BY 1""".stripMargin,
   )
 
   /** The q161 oracle replays the identical uniform-start power

@@ -419,6 +419,88 @@ object Series {
       .select($"state", round($"pi0", 6).as("pi"))
   }
 
+  /** Delete-one-block jackknife CI for the mean value per event type
+    * (q167): rows land in one of `blocks` deterministic md5 buckets
+    * (the q47/q128 hash-split trick — no RNG, identical assignment on
+    * both engines and on any re-run); the leave-one-block-out means
+    * θᵢ = (S−sᵢ)/(C−cᵢ) come straight from block sums, and
+    * SE = √((b−1)·var_pop(θ)) with the ±1.96·SE normal band. The error
+    * bar a telemetry dashboard can actually ship — block-based, so it
+    * is ONE aggregation pass no matter the corpus size.
+    *
+    * Scale: the corpus-sized work is a single map-side-combined
+    * (type, block) sum/count; everything after runs on the b·|types|
+    * block table. No per-row resampling (a Poisson bootstrap would be
+    * B× the work for the same confidence statement).
+    */
+  def jackknifeCI(spark: SparkSession, dir: String,
+      blocks: Int = 20): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_type", $"value",
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 4)," +
+          s" 16, 10) as bigint) % $blocks").as("blk"))
+    val blockSums = ev.groupBy($"event_type", $"blk")
+      .agg(sum($"value").as("s"), count(lit(1)).as("c"))
+    val totals = blockSums.groupBy($"event_type")
+      .agg(sum($"s").as("st"), sum($"c").as("ct"),
+        count(lit(1)).as("b"))
+    blockSums.join(broadcast(totals), "event_type")
+      .select($"event_type", $"st", $"ct", $"b",
+        (($"st" - $"s") / ($"ct" - $"c")).as("loo_mean"))
+      .groupBy($"event_type")
+      .agg(max($"ct").as("n"), max($"b").as("n_blocks"),
+        round(max($"st") / max($"ct"), 6).as("mean"),
+        round(sqrt((max($"b") - lit(1.0)) * var_pop($"loo_mean")), 6)
+          .as("se_jack"),
+        round(max($"st") / max($"ct") -
+          lit(1.96) * sqrt((max($"b") - lit(1.0)) * var_pop($"loo_mean")), 4)
+          .as("ci_lo"),
+        round(max($"st") / max($"ct") +
+          lit(1.96) * sqrt((max($"b") - lit(1.0)) * var_pop($"loo_mean")), 4)
+          .as("ci_hi"))
+  }
+
+  /** Hash-armed A/B report per event type (q168): users split into two
+    * arms by md5 parity (deterministic, user-level so a user's events
+    * never straddle arms), then per type the arm means, absolute and
+    * relative lift, and the two-sample z statistic
+    * (μ_b−μ_a)/√(σ²_a/n_a + σ²_b/n_b) — the experimentation readout.
+    * One conditional aggregate per type (var_samp over each arm's
+    * events via null-skipping when()); no window, no second pass.
+    */
+  def abLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_type", $"value",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 4)," +
+          " 16, 10) as bigint) % 2").as("arm"))
+    ev.groupBy($"event_type")
+      .agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+        round(avg(when($"arm" === 0, $"value")), 6).as("mean_a"),
+        round(avg(when($"arm" === 1, $"value")), 6).as("mean_b"),
+        round(avg(when($"arm" === 1, $"value"))
+          - avg(when($"arm" === 0, $"value")), 6).as("lift"),
+        // degenerate guards (ANSI mode): zero control mean → no relative
+        // lift; zero pooled variance (constant arms) → no z statistic
+        round(when(avg(when($"arm" === 0, $"value")) =!= 0.0,
+          (avg(when($"arm" === 1, $"value"))
+            - avg(when($"arm" === 0, $"value")))
+            / avg(when($"arm" === 0, $"value"))), 6).as("rel_lift"),
+        round(when(var_samp(when($"arm" === 0, $"value"))
+            / sum(when($"arm" === 0, 1L).otherwise(0L))
+            + var_samp(when($"arm" === 1, $"value"))
+              / sum(when($"arm" === 1, 1L).otherwise(0L)) > 0.0,
+          (avg(when($"arm" === 1, $"value"))
+            - avg(when($"arm" === 0, $"value")))
+            / sqrt(var_samp(when($"arm" === 0, $"value"))
+                / sum(when($"arm" === 0, 1L).otherwise(0L))
+              + var_samp(when($"arm" === 1, $"value"))
+                / sum(when($"arm" === 1, 1L).otherwise(0L)))), 4).as("z_stat"))
+  }
+
   /** Winsorized moments per event type (q163): values clipped at the
     * exact empirical p05/p95 ORDER STATISTICS — rank-selected, not
     * interpolated, so both engines pick the identical clip bounds by

@@ -471,4 +471,47 @@ object Sessionize {
         round($"n_both".cast("double") / least($"na", $"nb"), 6)
           .as("overlap_coef"))
   }
+
+  /** Funnel step latency (q169): exact p25/median/p75 and mean of the
+    * per-user seconds between consecutive funnel stages, over the SAME
+    * earliest-qualifying timestamps q60 counts (t1 ≤ t2 ≤ t3 — the
+    * definitions cannot drift because the stage joins are shared
+    * verbatim). Quartiles are rank-SELECTED order statistics — rank
+    * ⌈n·q/100⌉ by integer arithmetic over integer-microsecond latencies
+    * — so both engines pick identical rows; only the mean carries FP.
+    *
+    * Scale: the stage tables are per-user aggregates (the q60 shape);
+    * each step's rank window sorts users-with-that-step once. Output is
+    * two rows.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = events(spark, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"))
+    val t1 = base.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val t2 = base.filter($"event_type" === "click")
+      .join(t1, "user_id").filter($"us" >= $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"), first($"t1").as("t1"))
+    val t3 = base.filter($"event_type" === "purchase")
+      .join(t2.select($"user_id", $"t2"), "user_id").filter($"us" >= $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"), first($"t2").as("t2"))
+    val lats = t2.select($"user_id", lit("view_to_click").as("step"),
+        ($"t2" - $"t1").as("lat_us"))
+      .unionByName(t3.select($"user_id", lit("click_to_purchase").as("step"),
+        ($"t3" - $"t2").as("lat_us")))
+    val byLat = Window.partitionBy($"step").orderBy($"lat_us", $"user_id")
+    lats
+      .withColumn("rn", row_number().over(byLat).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"step")))
+      .groupBy($"step")
+      .agg(max($"n").as("n_users"),
+        round(min(when($"rn" === expr("(n * 25 + 99) div 100"), $"lat_us"))
+          / 1000000.0, 3).as("p25_sec"),
+        round(min(when($"rn" === expr("(n * 50 + 99) div 100"), $"lat_us"))
+          / 1000000.0, 3).as("median_sec"),
+        round(min(when($"rn" === expr("(n * 75 + 99) div 100"), $"lat_us"))
+          / 1000000.0, 3).as("p75_sec"),
+        round(avg($"lat_us") / 1000000.0, 4).as("mean_sec"))
+  }
 }

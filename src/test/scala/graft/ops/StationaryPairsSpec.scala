@@ -139,4 +139,62 @@ class StationaryPairsSpec extends AnyFunSuite {
       assert(!r.contains(("a", "c")))
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
+
+  test("jackknifeCI: constant values collapse the CI onto the mean") {
+    val tmp = eventsFixture((1L to 100L).map(i => (i, i, i, "e", 5.0)))
+    try {
+      val r = Series.jackknifeCI(spark, tmp).collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("n") == 100L)
+      assert(r(0).getAs[Double]("mean") == 5.0)
+      assert(r(0).getAs[Double]("se_jack") == 0.0)
+      assert(r(0).getAs[Double]("ci_lo") == 5.0)
+      assert(r(0).getAs[Double]("ci_hi") == 5.0)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("abLift: arm assignment matches driver-side md5 parity; lift is exact on constants") {
+    // value = arm-dependent constant → mean_a/mean_b pin the assignment
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val users = (1L to 40L)
+    val tmp = eventsFixture(users.map(u =>
+      (u, u, u, "e", if (arm(u) == 0) 10.0 else 30.0)))
+    try {
+      val r = Series.abLift(spark, tmp).collect()(0)
+      assert(r.getAs[Long]("n_a") == users.count(arm(_) == 0).toLong)
+      assert(r.getAs[Long]("n_b") == users.count(arm(_) == 1).toLong)
+      assert(r.getAs[Double]("mean_a") == 10.0)
+      assert(r.getAs[Double]("mean_b") == 30.0)
+      assert(r.getAs[Double]("lift") == 20.0)
+      assert(r.getAs[Double]("rel_lift") == 2.0)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("funnelLatency: rank-selected quartiles on hand-built stage times") {
+    val s = 1000000L // one second in microseconds... ts is NANOS here
+    val ns = 1000000000L
+    // user 1: view@0, click@10s, purchase@70s; user 2: view@0, click@30s
+    val tmp = eventsFixture(Seq(
+      (1L, 0L, 1L, "view", 0.0), (2L, 10 * ns, 1L, "click", 0.0),
+      (3L, 70 * ns, 1L, "purchase", 0.0),
+      (4L, 0L, 2L, "view", 0.0), (5L, 30 * ns, 2L, "click", 0.0)))
+    try {
+      val r = Sessionize.funnelLatency(spark, tmp)
+        .collect().map(x => x.getString(0) -> x).toMap
+      val vc = r("view_to_click")
+      assert(vc.getAs[Long]("n_users") == 2L)
+      assert(vc.getAs[Double]("p25_sec") == 10.0) // rank ⌈0.5⌉ = 1
+      assert(vc.getAs[Double]("median_sec") == 10.0) // lower median
+      assert(vc.getAs[Double]("p75_sec") == 30.0) // rank ⌈1.5⌉ = 2
+      assert(vc.getAs[Double]("mean_sec") == 20.0)
+      val cp = r("click_to_purchase")
+      assert(cp.getAs[Long]("n_users") == 1L)
+      assert(cp.getAs[Double]("median_sec") == 60.0)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
 }

@@ -421,6 +421,12 @@ object SparkEntry {
     // rank-exact funnel step latency quartiles (shares q60 stages)
     "q169_funnel_latency" -> ((s: SparkSession, d: String) =>
       Sessionize.funnelLatency(s, d)),
+    // synchronous label-propagation communities over the KNN closure
+    "q170_label_propagation" -> ((s: SparkSession, d: String) =>
+      Graph.labelPropagation(s, d)),
+    // SRP-bucketed hardest-positive/negative triplet mining
+    "q171_triplet_mining" -> ((s: SparkSession, d: String) =>
+      Similarity.tripletMining(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3258,7 +3264,74 @@ object SparkEntry {
         |   / 1000000.0, 3) AS p75_sec,
         | round(avg(lat_us) / 1000000.0, 4) AS mean_sec
         |FROM r GROUP BY 1""".stripMargin,
+    // q170: the oracle replays the same undirected closure and the same
+    // synchronous mode rounds as generated CTE blocks (q74 pattern)
+    "q170_label_propagation" -> lpaOracleSql(3),
+    // q171: identical 4-plane buckets (q59 pattern), identical rounded
+    // cosines, identical (cosine, cand) tie-breaks on both engines
+    "q171_triplet_mining" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+        |           WHERE vec_id < 4),
+        |sig AS (SELECT e.vec_id, e.label, e.embedding,
+        |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
+        |                   for i in range(1, len(e.embedding)+1)]) >= 0
+        |            THEN (CAST(1 AS BIGINT) << CAST(pid AS INTEGER))
+        |            ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.label, e.embedding),
+        |n AS (SELECT vec_id, label, embedding, bucket,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |  FROM sig),
+        |pr AS (SELECT a.vec_id AS anchor, a.label AS label,
+        |   b.vec_id AS cand, b.label AS cand_label,
+        |   round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+        |                   for i in range(1, len(a.embedding)+1)]) / (a.nrm*b.nrm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |pos AS (SELECT anchor, label, cand AS pos_id, cosine AS pos_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor
+        |    ORDER BY cosine ASC, cand) AS rk
+        |  FROM pr WHERE cand_label = label) WHERE rk = 1),
+        |neg AS (SELECT anchor, cand AS neg_id, cosine AS neg_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor
+        |    ORDER BY cosine DESC, cand) AS rk
+        |  FROM pr WHERE cand_label <> label) WHERE rk = 1)
+        |SELECT p.anchor, p.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+        | round(p.pos_cos - n.neg_cos, 6) AS gap,
+        | n.neg_cos > p.pos_cos - 0.2 AS margin_violation
+        |FROM pos p JOIN neg n USING (anchor)""".stripMargin,
   )
+
+  /** The q170 oracle replays the identical synchronous label
+    * propagation: the q54 KNN closure, then one generated CTE block per
+    * round — mode of neighbor labels, (count DESC, label ASC)
+    * tie-break, isolated nodes keeping their label.
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    val init =
+      s"""$knnOracleCtes,
+         |ed AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |        greatest(vec_id, neighbor_id) AS b FROM knn),
+         |e2 AS (SELECT a AS u, b AS v FROM ed
+         |       UNION ALL SELECT b AS u, a AS v FROM ed),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |l0 AS (SELECT vec_id, vec_id AS lbl FROM nodes)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",
+         |l$i AS (SELECT nd.vec_id, coalesce(m.lbl, pv.lbl) AS lbl
+         |        FROM nodes nd JOIN l${i - 1} pv USING (vec_id)
+         |        LEFT JOIN (SELECT u, lbl FROM (
+         |          SELECT e2.u, q.lbl, count(*) AS c,
+         |            row_number() OVER (PARTITION BY e2.u
+         |              ORDER BY count(*) DESC, q.lbl) AS rk
+         |          FROM e2 JOIN l${i - 1} q ON e2.v = q.vec_id
+         |          GROUP BY e2.u, q.lbl) WHERE rk = 1) m
+         |          ON nd.vec_id = m.u)""".stripMargin
+    }.mkString
+    init + steps +
+      s"""
+         |SELECT lbl AS community_id, CAST(count(*) AS BIGINT) AS n_members,
+         | min(vec_id) AS min_member
+         |FROM l$rounds GROUP BY 1""".stripMargin
+  }
 
   /** The q161 oracle replays the identical uniform-start power
     * iteration over the same stochastic matrix (observed transition

@@ -118,6 +118,56 @@ object Graph {
     } finally und.unpersist()
   }
 
+  /** Synchronous label propagation over the undirected KNN closure
+    * (q170): every node starts in its own community (label = vec_id);
+    * each of `rounds` fixed rounds reassigns every node to the MODE of
+    * its neighbors' labels, ties broken (count DESC, label ASC), nodes
+    * with no neighbors keeping their label. The classic near-linear
+    * community detector — where connected components (q41) answer "what
+    * touches what", LPA finds the densely-knit cores inside one
+    * component. Reported per community: size and the smallest member
+    * (the stable community name).
+    *
+    * Scale: per round one edge⋈label join keyed on node id (fan-out
+    * bounded by degree ≤ 2·knnK — a CONSTANT) and one (node,
+    * label)-keyed count; rounds are fixed, so the lineage is plan-time
+    * bounded and all rounds run unbarriered in one job (the q70
+    * no-per-round-checkpoint lesson). Edges are persisted — they feed
+    * every round — and released after the node-sized result is
+    * checkpointed.
+    */
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 3,
+      nPlanes: Int = 8, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+    val edges = und.select($"a".as("u"), $"b".as("v"))
+      .unionByName(und.select($"b".as("u"), $"a".as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+      var labels = nodes.select($"vec_id", $"vec_id".as("lbl"))
+      for (_ <- 1 to rounds) {
+        // argmax via min_by on the packed (−count, label) struct key —
+        // same (count DESC, label ASC) pick as a rank window, without
+        // the per-round partition sort the window would add
+        val mode = edges.join(labels, $"v" === $"vec_id")
+          .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
+          .groupBy($"u")
+          .agg(min_by($"lbl", struct((-$"c").as("nc"), $"lbl")).as("new_lbl"))
+          .withColumnRenamed("u", "vec_id")
+        labels = labels.join(mode, Seq("vec_id"), "left")
+          .select($"vec_id", coalesce($"new_lbl", $"lbl").as("lbl"))
+      }
+      labels.groupBy($"lbl".as("community_id"))
+        .agg(count(lit(1)).as("n_members"), min($"vec_id").as("min_member"))
+        .localCheckpoint(true)
+    } finally edges.unpersist()
+  }
+
   /** k-core decomposition, `rounds` fixed pruning rounds (q135): rounds
     * of "drop nodes with degree < k, re-derive degrees among survivors"
     * over the undirected KNN closure — the density filter that separates

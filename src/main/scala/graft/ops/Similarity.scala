@@ -813,6 +813,58 @@ object Similarity {
     * shuffle); everything downstream aggregates (bucket, label) cells —
     * at most 2^nPlanes × |labels| rows.
     */
+  /** SRP-bucketed triplet mining (q171): for every anchor, the HARDEST
+    * positive (lowest-cosine bucket-mate with the SAME label) and the
+    * HARDEST negative (highest-cosine bucket-mate with a DIFFERENT
+    * label), plus the margin gap and the violation flag — the
+    * contrastive-training data op. ANN-approximated on purpose: both
+    * sides search the anchor's LSH bucket, because at 100 TB "hardest
+    * negative in the corpus" is an all-pairs scan while hard-ENOUGH
+    * negatives (the ones near the anchor in cosine space) are exactly
+    * what LSH buckets concentrate — same recall trade q51/q54 document.
+    *
+    * One bucket-equality self-join (expected bucket N/2^planes, never
+    * all-pairs), persisted because the positive and negative branches
+    * both rank it; two per-anchor row_number windows (tiny partitions,
+    * no skew); anchors lacking a same-label or different-label
+    * bucket-mate drop out (inner joins) — a triplet needs all three
+    * legs.
+    */
+  def tripletMining(spark: SparkSession, dir: String, nPlanes: Int = 4,
+      margin: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val planes = headVectors(spark, dir, nPlanes)
+    val e = emb(spark, dir).select($"vec_id", $"label", $"embedding",
+      srpBucket(planes).as("bucket"), norm($"embedding").as("nrm"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor"), col("a.label").as("label"),
+        col("b.vec_id").as("cand"), col("b.label").as("cand_label"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy($"anchor").orderBy($"cosine".asc, $"cand")
+      val pos = pairs.filter($"cand_label" === $"label")
+        .withColumn("rk", row_number().over(wPos)).filter($"rk" === 1)
+        .select($"anchor", $"label", $"cand".as("pos_id"),
+          $"cosine".as("pos_cos"))
+      val wNeg = org.apache.spark.sql.expressions.Window
+        .partitionBy($"anchor").orderBy($"cosine".desc, $"cand")
+      val neg = pairs.filter($"cand_label" =!= $"label")
+        .withColumn("rk", row_number().over(wNeg)).filter($"rk" === 1)
+        .select($"anchor", $"cand".as("neg_id"), $"cosine".as("neg_cos"))
+      pos.join(neg, Seq("anchor"))
+        .select($"anchor", $"label", $"pos_id", $"pos_cos",
+          $"neg_id", $"neg_cos",
+          round($"pos_cos" - $"neg_cos", 6).as("gap"),
+          ($"neg_cos" > $"pos_cos" - margin).as("margin_violation"))
+        .localCheckpoint(true)
+    } finally pairs.unpersist()
+  }
+
   def lshLabelPurity(spark: SparkSession, dir: String, nPlanes: Int = 4): DataFrame = {
     import spark.implicits._
     val cells = emb(spark, dir)

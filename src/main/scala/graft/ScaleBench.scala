@@ -74,7 +74,14 @@ object ScaleBench {
     // replicated corpus — every doc duplicated k ways — maximizes the
     // candidate set by construction; run it via
     // SPARK_GRAFT_SCALE_QUERIES when the pair budget is understood
-    "q138_sketch_union", "q148_prefix_join")
+    "q138_sketch_union", "q148_prefix_join",
+    "q152_token_entropy", "q154_weighted_sample", "q155_vocab_gini",
+    "q158_mi_lang_source", "q159_weighted_median",
+    // q162 carries the q16 pair hazard (Σ df² quadratic in per-shingle
+    // duplication on the replicated corpus) — its scale row documents
+    // the same dedup-first remedy rather than hiding it
+    "q162_tfidf_cosine_pairs", "q164_dataset_card", "q166_mg_heavy_hitters",
+    "q170_label_propagation", "q171_triplet_mining")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -82,7 +89,8 @@ object ScaleBench {
     "q29_approx_distinct", "q37_price_quantiles", "q42_moving_revenue",
     "q44_correlated_subquery", "q71_column_profile",
     "q111_zorder_locality", "q114_bloom_prune", "q115_numeric_correlation",
-    "q120_key_skew")
+    "q120_key_skew", "q149_spearman_corr", "q150_benford_prices",
+    "q151_scd2_history", "q156_interval_merge")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",
@@ -92,7 +100,11 @@ object ScaleBench {
     "q116_event_paths", "q117_daily_autocorr", "q118_dow_seasonality",
     "q122_rolling_active", "q123_changepoint", "q124_ewma_daily",
     "q125_mad_outliers", "q126_psi_drift", "q129_transition_matrix",
-    "q133_anomaly_days", "q136_daily_trend", "q139_asof_forward")
+    "q133_anomaly_days", "q136_daily_trend", "q139_asof_forward",
+    "q153_ks_drift", "q157_event_mode", "q160_novelty_curve",
+    "q161_markov_stationary", "q163_winsorized_stats",
+    "q165_audience_overlap", "q167_jackknife_ci", "q168_ab_lift",
+    "q169_funnel_latency")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

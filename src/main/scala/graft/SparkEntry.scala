@@ -427,6 +427,18 @@ object SparkEntry {
     // SRP-bucketed hardest-positive/negative triplet mining
     "q171_triplet_mining" -> ((s: SparkSession, d: String) =>
       Similarity.tripletMining(s, d)),
+    // per-source distinctive tokens by signed chi-square keyness
+    "q172_source_keyness" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceKeyness(s, d)),
+    // RFM quintile segmentation (interpolated boundaries, no rank sort)
+    "q173_rfm_segments" -> ((s: SparkSession, d: String) =>
+      Relational.rfmSegmentation(s, d)),
+    // greedy k-center farthest-point coreset selection
+    "q174_kcenter_coreset" -> ((s: SparkSession, d: String) =>
+      Similarity.kCenterCoreset(s, d)),
+    // Newman modularity of the q170 LPA partition
+    "q175_lpa_modularity" -> ((s: SparkSession, d: String) =>
+      Graph.lpaModularity(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3298,14 +3310,76 @@ object SparkEntry {
         | round(p.pos_cos - n.neg_cos, 6) AS gap,
         | n.neg_cos > p.pos_cos - 0.2 AS margin_violation
         |FROM pos p JOIN neg n USING (anchor)""".stripMargin,
+    // q172: chi² rounded to 6 BEFORE ranking on both engines (q67 rule)
+    "q172_source_keyness" ->
+      """WITH c AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |cells AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        |          FROM c GROUP BY 1, 2),
+        |e AS (SELECT *,
+        |       CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_source,
+        |       CAST(sum(n) OVER (PARTITION BY token) AS BIGINT) AS n_token,
+        |       CAST(sum(n) OVER () AS BIGINT) AS total FROM cells),
+        |s AS (SELECT source, token, n,
+        |       n_source * n_token / CAST(total AS DOUBLE) AS expected
+        |      FROM e),
+        |f AS (SELECT *, round(pow(n - expected, 2) / expected, 6) AS chi2
+        |      FROM s WHERE n > expected),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY chi2 DESC, token) AS BIGINT) AS rk FROM f)
+        |SELECT source, token, n, round(expected, 4) AS expected, chi2, rk
+        |FROM r WHERE rk <= 5""".stripMargin,
+    // q173: quantile_cont == Spark percentile (q125 precedent), scores
+    // are pure boundary comparisons, monetary rounded before scoring
+    "q173_rfm_segments" ->
+      """WITH cust AS (SELECT o_custkey,
+        |        CAST(max(date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+        |        CAST(count(*) AS BIGINT) AS freq,
+        |        sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+        |          AS monetary
+        |       FROM orders GROUP BY 1),
+        |b AS (SELECT quantile_cont(last_day, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |       quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |       quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |      FROM cust),
+        |s AS (SELECT o_custkey, freq, monetary,
+        |       CAST(1 + (CASE WHEN last_day > rb[1] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN last_day > rb[2] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN last_day > rb[3] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN last_day > rb[4] THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS r_score,
+        |       CAST(1 + (CASE WHEN freq > fb[1] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN freq > fb[2] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN freq > fb[3] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN freq > fb[4] THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS f_score,
+        |       CAST(1 + (CASE WHEN monetary > mb[1] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN monetary > mb[2] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN monetary > mb[3] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN monetary > mb[4] THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS m_score
+        |      FROM cust, b)
+        |SELECT r_score, f_score, m_score,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | round(avg(freq), 4) AS avg_freq,
+        | ((2 * sum(CAST(round(monetary * 100) AS BIGINT)) + count(*))
+        |   // (2 * count(*))) / 100.0 AS avg_monetary
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // q174: generated greedy trajectory — distances rounded before the
+    // argmax, ties on vec_id, so both engines pick identical centers
+    "q174_kcenter_coreset" -> kcenterOracleSql(8),
+    // q175: same lpaCtes partition, same modularity terms
+    "q175_lpa_modularity" -> modularityOracleSql(3),
   )
 
-  /** The q170 oracle replays the identical synchronous label
-    * propagation: the q54 KNN closure, then one generated CTE block per
-    * round — mode of neighbor labels, (count DESC, label ASC)
-    * tie-break, isolated nodes keeping their label.
+  /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
+    * generated CTE block per synchronous LPA round — mode of neighbor
+    * labels, (count DESC, label ASC) tie-break, isolated nodes keeping
+    * their label. Ends at `l&lt;rounds&gt;` (final labels) with `ed`
+    * (canonical edges) still in scope.
     */
-  private def lpaOracleSql(rounds: Int): String = {
+  private def lpaCtes(rounds: Int): String = {
     val init =
       s"""$knnOracleCtes,
          |ed AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
@@ -3326,11 +3400,78 @@ object SparkEntry {
          |          GROUP BY e2.u, q.lbl) WHERE rk = 1) m
          |          ON nd.vec_id = m.u)""".stripMargin
     }.mkString
-    init + steps +
+    init + steps
+  }
+
+  private def lpaOracleSql(rounds: Int): String =
+    lpaCtes(rounds) +
       s"""
          |SELECT lbl AS community_id, CAST(count(*) AS BIGINT) AS n_members,
          | min(vec_id) AS min_member
          |FROM l$rounds GROUP BY 1""".stripMargin
+
+  /** The q175 oracle scores the IDENTICAL partition (same lpaCtes
+    * chain) with the same per-community modularity terms. */
+  private def modularityOracleSql(rounds: Int): String =
+    lpaCtes(rounds) +
+      s""",
+         |tag AS (SELECT ed.a, ed.b, la.lbl AS ca, lb.lbl AS cb FROM ed
+         |        JOIN l$rounds la ON ed.a = la.vec_id
+         |        JOIN l$rounds lb ON ed.b = lb.vec_id),
+         |intra AS (SELECT ca AS community_id,
+         |           CAST(count(*) AS BIGINT) AS m_intra
+         |          FROM tag WHERE ca = cb GROUP BY 1),
+         |deg AS (SELECT l.lbl AS community_id,
+         |         CAST(count(*) AS BIGINT) AS d_c
+         |        FROM (SELECT a AS vec_id FROM ed
+         |              UNION ALL SELECT b AS vec_id FROM ed) x
+         |        JOIN l$rounds l USING (vec_id) GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |sz AS (SELECT lbl AS community_id,
+         |        CAST(count(*) AS BIGINT) AS n_members
+         |       FROM l$rounds GROUP BY 1)
+         |SELECT sz.community_id, sz.n_members,
+         | CAST(coalesce(intra.m_intra, 0) AS BIGINT) AS m_intra,
+         | CAST(coalesce(deg.d_c, 0) AS BIGINT) AS d_c,
+         | round(CASE WHEN mm.m > 0 THEN
+         |     CAST(coalesce(intra.m_intra, 0) AS DOUBLE) / mm.m
+         |     - pow(coalesce(deg.d_c, 0) / (2.0 * mm.m), 2)
+         |   ELSE 0.0 END, 6) AS q_contrib
+         |FROM sz
+         | LEFT JOIN deg USING (community_id)
+         | LEFT JOIN intra USING (community_id), mm""".stripMargin
+
+  /** The q174 oracle replays the greedy farthest-point trajectory:
+    * round i computes every unselected vector's min rounded cosine
+    * distance to the selected set and picks the (dist DESC, vec_id ASC)
+    * argmax — one generated CTE block per pick.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    val init =
+      """WITH e AS (SELECT vec_id, embedding,
+        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |sel1 AS (SELECT vec_id, embedding, nrm FROM e
+        |         WHERE vec_id = (SELECT min(vec_id) FROM e)),
+        |p1 AS (SELECT CAST(1 AS BIGINT) AS sel_order, vec_id,
+        |        CAST(NULL AS DOUBLE) AS dist_at_selection FROM sel1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s""",
+         |d$i AS (SELECT a.vec_id,
+         |   min(round(1 - list_sum([CAST(a.embedding[j] AS DOUBLE)*CAST(s.embedding[j] AS DOUBLE)
+         |                 for j in range(1, len(a.embedding)+1)]) / (a.nrm * s.nrm), 6)) AS d
+         |  FROM e a CROSS JOIN sel${i - 1} s
+         |  WHERE a.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY a.vec_id),
+         |p$i AS (SELECT CAST($i AS BIGINT) AS sel_order, vec_id,
+         |         d AS dist_at_selection FROM (
+         |  SELECT *, row_number() OVER (ORDER BY d DESC, vec_id) AS rk
+         |  FROM d$i) WHERE rk = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+         |  SELECT e.vec_id, e.embedding, e.nrm FROM e JOIN p$i USING (vec_id))""".stripMargin
+    }.mkString
+    init + steps + "\n" +
+      (1 to k).map(i => s"SELECT * FROM p$i").mkString("\nUNION ALL\n")
   }
 
   /** The q161 oracle replays the identical uniform-start power

@@ -136,36 +136,92 @@ object Graph {
     * every round — and released after the node-sized result is
     * checkpointed.
     */
-  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 3,
-      nPlanes: Int = 8, k: Int = 3): DataFrame = {
+  /** Shared LPA core: undirected closure of the KNN graph (persisted
+    * canonical a<b edge list) + the synchronous mode-of-neighbors label
+    * rounds. Callers receive (canonical edges, final labels) and MUST
+    * checkpoint their result before `edges.unpersist()`.
+    */
+  private def lpaLabels(spark: SparkSession, dir: String, rounds: Int,
+      nPlanes: Int, k: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val und = Similarity.knnGraph(spark, dir, nPlanes, k)
       .select(least($"vec_id", $"neighbor_id").as("a"),
         greatest($"vec_id", $"neighbor_id").as("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = und.select($"a".as("u"), $"b".as("v"))
       .unionByName(und.select($"b".as("u"), $"a".as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id")
+    var labels = nodes.select($"vec_id", $"vec_id".as("lbl"))
+    for (_ <- 1 to rounds) {
+      // argmax via min_by on the packed (−count, label) struct key —
+      // same (count DESC, label ASC) pick as a rank window, without
+      // the per-round partition sort the window would add
+      val mode = edges.join(labels, $"v" === $"vec_id")
+        .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
+        .groupBy($"u")
+        .agg(min_by($"lbl", struct((-$"c").as("nc"), $"lbl")).as("new_lbl"))
+        .withColumnRenamed("u", "vec_id")
+      labels = labels.join(mode, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"new_lbl", $"lbl").as("lbl"))
+    }
+    (und, labels)
+  }
+
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 3,
+      nPlanes: Int = 8, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (und, labels) = lpaLabels(spark, dir, rounds, nPlanes, k)
     try {
-      val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select($"vec_id")
-      var labels = nodes.select($"vec_id", $"vec_id".as("lbl"))
-      for (_ <- 1 to rounds) {
-        // argmax via min_by on the packed (−count, label) struct key —
-        // same (count DESC, label ASC) pick as a rank window, without
-        // the per-round partition sort the window would add
-        val mode = edges.join(labels, $"v" === $"vec_id")
-          .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
-          .groupBy($"u")
-          .agg(min_by($"lbl", struct((-$"c").as("nc"), $"lbl")).as("new_lbl"))
-          .withColumnRenamed("u", "vec_id")
-        labels = labels.join(mode, Seq("vec_id"), "left")
-          .select($"vec_id", coalesce($"new_lbl", $"lbl").as("lbl"))
-      }
       labels.groupBy($"lbl".as("community_id"))
         .agg(count(lit(1)).as("n_members"), min($"vec_id").as("min_member"))
         .localCheckpoint(true)
-    } finally edges.unpersist()
+    } finally und.unpersist()
+  }
+
+  /** Newman modularity of the LPA partition (q175): per community c the
+    * intra-community edge count m_c, the degree mass d_c, and the
+    * contribution m_c/m − (d_c/2m)², whose sum is the partition's Q —
+    * the "are these communities denser than chance" verdict on q170's
+    * output (LPA can converge to junk on a near-random graph; Q is how
+    * you find out). Shares [[lpaLabels]] verbatim, so the scored
+    * partition can never drift from the one q170 reports.
+    *
+    * Scale: two label joins on the canonical edge list (each endpoint),
+    * a degree aggregate, and community-sized rollups — every join keys
+    * on node id with degree-bounded fan-out; m and 2m are single-row
+    * broadcasts.
+    */
+  def lpaModularity(spark: SparkSession, dir: String, rounds: Int = 3,
+      nPlanes: Int = 8, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (und, labels) = lpaLabels(spark, dir, rounds, nPlanes, k)
+    try {
+      val la = labels.select($"vec_id".as("a"), $"lbl".as("ca"))
+      val lb = labels.select($"vec_id".as("b"), $"lbl".as("cb"))
+      val tagged = und.join(la, Seq("a")).join(lb, Seq("b"))
+      val intra = tagged.filter($"ca" === $"cb")
+        .groupBy($"ca".as("community_id")).agg(count(lit(1)).as("m_intra"))
+      val degMass = und.select(explode(array($"a", $"b")).as("vec_id"))
+        .join(labels, Seq("vec_id"))
+        .groupBy($"lbl".as("community_id")).agg(count(lit(1)).as("d_c"))
+      val m = und.agg(count(lit(1)).as("m"))
+      val sizes = labels.groupBy($"lbl".as("community_id"))
+        .agg(count(lit(1)).as("n_members"))
+      sizes
+        .join(degMass, Seq("community_id"), "left")
+        .join(intra, Seq("community_id"), "left")
+        .crossJoin(broadcast(m))
+        .select($"community_id", $"n_members",
+          coalesce($"m_intra", lit(0L)).as("m_intra"),
+          coalesce($"d_c", lit(0L)).as("d_c"),
+          round(when($"m" > 0,
+            coalesce($"m_intra", lit(0L)).cast("double") / $"m" -
+              pow(coalesce($"d_c", lit(0L)) / (lit(2.0) * $"m"), 2))
+            .otherwise(lit(0.0)), 6).as("q_contrib"))
+        .localCheckpoint(true)
+    } finally und.unpersist()
   }
 
   /** k-core decomposition, `rounds` fixed pruning rounds (q135): rounds

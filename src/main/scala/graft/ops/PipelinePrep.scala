@@ -674,35 +674,39 @@ object PipelinePrep {
     * aggregates into one DataFrame so the card can never drift from the
     * signals it summarizes.
     *
-    * Scale: one scan feeds a global aggregate (map-side combined;
-    * countDistinct over sha256 is the q13 shuffle) plus a
-    * vocabulary-sized lang rollup; the single-row sides meet by
-    * broadcast. The exact interpolated median is the one per-key sorted
-    * buffer — at 100 TB swap in percentile_approx (q58) and keep the
-    * card's schema.
+    * Scale: the distinct counts are SPLIT out of the main aggregate
+    * (the q29 lesson — three countDistincts in one agg compile to an
+    * Expand that multiplies every wide row, measured 7.9 s at the 10×
+    * ScaleBench vs ~2 s split): the plain moments run over one scan
+    * with no Expand, the sha256 uniqueness count is its own q13-shaped
+    * aggregate, the source/lang distincts expand only two narrow
+    * columns, and the single-row sides meet by broadcast. The exact
+    * interpolated median is the one per-key sorted buffer — at 100 TB
+    * swap in percentile_approx (q58) and keep the card's schema.
     */
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)
-      .select($"lang", $"source",
-        size(toks).cast("long").as("n_toks"),
-        length($"text").cast("long").as("n_chars"),
-        sha2($"text", 256).as("h"))
-    val base = d.agg(
-      count(lit(1)).as("n_docs"),
-      countDistinct($"source").as("n_sources"),
-      countDistinct($"lang").as("n_langs"),
-      sum($"n_toks").as("n_tokens"),
-      sum($"n_chars").as("total_chars"),
-      countDistinct($"h").as("n_unique_texts"),
-      round(avg($"n_toks"), 4).as("avg_tokens"),
-      expr("percentile(n_chars, 0.5)").as("p50_chars"))
+    val base = d
+      .select(size(toks).cast("long").as("n_toks"),
+        length($"text").cast("long").as("n_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"n_chars").as("total_chars"),
+        round(avg($"n_toks"), 4).as("avg_tokens"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"))
+    val dims = d.select($"lang", $"source")
+      .agg(countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"))
+    val uniq = d.select(sha2($"text", 256).as("h"))
+      .agg(countDistinct($"h").as("n_unique_texts"))
     val topLang = d.groupBy($"lang").agg(count(lit(1)).as("top_lang_docs"))
       .withColumn("rk", row_number().over(
         Window.orderBy($"top_lang_docs".desc, $"lang")))
       .filter($"rk" === 1)
       .select($"lang".as("top_lang"), $"top_lang_docs")
-    base.crossJoin(broadcast(topLang))
+    base.crossJoin(broadcast(dims)).crossJoin(broadcast(uniq))
+      .crossJoin(broadcast(topLang))
       .withColumn("dup_rate",
         round(lit(1.0) - $"n_unique_texts".cast("double") / $"n_docs", 6))
   }

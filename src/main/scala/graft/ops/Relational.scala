@@ -649,6 +649,51 @@ object Relational {
     * partitioning, so Catalyst plans a single Exchange. The windows run
     * over each customer's own orders (bounded per key), never globally.
     */
+  /** RFM customer segmentation (q173): recency (last order epoch-day),
+    * frequency (order count), monetary (2-dp-rounded total spend) per
+    * customer, each scored 1-5 against exact interpolated quintile
+    * boundaries, then rolled up per (R,F,M) segment. Boundaries come
+    * from ONE `percentile(metric, [.2,.4,.6,.8])` aggregate — the
+    * distributed sorted-buffer, identical to DuckDB's quantile_cont
+    * (q125 precedent) — and scores are 1 + Σ(v > bᵢ) comparisons, so no
+    * global rank sort exists anywhere (the naive row_number approach is
+    * a single-partition window over every customer — the q141
+    * anti-pattern). Monetary is rounded BEFORE scoring so a last-ulp
+    * summation difference can't flip a boundary comparison.
+    */
+  def rfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max(datediff(to_date($"o_orderdate"), lit("1970-01-01"))
+          .cast("long")).as("last_day"),
+        count(lit(1)).as("freq"),
+        // per-row prices are 2-dp; summing exact integer cents keeps the
+        // customer total order-independent and bit-identical across engines
+        (sum(round($"o_totalprice" * 100).cast("long")) / 100.0)
+          .as("monetary"))
+    val bounds = cust.agg(
+      expr("percentile(last_day, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def score(v: Column, b: Column): Column =
+      (1 to 4).map(i => when(v > element_at(b, i), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+    cust.crossJoin(broadcast(bounds))
+      .select($"o_custkey", $"freq", $"monetary",
+        score($"last_day".cast("double"), $"rb").as("r_score"),
+        score($"freq".cast("double"), $"fb").as("f_score"),
+        score($"monetary", $"mb").as("m_score"))
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg($"freq"), 4).as("avg_freq"),
+        // group average in pure integer cents with explicit half-up
+        // ((2s+n) div 2n): double round() is engine-dependent on exact
+        // half-cents, integer division is not
+        (expr("(2 * sum(cast(round(monetary * 100) as bigint))"
+          + " + count(1)) div (2 * count(1))") / 100.0).as("avg_monetary"))
+  }
+
   def intervalMerge(spark: SparkSession, dir: String,
       spanDays: Int = 7): DataFrame = {
     import spark.implicits._

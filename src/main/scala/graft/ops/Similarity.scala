@@ -813,6 +813,57 @@ object Similarity {
     * shuffle); everything downstream aggregates (bucket, label) cells —
     * at most 2^nPlanes × |labels| rows.
     */
+  /** Greedy k-center coreset selection (q174): `k` rounds of
+    * farthest-point sampling — start from the lowest vec_id, then
+    * repeatedly add the vector maximizing its cosine DISTANCE to the
+    * nearest already-selected center — the classic 2-approximation to
+    * the k-center cover, and the data-pruning primitive that picks a
+    * maximally-spread training subset instead of a random one. Emitted
+    * per pick: selection order, vec_id, and the coverage radius at
+    * selection time (the distance that pick closed).
+    *
+    * Scale: each round is ONE distributed pass — a least() over
+    * per-center codegen'd vec_dot projections against the ≤k LITERAL
+    * centers (the q74 Lloyd pattern: small iterative state lives on the
+    * driver) feeding a TakeOrdered(1) — so k centers cost k scans, never
+    * a pairwise matrix. Distances are rounded BEFORE the argmax and ties
+    * break on vec_id, so the trajectory is deterministic and the oracle
+    * replays it as generated CTE rounds.
+    */
+  def kCenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRow = e.orderBy($"vec_id").limit(1).collect()
+      if (seedRow.isEmpty)
+        return Seq.empty[(Long, Long, Option[Double])]
+          .toDF("sel_order", "vec_id", "dist_at_selection")
+      def vecOf(r: org.apache.spark.sql.Row): (Long, Seq[Float]) =
+        (r.getLong(0), r.getSeq[Float](1).toSeq)
+      var selected = Seq(vecOf(seedRow(0)))
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+        (1L, selected.head._1, None))
+      for (i <- 2 to k) {
+        val dist = selected.map { case (_, sv) =>
+          round(lit(1.0) - dot($"embedding", litVec(sv)) /
+            ($"nrm" * lit(litNorm(sv))), 6)
+        }.reduce(least(_, _))
+        val next = e
+          .filter(!$"vec_id".isInCollection(selected.map(_._1)))
+          .select($"vec_id", $"embedding", dist.as("d"))
+          .orderBy($"d".desc, $"vec_id").limit(1).collect()
+        if (next.nonEmpty) {
+          selected = selected :+ vecOf(next(0))
+          picks += ((i.toLong, next(0).getLong(0),
+            Some(next(0).getDouble(2))))
+        }
+      }
+      picks.toSeq.toDF("sel_order", "vec_id", "dist_at_selection")
+    } finally e.unpersist()
+  }
+
   /** SRP-bucketed triplet mining (q171): for every anchor, the HARDEST
     * positive (lowest-cosine bucket-mate with the SAME label) and the
     * HARDEST negative (highest-cosine bucket-mate with a DIFFERENT

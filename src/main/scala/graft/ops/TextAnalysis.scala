@@ -1282,4 +1282,44 @@ object TextAnalysis {
         (est <= $"n_exact" && ($"n_exact" - est).cast("double") <=
           $"n_total".cast("double") / (capacity + 1)).as("within_bound"))
   }
+
+  /** Source keyness (q172): the tokens that DISTINGUISH each source from
+    * the rest of the corpus, ranked by signed chi² on the 2×2 table
+    * (token-in-source vs token-elsewhere) — corpus-linguistics keyness,
+    * the "what is this crawl actually full of?" fingerprint that raw
+    * top-k frequency can't show (it returns the same stopwords for every
+    * source). Keeps each source's top `k` positively-associated tokens;
+    * expected counts from the independence margins, sign from observed −
+    * expected.
+    *
+    * Scale: one map-side-combined (source, token) count; marginals are
+    * windows over the vocabulary-sized count table (Heaps-bounded), and
+    * the per-source ranking windows run over each source's vocabulary.
+    * Nothing re-touches the corpus after the first aggregate.
+    */
+  def sourceKeyness(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cells = docs(spark, dir)
+      .select($"source", explode(toks).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+    val enriched = cells
+      .withColumn("n_source", sum($"n").over(Window.partitionBy($"source")))
+      .withColumn("n_token", sum($"n").over(Window.partitionBy($"token")))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+    // chi² is ROUNDED BEFORE ranking (the q67 rule): the rank must be a
+    // function of the very values the oracle compares, or a last-ulp
+    // libm difference flips adjacent ranks
+    val scored = enriched
+      .withColumn("expected",
+        $"n_source" * $"n_token" / $"total".cast("double"))
+      .filter($"n" > $"expected")
+      .withColumn("chi2",
+        round(pow($"n" - $"expected", 2) / $"expected", 6))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy($"source")
+        .orderBy($"chi2".desc, $"token")).cast("long"))
+      .filter($"rk" <= k)
+      .select($"source", $"token", $"n", round($"expected", 4).as("expected"),
+        $"chi2", $"rk")
+  }
 }

@@ -240,6 +240,47 @@ class OpsSpec extends AnyFunSuite {
     "q154_weighted_sample" -> Set("source", "doc_id", "wt", "cum",
       "n_picks"),
     "q155_vocab_gini" -> Set("source", "n_types", "n_tokens", "gini"),
+    "q156_interval_merge" -> Set("o_custkey", "n_islands", "covered_days",
+      "longest_island_days", "n_orders"),
+    "q157_event_mode" -> Set("user_id", "modal_type", "n_modal",
+      "n_events", "n_types", "modal_share"),
+    "q158_mi_lang_source" -> Set("lang", "source", "n", "expected",
+      "pmi", "mi_contrib", "chi2"),
+    "q159_weighted_median" -> Set("source", "n_docs", "n_tokens",
+      "w_p25", "w_median", "w_p75"),
+    "q160_novelty_curve" -> Set("day", "n_events", "n_distinct",
+      "n_novel", "cum_distinct", "novelty_rate"),
+    "q161_markov_stationary" -> Set("state", "pi"),
+    "q162_tfidf_cosine_pairs" -> Set("doc_a", "doc_b", "n_shared",
+      "cosine"),
+    "q163_winsorized_stats" -> Set("event_type", "n", "v_lo", "v_hi",
+      "mean_raw", "mean_winsor", "std_winsor", "n_clipped_lo",
+      "n_clipped_hi"),
+    "q164_dataset_card" -> Set("n_docs", "n_sources", "n_langs",
+      "n_tokens", "total_chars", "n_unique_texts", "avg_tokens",
+      "p50_chars", "top_lang", "top_lang_docs", "dup_rate"),
+    "q165_audience_overlap" -> Set("type_a", "type_b", "na", "nb",
+      "n_both", "jaccard", "overlap_coef"),
+    "q166_mg_heavy_hitters" -> Set("token", "n_exact", "rk",
+      "within_bound"),
+    "q167_jackknife_ci" -> Set("event_type", "n", "n_blocks", "mean",
+      "se_jack", "ci_lo", "ci_hi"),
+    "q168_ab_lift" -> Set("event_type", "n_a", "n_b", "mean_a", "mean_b",
+      "lift", "rel_lift", "z_stat"),
+    "q169_funnel_latency" -> Set("step", "n_users", "p25_sec",
+      "median_sec", "p75_sec", "mean_sec"),
+    "q170_label_propagation" -> Set("community_id", "n_members",
+      "min_member"),
+    "q171_triplet_mining" -> Set("anchor", "label", "pos_id", "pos_cos",
+      "neg_id", "neg_cos", "gap", "margin_violation"),
+    "q172_source_keyness" -> Set("source", "token", "n", "expected",
+      "chi2", "rk"),
+    "q173_rfm_segments" -> Set("r_score", "f_score", "m_score",
+      "n_customers", "avg_freq", "avg_monetary"),
+    "q174_kcenter_coreset" -> Set("sel_order", "vec_id",
+      "dist_at_selection"),
+    "q175_lpa_modularity" -> Set("community_id", "n_members", "m_intra",
+      "d_c", "q_contrib"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

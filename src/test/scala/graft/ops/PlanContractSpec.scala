@@ -466,4 +466,59 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Union"), p)
     assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
   }
+
+  test("q156: interval merge runs on ONE customer exchange; scan pruned to 3 columns") {
+    val p = plan(Relational.intervalMerge(spark, sf))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*""")) == 1, p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("o_totalprice") && !read.contains("o_orderstatus"), read)
+  }
+
+  test("q157: mode counts partial-combine BEFORE the window shuffle") {
+    // the raw event stream must shrink to (user, type) counts first;
+    // the window exchange then moves only the counted table
+    val p = plan(Sessionize.eventTypeMode(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q159: weighted quartiles share one source exchange for window and aggregate") {
+    val p = plan(PipelinePrep.weightedMedianLength(spark, sf))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*""")) == 1, p)
+  }
+
+  test("q163: winsor fences join back by broadcast, never a corpus shuffle join") {
+    val p = plan(Series.winsorizedStats(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q162: tf-idf cosine pair stream is an equality join, never cartesian") {
+    val p = plan(Dedup.tfidfCosinePairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q166: the Misra-Gries fold partial-aggregates per partition") {
+    // constant-size sketch state must combine map-side (partial) before
+    // the single-row final merge — the whole point of the summary
+    val p = plan(TextAnalysis.mgHeavyHitters(spark, sf))
+    assert(p.contains("partial_mgaggregator") ||
+      p.toLowerCase.contains("partial_mg"), p)
+  }
+
+  test("q168: the A/B report is ONE aggregate over one scan — no joins, no windows") {
+    val p = plan(Series.abLift(spark, sf))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q171: triplet result has a CUT lineage; the pair cache is released") {
+    // the returned table is checkpointed (q135 pattern) so the persisted
+    // bucket-pair join can be unpersisted without a recompute hazard; a
+    // live vec_dot subtree here means the checkpoint regressed
+    val p = plan(Similarity.tripletMining(spark, sf))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("vec_dot") && !p.contains("CartesianProduct"), p)
+  }
 }

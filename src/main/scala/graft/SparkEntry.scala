@@ -439,6 +439,18 @@ object SparkEntry {
     // Newman modularity of the q170 LPA partition
     "q175_lpa_modularity" -> ((s: SparkSession, d: String) =>
       Graph.lpaModularity(s, d)),
+    // first-k BPE merge learning over the corpus vocabulary
+    "q176_bpe_merges" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeMerges(s, d)),
+    // Adamic-Adar link prediction on the KNN graph
+    "q177_adamic_adar" -> ((s: SparkSession, d: String) =>
+      Graph.adamicAdar(s, d)),
+    // Kaplan-Meier user-lifetime survival with right-censoring
+    "q178_kaplan_meier" -> ((s: SparkSession, d: String) =>
+      Sessionize.kaplanMeier(s, d)),
+    // exact Mann-Whitney ROC-AUC of the q23 en-marker score
+    "q179_roc_auc" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.rocAuc(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3371,6 +3383,79 @@ object SparkEntry {
     "q174_kcenter_coreset" -> kcenterOracleSql(8),
     // q175: same lpaCtes partition, same modularity terms
     "q175_lpa_modularity" -> modularityOracleSql(3),
+    // q176: generated merge rounds — argmax (cnt DESC, pair ASC), the
+    // same closed-form greedy (streak-parity) merge windows
+    "q176_bpe_merges" -> bpeOracleSql(6),
+    // q177: same wedge join over the q54 KNN closure, scores rounded
+    // before ranking
+    "q177_adamic_adar" ->
+      s"""$knnOracleCtes,
+         |ed AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |        greatest(vec_id, neighbor_id) AS b FROM knn),
+         |adj AS (SELECT a AS u, b AS w FROM ed
+         |        UNION ALL SELECT b AS u, a AS w FROM ed),
+         |dg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg
+         |       FROM adj GROUP BY 1),
+         |wedge AS (SELECT x.u AS u, y.u AS v, x.w
+         |          FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u),
+         |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common,
+         |        round(sum(1.0 / ln(deg)), 6) AS aa_score
+         |       FROM wedge JOIN dg USING (w) GROUP BY 1, 2),
+         |ne AS (SELECT sc.* FROM sc LEFT JOIN ed
+         |        ON sc.u = ed.a AND sc.v = ed.b WHERE ed.a IS NULL)
+         |SELECT u, v, common, aa_score, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY u
+         |    ORDER BY aa_score DESC, v) AS BIGINT) AS rk FROM ne)
+         |WHERE rk <= 5""".stripMargin,
+    // q178: identical product-limit construction; the zero-survival
+    // tail is pinned to 0.0 on both engines (Spark ln(0) is NULL,
+    // DuckDB's is -inf) so neither feeds the log
+    "q178_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id, min(epoch_ns(ts)) AS first_ts,
+        |        max(epoch_ns(ts)) AS last_ts FROM events GROUP BY 1),
+        |ce AS (SELECT max(last_ts) AS corpus_end FROM pu),
+        |lt AS (SELECT (last_ts - first_ts) // 86400000000000 AS t_days,
+        |        last_ts < corpus_end - 86400000000000 AS churned
+        |       FROM pu, ce),
+        |bt AS (SELECT t_days,
+        |        CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_churned,
+        |        CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+        |          AS n_censored
+        |       FROM lt GROUP BY 1),
+        |rk AS (SELECT *, CAST(sum(n_churned + n_censored) OVER (
+        |          ORDER BY t_days ROWS BETWEEN CURRENT ROW AND
+        |          UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk FROM bt),
+        |ex AS (SELECT *, coalesce(max(CASE WHEN n_churned = n_at_risk
+        |          THEN 1 ELSE 0 END) OVER (ORDER BY t_days
+        |          ROWS UNBOUNDED PRECEDING), 0) AS exhausted FROM rk)
+        |SELECT t_days, n_at_risk, n_churned, n_censored,
+        | CASE WHEN exhausted = 1 THEN 0.0 ELSE
+        |   round(exp(sum(ln(CAST(n_at_risk - n_churned AS DOUBLE)
+        |     / n_at_risk)) OVER (ORDER BY t_days ROWS UNBOUNDED
+        |     PRECEDING)), 6) END AS survival
+        |FROM ex""".stripMargin,
+    // q179: scores rounded to 6 before ranking so the tie structure
+    // (and hence every midrank) is identical across engines
+    "q179_roc_auc" ->
+      """WITH s AS (SELECT doc_id, lang = 'en' AS pos,
+        |   round(CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the', 'a', 'and'))) AS DOUBLE)
+        |     / len(string_split(text, ' ')), 6) AS score
+        |  FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY score, doc_id)
+        |        AS BIGINT) AS rn FROM s),
+        |m AS (SELECT *, avg(rn) OVER (PARTITION BY score) AS midrank
+        |      FROM r),
+        |t AS (SELECT
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |  sum(CASE WHEN pos THEN midrank ELSE 0.0 END) AS rank_sum
+        | FROM m)
+        |SELECT n_pos, n_neg,
+        | round((rank_sum - n_pos * (n_pos + 1) / 2.0)
+        |   / (n_pos * n_neg), 6) AS auc
+        |FROM t""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
@@ -3409,6 +3494,56 @@ object SparkEntry {
          |SELECT lbl AS community_id, CAST(count(*) AS BIGINT) AS n_members,
          | min(vec_id) AS min_member
          |FROM l$rounds GROUP BY 1""".stripMargin
+
+  /** The q176 oracle replays the identical BPE trajectory: one
+    * generated block per merge round — pair counts via lead(), argmax
+    * (cnt DESC, pair ASC), then the closed-form greedy merge (streak id
+    * = pos − running occurrence count, merge at even streak offsets,
+    * drop the following position, renumber). Ends as a UNION of the k
+    * one-row argmax CTEs.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val init =
+      """WITH vw AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE len(word) >= 1 GROUP BY 1),
+        |h0 AS (SELECT word, freq,
+        |   CAST(unnest(generate_series(1, CAST(len(word) AS BIGINT)))
+        |     AS BIGINT) AS pos
+        |  FROM vw),
+        |g0 AS (SELECT word, freq, pos,
+        |   substr(word, CAST(pos AS INTEGER), 1) AS sym FROM h0)""".stripMargin
+    val steps = (1 to k).map { r =>
+      s""",
+         |n$r AS (SELECT *, lead(sym) OVER (PARTITION BY word
+         |          ORDER BY pos) AS nxt FROM g${r - 1}),
+         |b$r AS (SELECT sym AS a, nxt AS b,
+         |          CAST(sum(freq) AS BIGINT) AS cnt
+         |        FROM n$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |        ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (SELECT n$r.*, coalesce(sym = (SELECT a FROM b$r)
+         |          AND nxt = (SELECT b FROM b$r), FALSE) AS ip FROM n$r),
+         |t$r AS (SELECT *, CASE WHEN ip THEN pos -
+         |          sum(CASE WHEN ip THEN 1 ELSE 0 END) OVER (
+         |            PARTITION BY word ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) END AS streak FROM s$r),
+         |u$r AS (SELECT *, ip AND (pos - min(pos) OVER (
+         |          PARTITION BY word, streak)) % 2 = 0 AS ms FROM t$r),
+         |v$r AS (SELECT *, coalesce(lag(ms) OVER (PARTITION BY word
+         |          ORDER BY pos), FALSE) AS pm FROM u$r),
+         |g$r AS (SELECT word, freq, CAST(row_number() OVER (
+         |          PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |         CASE WHEN ms THEN sym || nxt ELSE sym END AS sym
+         |        FROM v$r WHERE NOT pm)""".stripMargin
+    }.mkString
+    init + steps + "\n" +
+      (1 to k).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_order, a AS left_sym,
+           | b AS right_sym, a || b AS merged, cnt AS pair_count
+           |FROM b$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+  }
 
   /** The q175 oracle scores the IDENTICAL partition (same lpaCtes
     * chain) with the same per-community modularity terms. */

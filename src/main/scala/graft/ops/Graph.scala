@@ -196,8 +196,13 @@ object Graph {
   def lpaModularity(spark: SparkSession, dir: String, rounds: Int = 3,
       nPlanes: Int = 8, k: Int = 3): DataFrame = {
     import spark.implicits._
-    val (und, labels) = lpaLabels(spark, dir, rounds, nPlanes, k)
+    val (und, labels0) = lpaLabels(spark, dir, rounds, nPlanes, k)
     try {
+      // the partition is referenced FOUR times below (both edge
+      // endpoints, the degree rollup, the size rollup) — without this
+      // node-sized barrier the whole KNN+LPA chain re-executes per
+      // reference (measured 18 s vs ~4.5 s at sf0.1)
+      val labels = labels0.localCheckpoint(true)
       val la = labels.select($"vec_id".as("a"), $"lbl".as("ca"))
       val lb = labels.select($"vec_id".as("b"), $"lbl".as("cb"))
       val tagged = und.join(la, Seq("a")).join(lb, Seq("b"))
@@ -275,5 +280,51 @@ object Graph {
         coalesce($"core_deg", lit(0L)).as("core_deg"))
       .localCheckpoint(true)
     } finally und0.unpersist()
+  }
+
+  /** Adamic–Adar link prediction (q177): for every NON-adjacent node
+    * pair (u,v) of the KNN graph sharing at least one neighbor, the
+    * score Σ_w 1/ln(deg(w)) over common neighbors w — the classic
+    * "which edges are missing" signal (a common neighbor is strong
+    * evidence in proportion to how selective it is). Keeps each node's
+    * top `topK` predicted partners; scores are rounded BEFORE ranking
+    * (q67 rule) and ties break on partner id.
+    *
+    * Scale: the wedge join (adjacency self-joined on the shared center
+    * w) is Σ_w deg(w)² rows — deg is bounded by the KNN closure (≤ 2k
+    * after symmetrization plus reverse edges), so wedges are O(nodes ×
+    * k²), never all-pairs. Every common neighbor has deg ≥ 2, so
+    * 1/ln(deg) is always finite. The anti-join that removes existing
+    * edges and the degree join both key on node ids.
+    */
+  def adamicAdar(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      k: Int = 3, topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val und = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val adj = und.select($"a".as("u"), $"b".as("w"))
+        .unionByName(und.select($"b".as("u"), $"a".as("w")))
+      val deg = adj.groupBy($"w").agg(count(lit(1)).as("deg"))
+      val wedges = adj.select($"u", $"w")
+        .join(adj.select($"u".as("v"), $"w"), Seq("w"))
+        .filter($"u" < $"v")
+      val scored = wedges
+        .join(deg, Seq("w"))
+        .groupBy($"u", $"v")
+        .agg(count(lit(1)).as("common"),
+          round(sum(lit(1.0) / log($"deg")), 6).as("aa_score"))
+        .join(und, $"u" === $"a" && $"v" === $"b", "left_anti")
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"u")
+            .orderBy($"aa_score".desc, $"v")).cast("long"))
+        .filter($"rk" <= topK)
+        .select($"u", $"v", $"common", $"aa_score", $"rk")
+        .localCheckpoint(true)
+    } finally und.unpersist()
   }
 }

@@ -514,4 +514,58 @@ object Sessionize {
           / 1000000.0, 3).as("p75_sec"),
         round(avg($"lat_us") / 1000000.0, 4).as("mean_sec"))
   }
+
+  /** Kaplan–Meier user-lifetime survival curve (q178): per user the
+    * observed lifetime is last-event − first-event in whole days; a user
+    * is CHURNED if their last event precedes the corpus end by more than
+    * `censorDays` (they had time to come back and didn't) and CENSORED
+    * otherwise (the observation window ended first — the whole point of
+    * K-M is that those users still count as at-risk up to their cutoff
+    * instead of being dropped or miscounted as churned). Output per
+    * distinct lifetime t: the at-risk count n_t, churn/censor counts,
+    * and the product-limit estimate S(t) = Π_{s≤t}(1 − d_s/n_s).
+    *
+    * Scale: one per-user aggregate (map-side combined), a one-row
+    * broadcast of the corpus end, then everything operates on the
+    * lifetime-bounded distinct-days table (≤ observation window in
+    * days), where the global cumulative windows are O(days), not
+    * O(users). The zero-survival tail (n_s = d_s) is handled explicitly:
+    * Spark's ln(0) is NULL while DuckDB's is -inf, so the estimate is
+    * pinned to 0.0 from the first exhausted risk set onward rather than
+    * fed through the log.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String,
+      censorDays: Int = 1): DataFrame = {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    val perUser = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+    val end = perUser.agg(max($"last_ts").as("corpus_end"))
+    val lifetimes = perUser.crossJoin(broadcast(end))
+      .select(
+        // integer div: epoch-nano differences overflow double's mantissa
+        expr(s"(last_ts - first_ts) div ${dayNs}L").as("t_days"),
+        ($"last_ts" < $"corpus_end" - lit(censorDays * dayNs)).as("churned"))
+    val byT = lifetimes
+      .groupBy($"t_days")
+      .agg(sum(when($"churned", 1L).otherwise(0L)).as("n_churned"),
+        sum(when($"churned", 0L).otherwise(1L)).as("n_censored"))
+    val cum = Window.orderBy($"t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_at_risk",
+        sum($"n_churned" + $"n_censored").over(
+          Window.orderBy($"t_days")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("exhausted",
+        coalesce(max(when($"n_churned" === $"n_at_risk", 1L).otherwise(0L))
+          .over(cum), lit(0L)))
+      .withColumn("survival",
+        when($"exhausted" === 1L, 0.0).otherwise(
+          round(exp(sum(log(($"n_at_risk" - $"n_churned").cast("double")
+            / $"n_at_risk")).over(cum)), 6)))
+      .select($"t_days", $"n_at_risk", $"n_churned", $"n_censored",
+        $"survival")
+  }
 }

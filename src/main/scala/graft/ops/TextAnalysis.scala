@@ -1322,4 +1322,114 @@ object TextAnalysis {
       .select($"source", $"token", $"n", round($"expected", 4).as("expected"),
         $"chi2", $"rk")
   }
+
+  /** Exact ROC-AUC of the q23 English marker score as a detector of
+    * lang='en' (q179): the Mann–Whitney rank-sum identity
+    * AUC = (Σ midrank(positives) − P(P+1)/2) / (P·N), with MIDRANKS for
+    * tied scores — the exact probability a random (positive, negative)
+    * pair is ordered correctly, counting ties as ½. This is the "is my
+    * quality/langid classifier any good" eval primitive that a filtering
+    * pipeline needs before it trusts a score threshold.
+    *
+    * Scale: one scan computes the score; ranks need one global sort of
+    * (score, doc_id) — rank-statistic territory (the q149 Spearman
+    * trade), a range-partitioned distributed sort, not a single-node
+    * window in spirit; midranks are a per-score-value average. Scores
+    * are rounded to 6 BEFORE ranking so the tie structure is identical
+    * across engines. Output is one row.
+    */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir)
+      .select($"doc_id", ($"lang" === "en").as("pos"), toks.as("t"))
+      .select($"doc_id", $"pos",
+        round(size(filter($"t", tk => tk.isin("the", "a", "and")))
+          .cast("double") / size($"t"), 6).as("score"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"score", $"doc_id")).cast("long"))
+      .withColumn("midrank", avg($"rn").over(Window.partitionBy($"score")))
+    ranked.agg(
+        sum(when($"pos", 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"pos", 0L).otherwise(1L)).as("n_neg"),
+        sum(when($"pos", $"midrank").otherwise(0.0)).as("rank_sum"))
+      .select($"n_pos", $"n_neg",
+        round(($"rank_sum" - $"n_pos" * ($"n_pos" + 1) / 2.0)
+          / ($"n_pos" * $"n_neg"), 6).as("auc"))
+  }
+
+  /** Byte-pair-encoding merge learning (q176): the first `k` BPE merges
+    * over the corpus vocabulary — each round counts every adjacent
+    * symbol pair (frequency-weighted by word count), merges the argmax
+    * pair ((count DESC, pair ASC) tie-break) greedily left-to-right in
+    * every word, and repeats on the merged segmentation. This is the
+    * tokenizer-training primitive itself, not a proxy: the output is the
+    * ordered merge table a BPE tokenizer would ship.
+    *
+    * The greedy left-to-right merge is expressed in closed form so both
+    * engines replay it identically: a position merges iff it starts a
+    * pair occurrence AND sits at an EVEN offset within its maximal
+    * streak of consecutive occurrences — for left≠right streaks are
+    * singletons (every occurrence merges); for the self-pair case
+    * ("aaa" under merge "aa") the parity rule reproduces the sequential
+    * scan without sequential dependency, via two windows (streak id =
+    * pos − running occurrence count; offset = pos − streak min).
+    *
+    * Scale: the corpus is touched ONCE (the word-frequency aggregate);
+    * all k rounds operate on the VOCABULARY-sized position table
+    * (Heaps-bounded — millions of types at 100 TB, not trillions of
+    * tokens), per-word windows only. Each round's argmax is a one-row
+    * collect (the q74 Lloyd pattern: k scalar driver decisions steering
+    * distributed passes) and the positions table is checkpointed per
+    * round — the kcore convergence-loop rule: it is re-read by three
+    * windows next round, and an un-cut lineage would re-run every prior
+    * round's windows each reference.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 6): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"word").orderBy($"pos")
+    val vocab = docs(spark, dir)
+      .select(explode(toks).as("word"))
+      .filter(length($"word") >= 1)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    var positions = vocab
+      .select($"word", $"freq",
+        explode(sequence(lit(1L), length($"word").cast("long"))).as("pos"))
+      .withColumn("sym", expr("substring(word, cast(pos as int), 1)"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val staged = positions.withColumn("nxt", lead($"sym", 1).over(w))
+      val best = staged.filter($"nxt".isNotNull)
+        .groupBy($"sym", $"nxt").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"sym", $"nxt").limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, cnt))
+        val marked = staged
+          .withColumn("ip",
+            coalesce($"sym" === lit(a) && $"nxt" === lit(b), lit(false)))
+          .withColumn("cum_ip", sum(when($"ip", 1L).otherwise(0L)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("streak", when($"ip", $"pos" - $"cum_ip"))
+          .withColumn("off", when($"ip", $"pos" -
+            min($"pos").over(Window.partitionBy($"word", $"streak"))))
+          .withColumn("ms", $"ip" && $"off" % 2 === 0)
+          .withColumn("prev_ms", lag($"ms", 1, false).over(w))
+        positions = marked.filter(!$"prev_ms")
+          .select($"word", $"freq",
+            row_number().over(w).cast("long").as("pos"),
+            when($"ms", concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    merges.toSeq
+      .toDF("merge_order", "left_sym", "right_sym", "merged", "pair_count")
+  }
 }

@@ -281,6 +281,12 @@ class OpsSpec extends AnyFunSuite {
       "dist_at_selection"),
     "q175_lpa_modularity" -> Set("community_id", "n_members", "m_intra",
       "d_c", "q_contrib"),
+    "q176_bpe_merges" -> Set("merge_order", "left_sym", "right_sym",
+      "merged", "pair_count"),
+    "q177_adamic_adar" -> Set("u", "v", "common", "aa_score", "rk"),
+    "q178_kaplan_meier" -> Set("t_days", "n_at_risk", "n_churned",
+      "n_censored", "survival"),
+    "q179_roc_auc" -> Set("n_pos", "n_neg", "auc"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -754,6 +760,66 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(h - (0.5 * b / ms + 0.5 * c)) < 1e-6, s"doc $id")
     }
     assert(rows.find(_._1 == top).exists(r => math.abs(r._3 - 1.0) < 1e-6))
+  }
+
+  test("q176: merges equal hand-computed BPE, incl. overlap parity and early exhaustion") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe")
+    try {
+      // vocab: "ab" ×3, "aaa" ×2. Round 1: (a,a) counts 2 per "aaa"
+      // (overlapping occurrences both count, standard BPE get_stats)
+      // → 4 > (a,b)'s 3 → merge (a,a); greedy left-to-right turns
+      // "aaa" into [aa, a] (NOT [a, aa] — the parity rule). Round 2:
+      // (a,b) 3 → "ab" one symbol. Round 3: (aa,a) 2 → "aaa" one
+      // symbol. Round 4: no pairs anywhere → stop before k.
+      Seq((1L, "ab ab aaa"), (2L, "ab aaa"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = TextAnalysis.bpeMerges(spark, tmp.toString, k = 6)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, "a", "a", "aa", 4L),
+        (2L, "a", "b", "ab", 3L),
+        (3L, "aa", "a", "aaa", 2L)))
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
+  test("q178: at-risk counts telescope, survival is the product-limit fold") {
+    val rows = Sessionize.kaplanMeier(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(rows.nonEmpty)
+    // n_at_risk(t) = everyone with lifetime >= t
+    val total = rows.map(r => r._3 + r._4).sum
+    var remaining = total
+    var surv = 1.0
+    rows.foreach { case (t, nRisk, d, c, s) =>
+      assert(nRisk == remaining, s"at-risk drifted at t=$t")
+      surv *= (nRisk - d).toDouble / nRisk
+      assert(math.abs(s - surv) < 1e-5, s"survival drifted at t=$t")
+      remaining -= (d + c)
+    }
+    assert(remaining == 0L)
+  }
+
+  test("q179: AUC equals the brute-force pair count with half-credit ties") {
+    val Array(row) = TextAnalysis.rocAuc(spark, sf).collect()
+    val (p, n, auc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"text").collect().map { r =>
+        val toks = Option(r.getString(2)).getOrElse("").split(" ", -1)
+        val score = BigDecimal(toks.count(Set("the", "a", "and")).toDouble /
+          toks.length).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (r.getString(1) == "en", score)
+      }
+    val pos = docs.filter(_._1).map(_._2)
+    val neg = docs.filterNot(_._1).map(_._2)
+    assert(p == pos.length && n == neg.length)
+    val wins = (for (x <- pos; y <- neg)
+      yield if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+    assert(math.abs(auc - wins / (p * n)) < 1e-5)
   }
 
   test("q108: one row per centroid, members conserved, shift non-negative") {

@@ -81,7 +81,11 @@ object ScaleBench {
     // duplication on the replicated corpus) — its scale row documents
     // the same dedup-first remedy rather than hiding it
     "q162_tfidf_cosine_pairs", "q164_dataset_card", "q166_mg_heavy_hitters",
-    "q170_label_propagation", "q171_triplet_mining")
+    "q170_label_propagation", "q171_triplet_mining",
+    "q172_source_keyness", "q174_kcenter_coreset", "q175_lpa_modularity",
+    "q176_bpe_merges", "q177_adamic_adar", "q179_roc_auc",
+    "q180_token_budget", "q181_calibration_bins", "q182_em_mixture",
+    "q183_burrows_delta")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -90,7 +94,7 @@ object ScaleBench {
     "q44_correlated_subquery", "q71_column_profile",
     "q111_zorder_locality", "q114_bloom_prune", "q115_numeric_correlation",
     "q120_key_skew", "q149_spearman_corr", "q150_benford_prices",
-    "q151_scd2_history", "q156_interval_merge")
+    "q151_scd2_history", "q156_interval_merge", "q173_rfm_segments")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",
@@ -104,7 +108,7 @@ object ScaleBench {
     "q153_ks_drift", "q157_event_mode", "q160_novelty_curve",
     "q161_markov_stationary", "q163_winsorized_stats",
     "q165_audience_overlap", "q167_jackknife_ci", "q168_ab_lift",
-    "q169_funnel_latency")
+    "q169_funnel_latency", "q178_kaplan_meier")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

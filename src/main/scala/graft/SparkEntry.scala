@@ -451,6 +451,18 @@ object SparkEntry {
     // exact Mann-Whitney ROC-AUC of the q23 en-marker score
     "q179_roc_auc" -> ((s: SparkSession, d: String) =>
       TextAnalysis.rocAuc(s, d)),
+    // largest-remainder token-budget apportionment across sources
+    "q180_token_budget" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.tokenBudget(s, d)),
+    // equal-count reliability bins of the q23 en score
+    "q181_calibration_bins" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.calibrationBins(s, d)),
+    // two-component Gaussian EM trajectory on log doc length
+    "q182_em_mixture" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.emMixture(s, d)),
+    // Burrows' Delta stylometric distance between sources
+    "q183_burrows_delta" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.burrowsDelta(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3456,6 +3468,89 @@ object SparkEntry {
         | round((rank_sum - n_pos * (n_pos + 1) / 2.0)
         |   / (n_pos * n_neg), 6) AS auc
         |FROM t""".stripMargin,
+    // q180: pure integer div/mod apportionment, ties (rem DESC, source)
+    "q180_token_budget" ->
+      """WITH src AS (SELECT source,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |          AS n_tokens
+        |       FROM documents GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+        |      FROM src),
+        |q AS (SELECT source, n_tokens,
+        |       (1000000 * n_tokens) // total AS floor_alloc,
+        |       (1000000 * n_tokens) % total AS rem FROM t),
+        |l AS (SELECT *,
+        |       1000000 - CAST(sum(floor_alloc) OVER () AS BIGINT)
+        |         AS leftover,
+        |       CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |         AS BIGINT) AS rk FROM q)
+        |SELECT source, n_tokens,
+        | CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |   AS BIGINT) AS alloc_tokens,
+        | rk <= leftover AS got_extra
+        |FROM l""".stripMargin,
+    // q181: same equal-count binning; bin means summed in exact integer
+    // micro-units, inner roundings mirrored in the gap
+    "q181_calibration_bins" ->
+      """WITH s AS (SELECT doc_id, lang = 'en' AS pos,
+        |   round(CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the', 'a', 'and'))) AS DOUBLE)
+        |     / len(string_split(text, ' ')), 6) AS score
+        |  FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY score, doc_id)
+        |        AS BIGINT) AS rn,
+        |       CAST(count(*) OVER () AS BIGINT) AS n_total FROM s),
+        |b AS (SELECT ((rn - 1) * 10) // n_total AS bin, pos, score
+        |      FROM r),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_pos,
+        |       CAST(sum(CAST(round(score * 1000000) AS BIGINT))
+        |         AS BIGINT) AS sm
+        |      FROM b GROUP BY 1)
+        |SELECT bin, n_docs, n_pos,
+        | round(sm / (n_docs * 1000000.0), 6) AS mean_score,
+        | round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+        | round(abs(round(sm / (n_docs * 1000000.0), 6)
+        |   - round(CAST(n_pos AS DOUBLE) / n_docs, 6)), 6) AS gap
+        |FROM g""".stripMargin,
+    // q182: generated EM rounds — identical E-step literals, identical
+    // 4-dp M-step roundings
+    "q182_em_mixture" -> emOracleSql(3),
+    // q183: identical integer-exact z-score moments per word
+    "q183_burrows_delta" ->
+      """WITH cells AS (SELECT source, token,
+        |        CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT source,
+        |              unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |       WHERE len(token) >= 1 GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_source
+        |       FROM cells GROUP BY 1),
+        |top AS (SELECT token FROM (SELECT token, sum(n) AS g
+        |         FROM cells GROUP BY 1 ORDER BY g DESC, token LIMIT 20)),
+        |grid AS (SELECT st.source, top.token,
+        |          CAST(round(coalesce(c.n, 0) * 1000000.0 / st.n_source)
+        |            AS BIGINT) AS f_micro
+        |         FROM st CROSS JOIN top LEFT JOIN cells c
+        |           ON c.source = st.source AND c.token = top.token),
+        |z0 AS (SELECT *, CAST(count(*) OVER (PARTITION BY token)
+        |          AS BIGINT) AS nsrc,
+        |        CAST(sum(f_micro) OVER (PARTITION BY token) AS BIGINT)
+        |          AS s FROM grid),
+        |z1 AS (SELECT *, f_micro * nsrc - s AS ds FROM z0),
+        |z2 AS (SELECT *, CAST(sum(ds * ds) OVER (PARTITION BY token)
+        |          AS BIGINT) AS ssq FROM z1),
+        |z AS (SELECT source, token,
+        |       round((CAST(ds AS DOUBLE) / nsrc) /
+        |         (CASE WHEN sqrt(CAST(ssq AS DOUBLE) / pow(nsrc, 3)) > 0
+        |               THEN sqrt(CAST(ssq AS DOUBLE) / pow(nsrc, 3))
+        |               ELSE 1.0 END), 6) AS z FROM z2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | round(avg(abs(a.z - b.z)), 4) AS delta,
+        | CAST(count(*) AS BIGINT) AS n_words
+        |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
@@ -3494,6 +3589,58 @@ object SparkEntry {
          |SELECT lbl AS community_id, CAST(count(*) AS BIGINT) AS n_members,
          | min(vec_id) AS min_member
          |FROM l$rounds GROUP BY 1""".stripMargin
+
+  /** The q182 oracle replays the identical EM trajectory: per round the
+    * E-step densities from the previous round's 4-dp parameter row, the
+    * same epsilon-guarded responsibilities, the same 4-dp aggregate
+    * roundings, and an M-step whose every inner rounding mirrors the
+    * driver's (mu is rounded before it enters the variance).
+    */
+  private def emOracleSql(iters: Int): String = {
+    val init =
+      """WITH xs AS (SELECT round(ln(n_chars + 1), 6) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |i0 AS (SELECT 0.5 AS pi, mu1, mu2,
+        |        round(greatest((mu2 - mu1) / 2, 0.05), 4) AS s1,
+        |        round(greatest((mu2 - mu1) / 2, 0.05), 4) AS s2
+        |       FROM (SELECT
+        |          min(CASE WHEN rn = (nn * 25 + 99) // 100 THEN x END)
+        |            AS mu1,
+        |          min(CASE WHEN rn = (nn * 75 + 99) // 100 THEN x END)
+        |            AS mu2
+        |         FROM (SELECT x,
+        |            CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS rn,
+        |            CAST(count(*) OVER () AS BIGINT) AS nn FROM xs)))""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s""",
+         |g$r AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         round(sum(g), 4) AS a, round(sum(g * x), 4) AS b,
+         |         round(sum(g * x * x), 4) AS c,
+         |         round(sum(x), 4) AS x1, round(sum(x * x), 4) AS x2
+         |        FROM (SELECT x, d1 / (d1 + d2 + 1e-300) AS g FROM (
+         |           SELECT x,
+         |            (pi / s1) * exp(-pow(x - mu1, 2) / (2 * s1 * s1)) AS d1,
+         |            ((1.0 - pi) / s2) * exp(-pow(x - mu2, 2) / (2 * s2 * s2)) AS d2
+         |           FROM xs, i${r - 1}))),
+         |u$r AS (SELECT n, a, b, c, round(n - a, 4) AS a2,
+         |         round(x1 - b, 4) AS b2, round(x2 - c, 4) AS c2 FROM g$r),
+         |i$r AS (SELECT round(a / n, 4) AS pi, round(b / a, 4) AS mu1,
+         |         round(sqrt(greatest(c / a
+         |           - round(b / a, 4) * round(b / a, 4), 0.0001)), 4) AS s1,
+         |         round(b2 / a2, 4) AS mu2,
+         |         round(sqrt(greatest(c2 / a2
+         |           - round(b2 / a2, 4) * round(b2 / a2, 4), 0.0001)), 4) AS s2,
+         |         a AS ra, a2 AS ra2 FROM u$r)""".stripMargin
+    }.mkString
+    init + steps + "\n" +
+      (1 to iters).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS iter, CAST(1 AS BIGINT) AS component,
+           | pi, mu1 AS mu, s1 AS sigma, ra AS resp_mass FROM i$r
+           |UNION ALL
+           |SELECT CAST($r AS BIGINT), CAST(2 AS BIGINT),
+           | round(1.0 - pi, 4), mu2, s2, ra2 FROM i$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+  }
 
   /** The q176 oracle replays the identical BPE trajectory: one
     * generated block per merge round — pair counts via lead(), argmax

@@ -710,4 +710,41 @@ object PipelinePrep {
       .withColumn("dup_rate",
         round(lit(1.0) - $"n_unique_texts".cast("double") / $"n_docs", 6))
   }
+
+  /** Token-budget apportionment (q180): split a global training-token
+    * budget across sources proportionally to their corpus share, with
+    * the largest-remainder (Hamilton) method — floor every quota, then
+    * hand the leftover tokens to the largest fractional remainders —
+    * so the allocations are INTEGERS that sum exactly to the budget
+    * (naive per-source rounding over- or under-shoots, and at trillions
+    * of tokens "approximately the budget" is a real money difference).
+    * Entirely integer arithmetic: quota floor = (budget·n_s) div N,
+    * remainder = (budget·n_s) mod N, ties on source name.
+    *
+    * Scale: one corpus scan (map-side combined token sum per source);
+    * everything after runs on the sources-sized table where the global
+    * windows are O(sources). budget·n_s stays within i64 for any budget
+    * × share product under ~9e18 — beyond that, swap in decimal(38,0)
+    * and keep the identical div/mod shape.
+    */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(lit(1))
+    val src = docs(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("n_tokens"))
+      .withColumn("total", sum($"n_tokens").over(w))
+    val quotas = src
+      .withColumn("floor_alloc", expr(s"($budget * n_tokens) div total"))
+      .withColumn("rem", expr(s"($budget * n_tokens) % total"))
+      .withColumn("leftover", lit(budget) - sum($"floor_alloc").over(w))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"rem".desc, $"source")).cast("long"))
+    quotas
+      .select($"source", $"n_tokens",
+        ($"floor_alloc" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .as("alloc_tokens"),
+        ($"rk" <= $"leftover").as("got_extra"))
+  }
 }

@@ -1358,6 +1358,172 @@ object TextAnalysis {
           / ($"n_pos" * $"n_neg"), 6).as("auc"))
   }
 
+  /** Calibration reliability bins (q181): the q179 companion — AUC says
+    * the score RANKS well, calibration says whether its VALUE means
+    * anything. Equal-count deciles of the q23 en-marker score, each with
+    * its mean predicted score and observed positive rate; the per-bin
+    * |gap| is the reliability-diagram deviation an ECE would average.
+    *
+    * Scale: one scan for the score, one global rank (the q149
+    * rank-statistic trade, a distributed range-partitioned sort), then
+    * a 10-key aggregate. Scores are 6-dp rationals, so the per-bin mean
+    * is summed in exact integer MICRO-units and divided once — a double
+    * sum's order-dependence would make the 6-dp rounding
+    * engine-dependent (the q173 lesson).
+    */
+  def calibrationBins(spark: SparkSession, dir: String,
+      nBins: Int = 10): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir)
+      .select(($"lang" === "en").as("pos"), $"doc_id", toks.as("t"))
+      .select($"pos", $"doc_id",
+        round(size(filter($"t", tk => tk.isin("the", "a", "and")))
+          .cast("double") / size($"t"), 6).as("score"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"score", $"doc_id")).cast("long"))
+      .withColumn("n_total",
+        count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("bin", expr(s"((rn - 1) * $nBins) div n_total"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pos", 1L).otherwise(0L)).as("n_pos"),
+        sum(round($"score" * 1000000).cast("long")).as("score_micro"))
+      .select($"bin", $"n_docs", $"n_pos",
+        round($"score_micro" / ($"n_docs" * 1000000.0), 6)
+          .as("mean_score"),
+        round($"n_pos".cast("double") / $"n_docs", 6).as("pos_rate"))
+      .withColumn("gap", round(abs($"mean_score" - $"pos_rate"), 6))
+  }
+
+  /** Burrows' Delta stylometric distance between sources (q183): the
+    * classic authorship-attribution measure — relative frequencies of
+    * the corpus's top `m` function words, z-scored ACROSS sources per
+    * word (so every word contributes on the same scale regardless of
+    * its absolute frequency), then Delta(s₁,s₂) = mean |z₁ − z₂|. Where
+    * q87's KL asks "does this source's word DISTRIBUTION diverge", Delta
+    * asks "does its STYLE differ on the words everyone uses" — the
+    * signal that catches machine-generated or templated feeds whose
+    * topic mix looks normal.
+    *
+    * Scale: one (source, token) aggregate off the corpus scan; the top-m
+    * pick and the z-scores run on the vocabulary- and sources-sized
+    * tables, and the pairwise matrix is sources², never corpus-sized.
+    * Frequencies are fixed to 6-dp integer micro-units before the
+    * cross-source moments so both engines see identical inputs.
+    */
+  def burrowsDelta(spark: SparkSession, dir: String,
+      m: Int = 20): DataFrame = {
+    import spark.implicits._
+    val cells = docs(spark, dir)
+      .select($"source", explode(toks).as("token"))
+      .filter(length($"token") >= 1)
+      .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+    val srcTotals = cells.groupBy($"source").agg(sum($"n").as("n_source"))
+    val top = cells.groupBy($"token").agg(sum($"n").as("n_global"))
+      .orderBy($"n_global".desc, $"token").limit(m)
+      .select($"token")
+    // dense sources × top-m grid: absent cells are REAL zeros, not
+    // missing rows — a sparse z-score would bias every mean upward
+    val grid = srcTotals.crossJoin(broadcast(top))
+      .join(cells, Seq("source", "token"), "left")
+      .select($"source", $"token",
+        round(coalesce($"n", lit(0L)) * 1000000.0 / $"n_source")
+          .cast("long").as("f_micro"))
+    // moments in exact integer arithmetic (scaled deviation
+    // ds = f·n − Σf stays i64), so the z-scores are bit-identical
+    // across engines — a double sum's partition order is not
+    val byTok = Window.partitionBy($"token")
+    val z = grid
+      .withColumn("nsrc", count(lit(1)).over(byTok))
+      .withColumn("s", sum($"f_micro").over(byTok))
+      .withColumn("ds", $"f_micro" * $"nsrc" - $"s")
+      .withColumn("ssq", sum($"ds" * $"ds").over(byTok))
+      .withColumn("sd", sqrt($"ssq".cast("double") / pow($"nsrc", 3)))
+      .select($"source", $"token",
+        round(($"ds".cast("double") / $"nsrc") /
+          when($"sd" > 0, $"sd").otherwise(lit(1.0)), 6).as("z"))
+    z.as("a").join(z.as("b"),
+        $"a.token" === $"b.token" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(round(avg(abs($"a.z" - $"b.z")), 4).as("delta"),
+        count(lit(1)).as("n_words"))
+  }
+
+  /** Two-component Gaussian-mixture EM on log document length (q182),
+    * `iters` fixed rounds — the soft-clustering companion to q74's hard
+    * Lloyd assignment: doc-length distributions are classically bimodal
+    * (snippets vs articles), and the fitted mixture is how a pipeline
+    * picks a PRINCIPLED length cutoff instead of an eyeballed one. Each
+    * round scores every doc's responsibility under the current
+    * (π, μ, σ) literals, aggregates soft counts, and updates on the
+    * driver; the emitted table is the full (iter, component) parameter
+    * trajectory, so convergence is visible, not just the endpoint.
+    *
+    * Scale: the q74/q105 iterative pattern — per round ONE corpus scan
+    * against broadcast literal parameters (the E-step is codegen'd
+    * arithmetic in the projection, no shuffle), a 5-value aggregate, a
+    * one-row driver collect. Aggregates are rounded to 4 before the
+    * M-step (q105 rule) so both engines re-broadcast identical
+    * parameters; component-2 sums come from totals minus component-1
+    * (exact combos of the rounded values, no second scan). The
+    * responsibility denominator carries an 1e-300 epsilon so a
+    * double-tail exp-underflow yields 0, never a 0/0 whose NULL-vs-NaN
+    * outcome is engine-dependent.
+    */
+  def emMixture(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val xs = docs(spark, dir)
+      .filter($"n_chars".isNotNull)
+      .select(round(log($"n_chars" + 1), 6).as("x"))
+    // RANK-EXACT quartiles for the init, not interpolated percentile:
+    // the two engines interpolate with differently-associated arithmetic
+    // (a+(b-a)f vs a(1-f)+bf), and a last-ulp init difference amplified
+    // through three E-steps is a visible trajectory fork (measured at
+    // sf0.1). An order statistic is an actual 6-dp data value — the
+    // same binary on both engines.
+    val init = xs
+      .withColumn("rn", row_number().over(Window.orderBy($"x")).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter($"rn" === expr("(nn * 25 + 99) div 100")
+        || $"rn" === expr("(nn * 75 + 99) div 100"))
+      .orderBy($"rn").select($"x").collect()
+    val emptyOut = Seq.empty[(Long, Long, Double, Double, Double, Double)]
+      .toDF("iter", "component", "pi", "mu", "sigma", "resp_mass")
+    if (init.isEmpty) return emptyOut
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var mu1 = init(0).getDouble(0)
+    var mu2 = init(init.length - 1).getDouble(0)
+    var s1 = r4(math.max((mu2 - mu1) / 2, 0.05)); var s2 = s1
+    var pi = 0.5
+    val rows =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Double, Double)]
+    for (it <- 1 to iters) {
+      val d1 = (lit(pi) / s1) *
+        exp(-pow($"x" - mu1, 2) / (2 * s1 * s1))
+      val d2 = (lit(1.0 - pi) / s2) *
+        exp(-pow($"x" - mu2, 2) / (2 * s2 * s2))
+      val agg = xs.select((d1 / (d1 + d2 + lit(1e-300))).as("g"), $"x")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"g"), 4).as("a"),
+          round(sum($"g" * $"x"), 4).as("b"),
+          round(sum($"g" * $"x" * $"x"), 4).as("c"),
+          round(sum($"x"), 4).as("x1"),
+          round(sum($"x" * $"x"), 4).as("x2")).head()
+      val n = agg.getLong(0).toDouble
+      val (a, b, c) = (agg.getDouble(1), agg.getDouble(2), agg.getDouble(3))
+      val (t1, t2) = (agg.getDouble(4), agg.getDouble(5))
+      val (a2, b2, c2) = (r4(n - a), r4(t1 - b), r4(t2 - c))
+      pi = r4(a / n)
+      mu1 = r4(b / a); s1 = r4(math.sqrt(math.max(c / a - mu1 * mu1, 1e-4)))
+      mu2 = r4(b2 / a2); s2 = r4(math.sqrt(math.max(c2 / a2 - mu2 * mu2, 1e-4)))
+      rows += ((it.toLong, 1L, pi, mu1, s1, a))
+      rows += ((it.toLong, 2L, r4(1.0 - pi), mu2, s2, a2))
+    }
+    rows.toSeq.toDF("iter", "component", "pi", "mu", "sigma", "resp_mass")
+  }
+
   /** Byte-pair-encoding merge learning (q176): the first `k` BPE merges
     * over the corpus vocabulary — each round counts every adjacent
     * symbol pair (frequency-weighted by word count), merges the argmax

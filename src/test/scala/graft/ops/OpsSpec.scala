@@ -287,6 +287,13 @@ class OpsSpec extends AnyFunSuite {
     "q178_kaplan_meier" -> Set("t_days", "n_at_risk", "n_churned",
       "n_censored", "survival"),
     "q179_roc_auc" -> Set("n_pos", "n_neg", "auc"),
+    "q180_token_budget" -> Set("source", "n_tokens", "alloc_tokens",
+      "got_extra"),
+    "q181_calibration_bins" -> Set("bin", "n_docs", "n_pos", "mean_score",
+      "pos_rate", "gap"),
+    "q182_em_mixture" -> Set("iter", "component", "pi", "mu", "sigma",
+      "resp_mass"),
+    "q183_burrows_delta" -> Set("source_a", "source_b", "delta", "n_words"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -820,6 +827,62 @@ class OpsSpec extends AnyFunSuite {
     val wins = (for (x <- pos; y <- neg)
       yield if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
     assert(math.abs(auc - wins / (p * n)) < 1e-5)
+  }
+
+  test("q180: allocations are integers summing EXACTLY to the budget, within 1 of exact quota") {
+    val rows = PipelinePrep.tokenBudget(spark, sf, budget = 999983L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.map(_._3).sum == 999983L)
+    val total = rows.map(_._2).sum.toDouble
+    rows.foreach { case (src, n, alloc, _) =>
+      val quota = 999983L * n / total
+      assert(math.abs(alloc - quota) < 1.0, s"$src drifted from quota")
+    }
+    assert(rows.count(_._4) == rows.map(r =>
+      r._3 - 999983L * r._2 / rows.map(_._2).sum).sum)
+  }
+
+  test("q181: ten equal-count bins partition the corpus; gap is |mean-rate|") {
+    val rows = TextAnalysis.calibrationBins(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).sorted.toSeq == (0L to 9L))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == n)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    rows.foreach { case (b, _, m, p, g) =>
+      assert(math.abs(g - math.abs(
+        BigDecimal(m - p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)) < 1e-9, s"bin $b")
+    }
+  }
+
+  test("q182: mixture weights in (0,1), responsibilities partition the corpus") {
+    val rows = TextAnalysis.emMixture(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 6)
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("n_chars is not null").count().toDouble
+    rows.groupBy(_._1).foreach { case (it, comps) =>
+      assert(comps.map(_._3).sum > 0.999 && comps.map(_._3).sum < 1.001,
+        s"iter $it pi")
+      assert(math.abs(comps.map(_._5).sum - n) < 0.01, s"iter $it mass")
+      comps.foreach(c => assert(c._4 > 0, s"iter $it sigma"))
+    }
+  }
+
+  test("q183: one row per unordered source pair, deltas non-negative over 20 words") {
+    val rows = TextAnalysis.burrowsDelta(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getLong(3)))
+    val nSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    rows.foreach { case (a, b, d, w) =>
+      assert(a < b && d >= 0.0 && w == 20L, s"($a,$b)")
+    }
   }
 
   test("q108: one row per centroid, members conserved, shift non-negative") {

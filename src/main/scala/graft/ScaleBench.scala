@@ -85,7 +85,12 @@ object ScaleBench {
     "q172_source_keyness", "q174_kcenter_coreset", "q175_lpa_modularity",
     "q176_bpe_merges", "q177_adamic_adar", "q179_roc_auc",
     "q180_token_budget", "q181_calibration_bins", "q182_em_mixture",
-    "q183_burrows_delta")
+    // q186 dedup-eval is deliberately absent for the q145 reason: its
+    // ground-truth arm is the exact-Jaccard pair join, and the
+    // replicated corpus maximizes the pair count by construction; at
+    // scale it runs on an md5 doc-sample
+    "q183_burrows_delta", "q184_pq_codebook", "q185_bpe_fertility",
+    "q187_coverage_curve")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -463,6 +463,18 @@ object SparkEntry {
     // Burrows' Delta stylometric distance between sources
     "q183_burrows_delta" -> ((s: SparkSession, d: String) =>
       TextAnalysis.burrowsDelta(s, d)),
+    // product-quantization codebook occupancy + distortion
+    "q184_pq_codebook" -> ((s: SparkSession, d: String) =>
+      Similarity.pqCodebook(s, d)),
+    // fertility/compression report of the learned BPE merges
+    "q185_bpe_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeFertility(s, d)),
+    // precision/recall of MinHash banding vs exact Jaccard at tau
+    "q186_dedup_eval" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupEval(s, d)),
+    // corpus token coverage by top-k vocabulary ladder
+    "q187_coverage_curve" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.coverageCurve(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3551,6 +3563,111 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_words
         |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    // q184: same md5-sampled seeds, same three-dot d² formula, same
+    // (d2 ASC, code ASC) argmin, distortions summed in micro-units
+    "q184_pq_codebook" ->
+      """WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+        |          - 1 AS BIGINT) AS code, embedding
+        |       FROM (SELECT vec_id, embedding FROM embeddings
+        |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+        |               <= '19'
+        |             ORDER BY vec_id LIMIT 8)),
+        |blk AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS block),
+        |cent AS (SELECT block, code,
+        |   list_slice(embedding, block * 16 + 1, block * 16 + 16) AS c,
+        |   list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in
+        |     list_slice(embedding, block * 16 + 1, block * 16 + 16)])
+        |     AS cc
+        |  FROM seeds, blk),
+        |x AS (SELECT vec_id, block,
+        |   list_slice(embedding, block * 16 + 1, block * 16 + 16) AS v
+        |  FROM embeddings, blk),
+        |d AS (SELECT x.vec_id, x.block, cent.code,
+        |   round(list_sum([CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)
+        |           for i in range(1, len(v) + 1)])
+        |     - 2.0 * list_sum([CAST(v[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)
+        |           for i in range(1, len(v) + 1)])
+        |     + cc, 6) AS d2
+        |  FROM x JOIN cent ON x.block = cent.block),
+        |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block
+        |        ORDER BY d2, code) AS rk FROM d)
+        |SELECT block, code, CAST(count(*) AS BIGINT) AS n_assigned,
+        | round(sum(CAST(round(d2 * 1000000) AS BIGINT))
+        |   / (count(*) * 1000000.0), 6) AS mse
+        |FROM a WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+    // q185: same bpeCtes chain, aggregated at the final segmentation
+    "q185_bpe_fertility" -> bpeFertilityOracleSql(6),
+    // q186: the q15 and q16 chains composed verbatim, f1 from the
+    // ROUNDED precision/recall like the engine
+    "q186_dedup_eval" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents),
+        |sh1 AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                for i in range(1, len(t) - 1)]) AS sh
+        |       FROM tok),
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT)
+        |         AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT)
+        |         AS h2 FROM sh1),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band,
+        |          md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sigs a JOIN sigs b
+        |          ON a.band = b.band AND a.sig = b.sig
+        |          AND a.doc_id < b.doc_id),
+        |sh2 AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                for i in range(1, len(t) - 1)]) AS sh
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS common
+        |        FROM sh2 a JOIN sh2 b
+        |         ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |truth AS (SELECT doc_a, doc_b FROM com
+        |          JOIN sizes sa ON doc_a = sa.doc_id
+        |          JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE round(CAST(common AS DOUBLE)
+        |            / (sa.n + sb.n - common), 6) >= 0.5),
+        |e1 AS (SELECT
+        |  CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_true_pairs,
+        |  CAST(sum(CASE WHEN c.doc_a IS NOT NULL AND t.doc_a IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        | FROM cand c FULL OUTER JOIN truth t
+        |  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+        |e2 AS (SELECT *, round(tp / CAST(n_candidates AS DOUBLE), 6)
+        |         AS precision,
+        |        round(tp / CAST(n_true_pairs AS DOUBLE), 6) AS recall
+        |       FROM e1)
+        |SELECT *, round(2.0 * precision * recall
+        |  / (precision + recall), 6) AS f1 FROM e2""".stripMargin,
+    // q187: same (freq DESC, token ASC) rank and integer running sums
+    "q187_coverage_curve" ->
+      """WITH types AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |       WHERE len(token) >= 1 GROUP BY 1),
+        |rkd AS (SELECT *, CAST(row_number() OVER (
+        |          ORDER BY freq DESC, token) AS BIGINT) AS rk FROM types),
+        |cums AS (SELECT *, CAST(sum(freq) OVER (ORDER BY rk
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(sum(freq) OVER () AS BIGINT) AS total FROM rkd),
+        |ks AS (SELECT CAST(unnest([10, 100, 1000, 10000]) AS BIGINT) AS k)
+        |SELECT k AS vocab_size, max(cum) AS covered_tokens,
+        | max(total) AS total_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types_used,
+        | round(max(cum) / CAST(max(total) AS DOUBLE), 6) AS coverage
+        |FROM cums, ks WHERE rk <= k GROUP BY 1""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
@@ -3649,7 +3766,38 @@ object SparkEntry {
     * drop the following position, renumber). Ends as a UNION of the k
     * one-row argmax CTEs.
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleSql(k: Int): String =
+    bpeCtes(k) + "\n" +
+      (1 to k).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_order, a AS left_sym,
+           | b AS right_sym, a || b AS merged, cnt AS pair_count
+           |FROM b$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+
+  /** The q185 oracle aggregates the identical final segmentation table
+    * (same bpeCtes chain ending at g&lt;k&gt;). */
+  private def bpeFertilityOracleSql(k: Int): String =
+    bpeCtes(k) +
+      s""",
+         |pw AS (SELECT word, freq, CAST(max(pos) AS BIGINT) AS n_syms
+         |       FROM g$k GROUP BY 1, 2),
+         |ag AS (SELECT CAST(sum(freq) AS BIGINT) AS n_word_occurrences,
+         |        CAST(count(*) AS BIGINT) AS n_word_types,
+         |        CAST(sum(freq * n_syms) AS BIGINT) AS nso,
+         |        CAST(sum(freq * len(word)) AS BIGINT) AS nco,
+         |        CAST(sum(CASE WHEN n_syms = 1 THEN freq ELSE 0 END)
+         |          AS BIGINT) AS nss
+         |       FROM pw),
+         |st AS (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+         |         AS symbol_table_size FROM g$k)
+         |SELECT n_word_occurrences, n_word_types, symbol_table_size,
+         | round(nso / CAST(n_word_occurrences AS DOUBLE), 6) AS fertility,
+         | round(nco / CAST(nso AS DOUBLE), 6) AS chars_per_symbol,
+         | round(nss / CAST(n_word_occurrences AS DOUBLE), 6)
+         |   AS single_symbol_rate
+         |FROM ag, st""".stripMargin
+
+  private def bpeCtes(k: Int): String = {
     val init =
       """WITH vw AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -3684,12 +3832,7 @@ object SparkEntry {
          |         CASE WHEN ms THEN sym || nxt ELSE sym END AS sym
          |        FROM v$r WHERE NOT pm)""".stripMargin
     }.mkString
-    init + steps + "\n" +
-      (1 to k).map { r =>
-        s"""SELECT CAST($r AS BIGINT) AS merge_order, a AS left_sym,
-           | b AS right_sym, a || b AS merged, cnt AS pair_count
-           |FROM b$r""".stripMargin
-      }.mkString("\nUNION ALL\n")
+    init + steps
   }
 
   /** The q175 oracle scores the IDENTICAL partition (same lpaCtes

@@ -993,4 +993,39 @@ object Dedup {
         .localCheckpoint(true)
     } finally wts.unpersist()
   }
+
+  /** MinHash banding quality report (q186): precision/recall of the q15
+    * candidate pairs against exact-Jaccard ground truth at threshold
+    * `tau` — "measure, don't guess" applied to the dedup pipeline
+    * itself. Banding parameters are a bet on an S-curve; this is the
+    * query that checks the bet on THIS corpus before a 100-TB run
+    * trusts it. Composes [[minhashCandidates]] and [[jaccardPairs]]
+    * verbatim, so the evaluation can never drift from the operators it
+    * scores.
+    *
+    * Scale: the ground-truth arm is exact-Jaccard and pair-bounded (the
+    * q16 hazard, documented there); at real scale this evaluation runs
+    * on a deterministic md5 doc-sample (the q47 trick) — the S-curve
+    * estimate needs thousands of pairs, not the whole corpus. The
+    * final full-outer join keys on the pair ids.
+    */
+  def dedupEval(spark: SparkSession, dir: String,
+      tau: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val cand = minhashCandidates(spark, dir)
+      .select($"doc_a", $"doc_b", lit(1L).as("is_cand"))
+    val truth = jaccardPairs(spark, dir, tau)
+      .select($"doc_a", $"doc_b", lit(1L).as("is_dup"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce($"is_cand", lit(0L))).as("n_candidates"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_true_pairs"),
+        sum(when($"is_cand".isNotNull && $"is_dup".isNotNull, 1L)
+          .otherwise(0L)).as("tp"))
+      .select($"n_candidates", $"n_true_pairs", $"tp",
+        round($"tp" / $"n_candidates".cast("double"), 6).as("precision"),
+        round($"tp" / $"n_true_pairs".cast("double"), 6).as("recall"))
+      .withColumn("f1", round(
+        lit(2.0) * $"precision" * $"recall" / ($"precision" + $"recall"), 6))
+  }
 }

@@ -932,4 +932,56 @@ object Similarity {
         $"label".cast("long").as("majority_label"), $"n".as("majority_n"),
         round($"n".cast("double") / $"n_vecs", 6).as("purity"))
   }
+
+  /** Product-quantization codebook report (q184): the embedding space
+    * split into `nBlocks` contiguous sub-spaces, each with its own
+    * `codesPerBlock`-entry codebook (md5-sampled deterministic seeds,
+    * the q19/q74 init), every vector's sub-block assigned to its
+    * nearest code by squared L2 — the memory-layout primitive behind
+    * every large ANN index (a 64-dim float vector compresses to 4
+    * bytes of codes). Emitted per (block, code): occupancy and mean
+    * squared distortion — the table that says whether the codebook
+    * needs more codes or trained centroids before the 100-TB build.
+    *
+    * Scale: assignment is a pure scan projection — per block a
+    * least(struct) argmin over codesPerBlock codegen'd vec_dot
+    * distances against LITERAL code vectors (d² = v·v − 2v·c + c·c,
+    * the identical three-dot formula the oracle states, so the doubles
+    * agree bitwise); the only shuffle is the (block, code)-keyed
+    * rollup, ≤ nBlocks × codesPerBlock cells. Distortions are rounded
+    * to 6 then summed in exact integer micro-units.
+    */
+  def pqCodebook(spark: SparkSession, dir: String, nBlocks: Int = 4,
+      codesPerBlock: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val dim = 64
+    val bw = dim / nBlocks
+    val seeds = sampledCentroids(spark, dir, codesPerBlock)
+    if (seeds.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("block", "code", "n_assigned", "mse")
+    def sumSq(vals: Seq[Float]): Double =
+      vals.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+    val perBlock = (0 until nBlocks).map { b =>
+      val v = slice($"embedding", b * bw + 1, bw)
+      val cands = seeds.map { case (code, full) =>
+        val c = full.slice(b * bw, (b + 1) * bw)
+        struct(
+          round(dot(v, v) - lit(2.0) * dot(v, litVec(c)) + lit(sumSq(c)), 6)
+            .as("d2"),
+          lit(code.toLong).as("code"))
+      }
+      val argmin = if (cands.length == 1) cands.head else least(cands: _*)
+      e.select(lit(b.toLong).as("block"),
+        argmin.getField("code").as("code"),
+        argmin.getField("d2").as("d2"))
+    }.reduce(_ unionByName _)
+    perBlock
+      .groupBy($"block", $"code")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(round($"d2" * 1000000).cast("long")).as("mse_micro"))
+      .select($"block", $"code", $"n_assigned",
+        round($"mse_micro" / ($"n_assigned" * 1000000.0), 6).as("mse"))
+  }
 }

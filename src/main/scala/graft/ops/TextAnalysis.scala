@@ -1553,6 +1553,52 @@ object TextAnalysis {
     */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 6): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, dir, k)._1.toSeq
+      .toDF("merge_order", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** BPE tokenizer fertility report (q185): apply [[bpeMerges]]'
+    * learned merges and measure what the tokenizer DELIVERS — weighted
+    * symbols-per-word (fertility, the number a serving-cost estimate
+    * multiplies by), chars-per-symbol (compression), the symbol-table
+    * size, and the share of word occurrences already collapsed to one
+    * symbol. This is the accept/reject gate for a merge budget: q176
+    * says WHAT was learned, q185 says whether it was worth k merges.
+    *
+    * Scale: the training pass is q176's (vocabulary-sized rounds); the
+    * report is one aggregate over the final per-word segment table —
+    * all integer sums (token counts × symbol counts), divided once.
+    */
+  def bpeFertility(spark: SparkSession, dir: String, k: Int = 6): DataFrame = {
+    import spark.implicits._
+    val (_, positions) = bpeTrain(spark, dir, k)
+    val perWord = positions
+      .groupBy($"word", $"freq")
+      .agg(max($"pos").as("n_syms"))
+    perWord.agg(
+        sum($"freq").as("n_word_occurrences"),
+        count(lit(1)).as("n_word_types"),
+        sum($"freq" * $"n_syms").as("n_symbol_occurrences"),
+        sum($"freq" * length($"word")).as("n_char_occurrences"),
+        sum(when($"n_syms" === 1L, $"freq").otherwise(0L)).as("n_single_symbol"))
+      .crossJoin(broadcast(
+        positions.select($"sym").distinct().agg(count(lit(1)).as("symbol_table_size"))))
+      .select($"n_word_occurrences", $"n_word_types", $"symbol_table_size",
+        round($"n_symbol_occurrences" / $"n_word_occurrences".cast("double"), 6)
+          .as("fertility"),
+        round($"n_char_occurrences" / $"n_symbol_occurrences".cast("double"), 6)
+          .as("chars_per_symbol"),
+        round($"n_single_symbol" / $"n_word_occurrences".cast("double"), 6)
+          .as("single_symbol_rate"))
+  }
+
+  /** Shared q176/q185 training loop: returns (merge table rows, final
+    * vocabulary segmentation). See [[bpeMerges]] for the algorithm and
+    * scale argument.
+    */
+  private def bpeTrain(spark: SparkSession, dir: String, k: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    import spark.implicits._
     val w = Window.partitionBy($"word").orderBy($"pos")
     val vocab = docs(spark, dir)
       .select(explode(toks).as("word"))
@@ -1595,7 +1641,45 @@ object TextAnalysis {
       }
       r += 1
     }
-    merges.toSeq
-      .toDF("merge_order", "left_sym", "right_sym", "merged", "pair_count")
+    (merges.toSeq, positions)
+  }
+
+  /** Vocabulary coverage curve (q187): what fraction of all token
+    * OCCURRENCES the top-k most frequent types cover, for a ladder of
+    * candidate vocabulary sizes — the empirical curve behind every
+    * "how big should the vocab/OOV budget be" decision (Zipf says ~90%
+    * coverage comes absurdly early; this measures where, for THIS
+    * corpus). Ranks are (freq DESC, token ASC) so the cumulative sums
+    * are deterministic under frequency ties.
+    *
+    * Scale: one map-side-combined type count; the rank and running-sum
+    * windows are vocabulary-sized (the only rows carried past the first
+    * aggregate), and the ladder rollup is a constant-size aggregate of
+    * integer cumulative counts.
+    */
+  def coverageCurve(spark: SparkSession, dir: String,
+      ladder: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    import spark.implicits._
+    val types = docs(spark, dir)
+      .select(explode(toks).as("token"))
+      .filter(length($"token") >= 1)
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+    val ranked = types
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"freq".desc, $"token")).cast("long"))
+      .withColumn("cum", sum($"freq").over(
+        Window.orderBy($"rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"freq").over(Window.partitionBy(lit(1))))
+      .withColumn("n_types", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val ks = ladder.map(_.toLong).toDF("k")
+    ranked
+      .crossJoin(broadcast(ks))
+      .filter($"rk" <= $"k")
+      .groupBy($"k".as("vocab_size"))
+      .agg(max($"cum").as("covered_tokens"),
+        max($"total").as("total_tokens"),
+        count(lit(1)).as("n_types_used"),
+        round(max($"cum") / max($"total").cast("double"), 6).as("coverage"))
   }
 }

@@ -294,6 +294,14 @@ class OpsSpec extends AnyFunSuite {
     "q182_em_mixture" -> Set("iter", "component", "pi", "mu", "sigma",
       "resp_mass"),
     "q183_burrows_delta" -> Set("source_a", "source_b", "delta", "n_words"),
+    "q184_pq_codebook" -> Set("block", "code", "n_assigned", "mse"),
+    "q185_bpe_fertility" -> Set("n_word_occurrences", "n_word_types",
+      "symbol_table_size", "fertility", "chars_per_symbol",
+      "single_symbol_rate"),
+    "q186_dedup_eval" -> Set("n_candidates", "n_true_pairs", "tp",
+      "precision", "recall", "f1"),
+    "q187_coverage_curve" -> Set("vocab_size", "covered_tokens",
+      "total_tokens", "n_types_used", "coverage"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

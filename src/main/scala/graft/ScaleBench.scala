@@ -90,7 +90,8 @@ object ScaleBench {
     // replicated corpus maximizes the pair count by construction; at
     // scale it runs on an md5 doc-sample
     "q183_burrows_delta", "q184_pq_codebook", "q185_bpe_fertility",
-    "q187_coverage_curve")
+    "q187_coverage_curve", "q189_embedding_outliers",
+    "q190_optimal_threshold")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -113,7 +114,7 @@ object ScaleBench {
     "q153_ks_drift", "q157_event_mode", "q160_novelty_curve",
     "q161_markov_stationary", "q163_winsorized_stats",
     "q165_audience_overlap", "q167_jackknife_ci", "q168_ab_lift",
-    "q169_funnel_latency", "q178_kaplan_meier")
+    "q169_funnel_latency", "q178_kaplan_meier", "q188_lagged_xcorr")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

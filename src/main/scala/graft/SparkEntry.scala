@@ -475,6 +475,15 @@ object SparkEntry {
     // corpus token coverage by top-k vocabulary ladder
     "q187_coverage_curve" -> ((s: SparkSession, d: String) =>
       TextAnalysis.coverageCurve(s, d)),
+    // lagged cross-correlation of daily click vs purchase series
+    "q188_lagged_xcorr" -> ((s: SparkSession, d: String) =>
+      Sessionize.laggedXcorr(s, d)),
+    // z-normalized distance-to-centroid embedding outliers
+    "q189_embedding_outliers" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingOutliers(s, d)),
+    // Youden-J / F1 operating-point selection for the en score
+    "q190_optimal_threshold" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.optimalThreshold(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3668,6 +3677,105 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_types_used,
         | round(max(cum) / CAST(max(total) AS DOUBLE), 6) AS coverage
         |FROM cums, ks WHERE rk <= k GROUP BY 1""".stripMargin,
+    // q188: same dense spine, identical exact-integer Pearson moments
+    "q188_lagged_xcorr" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |          END) AS BIGINT) AS p
+        |       FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT)
+        |            AS day FROM bounds),
+        |dense AS (SELECT spine.day, coalesce(c, 0) AS c, coalesce(p, 0)
+        |            AS p FROM spine LEFT JOIN daily USING (day)),
+        |lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS BIGINT)
+        |           AS lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(a.c) AS BIGINT) AS sx,
+        |       CAST(sum(b.p) AS BIGINT) AS sy,
+        |       CAST(sum(a.c * b.p) AS BIGINT) AS sxy,
+        |       CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+        |       CAST(sum(b.p * b.p) AS BIGINT) AS syy
+        |      FROM dense a CROSS JOIN lags
+        |       JOIN dense b ON b.day = a.day + lag
+        |      GROUP BY 1)
+        |SELECT lag, n_days,
+        | round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |   sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS r
+        |FROM m""".stripMargin,
+    // q189: identical integer-exact per-dim moments, same 64-term
+    // left-to-right fold, same (score DESC, vec_id) top-k
+    "q189_embedding_outliers" ->
+      """WITH dims AS (SELECT s.o AS dim,
+        |        CAST(round(CAST(s.x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+        |       FROM embeddings,
+        |        unnest([{'o': j, 'x': embedding[j]}
+        |                for j in range(1, len(embedding) + 1)]) AS t(s)),
+        |st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(xm) AS BIGINT) AS s,
+        |        CAST(sum(xm * xm) AS BIGINT) AS q
+        |       FROM dims GROUP BY 1),
+        |ms AS (SELECT list(s / (n * 1000000.0) ORDER BY dim) AS mul,
+        |        list(sqrt(greatest(q / (n * 1e12)
+        |          - (s / (n * 1000000.0)) * (s / (n * 1000000.0)),
+        |          1e-12)) ORDER BY dim) AS sdl
+        |       FROM st)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label, score FROM (
+        | SELECT vec_id, label,
+        |  round(list_sum([
+        |    ((CAST(embedding[i] AS DOUBLE) - mul[i]) / sdl[i]) *
+        |    ((CAST(embedding[i] AS DOUBLE) - mul[i]) / sdl[i])
+        |    for i in range(1, len(embedding) + 1)]), 6) AS score,
+        |  row_number() OVER (ORDER BY round(list_sum([
+        |    ((CAST(embedding[i] AS DOUBLE) - mul[i]) / sdl[i]) *
+        |    ((CAST(embedding[i] AS DOUBLE) - mul[i]) / sdl[i])
+        |    for i in range(1, len(embedding) + 1)]), 6) DESC, vec_id)
+        |    AS rk
+        | FROM embeddings CROSS JOIN ms) WHERE rk <= 20""".stripMargin,
+    // q190: same reverse-cumulative confusion sweep, ties to the lower
+    // threshold, metrics from the same integer counts
+    "q190_optimal_threshold" ->
+      """WITH s AS (SELECT lang = 'en' AS pos,
+        |   round(CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the', 'a', 'and'))) AS DOUBLE)
+        |     / len(string_split(text, ' ')), 6) AS score
+        |  FROM documents),
+        |bys AS (SELECT score,
+        |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS pos_at,
+        |        CAST(count(*) AS BIGINT) AS n_at FROM s GROUP BY 1),
+        |conf AS (SELECT score AS threshold,
+        |          CAST(sum(pos_at) OVER (ORDER BY score
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |            AS BIGINT) AS tp,
+        |          CAST(sum(n_at) OVER (ORDER BY score
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |            AS BIGINT) AS pred_pos,
+        |          CAST(sum(pos_at) OVER () AS BIGINT) AS p,
+        |          CAST(sum(n_at) OVER () AS BIGINT) AS n_all
+        |         FROM bys),
+        |c2 AS (SELECT threshold, tp, pred_pos - tp AS fp, p - tp AS fn,
+        |        n_all - p - (pred_pos - tp) AS tn,
+        |        round(tp / CAST(p AS DOUBLE), 6) AS tpr,
+        |        round((pred_pos - tp) / CAST(n_all - p AS DOUBLE), 6)
+        |          AS fpr
+        |       FROM conf),
+        |yj AS (SELECT 'youden' AS criterion, threshold, tp, fp, fn, tn,
+        |        metric_value FROM (
+        |  SELECT *, round(tpr - fpr, 6) AS metric_value,
+        |   row_number() OVER (ORDER BY round(tpr - fpr, 6) DESC,
+        |     threshold) AS rk FROM c2) WHERE rk = 1),
+        |f1 AS (SELECT 'f1' AS criterion, threshold, tp, fp, fn, tn,
+        |        metric_value FROM (
+        |  SELECT *, round(2.0 * tp / (2.0 * tp + fp + fn), 6)
+        |    AS metric_value,
+        |   row_number() OVER (ORDER BY
+        |     round(2.0 * tp / (2.0 * tp + fp + fn), 6) DESC, threshold)
+        |     AS rk FROM c2) WHERE rk = 1)
+        |SELECT * FROM yj UNION ALL SELECT * FROM f1""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

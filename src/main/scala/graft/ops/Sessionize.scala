@@ -568,4 +568,51 @@ object Sessionize {
       .select($"t_days", $"n_at_risk", $"n_churned", $"n_censored",
         $"survival")
   }
+
+  /** Lagged cross-correlation of the daily click and purchase series
+    * (q188): Pearson r between clicks(day) and purchases(day + lag) for
+    * lags −3..+3 — the "does engagement LEAD conversion, and by how
+    * many days" question, and the empirical basis for choosing an
+    * attribution window (q35/q36 assume one; this measures it). Days
+    * with no events count as REAL zeros via a dense day spine — leaving
+    * them out silently biases r toward busy days.
+    *
+    * Scale: one corpus scan to daily counts (map-side combined, day
+    * keys); the spine, the 7-lag explode and the moment sums all run on
+    * the days-sized table. Every moment (Σx, Σy, Σxy, Σx², Σy²) is an
+    * exact i64 sum of event counts, so r is a single deterministic
+    * double expression per lag — no float accumulation anywhere.
+    */
+  def laggedXcorr(spark: SparkSession, dir: String,
+      maxLag: Int = 3): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"), $"event_type")
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("p"))
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    // days-sized barrier: both join sides and the bounds row re-derive
+    // from the corpus scan otherwise (three scans for one)
+    val spine = bounds
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"c", lit(0L)).as("c"),
+        coalesce($"p", lit(0L)).as("p"))
+      .localCheckpoint(true)
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    spine.as("a").crossJoin(broadcast(lags))
+      .join(spine.as("b"), col("b.day") === col("a.day") + $"lag")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a.c")).as("sx"), sum(col("b.p")).as("sy"),
+        sum(col("a.c") * col("b.p")).as("sxy"),
+        sum(col("a.c") * col("a.c")).as("sxx"),
+        sum(col("b.p") * col("b.p")).as("syy"))
+      .select($"lag", $"n_days",
+        round(($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n_days" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n_days" * $"syy" - $"sy" * $"sy").cast("double")), 6)
+          .as("r"))
+  }
 }

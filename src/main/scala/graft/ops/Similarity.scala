@@ -984,4 +984,50 @@ object Similarity {
       .select($"block", $"code", $"n_assigned",
         round($"mse_micro" / ($"n_assigned" * 1000000.0), 6).as("mse"))
   }
+
+  /** Embedding-space outliers (q189): per vector the z-normalized
+    * squared distance to the corpus centroid — Σ_d ((x_d − μ_d)/σ_d)²,
+    * a diagonal-covariance Mahalanobis — ranked to the top `k`. This is
+    * the embedding-side data-cleaning gate: encoder failures, empty
+    * inputs and domain junk land in the far tail long before they show
+    * up in any text heuristic.
+    *
+    * Scale: the per-dim moments are ONE pass (posexplode + 64-key
+    * aggregate) in exact integer micro-units, collected as 64 plan-time
+    * literals (the q74 pattern); scoring is then a pure scan projection
+    * — a codegen'd left-to-right 64-term fold against those literals,
+    * no second shuffle — feeding a TakeOrdered(k). Both engines fold
+    * the SAME dim order, and μ/σ derive from exact integer sums with
+    * one double division each, so the scores agree bitwise.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val stats = e
+      .select(posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"dim", round($"x" * 1000000).cast("long").as("xm"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"xm").as("s"),
+        sum($"xm" * $"xm").as("q"))
+      .orderBy($"dim").collect()
+    if (stats.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("vec_id", "label", "score")
+    val mus = stats.map { r =>
+      val n = r.getLong(1).toDouble
+      r.getLong(2) / (n * 1000000.0)
+    }
+    val sds = stats.map { r =>
+      val n = r.getLong(1).toDouble
+      val mu = r.getLong(2) / (n * 1000000.0)
+      math.sqrt(math.max(r.getLong(3) / (n * 1e12) - mu * mu, 1e-12))
+    }
+    val score = mus.indices.map { i =>
+      val z = (element_at($"embedding", i + 1).cast("double") - mus(i)) / sds(i)
+      z * z
+    }.reduce(_ + _)
+    e.select($"vec_id", $"label".cast("long").as("label"),
+        round(score, 6).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(k)
+  }
 }

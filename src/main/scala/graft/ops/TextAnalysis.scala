@@ -1524,6 +1524,66 @@ object TextAnalysis {
     rows.toSeq.toDF("iter", "component", "pi", "mu", "sigma", "resp_mass")
   }
 
+  /** Operating-point selection for the q23 en-score (q190): sweep every
+    * distinct score as a "predict positive if score ≥ t" threshold and
+    * report the best by Youden's J (TPR − FPR, the balanced-error
+    * choice) and by F1 (the precision-weighted choice) — the last step
+    * of the eval trilogy: q179 says the score ranks, q181 says what its
+    * values mean, this says WHERE to cut. Confusion counts come from
+    * reverse-cumulative windows over the distinct-score table, so every
+    * candidate threshold is scored in one pass; all metrics are exact
+    * integer ratios, rounded once; ties prefer the LOWER threshold
+    * (keep more data at equal quality).
+    *
+    * Scale: one scan for scores, a distinct-score aggregate (bounded by
+    * score granularity, 6-dp ratios), windows over that table only.
+    */
+  def optimalThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir)
+      .select(($"lang" === "en").as("pos"), toks.as("t"))
+      .select($"pos",
+        round(size(filter($"t", tk => tk.isin("the", "a", "and")))
+          .cast("double") / size($"t"), 6).as("score"))
+    val byScore = scored.groupBy($"score")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("pos_at"),
+        count(lit(1)).as("n_at"))
+    val ge = Window.orderBy($"score")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tot = Window.partitionBy(lit(1))
+    val conf = byScore
+      .withColumn("tp", sum($"pos_at").over(ge))
+      .withColumn("pred_pos", sum($"n_at").over(ge))
+      .withColumn("p", sum($"pos_at").over(tot))
+      .withColumn("n_all", sum($"n_at").over(tot))
+      .select($"score".as("threshold"), $"tp",
+        ($"pred_pos" - $"tp").as("fp"),
+        ($"p" - $"tp").as("fn"),
+        ($"n_all" - $"p" - ($"pred_pos" - $"tp")).as("tn"),
+        round($"tp" / $"p".cast("double"), 6).as("tpr"),
+        round(($"pred_pos" - $"tp") / ($"n_all" - $"p").cast("double"), 6)
+          .as("fpr"))
+      // score-granularity-sized barrier: both criteria rank this table
+      .localCheckpoint(true)
+    val youden = conf
+      .withColumn("metric_value",
+        round($"tpr" - $"fpr", 6))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"metric_value".desc, $"threshold")))
+      .filter($"rk" === 1)
+      .select(lit("youden").as("criterion"), $"threshold", $"tp", $"fp",
+        $"fn", $"tn", $"metric_value")
+    val f1 = conf
+      .withColumn("metric_value",
+        round(lit(2.0) * $"tp" / (lit(2.0) * $"tp" + $"fp" + $"fn"), 6))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"metric_value".desc, $"threshold")))
+      .filter($"rk" === 1)
+      .select(lit("f1").as("criterion"), $"threshold", $"tp", $"fp",
+        $"fn", $"tn", $"metric_value")
+    youden.unionByName(f1)
+  }
+
   /** Byte-pair-encoding merge learning (q176): the first `k` BPE merges
     * over the corpus vocabulary — each round counts every adjacent
     * symbol pair (frequency-weighted by word count), merges the argmax

@@ -302,6 +302,10 @@ class OpsSpec extends AnyFunSuite {
       "precision", "recall", "f1"),
     "q187_coverage_curve" -> Set("vocab_size", "covered_tokens",
       "total_tokens", "n_types_used", "coverage"),
+    "q188_lagged_xcorr" -> Set("lag", "n_days", "r"),
+    "q189_embedding_outliers" -> Set("vec_id", "label", "score"),
+    "q190_optimal_threshold" -> Set("criterion", "threshold", "tp", "fp",
+      "fn", "tn", "metric_value"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

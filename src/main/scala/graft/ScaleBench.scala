@@ -91,7 +91,7 @@ object ScaleBench {
     // scale it runs on an md5 doc-sample
     "q183_burrows_delta", "q184_pq_codebook", "q185_bpe_fertility",
     "q187_coverage_curve", "q189_embedding_outliers",
-    "q190_optimal_threshold")
+    "q190_optimal_threshold", "q191_group_split", "q192_knn_hubness")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

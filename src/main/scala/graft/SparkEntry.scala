@@ -484,6 +484,12 @@ object SparkEntry {
     // Youden-J / F1 operating-point selection for the en score
     "q190_optimal_threshold" -> ((s: SparkSession, d: String) =>
       TextAnalysis.optimalThreshold(s, d)),
+    // leakage-safe split keyed on near-dup cluster ids
+    "q191_group_split" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.groupSplit(s, d)),
+    // k-occurrence (hubness) histogram of the KNN graph
+    "q192_knn_hubness" -> ((s: SparkSession, d: String) =>
+      Similarity.knnHubness(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3776,6 +3782,36 @@ object SparkEntry {
         |     round(2.0 * tp / (2.0 * tp + fp + fn), 6) DESC, threshold)
         |     AS rk FROM c2) WHERE rk = 1)
         |SELECT * FROM yj UNION ALL SELECT * FROM f1""".stripMargin,
+    // q191: the q41 cluster chain + the q128 bucket rule on cluster_id
+    "q191_group_split" -> (clusterCteSql +
+      """,
+        |tg AS (SELECT doc_id, cluster_id,
+        |        CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)),
+        |          1, 4)) AS BIGINT) % 100 AS bucket FROM cl),
+        |sp AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |       FROM tg),
+        |lk AS (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0
+        |          END), 0) AS BIGINT) AS leaked_clusters
+        |       FROM (SELECT cluster_id, count(DISTINCT split) AS ns
+        |             FROM sp GROUP BY 1))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        | leaked_clusters
+        |FROM sp, lk GROUP BY 1, 4""".stripMargin),
+    // q192: the q54 closure's directed edges; zero-degree vectors kept
+    "q192_knn_hubness" ->
+      (s"""$knnOracleCtes,
+         |indeg AS (SELECT neighbor_id AS vec_id,
+         |           CAST(count(*) AS BIGINT) AS k_occ FROM knn GROUP BY 1),
+         |alln AS (SELECT coalesce(k_occ, 0) AS k_occurrences
+         |         FROM embeddings e LEFT JOIN indeg USING (vec_id)),
+         |h AS (SELECT k_occurrences, CAST(count(*) AS BIGINT) AS n_vectors
+         |      FROM alln GROUP BY 1)
+         |SELECT k_occurrences, n_vectors,
+         | round(n_vectors / CAST(sum(n_vectors) OVER () AS DOUBLE), 6)
+         |   AS frac
+         |FROM h""".stripMargin),
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

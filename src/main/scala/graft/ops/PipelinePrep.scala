@@ -727,6 +727,41 @@ object PipelinePrep {
     * × share product under ~9e18 — beyond that, swap in decimal(38,0)
     * and keep the identical div/mod shape.
     */
+  /** Leakage-safe train/val/test split (q191): the q128 md5-bucket
+    * split keyed on the q41 near-dup CLUSTER id instead of the doc id —
+    * near-duplicates of a validation document must not land in train
+    * (the canonical eval-contamination bug; a doc-keyed split puts ~80%
+    * of every duplicate family in train). Composes [[Dedup.dedupClusters]]
+    * verbatim; emits per-split doc/cluster counts plus the
+    * leaked_clusters count (clusters spanning >1 split), which the
+    * construction forces to 0 — reported, not assumed, so a refactor
+    * that breaks the invariant fails the oracle on VALUES.
+    *
+    * Scale: the cluster pass is q41's (banded, never all-pairs); the
+    * split is a hash projection on the cluster key and the rollups are
+    * splits- and clusters-sized.
+    */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tagged = Dedup.dedupClusters(spark, dir)
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(cluster_id as string)), 1, 4)," +
+          " 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test"))
+    val leaked = tagged
+      .groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n_splits"))
+      .agg(coalesce(sum(when($"n_splits" > 1, 1L).otherwise(0L)), lit(0L))
+        .as("leaked_clusters"))
+    tagged
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"))
+      .crossJoin(broadcast(leaked))
+  }
+
   def tokenBudget(spark: SparkSession, dir: String,
       budget: Long = 1000000L): DataFrame = {
     import spark.implicits._

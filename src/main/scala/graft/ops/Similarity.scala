@@ -1030,4 +1030,33 @@ object Similarity {
         round(score, 6).as("score"))
       .orderBy($"score".desc, $"vec_id").limit(k)
   }
+
+  /** KNN hubness profile (q192): the in-degree (k-occurrence)
+    * distribution of the DIRECTED q54 KNN graph — how often each vector
+    * appears in someone else's top-k. High-dimensional spaces grow hub
+    * vectors that sit in everyone's neighbor list and antihubs nobody
+    * retrieves; a right-skewed k-occurrence histogram is the standard
+    * "retrieval quality will degrade" warning for an ANN index, checked
+    * BEFORE building it at scale. Vectors never retrieved are real
+    * zeros via a left join against the full id set.
+    *
+    * Scale: in-degree is one count over the edge list (nodes × k rows);
+    * the histogram is a second small aggregate. Nothing touches the
+    * embedding payload after the q54 bucketed closure.
+    */
+  def knnHubness(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val indeg = knnGraph(spark, dir, nPlanes, k)
+      .groupBy($"neighbor_id".as("vec_id"))
+      .agg(count(lit(1)).as("k_occ"))
+    val all = emb(spark, dir).select($"vec_id")
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce($"k_occ", lit(0L)).as("k_occurrences"))
+    all
+      .groupBy($"k_occurrences")
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("frac", round($"n_vectors" /
+        sum($"n_vectors").over(Window.partitionBy(lit(1))).cast("double"), 6))
+  }
 }

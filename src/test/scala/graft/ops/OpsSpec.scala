@@ -306,6 +306,9 @@ class OpsSpec extends AnyFunSuite {
     "q189_embedding_outliers" -> Set("vec_id", "label", "score"),
     "q190_optimal_threshold" -> Set("criterion", "threshold", "tp", "fp",
       "fn", "tn", "metric_value"),
+    "q191_group_split" -> Set("split", "n_docs", "n_clusters",
+      "leaked_clusters"),
+    "q192_knn_hubness" -> Set("k_occurrences", "n_vectors", "frac"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

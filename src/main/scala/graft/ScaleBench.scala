@@ -91,7 +91,8 @@ object ScaleBench {
     // scale it runs on an md5 doc-sample
     "q183_burrows_delta", "q184_pq_codebook", "q185_bpe_fertility",
     "q187_coverage_curve", "q189_embedding_outliers",
-    "q190_optimal_threshold", "q191_group_split", "q192_knn_hubness")
+    "q190_optimal_threshold", "q191_group_split", "q192_knn_hubness",
+    "q194_frequent_pairs", "q195_rule_ablation")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -114,7 +115,8 @@ object ScaleBench {
     "q153_ks_drift", "q157_event_mode", "q160_novelty_curve",
     "q161_markov_stationary", "q163_winsorized_stats",
     "q165_audience_overlap", "q167_jackknife_ci", "q168_ab_lift",
-    "q169_funnel_latency", "q178_kaplan_meier", "q188_lagged_xcorr")
+    "q169_funnel_latency", "q178_kaplan_meier", "q188_lagged_xcorr",
+    "q193_sax_symbols")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

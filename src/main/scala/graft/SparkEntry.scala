@@ -490,6 +490,15 @@ object SparkEntry {
     // k-occurrence (hubness) histogram of the KNN graph
     "q192_knn_hubness" -> ((s: SparkSession, d: String) =>
       Similarity.knnHubness(s, d)),
+    // SAX symbolization of the daily event series
+    "q193_sax_symbols" -> ((s: SparkSession, d: String) =>
+      Sessionize.saxSymbols(s, d)),
+    // A-Priori frequent unordered token pairs at 5% doc support
+    "q194_frequent_pairs" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.frequentPairs(s, d)),
+    // per-rule ablation of the Gopher filter stack
+    "q195_rule_ablation" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ruleAblation(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3812,6 +3821,92 @@ object SparkEntry {
          | round(n_vectors / CAST(sum(n_vectors) OVER () AS DOUBLE), 6)
          |   AS frac
          |FROM h""".stripMargin),
+    // q193: literal breakpoints, exact integer moments, symbol from the
+    // ROUNDED z exactly as the engine
+    "q193_sax_symbols" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |       FROM events GROUP BY 1),
+        |m AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS n,
+        |       CAST(sum(n_events) OVER () AS BIGINT) AS s,
+        |       CAST(sum(n_events * n_events) OVER () AS BIGINT) AS q
+        |      FROM daily),
+        |z0 AS (SELECT day, n_events,
+        |        round((n_events - s / CAST(n AS DOUBLE)) /
+        |          sqrt(greatest(q / CAST(n AS DOUBLE)
+        |            - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)),
+        |            1e-12)), 6) AS z
+        |       FROM m)
+        |SELECT day, n_events, z,
+        | CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |      WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |FROM z0""".stripMargin,
+    // q194: same A-Priori pruning, same integer ceiling threshold
+    "q194_frequent_pairs" ->
+      """WITH it AS (SELECT doc_id,
+        |        unnest(list_distinct(string_split(text, ' '))) AS w
+        |       FROM documents),
+        |itf AS (SELECT doc_id, w FROM it WHERE len(w) >= 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |fq AS (SELECT w FROM (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |         FROM itf GROUP BY 1), nd
+        |       WHERE df >= (n_docs + 19) // 20),
+        |pr AS (SELECT itf.doc_id, itf.w FROM itf JOIN fq USING (w)),
+        |ps AS (SELECT a.w AS w1, b.w AS w2,
+        |        CAST(count(*) AS BIGINT) AS support
+        |       FROM pr a JOIN pr b
+        |        ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2)
+        |SELECT w1, w2, support,
+        | round(support / CAST(n_docs AS DOUBLE), 6) AS support_frac, rk
+        |FROM (SELECT ps.*, n_docs, CAST(row_number() OVER (
+        |        ORDER BY support DESC, w1, w2) AS BIGINT) AS rk
+        |      FROM ps, nd WHERE support >= (n_docs + 19) // 20)
+        |WHERE rk <= 25""".stripMargin,
+    // q195: the q78 rule expressions verbatim, one ablation arm per rule
+    "q195_rule_ablation" -> {
+      val rules = Seq("r_word_count", "r_mean_word_len", "r_stopwords",
+        "r_repetition")
+      val arms = rules.map { r =>
+        val others = rules.filterNot(_ == r).mkString(" AND ")
+        s"""SELECT '$r' AS rule, NOT $r AS failing,
+           | (NOT $r AND $others) AS sole, keep FROM r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w
+         |       FROM documents),
+         |s AS (SELECT doc_id,
+         |       CAST(len(w) AS BIGINT) AS n_words,
+         |       round((length(text) - len(w) + 1)
+         |         / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+         |       CAST(len(list_filter(w,
+         |         x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+         |         AS n_stop,
+         |       round(CAST(list_max([len(list_filter(w, x -> x = u))
+         |                  for u in list_distinct(w)]) AS DOUBLE)
+         |         / len(w), 6) AS top_word_frac
+         |      FROM tok),
+         |r AS (SELECT doc_id,
+         |       (n_words BETWEEN 50 AND 100000) AS r_word_count,
+         |       (mean_word_len BETWEEN 3 AND 10) AS r_mean_word_len,
+         |       (n_stop >= 2) AS r_stopwords,
+         |       (top_word_frac <= 0.2) AS r_repetition,
+         |       ((n_words BETWEEN 50 AND 100000)
+         |        AND (mean_word_len BETWEEN 3 AND 10)
+         |        AND n_stop >= 2 AND top_word_frac <= 0.2) AS keep
+         |      FROM s),
+         |e AS (
+         |$arms)
+         |SELECT rule,
+         | CAST(sum(CASE WHEN failing THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_failing,
+         | CAST(sum(CASE WHEN sole THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_sole_blocker,
+         | round((sum(CASE WHEN keep THEN 1 ELSE 0 END)
+         |   + sum(CASE WHEN sole THEN 1 ELSE 0 END))
+         |   / CAST(count(*) AS DOUBLE), 6) AS keep_rate_without_rule,
+         | round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+         |   / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+         |FROM e GROUP BY 1""".stripMargin
+    },
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

@@ -583,6 +583,38 @@ object Sessionize {
     * exact i64 sum of event counts, so r is a single deterministic
     * double expression per lag — no float accumulation anywhere.
     */
+  /** SAX symbolization of the daily event series (q193): per-day event
+    * counts z-normalized against the series' own moments and quantized
+    * into a 4-letter alphabet at the standard normal breakpoints
+    * (−0.6745, 0, 0.6745) — the symbolic-aggregate-approximation step
+    * that turns a numeric series into a string, enabling motif/anomaly
+    * search with plain string operators downstream. Breakpoints are
+    * LITERALS and the moments are exact integer sums of counts, so the
+    * z-scores (and hence every symbol) are bit-identical across
+    * engines.
+    *
+    * Scale: one corpus scan to day counts; the z-window and
+    * symbolization run on the days-sized table.
+    */
+  def saxSymbols(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_events"))
+    val tot = Window.partitionBy(lit(1))
+    daily
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("s", sum($"n_events").over(tot))
+      .withColumn("q", sum($"n_events" * $"n_events").over(tot))
+      .withColumn("mu", $"s" / $"n".cast("double"))
+      .withColumn("sd", sqrt(greatest(
+        $"q" / $"n".cast("double") - $"mu" * $"mu", lit(1e-12))))
+      .withColumn("z", round(($"n_events" - $"mu") / $"sd", 6))
+      .select($"day", $"n_events", $"z",
+        when($"z" < -0.6745, "a").when($"z" < 0.0, "b")
+          .when($"z" < 0.6745, "c").otherwise("d").as("symbol"))
+  }
+
   def laggedXcorr(spark: SparkSession, dir: String,
       maxLag: Int = 3): DataFrame = {
     import spark.implicits._

@@ -1524,6 +1524,84 @@ object TextAnalysis {
     rows.toSeq.toDF("iter", "component", "pi", "mu", "sigma", "resp_mass")
   }
 
+  /** A-Priori frequent token pairs (q194): unordered token pairs
+    * co-occurring in at least 5% of documents — market-basket mining on
+    * the corpus, the UNORDERED complement of q84's adjacent-bigram PMI
+    * (collocations need adjacency; topic/template co-occurrence does
+    * not). The A-Priori pruning is the scale move: only tokens that are
+    * themselves document-frequent can appear in a frequent pair, so the
+    * per-doc self-join runs on the pruned item lists, never the full
+    * vocabulary — Σ_d m_d² with m_d = frequent items in doc d, the
+    * classic candidate-bound.
+    *
+    * Support threshold is the integer ceiling (n_docs+19) div 20 —
+    * exact on both engines, scale-relative. Top `k` pairs by (support
+    * DESC, pair ASC).
+    */
+  def frequentPairs(spark: SparkSession, dir: String,
+      k: Int = 25): DataFrame = {
+    import spark.implicits._
+    val items = docs(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks)).as("w"))
+      .filter(length($"w") >= 1)
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val freq = items.groupBy($"w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter($"df" >= expr("(n_docs + 19) div 20"))
+      .select($"w")
+    val pruned = items.join(freq, Seq("w"))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nDocs))
+      .filter($"support" >= expr("(n_docs + 19) div 20"))
+      .select($"w1", $"w2", $"support",
+        round($"support" / $"n_docs".cast("double"), 6).as("support_frac"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"support".desc, $"w1", $"w2")).cast("long"))
+      .filter($"rk" <= k)
+  }
+
+  /** Gopher-rule ablation (q195): per filter rule, how many documents
+    * fail it, how many it is the SOLE blocker for (the docs you would
+    * regain by dropping just that rule), and the keep-rate the corpus
+    * would have without it — the sensitivity report that turns a filter
+    * stack from dogma into a measured trade ("r_stopwords only ever
+    * fires alongside r_word_count" is an argument for deleting it).
+    * Composes [[withGopherRules]] verbatim so the ablation can't drift
+    * from the filter it analyzes.
+    *
+    * Scale: one rule pass (q78's scan shape), a 4-way conditional
+    * explode of one row per doc, and a 4-key rollup.
+    */
+  def ruleAblation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = Seq("r_word_count", "r_mean_word_len", "r_stopwords",
+      "r_repetition")
+    val flagged = withGopherRules(
+      docs(spark, dir).select($"doc_id", $"text"), "text")
+    val exploded = flagged.select(explode(array(rules.map { r =>
+      val others = rules.filterNot(_ == r)
+        .map(o => col(o)).reduce(_ && _)
+      struct(lit(r).as("rule"),
+        (!col(r)).cast("long").as("failing"),
+        (!col(r) && others).cast("long").as("sole_blocker"),
+        $"keep".cast("long").as("kept"))
+    }: _*)).as("e"))
+    exploded
+      .groupBy($"e.rule".as("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"e.failing").as("n_failing"),
+        sum($"e.sole_blocker").as("n_sole_blocker"),
+        sum($"e.kept").as("n_kept"))
+      .select($"rule", $"n_failing", $"n_sole_blocker",
+        round(($"n_kept" + $"n_sole_blocker") / $"n_docs".cast("double"), 6)
+          .as("keep_rate_without_rule"),
+        round($"n_kept" / $"n_docs".cast("double"), 6).as("keep_rate"))
+  }
+
   /** Operating-point selection for the q23 en-score (q190): sweep every
     * distinct score as a "predict positive if score ≥ t" threshold and
     * report the best by Youden's J (TPR − FPR, the balanced-error

@@ -309,6 +309,11 @@ class OpsSpec extends AnyFunSuite {
     "q191_group_split" -> Set("split", "n_docs", "n_clusters",
       "leaked_clusters"),
     "q192_knn_hubness" -> Set("k_occurrences", "n_vectors", "frac"),
+    "q193_sax_symbols" -> Set("day", "n_events", "z", "symbol"),
+    "q194_frequent_pairs" -> Set("w1", "w2", "support", "support_frac",
+      "rk"),
+    "q195_rule_ablation" -> Set("rule", "n_failing", "n_sole_blocker",
+      "keep_rate_without_rule", "keep_rate"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

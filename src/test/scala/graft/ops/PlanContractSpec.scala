@@ -521,4 +521,47 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("vec_dot") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q189: outlier scoring is a shuffle-free scan projection into TakeOrdered") {
+    // the 64 per-dim moments are plan-time literals (collected by a
+    // separate job), so the scoring pass must be scan → project → top-k
+    // with no exchange; a hash exchange here means the moments regressed
+    // into a join
+    val p = plan(Similarity.embeddingOutliers(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*""")) == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q184: PQ assignment pays exactly one exchange (the cell rollup)") {
+    // per-block argmin is least() over literal-centroid structs in the
+    // scan projection (codegen'd vec_dot); the ONLY shuffle is the
+    // (block, code) aggregate — a second exchange means assignment
+    // regressed into a join or window
+    val p = plan(Similarity.pqCodebook(spark, sf))
+    assert(p.contains("vec_dot") || p.contains("vecdot"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*""")) == 1, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q180: the apportionment never sorts or shuffles the corpus — one scan, source-sized rest") {
+    // the only corpus-touching stage is the (source) aggregate; the
+    // div/mod quota math and the remainder ranking run on the
+    // sources-sized table (single-partition windows over ~20 rows)
+    val p = plan(graft.ops.PipelinePrep.tokenBudget(spark, sf))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+    // one source-keyed aggregate exchange + the single-partition window
+    // exchanges over the ~20-source table; no sort anywhere
+    assert(!p.contains("(1) Sort") && !p.toLowerCase.contains("sortexec"), p)
+    val keyed = p.linesIterator.count(_.contains("hashpartitioning(source"))
+    assert(keyed <= 1, s"source-keyed exchanges: $keyed\n$p")
+  }
+
+  test("q190: the threshold sweep result is checkpointed once, ranked twice") {
+    // both criteria rank the same score-granularity confusion table; a
+    // live corpus scan in the final plan means the barrier regressed
+    val p = plan(TextAnalysis.optimalThreshold(spark, sf))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
 }

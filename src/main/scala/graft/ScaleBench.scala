@@ -92,7 +92,10 @@ object ScaleBench {
     "q183_burrows_delta", "q184_pq_codebook", "q185_bpe_fertility",
     "q187_coverage_curve", "q189_embedding_outliers",
     "q190_optimal_threshold", "q191_group_split", "q192_knn_hubness",
-    "q194_frequent_pairs", "q195_rule_ablation")
+    // q196 shares q186's exact-Jaccard arm and its replicated-corpus
+    // hazard — same sampled-corpus recipe at scale, same exclusion
+    "q194_frequent_pairs", "q195_rule_ablation", "q197_compaction_plan",
+    "q198_sliced_auc")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

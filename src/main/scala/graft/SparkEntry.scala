@@ -499,6 +499,15 @@ object SparkEntry {
     // per-rule ablation of the Gopher filter stack
     "q195_rule_ablation" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ruleAblation(s, d)),
+    // empirical vs analytic MinHash S-curve per Jaccard band
+    "q196_s_curve_check" -> ((s: SparkSession, d: String) =>
+      Dedup.sCurveCheck(s, d)),
+    // contiguous target-size shard compaction plan
+    "q197_compaction_plan" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.compactionPlan(s, d)),
+    // per-source (sliced) exact midrank AUC
+    "q198_sliced_auc" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.slicedAuc(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3907,6 +3916,105 @@ object SparkEntry {
          |   / CAST(count(*) AS DOUBLE), 6) AS keep_rate
          |FROM e GROUP BY 1""".stripMargin
     },
+    // q196: the q15/q16 chains; bands on the ROUNDED jaccard, analytic
+    // curve from the literal band midpoint
+    "q196_s_curve_check" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents),
+        |sh1 AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                for i in range(1, len(t) - 1)]) AS sh
+        |       FROM tok),
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT)
+        |         AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT)
+        |         AS h2 FROM sh1),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band,
+        |          md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sigs a JOIN sigs b
+        |          ON a.band = b.band AND a.sig = b.sig
+        |          AND a.doc_id < b.doc_id),
+        |sh2 AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                for i in range(1, len(t) - 1)]) AS sh
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS common
+        |        FROM sh2 a JOIN sh2 b
+        |         ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |truth AS (SELECT doc_a, doc_b,
+        |           round(CAST(common AS DOUBLE)
+        |             / (sa.n + sb.n - common), 6) AS jaccard
+        |          FROM com
+        |           JOIN sizes sa ON doc_a = sa.doc_id
+        |           JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE round(CAST(common AS DOUBLE)
+        |            / (sa.n + sb.n - common), 6) >= 0.05),
+        |bd AS (SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9)
+        |          AS band,
+        |        CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+        |       FROM truth t LEFT JOIN cand c
+        |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+        |g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+        |       round(band / 10.0 + 0.05, 2) AS band_mid
+        |      FROM bd GROUP BY 1)
+        |SELECT band, band_mid, n_pairs, n_candidates,
+        | round(n_candidates / CAST(n_pairs AS DOUBLE), 6)
+        |   AS empirical_rate,
+        | round(1.0 - pow(1.0 - pow(band_mid, 4), 4), 6) AS analytic_rate,
+        | round(abs(round(n_candidates / CAST(n_pairs AS DOUBLE), 6)
+        |   - round(1.0 - pow(1.0 - pow(band_mid, 4), 4), 6)), 6) AS gap
+        |FROM g""".stripMargin,
+    // q197: the q94 manifest reduced to (shard, chars), then pure i64
+    // cumulative binning
+    "q197_compaction_plan" ->
+      """WITH mf AS (SELECT
+        |   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |     ::UBIGINT % 16 AS BIGINT) AS shard_id,
+        |   CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT *, CAST(sum(total_chars) OVER (ORDER BY shard_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |       CAST(sum(total_chars) OVER () AS BIGINT) AS total FROM mf),
+        |b AS (SELECT *, (total + 3) // 4 AS target,
+        |       (cum - 1) // ((total + 3) // 4) AS bin FROM c)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_shards,
+        | min(shard_id) AS first_shard, max(shard_id) AS last_shard,
+        | CAST(sum(total_chars) AS BIGINT) AS bin_chars,
+        | round(sum(total_chars) / CAST(max(target) AS DOUBLE), 6)
+        |   AS fill_ratio
+        |FROM b GROUP BY 1""".stripMargin,
+    // q198: the q179 midrank identity partitioned by source; one-class
+    // sources yield NULL on both engines
+    "q198_sliced_auc" ->
+      """WITH s AS (SELECT source, doc_id, lang = 'en' AS pos,
+        |   round(CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the', 'a', 'and'))) AS DOUBLE)
+        |     / len(string_split(text, ' ')), 6) AS score
+        |  FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY score, doc_id) AS BIGINT) AS rn FROM s),
+        |m AS (SELECT *, avg(rn) OVER (PARTITION BY source, score)
+        |        AS midrank FROM r),
+        |t AS (SELECT source,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |  sum(CASE WHEN pos THEN midrank ELSE 0.0 END) AS rank_sum
+        | FROM m GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        | CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |   round((rank_sum - n_pos * (n_pos + 1) / 2.0)
+        |     / (n_pos * n_neg), 6) END AS auc
+        |FROM t""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

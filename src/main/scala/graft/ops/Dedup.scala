@@ -1009,6 +1009,40 @@ object Dedup {
     * estimate needs thousands of pairs, not the whole corpus. The
     * final full-outer join keys on the pair ids.
     */
+  /** MinHash S-curve check (q196): the q186 companion at full
+    * resolution — per Jaccard band, the EMPIRICAL fraction of exact
+    * pairs that banding surfaced as candidates, against the ANALYTIC
+    * collision probability 1 − (1 − j^r)^b at the band midpoint (r=4
+    * rows × b=4 bands — this corpus's banding). The per-band gap is
+    * the parameter-tuning signal the single precision/recall number of
+    * q186 averages away: a healthy S-curve is ~0 below the threshold
+    * knee and ~1 above it.
+    *
+    * Scale: both arms are the documented q15/q16 shapes; the banding
+    * and gap math run on the pair table. Same sampled-corpus recipe as
+    * q186 at real scale.
+    */
+  def sCurveCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = jaccardPairs(spark, dir, 0.05)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val cand = minhashCandidates(spark, dir)
+      .select($"doc_a", $"doc_b", lit(1L).as("is_cand"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(least(floor($"jaccard" * 10), lit(9L)).cast("long").as("band"),
+        coalesce($"is_cand", lit(0L)).as("is_cand"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_pairs"), sum($"is_cand").as("n_candidates"))
+      .withColumn("band_mid", round($"band" / lit(10.0) + 0.05, 2))
+      .select($"band", $"band_mid", $"n_pairs", $"n_candidates",
+        round($"n_candidates" / $"n_pairs".cast("double"), 6)
+          .as("empirical_rate"),
+        round(lit(1.0) - pow(lit(1.0) - pow($"band_mid", 4), 4), 6)
+          .as("analytic_rate"))
+      .withColumn("gap",
+        round(abs($"empirical_rate" - $"analytic_rate"), 6))
+  }
+
   def dedupEval(spark: SparkSession, dir: String,
       tau: Double = 0.5): DataFrame = {
     import spark.implicits._

@@ -727,6 +727,44 @@ object PipelinePrep {
     * × share product under ~9e18 — beyond that, swap in decimal(38,0)
     * and keep the identical div/mod shape.
     */
+  /** Contiguous compaction plan over the q94 shard manifest (q197):
+    * group shards, in shard-id order, into bins of roughly
+    * total/`nBins` characters by integer division on the running byte
+    * count — the lakehouse table-maintenance primitive ("these small
+    * files merge into that target-size file") as a deterministic query
+    * instead of an engine-internal heuristic. Emitted per bin: the
+    * contiguous shard range, its byte mass, and the fill ratio against
+    * the target.
+    *
+    * Scale: everything after the q94 manifest aggregate runs on the
+    * shards-sized table; the plan math is pure i64 (cumulative sums,
+    * (cum−1) div target binning), so the plan is bit-identical across
+    * engines and re-runs.
+    */
+  def compactionPlan(spark: SparkSession, dir: String,
+      nBins: Int = 4): DataFrame = {
+    import spark.implicits._
+    val m = shardManifest(spark, dir)
+      .select($"shard_id", $"total_chars")
+    val w = Window.orderBy($"shard_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1))
+    m.withColumn("cum", sum($"total_chars").over(w))
+      .withColumn("total", sum($"total_chars").over(tot))
+      .withColumn("target", expr(s"(total + ${nBins - 1}) div $nBins"))
+      .withColumn("bin", expr("(cum - 1) div target"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_shards"),
+        min($"shard_id").as("first_shard"),
+        max($"shard_id").as("last_shard"),
+        sum($"total_chars").as("bin_chars"),
+        max($"target").as("target_chars"))
+      .select($"bin", $"n_shards", $"first_shard", $"last_shard",
+        $"bin_chars",
+        round($"bin_chars" / $"target_chars".cast("double"), 6)
+          .as("fill_ratio"))
+  }
+
   /** Leakage-safe train/val/test split (q191): the q128 md5-bucket
     * split keyed on the q41 near-dup CLUSTER id instead of the doc id —
     * near-duplicates of a validation document must not land in train

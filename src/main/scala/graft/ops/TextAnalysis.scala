@@ -1602,6 +1602,40 @@ object TextAnalysis {
         round($"n_kept" / $"n_docs".cast("double"), 6).as("keep_rate"))
   }
 
+  /** Sliced (per-source) ROC-AUC of the q23 en-score (q198): the q179
+    * global number can hide a feed where the score is useless or
+    * inverted — robustness of a filter is a property of every SLICE it
+    * will be applied to, so this computes the exact midrank AUC within
+    * each source. Sources lacking either class report a NULL AUC (no
+    * ordering to measure) rather than a fabricated 0.5.
+    *
+    * Scale: ranks partition by source — the one global sort q179 pays
+    * becomes a source-keyed shuffle; everything else is per-source
+    * integer arithmetic.
+    */
+  def slicedAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir)
+      .select($"source", ($"lang" === "en").as("pos"), $"doc_id", toks.as("t"))
+      .select($"source", $"pos", $"doc_id",
+        round(size(filter($"t", tk => tk.isin("the", "a", "and")))
+          .cast("double") / size($"t"), 6).as("score"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"score", $"doc_id"))
+        .cast("long"))
+      .withColumn("midrank", avg($"rn").over(
+        Window.partitionBy($"source", $"score")))
+    ranked.groupBy($"source")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"pos", 0L).otherwise(1L)).as("n_neg"),
+        sum(when($"pos", $"midrank").otherwise(0.0)).as("rank_sum"))
+      .select($"source", $"n_pos", $"n_neg",
+        when($"n_pos" > 0 && $"n_neg" > 0,
+          round(($"rank_sum" - $"n_pos" * ($"n_pos" + 1) / 2.0)
+            / ($"n_pos" * $"n_neg"), 6)).as("auc"))
+  }
+
   /** Operating-point selection for the q23 en-score (q190): sweep every
     * distinct score as a "predict positive if score ≥ t" threshold and
     * report the best by Youden's J (TPR − FPR, the balanced-error

@@ -314,6 +314,11 @@ class OpsSpec extends AnyFunSuite {
       "rk"),
     "q195_rule_ablation" -> Set("rule", "n_failing", "n_sole_blocker",
       "keep_rate_without_rule", "keep_rate"),
+    "q196_s_curve_check" -> Set("band", "band_mid", "n_pairs",
+      "n_candidates", "empirical_rate", "analytic_rate", "gap"),
+    "q197_compaction_plan" -> Set("bin", "n_shards", "first_shard",
+      "last_shard", "bin_chars", "fill_ratio"),
+    "q198_sliced_auc" -> Set("source", "n_pos", "n_neg", "auc"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

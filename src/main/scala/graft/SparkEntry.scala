@@ -508,6 +508,15 @@ object SparkEntry {
     // per-source (sliced) exact midrank AUC
     "q198_sliced_auc" -> ((s: SparkSession, d: String) =>
       TextAnalysis.slicedAuc(s, d)),
+    // consistent-hash-ring deterministic negative sampling
+    "q199_negative_sampling" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.negativeSampling(s, d)),
+    // Simpson's-paradox sign-flip check, per-segment vs pooled
+    "q200_simpson_check" -> ((s: SparkSession, d: String) =>
+      Sessionize.simpsonCheck(s, d)),
+    // Spearman agreement between BM25 and cosine retrieval
+    "q201_retrieval_agreement" -> ((s: SparkSession, d: String) =>
+      Similarity.retrievalAgreement(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4015,6 +4024,98 @@ object SparkEntry {
         |   round((rank_sum - n_pos * (n_pos + 1) / 2.0)
         |     / (n_pos * n_neg), 6) END AS auc
         |FROM t""".stripMargin,
+    // q199: identical md5 ring order, same cyclic successor join
+    "q199_negative_sampling" ->
+      """WITH ring AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |       FROM documents),
+        |rk AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+        |          AS rn,
+        |        CAST(count(*) OVER () AS BIGINT) AS n FROM ring),
+        |os AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT)
+        |         AS neg_rank)
+        |SELECT a.doc_id AS anchor, neg_rank, b.doc_id AS negative
+        |FROM rk a CROSS JOIN os
+        | JOIN rk b ON b.rn = (a.rn + neg_rank - 1) % a.n + 1
+        |WHERE a.doc_id <> b.doc_id""".stripMargin,
+    // q200: exact cents/hour moments per segment; pooled = summed
+    // segment moments, identical corr expression
+    "q200_simpson_check" ->
+      """WITH mo AS (SELECT event_type,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(hour) AS BIGINT) AS sx,
+        |        CAST(sum(vc) AS BIGINT) AS sy,
+        |        CAST(sum(hour * vc) AS BIGINT) AS sxy,
+        |        CAST(sum(hour * hour) AS BIGINT) AS sxx,
+        |        CAST(sum(vc * vc) AS BIGINT) AS syy
+        |       FROM (SELECT event_type,
+        |              (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |              CAST(round(value * 100) AS BIGINT) AS vc
+        |             FROM events)
+        |       GROUP BY 1),
+        |pl AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |        CAST(sum(sx) AS BIGINT) AS sx,
+        |        CAST(sum(sy) AS BIGINT) AS sy,
+        |        CAST(sum(sxy) AS BIGINT) AS sxy,
+        |        CAST(sum(sxx) AS BIGINT) AS sxx,
+        |        CAST(sum(syy) AS BIGINT) AS syy FROM mo),
+        |pr AS (SELECT round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |              CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pooled_r
+        |       FROM pl),
+        |seg AS (SELECT event_type AS segment, n,
+        |         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+        |        FROM mo
+        |        UNION ALL
+        |        SELECT '__pooled__', n,
+        |         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |        FROM pl)
+        |SELECT segment, n, r, pooled_r,
+        | (segment <> '__pooled__' AND sign(r) <> sign(pooled_r))
+        |   AS sign_flip
+        |FROM seg, pr""".stripMargin,
+    // q201: the q110 chain wrapped as a CTE, doubled-midrank Pearson
+    "q201_retrieval_agreement" ->
+      (bm25CteSql +
+        """,
+          |be AS (SELECT h.doc_id, h.score, e.embedding
+          |       FROM hits h JOIN embeddings e ON e.vec_id = h.doc_id),
+          |q AS (SELECT embedding AS qe, score AS ms FROM be
+          |      ORDER BY score DESC, doc_id LIMIT 1),
+          |hr AS (SELECT be.doc_id, be.score AS bm25,
+          |  round(list_sum([CAST(be.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+          |                  for i in range(1, len(be.embedding)+1)]) /
+          |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in be.embedding])) *
+          |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.qe]))), 6) AS cosine
+          | FROM be CROSS JOIN q),
+          |rkd AS (SELECT doc_id, bm25, cosine,
+          |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+          |    AS rb,
+          |  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+          |    AS BIGINT) AS rc FROM hr),
+          |mrk AS (SELECT *,
+          |  CAST(round(2 * avg(rb) OVER (PARTITION BY bm25)) AS BIGINT)
+          |    AS mb,
+          |  CAST(round(2 * avg(rc) OVER (PARTITION BY cosine)) AS BIGINT)
+          |    AS mc FROM rkd),
+          |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(mb) AS BIGINT) AS sx, CAST(sum(mc) AS BIGINT) AS sy,
+          |  CAST(sum(mb * mc) AS BIGINT) AS sxy,
+          |  CAST(sum(mb * mb) AS BIGINT) AS sxx,
+          |  CAST(sum(mc * mc) AS BIGINT) AS syy,
+          |  CAST(sum(CASE WHEN rb <= 5 AND rc <= 5 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS ov5
+          | FROM mrk)
+          |SELECT n AS n_docs,
+          | round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+          |        CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho,
+          | round(ov5 / 5.0, 6) AS top5_overlap
+          |FROM ag""".stripMargin),
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

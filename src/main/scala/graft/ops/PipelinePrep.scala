@@ -727,6 +727,37 @@ object PipelinePrep {
     * × share product under ~9e18 — beyond that, swap in decimal(38,0)
     * and keep the identical div/mod shape.
     */
+  /** Consistent-hash-ring negative sampling (q199): for every anchor
+    * document, `k` deterministic "random" negatives — the next k
+    * documents around an md5-ordered ring — the contrastive-training
+    * primitive that needs negatives UNCORRELATED with content (the hash
+    * order guarantees it) yet exactly reproducible across runs and
+    * engines (no RNG state to ship). Self-pairs from small-corpus
+    * wrap-around are excluded.
+    *
+    * Scale: one global rank over (md5, doc_id) — rank-statistic
+    * territory (the q107 trade: a range-partitioned distributed sort) —
+    * then ONE equi-join on the cyclic successor rank, k rows per
+    * anchor. No RNG, no per-anchor sampling pass.
+    */
+  def negativeSampling(spark: SparkSession, dir: String,
+      k: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ring = docs(spark, dir)
+      .select($"doc_id", md5($"doc_id".cast("string")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"h", $"doc_id")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .localCheckpoint(true)
+    val offsets = (1 to k).map(_.toLong).toDF("neg_rank")
+    ring.as("a").crossJoin(broadcast(offsets))
+      .withColumn("rn2", expr("(rn + neg_rank - 1) % n + 1"))
+      .join(ring.as("b").select($"rn".as("rn2"), $"doc_id".as("negative")),
+        Seq("rn2"))
+      .filter(col("a.doc_id") =!= $"negative")
+      .select(col("a.doc_id").as("anchor"), $"neg_rank", $"negative")
+  }
+
   /** Contiguous compaction plan over the q94 shard manifest (q197):
     * group shards, in shard-id order, into bins of roughly
     * total/`nBins` characters by integer division on the running byte

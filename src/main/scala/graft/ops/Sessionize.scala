@@ -583,6 +583,53 @@ object Sessionize {
     * exact i64 sum of event counts, so r is a single deterministic
     * double expression per lag — no float accumulation anywhere.
     */
+  /** Simpson's-paradox check on value-vs-hour correlation (q200): the
+    * Pearson correlation of (event value, hour-of-day) per event type
+    * AND for the pooled corpus, with a sign_flip flag on every segment
+    * whose correlation disagrees in sign with the pooled one — the
+    * aggregation-integrity alarm: a pooled trend that reverses inside
+    * every segment is a statement about segment MIX, not behavior, and
+    * dashboards that only show the pooled number ship the wrong
+    * conclusion. Values are 2-dp, so all five moments are exact i64
+    * sums of cents; the pooled moments are SUMS OF the per-segment
+    * moments (exact), never a second scan.
+    *
+    * Scale: one map-side-combined aggregate per segment; the pooled
+    * row and flags are segment-count-sized arithmetic.
+    */
+  def simpsonCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def corrCol = (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+      sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+        ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+    val moments = events(spark, dir)
+      .select($"event_type",
+        expr("(ts div 3600000000000) % 24").as("hour"),
+        round($"value" * 100).cast("long").as("vc"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"hour").as("sx"), sum($"vc").as("sy"),
+        sum($"hour" * $"vc").as("sxy"), sum($"hour" * $"hour").as("sxx"),
+        sum($"vc" * $"vc").as("syy"))
+      .localCheckpoint(true)
+    val pooled = moments.agg(sum($"n").as("n"), sum($"sx").as("sx"),
+        sum($"sy").as("sy"), sum($"sxy").as("sxy"), sum($"sxx").as("sxx"),
+        sum($"syy").as("syy"))
+      .select(round(corrCol, 6).as("pooled_r"))
+    moments
+      .select($"event_type".as("segment"), $"n",
+        round(corrCol, 6).as("r"))
+      .unionByName(
+        moments.agg(sum($"n").as("n"), sum($"sx").as("sx"),
+            sum($"sy").as("sy"), sum($"sxy").as("sxy"),
+            sum($"sxx").as("sxx"), sum($"syy").as("syy"))
+          .select(lit("__pooled__").as("segment"), $"n",
+            round(corrCol, 6).as("r")))
+      .crossJoin(broadcast(pooled))
+      .select($"segment", $"n", $"r", $"pooled_r",
+        ($"segment" =!= "__pooled__" && signum($"r") =!= signum($"pooled_r"))
+          .as("sign_flip"))
+  }
+
   /** SAX symbolization of the daily event series (q193): per-day event
     * counts z-normalized against the series' own moments and quantized
     * into a 4-letter alphabet at the standard normal breakpoints

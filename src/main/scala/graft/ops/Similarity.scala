@@ -1031,6 +1031,44 @@ object Similarity {
       .orderBy($"score".desc, $"vec_id").limit(k)
   }
 
+  /** Retrieval-system agreement (q201): Spearman rank correlation (via
+    * midranks, computed as Pearson on DOUBLED midranks — exact
+    * integers) between the BM25 and cosine orderings of the q110 hit
+    * list, plus the top-5 set overlap — the "do my lexical and semantic
+    * retrievers even agree" diagnostic that decides whether a hybrid
+    * (q110) is worth its cost: rho ≈ 1 means one system is redundant,
+    * rho ≈ 0 means the hybrid genuinely fuses signal. Composes
+    * [[hybridRerank]] verbatim.
+    *
+    * Scale: everything runs on the k-row hit list; the heavy lifting
+    * is q86/q110's documented shapes.
+    */
+  def retrievalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hits = hybridRerank(spark, dir)
+      .select($"doc_id", $"bm25", $"cosine")
+    val ranked = hits
+      .withColumn("rb", row_number().over(
+        Window.orderBy($"bm25".desc, $"doc_id")).cast("long"))
+      .withColumn("rc", row_number().over(
+        Window.orderBy($"cosine".desc, $"doc_id")).cast("long"))
+      .withColumn("mb", round(lit(2) * avg($"rb").over(
+        Window.partitionBy($"bm25"))).cast("long"))
+      .withColumn("mc", round(lit(2) * avg($"rc").over(
+        Window.partitionBy($"cosine"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum($"mb").as("sx"), sum($"mc").as("sy"),
+        sum($"mb" * $"mc").as("sxy"), sum($"mb" * $"mb").as("sxx"),
+        sum($"mc" * $"mc").as("syy"),
+        sum(when($"rb" <= 5 && $"rc" <= 5, 1L).otherwise(0L)).as("ov5"))
+      .select($"n".as("n_docs"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6)
+          .as("spearman_rho"),
+        round($"ov5" / lit(5.0), 6).as("top5_overlap"))
+  }
+
   /** KNN hubness profile (q192): the in-degree (k-occurrence)
     * distribution of the DIRECTED q54 KNN graph — how often each vector
     * appears in someone else's top-k. High-dimensional spaces grow hub

@@ -319,6 +319,11 @@ class OpsSpec extends AnyFunSuite {
     "q197_compaction_plan" -> Set("bin", "n_shards", "first_shard",
       "last_shard", "bin_chars", "fill_ratio"),
     "q198_sliced_auc" -> Set("source", "n_pos", "n_neg", "auc"),
+    "q199_negative_sampling" -> Set("anchor", "neg_rank", "negative"),
+    "q200_simpson_check" -> Set("segment", "n", "r", "pooled_r",
+      "sign_flip"),
+    "q201_retrieval_agreement" -> Set("n_docs", "spearman_rho",
+      "top5_overlap"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

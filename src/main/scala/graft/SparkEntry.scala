@@ -517,6 +517,15 @@ object SparkEntry {
     // Spearman agreement between BM25 and cosine retrieval
     "q201_retrieval_agreement" -> ((s: SparkSession, d: String) =>
       Similarity.retrievalAgreement(s, d)),
+    // k-anonymity ladder over (lang, source, size-class) QI groups
+    "q202_k_anonymity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.kAnonymity(s, d)),
+    // per-doc sentence segmentation shape stats
+    "q203_sentence_stats" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sentenceStats(s, d)),
+    // conversion rate per attribution-window ladder step
+    "q204_conversion_windows" -> ((s: SparkSession, d: String) =>
+      Sessionize.conversionWindows(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4116,6 +4125,68 @@ object SparkEntry {
           |        CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho,
           | round(ov5 / 5.0, 6) AS top5_overlap
           |FROM ag""".stripMargin),
+    // q202: digit-count size class, same ladder rollup
+    "q202_k_anonymity" ->
+      """WITH g AS (SELECT lang, source,
+        |        CAST(length(CAST(n_chars AS VARCHAR)) AS BIGINT)
+        |          AS size_class,
+        |        CAST(count(*) AS BIGINT) AS gsize
+        |       FROM documents GROUP BY 1, 2, 3),
+        |ks AS (SELECT CAST(unnest([2, 5, 10, 25]) AS BIGINT) AS k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sum(CASE WHEN gsize < k THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS groups_below_k,
+        | CAST(sum(CASE WHEN gsize < k THEN gsize ELSE 0 END) AS BIGINT)
+        |   AS docs_below_k,
+        | round(sum(CASE WHEN gsize < k THEN gsize ELSE 0 END)
+        |   / CAST(sum(gsize) AS DOUBLE), 6) AS frac_docs_below_k
+        |FROM g, ks GROUP BY 1""".stripMargin,
+    // q203: same [.!?]+ split, trimmed empties dropped identically
+    "q203_sentence_stats" ->
+      """WITH s AS (SELECT doc_id,
+        |   list_filter([trim(x) for x in
+        |     regexp_split_to_array(text, '[.!?]+')],
+        |     x -> len(x) >= 1) AS ss
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences,
+        | CASE WHEN len(ss) > 0 THEN
+        |   round(list_sum([len(string_split(x, ' ')) for x in ss])
+        |     / CAST(len(ss) AS DOUBLE), 4) END AS mean_sentence_toks,
+        | CASE WHEN len(ss) > 0 THEN
+        |   CAST(list_max([len(string_split(x, ' ')) for x in ss])
+        |     AS BIGINT) END AS max_sentence_toks
+        |FROM s""".stripMargin,
+    // q204: the q139 forward-asof wait per click (unconverted kept as
+    // NULL), one conditional rollup over the literal ladder
+    "q204_conversion_windows" ->
+      """WITH base AS (SELECT event_id, user_id, epoch_ns(ts) // 1000
+        |          AS us, event_type FROM events),
+        |c AS (SELECT event_id, user_id, us, 1 AS is_click FROM base
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT CAST(-1 AS BIGINT) AS event_id, user_id, us,
+        |       0 AS is_click FROM base WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+        |wta AS (SELECT *, min(CASE WHEN is_click = 0 THEN us END)
+        |          OVER (PARTITION BY user_id ORDER BY us, is_click DESC
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |          AS purchase_us FROM u),
+        |wt AS (SELECT purchase_us - us AS wait_us FROM wta
+        |       WHERE is_click = 1),
+        |ld AS (SELECT * FROM (VALUES ('1m', 60000000),
+        |        ('10m', 600000000), ('1h', 3600000000),
+        |        ('6h', 21600000000), ('24h', 86400000000))
+        |        AS t(window_label, window_us)),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_clicks FROM wt),
+        |cnt AS (SELECT window_label,
+        |         CAST(window_us AS BIGINT) AS window_us,
+        |         CAST(sum(CASE WHEN wt.wait_us IS NOT NULL
+        |           AND wt.wait_us <= window_us THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_converting
+        |        FROM ld CROSS JOIN wt GROUP BY 1, 2)
+        |SELECT window_label, window_us, n_clicks, n_converting,
+        | round(n_converting / CAST(n_clicks AS DOUBLE), 6)
+        |   AS conversion_rate
+        |FROM cnt, ag""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

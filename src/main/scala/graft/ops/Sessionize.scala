@@ -583,6 +583,55 @@ object Sessionize {
     * exact i64 sum of event counts, so r is a single deterministic
     * double expression per lag — no float accumulation anywhere.
     */
+  /** Attribution-window ladder (q204): for a ladder of candidate
+    * windows (1 min → 24 h), the share of ALL clicks that convert —
+    * reach their user's next at-or-after purchase (the q139 forward
+    * as-of) — within that window. q35/q36 ASSUME an attribution window;
+    * this is the query that picks one: the marginal conversion gained
+    * per widening step is read straight off the table. Clicks with no
+    * subsequent purchase count in every denominator (dropping them
+    * inflates all rates).
+    *
+    * Scale: one q139-shaped pass (union + ONE user-keyed window) gives
+    * every click's wait; the ladder is a constant-size conditional
+    * aggregate — the window sweep costs one scan, not one per window.
+    */
+  def conversionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ladder: Seq[(String, Long)] = Seq(
+      "1m" -> 60000000L, "10m" -> 600000000L, "1h" -> 3600000000L,
+      "6h" -> 21600000000L, "24h" -> 86400000000L)
+    val base = events(spark, dir)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("us"),
+        $"event_type")
+    val clicks = base.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"us", lit(1).as("is_click"))
+    val purchases = base.filter($"event_type" === "purchase")
+      .select(lit(-1L).as("event_id"), $"user_id", $"us", lit(0).as("is_click"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"is_click".desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val waits = clicks.unionByName(purchases)
+      .withColumn("purchase_us", min(when($"is_click" === 0, $"us")).over(w))
+      .filter($"is_click" === 1)
+      .select(($"purchase_us" - $"us").as("wait_us"))
+    val agg = ladder.map { case (label, us) =>
+      sum(when($"wait_us".isNotNull && $"wait_us" <= us, 1L).otherwise(0L))
+        .as(s"c_$label")
+    }
+    val counted = waits.agg(count(lit(1)).as("n_clicks"), agg: _*)
+    val rows = ladder.map { case (label, us) =>
+      struct(lit(label).as("window_label"), lit(us).as("window_us"),
+        col(s"c_$label").as("n_converting"))
+    }
+    counted
+      .select($"n_clicks", explode(array(rows: _*)).as("e"))
+      .select($"e.window_label".as("window_label"),
+        $"e.window_us".as("window_us"), $"n_clicks",
+        $"e.n_converting".as("n_converting"),
+        round($"e.n_converting" / $"n_clicks".cast("double"), 6)
+          .as("conversion_rate"))
+  }
+
   /** Simpson's-paradox check on value-vs-hour correlation (q200): the
     * Pearson correlation of (event value, hour-of-day) per event type
     * AND for the pooled corpus, with a sign_flip flag on every segment

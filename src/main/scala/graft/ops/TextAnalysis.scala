@@ -1602,6 +1602,66 @@ object TextAnalysis {
         round($"n_kept" / $"n_docs".cast("double"), 6).as("keep_rate"))
   }
 
+  /** k-anonymity audit (q202): group the corpus by its quasi-identifier
+    * tuple (lang, source, power-of-two length class) and report, for a
+    * ladder of k values, how many groups and documents sit BELOW each k
+    * — the data-governance gate run before releasing per-document
+    * metadata: a (lang, source, size) combination shared by two
+    * documents is re-identification surface. Length classes are the
+    * DIGIT COUNT of n_chars (order of magnitude as string length) —
+    * pure integer on both engines, where floor(log2) flips at exact
+    * powers of two under ln-ratio rounding.
+    *
+    * Scale: one aggregate to QI group sizes (map-side combined), then
+    * a groups-sized ladder rollup; the corpus is touched once.
+    */
+  def kAnonymity(spark: SparkSession, dir: String,
+      ladder: Seq[Int] = Seq(2, 5, 10, 25)): DataFrame = {
+    import spark.implicits._
+    val groups = docs(spark, dir)
+      .select($"lang", $"source",
+        length($"n_chars".cast("string")).cast("long").as("size_class"))
+      .groupBy($"lang", $"source", $"size_class")
+      .agg(count(lit(1)).as("gsize"))
+      .localCheckpoint(true)
+    val ks = ladder.map(_.toLong).toDF("k")
+    groups.crossJoin(broadcast(ks))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_groups"),
+        sum($"gsize").as("n_docs"),
+        sum(when($"gsize" < $"k", 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when($"gsize" < $"k", $"gsize").otherwise(0L)).as("docs_below_k"))
+      .select($"k", $"n_groups", $"groups_below_k", $"docs_below_k",
+        round($"docs_below_k" / $"n_docs".cast("double"), 6)
+          .as("frac_docs_below_k"))
+  }
+
+  /** Sentence-shape statistics (q203): per document, the sentence count
+    * and token-per-sentence profile from a [.!?]+ segmentation — the
+    * syntactic-shape quality signal (wall-of-text vs staccato fragments)
+    * that word-level stats like q22 can't see. Empty segments from
+    * trailing punctuation are dropped identically on both engines.
+    *
+    * Scale: pure per-doc string work in the scan projection; no
+    * shuffle at all.
+    */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sents = filter(
+      transform(split($"text", "[.!?]+"), s => trim(s)),
+      s => length(s) >= 1)
+    docs(spark, dir)
+      .select($"doc_id", sents.as("ss"))
+      .select($"doc_id",
+        size($"ss").cast("long").as("n_sentences"),
+        when(size($"ss") > 0, round(
+          aggregate($"ss", lit(0L), (acc, s) => acc + size(split(s, " ")))
+            / size($"ss").cast("double"), 4)).as("mean_sentence_toks"),
+        when(size($"ss") > 0,
+          array_max(transform($"ss", s => size(split(s, " ")))).cast("long"))
+          .as("max_sentence_toks"))
+  }
+
   /** Sliced (per-source) ROC-AUC of the q23 en-score (q198): the q179
     * global number can hide a feed where the score is useless or
     * inverted — robustness of a filter is a property of every SLICE it

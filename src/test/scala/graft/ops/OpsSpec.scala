@@ -324,6 +324,12 @@ class OpsSpec extends AnyFunSuite {
       "sign_flip"),
     "q201_retrieval_agreement" -> Set("n_docs", "spearman_rho",
       "top5_overlap"),
+    "q202_k_anonymity" -> Set("k", "n_groups", "groups_below_k",
+      "docs_below_k", "frac_docs_below_k"),
+    "q203_sentence_stats" -> Set("doc_id", "n_sentences",
+      "mean_sentence_toks", "max_sentence_toks"),
+    "q204_conversion_windows" -> Set("window_label", "window_us",
+      "n_clicks", "n_converting", "conversion_rate"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

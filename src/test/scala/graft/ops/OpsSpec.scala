@@ -921,6 +921,182 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q184: every vector coded once per block, codes in range, mse non-negative") {
+    val rows = Similarity.pqCodebook(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    rows.groupBy(_._1).foreach { case (b, cells) =>
+      assert(cells.map(_._3).sum == nVecs, s"block $b loses vectors")
+    }
+    rows.foreach { case (b, c, _, mse) =>
+      assert(b >= 0 && b < 4 && c >= 0 && c < 8 && mse >= 0.0, s"($b,$c)")
+    }
+  }
+
+  test("q185: fertility >= 1, compression >= 1, rates in [0,1]") {
+    val Array(r) = TextAnalysis.bpeFertility(spark, sf).collect()
+    assert(r.getDouble(3) >= 1.0 && r.getDouble(4) >= 1.0)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("q186: tp bounded by both arms; precision/recall in [0,1]") {
+    val Array(r) = Dedup.dedupEval(spark, sf).collect()
+    val (nc, nt, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp <= nc && tp <= nt)
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+  }
+
+  test("q187: coverage is non-decreasing in vocab size and never exceeds 1") {
+    val rows = TextAnalysis.coverageCurve(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    rows.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._4 && a._2 <= b._2)
+      case _ =>
+    }
+    rows.foreach(r => assert(r._2 <= r._3 && r._4 <= 1.0))
+  }
+
+  test("q188/q201: correlations live in [-1, 1]") {
+    Sessionize.laggedXcorr(spark, sf).collect().foreach { r =>
+      if (!r.isNullAt(2))
+        assert(math.abs(r.getDouble(2)) <= 1.000001, s"lag ${r.getLong(0)}")
+    }
+    val Array(a) = Similarity.retrievalAgreement(spark, sf).collect()
+    assert(math.abs(a.getDouble(1)) <= 1.000001)
+    assert(a.getDouble(2) >= 0.0 && a.getDouble(2) <= 1.0)
+  }
+
+  test("q191: zero leaked clusters, splits partition the corpus") {
+    val rows = PipelinePrep.groupSplit(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(rows.forall(_._3 == 0L))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == n)
+  }
+
+  test("q192: histogram masses equal the vector count and directed edge count") {
+    val rows = Similarity.knnHubness(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == nVecs)
+    val nEdges = Similarity.knnGraph(spark, sf).count()
+    assert(rows.map(r => r._1 * r._2).sum == nEdges)
+  }
+
+  test("q193: symbols agree with the z thresholds; one row per day") {
+    val rows = Sessionize.saxSymbols(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (d, z, s) =>
+      val expect = if (z < -0.6745) "a" else if (z < 0) "b"
+        else if (z < 0.6745) "c" else "d"
+      assert(s == expect, s"day $d")
+    }
+  }
+
+  test("q194: every pair meets the 5% ceiling and orders its tokens") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val thr = (n + 19) / 20
+    TextAnalysis.frequentPairs(spark, sf).collect().foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) >= thr)
+    }
+  }
+
+  test("q195: sole blockers bound by failures; dropping a rule never hurts keep-rate") {
+    TextAnalysis.ruleAblation(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), r.getString(0))
+      assert(r.getDouble(3) >= r.getDouble(4) - 1e-9, r.getString(0))
+    }
+  }
+
+  test("q196: empirical rates are probabilities over their band denominators") {
+    Dedup.sCurveCheck(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"band ${r.getLong(0)}")
+      val e = r.getDouble(4)
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
+
+  test("q197: bins are contiguous, ordered, and partition all 16 shards") {
+    val rows = PipelinePrep.compactionPlan(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(rows.map(_._2).sum == 16)
+    rows.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 == a._4 + 1,
+        s"bins ${a._1}/${b._1} not contiguous")
+      case _ =>
+    }
+    rows.foreach(r => assert(r._4 - r._3 + 1 == r._2))
+  }
+
+  test("q198: slice AUCs are probabilities; class counts partition each source") {
+    val perSource = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TextAnalysis.slicedAuc(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == perSource(r.getString(0)))
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q199: every doc anchors k ring negatives, none of them itself") {
+    val rows = PipelinePrep.negativeSampling(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._1).distinct.length == n)
+    assert(rows.forall(r => r._1 != r._3))
+    rows.groupBy(_._1).foreach { case (a, ns) =>
+      assert(ns.length == 4 && ns.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L), s"anchor $a")
+      assert(ns.map(_._3).distinct.length == 4, s"anchor $a repeats a negative")
+    }
+  }
+
+  test("q200: pooled row never flips against itself; segment masses sum to pooled") {
+    val rows = Sessionize.simpsonCheck(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(4)))
+    val (pooled, segs) = rows.partition(_._1 == "__pooled__")
+    assert(pooled.length == 1 && !pooled.head._3)
+    assert(segs.map(_._2).sum == pooled.head._2)
+  }
+
+  test("q202: below-k counts are monotone in k over a fixed group table") {
+    val rows = TextAnalysis.kAnonymity(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(rows.map(_._2).distinct.length == 1)
+    rows.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 <= b._3 && a._4 <= b._4)
+      case _ =>
+    }
+  }
+
+  test("q203: per-doc sentence stats are internally consistent") {
+    TextAnalysis.sentenceStats(spark, sf).collect().foreach { r =>
+      val n = r.getLong(1)
+      if (n > 0) {
+        assert(!r.isNullAt(2) && !r.isNullAt(3))
+        assert(r.getLong(3) >= math.floor(r.getDouble(2)).toLong,
+          s"doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("q204: conversion is monotone in the window; denominators constant") {
+    val rows = Sessionize.conversionWindows(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    assert(rows.map(_._2).distinct.length == 1)
+    rows.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 <= b._3 && a._4 <= b._4)
+      case _ =>
+    }
+  }
+
   test("q108: one row per centroid, members conserved, shift non-negative") {
     val rows = Similarity.lloydUpdate(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1),

@@ -96,7 +96,8 @@ object ScaleBench {
     // hazard — same sampled-corpus recipe at scale, same exclusion
     "q194_frequent_pairs", "q195_rule_ablation", "q197_compaction_plan",
     "q198_sliced_auc", "q199_negative_sampling", "q201_retrieval_agreement",
-    "q202_k_anonymity", "q203_sentence_stats")
+    "q202_k_anonymity", "q203_sentence_stats", "q205_temperature_ess",
+    "q206_cluster_profile", "q207_cramers_v")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -526,6 +526,15 @@ object SparkEntry {
     // conversion rate per attribution-window ladder step
     "q204_conversion_windows" -> ((s: SparkSession, d: String) =>
       Sessionize.conversionWindows(s, d)),
+    // effective-sources ESS per mixing temperature
+    "q205_temperature_ess" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.temperatureEss(s, d)),
+    // duplicate-family size histogram over the q41 clusters
+    "q206_cluster_profile" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterProfile(s, d)),
+    // Cramer's V association between categorical corpus fields
+    "q207_cramers_v" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.cramersV(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4187,6 +4196,71 @@ object SparkEntry {
         | round(n_converting / CAST(n_clicks AS DOUBLE), 6)
         |   AS conversion_rate
         |FROM cnt, ag""".stripMargin,
+    // q205: weights and shares rounded to 6 before squaring, squares
+    // summed in exact 1e-12 units
+    "q205_temperature_ess" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |ct AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS total
+        |       FROM c),
+        |ts AS (SELECT CAST(unnest([0.3, 0.5, 0.7, 1.0]) AS DOUBLE) AS t),
+        |wts AS (SELECT t, source, n_docs,
+        |         round(pow(n_docs / CAST(total AS DOUBLE), t), 6) AS w
+        |        FROM ct CROSS JOIN ts),
+        |qs AS (SELECT t, round(w / sum(w) OVER (PARTITION BY t), 6) AS q
+        |       FROM wts)
+        |SELECT t AS temperature, CAST(count(*) AS BIGINT) AS n_sources,
+        | round(max(q), 6) AS max_share,
+        | round(1e12 / sum(CAST(round(pow(q, 2) * 1e12) AS BIGINT)), 4)
+        |   AS effective_sources
+        |FROM qs GROUP BY 1""".stripMargin,
+    // q206: the q41 cluster chain rolled to a size histogram
+    "q206_cluster_profile" -> (clusterCteSql +
+      """,
+        |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+        |         AS cluster_size FROM cl GROUP BY 1),
+        |hst AS (SELECT cluster_size, CAST(count(*) AS BIGINT)
+        |          AS n_clusters FROM cs GROUP BY 1)
+        |SELECT cluster_size, n_clusters,
+        | cluster_size * n_clusters AS n_docs,
+        | round(cluster_size * n_clusters / CAST(sum(cluster_size *
+        |   n_clusters) OVER () AS DOUBLE), 6) AS frac_docs
+        |FROM hst""".stripMargin),
+    // q207: per-pair contingency chi2 in rounded micro-units, same
+    // digit-length size class
+    "q207_cramers_v" -> {
+      val pairs = Seq(("lang", "source"), ("lang", "size_class"),
+        ("source", "size_class"))
+      val arms = pairs.map { case (f1, f2) =>
+        s"""SELECT '${f1}_x_$f2' AS field_pair, n_rows, card_a, card_b,
+           | round(cm / 1e6, 6) AS chi2,
+           | round(sqrt((cm / 1e6) /
+           |   CAST(n_rows * (least(card_a, card_b) - 1) AS DOUBLE)), 6)
+           |   AS cramers_v
+           |FROM (SELECT CAST(count(DISTINCT a) AS BIGINT) AS card_a,
+           |       CAST(count(DISTINCT b) AS BIGINT) AS card_b,
+           |       CAST(max(tot) AS BIGINT) AS n_rows,
+           |       CAST(sum(chi2_micro) AS BIGINT) AS cm
+           |      FROM (SELECT *,
+           |             CAST(round(pow(n - e, 2) / e * 1e6) AS BIGINT)
+           |               AS chi2_micro
+           |            FROM (SELECT *, na * nb / CAST(tot AS DOUBLE) AS e
+           |                  FROM (SELECT a, b, n,
+           |                         CAST(sum(n) OVER (PARTITION BY a)
+           |                           AS BIGINT) AS na,
+           |                         CAST(sum(n) OVER (PARTITION BY b)
+           |                           AS BIGINT) AS nb,
+           |                         CAST(sum(n) OVER () AS BIGINT) AS tot
+           |                        FROM (SELECT $f1 AS a, $f2 AS b,
+           |                               CAST(count(*) AS BIGINT) AS n
+           |                              FROM base GROUP BY 1, 2)))))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (SELECT lang, source,
+         |   CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR)
+         |     AS size_class
+         |  FROM documents)
+         |$arms""".stripMargin
+    },
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

@@ -1009,6 +1009,29 @@ object Dedup {
     * estimate needs thousands of pairs, not the whole corpus. The
     * final full-outer join keys on the pair ids.
     */
+  /** Duplicate-family profile (q206): the size histogram of the q41
+    * near-dup clusters — per family size: how many families, how many
+    * documents, and each size's share of the corpus — the one-page
+    * answer to "how duplicated is this corpus, and is it a long tail of
+    * pairs or a few mega-families" that decides between keeper-dedup
+    * (q106) and family-cap sampling. Composes [[dedupClusters]]
+    * verbatim.
+    *
+    * Scale: the cluster pass is q41's; the histogram is two
+    * clusters-sized aggregates.
+    */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    dedupClusters(spark, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", $"cluster_size" * $"n_clusters")
+      .withColumn("frac_docs",
+        round($"n_docs" / sum($"n_docs").over(tot).cast("double"), 6))
+  }
+
   /** MinHash S-curve check (q196): the q186 companion at full
     * resolution — per Jaccard band, the EMPIRICAL fraction of exact
     * pairs that banding surfaced as candidates, against the ANALYTIC

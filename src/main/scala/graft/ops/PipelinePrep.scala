@@ -727,6 +727,41 @@ object PipelinePrep {
     * × share product under ~9e18 — beyond that, swap in decimal(38,0)
     * and keep the identical div/mod shape.
     */
+  /** Temperature-ladder effective sample size (q205): for each
+    * temperature T, source-sampling weights ∝ share^T (the multilingual
+    * /multi-source mixing rule), reported as the effective number of
+    * sources 1/Σq² and the largest single-source share — the two
+    * numbers that decide a mixing temperature: T=1 keeps the corpus's
+    * head-heavy mix, T→0 flattens it, and ESS says where the knee is
+    * for THIS corpus. Weights are rounded to 6 before normalization so
+    * both engines square identical values; squared shares are summed
+    * in exact micro-units of 1e-12.
+    *
+    * Scale: one corpus aggregate to source counts; the ladder math is
+    * sources × |T| arithmetic.
+    */
+  def temperatureEss(spark: SparkSession, dir: String,
+      ladder: Seq[Double] = Seq(0.3, 0.5, 0.7, 1.0)): DataFrame = {
+    import spark.implicits._
+    val tot = Window.partitionBy(lit(1))
+    val perT = Window.partitionBy($"t")
+    val counts = docs(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum($"n_docs").over(tot))
+      .localCheckpoint(true)
+    val ts = ladder.toDF("t")
+    counts.crossJoin(broadcast(ts))
+      .withColumn("w",
+        round(pow($"n_docs" / $"total".cast("double"), $"t"), 6))
+      .withColumn("q", round($"w" / sum($"w").over(perT), 6))
+      .groupBy($"t".as("temperature"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(round(pow($"q", 2) * 1e12).cast("long")).as("ssq_micro"),
+        round(max($"q"), 6).as("max_share"))
+      .select($"temperature", $"n_sources", $"max_share",
+        round(lit(1e12) / $"ssq_micro", 4).as("effective_sources"))
+  }
+
   /** Consistent-hash-ring negative sampling (q199): for every anchor
     * document, `k` deterministic "random" negatives — the next k
     * documents around an md5-ordered ring — the contrastive-training

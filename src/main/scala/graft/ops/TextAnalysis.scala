@@ -1602,6 +1602,48 @@ object TextAnalysis {
         round($"n_kept" / $"n_docs".cast("double"), 6).as("keep_rate"))
   }
 
+  /** Cramér's V association matrix (q207): the strength of association
+    * between every pair of the corpus's categorical fields (lang,
+    * source, digit-length size class) — schema profiling's "which
+    * columns actually carry independent information" answer, on a
+    * comparable 0..1 scale unlike raw chi². A near-1 V between source
+    * and lang means stratifying by both is redundant; near-0 means a
+    * per-source language mix audit is load-bearing.
+    *
+    * Scale: one scan per field pair to a contingency table bounded by
+    * the category-cardinality product; per-cell chi² contributions are
+    * rounded to 6 and summed in exact micro-units so the statistic is
+    * order-independent.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir)
+      .select($"lang", $"source",
+        length($"n_chars".cast("string")).cast("string").as("size_class"))
+    def pairV(f1: String, f2: String): DataFrame = {
+      val cells = base.groupBy(col(f1).as("a"), col(f2).as("b"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("na", sum($"n").over(Window.partitionBy($"a")))
+        .withColumn("nb", sum($"n").over(Window.partitionBy($"b")))
+        .withColumn("tot", sum($"n").over(Window.partitionBy(lit(1))))
+        .withColumn("e", $"na" * $"nb" / $"tot".cast("double"))
+        .withColumn("chi2_micro",
+          round(pow($"n" - $"e", 2) / $"e" * 1e6).cast("long"))
+      cells.agg(
+          countDistinct($"a").as("r"), countDistinct($"b").as("c"),
+          max($"tot").as("n_rows"), sum($"chi2_micro").as("cm"))
+        .select(lit(s"${f1}_x_$f2").as("field_pair"), $"n_rows",
+          $"r".as("card_a"), $"c".as("card_b"),
+          round($"cm" / 1e6, 6).as("chi2"),
+          round(sqrt(($"cm" / 1e6) /
+            ($"n_rows" * (least($"r", $"c") - 1)).cast("double")), 6)
+            .as("cramers_v"))
+    }
+    pairV("lang", "source")
+      .unionByName(pairV("lang", "size_class"))
+      .unionByName(pairV("source", "size_class"))
+  }
+
   /** k-anonymity audit (q202): group the corpus by its quasi-identifier
     * tuple (lang, source, power-of-two length class) and report, for a
     * ladder of k values, how many groups and documents sit BELOW each k

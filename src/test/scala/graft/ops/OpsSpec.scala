@@ -330,6 +330,12 @@ class OpsSpec extends AnyFunSuite {
       "mean_sentence_toks", "max_sentence_toks"),
     "q204_conversion_windows" -> Set("window_label", "window_us",
       "n_clicks", "n_converting", "conversion_rate"),
+    "q205_temperature_ess" -> Set("temperature", "n_sources", "max_share",
+      "effective_sources"),
+    "q206_cluster_profile" -> Set("cluster_size", "n_clusters", "n_docs",
+      "frac_docs"),
+    "q207_cramers_v" -> Set("field_pair", "n_rows", "card_a", "card_b",
+      "chi2", "cramers_v"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -97,7 +97,8 @@ object ScaleBench {
     "q194_frequent_pairs", "q195_rule_ablation", "q197_compaction_plan",
     "q198_sliced_auc", "q199_negative_sampling", "q201_retrieval_agreement",
     "q202_k_anonymity", "q203_sentence_stats", "q205_temperature_ess",
-    "q206_cluster_profile", "q207_cramers_v")
+    "q206_cluster_profile", "q207_cramers_v", "q209_assortativity",
+    "q210_zipf_fit")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -121,7 +122,8 @@ object ScaleBench {
     "q161_markov_stationary", "q163_winsorized_stats",
     "q165_audience_overlap", "q167_jackknife_ci", "q168_ab_lift",
     "q169_funnel_latency", "q178_kaplan_meier", "q188_lagged_xcorr",
-    "q193_sax_symbols", "q200_simpson_check", "q204_conversion_windows")
+    "q193_sax_symbols", "q200_simpson_check", "q204_conversion_windows",
+    "q208_entropy_rate")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

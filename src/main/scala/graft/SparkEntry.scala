@@ -535,6 +535,15 @@ object SparkEntry {
     // Cramer's V association between categorical corpus fields
     "q207_cramers_v" -> ((s: SparkSession, d: String) =>
       TextAnalysis.cramersV(s, d)),
+    // Markov entropy rate over the q129/q161 chain
+    "q208_entropy_rate" -> ((s: SparkSession, d: String) =>
+      Series.entropyRate(s, d)),
+    // degree assortativity of the KNN graph
+    "q209_assortativity" -> ((s: SparkSession, d: String) =>
+      Graph.degreeAssortativity(s, d)),
+    // OLS Zipf exponent over the top-100 types
+    "q210_zipf_fit" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.zipfFit(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4261,6 +4270,61 @@ object SparkEntry {
          |  FROM documents)
          |$arms""".stripMargin
     },
+    // q208: the q161 chain + per-state entropy, roundings mirrored
+    "q208_entropy_rate" -> entropyRateOracleSql(20),
+    // q209: same directed edge list, exact integer degree moments
+    "q209_assortativity" ->
+      s"""$knnOracleCtes,
+         |ed AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |        greatest(vec_id, neighbor_id) AS b FROM knn),
+         |dr AS (SELECT a AS u, b AS v FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |dg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+         |       FROM dr GROUP BY 1),
+         |j AS (SELECT da.deg AS du, db.deg AS dv FROM dr
+         |       JOIN dg da ON dr.u = da.node
+         |       JOIN dg db ON dr.v = db.node),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(du) AS BIGINT) AS sx,
+         |       CAST(sum(dv) AS BIGINT) AS sy,
+         |       CAST(sum(du * dv) AS BIGINT) AS sxy,
+         |       CAST(sum(du * du) AS BIGINT) AS sxx,
+         |       CAST(sum(dv * dv) AS BIGINT) AS syy FROM j)
+         |SELECT n // 2 AS n_edges,
+         | round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+         |        CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+         |FROM m""".stripMargin,
+    // q210: same 6-dp log points, same 1e-8-unit OLS moments, intercept
+    // from the ROUNDED slope
+    "q210_zipf_fit" ->
+      """WITH pts AS (SELECT round(ln(rk), 6) AS x, round(ln(freq), 6)
+        |          AS y
+        |       FROM (SELECT freq, CAST(row_number() OVER (
+        |               ORDER BY freq DESC, token) AS BIGINT) AS rk
+        |             FROM (SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |                   FROM (SELECT unnest(string_split(text, ' '))
+        |                           AS token FROM documents)
+        |                   WHERE len(token) >= 1 GROUP BY 1))
+        |       WHERE rk <= 100),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |        CAST(sum(CAST(round(x * 1e8) AS BIGINT)) AS BIGINT) AS sx,
+        |        CAST(sum(CAST(round(y * 1e8) AS BIGINT)) AS BIGINT) AS sy,
+        |        CAST(sum(CAST(round(x * y * 1e8) AS BIGINT)) AS BIGINT)
+        |          AS sxy,
+        |        CAST(sum(CAST(round(x * x * 1e8) AS BIGINT)) AS BIGINT)
+        |          AS sxx
+        |       FROM pts),
+        |sl AS (SELECT m, sx, sy,
+        |        round(((CAST(m AS DOUBLE) * sxy)
+        |          - (CAST(sx AS DOUBLE) * sy / 1e8)) /
+        |          ((CAST(m AS DOUBLE) * sxx)
+        |            - (CAST(sx AS DOUBLE) * sx / 1e8)), 6) AS slope
+        |       FROM mo)
+        |SELECT m AS n_points, slope,
+        | round((sy / 1e8 - slope * (sx / 1e8)) / CAST(m AS DOUBLE), 6)
+        |   AS intercept
+        |FROM sl""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
@@ -4497,7 +4561,33 @@ object SparkEntry {
     * probabilities + explicit self-loops for source-less states), one
     * generated CTE block per round — the q74 mechanical-CTE pattern.
     */
-  private def markovOracleSql(iters: Int): String = {
+  private def markovOracleSql(iters: Int): String =
+    markovCtes(iters) +
+      s"""
+         |SELECT s.state, round(coalesce(d.pi, 0), 6) AS pi
+         |FROM s LEFT JOIN d$iters d USING (state)""".stripMargin
+
+  /** The q208 oracle scores the identical chain: per-state entropy from
+    * `t`, contributions from the ROUNDED pi and h, the rate from the
+    * rounded contributions — every rounding mirrored from the driver
+    * fold.
+    */
+  private def entropyRateOracleSql(iters: Int): String =
+    markovCtes(iters) +
+      s""",
+         |hs AS (SELECT src AS state, round(-sum(p * ln(p)), 6) AS h_state
+         |       FROM t WHERE p > 0 GROUP BY 1),
+         |fin AS (SELECT s.state, round(coalesce(d.pi, 0), 6) AS pi,
+         |         coalesce(hs.h_state, 0.0) AS h_state
+         |        FROM s LEFT JOIN d$iters d USING (state)
+         |         LEFT JOIN hs USING (state)),
+         |f2 AS (SELECT *, round(pi * h_state, 6) AS contribution
+         |       FROM fin)
+         |SELECT state, pi, h_state, contribution,
+         | (SELECT round(sum(contribution), 6) FROM f2) AS entropy_rate
+         |FROM f2""".stripMargin
+
+  private def markovCtes(iters: Int): String = {
     val init =
       """WITH pr AS (SELECT user_id, event_type,
         |       lead(event_type) OVER (PARTITION BY user_id
@@ -4520,9 +4610,6 @@ object SparkEntry {
          |d$i AS (SELECT t.dst AS state, sum(t.p * d.pi) AS pi
          |        FROM t JOIN d${i - 1} d ON t.src = d.state GROUP BY 1)""".stripMargin
     }.mkString
-    init + steps +
-      s"""
-         |SELECT s.state, round(coalesce(d.pi, 0), 6) AS pi
-         |FROM s LEFT JOIN d$iters d USING (state)""".stripMargin
+    init + steps
   }
 }

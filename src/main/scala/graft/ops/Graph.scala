@@ -282,6 +282,43 @@ object Graph {
     } finally und0.unpersist()
   }
 
+  /** Degree assortativity of the KNN graph (q209): the Pearson
+    * correlation of endpoint degrees over the directed edge list (both
+    * orientations of every undirected edge, the standard Newman
+    * estimator) — positive means hubs link to hubs (a clique-y
+    * embedding space where bucketed ANN probes saturate), negative
+    * means hub-to-leaf (star-like, where per-node top-k truncation
+    * loses recall). All five moments are exact i64 sums of integer
+    * degrees, so the coefficient is one deterministic expression.
+    *
+    * Scale: degree count + a degree join per endpoint on the
+    * nodes×k-bounded edge list; one five-value aggregate.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String,
+      nPlanes: Int = 8, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val directed = und.select($"a".as("u"), $"b".as("v"))
+      .unionByName(und.select($"b".as("u"), $"a".as("v")))
+    val deg = directed.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    directed
+      .join(deg.select($"node".as("u"), $"deg".as("du")), Seq("u"))
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n"),
+        sum($"du").as("sx"), sum($"dv").as("sy"),
+        sum($"du" * $"dv").as("sxy"), sum($"du" * $"du").as("sxx"),
+        sum($"dv" * $"dv").as("syy"))
+      .select(expr("n div 2").as("n_edges"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6)
+          .as("assortativity"))
+  }
+
   /** Adamic–Adar link prediction (q177): for every NON-adjacent node
     * pair (u,v) of the KNN graph sharing at least one neighbor, the
     * score Σ_w 1/ln(deg(w)) over common neighbors w — the classic

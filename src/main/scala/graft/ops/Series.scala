@@ -384,6 +384,26 @@ object Series {
   def markovStationary(spark: SparkSession, dir: String,
       iters: Int = 20): DataFrame = {
     import spark.implicits._
+    markovCore(spark, dir, iters) match {
+      case None => Seq.empty[(String, Double)].toDF("state", "pi")
+      case Some((states, _, pi)) =>
+        // the final round() runs through Spark so rounding semantics
+        // cannot drift from every other oracle-gated query
+        states.map(s => (s, pi(s))).toDF("state", "pi0")
+          .select($"state", round($"pi0", 6).as("pi"))
+    }
+  }
+
+  /** Shared q161/q208 driver fold: (sorted states, stochastic matrix
+    * rows sorted by (src, dst) with self-loops for source-less states,
+    * stationary distribution after `iters` uniform-start power rounds).
+    * Bounded collects: |types|² transition counts + the |types| state
+    * vocabulary (the q74 centroid / moment-table boundedness argument).
+    */
+  private def markovCore(spark: SparkSession, dir: String, iters: Int)
+      : Option[(IndexedSeq[String], Seq[(String, String, Double)],
+        Map[String, Double])] = {
+    import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val counts = events(spark, dir)
       .select($"user_id", $"event_id", $"ts", $"event_type")
@@ -391,15 +411,12 @@ object Series {
       .filter($"next_type".isNotNull)
       .groupBy($"event_type".as("src"), $"next_type".as("dst"))
       .agg(count(lit(1)).as("n"))
-    // bounded collects: |types|² transition counts + the |types| state
-    // vocabulary (the q74 centroid / moment-table boundedness argument)
     val obs = counts.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))
     val states = events(spark, dir).select($"event_type").distinct()
       .collect().map(_.getString(0)).sorted.toIndexedSeq
-    if (states.isEmpty)
-      return Seq.empty[(String, Double)].toDF("state", "pi")
+    if (states.isEmpty) return None
     val outTotals = obs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     // observed rows normalized per source; source-less states self-loop
     // so the matrix stays stochastic (same definition as the oracle)
@@ -413,10 +430,42 @@ object Series {
       trans.foreach { case (s, d, p) => next(d) += p * pi.getOrElse(s, 0.0) }
       pi = states.map(s => s -> next(s)).toMap
     }
-    // the final round() runs through Spark so rounding semantics cannot
-    // drift from every other oracle-gated query
-    states.map(s => (s, pi(s))).toDF("state", "pi0")
-      .select($"state", round($"pi0", 6).as("pi"))
+    Some((states, trans, pi))
+  }
+
+  /** Markov entropy rate (q208): H = Σ_s π_s · H_s with
+    * H_s = −Σ_d p(s→d)·ln p(s→d), over the q129 transition matrix and
+    * the q161 stationary distribution — the bits-per-event
+    * predictability of user behavior: ~0 means journeys are scripted
+    * (or the event stream is broken and repeating), ln(|states|) means
+    * white noise. Composes [[markovCore]] verbatim, so the chain scored
+    * is exactly the one q161 reports.
+    *
+    * Scale: the corpus pass is q129's pair count; everything after is
+    * |states|-sized driver arithmetic (the q161 precedent).
+    */
+  def entropyRate(spark: SparkSession, dir: String,
+      iters: Int = 20): DataFrame = {
+    import spark.implicits._
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    markovCore(spark, dir, iters) match {
+      case None =>
+        Seq.empty[(String, Double, Double, Double, Double)]
+          .toDF("state", "pi", "h_state", "contribution", "entropy_rate")
+      case Some((states, trans, pi)) =>
+        val bySrc = trans.groupBy(_._1)
+        val rows = states.map { s =>
+          val h = r6(-bySrc.getOrElse(s, Nil).sortBy(_._2)
+            .foldLeft(0.0) { case (acc, (_, _, p)) =>
+              if (p > 0) acc + p * math.log(p) else acc })
+          val pis = r6(pi(s))
+          (s, pis, h, r6(pis * h))
+        }
+        val total = r6(rows.foldLeft(0.0)(_ + _._4))
+        rows.map { case (s, p, h, c) => (s, p, h, c, total) }
+          .toDF("state", "pi", "h_state", "contribution", "entropy_rate")
+    }
   }
 
   /** Delete-one-block jackknife CI for the mean value per event type

@@ -1602,6 +1602,41 @@ object TextAnalysis {
         round($"n_kept" / $"n_docs".cast("double"), 6).as("keep_rate"))
   }
 
+  /** Zipf exponent fit (q210): OLS of ln(freq) on ln(rank) over the
+    * top `n` types — the one-number version of q119's class profile:
+    * the slope IS the (negated) Zipf exponent, and how far it sits from
+    * −1 says whether this corpus's head is heavier (templated/synthetic
+    * text) or lighter (diverse prose) than natural language. Log terms
+    * are rounded to 6 per point and every OLS moment is summed in
+    * exact 1e-8 units, so the fit is partition-order independent.
+    *
+    * Scale: one type-count aggregate; the fit runs on n rows.
+    */
+  def zipfFit(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    import spark.implicits._
+    val pts = docs(spark, dir)
+      .select(explode(toks).as("token"))
+      .filter(length($"token") >= 1)
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"freq".desc, $"token")).cast("long"))
+      .filter($"rk" <= n)
+      .select(round(log($"rk"), 6).as("x"), round(log($"freq"), 6).as("y"))
+    pts.agg(count(lit(1)).as("m"),
+        sum(round($"x" * 1e8).cast("long")).as("sx"),
+        sum(round($"y" * 1e8).cast("long")).as("sy"),
+        sum(round($"x" * $"y" * 1e8).cast("long")).as("sxy"),
+        sum(round($"x" * $"x" * 1e8).cast("long")).as("sxx"))
+      .select($"m", $"sx", $"sy",
+        round((($"m".cast("double") * $"sxy") -
+          ($"sx".cast("double") * $"sy" / 1e8)) /
+          (($"m".cast("double") * $"sxx") -
+            ($"sx".cast("double") * $"sx" / 1e8)), 6).as("slope"))
+      .select($"m".as("n_points"), $"slope",
+        round(($"sy" / 1e8 - $"slope" * ($"sx" / 1e8))
+          / $"m".cast("double"), 6).as("intercept"))
+  }
+
   /** Cramér's V association matrix (q207): the strength of association
     * between every pair of the corpus's categorical fields (lang,
     * source, digit-length size class) — schema profiling's "which

@@ -336,6 +336,10 @@ class OpsSpec extends AnyFunSuite {
       "frac_docs"),
     "q207_cramers_v" -> Set("field_pair", "n_rows", "card_a", "card_b",
       "chi2", "cramers_v"),
+    "q208_entropy_rate" -> Set("state", "pi", "h_state", "contribution",
+      "entropy_rate"),
+    "q209_assortativity" -> Set("n_edges", "assortativity"),
+    "q210_zipf_fit" -> Set("n_points", "slope", "intercept"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

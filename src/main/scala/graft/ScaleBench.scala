@@ -98,7 +98,9 @@ object ScaleBench {
     "q198_sliced_auc", "q199_negative_sampling", "q201_retrieval_agreement",
     "q202_k_anonymity", "q203_sentence_stats", "q205_temperature_ess",
     "q206_cluster_profile", "q207_cramers_v", "q209_assortativity",
-    "q210_zipf_fit")
+    // q212 is deliberately absent: its 16x1 arm is the
+    // maximal-candidate regime by construction on a replicated corpus
+    "q210_zipf_fit", "q211_rank_biased_overlap")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -544,6 +544,12 @@ object SparkEntry {
     // OLS Zipf exponent over the top-100 types
     "q210_zipf_fit" -> ((s: SparkSession, d: String) =>
       TextAnalysis.zipfFit(s, d)),
+    // rank-biased overlap between BM25 and cosine orderings
+    "q211_rank_biased_overlap" -> ((s: SparkSession, d: String) =>
+      Similarity.rankBiasedOverlap(s, d)),
+    // (b x r) banding planner over one cached 16-min sketch
+    "q212_banding_planner" -> ((s: SparkSession, d: String) =>
+      Dedup.bandingPlanner(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4325,6 +4331,74 @@ object SparkEntry {
         | round((sy / 1e8 - slope * (sx / 1e8)) / CAST(m AS DOUBLE), 6)
         |   AS intercept
         |FROM sl""".stripMargin,
+    // q211: the q110 chain, per-depth prefix overlaps, contributions
+    // rounded to 6 and summed in micro-units
+    "q211_rank_biased_overlap" ->
+      (bm25CteSql +
+        """,
+          |be AS (SELECT h.doc_id, h.score, e.embedding
+          |       FROM hits h JOIN embeddings e ON e.vec_id = h.doc_id),
+          |q AS (SELECT embedding AS qe, score AS ms FROM be
+          |      ORDER BY score DESC, doc_id LIMIT 1),
+          |hr AS (SELECT be.doc_id, be.score AS bm25,
+          |  round(list_sum([CAST(be.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+          |                  for i in range(1, len(be.embedding)+1)]) /
+          |   (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in be.embedding])) *
+          |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.qe]))), 6) AS cosine
+          | FROM be CROSS JOIN q),
+          |rkd AS (SELECT doc_id,
+          |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+          |    AS rb,
+          |  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+          |    AS BIGINT) AS rc FROM hr),
+          |ds AS (SELECT CAST(unnest(generate_series(1,
+          |         (SELECT count(*) FROM hr))) AS BIGINT) AS depth),
+          |pd AS (SELECT depth, CAST(count(*) AS BIGINT) AS overlap,
+          |        round(count(*) / CAST(depth AS DOUBLE), 6) AS agreement,
+          |        round(0.09999999999999998 * pow(0.9, depth - 1)
+          |          * count(*) / depth, 6) AS contribution
+          |       FROM rkd CROSS JOIN ds
+          |       WHERE rb <= depth AND rc <= depth GROUP BY depth)
+          |SELECT depth, overlap, agreement, contribution,
+          | round(sum(CAST(round(contribution * 1000000) AS BIGINT))
+          |   OVER () / 1000000.0, 6) AS rbo
+          |FROM pd""".stripMargin),
+    // q212: the same 16-min sketch regrouped per (b, r); analytic
+    // threshold from literals
+    "q212_banding_planner" -> {
+      val schemes = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+      val arms = schemes.map { case (b, r) =>
+        s"""SELECT '${b}x$r' AS scheme, CAST($b AS BIGINT) AS bands,
+           | CAST($r AS BIGINT) AS rows_per_band,
+           | (SELECT CAST(count(*) AS BIGINT) FROM (
+           |   SELECT DISTINCT a.doc_id, b.doc_id FROM
+           |    (SELECT doc_id, i // $r AS band,
+           |      md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i))
+           |        AS sig FROM hmins GROUP BY doc_id, i // $r) a
+           |    JOIN
+           |    (SELECT doc_id, i // $r AS band,
+           |      md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i))
+           |        AS sig FROM hmins GROUP BY doc_id, i // $r) b
+           |    ON a.band = b.band AND a.sig = b.sig
+           |     AND a.doc_id < b.doc_id)) AS n_candidates,
+           | round(pow(1.0 / $b, 1.0 / $r), 6) AS threshold_est""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |       FROM documents),
+         |sh1 AS (SELECT doc_id,
+         |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |                for i in range(1, len(t) - 1)]) AS sh
+         |       FROM tok),
+         |h AS (SELECT doc_id,
+         |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT)
+         |         AS h1,
+         |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT)
+         |         AS h2 FROM sh1),
+         |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+         |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+         |          GROUP BY doc_id, i)
+         |$arms""".stripMargin
+    },
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

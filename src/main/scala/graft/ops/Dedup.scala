@@ -1009,6 +1009,38 @@ object Dedup {
     * estimate needs thousands of pairs, not the whole corpus. The
     * final full-outer join keys on the pair ids.
     */
+  /** Banding-scheme planner (q212): the SAME 16 cached permutation
+    * mins regrouped under every (bands × rows) factorization — 16×1,
+    * 8×2, 4×4, 2×8, 1×16 — with each scheme's measured candidate-pair
+    * volume on THIS corpus next to its analytic S-curve threshold
+    * (1/b)^(1/r). This is the b×r decision made from data: the
+    * sketches are computed once, the five candidate sets differ only
+    * in how the mins are folded into band signatures.
+    *
+    * Scale: ONE shingle+mins pass (docs-sized, cached); per scheme a
+    * bucket self-join on its band signatures — the q15 shape — and a
+    * count. The five counts are sequential driver actions over the
+    * cached sketch (the bounded planner-table pattern).
+    */
+  def bandingPlanner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schemes = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mins = rowMins(shingleRows(spark, dir), 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = schemes.map { case (b, r) =>
+        val nCand =
+          candidatePairs(bandSignaturesFromMins(mins, b, r)).count()
+        (s"${b}x$r", b.toLong, r.toLong, nCand,
+          r6(math.pow(1.0 / b, 1.0 / r)))
+      }
+      rows.toDF("scheme", "bands", "rows_per_band", "n_candidates",
+        "threshold_est")
+    } finally mins.unpersist()
+  }
+
   /** Duplicate-family profile (q206): the size histogram of the q41
     * near-dup clusters — per family size: how many families, how many
     * documents, and each size's share of the corpus — the one-page

@@ -1069,6 +1069,46 @@ object Similarity {
         round($"ov5" / lit(5.0), 6).as("top5_overlap"))
   }
 
+  /** Rank-biased overlap between the BM25 and cosine orderings (q211):
+    * the top-weighted companion to q201's Spearman — RBO(p) =
+    * (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d discounts agreement geometrically
+    * with depth, so two systems that agree on the podium but scramble
+    * the tail score high (what a reranker cares about), where Spearman
+    * treats every position equally. Emitted per depth: the overlap,
+    * the agreement at that depth, and the depth's contribution; the
+    * total rides every row. Depth contributions are rounded to 6 and
+    * summed in exact micro-units.
+    *
+    * Scale: everything runs on the k-row hit list.
+    */
+  def rankBiasedOverlap(spark: SparkSession, dir: String,
+      p: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val hits = hybridRerank(spark, dir)
+      .select($"doc_id", $"bm25", $"cosine")
+      .withColumn("rb", row_number().over(
+        Window.orderBy($"bm25".desc, $"doc_id")).cast("long"))
+      .withColumn("rc", row_number().over(
+        Window.orderBy($"cosine".desc, $"doc_id")).cast("long"))
+      .localCheckpoint(true)
+    val n = hits.count().toInt
+    if (n == 0)
+      return Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("depth", "overlap", "agreement", "contribution", "rbo")
+    val depths = (1 to n).map(_.toLong).toDF("depth")
+    val perDepth = hits.crossJoin(broadcast(depths))
+      .filter($"rb" <= $"depth" && $"rc" <= $"depth")
+      .groupBy($"depth").agg(count(lit(1)).as("overlap"))
+      .select($"depth", $"overlap",
+        round($"overlap" / $"depth".cast("double"), 6).as("agreement"),
+        round(lit(1.0 - p) * pow(lit(p), $"depth" - 1)
+          * $"overlap" / $"depth", 6).as("contribution"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perDepth.withColumn("rbo",
+      round(sum(round($"contribution" * 1000000).cast("long")).over(total)
+        / 1000000.0, 6))
+  }
+
   /** KNN hubness profile (q192): the in-degree (k-occurrence)
     * distribution of the DIRECTED q54 KNN graph — how often each vector
     * appears in someone else's top-k. High-dimensional spaces grow hub

@@ -340,6 +340,10 @@ class OpsSpec extends AnyFunSuite {
       "entropy_rate"),
     "q209_assortativity" -> Set("n_edges", "assortativity"),
     "q210_zipf_fit" -> Set("n_points", "slope", "intercept"),
+    "q211_rank_biased_overlap" -> Set("depth", "overlap", "agreement",
+      "contribution", "rbo"),
+    "q212_banding_planner" -> Set("scheme", "bands", "rows_per_band",
+      "n_candidates", "threshold_est"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -550,6 +550,12 @@ object SparkEntry {
     // (b x r) banding planner over one cached 16-min sketch
     "q212_banding_planner" -> ((s: SparkSession, d: String) =>
       Dedup.bandingPlanner(s, d)),
+    // BFS reachability levels from vector 0 over the KNN graph
+    "q213_bfs_levels" -> ((s: SparkSession, d: String) =>
+      Graph.bfsLevels(s, d)),
+    // pseudo-relevance-feedback query expansion off the BM25 hits
+    "q214_query_expansion" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.queryExpansion(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4399,6 +4405,35 @@ object SparkEntry {
          |          GROUP BY doc_id, i)
          |$arms""".stripMargin
     },
+    // q213: generated frontier rounds — same join + anti-membership,
+    // unreachable remainder as the -1 row
+    "q213_bfs_levels" -> bfsOracleSql(4),
+    // q214: the q86 hits, tf-in-hits x ln(N/df), same rounded ranking
+    "q214_query_expansion" ->
+      (bm25CteSql +
+        """,
+          |ht AS (SELECT token, CAST(count(*) AS BIGINT) AS tf_hits
+          |       FROM (SELECT unnest(string_split(d.text, ' ')) AS token
+          |             FROM documents d JOIN hits h ON d.doc_id = h.doc_id)
+          |       WHERE len(token) >= 1
+          |         AND token NOT IN ('spark', 'join', 'window')
+          |       GROUP BY 1),
+          |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+          |       FROM documents),
+          |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+          |        FROM (SELECT doc_id,
+          |               unnest(list_distinct(string_split(text, ' ')))
+          |                 AS token FROM documents)
+          |        WHERE token IN (SELECT token FROM ht) GROUP BY 1)
+          |SELECT token, tf_hits, df, expansion_score, rk FROM (
+          | SELECT ht.token, tf_hits, df,
+          |  round(tf_hits * ln(n_docs / CAST(df AS DOUBLE)), 6)
+          |    AS expansion_score,
+          |  CAST(row_number() OVER (ORDER BY
+          |    round(tf_hits * ln(n_docs / CAST(df AS DOUBLE)), 6) DESC,
+          |    ht.token) AS BIGINT) AS rk
+          | FROM ht JOIN dfc USING (token), nd)
+          |WHERE rk <= 10""".stripMargin),
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
@@ -4660,6 +4695,41 @@ object SparkEntry {
          |SELECT state, pi, h_state, contribution,
          | (SELECT round(sum(contribution), 6) FROM f2) AS entropy_rate
          |FROM f2""".stripMargin
+
+  /** The q213 oracle replays the identical frontier BFS: one generated
+    * block per hop — frontier join, anti-membership against the visited
+    * prefix, level-tagged union — then the level rollup plus the
+    * unreachable remainder as level −1.
+    */
+  private def bfsOracleSql(maxDepth: Int): String = {
+    val init =
+      s"""$knnOracleCtes,
+         |ed AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |        greatest(vec_id, neighbor_id) AS b FROM knn),
+         |dr AS (SELECT a AS u, b AS v FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |v0 AS (SELECT CAST(0 AS BIGINT) AS vec_id,
+         |        CAST(0 AS BIGINT) AS level),
+         |f0 AS (SELECT vec_id FROM v0)""".stripMargin
+    val steps = (1 to maxDepth).map { i =>
+      s""",
+         |n$i AS (SELECT DISTINCT dr.v AS vec_id FROM dr
+         |        JOIN f${i - 1} f ON dr.u = f.vec_id
+         |        WHERE dr.v NOT IN (SELECT vec_id FROM v${i - 1})),
+         |v$i AS (SELECT * FROM v${i - 1} UNION ALL
+         |        SELECT vec_id, CAST($i AS BIGINT) FROM n$i),
+         |f$i AS (SELECT vec_id FROM n$i)""".stripMargin
+    }.mkString
+    init + steps +
+      s"""
+         |SELECT level, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM v$maxDepth GROUP BY 1
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), n_nodes FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM embeddings
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM v$maxDepth))
+         |WHERE n_nodes > 0""".stripMargin
+  }
 
   private def markovCtes(iters: Int): String = {
     val init =

@@ -282,6 +282,57 @@ object Graph {
     } finally und0.unpersist()
   }
 
+  /** BFS reachability levels from vector 0 over the KNN graph (q213):
+    * per hop, how many NEW vectors the frontier reaches, plus the
+    * never-reached remainder — the traversal primitive (and the
+    * connectivity probe: a giant component shows as most mass within a
+    * few hops; shattered buckets show as a large unreachable row).
+    *
+    * Scale: classic frontier BFS — per hop one edge join against the
+    * frontier and one anti-join against the visited set, both keyed on
+    * node ids; visited is checkpointed per hop (the kcore
+    * convergence-loop rule: three references per round would otherwise
+    * re-run every prior hop).
+    */
+  def bfsLevels(spark: SparkSession, dir: String, maxDepth: Int = 4,
+      nPlanes: Int = 8, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = und.select($"a".as("u"), $"b".as("v"))
+        .unionByName(und.select($"b".as("u"), $"a".as("v")))
+      var visited = spark.range(1).select(lit(0L).as("vec_id"),
+        lit(0L).as("level")).localCheckpoint(true)
+      var frontier = visited.select($"vec_id")
+      var depth = 1
+      var exhausted = false
+      while (depth <= maxDepth && !exhausted) {
+        val next = edges.join(frontier.withColumnRenamed("vec_id", "u"),
+            Seq("u"))
+          .select($"v".as("vec_id")).distinct()
+          .join(visited.select($"vec_id"), Seq("vec_id"), "left_anti")
+          .select($"vec_id", lit(depth.toLong).as("level"))
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next.select($"vec_id").localCheckpoint(true)
+        if (frontier.isEmpty) exhausted = true
+        depth += 1
+      }
+      val reached = visited.groupBy($"level")
+        .agg(count(lit(1)).as("n_nodes"))
+      val unreached = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+        .join(visited.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1L).as("level"), $"n_nodes")
+        .filter($"n_nodes" > 0)
+      reached.unionByName(unreached).localCheckpoint(true)
+    } finally und.unpersist()
+  }
+
   /** Degree assortativity of the KNN graph (q209): the Pearson
     * correlation of endpoint degrees over the directed edge list (both
     * orientations of every undirected edge, the standard Newman

@@ -1602,6 +1602,43 @@ object TextAnalysis {
         round($"n_kept" / $"n_docs".cast("double"), 6).as("keep_rate"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (q214): take the q86
+    * BM25 hit set, and rank the terms that DISTINGUISH those hits from
+    * the corpus — tf-in-hits × ln(n_docs/df) (the Rocchio/RSJ shape) —
+    * excluding the original query terms. The top terms are what a
+    * second retrieval pass would add: the classic recall lever when
+    * the seed query undershoots.
+    *
+    * Scale: the hit list is k docs (broadcast); tf comes from scanning
+    * only those k documents via a broadcast semi-join; df is a
+    * vocabulary-sized corpus aggregate semi-joined down to the hit
+    * vocabulary before the join. Scores round to 6 before ranking.
+    */
+  def queryExpansion(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "window"),
+      kDocs: Int = 15, kTerms: Int = 10): DataFrame = {
+    import spark.implicits._
+    val hits = bm25TopK(spark, dir, terms, kDocs).select($"doc_id")
+    val hitToks = docs(spark, dir)
+      .join(broadcast(hits), Seq("doc_id"), "left_semi")
+      .select(explode(toks).as("token"))
+      .filter(length($"token") >= 1 && !$"token".isin(terms: _*))
+      .groupBy($"token").agg(count(lit(1)).as("tf_hits"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val df = docs(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks)).as("token"))
+      .join(hitToks.select($"token"), Seq("token"), "left_semi")
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    hitToks.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select($"token", $"tf_hits", $"df",
+        round($"tf_hits" * log($"n_docs" / $"df".cast("double")), 6)
+          .as("expansion_score"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"expansion_score".desc, $"token")).cast("long"))
+      .filter($"rk" <= kTerms)
+  }
+
   /** Zipf exponent fit (q210): OLS of ln(freq) on ln(rank) over the
     * top `n` types — the one-number version of q119's class profile:
     * the slope IS the (negated) Zipf exponent, and how far it sits from

@@ -344,6 +344,9 @@ class OpsSpec extends AnyFunSuite {
       "contribution", "rbo"),
     "q212_banding_planner" -> Set("scheme", "bands", "rows_per_band",
       "n_candidates", "threshold_est"),
+    "q213_bfs_levels" -> Set("level", "n_nodes"),
+    "q214_query_expansion" -> Set("token", "tf_hits", "df",
+      "expansion_score", "rk"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

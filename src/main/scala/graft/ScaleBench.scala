@@ -101,7 +101,7 @@ object ScaleBench {
     // q212 is deliberately absent: its 16x1 arm is the
     // maximal-candidate regime by construction on a replicated corpus
     "q210_zipf_fit", "q211_rank_biased_overlap", "q213_bfs_levels",
-    "q214_query_expansion")
+    "q214_query_expansion", "q215_weighted_jaccard")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

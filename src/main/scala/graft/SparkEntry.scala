@@ -556,6 +556,9 @@ object SparkEntry {
     // pseudo-relevance-feedback query expansion off the BM25 hits
     "q214_query_expansion" -> ((s: SparkSession, d: String) =>
       TextAnalysis.queryExpansion(s, d)),
+    // idf-weighted Jaccard re-score of the banding candidates
+    "q215_weighted_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.weightedJaccard(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4434,6 +4437,55 @@ object SparkEntry {
           |    ht.token) AS BIGINT) AS rk
           | FROM ht JOIN dfc USING (token), nd)
           |WHERE rk <= 10""".stripMargin),
+    // q215: the q15 candidate chain + 6-dp micro-unit idf weights
+    "q215_weighted_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents),
+        |sh1 AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                for i in range(1, len(t) - 1)]) AS sh
+        |       FROM tok),
+        |h AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT)
+        |         AS h1,
+        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT)
+        |         AS h2 FROM sh1),
+        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, i // 4 AS band,
+        |          md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+        |         FROM hmins GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sigs a JOIN sigs b
+        |          ON a.band = b.band AND a.sig = b.sig
+        |          AND a.doc_id < b.doc_id),
+        |sh2 AS (SELECT DISTINCT doc_id, sh FROM sh1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |wts AS (SELECT sh, CAST(round(ln(n_docs / CAST(df AS DOUBLE))
+        |          * 1e6) AS BIGINT) AS wm
+        |        FROM (SELECT sh, CAST(count(*) AS BIGINT) AS df
+        |              FROM sh2 GROUP BY 1), nd),
+        |shw AS (SELECT sh2.doc_id, sh2.sh, wts.wm
+        |        FROM sh2 JOIN wts USING (sh)),
+        |docw AS (SELECT doc_id, CAST(sum(wm) AS BIGINT) AS sw,
+        |          CAST(count(*) AS BIGINT) AS n_sh
+        |         FROM shw GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b,
+        |           CAST(sum(a.wm) AS BIGINT) AS iw,
+        |           CAST(count(*) AS BIGINT) AS common
+        |          FROM cand c
+        |           JOIN shw a ON a.doc_id = c.doc_a
+        |           JOIN shw b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.common,
+        | round(i.common / CAST(da.n_sh + db.n_sh - i.common AS DOUBLE), 6)
+        |   AS jaccard,
+        | round(i.iw / CAST(da.sw + db.sw - i.iw AS DOUBLE), 6)
+        |   AS weighted_jaccard
+        |FROM inter i
+        | JOIN docw da ON i.doc_a = da.doc_id
+        | JOIN docw db ON i.doc_b = db.doc_id""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

@@ -1009,6 +1009,52 @@ object Dedup {
     * estimate needs thousands of pairs, not the whole corpus. The
     * final full-outer join keys on the pair ids.
     */
+  /** IDF-weighted Jaccard re-score of the banding candidates (q215):
+    * WJ(A,B) = Σ_{s∈A∩B} w(s) / Σ_{s∈A∪B} w(s) with w(s) = ln(N/df(s))
+    * — plain Jaccard counts a boilerplate shingle and a distinctive one
+    * equally, so template-heavy corpora over-merge; down-weighting
+    * common shingles is the standard fix, reported here alongside the
+    * unweighted score so the divergence is visible per pair. Weights
+    * are fixed to 6-dp micro-units, so every set sum is an exact i64.
+    *
+    * Scale: candidates come from the q15 banding (never all-pairs);
+    * per-doc weight sums are a doc-keyed aggregate; the intersection
+    * sum joins the two shingle postings of each candidate pair —
+    * pair-set-bounded like every re-scorer in the family.
+    */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleRows(spark, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+      val wts = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select($"sh",
+          round(log($"n_docs" / $"df".cast("double")) * 1e6).cast("long")
+            .as("wm"))
+      val shw = sh.join(wts, Seq("sh"))
+      val docW = shw.groupBy($"doc_id")
+        .agg(sum($"wm").as("sw"), count(lit(1)).as("n_sh"))
+      val cand = minhashCandidates(spark, dir)
+      val inter = cand
+        .join(shw.select($"doc_id".as("doc_a"), $"sh", $"wm"), Seq("doc_a"))
+        .join(shw.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(sum($"wm").as("iw"), count(lit(1)).as("common"))
+      inter
+        .join(docW.select($"doc_id".as("doc_a"), $"sw".as("swa"),
+          $"n_sh".as("na")), Seq("doc_a"))
+        .join(docW.select($"doc_id".as("doc_b"), $"sw".as("swb"),
+          $"n_sh".as("nb")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b", $"common",
+          round($"common" / ($"na" + $"nb" - $"common").cast("double"), 6)
+            .as("jaccard"),
+          round($"iw" / ($"swa" + $"swb" - $"iw").cast("double"), 6)
+            .as("weighted_jaccard"))
+    } finally sh.unpersist()
+  }
+
   /** Banding-scheme planner (q212): the SAME 16 cached permutation
     * mins regrouped under every (bands × rows) factorization — 16×1,
     * 8×2, 4×4, 2×8, 1×16 — with each scheme's measured candidate-pair

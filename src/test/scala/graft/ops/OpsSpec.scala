@@ -347,6 +347,8 @@ class OpsSpec extends AnyFunSuite {
     "q213_bfs_levels" -> Set("level", "n_nodes"),
     "q214_query_expansion" -> Set("token", "tf_hits", "df",
       "expansion_score", "rk"),
+    "q215_weighted_jaccard" -> Set("doc_a", "doc_b", "common", "jaccard",
+      "weighted_jaccard"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -101,7 +101,8 @@ object ScaleBench {
     // q212 is deliberately absent: its 16x1 arm is the
     // maximal-candidate regime by construction on a replicated corpus
     "q210_zipf_fit", "q211_rank_biased_overlap", "q213_bfs_levels",
-    "q214_query_expansion", "q215_weighted_jaccard")
+    "q214_query_expansion", "q215_weighted_jaccard",
+    "q216_knn_components")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -110,7 +111,8 @@ object ScaleBench {
     "q44_correlated_subquery", "q71_column_profile",
     "q111_zorder_locality", "q114_bloom_prune", "q115_numeric_correlation",
     "q120_key_skew", "q149_spearman_corr", "q150_benford_prices",
-    "q151_scd2_history", "q156_interval_merge", "q173_rfm_segments")
+    "q151_scd2_history", "q156_interval_merge", "q173_rfm_segments",
+    "q217_fk_audit", "q218_order_reconciliation")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",

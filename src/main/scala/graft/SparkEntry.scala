@@ -559,6 +559,15 @@ object SparkEntry {
     // idf-weighted Jaccard re-score of the banding candidates
     "q215_weighted_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.weightedJaccard(s, d)),
+    // connected-component census of the KNN graph
+    "q216_knn_components" -> ((s: SparkSession, d: String) =>
+      Graph.knnComponents(s, d)),
+    // referential-integrity (FK orphan) audit of the star schema
+    "q217_fk_audit" -> ((s: SparkSession, d: String) =>
+      Relational.fkAudit(s, d)),
+    // header-vs-detail order total reconciliation in exact cents
+    "q218_order_reconciliation" -> ((s: SparkSession, d: String) =>
+      Relational.orderReconciliation(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4486,6 +4495,75 @@ object SparkEntry {
         |FROM inter i
         | JOIN docw da ON i.doc_a = da.doc_id
         | JOIN docw db ON i.doc_b = db.doc_id""".stripMargin,
+    // q216: the q41 recursive-reach pattern on the KNN edges, min-root
+    // components, singletons from the full id set
+    "q216_knn_components" ->
+      (knnOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |edc AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+          |         greatest(vec_id, neighbor_id) AS b FROM knn),
+          |e2 AS (SELECT a AS s, b AS d FROM edc
+          |       UNION ALL SELECT b, a FROM edc),
+          |cc AS (SELECT vec_id, vec_id AS r FROM embeddings
+          |       UNION
+          |       SELECT cc.vec_id, e2.d FROM cc JOIN e2 ON e2.s = cc.r),
+          |comp AS (SELECT vec_id, min(r) AS component FROM cc GROUP BY 1),
+          |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+          |       FROM comp GROUP BY 1)
+          |SELECT CAST(count(*) AS BIGINT) AS n_components,
+          | CAST(sum(csize) AS BIGINT) AS n_vectors,
+          | CAST(max(csize) AS BIGINT) AS largest_component,
+          | CAST(sum(CASE WHEN csize = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_singletons,
+          | round(max(csize) / CAST(sum(csize) AS DOUBLE), 6)
+          |   AS frac_in_largest,
+          | round(sum(CASE WHEN csize = 1 THEN 1 ELSE 0 END)
+          |   / CAST(sum(csize) AS DOUBLE), 6) AS frac_singletons
+          |FROM cs""".stripMargin),
+    // q217: one generated arm per FK, orphans = non-null keys absent
+    // from the parent's distinct key set
+    "q217_fk_audit" -> {
+      val fks = Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"))
+      fks.map { case (ct, cc, pt, pc) =>
+        s"""SELECT '$ct.$cc -> $pt.$pc' AS relationship,
+           | CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN c.$cc IS NULL THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS n_null_keys,
+           | CAST(sum(CASE WHEN c.$cc IS NOT NULL AND p.$pc IS NULL
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           | (sum(CASE WHEN c.$cc IS NOT NULL AND p.$pc IS NULL
+           |   THEN 1 ELSE 0 END) = 0) AS intact
+           |FROM $ct c LEFT JOIN (SELECT DISTINCT $pc FROM $pt) p
+           | ON c.$cc = p.$pc""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+    // q218: exact integer cents on both sides of the join
+    "q218_order_reconciliation" ->
+      """WITH ls AS (SELECT l_orderkey,
+        |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |          AS BIGINT) AS line_cents
+        |       FROM lineitem GROUP BY 1),
+        |j AS (SELECT o.o_orderstatus,
+        |       coalesce(ls.line_cents, 0) AS line_cents,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents
+        |      FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey),
+        |d AS (SELECT *, abs(header_cents - line_cents) AS diff_cents
+        |      FROM j)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CASE WHEN diff_cents > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_mismatched,
+        | CAST(max(diff_cents) AS BIGINT) AS max_diff_cents,
+        | CAST(sum(header_cents) AS BIGINT) AS total_header_cents,
+        | round(sum(CASE WHEN diff_cents > 1 THEN 1 ELSE 0 END)
+        |   / CAST(count(*) AS DOUBLE), 6) AS frac_mismatched
+        |FROM d GROUP BY 1""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

@@ -282,6 +282,49 @@ object Graph {
     } finally und0.unpersist()
   }
 
+  /** Connected-component census of the KNN graph (q216): component
+    * count, largest-component mass, singleton share — the global
+    * answer to the question q213's single-seed probe samples: is the
+    * embedding space one navigable continent or an archipelago (in
+    * which any graph-based ANN/diffusion method silently stops at
+    * bucket borders)? Reuses the q41 large-star/small-star contraction
+    * verbatim on the KNN edge list; vectors in no edge count as
+    * singletons.
+    *
+    * Scale: the contraction converges on the shrinking edge set (q41's
+    * documented shape); the census is two component-keyed aggregates.
+    */
+  def knnComponents(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select(least($"vec_id", $"neighbor_id").as("s"),
+        greatest($"vec_id", $"neighbor_id").as("d"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (stars, _) = Dedup.connectedComponents(und)
+      val assign = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+        .join(stars.select($"s".as("vec_id"), $"d".as("root")),
+          Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"root", $"vec_id").as("component"))
+      val sizes = assign.groupBy($"component")
+        .agg(count(lit(1)).as("csize")).localCheckpoint(true)
+      sizes.agg(
+          count(lit(1)).as("n_components"),
+          sum($"csize").as("n_vectors"),
+          max($"csize").as("largest_component"),
+          sum(when($"csize" === 1, 1L).otherwise(0L)).as("n_singletons"))
+        .select($"n_components", $"n_vectors", $"largest_component",
+          $"n_singletons",
+          round($"largest_component" / $"n_vectors".cast("double"), 6)
+            .as("frac_in_largest"),
+          round($"n_singletons" / $"n_vectors".cast("double"), 6)
+            .as("frac_singletons"))
+    } finally und.unpersist()
+  }
+
   /** BFS reachability levels from vector 0 over the KNN graph (q213):
     * per hop, how many NEW vectors the frontier reaches, plus the
     * never-reached remainder — the traversal primitive (and the

@@ -720,4 +720,74 @@ object Relational {
         max($"fin" - $"start").as("longest_island_days"),
         sum($"n_orders").as("n_orders"))
   }
+
+  /** Referential-integrity audit (q217): for every foreign key of the
+    * star schema, the child row count, the NULL-key count, and the
+    * ORPHAN count (non-null keys with no parent) — the constraint check
+    * Spark doesn't enforce (no FK DDL) but every warehouse load must
+    * verify, because a broken FK silently turns inner joins into row
+    * loss. One row per relationship.
+    *
+    * Scale: each FK is one left join of the child's KEY COLUMN against
+    * the parent's distinct key — the join ships keys, never payloads;
+    * parents here are dimension-sized and AQE broadcasts them.
+    */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fks = Seq(
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"))
+    fks.map { case (ct, cc, pt, pc) =>
+      val child = t(spark, dir, ct).select(col(cc).as("k"))
+      val parent = t(spark, dir, pt).select(col(pc).as("k")).distinct()
+        .withColumn("present", lit(1L))
+      child.join(parent, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null_keys"),
+          sum(when($"k".isNotNull && $"present".isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .select(lit(s"$ct.$cc -> $pt.$pc").as("relationship"),
+          $"n_rows", $"n_null_keys", $"n_orphans",
+          ($"n_orphans" === 0).as("intact"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Order-total reconciliation (q218): o_totalprice audited against
+    * the sum of its line items' extended amounts, in exact integer
+    * cents — the accounting-style detail-vs-header check every
+    * warehouse load runs (and the first thing that catches partial
+    * loads or double-applied discounts). Emitted per order status:
+    * order counts, how many orders mismatch beyond one cent, and the
+    * worst absolute discrepancy.
+    *
+    * Scale: one lineitem aggregate keyed on order, one key-wise join
+    * to headers, one status rollup — all exact i64 cents.
+    */
+  def orderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lineSums = t(spark, dir, "lineitem")
+      .select($"l_orderkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"l_orderkey").agg(sum($"cents").as("line_cents"))
+    t(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("header_cents"))
+      .join(lineSums, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderstatus",
+        coalesce($"line_cents", lit(0L)).as("line_cents"),
+        $"header_cents")
+      .withColumn("diff_cents", abs($"header_cents" - $"line_cents"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"diff_cents" > 1L, 1L).otherwise(0L)).as("n_mismatched"),
+        max($"diff_cents").as("max_diff_cents"),
+        sum($"header_cents").as("total_header_cents"))
+      .withColumn("frac_mismatched",
+        round($"n_mismatched" / $"n_orders".cast("double"), 6))
+  }
 }

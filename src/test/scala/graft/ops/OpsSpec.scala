@@ -349,6 +349,14 @@ class OpsSpec extends AnyFunSuite {
       "expansion_score", "rk"),
     "q215_weighted_jaccard" -> Set("doc_a", "doc_b", "common", "jaccard",
       "weighted_jaccard"),
+    "q216_knn_components" -> Set("n_components", "n_vectors",
+      "largest_component", "n_singletons", "frac_in_largest",
+      "frac_singletons"),
+    "q217_fk_audit" -> Set("relationship", "n_rows", "n_null_keys",
+      "n_orphans", "intact"),
+    "q218_order_reconciliation" -> Set("o_orderstatus", "n_orders",
+      "n_mismatched", "max_diff_cents", "total_header_cents",
+      "frac_mismatched"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

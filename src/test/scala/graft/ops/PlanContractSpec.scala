@@ -557,6 +557,24 @@ class PlanContractSpec extends AnyFunSuite {
     assert(keyed <= 1, s"source-keyed exchanges: $keyed\n$p")
   }
 
+  test("q213: BFS result is checkpointed; no live KNN subtree in the returned plan") {
+    val p = plan(Graph.bfsLevels(spark, sf))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("vec_dot") && !p.contains("Scan parquet"), p)
+  }
+
+  test("q216: the census aggregates the checkpointed size table, not the contraction") {
+    val p = plan(Graph.knnComponents(spark, sf))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("q217: every FK probe joins by broadcast, never cartesian") {
+    val p = plan(Relational.fkAudit(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q190: the threshold sweep result is checkpointed once, ranked twice") {
     // both criteria rank the same score-granularity confusion table; a
     // live corpus scan in the final plan means the barrier regressed

@@ -562,16 +562,26 @@ object PipelinePrep {
     * score mapped to its percent_rank WITHIN its source, then bucketed
     * into global deciles — the calibration step before mixing sources
     * whose raw score scales disagree (one source's "long" is another's
-    * median). The window partitions by source, so the sort is
-    * per-source-distributed, never a global order; output is
+    * median). The per-source rank is `Ranking.prefixCum` (bucket-split
+    * by n_chars), not a source-partitioned window: a plain
+    * `percent_rank over partitionBy(source)` sends EVERY row of a
+    * source to one task, so one 90%-of-corpus feed becomes a one-task
+    * sort — here a hot source spreads across the rank buckets instead.
+    * (n_chars, doc_id) is a total order, so rank == row_number and
+    * percent_rank = cum_before/(n−1) exactly; output is
     * (source × 10)-bounded.
     */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
-    docs(spark, dir)
-      .select($"source", $"doc_id", $"n_chars")
-      .withColumn("pct", percent_rank().over(w))
+    val rows = docs(spark, dir).select($"source", $"doc_id", $"n_chars")
+    val srcN = rows.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    graft.ops.Ranking
+      .prefixCum(rows, Seq("source"), $"n_chars",
+        Seq($"n_chars", $"doc_id"), lit(1L))
+      .join(broadcast(srcN), Seq("source"))
+      .withColumn("pct",
+        when($"n_src" > 1, $"cum_before" / ($"n_src" - 1).cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("decile", least(lit(9L), floor($"pct" * 10)))
       .groupBy($"source", $"decile")
       .agg(count(lit(1)).as("n_docs"),

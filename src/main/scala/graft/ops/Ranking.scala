@@ -42,4 +42,85 @@ object Ranking {
       .withColumn("rn", row_number().over(w2).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** Skew-free EXCLUSIVE prefix sum: appends `cum_before` = Σ `weight`
+    * over the rows that sort STRICTLY BEFORE each row in `order`, within
+    * each `part` group — the distributed-rank primitive behind exact
+    * midranks, equal-count bins and order-statistic lookups. The naive
+    * spelling (`sum/row_number over Window.orderBy`) funnels the whole
+    * input through ONE task (an `Exchange SinglePartition` feeding the
+    * Window) — a 100×-scale killer. This is the textbook two-level
+    * construction instead:
+    *
+    *  1. rows land in ≤ `buckets` RANGE buckets of `bucketKey` (a numeric
+    *     column that must be monotone non-decreasing in `order`'s leading
+    *     column, with equal order-values mapping to equal keys — usually
+    *     the leading column itself); bucket bounds come from one global
+    *     min/max aggregate broadcast back, so bucketing is a scan-stage
+    *     projection;
+    *  2. per-(part, bucket) totals — an aggregate table ≤ |part|·buckets
+    *     rows — get an exclusive cross-bucket prefix: per part via a
+    *     ≤`buckets`-row window partitioned BY part (never SinglePartition),
+    *     or for the global case via a broadcast self-join over ≤ buckets²
+    *     constant-bounded pairs;
+    *  3. the within-bucket running sum is a window partitioned by
+    *     (part, bucket) — each partition holds ~1/buckets of its group, so
+    *     a hot group splits across `buckets` tasks instead of one.
+    *
+    * `cum_before` = cross-bucket prefix + within-bucket running sum − own
+    * weight; with `weight = lit(1L)` this is `row_number − 1` exactly.
+    * Requirements: `order` must be a TOTAL order within `part` (tie-broken
+    * — otherwise the running sum is nondeterministic per row), `weight`
+    * integral (sums stay exact i64), `part`/`bucketKey` non-null.
+    */
+  def prefixCum(df: DataFrame, part: Seq[String], bucketKey: Column,
+      order: Seq[Column], weight: Column, buckets: Int = 1024): DataFrame = {
+    val reserved = Seq("cum_before", "__pb", "__bw", "__cum_b", "__w",
+      "__lo", "__hi")
+    require(!df.columns.exists(reserved.contains),
+      s"prefixCum reserves ${reserved.mkString(",")}; input collides")
+    val partCols = part.map(col)
+    // one extra pass over the (already-projected) input for the range
+    // bounds; broadcast back so bucket assignment never shuffles
+    val stats = broadcast(df.agg(
+      min(bucketKey).cast("double").as("__lo"),
+      max(bucketKey).cast("double").as("__hi")))
+    val withB = df.crossJoin(stats)
+      .withColumn("__pb",
+        when(col("__hi") > col("__lo"),
+          least(lit(buckets - 1),
+            floor((bucketKey.cast("double") - col("__lo"))
+              / (col("__hi") - col("__lo")) * buckets)))
+          .otherwise(lit(0)).cast("int"))
+      .drop("__lo", "__hi")
+      .withColumn("__w", weight.cast("long"))
+    val bt = withB.groupBy((partCols :+ col("__pb")): _*)
+      .agg(sum(col("__w")).as("__bw"))
+    val cumB =
+      if (part.isEmpty) {
+        // ≤ buckets rows: the buckets²/2 pair join is constant-bounded
+        val lower = bt.select(col("__pb").as("__pb2"), col("__bw").as("__bw2"))
+        bt.join(broadcast(lower), col("__pb2") < col("__pb"), "left")
+          .groupBy(col("__pb"))
+          .agg(coalesce(sum(col("__bw2")), lit(0L)).as("__cum_b"))
+      } else {
+        // window partitions are ≤ buckets rows per part key — tiny, and
+        // partitioned by part so no SinglePartition exchange
+        val wb = Window.partitionBy(partCols: _*).orderBy(col("__pb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bt.withColumn("__cum_b", sum(col("__bw")).over(wb) - col("__bw"))
+          .select((partCols :+ col("__pb") :+ col("__cum_b")): _*)
+      }
+    val wWin = Window.partitionBy((partCols :+ col("__pb")): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // no forced broadcast: cumB is |occupied (part,bucket)| rows — small
+    // for global ranks but potentially part-keys×buckets for keyed ones;
+    // the equi-join shares the window's (part,__pb) partitioning, and AQE
+    // broadcasts it when it is in fact tiny
+    withB.join(cumB, part :+ "__pb")
+      .withColumn("cum_before",
+        col("__cum_b") + sum(col("__w")).over(wWin) - col("__w"))
+      .drop("__pb", "__cum_b", "__w")
+  }
 }

@@ -1331,28 +1331,33 @@ object TextAnalysis {
     * quality/langid classifier any good" eval primitive that a filtering
     * pipeline needs before it trusts a score threshold.
     *
-    * Scale: one scan computes the score; ranks need one global sort of
-    * (score, doc_id) — rank-statistic territory (the q149 Spearman
-    * trade), a range-partitioned distributed sort, not a single-node
-    * window in spirit; midranks are a per-score-value average. Scores
-    * are rounded to 6 BEFORE ranking so the tie structure is identical
-    * across engines. Output is one row.
+    * Scale: NO per-document rank at all. A doc's midrank is a pure
+    * function of its score VALUE — cumBefore(v) + (cnt(v)+1)/2 — so the
+    * whole statistic reduces to the score value-frequency table (≤10⁶+1
+    * rows for a 6-dp score): one map-side-combined aggregate off the
+    * scan, `Ranking.prefixCum`'s bucket-split exclusive prefix for
+    * cumBefore, and rank_sum = Σ_v pos_cnt(v)·midrank(v). No corpus
+    * sort, no SinglePartition window (the q149 Spearman construction,
+    * generalized). Scores are rounded to 6 BEFORE the frequency table
+    * so the tie structure is identical across engines; midranks are
+    * halves of integers, so the products are exact. Output is one row.
     */
   def rocAuc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scored = docs(spark, dir)
-      .select($"doc_id", ($"lang" === "en").as("pos"), toks.as("t"))
-      .select($"doc_id", $"pos",
+      .select(($"lang" === "en").as("pos"), toks.as("t"))
+      .select($"pos",
         round(size(filter($"t", tk => tk.isin("the", "a", "and")))
           .cast("double") / size($"t"), 6).as("score"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"score", $"doc_id")).cast("long"))
-      .withColumn("midrank", avg($"rn").over(Window.partitionBy($"score")))
-    ranked.agg(
-        sum(when($"pos", 1L).otherwise(0L)).as("n_pos"),
-        sum(when($"pos", 0L).otherwise(1L)).as("n_neg"),
-        sum(when($"pos", $"midrank").otherwise(0.0)).as("rank_sum"))
+    val freq = scored.groupBy($"score")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when($"pos", 1L).otherwise(0L)).as("pos_cnt"))
+    Ranking.prefixCum(freq, Nil, $"score", Seq($"score"), $"cnt")
+      .withColumn("midrank", $"cum_before" + ($"cnt" + 1) / lit(2.0))
+      .agg(
+        sum($"pos_cnt").as("n_pos"),
+        sum($"cnt" - $"pos_cnt").as("n_neg"),
+        sum($"pos_cnt" * $"midrank").as("rank_sum"))
       .select($"n_pos", $"n_neg",
         round(($"rank_sum" - $"n_pos" * ($"n_pos" + 1) / 2.0)
           / ($"n_pos" * $"n_neg"), 6).as("auc"))
@@ -1364,12 +1369,17 @@ object TextAnalysis {
     * its mean predicted score and observed positive rate; the per-bin
     * |gap| is the reliability-diagram deviation an ECE would average.
     *
-    * Scale: one scan for the score, one global rank (the q149
-    * rank-statistic trade, a distributed range-partitioned sort), then
-    * a 10-key aggregate. Scores are 6-dp rationals, so the per-bin mean
-    * is summed in exact integer MICRO-units and divided once — a double
-    * sum's order-dependence would make the 6-dp rounding
-    * engine-dependent (the q173 lesson).
+    * Scale: one scan for the score, then the global rank is DECOMPOSED —
+    * rn = (#docs with a smaller score) + (#same-score docs with a smaller
+    * doc_id) + 1. The first term is a value-frequency prefix over the
+    * ≤10⁶-row distinct-score table; the second ranks doc_ids WITHIN each
+    * score tie, bucket-split by doc_id so a hot score value spreads over
+    * `buckets` tasks. Both run on `Ranking.prefixCum` — no corpus-wide
+    * sort, no SinglePartition window anywhere; n_total arrives by
+    * broadcast, not a count-over-everything window. Scores are 6-dp
+    * rationals, so the per-bin mean is summed in exact integer
+    * MICRO-units and divided once — a double sum's order-dependence
+    * would make the 6-dp rounding engine-dependent (the q173 lesson).
     */
   def calibrationBins(spark: SparkSession, dir: String,
       nBins: Int = 10): DataFrame = {
@@ -1379,11 +1389,15 @@ object TextAnalysis {
       .select($"pos", $"doc_id",
         round(size(filter($"t", tk => tk.isin("the", "a", "and")))
           .cast("double") / size($"t"), 6).as("score"))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"score", $"doc_id")).cast("long"))
-      .withColumn("n_total",
-        count(lit(1)).over(Window.partitionBy(lit(1))))
+    val freq = scored.groupBy($"score").agg(count(lit(1)).as("cnt"))
+    val below = Ranking.prefixCum(freq, Nil, $"score", Seq($"score"), $"cnt")
+      .select($"score", $"cum_before".as("below"))
+    val tot = freq.agg(sum($"cnt").as("n_total"))
+    Ranking.prefixCum(scored, Seq("score"), $"doc_id", Seq($"doc_id"), lit(1L))
+      .join(below, Seq("score"))
+      .withColumn("rn", ($"below" + $"cum_before" + 1).cast("long"))
+      .drop("below", "cum_before")
+      .crossJoin(broadcast(tot))
       .withColumn("bin", expr(s"((rn - 1) * $nBins) div n_total"))
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"),
@@ -1471,6 +1485,27 @@ object TextAnalysis {
     * double-tail exp-underflow yields 0, never a 0/0 whose NULL-vs-NaN
     * outcome is engine-dependent.
     */
+  /** The q182 init's order-statistic lookup as a plan (package-private so
+    * the plan contract can gate its shape): the p25/p75 ORDER STATISTICS
+    * from the value-frequency table via Ranking.prefixCum — the value at
+    * rank r is the one whose cumulative range covers r, so ties in x
+    * collapse into one frequency row and "the value at rank r" is
+    * identical to a per-row rn === r filter, with no corpus-wide rank
+    * window and no SinglePartition exchange feeding a Window.
+    */
+  private[ops] def emInitQuantiles(xs: DataFrame): DataFrame = {
+    import xs.sparkSession.implicits._
+    val freq = xs.groupBy($"x").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum($"cnt").as("nn"))
+    Ranking.prefixCum(freq, Nil, $"x", Seq($"x"), $"cnt")
+      .crossJoin(broadcast(tot))
+      .withColumn("r25", expr("(nn * 25 + 99) div 100"))
+      .withColumn("r75", expr("(nn * 75 + 99) div 100"))
+      .filter(($"cum_before" < $"r25" && $"r25" <= $"cum_before" + $"cnt")
+        || ($"cum_before" < $"r75" && $"r75" <= $"cum_before" + $"cnt"))
+      .orderBy($"x").select($"x")
+  }
+
   def emMixture(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import spark.implicits._
     val xs = docs(spark, dir)
@@ -1482,12 +1517,7 @@ object TextAnalysis {
     // through three E-steps is a visible trajectory fork (measured at
     // sf0.1). An order statistic is an actual 6-dp data value — the
     // same binary on both engines.
-    val init = xs
-      .withColumn("rn", row_number().over(Window.orderBy($"x")).cast("long"))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(1))))
-      .filter($"rn" === expr("(nn * 25 + 99) div 100")
-        || $"rn" === expr("(nn * 75 + 99) div 100"))
-      .orderBy($"rn").select($"x").collect()
+    val init = emInitQuantiles(xs).collect()
     val emptyOut = Seq.empty[(Long, Long, Double, Double, Double, Double)]
       .toDF("iter", "component", "pi", "mu", "sigma", "resp_mass")
     if (init.isEmpty) return emptyOut
@@ -1783,27 +1813,30 @@ object TextAnalysis {
     * each source. Sources lacking either class report a NULL AUC (no
     * ordering to measure) rather than a fabricated 0.5.
     *
-    * Scale: ranks partition by source — the one global sort q179 pays
-    * becomes a source-keyed shuffle; everything else is per-source
-    * integer arithmetic.
+    * Scale: the q179 value-frequency reduction, per source — midranks
+    * come from the (source, score) frequency table (≤ sources × distinct
+    * 6-dp scores), with `Ranking.prefixCum`'s bucket-split prefix keyed
+    * by source. NO per-document rank window at all, so a source holding
+    * 90% of the corpus costs one frequency aggregate, never a one-task
+    * sort of 90% of the data — per-source work is bounded by SCORE
+    * GRANULARITY, not source size.
     */
   def slicedAuc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scored = docs(spark, dir)
-      .select($"source", ($"lang" === "en").as("pos"), $"doc_id", toks.as("t"))
-      .select($"source", $"pos", $"doc_id",
+      .select($"source", ($"lang" === "en").as("pos"), toks.as("t"))
+      .select($"source", $"pos",
         round(size(filter($"t", tk => tk.isin("the", "a", "and")))
           .cast("double") / size($"t"), 6).as("score"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"source").orderBy($"score", $"doc_id"))
-        .cast("long"))
-      .withColumn("midrank", avg($"rn").over(
-        Window.partitionBy($"source", $"score")))
-    ranked.groupBy($"source")
-      .agg(sum(when($"pos", 1L).otherwise(0L)).as("n_pos"),
-        sum(when($"pos", 0L).otherwise(1L)).as("n_neg"),
-        sum(when($"pos", $"midrank").otherwise(0.0)).as("rank_sum"))
+    val freq = scored.groupBy($"source", $"score")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when($"pos", 1L).otherwise(0L)).as("pos_cnt"))
+    Ranking.prefixCum(freq, Seq("source"), $"score", Seq($"score"), $"cnt")
+      .withColumn("midrank", $"cum_before" + ($"cnt" + 1) / lit(2.0))
+      .groupBy($"source")
+      .agg(sum($"pos_cnt").as("n_pos"),
+        sum($"cnt" - $"pos_cnt").as("n_neg"),
+        sum($"pos_cnt" * $"midrank").as("rank_sum"))
       .select($"source", $"n_pos", $"n_neg",
         when($"n_pos" > 0 && $"n_neg" > 0,
           round(($"rank_sum" - $"n_pos" * ($"n_pos" + 1) / 2.0)

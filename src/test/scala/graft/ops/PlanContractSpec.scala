@@ -582,4 +582,67 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("Scan parquet"), p)
   }
+
+  // ---- rank-statistic family: no Exchange SinglePartition may feed a
+  // Window (the one-task global sort that kills these at 100×). Walks the
+  // physical plan: for every Window, the first exchange below it (through
+  // unary nodes) must not be SinglePartition. prefixCum's windows are
+  // bucket-partitioned; the only SinglePartition gathers left are 1-row
+  // final aggregates, which never sit under a Window.
+
+  private def windowFedBySinglePartition(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def feed(p: SparkPlan): Option[ShuffleExchangeExec] = strip(p) match {
+      case e: ShuffleExchangeExec => Some(e)
+      case u if u.children.size == 1 => feed(u.children.head)
+      case _ => None
+    }
+    strip(df.queryExecution.executedPlan).collect {
+      case w: WindowExec
+          if feed(w.child).exists(_.outputPartitioning == SinglePartition) =>
+        w.simpleStringWithNodeId()
+    }
+  }
+
+  test("q179/q181/q182/q198/q144: no SinglePartition exchange feeds any Window") {
+    val plans = Map(
+      "q179" -> TextAnalysis.rocAuc(spark, sf),
+      "q181" -> TextAnalysis.calibrationBins(spark, sf),
+      "q182_init" -> {
+        import spark.implicits._
+        TextAnalysis.emInitQuantiles(
+          spark.read.parquet(s"$sf/documents.parquet")
+            .filter($"n_chars".isNotNull)
+            .select(org.apache.spark.sql.functions
+              .round(org.apache.spark.sql.functions.log($"n_chars" + 1), 6)
+              .as("x")))
+      },
+      "q198" -> TextAnalysis.slicedAuc(spark, sf),
+      "q144" -> PipelinePrep.quantileNormalize(spark, sf))
+    val offenders = plans.flatMap { case (name, df) =>
+      windowFedBySinglePartition(df).map(w => s"$name: $w")
+    }
+    assert(offenders.isEmpty,
+      s"corpus-rank windows over one task:\n${offenders.mkString("\n")}")
+    // the check must be exercising real windows, not vacuously passing
+    // on window-free plans
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val winCount = plans.values.map { df =>
+      val p0 = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      p0.collect { case w: WindowExec => w }.size
+    }.sum
+    assert(winCount >= 5, s"expected prefixCum windows in the plans, saw $winCount")
+  }
 }

@@ -39,4 +39,54 @@ class RankingSpec extends AnyFunSuite {
     val out = Ranking.topKPerGroup(df, Seq("g"), Seq($"id"), $"id", k = 3)
     assert(out.columns.toSet == Set("g", "id", "rn"))
   }
+
+  test("prefixCum + 1 equals row_number exactly: global, keyed, tied, tiny buckets") {
+    import spark.implicits._
+    // heavy ties in the bucket key (v has 13 distinct values over 5k
+    // rows) and a skewed part (g0 holds 96% of rows) — the shapes that
+    // break naive bucketing; buckets=7 forces multi-row buckets and a
+    // non-trivial cross-bucket prefix
+    val df = spark.range(5000).select(
+      when($"id" % 25 =!= 0, "g0").otherwise("g1").as("g"),
+      ($"id" % 13).as("v"),
+      $"id")
+    // global rank (part = Nil)
+    val globalExp = df.withColumn("rn",
+        row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    for (buckets <- Seq(1, 7, 1024)) {
+      val got = Ranking.prefixCum(df, Nil, $"v", Seq($"v", $"id"),
+          lit(1L), buckets = buckets)
+        .collect().map(r => (r.getLong(2), r.getLong(3) + 1)).toMap
+      assert(got == globalExp, s"global rank diverged at buckets=$buckets")
+    }
+    // keyed rank (part = g)
+    val keyedExp = df.withColumn("rn",
+        row_number().over(Window.partitionBy($"g").orderBy($"v", $"id"))
+          .cast("long"))
+      .collect().map(r => ((r.getString(0), r.getLong(2)), r.getLong(3))).toMap
+    val keyedGot = Ranking.prefixCum(df, Seq("g"), $"v", Seq($"v", $"id"),
+        lit(1L), buckets = 7)
+      .collect().map(r => ((r.getString(0), r.getLong(2)), r.getLong(3) + 1))
+      .toMap
+    assert(keyedGot == keyedExp, "keyed rank diverged")
+  }
+
+  test("prefixCum weighted sums and degenerate inputs") {
+    import spark.implicits._
+    // weighted: cum_before must be the sum of earlier weights
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("v", "w")
+    val got = Ranking.prefixCum(df, Nil, $"v", Seq($"v"), $"w", buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 30L, 4L -> 60L))
+    // all rows share one bucket-key value → single bucket, still exact
+    val same = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("v", "id")
+    val g2 = Ranking.prefixCum(same, Nil, $"v", Seq($"v", $"id"), lit(1L))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(g2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // empty input → empty output, no crash on the null min/max stats row
+    val empty = spark.range(0).select($"id".as("v"))
+    assert(Ranking.prefixCum(empty, Nil, $"v", Seq($"v"), lit(1L)).count() == 0)
+  }
 }

@@ -38,7 +38,16 @@ import org.apache.spark.sql.functions._
   * of the corpus), and `Skew.saltedJoin` (the explicit fallback, AQE
   * off). Row counts are asserted equal across all three.
   *
-  * Usage: ScaleBench [docs|tpch|events|layout|skew|stream] [outBaseDir] [factors...]
+  * Mode `hotsource`: documents replicated k×, then 90% of ALL rows
+  * re-keyed onto ONE source (the dominant-feed pathology) and the
+  * per-source rank-statistic queries timed — these must stay flat
+  * because `Ranking.prefixCum` splits a hot source across rank buckets
+  * (q198 further reduces to the per-source score-frequency table); a
+  * `partitionBy(source)` window would serialize 90% of the corpus
+  * through one task here.
+  *
+  * Usage: ScaleBench [docs|tpch|events|layout|skew|stream|hotsource]
+  *        [outBaseDir] [factors...]
   *        (defaults: docs /tmp/graft_scale 1 3 10)
   */
 object ScaleBench {
@@ -185,6 +194,8 @@ object ScaleBench {
       case "layout" => Seq("layout_join") // custom runner below, not SparkEntry
       case "skew" => Seq("skew_join")     // custom runner below, not SparkEntry
       case "stream" => Seq("stream_ingest") // custom runner below, not SparkEntry
+      case "hotsource" =>
+        Seq("q144_quantile_normalize", "q198_sliced_auc")
       case _ => docQueries
     }
     // optional csv filter (e.g. SPARK_GRAFT_SCALE_QUERIES=q27,q28) to
@@ -364,6 +375,19 @@ object ScaleBench {
           // users, so per-user state grows in count, not depth
           replicate("events", Seq("event_id", "user_id"), k, dir,
             maxOf("events", "event_id", "user_id"))
+        case "hotsource" =>
+          // replicate, then collapse 90% of rows onto one source — the
+          // queries under test read only documents.parquet
+          val reps = spark.range(k).select($"id".as("rep"))
+          spark.read.parquet(s"$srcDir/documents.parquet")
+            .crossJoin(reps)
+            .withColumn("doc_id",
+              $"doc_id" + $"rep" * maxOf("documents", "doc_id"))
+            .drop("rep")
+            .withColumn("source",
+              when(pmod($"doc_id", lit(10)) < 9, lit("src_hot"))
+                .otherwise($"source"))
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         case _ =>
           replicate("documents", Seq("doc_id"), k, dir, maxOf("documents", "doc_id"))
           replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))

@@ -54,7 +54,8 @@ object ScaleBench {
 
   private val docQueries = Seq(
     "q13_exact_duplicates", "q14_minhash_signatures", "q15_minhash_candidates",
-    "q16_jaccard_pairs", "q27_simhash", "q28_simhash_near_dups",
+    "q16_jaccard_pairs", "q18_cosine_near_dup_pairs",
+    "q27_simhash", "q28_simhash_near_dups",
     "q39_deduped_jaccard", "q41_dedup_clusters",
     "q17_cosine_topk", "q19_ann_ivf_topk", "q31_srp_lsh_ann",
     "q45_doc_chunks", "q46_quality_topk_per_lang", "q47_stratified_sample",

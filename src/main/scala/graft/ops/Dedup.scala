@@ -43,7 +43,7 @@ object Dedup {
     * distinct is needed; the Jaccard pipelines use [[hashedShingleSet]]
     * instead, which distincts AFTER hashing).
     */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir)
       .select($"doc_id", toks.as("t"))
@@ -56,7 +56,7 @@ object Dedup {
     * the hashed domain — ADVICE r2) and the dedup compares 8-byte longs
     * instead of ~25-byte strings.
     */
-  private def hashedShingleSet(t: Column): Column =
+  private[ops] def hashedShingleSet(t: Column): Column =
     array_distinct(transform(shinglesOf(t), s => xxhash64(s)))
 
   /** Exact dedup via content hash: sha256 groups, keeper = min doc_id.
@@ -594,10 +594,14 @@ object Dedup {
     *
     * Scale order matters: the shingle join's pair count is quadratic in
     * per-shingle duplication (measured: 10× replicated corpus → ~100×
-    * pairs, BASELINE.md scale table). On dup-heavy corpora run
-    * [[exactDuplicates]] first and Jaccard-verify only the keepers;
-    * the LSH candidate stages (MinHash/SimHash) stay shuffle-bound
-    * either way.
+    * pairs). Exact-dedup-first is therefore BUILT IN via
+    * [[shingleSetPairsDedupFirst]] (the q148 treatment): identical
+    * shingle sets collapse to one representative, the equi-join runs on
+    * representatives only, and the expansion reconstructs the exact
+    * all-pairs answer — so on a corpus duplicated k ways the join is
+    * O(d²) in DISTINCT documents and only the (irreducible,
+    * output-sized) expansion grows with duplication. The LSH candidate
+    * stages (MinHash/SimHash) remain the recall-trading alternative.
     *
     * The self-join keys on xxhash64(shingle), not the shingle string:
     * the sort-merge join then shuffles and sorts 8-byte longs instead of
@@ -607,28 +611,23 @@ object Dedup {
     * set sizes count the same hashed set and stay mutually consistent
     * even under a collision.
     */
-  def jaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.05): DataFrame = {
-    import spark.implicits._
-    val sh = docs(spark, dir)
-      .select($"doc_id", toks.as("t"))
-      .select($"doc_id", explode(hashedShingleSet($"t")).as("sh"))
-    // |A| per doc straight off the scan — no explode/shuffle; always
-    // broadcast-sized relative to the pair table it joins
-    val sizes = docs(spark, dir)
-      .select($"doc_id", toks.as("t"))
-      .select($"doc_id", size(hashedShingleSet($"t")).cast("long").as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
-      .select($"doc_a", $"doc_b", $"common",
-        round($"common".cast("double") /
-          (col("sa.n") + col("sb.n") - $"common"), 6).as("jaccard"))
-      .filter($"jaccard" >= minJaccard)
-  }
+  def jaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.05): DataFrame =
+    shingleSetPairsDedupFirst(spark, dir) { reps =>
+      import spark.implicits._
+      val sh = reps.select($"doc_id", explode($"shs").as("sh"))
+      val sizes = reps.select($"doc_id", $"n".cast("long").as("n"))
+      val common = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.as("sa"), $"rep_a" === $"sa.doc_id")
+        .join(sizes.as("sb"), $"rep_b" === $"sb.doc_id")
+        .select($"rep_a", $"rep_b", $"common",
+          round($"common".cast("double") /
+            (col("sa.n") + col("sb.n") - $"common"), 6).as("jaccard"))
+        .filter($"jaccard" >= minJaccard)
+    }
 
   /** Per-document duplicated-window fraction — the exact-substring
     * duplication METRIC (Lee et al., "Deduplicating Training Data Makes
@@ -838,31 +837,9 @@ object Dedup {
     * the no-false-negative claim is value-checked, not asserted.
     */
   def prefixJaccardJoin(spark: SparkSession, dir: String,
-      t: Double = 0.6): DataFrame = {
-    import spark.implicits._
-    // exact-dedup-first (the q39 lesson, applied WITHOUT changing the
-    // output contract): identical shingle SETS collapse to one
-    // representative before any pairing; every within-group pair is
-    // Jaccard 1.0 by identity and every cross-group pair inherits its
-    // representative pair's (common, jaccard) verbatim, so expansion
-    // reconstructs the exact all-pairs answer. On a corpus duplicated
-    // k ways this moves the expensive candidate-verify from O((k·d)²)
-    // to O(d²) and leaves only the irreducible output-sized expansion
-    // join (measured: 239 s → output-bound at 10× replication).
-    val grouped = docs(spark, dir)
-      .select($"doc_id", array_sort(hashedShingleSet(toks)).as("shs"))
-      .select($"doc_id", $"shs",
-        md5(to_json(struct($"shs"))).as("gkey"), size($"shs").as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // reps is read by three consumers (shingle explode, the two verify
-    // array fetches) — without the persist each one re-runs the
-    // groupBy(gkey)+self-join dedup pipeline from the top
-    val reps = grouped
-      .groupBy($"gkey").agg(min($"doc_id").as("doc_id"))
-      .join(grouped.select($"doc_id", $"shs", $"n"), Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val members = grouped.select($"doc_id", $"gkey", $"n")
+      t: Double = 0.6): DataFrame =
+    shingleSetPairsDedupFirst(spark, dir) { reps =>
+      import spark.implicits._
       val sh = reps.select($"doc_id", explode($"shs").as("sh"))
       val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
       val pref = sh.join(dfreq, "sh")
@@ -881,7 +858,7 @@ object Dedup {
       // sets — one pass over na+nb elements per candidate pair, vs the
       // exploded pair×shingle shuffle + count the same check costs as a
       // join-then-groupBy
-      val repPairs = cand
+      cand
         .join(reps.select($"doc_id".as("rep_a"), $"shs".as("sa"),
           $"n".as("na")), Seq("rep_a"))
         .join(reps.select($"doc_id".as("rep_b"), $"shs".as("sb"),
@@ -893,6 +870,66 @@ object Dedup {
           round($"common".cast("double") / ($"na" + $"nb" - $"common"), 6)
             .as("jaccard"))
         .filter($"jaccard" >= t)
+    }
+
+  /** Exact-dedup-first scaffold shared by the shingle-set pair operators
+    * (q16 jaccardPairs, q148 prefixJaccardJoin) — the q39 lesson applied
+    * WITHOUT changing the output contract: identical shingle SETS
+    * collapse to one representative before any pairing; `pairFn`
+    * computes the (already-thresholded) pairs over the persisted rep
+    * table `(doc_id, shs, n)` only; every within-group pair is
+    * Jaccard 1.0 by identity and every cross-group pair inherits its
+    * representative pair's (common, jaccard) verbatim, so the expansion
+    * reconstructs the exact all-pairs answer. On a corpus duplicated
+    * k ways this moves the expensive pair stage from O((k·d)²) to O(d²)
+    * and leaves only the irreducible output-sized expansion join
+    * (measured on q148: 239 s → output-bound at 10× replication; any
+    * threshold ≤ 1 keeps the within-group pairs, so both callers'
+    * filters commute with the expansion).
+    */
+  /** Generic rep-pair → member-pair expansion (the back half of the
+    * dedup-first treatment, shared across the pair family): `grouped`
+    * maps every doc to its identity group `(doc_id, gkey)`, `repPairs`
+    * holds pair values computed between group REPRESENTATIVES
+    * (rep = min doc_id per group) with the value columns `valueCols`.
+    * Every (member-of-A, member-of-B) pair inherits its rep pair's
+    * values verbatim — valid whenever the values are pure functions of
+    * the deduped content, which is what the grouping key certifies.
+    * Emits (doc_a, doc_b, values...) with doc_a < doc_b; within-group
+    * pairs are the CALLER's job (their values come from one group, not
+    * a rep pair).
+    */
+  private[ops] def expandRepPairs(grouped: DataFrame, repPairs: DataFrame,
+      valueCols: Seq[String]): DataFrame = {
+    val repKey = grouped.select(col("doc_id").as("rep"), col("gkey"))
+    repPairs
+      .join(repKey.select(col("rep").as("rep_a"), col("gkey").as("ga")), Seq("rep_a"))
+      .join(repKey.select(col("rep").as("rep_b"), col("gkey").as("gb")), Seq("rep_b"))
+      .join(grouped.select(col("doc_id").as("xa"), col("gkey").as("ga")), Seq("ga"))
+      .join(grouped.select(col("doc_id").as("xb"), col("gkey").as("gb")), Seq("gb"))
+      .select((least(col("xa"), col("xb")).as("doc_a") +:
+        greatest(col("xa"), col("xb")).as("doc_b") +:
+        valueCols.map(col)): _*)
+  }
+
+  private def shingleSetPairsDedupFirst(spark: SparkSession, dir: String)(
+      pairFn: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val grouped = docs(spark, dir)
+      .select($"doc_id", array_sort(hashedShingleSet(toks)).as("shs"))
+      .select($"doc_id", $"shs",
+        md5(to_json(struct($"shs"))).as("gkey"), size($"shs").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // reps is read by multiple consumers (pairFn's shingle explode and
+    // verify fetches) — without the persist each one re-runs the
+    // groupBy(gkey)+self-join dedup pipeline from the top
+    val reps = grouped
+      .groupBy($"gkey").agg(min($"doc_id").as("doc_id"))
+      .join(grouped.select($"doc_id", $"shs", $"n"), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val members = grouped.select($"doc_id", $"gkey", $"n")
+      val repPairs = pairFn(reps)
       // expansion: cross-group pairs carry the rep pair's values; the
       // rep-to-group joins key on gkey-derived membership
       val repKey = grouped.select($"doc_id".as("rep"), $"gkey")
@@ -959,39 +996,69 @@ object Dedup {
     * shingle explode three times would triple the dominant scan.
     *
     * Scale: pair work is Σ_term df², quadratic in per-shingle
-    * duplication — q16's documented hazard, and the same remedy applies
-    * verbatim: at 100 TB run exact-dedup first (q39) or band the pair
-    * space (q15/q51); idf even tells you which terms to drop (weight ≈ 0
-    * ⇒ pruning common terms changes nothing but the constant).
+    * duplication — q16's documented hazard, so exact-dedup-first is
+    * BUILT IN (the q148 treatment, keyed by md5(text): identical text ⇒
+    * identical tf vector ⇒ identical weights, norms and every pair
+    * value): df and N are counted over the FULL corpus (duplicates
+    * legitimately inflate document frequency — the oracle counts them
+    * too), but postings, norms and the Σ df² dot-product join run over
+    * REPRESENTATIVES only; [[expandRepPairs]] then rebuilds the exact
+    * all-pairs answer, and within-group pairs are identical vectors —
+    * cosine exactly 1 after the 6-dp round (assumes minCos ≤ 1, as any
+    * cosine threshold is). idf still tells you which terms to drop
+    * (weight ≈ 0 ⇒ pruning common terms changes nothing but the
+    * constant).
     */
   def tfidfCosinePairs(spark: SparkSession, dir: String,
       minCos: Double = 0.6): DataFrame = {
     import spark.implicits._
+    val grouped = docs(spark, dir)
+      .select($"doc_id", md5($"text").as("gkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = shingleRows(spark, dir)
       .groupBy($"doc_id", xxhash64($"sh").as("g"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"g").agg(count(lit(1)).as("df"))
     val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val wts = tf.join(dfreq, "g")
+    val repIds = grouped.groupBy($"gkey").agg(min($"doc_id").as("doc_id"))
+    val wts = tf.join(repIds, Seq("doc_id"), "left_semi")
+      .join(dfreq, "g")
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"g",
         ($"tf" * log($"n_docs".cast("double") / $"df")).as("wt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val norms = wts.groupBy($"doc_id").agg(sqrt(sum($"wt" * $"wt")).as("nrm"))
-      val dots = wts.select($"g", $"doc_id".as("doc_a"), $"wt".as("wa"))
-        .join(wts.select($"g", $"doc_id".as("doc_b"), $"wt".as("wb")), Seq("g"))
-        .filter($"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b")
+      val norms = wts.groupBy($"doc_id")
+        .agg(sqrt(sum($"wt" * $"wt")).as("nrm"),
+          count(lit(1)).as("n_grams"))
+      val dots = wts.select($"g", $"doc_id".as("rep_a"), $"wt".as("wa"))
+        .join(wts.select($"g", $"doc_id".as("rep_b"), $"wt".as("wb")), Seq("g"))
+        .filter($"rep_a" < $"rep_b")
+        .groupBy($"rep_a", $"rep_b")
         .agg(sum($"wa" * $"wb").as("dot"), count(lit(1)).as("n_shared"))
-      dots
-        .join(norms.select($"doc_id".as("doc_a"), $"nrm".as("na")), Seq("doc_a"))
-        .join(norms.select($"doc_id".as("doc_b"), $"nrm".as("nb")), Seq("doc_b"))
-        .select($"doc_a", $"doc_b", $"n_shared",
+      val repPairs = dots
+        .join(norms.select($"doc_id".as("rep_a"), $"nrm".as("na")), Seq("rep_a"))
+        .join(norms.select($"doc_id".as("rep_b"), $"nrm".as("nb")), Seq("rep_b"))
+        .select($"rep_a", $"rep_b", $"n_shared",
           round($"dot" / ($"na" * $"nb"), 6).as("cosine"))
         .filter($"cosine" >= minCos)
-        .localCheckpoint(true)
-    } finally wts.unpersist()
+      val cross = expandRepPairs(grouped, repPairs, Seq("n_shared", "cosine"))
+      // within-group pairs: identical tf vectors share every gram —
+      // n_shared is the rep's distinct-gram count, cosine is exactly 1
+      // (x/(√x·√x) rounds to 1.0 at 6 dp on both engines); groups whose
+      // text yields no shingles have no norms row and drop, matching the
+      // naive inner joins
+      val repStats = repIds
+        .join(norms.select($"doc_id", $"n_grams"), Seq("doc_id"))
+        .select($"gkey".as("gk"), $"n_grams")
+      val within = grouped.as("x")
+        .join(grouped.as("y"),
+          col("x.gkey") === col("y.gkey") && col("x.doc_id") < col("y.doc_id"))
+        .join(repStats, col("x.gkey") === col("gk"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          $"n_grams".as("n_shared"), lit(1.0).as("cosine"))
+      cross.unionByName(within).localCheckpoint(true)
+    } finally { wts.unpersist(); grouped.unpersist() }
   }
 
   /** MinHash banding quality report (q186): precision/recall of the q15
@@ -1017,14 +1084,25 @@ object Dedup {
     * unweighted score so the divergence is visible per pair. Weights
     * are fixed to 6-dp micro-units, so every set sum is an exact i64.
     *
-    * Scale: candidates come from the q15 banding (never all-pairs);
-    * per-doc weight sums are a doc-keyed aggregate; the intersection
-    * sum joins the two shingle postings of each candidate pair —
-    * pair-set-bounded like every re-scorer in the family.
+    * Scale: candidates come from the q15 banding (never all-pairs), but
+    * on a duplicated corpus the candidate set itself is quadratic in
+    * duplication (every copy pair collides in every band), so
+    * exact-dedup-first is BUILT IN at the CANDIDATE level (the q148
+    * treatment, keyed by md5(text)): the minhash signature is a pure
+    * function of the text, so a member pair is a candidate iff its rep
+    * pair is — banding, posting-list intersection and scoring all run
+    * over REPRESENTATIVES, and [[expandRepPairs]] rebuilds the exact
+    * per-candidate answer (within-group pairs are identical sets:
+    * both ratios exactly 1). df/N stay full-corpus (duplicates
+    * legitimately inflate document frequency; the oracle counts them
+    * too).
     */
   def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingleRows(spark, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grouped = docs(spark, dir)
+      .select($"doc_id", md5($"text").as("gkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
@@ -1033,26 +1111,48 @@ object Dedup {
         .select($"sh",
           round(log($"n_docs" / $"df".cast("double")) * 1e6).cast("long")
             .as("wm"))
-      val shw = sh.join(wts, Seq("sh"))
-      val docW = shw.groupBy($"doc_id")
-        .agg(sum($"wm").as("sw"), count(lit(1)).as("n_sh"))
-      val cand = minhashCandidates(spark, dir)
-      val inter = cand
-        .join(shw.select($"doc_id".as("doc_a"), $"sh", $"wm"), Seq("doc_a"))
-        .join(shw.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
-        .groupBy($"doc_a", $"doc_b")
-        .agg(sum($"wm").as("iw"), count(lit(1)).as("common"))
-      inter
-        .join(docW.select($"doc_id".as("doc_a"), $"sw".as("swa"),
-          $"n_sh".as("na")), Seq("doc_a"))
-        .join(docW.select($"doc_id".as("doc_b"), $"sw".as("swb"),
-          $"n_sh".as("nb")), Seq("doc_b"))
-        .select($"doc_a", $"doc_b", $"common",
-          round($"common" / ($"na" + $"nb" - $"common").cast("double"), 6)
-            .as("jaccard"),
-          round($"iw" / ($"swa" + $"swb" - $"iw").cast("double"), 6)
-            .as("weighted_jaccard"))
-    } finally sh.unpersist()
+      val repIds = grouped.groupBy($"gkey").agg(min($"doc_id").as("doc_id"))
+      val repSh = sh.join(repIds, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val shw = repSh.join(wts, Seq("sh"))
+        val docW = shw.groupBy($"doc_id")
+          .agg(sum($"wm").as("sw"), count(lit(1)).as("n_sh"))
+        // the q15 banding geometry (4×4) over rep shingles only
+        val cand = candidatePairs(bandSignatures(repSh, 4, 4))
+        val inter = cand
+          .join(shw.select($"doc_id".as("doc_a"), $"sh", $"wm"), Seq("doc_a"))
+          .join(shw.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+          .groupBy($"doc_a", $"doc_b")
+          .agg(sum($"wm").as("iw"), count(lit(1)).as("common"))
+        val repPairs = inter
+          .join(docW.select($"doc_id".as("doc_a"), $"sw".as("swa"),
+            $"n_sh".as("na")), Seq("doc_a"))
+          .join(docW.select($"doc_id".as("doc_b"), $"sw".as("swb"),
+            $"n_sh".as("nb")), Seq("doc_b"))
+          .select($"doc_a".as("rep_a"), $"doc_b".as("rep_b"), $"common",
+            round($"common" / ($"na" + $"nb" - $"common").cast("double"), 6)
+              .as("jaccard"),
+            round($"iw" / ($"swa" + $"swb" - $"iw").cast("double"), 6)
+              .as("weighted_jaccard"))
+        val cross = expandRepPairs(grouped, repPairs,
+          Seq("common", "jaccard", "weighted_jaccard"))
+        // within-group pairs: identical non-empty shingle sets collide in
+        // every band (always candidates) and both ratios are exact 1;
+        // empty-set groups have no docW row and drop, like the naive
+        // inner joins
+        val repStats = repIds.join(docW, Seq("doc_id"))
+          .select($"gkey".as("gk"), $"n_sh")
+        val within = grouped.as("x")
+          .join(grouped.as("y"),
+            col("x.gkey") === col("y.gkey") && col("x.doc_id") < col("y.doc_id"))
+          .join(repStats, col("x.gkey") === col("gk"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            $"n_sh".as("common"), lit(1.0).as("jaccard"),
+            lit(1.0).as("weighted_jaccard"))
+        cross.unionByName(within).localCheckpoint(true)
+      } finally repSh.unpersist()
+    } finally { sh.unpersist(); grouped.unpersist() }
   }
 
   /** Banding-scheme planner (q212): the SAME 16 cached permutation

@@ -99,20 +99,52 @@ object Similarity {
 
   /** All near-duplicate embedding pairs above a cosine threshold —
     * embedding-space near-dup detection. Label-blocked join keeps the
-    * candidate set sub-quadratic (same role LSH buckets play at scale).
+    * candidate set sub-quadratic (same role LSH buckets play at scale),
+    * and exact-dedup-first is BUILT IN (the q148 treatment, keyed by
+    * md5 of (label, embedding)): byte-identical same-label vectors
+    * collapse to one representative, the blocked self-join scores
+    * representatives only, and Dedup.expandRepPairs rebuilds the exact
+    * all-pairs answer — so a hot label full of exact copies costs its
+    * DISTINCT-vector pair count plus the (output-sized) expansion.
+    * Within-group pairs score with the identical cosine expression the
+    * naive join would apply (same inputs ⇒ same double), so thresholds
+    * and zero-vector NaN semantics are preserved verbatim.
     */
   def cosineNearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.3): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir).select($"vec_id", $"label", $"embedding",
-      norm($"embedding").as("nrm"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"),
-        round(dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
-      .filter($"cosine" >= minCosine)
+    val grouped = emb(spark, dir)
+      .select($"vec_id".as("doc_id"), $"label", $"embedding",
+        md5(to_json(struct($"label", $"embedding"))).as("gkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val reps = grouped
+        .groupBy($"gkey").agg(min($"doc_id").as("doc_id"))
+        .join(grouped.select($"doc_id", $"label", $"embedding"), Seq("doc_id"))
+        .select($"doc_id", $"label", $"embedding", norm($"embedding").as("nrm"))
+      val repPairs = reps.as("a")
+        .join(reps.as("b"),
+          col("a.label") === col("b.label") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
+          col("a.label").as("label"),
+          round(dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+        .filter($"cosine" >= minCosine)
+      val cross = Dedup.expandRepPairs(
+        grouped.select($"doc_id", $"gkey"), repPairs, Seq("label", "cosine"))
+      val within = grouped.as("x")
+        .join(grouped.as("y"),
+          col("x.gkey") === col("y.gkey") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.label").as("label"),
+          round(dot(col("x.embedding"), col("y.embedding")) /
+            (norm(col("x.embedding")) * norm(col("y.embedding"))), 6)
+            .as("cosine"))
+        .filter($"cosine" >= minCosine)
+      cross.unionByName(within)
+        .select($"doc_a".as("vec_a"), $"doc_b".as("vec_b"),
+          $"label", $"cosine")
+        .localCheckpoint(true)
+    } finally grouped.unpersist()
   }
 
   /** SRP-LSH bucketed ANN: random-hyperplane signatures with the first
@@ -876,44 +908,93 @@ object Similarity {
     *
     * One bucket-equality self-join (expected bucket N/2^planes, never
     * all-pairs), persisted because the positive and negative branches
-    * both rank it; two per-anchor row_number windows (tiny partitions,
-    * no skew); anchors lacking a same-label or different-label
+    * both rank it; anchors lacking a same-label or different-label
     * bucket-mate drop out (inner joins) — a triplet needs all three
     * legs.
+    *
+    * Exact-dedup-first is BUILT IN (the q148 treatment, keyed by md5 of
+    * (label, embedding)): byte-identical same-label vectors collapse to
+    * one representative, so the bucket self-join and the per-anchor
+    * ranking windows run over DISTINCT vectors — on a corpus duplicated
+    * k ways that is k² less pair work. Expansion is exact because every
+    * member of a group sees the same candidate multiset except itself:
+    * cross-group winners are shared by the whole group (ties pick the
+    * min candidate id, which within a collapsed group IS its rep, and
+    * across tied groups the min rep is the min member); the only
+    * member-dependent candidate is the anchor's own group (same label,
+    * self-cosine, candidate id = the group's min id, or its second-min
+    * when the anchor IS the min), which competes against the cross-group
+    * winner under the same (cosine asc, id asc) order. Negatives have no
+    * in-group leg (labels match inside a group), so the group winner is
+    * every member's winner.
     */
   def tripletMining(spark: SparkSession, dir: String, nPlanes: Int = 4,
       margin: Double = 0.2): DataFrame = {
     import spark.implicits._
     val planes = headVectors(spark, dir, nPlanes)
-    val e = emb(spark, dir).select($"vec_id", $"label", $"embedding",
-      srpBucket(planes).as("bucket"), norm($"embedding").as("nrm"))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("anchor"), col("a.label").as("label"),
-        col("b.vec_id").as("cand"), col("b.label").as("cand_label"),
-        round(dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+    val grouped = emb(spark, dir)
+      .select($"vec_id", $"label", $"embedding",
+        md5(to_json(struct($"label", $"embedding"))).as("gkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val wPos = org.apache.spark.sql.expressions.Window
-        .partitionBy($"anchor").orderBy($"cosine".asc, $"cand")
-      val pos = pairs.filter($"cand_label" === $"label")
-        .withColumn("rk", row_number().over(wPos)).filter($"rk" === 1)
-        .select($"anchor", $"label", $"cand".as("pos_id"),
-          $"cosine".as("pos_cos"))
-      val wNeg = org.apache.spark.sql.expressions.Window
-        .partitionBy($"anchor").orderBy($"cosine".desc, $"cand")
-      val neg = pairs.filter($"cand_label" =!= $"label")
-        .withColumn("rk", row_number().over(wNeg)).filter($"rk" === 1)
-        .select($"anchor", $"cand".as("neg_id"), $"cosine".as("neg_cos"))
-      pos.join(neg, Seq("anchor"))
-        .select($"anchor", $"label", $"pos_id", $"pos_cos",
-          $"neg_id", $"neg_cos",
-          round($"pos_cos" - $"neg_cos", 6).as("gap"),
-          ($"neg_cos" > $"pos_cos" - margin).as("margin_violation"))
-        .localCheckpoint(true)
-    } finally pairs.unpersist()
+      val g1 = grouped.groupBy($"gkey")
+        .agg(min($"vec_id").as("min1"), count(lit(1)).as("n_g"))
+      val g2 = grouped.join(g1.select($"gkey", $"min1"), Seq("gkey"))
+        .filter($"vec_id" =!= $"min1")
+        .groupBy($"gkey").agg(min($"vec_id").as("min2"))
+      val gstats = g1.join(g2, Seq("gkey"), "left")
+      val reps = grouped.join(g1.select($"gkey", $"min1"), Seq("gkey"))
+        .filter($"vec_id" === $"min1")
+        .select($"gkey", $"vec_id", $"label", $"embedding",
+          srpBucket(planes).as("bucket"), norm($"embedding").as("nrm"))
+        // the naive cosine expression on identical inputs — preserves
+        // round/NaN behavior for the in-group positive leg verbatim
+        .withColumn("self_cos",
+          round(dot($"embedding", $"embedding") / ($"nrm" * $"nrm"), 6))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = reps.as("a").join(reps.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.gkey").as("ag"), col("a.label").as("label"),
+          col("b.vec_id").as("cand"), col("b.label").as("cand_label"),
+          round(dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val wPos = org.apache.spark.sql.expressions.Window
+          .partitionBy($"ag").orderBy($"cosine".asc, $"cand")
+        val posCross = pairs.filter($"cand_label" === $"label")
+          .withColumn("rk", row_number().over(wPos)).filter($"rk" === 1)
+          .select($"ag", $"cand".as("pc_id"), $"cosine".as("pc_cos"))
+        val wNeg = org.apache.spark.sql.expressions.Window
+          .partitionBy($"ag").orderBy($"cosine".desc, $"cand")
+        val negCross = pairs.filter($"cand_label" =!= $"label")
+          .withColumn("rk", row_number().over(wNeg)).filter($"rk" === 1)
+          .select($"ag", $"cand".as("neg_id"), $"cosine".as("neg_cos"))
+        grouped.select($"vec_id".as("anchor"), $"label", $"gkey".as("ag"))
+          .join(gstats.select($"gkey".as("ag"), $"min1", $"min2", $"n_g"),
+            Seq("ag"))
+          .join(reps.select($"gkey".as("ag"), $"self_cos"), Seq("ag"))
+          .join(posCross, Seq("ag"), "left")
+          .join(negCross, Seq("ag"))
+          .withColumn("ing_id", when($"n_g" >= 2,
+            when($"anchor" === $"min1", $"min2").otherwise($"min1")))
+          .withColumn("use_ing",
+            $"ing_id".isNotNull && ($"pc_cos".isNull ||
+              $"self_cos" < $"pc_cos" ||
+              ($"self_cos" === $"pc_cos" && $"ing_id" < $"pc_id")))
+          .filter($"use_ing" || $"pc_cos".isNotNull)
+          .withColumn("pos_id",
+            when($"use_ing", $"ing_id").otherwise($"pc_id"))
+          .withColumn("pos_cos",
+            when($"use_ing", $"self_cos").otherwise($"pc_cos"))
+          .select($"anchor", $"label", $"pos_id", $"pos_cos",
+            $"neg_id", $"neg_cos",
+            round($"pos_cos" - $"neg_cos", 6).as("gap"),
+            ($"neg_cos" > $"pos_cos" - margin).as("margin_violation"))
+          .localCheckpoint(true)
+      } finally { pairs.unpersist(); reps.unpersist() }
+    } finally grouped.unpersist()
   }
 
   def lshLabelPurity(spark: SparkSession, dir: String, nPlanes: Int = 4): DataFrame = {

@@ -568,6 +568,10 @@ object SparkEntry {
     // header-vs-detail order total reconciliation in exact cents
     "q218_order_reconciliation" -> ((s: SparkSession, d: String) =>
       Relational.orderReconciliation(s, d)),
+    // co-bucketed revenue join: zero-Exchange plan asserted in-query,
+    // values oracle-checked against the plain-parquet tables
+    "q219_bucketed_revenue_join" -> ((s: SparkSession, d: String) =>
+      graft.sources.Layouts.bucketedRevenueJoin(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4564,6 +4568,16 @@ object SparkEntry {
         | round(sum(CASE WHEN diff_cents > 1 THEN 1 ELSE 0 END)
         |   / CAST(count(*) AS DOUBLE), 6) AS frac_mismatched
         |FROM d GROUP BY 1""".stripMargin,
+    // q219: the oracle reads the PLAIN tables — bucketing must change
+    // the plan (zero Exchange, asserted inside the query), never the
+    // values
+    "q219_bucketed_revenue_join" ->
+      """SELECT l_orderkey AS orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |   AS BIGINT)) + 50) // 100 AS BIGINT) AS revenue_cents,
+        | max(o_totalprice) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

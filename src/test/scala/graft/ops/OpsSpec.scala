@@ -357,6 +357,8 @@ class OpsSpec extends AnyFunSuite {
     "q218_order_reconciliation" -> Set("o_orderstatus", "n_orders",
       "n_mismatched", "max_diff_cents", "total_header_cents",
       "frac_mismatched"),
+    "q219_bucketed_revenue_join" -> Set("orderkey", "n_lines",
+      "revenue_cents", "total_price"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -112,7 +112,7 @@ object ScaleBench {
     // maximal-candidate regime by construction on a replicated corpus
     "q210_zipf_fit", "q211_rank_biased_overlap", "q213_bfs_levels",
     "q214_query_expansion", "q215_weighted_jaccard",
-    "q216_knn_components")
+    "q216_knn_components", "q220_kcore_fixpoint", "q221_bfs_complete")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

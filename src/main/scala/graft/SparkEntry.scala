@@ -572,6 +572,14 @@ object SparkEntry {
     // values oracle-checked against the plain-parquet tables
     "q219_bucketed_revenue_join" -> ((s: SparkSession, d: String) =>
       graft.sources.Layouts.bucketedRevenueJoin(s, d)),
+    // k-core iterated to convergence (capped) — the true core, where
+    // q135's fixed rounds are a budgeted approximation
+    "q220_kcore_fixpoint" -> ((s: SparkSession, d: String) =>
+      Graph.kCoreFixpoint(s, d)),
+    // BFS run to frontier exhaustion (capped at 20 hops) — the complete
+    // reachability census, where q213's 4 hops probe the near field
+    "q221_bfs_complete" -> ((s: SparkSession, d: String) =>
+      Graph.bfsLevels(s, d, maxDepth = 20)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4571,6 +4579,12 @@ object SparkEntry {
     // q219: the oracle reads the PLAIN tables — bucketing must change
     // the plan (zero Exchange, asserted inside the query), never the
     // values
+    // q220: the same cap on both sides makes the unroll equal the
+    // capped fixpoint on every input (converged rounds are no-ops)
+    "q220_kcore_fixpoint" -> kcoreOracleSql(12),
+    // q221: q213's generated frontier rounds at the exhaustion cap —
+    // empty frontiers make the tail blocks no-ops
+    "q221_bfs_complete" -> bfsOracleSql(20),
     "q219_bucketed_revenue_join" ->
       """SELECT l_orderkey AS orderkey, CAST(count(*) AS BIGINT) AS n_lines,
         | CAST((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
@@ -4845,22 +4859,59 @@ object SparkEntry {
     * prefix, level-tagged union — then the level rollup plus the
     * unreachable remainder as level −1.
     */
-  private def bfsOracleSql(maxDepth: Int): String = {
+  /** The q220 oracle: the q135 pruning-round CTE triple (deg → keep →
+    * filtered edges), generated `rounds` times. The Spark side iterates
+    * to convergence capped at the SAME `rounds`, and converged rounds
+    * are no-ops, so the unroll equals the fixpoint-with-cap on every
+    * input — no recursive SQL needed.
+    */
+  private def kcoreOracleSql(rounds: Int, k: Int = 2): String = {
+    // every chained CTE is MATERIALIZED: each round references the
+    // previous edge set three times, so an inlining planner expands the
+    // chain 3^rounds-fold — at 12 rounds that exhausted DuckDB's file
+    // handles re-opening the parquet leaves
     val init =
       s"""$knnOracleCtes,
-         |ed AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |und AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |         greatest(vec_id, neighbor_id) AS b FROM knn)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "und" else s"e${i - 1}"
+      s""",
+         |d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |        SELECT unnest([a, b]) AS node FROM $prev) GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+         |       WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString
+    init + steps +
+      s"""
+         |, cd AS (SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |        SELECT unnest([a, b]) AS node FROM e$rounds) GROUP BY 1)
+         |SELECT emb.vec_id,
+         | emb.vec_id IN (SELECT node FROM k$rounds) AS in_core,
+         | CAST(coalesce(cd.core_deg, 0) AS BIGINT) AS core_deg
+         |FROM embeddings emb LEFT JOIN cd ON emb.vec_id = cd.node""".stripMargin
+  }
+
+  private def bfsOracleSql(maxDepth: Int): String = {
+    // MATERIALIZED for the q220 reason: v_i is referenced by the next
+    // round's anti-membership AND its own union — inlined, the chain
+    // expands ~2^depth and re-opens the parquet leaves each time
+    val init =
+      s"""$knnOracleCtes,
+         |ed AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
          |        greatest(vec_id, neighbor_id) AS b FROM knn),
-         |dr AS (SELECT a AS u, b AS v FROM ed
+         |dr AS MATERIALIZED (SELECT a AS u, b AS v FROM ed
          |       UNION ALL SELECT b, a FROM ed),
          |v0 AS (SELECT CAST(0 AS BIGINT) AS vec_id,
          |        CAST(0 AS BIGINT) AS level),
          |f0 AS (SELECT vec_id FROM v0)""".stripMargin
     val steps = (1 to maxDepth).map { i =>
       s""",
-         |n$i AS (SELECT DISTINCT dr.v AS vec_id FROM dr
+         |n$i AS MATERIALIZED (SELECT DISTINCT dr.v AS vec_id FROM dr
          |        JOIN f${i - 1} f ON dr.u = f.vec_id
          |        WHERE dr.v NOT IN (SELECT vec_id FROM v${i - 1})),
-         |v$i AS (SELECT * FROM v${i - 1} UNION ALL
+         |v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL
          |        SELECT vec_id, CAST($i AS BIGINT) FROM n$i),
          |f$i AS (SELECT vec_id FROM n$i)""".stripMargin
     }.mkString

@@ -282,6 +282,67 @@ object Graph {
     } finally und0.unpersist()
   }
 
+  /** k-core to FIXPOINT (q220): the [[kCore]] pruning loop iterated
+    * until a round removes no nodes — the TRUE k-core, which the
+    * fixed-round variant only reaches if the peel depth happens to fit
+    * its round budget — capped at `maxRounds` so a pathological chain
+    * graph (peel depth O(n)) cannot run unbounded. Convergence is
+    * detected on the survivor count: one driver-side count() per round
+    * against the just-checkpointed (already materialized) edge table —
+    * the connectedComponents stability pattern, with the same per-round
+    * localCheckpoint discipline (each round references the previous
+    * edge set three times; an un-cut lineage re-evaluates round r−1
+    * 3^r times).
+    *
+    * The cap is part of the SEMANTICS, not just a guard: "prune to
+    * fixpoint, at most `maxRounds` rounds" equals exactly `maxRounds`
+    * unrolled rounds whether or not the graph converged (converged
+    * rounds are no-ops), so the oracle unrolls the same `maxRounds`
+    * CTE blocks and the two agree on every input. GraphFixpointSpec
+    * additionally pins fixpoint == fixed-round once the test graph has
+    * converged.
+    */
+  def kCoreFixpoint(spark: SparkSession, dir: String, k: Int = 2,
+      maxRounds: Int = 12, nPlanes: Int = 8, knnK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und0 = Similarity.knnGraph(spark, dir, nPlanes, knnK)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var edges = und0.select($"a", $"b").localCheckpoint(true)
+      var keep: DataFrame = edges.select(explode(array($"a", $"b")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k)
+      var prevCount = -1L
+      var curCount = edges.count()
+      var r = 0
+      while (r < maxRounds && curCount != prevCount) {
+        keep = edges.select(explode(array($"a", $"b")).as("node"))
+          .groupBy($"node").agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= k)
+        edges = edges
+          .join(keep.select($"node".as("a")), Seq("a"), "left_semi")
+          .join(keep.select($"node".as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        prevCount = curCount
+        curCount = edges.count()
+        r += 1
+      }
+      val coreDeg = edges.select(explode(array($"a", $"b")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("core_deg"))
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+        .join(keep.withColumnRenamed("node", "vec_id")
+          .select($"vec_id", lit(true).as("in_core")), Seq("vec_id"), "left")
+        .join(coreDeg.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"in_core", lit(false)).as("in_core"),
+          coalesce($"core_deg", lit(0L)).as("core_deg"))
+        .localCheckpoint(true)
+    } finally und0.unpersist()
+  }
+
   /** Connected-component census of the KNN graph (q216): component
     * count, largest-component mass, singleton share — the global
     * answer to the question q213's single-seed probe samples: is the

@@ -359,6 +359,8 @@ class OpsSpec extends AnyFunSuite {
       "frac_mismatched"),
     "q219_bucketed_revenue_join" -> Set("orderkey", "n_lines",
       "revenue_cents", "total_price"),
+    "q220_kcore_fixpoint" -> Set("vec_id", "in_core", "core_deg"),
+    "q221_bfs_complete" -> Set("level", "n_nodes"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

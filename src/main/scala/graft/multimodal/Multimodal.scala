@@ -25,6 +25,26 @@ object Multimodal {
   case class FeatureRow(media_id: Long, kind: String, feature: Array[Float])
   case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** The codec swap contract: everything a real media binding (JNI/FFI
+    * decoder, vision/audio embedding model) must provide, and the ONLY
+    * thing that changes when one arrives — the Spark-side operators
+    * below take a `MediaCodec` and are proven codec-agnostic by
+    * MultimodalSpec, which runs the full decode/featurize/resize/frame
+    * pipeline over both [[StubCodec]] and an independent toy codec.
+    * Implementations must be Serializable: instances ship inside
+    * mapPartitions closures to executors.
+    */
+  trait MediaCodec extends Serializable {
+    /** Parse container metadata from the payload. */
+    def decode(kind: String, bytes: Array[Byte]): MediaMeta
+    /** Fixed-dim embedding of the payload. */
+    def featurize(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Downsampled payload; scale=1 must be the identity. */
+    def resize(bytes: Array[Byte], scale: Int): Array[Byte]
+    /** (frame_idx, frame bytes) samples of a video payload. */
+    def frames(bytes: Array[Byte], frameSize: Int, stride: Int): Iterator[(Int, Array[Byte])]
+  }
+
   /** STUB decoder — deterministic fake in place of a real codec binding.
     * "Decodes" metadata from the payload's md5: width = 64 + first 32
     * digest bits mod 1024, height = 64 + next 32 bits mod 1024 — chosen
@@ -34,7 +54,7 @@ object Multimodal {
     * pinned booleans. A real implementation would parse the container
     * header here (and is the only thing that would change).
     */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     def decode(kind: String, bytes: Array[Byte]): MediaMeta = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
       def u32(off: Int): Long =
@@ -61,6 +81,20 @@ object Multimodal {
       val n = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x * x)).toFloat
       if (n == 0f) acc else acc.map(_ / n)
     }
+
+    /** Keep every `scale`-th payload byte — the resize stand-in. */
+    def resize(bytes: Array[Byte], scale: Int): Array[Byte] = {
+      val out = new Array[Byte]((bytes.length + scale - 1) / scale)
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i * scale); i += 1 }
+      out
+    }
+
+    /** Every `stride`-th fixed-size window as one frame blob. */
+    def frames(bytes: Array[Byte], frameSize: Int,
+        stride: Int): Iterator[(Int, Array[Byte])] =
+      bytes.grouped(frameSize).zipWithIndex
+        .collect { case (chunk, i) if i % stride == 0 => (i, chunk) }
   }
 
   /** Opaque-binary media table derived deterministically from the
@@ -108,13 +142,14 @@ object Multimodal {
     * (arena allocation, GPU transfer, FFI handle) exactly as a
     * `mapInPandas` UDF would. Output is columnar-friendly (flat struct).
     */
-  def decodeMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedRow] = {
+  def decodeMeta(media: Dataset[MediaRow], batchSize: Int = 64,
+      codec: MediaCodec = StubCodec): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch codec setup would go here
         batch.iterator.map { r =>
-          val m = StubCodec.decode(r.kind, r.content)
+          val m = codec.decode(r.kind, r.content)
           DecodedRow(r.media_id, r.kind, m.width, m.height, m.durationMs,
             m.codec, r.content.length.toLong)
         }
@@ -127,12 +162,12 @@ object Multimodal {
     * graft.ops.Similarity's cosine/ANN operators run unchanged on media.
     */
   def featurize(media: Dataset[MediaRow], dim: Int = 64,
-      batchSize: Int = 64): Dataset[FeatureRow] = {
+      batchSize: Int = 64, codec: MediaCodec = StubCodec): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map(r =>
-          FeatureRow(r.media_id, r.kind, StubCodec.featurize(r.content, dim)))
+          FeatureRow(r.media_id, r.kind, codec.featurize(r.content, dim)))
       }
     }
   }
@@ -148,16 +183,14 @@ object Multimodal {
     * before any shuffle, never after.
     */
   def resize(media: Dataset[MediaRow], scale: Int = 4,
-      batchSize: Int = 64): Dataset[ResizedRow] = {
+      batchSize: Int = 64, codec: MediaCodec = StubCodec): Dataset[ResizedRow] = {
     require(scale >= 1, s"scale must be >= 1: $scale")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val out = new Array[Byte]((r.content.length + scale - 1) / scale)
-          var i = 0
-          while (i < out.length) { out(i) = r.content(i * scale); i += 1 }
-          ResizedRow(r.media_id, r.kind, out, r.content.length.toLong, scale)
+          ResizedRow(r.media_id, r.kind, codec.resize(r.content, scale),
+            r.content.length.toLong, scale)
         }
       }
     }
@@ -170,12 +203,12 @@ object Multimodal {
     * decoded frame list.
     */
   def frameSample(media: Dataset[MediaRow], frameSize: Int = 256,
-      stride: Int = 4): Dataset[FrameRow] = {
+      stride: Int = 4, codec: MediaCodec = StubCodec): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { rows =>
       rows.flatMap { r =>
-        r.content.grouped(frameSize).zipWithIndex
-          .collect { case (chunk, i) if i % stride == 0 => FrameRow(r.media_id, i, chunk) }
+        codec.frames(r.content, frameSize, stride)
+          .map { case (i, chunk) => FrameRow(r.media_id, i, chunk) }
       }
     }
   }

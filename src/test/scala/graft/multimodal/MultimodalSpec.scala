@@ -108,6 +108,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.durationMs == bytes.length * 8L && m.codec == "stub-image")
   }
 
+  // --- codec swap contract: the Spark-side plumbing must be a pure
+  // function of the MediaCodec instance. An independent toy codec with
+  // DIFFERENT values on every path proves no operator secretly calls
+  // StubCodec, and the same property suite runs over both.
+
+  /** Second MediaCodec implementation: length-derived metadata, byte
+    * histogram features, tail-keeping resize, odd-window frames —
+    * deliberately disagrees with StubCodec on every output.
+    */
+  private object ToyCodec extends MediaCodec {
+    def decode(kind: String, bytes: Array[Byte]): MediaMeta =
+      MediaMeta(10 + bytes.length % 7, 20 + bytes.length % 5,
+        bytes.length.toLong, s"toy-$kind")
+    def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val acc = new Array[Float](dim)
+      bytes.foreach(b => acc((b & 0xff) % dim) += 1f)
+      acc
+    }
+    def resize(bytes: Array[Byte], scale: Int): Array[Byte] =
+      bytes.takeRight((bytes.length + scale - 1) / scale)
+    def frames(bytes: Array[Byte], frameSize: Int,
+        stride: Int): Iterator[(Int, Array[Byte])] =
+      bytes.grouped(frameSize).zipWithIndex
+        .collect { case (c, i) if i % stride == 1 => (i, c) }
+  }
+
+  for ((name, codec) <- Seq("StubCodec" -> (StubCodec: MediaCodec),
+      "ToyCodec" -> (ToyCodec: MediaCodec))) {
+    test(s"decode/featurize/resize/frame paths are codec-agnostic: $name") {
+      val media = mediaTable(spark, sf)
+      val sample = media.collect().sortBy(_.media_id).take(20)
+      // decode: distributed output == the codec applied driver-side
+      val dec = decodeMeta(media, batchSize = 7, codec = codec).collect()
+        .map(r => r.media_id -> r).toMap
+      sample.foreach { m =>
+        val want = codec.decode(m.kind, m.content)
+        val got = dec(m.media_id)
+        assert((got.width, got.height, got.duration_ms, got.codec) ==
+          (want.width, want.height, want.durationMs, want.codec), name)
+      }
+      // featurize: exact vector equality with the driver-side codec
+      val feats = featurize(media, dim = 16, codec = codec).collect()
+        .map(r => r.media_id -> r.feature.toSeq).toMap
+      sample.foreach { m =>
+        assert(feats(m.media_id) == codec.featurize(m.content, 16).toSeq, name)
+      }
+      // resize: bytes equal the codec's own transform
+      val rz = resize(media, scale = 3, codec = codec).collect()
+        .map(r => r.media_id -> r.content.toSeq).toMap
+      sample.foreach { m =>
+        assert(rz(m.media_id) == codec.resize(m.content, 3).toSeq, name)
+      }
+      // frames: the per-media (idx, bytes) multiset matches
+      val fr = frameSample(media, frameSize = 64, stride = 2, codec = codec)
+        .collect().groupBy(_.media_id)
+        .map { case (id, fs) =>
+          id -> fs.map(f => (f.frame_idx, f.frame.toSeq)).sortBy(_._1).toSeq }
+      sample.filter(_.kind == "video").foreach { m =>
+        val want = codec.frames(m.content, 64, 2)
+          .map { case (i, c) => (i, c.toSeq) }.toSeq.sortBy(_._1)
+        assert(fr.getOrElse(m.media_id, Seq.empty) == want, name)
+      }
+    }
+  }
+
+  test("the two codecs actually disagree — the parameterization is not vacuous") {
+    val bytes = "some payload bytes".getBytes("UTF-8")
+    assert(StubCodec.decode("image", bytes) != ToyCodec.decode("image", bytes))
+    assert(StubCodec.featurize(bytes, 16).toSeq != ToyCodec.featurize(bytes, 16).toSeq)
+    assert(StubCodec.resize(bytes, 3).toSeq != ToyCodec.resize(bytes, 3).toSeq)
+    assert(StubCodec.frames(bytes, 4, 2).toSeq.map(_._1) !=
+      ToyCodec.frames(bytes, 4, 2).toSeq.map(_._1))
+  }
+
   test("media features flow into the similarity operators' contract") {
     import org.apache.spark.sql.functions._
     val spark2 = spark; import spark2.implicits._

@@ -780,19 +780,28 @@ object PipelinePrep {
     * engines (no RNG state to ship). Self-pairs from small-corpus
     * wrap-around are excluded.
     *
-    * Scale: one global rank over (md5, doc_id) — rank-statistic
-    * territory (the q107 trade: a range-partitioned distributed sort) —
-    * then ONE equi-join on the cyclic successor rank, k rows per
-    * anchor. No RNG, no per-anchor sampling pass.
+    * Scale: one global rank over (md5, doc_id) via `Ranking.prefixCum`
+    * (skew-free two-level prefix — the rank key is a 56-bit numeric
+    * prefix of the md5, monotone in the hex string since fixed-length
+    * lowercase hex orders identically as text and as a number; no
+    * SinglePartition window over the corpus), the ring size by
+    * broadcast, then ONE equi-join on the cyclic successor rank, k rows
+    * per anchor. No RNG, no per-anchor sampling pass.
     */
   def negativeSampling(spark: SparkSession, dir: String,
       k: Int = 4): DataFrame = {
     import spark.implicits._
-    val ring = docs(spark, dir)
+    val hashed = docs(spark, dir)
       .select($"doc_id", md5($"doc_id".cast("string")).as("h"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"h", $"doc_id")).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val nn = broadcast(hashed.agg(count(lit(1)).as("n")))
+    val ring = graft.ops.Ranking
+      .prefixCum(hashed,
+        Nil,
+        expr("cast(conv(substring(h, 1, 14), 16, 10) as bigint)"),
+        Seq($"h", $"doc_id"), lit(1L))
+      .withColumn("rn", ($"cum_before" + 1).cast("long"))
+      .drop("cum_before")
+      .crossJoin(nn)
       .localCheckpoint(true)
     val offsets = (1 to k).map(_.toLong).toDF("neg_rank")
     ring.as("a").crossJoin(broadcast(offsets))

@@ -612,7 +612,7 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
-  test("q179/q181/q182/q198/q144: no SinglePartition exchange feeds any Window") {
+  test("q179/q181/q182/q198/q144/q199: no SinglePartition exchange feeds any Window") {
     val plans = Map(
       "q179" -> TextAnalysis.rocAuc(spark, sf),
       "q181" -> TextAnalysis.calibrationBins(spark, sf),
@@ -626,7 +626,8 @@ class PlanContractSpec extends AnyFunSuite {
               .as("x")))
       },
       "q198" -> TextAnalysis.slicedAuc(spark, sf),
-      "q144" -> PipelinePrep.quantileNormalize(spark, sf))
+      "q144" -> PipelinePrep.quantileNormalize(spark, sf),
+      "q199" -> PipelinePrep.negativeSampling(spark, sf))
     val offenders = plans.flatMap { case (name, df) =>
       windowFedBySinglePartition(df).map(w => s"$name: $w")
     }

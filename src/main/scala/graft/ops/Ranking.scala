@@ -43,6 +43,60 @@ object Ranking {
       .filter(col("rn") <= k)
   }
 
+  /** Global top-k WITHOUT a global rank window: `orderBy(...).limit(k)`
+    * plans as TakeOrderedAndProject — every partition keeps its local
+    * top-k and the driver merges k-row heaps — where the
+    * `row_number().over(Window.orderBy(...))` spelling funnels the WHOLE
+    * input through one `Exchange SinglePartition` task before discarding
+    * all but k rows. On a web-scale type table (10⁸–10⁹ distinct tokens)
+    * that single task sorts tens of GB to emit 10 rows.
+    *
+    * The rank is then assigned on the k survivors only, and still with
+    * no window: rk(x) = 1 + |rows strictly before x|, counted by a
+    * broadcast self-join over the ≤ k² pairs (k is 10–100 here — the
+    * pair table is smaller than one shuffle block). `order` is
+    * (column-name, descending?) pairs and must be a TOTAL order over the
+    * input's rows with non-null keys — the same contract row_number
+    * needs for a deterministic result, enforced here because equal-key
+    * rows would also merge in the rank groupBy.
+    *
+    * `eager` (default) checkpoints the k survivors so the input subtree
+    * runs ONCE (both join sides read the materialized k rows); tests
+    * pass eager=false to walk the un-checkpointed physical plan.
+    */
+  def topKGlobal(df: DataFrame, order: Seq[(String, Boolean)], k: Int,
+      rankCol: String = "rk", eager: Boolean = true): DataFrame = {
+    require(order.nonEmpty, "topKGlobal needs at least one order column")
+    require(!df.columns.contains(rankCol),
+      s"topKGlobal emits `$rankCol`; input already has it")
+    require(!df.columns.exists(_.startsWith("__tk_")),
+      "topKGlobal reserves the __tk_ prefix; input collides")
+    val sortCols = order.map { case (c, desc) =>
+      if (desc) col(c).desc else col(c).asc
+    }
+    val top0 = df.orderBy(sortCols: _*).limit(k)
+    val top = if (eager) top0.localCheckpoint(true) else top0
+    val keyNames = order.map(_._1)
+    val other = top
+      .select(keyNames.map(c => col(c).as(s"__tk_$c")) :+
+        lit(1).as("__tk_one"): _*)
+    // lexicographic strictly-before: OR over prefixes of (equal on the
+    // first i keys, strictly before on key i); null-safe equality so a
+    // null key cannot silently drop comparisons
+    val before = order.indices.map { i =>
+      val eqPrefix = (0 until i)
+        .map { j => col(s"__tk_${keyNames(j)}") <=> col(keyNames(j)) }
+        .foldLeft(lit(true))(_ && _)
+      val (ci, desc) = order(i)
+      val cmp =
+        if (desc) col(s"__tk_$ci") > col(ci) else col(s"__tk_$ci") < col(ci)
+      eqPrefix && cmp
+    }.reduce(_ || _)
+    top.join(broadcast(other), before, "left")
+      .groupBy(top.columns.map(col): _*)
+      .agg((count(col("__tk_one")) + 1).cast("long").as(rankCol))
+  }
+
   /** Skew-free EXCLUSIVE prefix sum: appends `cum_before` = Σ `weight`
     * over the rows that sort STRICTLY BEFORE each row in `order`, within
     * each `part` group — the distributed-rank primitive behind exact

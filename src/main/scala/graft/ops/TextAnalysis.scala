@@ -1263,7 +1263,8 @@ object TextAnalysis {
     * merges in one constant-size reduction — frequency monitoring
     * without shuffling the vocabulary. The exact side (the audit
     * baseline) is a map-side-combined vocabulary aggregate; its top-k
-    * window runs over the Heaps-law-bounded type table, not the stream.
+    * rides [[graft.ops.Ranking.topKGlobal]] (TakeOrderedAndProject +
+    * k-row rank join) so no task ever sorts the full type table.
     */
   def mgHeavyHitters(spark: SparkSession, dir: String, capacity: Int = 20,
       kReport: Int = 10): DataFrame = {
@@ -1272,10 +1273,9 @@ object TextAnalysis {
     val summary = tok.agg(
       graft.functions.MisraGries.mgSummary(capacity)($"tok").as("mg"))
     val totals = tok.agg(count(lit(1)).as("n_total"))
-    val top = tok.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy($"n_exact".desc, $"tok")).cast("long"))
-      .filter($"rk" <= kReport)
+    val top = Ranking.topKGlobal(
+      tok.groupBy($"tok").agg(count(lit(1)).as("n_exact")),
+      Seq("n_exact" -> true, "tok" -> false), kReport)
     val est = coalesce(element_at($"mg", $"tok"), lit(0L))
     top.crossJoin(broadcast(summary)).crossJoin(broadcast(totals))
       .select($"tok".as("token"), $"n_exact", $"rk",
@@ -1580,7 +1580,7 @@ object TextAnalysis {
       .filter($"df" >= expr("(n_docs + 19) div 20"))
       .select($"w")
     val pruned = items.join(freq, Seq("w"))
-    pruned.as("a")
+    val scored = pruned.as("a")
       .join(pruned.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
       .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
@@ -1589,9 +1589,8 @@ object TextAnalysis {
       .filter($"support" >= expr("(n_docs + 19) div 20"))
       .select($"w1", $"w2", $"support",
         round($"support" / $"n_docs".cast("double"), 6).as("support_frac"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"support".desc, $"w1", $"w2")).cast("long"))
-      .filter($"rk" <= k)
+    Ranking.topKGlobal(scored,
+      Seq("support" -> true, "w1" -> false, "w2" -> false), k)
   }
 
   /** Gopher-rule ablation (q195): per filter rule, how many documents
@@ -1659,14 +1658,13 @@ object TextAnalysis {
       .select($"doc_id", explode(array_distinct(toks)).as("token"))
       .join(hitToks.select($"token"), Seq("token"), "left_semi")
       .groupBy($"token").agg(count(lit(1)).as("df"))
-    hitToks.join(df, Seq("token"))
+    val scored = hitToks.join(df, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .select($"token", $"tf_hits", $"df",
         round($"tf_hits" * log($"n_docs" / $"df".cast("double")), 6)
           .as("expansion_score"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"expansion_score".desc, $"token")).cast("long"))
-      .filter($"rk" <= kTerms)
+    Ranking.topKGlobal(scored,
+      Seq("expansion_score" -> true, "token" -> false), kTerms)
   }
 
   /** Zipf exponent fit (q210): OLS of ln(freq) on ln(rank) over the
@@ -1677,17 +1675,18 @@ object TextAnalysis {
     * are rounded to 6 per point and every OLS moment is summed in
     * exact 1e-8 units, so the fit is partition-order independent.
     *
-    * Scale: one type-count aggregate; the fit runs on n rows.
+    * Scale: one type-count aggregate; the top-n types come from
+    * [[graft.ops.Ranking.topKGlobal]] (TakeOrderedAndProject, no global
+    * rank window over the vocabulary); the fit runs on n rows.
     */
   def zipfFit(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
     import spark.implicits._
-    val pts = docs(spark, dir)
-      .select(explode(toks).as("token"))
-      .filter(length($"token") >= 1)
-      .groupBy($"token").agg(count(lit(1)).as("freq"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"freq".desc, $"token")).cast("long"))
-      .filter($"rk" <= n)
+    val pts = Ranking.topKGlobal(
+        docs(spark, dir)
+          .select(explode(toks).as("token"))
+          .filter(length($"token") >= 1)
+          .groupBy($"token").agg(count(lit(1)).as("freq")),
+        Seq("freq" -> true, "token" -> false), n)
       .select(round(log($"rk"), 6).as("x"), round(log($"freq"), 6).as("y"))
     pts.agg(count(lit(1)).as("m"),
         sum(round($"x" * 1e8).cast("long")).as("sx"),
@@ -2031,10 +2030,14 @@ object TextAnalysis {
     * corpus). Ranks are (freq DESC, token ASC) so the cumulative sums
     * are deterministic under frequency ties.
     *
-    * Scale: one map-side-combined type count; the rank and running-sum
-    * windows are vocabulary-sized (the only rows carried past the first
-    * aggregate), and the ladder rollup is a constant-size aggregate of
-    * integer cumulative counts.
+    * Scale: one map-side-combined type count, then BOTH order statistics
+    * ride [[graft.ops.Ranking.prefixCum]] — rank as the exclusive count
+    * of strictly-earlier types (bucketed on −freq) and the inclusive
+    * running occurrence sum on top of the rank — so no task ever holds
+    * the whole vocabulary (the naive rank+running-sum windows funnel the
+    * full type table through ONE `Exchange SinglePartition`). The
+    * corpus-wide totals are a 1-row broadcast aggregate, the ladder
+    * rollup a constant-size aggregate of exact integer counts.
     */
   def coverageCurve(spark: SparkSession, dir: String,
       ladder: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
@@ -2043,22 +2046,44 @@ object TextAnalysis {
       .select(explode(toks).as("token"))
       .filter(length($"token") >= 1)
       .groupBy($"token").agg(count(lit(1)).as("freq"))
-    val ranked = types
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"freq".desc, $"token")).cast("long"))
-      .withColumn("cum", sum($"freq").over(
-        Window.orderBy($"rk")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum($"freq").over(Window.partitionBy(lit(1))))
-      .withColumn("n_types", count(lit(1)).over(Window.partitionBy(lit(1))))
-    val ks = ladder.map(_.toLong).toDF("k")
-    ranked
-      .crossJoin(broadcast(ks))
-      .filter($"rk" <= $"k")
-      .groupBy($"k".as("vocab_size"))
-      .agg(max($"cum").as("covered_tokens"),
-        max($"total").as("total_tokens"),
-        count(lit(1)).as("n_types_used"),
-        round(max($"cum") / max($"total").cast("double"), 6).as("coverage"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // vocabulary-sized barrier: prefixCum references its input several
+      // times (range-bound agg, bucket totals, final join) and the two
+      // stacked calls compound that fan-out — the persist caps every
+      // reference at the cached type table, and the checkpoint releases
+      // it before the (lazy) ladder rollup leaves the function
+      val ranked = coverageRanked(types).localCheckpoint(true)
+      val ks = ladder.map(_.toLong).toDF("k")
+      ranked
+        .crossJoin(broadcast(ks))
+        .filter($"rk" <= $"k")
+        .groupBy($"k".as("vocab_size"))
+        .agg(max($"cum").as("covered_tokens"),
+          max($"total").as("total_tokens"),
+          count(lit(1)).as("n_types_used"),
+          round(max($"cum") / max($"total").cast("double"), 6).as("coverage"))
+    } finally types.unpersist()
+  }
+
+  /** The windowed core of [[coverageCurve]], un-checkpointed so
+    * PlanContractSpec can walk the physical plan: (token, freq) →
+    * + rk (1 + exclusive unit-weight prefix count in (freq DESC, token))
+    * + cum (inclusive freq running sum in rank order) + total. Both
+    * prefix sums are two-level bucket-split — no SinglePartition
+    * exchange feeds any window.
+    */
+  private[graft] def coverageRanked(types: DataFrame): DataFrame = {
+    val r1 = Ranking
+      .prefixCum(types, Nil, -col("freq"),
+        Seq(col("freq").desc, col("token").asc), lit(1L))
+      .withColumn("rk", (col("cum_before") + 1).cast("long"))
+      .drop("cum_before")
+    val r2 = Ranking
+      .prefixCum(r1, Nil, col("rk"), Seq(col("rk").asc), col("freq"))
+      .withColumn("cum", (col("cum_before") + col("freq")).cast("long"))
+      .drop("cum_before")
+    val totals = broadcast(types.agg(sum(col("freq")).as("total")))
+    r2.crossJoin(totals)
   }
 }

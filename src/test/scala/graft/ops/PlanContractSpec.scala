@@ -646,4 +646,53 @@ class PlanContractSpec extends AnyFunSuite {
     }.sum
     assert(winCount >= 5, s"expected prefixCum windows in the plans, saw $winCount")
   }
+
+  // ---- vocabulary-rank family: the round-7 rewrites. q166/q210/q194/
+  // q214 keep global top-k via Ranking.topKGlobal — their final plans
+  // must carry NO Window at all (the old shape ranked the full type
+  // table through one task); q187 genuinely needs full-vocabulary
+  // cumulative sums, so it rides prefixCum and its windows must never
+  // be fed by a SinglePartition exchange.
+
+  test("q166/q210/q194/q214: global top-k plans carry no Window") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plans = Map(
+      "q166" -> TextAnalysis.mgHeavyHitters(spark, sf),
+      "q210" -> TextAnalysis.zipfFit(spark, sf),
+      "q194" -> TextAnalysis.frequentPairs(spark, sf),
+      "q214" -> TextAnalysis.queryExpansion(spark, sf))
+    val offenders = plans.flatMap { case (name, df) =>
+      val p0 = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      p0.collect { case w: WindowExec => s"$name: ${w.simpleStringWithNodeId()}" }
+    }
+    assert(offenders.isEmpty,
+      s"vocabulary-rank windows crept back in:\n${offenders.mkString("\n")}")
+  }
+
+  test("q187: coverage ranks ride prefixCum — windows present, none SinglePartition-fed") {
+    import spark.implicits._
+    val types = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"text".isNotNull)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("token"))
+      .filter(org.apache.spark.sql.functions.length($"token") >= 1)
+      .groupBy($"token")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("freq"))
+    val ranked = TextAnalysis.coverageRanked(types)
+    val bad = windowFedBySinglePartition(ranked)
+    assert(bad.isEmpty, s"q187 windows over one task:\n${bad.mkString("\n")}")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p0 = ranked.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val winCount = p0.collect { case w: WindowExec => w }.size
+    assert(winCount >= 2, s"expected both prefixCum windows, saw $winCount")
+  }
 }

@@ -89,4 +89,55 @@ class RankingSpec extends AnyFunSuite {
     val empty = spark.range(0).select($"id".as("v"))
     assert(Ranking.prefixCum(empty, Nil, $"v", Seq($"v"), lit(1L)).count() == 0)
   }
+
+  test("topKGlobal equals the global row_number window exactly") {
+    import spark.implicits._
+    // heavy score ties (id % 7) so the lexicographic tie-break matters;
+    // mixed desc/asc order directions
+    val df = spark.range(5000)
+      .select(($"id" % 7).as("score"), concat(lit("t"), $"id").as("tok"))
+    val exp = df.withColumn("rk", row_number()
+        .over(Window.orderBy($"score".desc, $"tok")).cast("long"))
+      .filter($"rk" <= 25)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    for (eager <- Seq(true, false)) {
+      val got = Ranking
+        .topKGlobal(df, Seq("score" -> true, "tok" -> false), 25,
+          eager = eager)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == exp, s"eager=$eager diverged from the window ranking")
+    }
+    // k larger than the input: every row ranked, still exact
+    val tiny = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("score", "tok")
+    val all = Ranking.topKGlobal(tiny, Seq("score" -> false, "tok" -> false), 10)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(all == Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    // empty input → empty output
+    assert(Ranking.topKGlobal(
+      spark.range(0).select($"id".as("score"), $"id".cast("string").as("tok")),
+      Seq("score" -> true, "tok" -> false), 5).count() == 0)
+  }
+
+  test("topKGlobal plans TakeOrderedAndProject and builds no Window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = spark.range(5000)
+      .select(($"id" % 7).as("score"), concat(lit("t"), $"id").as("tok"))
+    val out = Ranking.topKGlobal(df, Seq("score" -> true, "tok" -> false),
+      10, eager = false)
+    def strip(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val nodes = strip(out.queryExecution.executedPlan).collect {
+      case n => n
+    }
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "the top-k must plan as TakeOrderedAndProject, not a global sort")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "topKGlobal must not introduce any Window")
+  }
 }

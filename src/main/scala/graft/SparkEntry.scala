@@ -3248,7 +3248,8 @@ object SparkEntry {
         |FROM d
         | JOIN nrm na ON doc_a = na.doc_id
         | JOIN nrm nb ON doc_b = nb.doc_id
-        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.6""".stripMargin,
+        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.6
+        |  AND na.nrm > 0 AND nb.nrm > 0""".stripMargin,
     // q163: clip fences are rank-SELECTED order statistics (integer rn
     // comparisons), so both engines pin identical bounds; only the
     // moments carry FP and they are rounded
@@ -4506,7 +4507,8 @@ object SparkEntry {
         |   AS weighted_jaccard
         |FROM inter i
         | JOIN docw da ON i.doc_a = da.doc_id
-        | JOIN docw db ON i.doc_b = db.doc_id""".stripMargin,
+        | JOIN docw db ON i.doc_b = db.doc_id
+        |WHERE da.sw > 0 AND db.sw > 0""".stripMargin,
     // q216: the q41 recursive-reach pattern on the KNN edges, min-root
     // components, singletons from the full id set
     "q216_knn_components" ->

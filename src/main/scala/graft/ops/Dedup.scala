@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (north-star surface): exact
@@ -588,46 +589,36 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
   }
 
-  /** Shingle-set Jaccard similarity for the most-similar doc pairs.
-    * Computes |A∩B| via a shingle equi-join and |A∪B| = |A|+|B|-|A∩B|;
-    * thresholded so the join output stays sparse.
+  /** Shingle-set Jaccard similarity for the most-similar doc pairs:
+    * all pairs with J ≥ `minJaccard`, computed candidate-then-verify.
     *
-    * Scale order matters: the shingle join's pair count is quadratic in
-    * per-shingle duplication (measured: 10× replicated corpus → ~100×
-    * pairs). Exact-dedup-first is therefore BUILT IN via
-    * [[shingleSetPairsDedupFirst]] (the q148 treatment): identical
-    * shingle sets collapse to one representative, the equi-join runs on
-    * representatives only, and the expansion reconstructs the exact
-    * all-pairs answer — so on a corpus duplicated k ways the join is
-    * O(d²) in DISTINCT documents and only the (irreducible,
-    * output-sized) expansion grows with duplication. The LSH candidate
+    * Scale has TWO quadratic axes, both closed. (1) Duplication:
+    * exact-dedup-first is BUILT IN via [[shingleSetPairsDedupFirst]]
+    * (the q148 treatment) — identical shingle sets collapse to one
+    * representative, pairing runs on representatives only, and the
+    * expansion reconstructs the exact all-pairs answer, so a corpus
+    * duplicated k ways pays O(d²) in DISTINCT documents. (2) Σ df²
+    * across DISTINCT documents: a boilerplate shingle shared by 10⁶
+    * distinct docs would fan the naive equi-join into ~10¹² rows, so
+    * the rep-level pairing rides the df-adaptive
+    * [[hybridJaccardRepPairs]] — the measured-statistic branch that
+    * keeps the naive single-join plan whenever max df ≤ `dfCap`
+    * (bounded Σ df²) and otherwise isolates heavy shingles behind a
+    * prefix-bounded candidate stage so they never self-join. The LSH
     * stages (MinHash/SimHash) remain the recall-trading alternative.
     *
-    * The self-join keys on xxhash64(shingle), not the shingle string:
-    * the sort-merge join then shuffles and sorts 8-byte longs instead of
-    * ~25-byte strings (~35% off the join wall time, same output —
-    * a 64-bit collision needs ~2³² distinct shingles by birthday bound).
-    * Hashing happens BEFORE the per-doc distinct, so intersections and
-    * set sizes count the same hashed set and stay mutually consistent
-    * even under a collision.
+    * Values are identical to the naive equi-join spelling (the DuckDB
+    * oracle computes exactly that); `minJaccard` must sit in [0, 1] —
+    * the within-group expansion emits Jaccard-1.0 pairs uncondition-
+    * ally, so a super-unit threshold would be silently ignored.
     */
-  def jaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.05): DataFrame =
-    shingleSetPairsDedupFirst(spark, dir) { reps =>
-      import spark.implicits._
-      val sh = reps.select($"doc_id", explode($"shs").as("sh"))
-      val sizes = reps.select($"doc_id", $"n".cast("long").as("n"))
-      val common = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(sizes.as("sa"), $"rep_a" === $"sa.doc_id")
-        .join(sizes.as("sb"), $"rep_b" === $"sb.doc_id")
-        .select($"rep_a", $"rep_b", $"common",
-          round($"common".cast("double") /
-            (col("sa.n") + col("sb.n") - $"common"), 6).as("jaccard"))
-        .filter($"jaccard" >= minJaccard)
-    }
+  def jaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.05,
+      dfCap: Int = 256): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0, 1], got $minJaccard")
+    shingleSetPairsDedupFirst(spark, dir)(
+      hybridJaccardRepPairs(spark, _, minJaccard, dfCap))
+  }
 
   /** Per-document duplicated-window fraction — the exact-substring
     * duplication METRIC (Lee et al., "Deduplicating Training Data Makes
@@ -837,40 +828,191 @@ object Dedup {
     * the no-false-negative claim is value-checked, not asserted.
     */
   def prefixJaccardJoin(spark: SparkSession, dir: String,
-      t: Double = 0.6): DataFrame =
-    shingleSetPairsDedupFirst(spark, dir) { reps =>
-      import spark.implicits._
-      val sh = reps.select($"doc_id", explode($"shs").as("sh"))
-      val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      val pref = sh.join(dfreq, "sh")
-        .groupBy($"doc_id")
-        .agg(array_sort(collect_list(struct($"df", $"sh"))).as("sorted"))
-        .select($"doc_id", expr(
-          s"slice(sorted, 1, greatest(0, cast(size(sorted) - ceil(${t}d * size(sorted)) + 1 as int)))"
-        ).as("prefix"))
-        .select($"doc_id", explode($"prefix.sh").as("sh"))
-      val cand = pref.as("a")
-        .join(pref.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
-        .distinct()
-      // verify by hashed array intersection on the (distinct) shingle
-      // sets — one pass over na+nb elements per candidate pair, vs the
-      // exploded pair×shingle shuffle + count the same check costs as a
-      // join-then-groupBy
-      cand
-        .join(reps.select($"doc_id".as("rep_a"), $"shs".as("sa"),
-          $"n".as("na")), Seq("rep_a"))
-        .join(reps.select($"doc_id".as("rep_b"), $"shs".as("sb"),
-          $"n".as("nb")), Seq("rep_b"))
-        .select($"rep_a", $"rep_b",
-          size(array_intersect($"sa", $"sb")).cast("long").as("common"),
-          $"na", $"nb")
+      t: Double = 0.6): DataFrame = {
+    require(t >= 0.0 && t <= 1.0, s"t must be in [0, 1], got $t")
+    shingleSetPairsDedupFirst(spark, dir)(
+      prefixVerifiedRepPairs(spark, _, t))
+  }
+
+  /** The PPJoin candidate-then-verify core of [[prefixJaccardJoin]]
+    * (q148), over the dedup-first representative table
+    * `(doc_id, shs, n)`: shingles sort by (document frequency, hash) —
+    * one global order realized per doc by a doc-partitioned rank, NO
+    * materialized global order — and only each set's safe prefix
+    * (n − ⌈τ·n⌉ + 1 rarest shingles) enters the candidate self-join:
+    * two sets with J ≥ τ provably share a prefix element, and
+    * rare-shingle blocks are small, so the join fans out where
+    * near-dups actually are. Candidates verify by exact hashed-array
+    * intersection — one pass over na+nb elements per pair, the right
+    * verify when the HIGH threshold keeps candidates sparse
+    * (at low thresholds candidates approach all co-occurring pairs and
+    * the array traffic dominates — that regime belongs to
+    * [[hybridJaccardRepPairs]]).
+    *
+    * The prefix length is computed at τ − 2e-6, not τ: the FINAL filter
+    * compares the 6-dp ROUNDED Jaccard against τ, so a pair at exact
+    * J = τ − 4e-7 rounds up and must be kept — the slack keeps the
+    * bound sound for every pair the rounded filter admits (one extra
+    * prefix element at worst).
+    */
+  private[ops] def prefixVerifiedRepPairs(spark: SparkSession,
+      reps: DataFrame, t: Double): DataFrame = {
+    import spark.implicits._
+    val cand = prefixCandidates(spark, reps, t)
+    cand
+      .join(reps.select($"doc_id".as("rep_a"), $"shs".as("sa"),
+        $"n".as("na")), Seq("rep_a"))
+      .join(reps.select($"doc_id".as("rep_b"), $"shs".as("sb"),
+        $"n".as("nb")), Seq("rep_b"))
+      .select($"rep_a", $"rep_b",
+        size(array_intersect($"sa", $"sb")).cast("long").as("common"),
+        $"na", $"nb")
+      .select($"rep_a", $"rep_b", $"common",
+        round($"common".cast("double") / ($"na" + $"nb" - $"common"), 6)
+          .as("jaccard"))
+      .filter($"jaccard" >= t)
+  }
+
+  /** The df-ADAPTIVE exact pair core of [[jaccardPairs]] (q16): the
+    * Σ df² hazard in the naive postings self-join is driven by HEAVY
+    * (high-df, boilerplate) shingles, not by the threshold — and q16's
+    * default τ=0.05 is exactly where the PPJoin prefix stops pruning
+    * (the prefix is 1−τ of every doc). So the plan branches on a
+    * MEASURED statistic, the optimizer way:
+    *
+    *  - max df ≤ `dfCap` (one 1-row aggregate over the df table — the
+    *    bounded-scalar pattern): the plain postings join + groupBy
+    *    count, whose row count Σ df² ≤ dfCap·|postings| is LINEAR in
+    *    the corpus. No boilerplate ⇒ zero overhead over the naive plan.
+    *  - otherwise, split postings at dfCap. LIGHT∩LIGHT commons come
+    *    from the same bounded join over light postings only; each
+    *    such pair adds its HEAVY overlap by exploding the per-doc heavy
+    *    postings (candidate-driven, skinny rows). Pairs sharing NO
+    *    light shingle can only qualify through ≥ ⌈τ·n⌉ shared heavy
+    *    shingles, so each doc exposes only the |H_d| − ⌈τ·n_d⌉ + 1
+    *    rarest of its heavy shingles as heavy-only candidate
+    *    generators (the PPJoin prefix lemma applied to the heavy
+    *    subsets; docs whose heavy set is smaller than ⌈τ·n⌉ generate
+    *    NONE — a df=10⁶ boilerplate shingle in ordinary documents
+    *    produces zero join rows). Anti-joining the light pairs keeps
+    *    the two branches disjoint; both are exact counts, so the union
+    *    is the naive answer value-for-value.
+    *
+    * τ enters the heavy-prefix length at τ − 2e-6 (the
+    * [[prefixVerifiedRepPairs]] rounding slack). Returns an EAGER pair
+    * table; internal caches are released before returning.
+    */
+  private[ops] def hybridJaccardRepPairs(spark: SparkSession,
+      reps: DataFrame, t: Double, dfCap: Int = 256): DataFrame = {
+    import spark.implicits._
+    val tEff = math.max(0.0, t - 2e-6)
+    val sh = reps.select($"doc_id", $"n", explode($"shs").as("sh"))
+    val sizes = reps.select($"doc_id", $"n".cast("long").as("n"))
+    def jaccardOf(pairs: DataFrame): DataFrame =
+      pairs
+        .join(sizes.select($"doc_id".as("rep_a"), $"n".as("na")), Seq("rep_a"))
+        .join(sizes.select($"doc_id".as("rep_b"), $"n".as("nb")), Seq("rep_b"))
         .select($"rep_a", $"rep_b", $"common",
           round($"common".cast("double") / ($"na" + $"nb" - $"common"), 6)
             .as("jaccard"))
         .filter($"jaccard" >= t)
-    }
+    val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxRow = dfreq.agg(max($"df")).head()
+      val maxDf = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      if (maxDf <= dfCap) {
+        // fast path: the bounded naive join, one shuffle + one groupBy
+        val common = sh.as("a")
+          .join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+          .agg(count(lit(1)).as("common"))
+        jaccardOf(common).localCheckpoint(true)
+      } else {
+        val post = sh.join(dfreq, "sh")
+        val light = post.filter($"df" <= dfCap)
+          .select($"doc_id", $"sh")
+        val heavy = post.filter($"df" > dfCap)
+          .select($"doc_id", $"n", $"sh", $"df")
+        val cLL = light.as("a")
+          .join(light.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+          .agg(count(lit(1)).as("c_l"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val hvA = heavy.select($"doc_id".as("rep_a"), $"sh")
+          val hvB = heavy.select($"doc_id".as("rep_b"), $"sh")
+          val cLH = cLL.select($"rep_a", $"rep_b")
+            .join(hvA, Seq("rep_a"))
+            .join(hvB, Seq("rep_b", "sh"))
+            .groupBy($"rep_a", $"rep_b").agg(count(lit(1)).as("c_h"))
+          val pairsLight = cLL
+            .join(cLH, Seq("rep_a", "rep_b"), "left")
+            .select($"rep_a", $"rep_b",
+              ($"c_l" + coalesce($"c_h", lit(0L))).as("common"))
+          // heavy-only candidates via the prefix lemma on heavy subsets
+          val wH = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
+          val hCnt = heavy.groupBy($"doc_id").agg(count(lit(1)).as("hn"))
+          val hpref = heavy.join(hCnt, Seq("doc_id"))
+            .withColumn("rn", row_number().over(wH))
+            .filter($"rn" <=
+              greatest(lit(0L),
+                ($"hn" - ceil(lit(tEff) * $"n") + 1).cast("long")))
+            .select($"doc_id", $"sh")
+          val candH = hpref.as("a")
+            .join(hpref.as("b"),
+              col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+            .distinct()
+            .join(cLL.select($"rep_a", $"rep_b"), Seq("rep_a", "rep_b"),
+              "left_anti")
+          val pairsHeavy = candH
+            .join(hvA, Seq("rep_a"))
+            .join(hvB, Seq("rep_b", "sh"))
+            .groupBy($"rep_a", $"rep_b").agg(count(lit(1)).as("common"))
+          jaccardOf(pairsLight.unionByName(pairsHeavy))
+            .localCheckpoint(true)
+        } finally cLL.unpersist()
+      }
+    } finally dfreq.unpersist()
+  }
+
+  /** Doc-partitioned (df, sh)-ranked postings with each doc's safe
+    * prefix length at τ − 2e-6: (doc_id, sh, rn, plen). Shared by the
+    * verify core and [[prefixCandidates]].
+    */
+  private def rankedPostings(spark: SparkSession, reps: DataFrame,
+      t: Double): DataFrame = {
+    import spark.implicits._
+    val tEff = math.max(0.0, t - 2e-6)
+    val sh = reps.select($"doc_id", $"n", explode($"shs").as("sh"))
+    val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
+    sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("plen",
+        greatest(lit(0L),
+          ($"n" - ceil(lit(tEff) * $"n") + 1).cast("long")))
+      .select($"doc_id", $"sh", $"rn", $"plen")
+  }
+
+  /** Candidate pairs of [[prefixVerifiedRepPairs]] — exposed so the
+    * prune is testable: a corpus-wide boilerplate shingle must generate
+    * ZERO candidates once every doc's prefix excludes it.
+    */
+  private[ops] def prefixCandidates(spark: SparkSession, reps: DataFrame,
+      t: Double): DataFrame = {
+    import spark.implicits._
+    val pref = rankedPostings(spark, reps, t)
+      .filter($"rn" <= $"plen").select($"doc_id", $"sh")
+    pref.as("a")
+      .join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+      .distinct()
+  }
 
   /** Exact-dedup-first scaffold shared by the shingle-set pair operators
     * (q16 jaccardPairs, q148 prefixJaccardJoin) — the q39 lesson applied
@@ -1004,13 +1146,24 @@ object Dedup {
     * too), but postings, norms and the Σ df² dot-product join run over
     * REPRESENTATIVES only; [[expandRepPairs]] then rebuilds the exact
     * all-pairs answer, and within-group pairs are identical vectors —
-    * cosine exactly 1 after the 6-dp round (assumes minCos ≤ 1, as any
-    * cosine threshold is). idf still tells you which terms to drop
-    * (weight ≈ 0 ⇒ pruning common terms changes nothing but the
-    * constant).
+    * cosine exactly 1 after the 6-dp round (hence the enforced
+    * minCos ≤ 1). The OTHER quadratic axis — Σ df² across DISTINCT
+    * documents — is cut twice inside: exactly-zero-idf (universal)
+    * grams leave the join entirely, and the remaining postings pass the
+    * Bayardo/All-Pairs prefix bound, so only terms that can still carry
+    * a qualifying pair generate candidates (details at the
+    * implementation comment; both cuts are value-exact, enforced
+    * jointly with the positive-norm contract mirrored in the oracle).
     */
   def tfidfCosinePairs(spark: SparkSession, dir: String,
-      minCos: Double = 0.6): DataFrame = {
+      minCos: Double = 0.6, dfCap: Int = 256): DataFrame = {
+    // > 0 (not just ≤ 1): in the heavy branch, pairs overlapping ONLY
+    // on zero-weight universal grams never enter the pruned dot-product
+    // join — exact because their cosine is 0 (or NaN at zero norm,
+    // excluded by the positive-norm contract below), which a positive
+    // threshold rejects
+    require(minCos > 0.0 && minCos <= 1.0,
+      s"minCos must be in (0, 1], got $minCos")
     import spark.implicits._
     val grouped = docs(spark, dir)
       .select($"doc_id", md5($"text").as("gkey"))
@@ -1019,37 +1172,115 @@ object Dedup {
       .groupBy($"doc_id", xxhash64($"sh").as("g"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"g").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     val repIds = grouped.groupBy($"gkey").agg(min($"doc_id").as("doc_id"))
     val wts = tf.join(repIds, Seq("doc_id"), "left_semi")
       .join(dfreq, "g")
       .crossJoin(broadcast(nDocs))
-      .select($"doc_id", $"g",
+      .select($"doc_id", $"g", $"df",
         ($"tf" * log($"n_docs".cast("double") / $"df")).as("wt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val norms = wts.groupBy($"doc_id")
         .agg(sqrt(sum($"wt" * $"wt")).as("nrm"),
           count(lit(1)).as("n_grams"))
-      val dots = wts.select($"g", $"doc_id".as("rep_a"), $"wt".as("wa"))
-        .join(wts.select($"g", $"doc_id".as("rep_b"), $"wt".as("wb")), Seq("g"))
-        .filter($"rep_a" < $"rep_b")
-        .groupBy($"rep_a", $"rep_b")
-        .agg(sum($"wa" * $"wb").as("dot"), count(lit(1)).as("n_shared"))
-      val repPairs = dots
-        .join(norms.select($"doc_id".as("rep_a"), $"nrm".as("na")), Seq("rep_a"))
-        .join(norms.select($"doc_id".as("rep_b"), $"nrm".as("nb")), Seq("rep_b"))
-        .select($"rep_a", $"rep_b", $"n_shared",
-          round($"dot" / ($"na" * $"nb"), 6).as("cosine"))
-        .filter($"cosine" >= minCos)
+      // ---- df-adaptive Σ df² cut (the q16 hybrid rationale): the
+      // hazard is HEAVY grams, so branch on the measured max df.
+      val maxRow = dfreq.agg(max($"df")).head()
+      val maxDf = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val repPairs = if (maxDf <= dfCap) {
+        // fast path: the plain inverted-index dot join — Σ df² ≤
+        // dfCap·|postings| rows, linear in the corpus. Universal grams
+        // (possible only when n_docs ≤ dfCap) ride along with weight 0
+        // exactly as in the naive plan, so n_shared needs no correction.
+        val dots = wts.select($"g", $"doc_id".as("rep_a"), $"wt".as("wa"))
+          .join(wts.select($"g", $"doc_id".as("rep_b"), $"wt".as("wb")),
+            Seq("g"))
+          .filter($"rep_a" < $"rep_b")
+          .groupBy($"rep_a", $"rep_b")
+          .agg(sum($"wa" * $"wb").as("dot"), count(lit(1)).as("n_shared"))
+        dots
+          .join(norms.select($"doc_id".as("rep_a"), $"nrm".as("na")),
+            Seq("rep_a"))
+          .join(norms.select($"doc_id".as("rep_b"), $"nrm".as("nb")),
+            Seq("rep_b"))
+          .filter($"na" > 0 && $"nb" > 0)
+          .select($"rep_a", $"rep_b", $"n_shared",
+            round($"dot" / ($"na" * $"nb"), 6).as("cosine"))
+          .filter($"cosine" >= minCos)
+      } else {
+        // heavy branch, two exact cuts. (1) wt == 0.0 iff the gram is
+        // UNIVERSAL (df == n_docs ⇒ log(1.0) == 0.0 exactly; any
+        // df < n_docs gives wt > 0): universal grams contribute 0 to
+        // every dot product and norm, so they leave the join entirely
+        // and re-enter n_shared as the broadcast constant n_univ (every
+        // pair shares every universal gram). (2) Bayardo/All-Pairs
+        // prefix bound on what remains: with unit-normalized weights ŵ
+        // and terms in one fixed global (df, g) order, cos(A,B) ≤
+        // Σ_{A's terms from the first shared one} ŵ_A(g)·maxŵ(g) — so a
+        // term only needs to GENERATE candidates while that suffix
+        // bound still clears the threshold. Rare terms (the suffix) do,
+        // heavy boilerplate terms (early, with tiny per-doc weight)
+        // fall out. The bound runs at minCos − 2e-6: the final filter
+        // compares the 6-dp ROUNDED cosine, so the slack covers pairs
+        // that round up across the threshold plus FP noise in the
+        // suffix sums.
+        val tEff = minCos - 2e-6
+        val nUniv = broadcast(dfreq.crossJoin(broadcast(nDocs))
+          .filter($"df" === $"n_docs")
+          .agg(count(lit(1)).as("n_univ")))
+        val wtsNz = wts.filter($"wt" =!= 0.0)
+        val wn = wtsNz
+          .join(norms.select($"doc_id", $"nrm"), Seq("doc_id"))
+          .filter($"nrm" > 0)
+          .select($"doc_id", $"g", $"df", ($"wt" / $"nrm").as("wn"))
+        val gmax = wn.groupBy($"g").agg(max($"wn").as("gmax"))
+        val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"g")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy($"doc_id")
+        val pref = wn.join(gmax, "g")
+          .withColumn("c", $"wn" * $"gmax")
+          .withColumn("cum", sum($"c").over(wDoc))
+          .withColumn("tot", sum($"c").over(wTot))
+          .filter($"tot" - $"cum" + $"c" >= tEff)
+          .select($"doc_id", $"g")
+        val cand = pref.as("a")
+          .join(pref.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+          .distinct()
+        val dots = cand
+          .join(wtsNz.select($"doc_id".as("rep_a"), $"g", $"wt".as("wa")),
+            Seq("rep_a"))
+          .join(wtsNz.select($"doc_id".as("rep_b"), $"g", $"wt".as("wb")),
+            Seq("rep_b", "g"))
+          .groupBy($"rep_a", $"rep_b")
+          .agg(sum($"wa" * $"wb").as("dot"),
+            count(lit(1)).as("n_shared_nz"))
+        dots
+          .join(norms.select($"doc_id".as("rep_a"), $"nrm".as("na")),
+            Seq("rep_a"))
+          .join(norms.select($"doc_id".as("rep_b"), $"nrm".as("nb")),
+            Seq("rep_b"))
+          .crossJoin(nUniv)
+          .select($"rep_a", $"rep_b",
+            ($"n_shared_nz" + $"n_univ").as("n_shared"),
+            round($"dot" / ($"na" * $"nb"), 6).as("cosine"))
+          .filter($"cosine" >= minCos)
+      }
       val cross = expandRepPairs(grouped, repPairs, Seq("n_shared", "cosine"))
       // within-group pairs: identical tf vectors share every gram —
       // n_shared is the rep's distinct-gram count, cosine is exactly 1
       // (x/(√x·√x) rounds to 1.0 at 6 dp on both engines); groups whose
       // text yields no shingles have no norms row and drop, matching the
-      // naive inner joins
+      // naive inner joins, and zero-norm groups (every gram universal)
+      // are excluded by the positive-norm contract — the naive 0/0
+      // there is engine-dependent NaN, so the contract, enforced on
+      // BOTH the plan and the oracle, is the deterministic semantics
       val repStats = repIds
-        .join(norms.select($"doc_id", $"n_grams"), Seq("doc_id"))
+        .join(norms.select($"doc_id", $"n_grams", $"nrm"), Seq("doc_id"))
+        .filter($"nrm" > 0)
         .select($"gkey".as("gk"), $"n_grams")
       val within = grouped.as("x")
         .join(grouped.as("y"),
@@ -1058,7 +1289,7 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           $"n_grams".as("n_shared"), lit(1.0).as("cosine"))
       cross.unionByName(within).localCheckpoint(true)
-    } finally { wts.unpersist(); grouped.unpersist() }
+    } finally { wts.unpersist(); dfreq.unpersist(); grouped.unpersist() }
   }
 
   /** MinHash banding quality report (q186): precision/recall of the q15
@@ -1130,6 +1361,10 @@ object Dedup {
             $"n_sh".as("na")), Seq("doc_a"))
           .join(docW.select($"doc_id".as("doc_b"), $"sw".as("swb"),
             $"n_sh".as("nb")), Seq("doc_b"))
+          // positive-weight contract (enforced on the oracle too): a doc
+          // whose every shingle is corpus-universal has sw == 0, and a
+          // pair of two such docs divides 0/0 — engine-dependent NaN
+          .filter($"swa" > 0 && $"swb" > 0)
           .select($"doc_a".as("rep_a"), $"doc_b".as("rep_b"), $"common",
             round($"common" / ($"na" + $"nb" - $"common").cast("double"), 6)
               .as("jaccard"),
@@ -1142,6 +1377,7 @@ object Dedup {
         // empty-set groups have no docW row and drop, like the naive
         // inner joins
         val repStats = repIds.join(docW, Seq("doc_id"))
+          .filter($"sw" > 0)
           .select($"gkey".as("gk"), $"n_sh")
         val within = grouped.as("x")
           .join(grouped.as("y"),

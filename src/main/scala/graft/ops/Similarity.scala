@@ -108,13 +108,22 @@ object Similarity {
     * DISTINCT-vector pair count plus the (output-sized) expansion.
     * Within-group pairs score with the identical cosine expression the
     * naive join would apply (same inputs ⇒ same double), so thresholds
-    * and zero-vector NaN semantics are preserved verbatim.
+    * and zero-vector NaN semantics are preserved verbatim. A NULL-label
+    * row gets a PRIVATE group (keyed by its own vec_id — the "null:"
+    * prefix cannot collide with an md5 hex): the naive `a.label ===
+    * b.label` join never pairs nulls, and a shared to_json group key
+    * would (to_json silently OMITS null fields, merging every null-label
+    * row of one embedding into one group whose within-branch then emits
+    * pairs the naive plan does not).
     */
   def cosineNearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.3): DataFrame = {
     import spark.implicits._
     val grouped = emb(spark, dir)
       .select($"vec_id".as("doc_id"), $"label", $"embedding",
-        md5(to_json(struct($"label", $"embedding"))).as("gkey"))
+        when($"label".isNull,
+          concat(lit("null:"), $"vec_id".cast("string")))
+          .otherwise(md5(to_json(struct($"label", $"embedding"))))
+          .as("gkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val reps = grouped

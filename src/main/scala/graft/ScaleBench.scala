@@ -97,13 +97,14 @@ object ScaleBench {
     "q180_token_budget", "q181_calibration_bins", "q182_em_mixture",
     // q186 dedup-eval is deliberately absent for the q145 reason: its
     // ground-truth arm is the exact-Jaccard pair join, and the
-    // replicated corpus maximizes the pair count by construction; at
-    // scale it runs on an md5 doc-sample
+    // replicated corpus maximizes the pair count by construction; the
+    // md5-sampled twin q222 IS in the sweep — its scale row is the
+    // evidence that the sample bounds the truth arm
     "q183_burrows_delta", "q184_pq_codebook", "q185_bpe_fertility",
     "q187_coverage_curve", "q189_embedding_outliers",
     "q190_optimal_threshold", "q191_group_split", "q192_knn_hubness",
     // q196 shares q186's exact-Jaccard arm and its replicated-corpus
-    // hazard — same sampled-corpus recipe at scale, same exclusion
+    // hazard — its sampled twin q223 runs in its place
     "q194_frequent_pairs", "q195_rule_ablation", "q197_compaction_plan",
     "q198_sliced_auc", "q199_negative_sampling", "q201_retrieval_agreement",
     "q202_k_anonymity", "q203_sentence_stats", "q205_temperature_ess",
@@ -112,7 +113,8 @@ object ScaleBench {
     // maximal-candidate regime by construction on a replicated corpus
     "q210_zipf_fit", "q211_rank_biased_overlap", "q213_bfs_levels",
     "q214_query_expansion", "q215_weighted_jaccard",
-    "q216_knn_components", "q220_kcore_fixpoint", "q221_bfs_complete")
+    "q216_knn_components", "q220_kcore_fixpoint", "q221_bfs_complete",
+    "q222_dedup_eval_sampled", "q223_s_curve_sampled")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

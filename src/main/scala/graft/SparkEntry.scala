@@ -580,6 +580,13 @@ object SparkEntry {
     // reachability census, where q213's 4 hops probe the near field
     "q221_bfs_complete" -> ((s: SparkSession, d: String) =>
       Graph.bfsLevels(s, d, maxDepth = 20)),
+    // q186's banding eval, both arms on the deterministic 50% md5
+    // doc sample — the truth arm's cost bounded by the sample at scale
+    "q222_dedup_eval_sampled" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupEval(s, d, sampleHexMax = "7f")),
+    // q196's S-curve on the same 50% sample
+    "q223_s_curve_sampled" -> ((s: SparkSession, d: String) =>
+      Dedup.sCurveCheck(s, d, sampleHexMax = "7f")),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3705,58 +3712,10 @@ object SparkEntry {
     "q185_bpe_fertility" -> bpeFertilityOracleSql(6),
     // q186: the q15 and q16 chains composed verbatim, f1 from the
     // ROUNDED precision/recall like the engine
-    "q186_dedup_eval" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
-        |       FROM documents),
-        |sh1 AS (SELECT doc_id,
-        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                for i in range(1, len(t) - 1)]) AS sh
-        |       FROM tok),
-        |h AS (SELECT doc_id,
-        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT)
-        |         AS h1,
-        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT)
-        |         AS h2 FROM sh1),
-        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
-        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
-        |          GROUP BY doc_id, i),
-        |sigs AS (SELECT doc_id, i // 4 AS band,
-        |          md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
-        |         FROM hmins GROUP BY doc_id, i // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM sigs a JOIN sigs b
-        |          ON a.band = b.band AND a.sig = b.sig
-        |          AND a.doc_id < b.doc_id),
-        |sh2 AS (SELECT DISTINCT doc_id,
-        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                for i in range(1, len(t) - 1)]) AS sh
-        |       FROM tok),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
-        |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         count(*) AS common
-        |        FROM sh2 a JOIN sh2 b
-        |         ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2),
-        |truth AS (SELECT doc_a, doc_b FROM com
-        |          JOIN sizes sa ON doc_a = sa.doc_id
-        |          JOIN sizes sb ON doc_b = sb.doc_id
-        |          WHERE round(CAST(common AS DOUBLE)
-        |            / (sa.n + sb.n - common), 6) >= 0.5),
-        |e1 AS (SELECT
-        |  CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_candidates,
-        |  CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_true_pairs,
-        |  CAST(sum(CASE WHEN c.doc_a IS NOT NULL AND t.doc_a IS NOT NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS tp
-        | FROM cand c FULL OUTER JOIN truth t
-        |  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
-        |e2 AS (SELECT *, round(tp / CAST(n_candidates AS DOUBLE), 6)
-        |         AS precision,
-        |        round(tp / CAST(n_true_pairs AS DOUBLE), 6) AS recall
-        |       FROM e1)
-        |SELECT *, round(2.0 * precision * recall
-        |  / (precision + recall), 6) AS f1 FROM e2""".stripMargin,
+    "q186_dedup_eval" -> dedupEvalOracleSql(""),
+    // q222: q186's eval with BOTH arms on the deterministic 50% md5
+    // doc sample — the oracle composes the identical sample predicate
+    "q222_dedup_eval_sampled" -> dedupEvalOracleSql(sampleWhere),
     // q187: same (freq DESC, token ASC) rank and integer running sums
     "q187_coverage_curve" ->
       """WITH types AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
@@ -3991,62 +3950,9 @@ object SparkEntry {
     },
     // q196: the q15/q16 chains; bands on the ROUNDED jaccard, analytic
     // curve from the literal band midpoint
-    "q196_s_curve_check" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
-        |       FROM documents),
-        |sh1 AS (SELECT doc_id,
-        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                for i in range(1, len(t) - 1)]) AS sh
-        |       FROM tok),
-        |h AS (SELECT doc_id,
-        |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT)
-        |         AS h1,
-        |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT)
-        |         AS h2 FROM sh1),
-        |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
-        |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
-        |          GROUP BY doc_id, i),
-        |sigs AS (SELECT doc_id, i // 4 AS band,
-        |          md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
-        |         FROM hmins GROUP BY doc_id, i // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM sigs a JOIN sigs b
-        |          ON a.band = b.band AND a.sig = b.sig
-        |          AND a.doc_id < b.doc_id),
-        |sh2 AS (SELECT DISTINCT doc_id,
-        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                for i in range(1, len(t) - 1)]) AS sh
-        |       FROM tok),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
-        |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         count(*) AS common
-        |        FROM sh2 a JOIN sh2 b
-        |         ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2),
-        |truth AS (SELECT doc_a, doc_b,
-        |           round(CAST(common AS DOUBLE)
-        |             / (sa.n + sb.n - common), 6) AS jaccard
-        |          FROM com
-        |           JOIN sizes sa ON doc_a = sa.doc_id
-        |           JOIN sizes sb ON doc_b = sb.doc_id
-        |          WHERE round(CAST(common AS DOUBLE)
-        |            / (sa.n + sb.n - common), 6) >= 0.05),
-        |bd AS (SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9)
-        |          AS band,
-        |        CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
-        |       FROM truth t LEFT JOIN cand c
-        |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
-        |g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
-        |       CAST(sum(is_cand) AS BIGINT) AS n_candidates,
-        |       round(band / 10.0 + 0.05, 2) AS band_mid
-        |      FROM bd GROUP BY 1)
-        |SELECT band, band_mid, n_pairs, n_candidates,
-        | round(n_candidates / CAST(n_pairs AS DOUBLE), 6)
-        |   AS empirical_rate,
-        | round(1.0 - pow(1.0 - pow(band_mid, 4), 4), 6) AS analytic_rate,
-        | round(abs(round(n_candidates / CAST(n_pairs AS DOUBLE), 6)
-        |   - round(1.0 - pow(1.0 - pow(band_mid, 4), 4), 6)), 6) AS gap
-        |FROM g""".stripMargin,
+    "q196_s_curve_check" -> sCurveOracleSql(""),
+    // q223: q196's S-curve with both arms on the 50% md5 doc sample
+    "q223_s_curve_sampled" -> sCurveOracleSql(sampleWhere),
     // q197: the q94 manifest reduced to (shard, chars), then pure i64
     // cumulative binning
     "q197_compaction_plan" ->
@@ -4625,6 +4531,130 @@ object SparkEntry {
     }.mkString
     init + steps
   }
+
+  /** The q47 deterministic md5-bucket sample predicate, spliced into
+    * the dual-arm evaluators' first CTE so BOTH arms (banding
+    * candidates and exact-Jaccard truth) see one corpus — byte-for-byte
+    * the condition `Dedup.sampleDocs` applies on the Spark side.
+    */
+  private val sampleWhere =
+    " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f'"
+
+  /** q186/q222 oracle: the naive q15 banding + q16 exact-truth eval;
+    * `docsWhere` restricts the corpus for the sampled variant.
+    */
+  private def dedupEvalOracleSql(docsWhere: String): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+       |       FROM documents$docsWhere),
+       |sh1 AS (SELECT doc_id,
+       |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                for i in range(1, len(t) - 1)]) AS sh
+       |       FROM tok),
+       |h AS (SELECT doc_id,
+       |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT)
+       |         AS h1,
+       |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT)
+       |         AS h2 FROM sh1),
+       |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+       |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+       |          GROUP BY doc_id, i),
+       |sigs AS (SELECT doc_id, i // 4 AS band,
+       |          md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+       |         FROM hmins GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM sigs a JOIN sigs b
+       |          ON a.band = b.band AND a.sig = b.sig
+       |          AND a.doc_id < b.doc_id),
+       |sh2 AS (SELECT DISTINCT doc_id,
+       |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                for i in range(1, len(t) - 1)]) AS sh
+       |       FROM tok),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+       |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         count(*) AS common
+       |        FROM sh2 a JOIN sh2 b
+       |         ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b FROM com
+       |          JOIN sizes sa ON doc_a = sa.doc_id
+       |          JOIN sizes sb ON doc_b = sb.doc_id
+       |          WHERE round(CAST(common AS DOUBLE)
+       |            / (sa.n + sb.n - common), 6) >= 0.5),
+       |e1 AS (SELECT
+       |  CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_candidates,
+       |  CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_true_pairs,
+       |  CAST(sum(CASE WHEN c.doc_a IS NOT NULL AND t.doc_a IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       | FROM cand c FULL OUTER JOIN truth t
+       |  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+       |e2 AS (SELECT *, round(tp / CAST(n_candidates AS DOUBLE), 6)
+       |         AS precision,
+       |        round(tp / CAST(n_true_pairs AS DOUBLE), 6) AS recall
+       |       FROM e1)
+       |SELECT *, round(2.0 * precision * recall
+       |  / (precision + recall), 6) AS f1 FROM e2""".stripMargin
+
+  /** q196/q223 oracle: per-band empirical vs analytic S-curve;
+    * `docsWhere` restricts the corpus for the sampled variant.
+    */
+  private def sCurveOracleSql(docsWhere: String): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+       |       FROM documents$docsWhere),
+       |sh1 AS (SELECT doc_id,
+       |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                for i in range(1, len(t) - 1)]) AS sh
+       |       FROM tok),
+       |h AS (SELECT doc_id,
+       |       CAST(('0x' || substring(md5(sh), 1, 8))::UBIGINT AS BIGINT)
+       |         AS h1,
+       |       CAST(('0x' || substring(md5(sh), 9, 8))::UBIGINT AS BIGINT)
+       |         AS h2 FROM sh1),
+       |hmins AS (SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS m
+       |          FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) hs
+       |          GROUP BY doc_id, i),
+       |sigs AS (SELECT doc_id, i // 4 AS band,
+       |          md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+       |         FROM hmins GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM sigs a JOIN sigs b
+       |          ON a.band = b.band AND a.sig = b.sig
+       |          AND a.doc_id < b.doc_id),
+       |sh2 AS (SELECT DISTINCT doc_id,
+       |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                for i in range(1, len(t) - 1)]) AS sh
+       |       FROM tok),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+       |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         count(*) AS common
+       |        FROM sh2 a JOIN sh2 b
+       |         ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b,
+       |           round(CAST(common AS DOUBLE)
+       |             / (sa.n + sb.n - common), 6) AS jaccard
+       |          FROM com
+       |           JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |          WHERE round(CAST(common AS DOUBLE)
+       |            / (sa.n + sb.n - common), 6) >= 0.05),
+       |bd AS (SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9)
+       |          AS band,
+       |        CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+       |       FROM truth t LEFT JOIN cand c
+       |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+       |g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+       |       round(band / 10.0 + 0.05, 2) AS band_mid
+       |      FROM bd GROUP BY 1)
+       |SELECT band, band_mid, n_pairs, n_candidates,
+       | round(n_candidates / CAST(n_pairs AS DOUBLE), 6)
+       |   AS empirical_rate,
+       | round(1.0 - pow(1.0 - pow(band_mid, 4), 4), 6) AS analytic_rate,
+       | round(abs(round(n_candidates / CAST(n_pairs AS DOUBLE), 6)
+       |   - round(1.0 - pow(1.0 - pow(band_mid, 4), 4), 6)), 6) AS gap
+       |FROM g""".stripMargin
 
   private def lpaOracleSql(rounds: Int): String =
     lpaCtes(rounds) +

@@ -44,12 +44,23 @@ object Dedup {
     * distinct is needed; the Jaccard pipelines use [[hashedShingleSet]]
     * instead, which distincts AFTER hashing).
     */
-  private[ops] def shingleRows(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    docs(spark, dir)
-      .select($"doc_id", toks.as("t"))
-      .select($"doc_id", explode(shinglesOf($"t")).as("sh"))
-  }
+  private[ops] def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(docs(spark, dir))
+
+  private[ops] def shingleRowsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(shinglesOf(col("t"))).as("sh"))
+
+  /** Deterministic md5-bucket corpus sample (the q47 idiom): keep a doc
+    * iff the first two hex chars of md5(doc_id) are ≤ `hexMax` —
+    * fraction (0xMAX+1)/256, reproducible across retries, executors and
+    * engines, and composable in the DuckDB oracle by the same
+    * expression. "ff" keeps everything.
+    */
+  private def sampleDocs(d: DataFrame, hexMax: String): DataFrame =
+    if (hexMax >= "ff") d
+    else d.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 2) <= lit(hexMax))
 
   /** Per-doc distinct SET of 64-bit shingle hashes: xxhash64 applied
     * BEFORE array_distinct, so two distinct shingle strings colliding to
@@ -613,10 +624,14 @@ object Dedup {
     * ally, so a super-unit threshold would be silently ignored.
     */
   def jaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.05,
-      dfCap: Int = 256): DataFrame = {
+      dfCap: Int = 256): DataFrame =
+    jaccardPairsOf(spark, docs(spark, dir), minJaccard, dfCap)
+
+  private[ops] def jaccardPairsOf(spark: SparkSession, d: DataFrame,
+      minJaccard: Double, dfCap: Int = 256): DataFrame = {
     require(minJaccard >= 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in [0, 1], got $minJaccard")
-    shingleSetPairsDedupFirst(spark, dir)(
+    shingleSetPairsDedupFirstOf(spark, d)(
       hybridJaccardRepPairs(spark, _, minJaccard, dfCap))
   }
 
@@ -1055,9 +1070,13 @@ object Dedup {
   }
 
   private def shingleSetPairsDedupFirst(spark: SparkSession, dir: String)(
+      pairFn: DataFrame => DataFrame): DataFrame =
+    shingleSetPairsDedupFirstOf(spark, docs(spark, dir))(pairFn)
+
+  private def shingleSetPairsDedupFirstOf(spark: SparkSession, d: DataFrame)(
       pairFn: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
-    val grouped = docs(spark, dir)
+    val grouped = d
       .select($"doc_id", array_sort(hashedShingleSet(toks)).as("shs"))
       .select($"doc_id", $"shs",
         md5(to_json(struct($"shs"))).as("gkey"), size($"shs").as("n"))
@@ -1459,11 +1478,13 @@ object Dedup {
     * and gap math run on the pair table. Same sampled-corpus recipe as
     * q186 at real scale.
     */
-  def sCurveCheck(spark: SparkSession, dir: String): DataFrame = {
+  def sCurveCheck(spark: SparkSession, dir: String,
+      sampleHexMax: String = "ff"): DataFrame = {
     import spark.implicits._
-    val truth = jaccardPairs(spark, dir, 0.05)
+    val d = sampleDocs(docs(spark, dir), sampleHexMax)
+    val truth = jaccardPairsOf(spark, d, 0.05)
       .select($"doc_a", $"doc_b", $"jaccard")
-    val cand = minhashCandidates(spark, dir)
+    val cand = candidatePairs(bandSignatures(shingleRowsOf(d), 4, 4))
       .select($"doc_a", $"doc_b", lit(1L).as("is_cand"))
     truth.join(cand, Seq("doc_a", "doc_b"), "left")
       .select(least(floor($"jaccard" * 10), lit(9L)).cast("long").as("band"),
@@ -1480,12 +1501,20 @@ object Dedup {
         round(abs($"empirical_rate" - $"analytic_rate"), 6))
   }
 
+  /** `sampleHexMax` < "ff" runs BOTH arms — banding candidates and the
+    * exact-Jaccard ground truth — on the same deterministic md5-bucket
+    * doc sample ([[sampleDocs]]): at 100 TB the exact truth arm is
+    * unrunnable on the full corpus, and the S-curve estimate needs
+    * thousands of pairs, not all of them. The oracle composes the
+    * identical sample predicate, so the sampled row is value-gated too.
+    */
   def dedupEval(spark: SparkSession, dir: String,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5, sampleHexMax: String = "ff"): DataFrame = {
     import spark.implicits._
-    val cand = minhashCandidates(spark, dir)
+    val d = sampleDocs(docs(spark, dir), sampleHexMax)
+    val cand = candidatePairs(bandSignatures(shingleRowsOf(d), 4, 4))
       .select($"doc_a", $"doc_b", lit(1L).as("is_cand"))
-    val truth = jaccardPairs(spark, dir, tau)
+    val truth = jaccardPairsOf(spark, d, tau)
       .select($"doc_a", $"doc_b", lit(1L).as("is_dup"))
     cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
       .agg(

@@ -17,6 +17,20 @@ object Bench {
         (System.currentTimeMillis() -
           java.nio.file.Files.getLastModifiedTime(marker).toMillis) / 1000
       else -1L
+    // the regime verdict, computed ONCE and stamped into the artifact:
+    // rounds kept re-litigating post-suite/loaded benches against the
+    // clean BASELINE.md table — now the artifact SAYS which regime it
+    // measured, so an inflated total reads as a measurement condition,
+    // not a plan regression. Thresholds: load_avg > 1.5 (concurrent
+    // work) or a suite JVM within the last 600 s (page-cache churn).
+    val regime =
+      if (loadAvg > 1.5 || (secsSinceSuite >= 0 && secsSinceSuite < 600))
+        "loaded"
+      else "clean"
+    if (regime == "loaded")
+      System.err.println(s"[bench] WARNING: loaded regime (load_avg=" +
+        f"$loadAvg%.2f, secs_since_suite=$secsSinceSuite) — compare " +
+        "against BASELINE.md's clean table with care")
     val spark = LocalSession.build()
     // Materialize through the noop sink: every column of every row is
     // computed and serialized, unlike count(), under which Catalyst prunes
@@ -31,7 +45,19 @@ object Bench {
     // a failing query must be VISIBLE in the output, not silently timed
     // as ~0 s (which would shrink the total and flatter the engine)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration subset (SPARK_GRAFT_BENCH_ONLY=q16,q162): the
+    // driver never sets it, so the per-round artifact stays the full
+    // suite; a typo'd filter aborts rather than benching nothing
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(csv) =>
+        val wanted = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        val m = SparkEntry.queries.filter(kv =>
+          wanted.exists(kv._1.startsWith))
+        require(m.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY=$csv matches nothing")
+        m
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -51,7 +77,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val cond = f""""load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite"""
+    val cond = f""""load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite,"regime":"$regime""""
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$cond,"sf":"$sfDir"}"""
     println(full)

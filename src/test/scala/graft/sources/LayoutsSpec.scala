@@ -53,6 +53,65 @@ class LayoutsSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureBucketed: files survive a catalog loss — re-register, never rewrite") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val base = "/tmp/graft_ensure_bucketed_spec"
+    val dir = Paths.get(base)
+    if (Files.exists(dir))
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // first call: cold path — writes the files
+      Layouts.ensureBucketed(spark, orders, "eb_orders", 4,
+        Seq("o_orderkey"), s"$base/orders")
+      Layouts.ensureBucketed(spark, lineitem, "eb_lineitem", 4,
+        Seq("o_orderkey"), s"$base/lineitem")
+      def mtimes = Files.walk(Paths.get(s"$base/orders")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      val before = mtimes
+      assert(before.nonEmpty)
+      val expected = orders.join(lineitem, "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      // second call, same session: catalog hit — pure no-op
+      Layouts.ensureBucketed(spark, orders, "eb_orders", 4,
+        Seq("o_orderkey"), s"$base/orders")
+      assert(mtimes == before, "catalog-hit path rewrote the files")
+      // simulate a fresh JVM: drop ONLY the catalog entries (external
+      // tables keep their files) — ensure must re-REGISTER, not rewrite
+      spark.sql("DROP TABLE eb_orders")
+      spark.sql("DROP TABLE eb_lineitem")
+      Layouts.ensureBucketed(spark, orders, "eb_orders", 4,
+        Seq("o_orderkey"), s"$base/orders")
+      Layouts.ensureBucketed(spark, lineitem, "eb_lineitem", 4,
+        Seq("o_orderkey"), s"$base/lineitem")
+      assert(mtimes == before, "re-registration rewrote the files")
+      // the re-registered tables still carry the bucket layout (zero
+      // Exchange) and the exact values
+      val joined = Layouts
+        .bucketedJoin(spark, "eb_orders", "eb_lineitem", Seq("o_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+      val plan = formatted(joined)
+      assert(!plan.contains("Exchange"),
+        s"re-registered bucketed join shuffles:\n$plan")
+      val got = joined.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS eb_orders")
+      spark.sql("DROP TABLE IF EXISTS eb_lineitem")
+    }
+  }
+
   test("compact: small-file directory collapses to the computed count, rows intact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val root = java.nio.file.Files.createTempDirectory("graft-compact").toString

@@ -114,7 +114,8 @@ object ScaleBench {
     "q210_zipf_fit", "q211_rank_biased_overlap", "q213_bfs_levels",
     "q214_query_expansion", "q215_weighted_jaccard",
     "q216_knn_components", "q220_kcore_fixpoint", "q221_bfs_complete",
-    "q222_dedup_eval_sampled", "q223_s_curve_sampled")
+    "q222_dedup_eval_sampled", "q223_s_curve_sampled",
+    "q224_lpa_fixpoint", "q225_pagerank_fixpoint")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -587,6 +587,12 @@ object SparkEntry {
     // q196's S-curve on the same 50% sample
     "q223_s_curve_sampled" -> ((s: SparkSession, d: String) =>
       Dedup.sCurveCheck(s, d, sampleHexMax = "7f")),
+    // q170's LPA iterated to a convergence-detected fixpoint (cap 8)
+    "q224_lpa_fixpoint" -> ((s: SparkSession, d: String) =>
+      Graph.labelPropagationFixpoint(s, d)),
+    // q70's PageRank in exact e12 integers to a true integer fixpoint
+    "q225_pagerank_fixpoint" -> ((s: SparkSession, d: String) =>
+      Graph.pageRankFixpoint(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4493,6 +4499,12 @@ object SparkEntry {
     // q221: q213's generated frontier rounds at the exhaustion cap —
     // empty frontiers make the tail blocks no-ops
     "q221_bfs_complete" -> bfsOracleSql(20),
+    // q224: the q170 round template at the fixpoint cap — converged
+    // rounds are no-ops, so the 8-round unroll equals the early-stopped
+    // loop on every input
+    "q224_lpa_fixpoint" -> lpaOracleSql(8),
+    // q225: exact integer rounds (see pagerankFixOracleSql)
+    "q225_pagerank_fixpoint" -> pagerankFixOracleSql(12),
     "q219_bucketed_revenue_join" ->
       """SELECT l_orderkey AS orderkey, CAST(count(*) AS BIGINT) AS n_lines,
         | CAST((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
@@ -4655,6 +4667,48 @@ object SparkEntry {
        | round(abs(round(n_candidates / CAST(n_pairs AS DOUBLE), 6)
        |   - round(1.0 - pow(1.0 - pow(band_mid, 4), 4), 6)), 6) AS gap
        |FROM g""".stripMargin
+
+  /** The q225 oracle replays the IDENTICAL integer PageRank trajectory:
+    * e12-scaled BIGINT ranks, per-edge `r // deg` contributions, update
+    * tele + (85·mass) // 100 with tele = (SCALE·15 // 100) // n — every
+    * operation an exact integer on both engines, so the capped-fixpoint
+    * unroll (q220 argument: converged integer rounds are no-ops) agrees
+    * bit for bit.
+    */
+  private def pagerankFixOracleSql(iters: Int): String = {
+    // MATERIALIZED: every unrolled round references `edges`→`knn`; an
+    // inlined knn CTE would recompute the full pair join per round
+    // (measured: >9 min vs 1 s at sf0.001)
+    val knnMat = knnOracleCtes.replace("knn AS (", "knn AS MATERIALIZED (")
+    val init =
+      s"""$knnMat,
+         |edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |         CAST(((1000000000000 * 15) // 100) // count(*) AS BIGINT)
+         |           AS tele FROM embeddings),
+         |r0 AS (SELECT vec_id, CAST(1000000000000 // nn AS BIGINT) AS r
+         |       FROM nodes CROSS JOIN cnt)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |r$i AS (SELECT nodes.vec_id,
+         |         CAST(tele + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes CROSS JOIN cnt LEFT JOIN (
+         |          SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+         |          FROM edges e
+         |          JOIN deg d USING (src)
+         |          JOIN r${i - 1} r ON e.src = r.vec_id
+         |          GROUP BY e.dst) m
+         |        ON nodes.vec_id = m.dst)""".stripMargin
+    }.mkString
+    init + steps +
+      s"""
+         |SELECT vec_id, r AS rank_e12,
+         | round(r * nn / CAST(1000000000000 AS DOUBLE), 6) AS rank_ratio
+         |FROM r$iters CROSS JOIN cnt""".stripMargin
+  }
 
   private def lpaOracleSql(rounds: Int): String =
     lpaCtes(rounds) +

@@ -180,6 +180,136 @@ object Graph {
     } finally und.unpersist()
   }
 
+  /** LPA to FIXPOINT (q224): the q170 synchronous rounds iterated until
+    * a round changes NO label — the community structure the fixed-round
+    * variant only reaches if convergence happens to fit its budget —
+    * capped at `maxRounds` (synchronous LPA can 2-cycle on bipartite
+    * structures, so an uncapped loop may never terminate). The q220
+    * cap-as-semantics argument: a converged labelling is a FIXED POINT
+    * of the deterministic round function, so early-stop equals exactly
+    * `maxRounds` unrolled rounds on every input, and the oracle unrolls
+    * the same `maxRounds` CTE blocks.
+    *
+    * Convergence-loop discipline (the q70/q220 rule): labels are
+    * localCheckpoint'ed per round — each round references the previous
+    * labelling twice (mode join + coalesce fallback) plus the
+    * changed-count action, and an un-cut lineage re-evaluates every
+    * prior round per reference.
+    */
+  def labelPropagationFixpoint(spark: SparkSession, dir: String,
+      maxRounds: Int = 8, nPlanes: Int = 8, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = und.select($"a".as("u"), $"b".as("v"))
+        .unionByName(und.select($"b".as("u"), $"a".as("v")))
+      val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+      var labels = nodes.select($"vec_id", $"vec_id".as("lbl"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var r = 0
+      while (r < maxRounds && changed > 0) {
+        val mode = edges.join(labels, $"v" === $"vec_id")
+          .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
+          .groupBy($"u")
+          .agg(min_by($"lbl", struct((-$"c").as("nc"), $"lbl")).as("new_lbl"))
+          .withColumnRenamed("u", "vec_id")
+        val next = labels.join(mode, Seq("vec_id"), "left")
+          .select($"vec_id", $"lbl".as("prev"),
+            coalesce($"new_lbl", $"lbl").as("lbl"))
+          .localCheckpoint(true)
+        changed = next.filter($"lbl" =!= $"prev").count()
+        labels = next.select($"vec_id", $"lbl")
+        r += 1
+      }
+      labels.groupBy($"lbl".as("community_id"))
+        .agg(count(lit(1)).as("n_members"), min($"vec_id").as("min_member"))
+        .localCheckpoint(true)
+    } finally und.unpersist()
+  }
+
+  /** PageRank under EXACT e12-scaled integer arithmetic with sound
+    * early exit (q225): per round every node gets
+    * tele + (85·Σ_{in-edges}(r_src div deg_src)) div 100 with
+    * tele = (SCALE·15 div 100) div n, stopping early iff NO node's
+    * integer rank changed, capped at `maxIters`. Integer state is what
+    * makes the exit criterion sound ACROSS ENGINES: double ranks never
+    * compare equal reliably (summation order), but an integer state
+    * that repeats is a true fixed point of a deterministic function, so
+    * the q220 cap argument applies verbatim — capped early-exit equals
+    * exactly `maxIters` unrolled rounds on EVERY input, and the oracle
+    * unrolls the same integer rounds, agreeing bit for bit.
+    *
+    * Honesty note: at e12 precision a typical connected graph keeps
+    * drifting in its low digits for ~log(SCALE)/log(1/0.85) ≈ 170
+    * rounds, so on real corpora the loop runs the full cap — the exit
+    * fires when the state genuinely IS stationary (edgeless or locally
+    * regular structures; GraphFixpointSpec pins both regimes). What the
+    * cap buys over q70's float rounds is the exact cross-engine
+    * trajectory and an exit that can never stop WRONG. Dangling-node
+    * mass leaks exactly as in q70 — both engines drop it identically.
+    *
+    * Scale: same per-round shape as q70 (edge⋈rank join keyed on node
+    * id, degree-bounded fan-out) with per-round checkpoints because the
+    * loop is exit-detected (the q220 rule, not the q70 fixed-round
+    * rule).
+    */
+  def pageRankFixpoint(spark: SparkSession, dir: String,
+      maxIters: Int = 12, nPlanes: Int = 8, k: Int = 3): DataFrame =
+    pageRankFixpointWithStats(spark, dir, maxIters, nPlanes, k)._1
+
+  /** [[pageRankFixpoint]] plus the number of rounds actually executed —
+    * the early-exit observability hook GraphFixpointSpec asserts on.
+    */
+  private[ops] def pageRankFixpointWithStats(spark: SparkSession,
+      dir: String, maxIters: Int = 12, nPlanes: Int = 8,
+      k: Int = 3): (DataFrame, Int) = {
+    import spark.implicits._
+    val scale = 1000000000000L
+    val edges = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withDeg = edges
+        .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+      val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+      val n = nodes.count()
+      if (n == 0) {
+        return (nodes.select($"vec_id", lit(0L).as("rank_e12"),
+          lit(0.0).as("rank_ratio")), 0)
+      }
+      val tele = (scale * 15L / 100L) / n
+      var ranks = nodes.select($"vec_id", lit(scale / n).as("r"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var it = 0
+      while (it < maxIters && changed > 0) {
+        val inMass = withDeg.join(ranks, $"src" === $"vec_id")
+          .select($"dst", expr("r div deg").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("s"))
+        val next = ranks.select($"vec_id", $"r".as("prev"))
+          .join(inMass, $"vec_id" === $"dst", "left")
+          .select($"vec_id", $"prev",
+            (lit(tele) +
+              expr(s"(85 * coalesce(s, 0L)) div 100")).as("r"))
+          .localCheckpoint(true)
+        changed = next.filter($"r" =!= $"prev").count()
+        ranks = next.select($"vec_id", $"r")
+        it += 1
+      }
+      (ranks
+        .select($"vec_id", $"r".as("rank_e12"),
+          round($"r" * n / lit(scale).cast("double"), 6).as("rank_ratio"))
+        .localCheckpoint(true), it)
+    } finally edges.unpersist()
+  }
+
   /** Newman modularity of the LPA partition (q175): per community c the
     * intra-community edge count m_c, the degree mass d_c, and the
     * contribution m_c/m − (d_c/2m)², whose sum is the partition's Q —

@@ -2111,6 +2111,10 @@ object SparkEntry {
         | -- (bytes) would diverge on any non-ASCII doc
         | CAST(sum(length(text)) AS BIGINT) AS total_chars,
         | CAST(bit_xor(('0x' || substring(md5(text), 1, 15))::UBIGINT) AS BIGINT) AS content_digest,
+        | -- AdHash sum digest: exact HUGEINT sum of the same 60-bit
+        | -- hashes mod the Mersenne prime 2^61-1 (see manifestAgg)
+        | CAST(CAST(sum(CAST(('0x' || substring(md5(text), 1, 15))::UBIGINT AS HUGEINT)) AS HUGEINT)
+        |   % 2305843009213693951 AS BIGINT) AS content_digest_sum,
         | min(doc_id) AS min_doc_id,
         | max(doc_id) AS max_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
@@ -2261,6 +2265,8 @@ object SparkEntry {
         |            FROM documents)
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
         | CAST(bit_xor(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT) AS BIGINT) AS posting_xor,
+        | CAST(CAST(sum(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS HUGEINT)) AS HUGEINT)
+        |   % 2305843009213693951 AS BIGINT) AS posting_sum,
         | md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS posting_digest
         |FROM td GROUP BY term HAVING count(*) >= 2""".stripMargin,
     // q102: the oracle counts WORD-gram positions equal to the phrase

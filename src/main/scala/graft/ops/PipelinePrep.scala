@@ -148,13 +148,15 @@ object PipelinePrep {
     * every document lands in one of `nShards` shards by an md5 coin on
     * its id (retry-stable, no RNG), and each shard reports counts,
     * token/char totals, the id range, and an ORDER-INDEPENDENT content
-    * digest (bit_xor of a per-doc 60-bit md5 prefix). The XOR digest is
-    * the point: distributed writers cannot cheaply guarantee row order,
-    * and the reference's order-dependent digest fold needs a total sort
-    * to be reproducible — XOR commutes, so two runs that shard
-    * identically verify byte-identical content with no sort at all
-    * (a corrupted/missing doc flips the digest with probability
-    * 1 − 2⁻⁶⁰).
+    * digest PAIR (bit_xor of a per-doc 60-bit md5 prefix, plus the
+    * AdHash sum of the same hashes — see [[adhashP]]). Order
+    * independence is the point: distributed writers cannot cheaply
+    * guarantee row order, and the reference's order-dependent digest
+    * fold needs a total sort to be reproducible — XOR and modular SUM
+    * both commute, so two runs that shard identically verify
+    * byte-identical content with no sort at all (a corrupted/missing
+    * doc flips both digests with probability ~1 − 2⁻⁶⁰, and a
+    * duplicated PAIR — invisible to XOR — still flips the sum).
     *
     * Scale: one narrow scan into an nShards-sized aggregate with
     * map-side combine — flat in corpus size, the q13 absorption shape.
@@ -242,6 +244,23 @@ object PipelinePrep {
       conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("h"))
   }
 
+  /** AdHash modulus: the Mersenne prime 2⁶¹−1. The SUM digest closes
+    * the one documented corner of the XOR digest — any EVEN number of
+    * byte-identical docs XORs to nothing, so a duplicated-pair
+    * insertion (the commonest real corruption in a re-crawl merge) is
+    * digest-invisible — by folding the same per-doc 60-bit hashes with
+    * addition mod p instead (Bellare–Micciancio incremental multiset
+    * hashing, the public AdHash construction): duplicates ADD, never
+    * cancel. Chosen over a BLAKE3/xxh128 re-digest because it keeps
+    * the property the manifest exists for — mergeability across any
+    * partitioning — and both engines evaluate it in exact integer
+    * arithmetic (Spark sums into DECIMAL(38,0), DuckDB into HUGEINT;
+    * 2⁶⁰-bounded terms keep either exact past 10¹⁹ docs). Both digests
+    * are emitted: XOR for bitwise-merge compatibility, SUM for
+    * cancellation resistance.
+    */
+  private[graft] val adhashP = 2305843009213693951L
+
   private[graft] def manifestAgg(sharded: DataFrame): DataFrame = {
     import sharded.sparkSession.implicits._
     sharded
@@ -251,6 +270,8 @@ object PipelinePrep {
         sum($"n_tokens").as("total_tokens"),
         sum($"n_chars").as("total_chars"),
         bit_xor($"h").as("content_digest"),
+        (sum($"h".cast("decimal(38,0)")) % lit(adhashP)).cast("long")
+          .as("content_digest_sum"),
         min($"doc_id").as("min_doc_id"),
         max($"doc_id").as("max_doc_id"))
   }

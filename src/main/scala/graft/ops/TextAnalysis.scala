@@ -793,17 +793,25 @@ object TextAnalysis {
       explode(array_distinct(split(col("text"), " "))).as("term"))
 
   /** The MERGEABLE half of the index aggregate: document frequency and
-    * an order-independent posting digest (bit_xor over a per-doc md5
-    * prefix, the q94 manifest technique). ONE column-list definition
-    * serves the batch build (which appends the order-canonical md5) and
-    * the streaming twin — XOR and count commute, so per-micro-batch
-    * state converges to the batch answer, and per-shard index builds
-    * merge by xor/sum without re-reading postings.
+    * TWO order-independent posting digests over a per-doc md5 prefix —
+    * bit_xor (the q94 manifest technique) and the AdHash sum mod 2⁶¹−1
+    * (see `PipelinePrep.adhashP`: the xor digest cannot see an even
+    * number of identical insertions; the sum digest can). ONE
+    * column-list definition serves the batch build (which appends the
+    * order-canonical md5) and the streaming twin — XOR, SUM and count
+    * all commute, so per-micro-batch state converges to the batch
+    * answer, and per-shard index builds merge without re-reading
+    * postings.
     */
-  private def mergeableIndexCols: Seq[Column] = Seq(
-    count(lit(1)).as("df"),
-    bit_xor(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")).as("posting_xor"))
+  private def mergeableIndexCols: Seq[Column] = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Seq(
+      count(lit(1)).as("df"),
+      bit_xor(h).as("posting_xor"),
+      (sum(h.cast("decimal(38,0)")) % lit(graft.ops.PipelinePrep.adhashP))
+        .cast("long").as("posting_sum"))
+  }
 
   private[graft] def indexAgg(td: DataFrame): DataFrame =
     td.groupBy(col("term"))

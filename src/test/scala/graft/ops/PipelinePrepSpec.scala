@@ -38,6 +38,37 @@ class PipelinePrepSpec extends AnyFunSuite {
     assert(nonLast.filter($"n_chunk_tokens" =!= 32L).count() == 0)
   }
 
+  test("manifest digests: AdHash sum sees the duplicated pair XOR is blind to") {
+    import spark.implicits._
+    def manifest(rows: Seq[(Long, String)]) =
+      PipelinePrep.manifestAgg(
+        PipelinePrep.withShardCols(rows.toDF("doc_id", "text"), nShards = 1))
+        .collect().head
+    // base corpus vs the same corpus plus TWO byte-identical docs: the
+    // duplicated pair XORs to nothing (the documented corruption the
+    // xor digest cannot see) while the AdHash sum shifts by 2h mod p
+    val base = manifest(Seq((1L, "alpha beta"), (2L, "gamma delta")))
+    val dup = manifest(Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "cloned text"), (4L, "cloned text")))
+    val xorIdx = base.fieldIndex("content_digest")
+    val sumIdx = base.fieldIndex("content_digest_sum")
+    assert(base.getLong(xorIdx) == dup.getLong(xorIdx),
+      "expected the xor digest to be blind to the duplicated pair")
+    assert(base.getLong(sumIdx) != dup.getLong(sumIdx),
+      "the sum digest must detect the duplicated pair")
+    // golden vector: the sum digest equals an independent JVM md5 fold
+    def h60(text: String): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(hex.take(15), 16)
+    }
+    val p = BigInt(PipelinePrep.adhashP)
+    val exp = Seq("alpha beta", "gamma delta", "cloned text", "cloned text")
+      .map(h60).sum.mod(p).toLong
+    assert(dup.getLong(sumIdx) == exp,
+      s"sum digest ${dup.getLong(sumIdx)} != independent fold $exp")
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     // docs 5/6: null<->non-null transitions ARE changes (null-safe
     // digest compare); doc 7: null on both sides is unchanged

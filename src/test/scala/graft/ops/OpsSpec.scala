@@ -141,7 +141,8 @@ class OpsSpec extends AnyFunSuite {
     "q92_perplexity_buckets" -> Set("doc_id", "lang", "avg_neg_logprob", "bucket"),
     "q93_winnowing_candidates" -> Set("doc_a", "doc_b", "n_shared"),
     "q94_shard_manifest" -> Set("shard_id", "n_docs", "total_tokens",
-      "total_chars", "content_digest", "min_doc_id", "max_doc_id"),
+      "total_chars", "content_digest", "content_digest_sum",
+      "min_doc_id", "max_doc_id"),
     "q95_source_vocab_overlap" -> Set("source_a", "source_b", "common", "jaccard"),
     "q96_user_burstiness" -> Set("user_id", "n_events", "n_hours", "max_hourly",
       "peak_to_mean", "bursty"),
@@ -153,7 +154,8 @@ class OpsSpec extends AnyFunSuite {
     "q100_source_health" -> Set("source", "n_docs", "mean_ttr", "dup_rate",
       "keep", "n_tokens", "n_types", "kl_divergence", "n_self_dup_pairs",
       "n_cross_dup_pairs"),
-    "q101_inverted_index" -> Set("term", "df", "posting_xor", "posting_digest"),
+    "q101_inverted_index" -> Set("term", "df", "posting_xor", "posting_sum",
+      "posting_digest"),
     "q102_phrase_search" -> Set("doc_id", "n_occurrences"),
     "q103_snapshot_diff" -> Set("doc_id", "status"),
     "q104_blocklist_scrub" -> Set("doc_id", "n_removed", "clean_digest"),
@@ -361,6 +363,12 @@ class OpsSpec extends AnyFunSuite {
       "revenue_cents", "total_price"),
     "q220_kcore_fixpoint" -> Set("vec_id", "in_core", "core_deg"),
     "q221_bfs_complete" -> Set("level", "n_nodes"),
+    "q222_dedup_eval_sampled" -> Set("n_candidates", "n_true_pairs", "tp",
+      "precision", "recall", "f1"),
+    "q223_s_curve_sampled" -> Set("band", "band_mid", "n_pairs",
+      "n_candidates", "empirical_rate", "analytic_rate", "gap"),
+    "q224_lpa_fixpoint" -> Set("community_id", "n_members", "min_member"),
+    "q225_pagerank_fixpoint" -> Set("vec_id", "rank_e12", "rank_ratio"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -593,6 +593,9 @@ object SparkEntry {
     // q70's PageRank in exact e12 integers to a true integer fixpoint
     "q225_pagerank_fixpoint" -> ((s: SparkSession, d: String) =>
       Graph.pageRankFixpoint(s, d)),
+    // per-source doc cap: quality-ranked top-20 per host, salted ranks
+    "q226_domain_cap" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.domainCap(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4511,6 +4514,23 @@ object SparkEntry {
     "q224_lpa_fixpoint" -> lpaOracleSql(8),
     // q225: exact integer rounds (see pagerankFixOracleSql)
     "q225_pagerank_fixpoint" -> pagerankFixOracleSql(12),
+    // q226: the salted two-phase ranks equal the single-window spelling
+    // row-for-row (total order via the doc_id tiebreak), so the oracle
+    // IS that single window; score is q106's TTR expression verbatim
+    "q226_domain_cap" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |             FROM documents),
+        |sc AS (SELECT doc_id, source,
+        |        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+        |          AS score
+        |       FROM tok)
+        |SELECT source, doc_id, score, rn FROM (
+        | SELECT source, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |                          ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rn
+        | FROM sc) x
+        |WHERE rn <= 20""".stripMargin,
     "q219_bucketed_revenue_join" ->
       """SELECT l_orderkey AS orderkey, CAST(count(*) AS BIGINT) AS n_lines,
         | CAST((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)

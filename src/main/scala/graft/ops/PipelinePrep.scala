@@ -926,4 +926,34 @@ object PipelinePrep {
           .as("alloc_tokens"),
         ($"rk" <= $"leftover").as("got_extra"))
   }
+
+  /** Per-source document cap (q226) — the host/domain quota step of
+    * web-scale curation (C4-style per-host limits, RefinedWeb URL
+    * dedup caps): each source keeps at most `cap` documents, chosen by
+    * quality (q106's type-token-ratio score) with doc_id as the
+    * deterministic tiebreak, and the emitted `rn` is each keeper's
+    * 1-based quality rank within its source. Everything past the cap is
+    * dropped — the overflow of a boilerplate-heavy host never reaches
+    * the training mix.
+    *
+    * Scale: the naive spelling is `row_number` partitioned by source —
+    * and web corpora are EXACTLY where that dies: hosts are Zipfian, so
+    * one mega-domain (10⁸ pages) lands its whole partition in one task.
+    * [[Ranking.topKPerGroup]] is built for that shape: per-(source,
+    * salt-bucket) local top-`cap` first (hot host splits 32 ways; the
+    * global top-`cap` provably survives), then the true ranks over the
+    * ≤ 32·cap survivors per source. Score is a scan-stage projection;
+    * no corpus-sized sort anywhere.
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir)
+      .select($"source", $"doc_id", toks.as("t"))
+      .select($"source", $"doc_id",
+        round(size(array_distinct($"t")).cast("double") / size($"t"), 6)
+          .as("score"))
+    Ranking.topKPerGroup(scored, Seq("source"),
+        Seq($"score".desc, $"doc_id".asc), saltKey = $"doc_id", k = cap)
+      .select($"source", $"doc_id", $"score", $"rn")
+  }
 }

@@ -2038,14 +2038,23 @@ object TextAnalysis {
     * corpus). Ranks are (freq DESC, token ASC) so the cumulative sums
     * are deterministic under frequency ties.
     *
-    * Scale: one map-side-combined type count, then BOTH order statistics
-    * ride [[graft.ops.Ranking.prefixCum]] — rank as the exclusive count
-    * of strictly-earlier types (bucketed on −freq) and the inclusive
-    * running occurrence sum on top of the rank — so no task ever holds
-    * the whole vocabulary (the naive rank+running-sum windows funnel the
-    * full type table through ONE `Exchange SinglePartition`). The
-    * corpus-wide totals are a 1-row broadcast aggregate, the ladder
-    * rollup a constant-size aggregate of exact integer counts.
+    * Scale: one map-side-combined type count; only the top `max(ladder)`
+    * types can ever contribute to the rollup, so the rank/running-sum
+    * work is restricted to those survivors FIRST — `orderBy().limit()`
+    * plans as TakeOrderedAndProject (per-partition heaps, no global
+    * sort), and because the limit shares the ranks' total order the
+    * survivor set is exactly the global top-maxK. Both order statistics
+    * then ride [[graft.ops.Ranking.prefixCum]] over the ≤ maxK survivors
+    * — rank as the exclusive count of strictly-earlier types (bucketed
+    * on −freq) and the inclusive running occurrence sum on top of the
+    * rank — so no task ever holds the whole vocabulary (the naive
+    * rank+running-sum windows funnel the full type table through ONE
+    * `Exchange SinglePartition`; the first prefixCum spelling ranked the
+    * FULL vocabulary — right contract, but it shuffled the type table
+    * three times to rank rows the ladder then discarded: 0.34→4.3 s at
+    * sf0.1). The corpus-wide totals stay a 1-row broadcast aggregate
+    * over the FULL type table, the ladder rollup a constant-size
+    * aggregate of exact integer counts.
     */
   def coverageCurve(spark: SparkSession, dir: String,
       ladder: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
@@ -2056,12 +2065,10 @@ object TextAnalysis {
       .groupBy($"token").agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // vocabulary-sized barrier: prefixCum references its input several
-      // times (range-bound agg, bucket totals, final join) and the two
-      // stacked calls compound that fan-out — the persist caps every
-      // reference at the cached type table, and the checkpoint releases
-      // it before the (lazy) ladder rollup leaves the function
-      val ranked = coverageRanked(types).localCheckpoint(true)
+      // the ladder rollup references `ranked` exactly once, and
+      // coverageRanked checkpoints its own ≤ maxK intermediates, so no
+      // outer barrier is needed
+      val ranked = coverageRanked(types, ladder.max)
       val ks = ladder.map(_.toLong).toDF("k")
       ranked
         .crossJoin(broadcast(ks))
@@ -2076,17 +2083,29 @@ object TextAnalysis {
 
   /** The windowed core of [[coverageCurve]], un-checkpointed so
     * PlanContractSpec can walk the physical plan: (token, freq) →
-    * + rk (1 + exclusive unit-weight prefix count in (freq DESC, token))
-    * + cum (inclusive freq running sum in rank order) + total. Both
-    * prefix sums are two-level bucket-split — no SinglePartition
-    * exchange feeds any window.
+    * top-`maxK` survivors (TakeOrderedAndProject in the ranks' total
+    * order, so survivor rank = global rank) → + rk (1 + exclusive
+    * unit-weight prefix count in (freq DESC, token)) + cum (inclusive
+    * freq running sum in rank order) + total (over the FULL type table,
+    * not the survivors). Both prefix sums are two-level bucket-split —
+    * no SinglePartition exchange feeds any window.
     */
-  private[graft] def coverageRanked(types: DataFrame): DataFrame = {
-    val r1 = Ranking
-      .prefixCum(types, Nil, -col("freq"),
+  private[graft] def coverageRanked(types: DataFrame, maxK: Int,
+      eager: Boolean = true): DataFrame = {
+    // prefixCum references its input several times (range-bound agg,
+    // bucket totals, final join), and the two stacked calls COMPOUND
+    // that fan-out — without the checkpoints each r2-internal reference
+    // re-runs all of r1, whose own references each re-run the
+    // TakeOrdered over the type table (~16 re-sorts). Both checkpoints
+    // hold ≤ maxK rows; tests pass eager=false to walk the raw plan.
+    val top0 = types.orderBy(col("freq").desc, col("token").asc).limit(maxK)
+    val top = if (eager) top0.localCheckpoint(true) else top0
+    val r1c = Ranking
+      .prefixCum(top, Nil, -col("freq"),
         Seq(col("freq").desc, col("token").asc), lit(1L))
       .withColumn("rk", (col("cum_before") + 1).cast("long"))
       .drop("cum_before")
+    val r1 = if (eager) r1c.localCheckpoint(true) else r1c
     val r2 = Ranking
       .prefixCum(r1, Nil, col("rk"), Seq(col("rk").asc), col("freq"))
       .withColumn("cum", (col("cum_before") + col("freq")).cast("long"))

@@ -369,6 +369,7 @@ class OpsSpec extends AnyFunSuite {
       "n_candidates", "empirical_rate", "analytic_rate", "gap"),
     "q224_lpa_fixpoint" -> Set("community_id", "n_members", "min_member"),
     "q225_pagerank_fixpoint" -> Set("vec_id", "rank_e12", "rank_ratio"),
+    "q226_domain_cap" -> Set("source", "doc_id", "score", "rn"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -196,4 +196,31 @@ class PipelinePrepSpec extends AnyFunSuite {
       assert(r.values.sum == 20L)
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
+
+  test("domainCap: per-source keep-count <= cap, ranks contiguous from 1, " +
+      "and keepers are exactly the quality top-cap of their source") {
+    val cap = 5
+    val out = PipelinePrep.domainCap(spark, sf, cap = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    val bySource = out.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    for ((src, rows) <- bySource) {
+      assert(rows.length <= cap, s"$src kept ${rows.length} > $cap")
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"$src ranks not contiguous")
+    }
+    // independent naive derivation: sort each source's scored docs by
+    // (score desc, doc_id) on the driver and take the first cap
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id",
+        round(size(array_distinct(split($"text", " "))).cast("double") /
+          size(split($"text", " ")), 6).as("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val naive = scored.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(cap).zipWithIndex
+        .map { case ((s0, id, sc), i) => (s0, id, sc, i + 1L) }
+    }.toSet
+    assert(out.toSet == naive)
+  }
 }

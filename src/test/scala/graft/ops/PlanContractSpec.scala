@@ -683,7 +683,8 @@ class PlanContractSpec extends AnyFunSuite {
       .groupBy($"token")
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("freq"))
-    val ranked = TextAnalysis.coverageRanked(types)
+    val ranked = TextAnalysis.coverageRanked(types, maxK = 10000,
+      eager = false)
     val bad = windowFedBySinglePartition(ranked)
     assert(bad.isEmpty, s"q187 windows over one task:\n${bad.mkString("\n")}")
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

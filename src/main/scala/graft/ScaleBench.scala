@@ -115,7 +115,7 @@ object ScaleBench {
     "q214_query_expansion", "q215_weighted_jaccard",
     "q216_knn_components", "q220_kcore_fixpoint", "q221_bfs_complete",
     "q222_dedup_eval_sampled", "q223_s_curve_sampled",
-    "q224_lpa_fixpoint", "q225_pagerank_fixpoint")
+    "q224_lpa_fixpoint", "q225_pagerank_fixpoint", "q226_domain_cap")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -199,7 +199,9 @@ object ScaleBench {
       case "skew" => Seq("skew_join")     // custom runner below, not SparkEntry
       case "stream" => Seq("stream_ingest") // custom runner below, not SparkEntry
       case "hotsource" =>
-        Seq("q144_quantile_normalize", "q198_sliced_auc")
+        // q226 is the purpose-built victim: a per-source top-k where 90%
+        // of the corpus shares ONE source — flat iff the salt split works
+        Seq("q144_quantile_normalize", "q198_sliced_auc", "q226_domain_cap")
       case _ => docQueries
     }
     // optional csv filter (e.g. SPARK_GRAFT_SCALE_QUERIES=q27,q28) to

@@ -696,4 +696,24 @@ class PlanContractSpec extends AnyFunSuite {
     val winCount = p0.collect { case w: WindowExec => w }.size
     assert(winCount >= 2, s"expected both prefixCum windows, saw $winCount")
   }
+
+  test("q226: per-source cap windows are salted — no SinglePartition feed, " +
+      "and phase 1 partitions on (source, salt)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = PipelinePrep.domainCap(spark, sf)
+    val bad = windowFedBySinglePartition(df)
+    assert(bad.isEmpty, s"q226 windows over one task:\n${bad.mkString("\n")}")
+    val p0 = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val wins = p0.collect { case w: WindowExec => w }
+    assert(wins.size == 2, s"expected the two topKPerGroup phases, saw ${wins.size}")
+    // phase 1 must rank within (source, salt-bucket) — a single-column
+    // partition spec here means the hot-host split silently regressed
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      "no window partitions on (source, salt); phase-1 salting regressed:\n" +
+        wins.map(_.simpleStringWithNodeId()).mkString("\n"))
+  }
 }

@@ -115,7 +115,8 @@ object ScaleBench {
     "q214_query_expansion", "q215_weighted_jaccard",
     "q216_knn_components", "q220_kcore_fixpoint", "q221_bfs_complete",
     "q222_dedup_eval_sampled", "q223_s_curve_sampled",
-    "q224_lpa_fixpoint", "q225_pagerank_fixpoint", "q226_domain_cap")
+    "q224_lpa_fixpoint", "q225_pagerank_fixpoint", "q226_domain_cap",
+    "q227_dsir_weights")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

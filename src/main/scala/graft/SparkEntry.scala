@@ -596,6 +596,9 @@ object SparkEntry {
     // per-source doc cap: quality-ranked top-20 per host, salted ranks
     "q226_domain_cap" -> ((s: SparkSession, d: String) =>
       PipelinePrep.domainCap(s, d)),
+    // DSIR importance weights: 256-bucket hashed-unigram log-ratios
+    "q227_dsir_weights" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.dsirWeights(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4531,6 +4534,31 @@ object SparkEntry {
         |    AS rn
         | FROM sc) x
         |WHERE rn <= 20""".stripMargin,
+    // q227: the 256-row log-ratio table and the per-doc mean replay
+    // identically; md5-prefix bucketing is the q57 scheme, avg-of-logs
+    // rounded to 4 dp is the q64 determinism recipe
+    "q227_dsir_weights" ->
+      """WITH u AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |       CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT % 256
+        |         AS BIGINT) AS b
+        |      FROM u),
+        |bc AS (SELECT b, count(*) AS cr,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |       FROM h GROUP BY b),
+        |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+        |r AS (SELECT b,
+        |       ln((ct + 1)::DOUBLE / (nt + 256)) -
+        |       ln((cr + 1)::DOUBLE / (nr + 256)) AS logratio
+        |      FROM bc CROSS JOIN tot),
+        |s AS (SELECT h.doc_id, any_value(h.lang) AS lang,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(r.logratio), 4) AS logweight
+        |      FROM h JOIN r USING (b) GROUP BY h.doc_id)
+        |SELECT doc_id, lang, n_tokens, logweight,
+        | logweight > 0.0 AS is_targetlike
+        |FROM s""".stripMargin,
     "q219_bucketed_revenue_join" ->
       """SELECT l_orderkey AS orderkey, CAST(count(*) AS BIGINT) AS n_lines,
         | CAST((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)

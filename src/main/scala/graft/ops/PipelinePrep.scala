@@ -945,6 +945,58 @@ object PipelinePrep {
     * ≤ 32·cap survivors per source. Score is a scan-stage projection;
     * no corpus-sized sort anywhere.
     */
+  /** DSIR-style importance weights (q227) — Data Selection via
+    * Importance Resampling (Xie et al. 2023, arXiv:2302.03169): score
+    * every document by how target-like its hashed-unigram distribution
+    * is. The target here is the `lang = 'en'` slice standing in for
+    * "high-quality in-domain corpus"; raw is the whole corpus. Each
+    * token hashes to one of `buckets` bins (md5-prefix mod — the exact
+    * q57 feature-hashing scheme, reproducible bit-for-bit in DuckDB),
+    * both distributions get add-one smoothing, and a doc's weight is
+    * the MEAN log p_target/p_raw over its tokens (the length-normalized
+    * log importance weight). `is_targetlike` = rounded weight > 0 — the
+    * selection predicate; DSIR's Gumbel resampling step is deliberately
+    * omitted because cross-engine `ln(-ln(u))` determinism is exactly
+    * the interpolation trap the oracle playbook forbids, and the
+    * threshold form is the analyzable core.
+    *
+    * Scale: the log-ratio table is `buckets` rows — CONSTANT-size
+    * regardless of corpus — built by one map-side-combined aggregate
+    * over the token stream (target counts ride the same pass as a
+    * conditional sum, not a second scan), then broadcast back onto the
+    * stream; the only corpus-sized shuffle is the per-doc partial-sum
+    * aggregate that any per-document score needs. avg-of-logs rounded
+    * to 4 dp follows the q64 determinism recipe (double sum-order noise
+    * is ~1e-13 relative; irrational logs never sit on a half-boundary).
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+      buckets: Int = 256): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select($"doc_id", $"lang", explode(toks).as("tok"))
+      .select($"doc_id", $"lang",
+        (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+    val ratio = tok
+      .groupBy($"b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+      .agg(collect_list(struct($"b", $"cr", $"ct")).as("rows"),
+        sum($"cr").as("nr"), sum($"ct").as("nt"))
+      .select(explode($"rows").as("r"), $"nr", $"nt")
+      .select($"r.b".as("b"),
+        (log(($"r.ct" + 1).cast("double") / ($"nt" + buckets)) -
+          log(($"r.cr" + 1).cast("double") / ($"nr" + buckets)))
+          .as("logratio"))
+    tok
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(first($"lang").as("lang"),
+        count(lit(1)).as("n_tokens"),
+        round(avg($"logratio"), 4).as("logweight"))
+      .withColumn("is_targetlike", $"logweight" > 0.0)
+  }
+
   def domainCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
     import spark.implicits._
     val scored = docs(spark, dir)

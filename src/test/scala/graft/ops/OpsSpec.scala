@@ -370,6 +370,8 @@ class OpsSpec extends AnyFunSuite {
     "q224_lpa_fixpoint" -> Set("community_id", "n_members", "min_member"),
     "q225_pagerank_fixpoint" -> Set("vec_id", "rank_e12", "rank_ratio"),
     "q226_domain_cap" -> Set("source", "doc_id", "score", "rn"),
+    "q227_dsir_weights" ->
+      Set("doc_id", "lang", "n_tokens", "logweight", "is_targetlike"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -197,6 +197,46 @@ class PipelinePrepSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("dsirWeights: per-doc mean log-ratio matches an independent driver " +
+      "derivation; flag is the rounded-weight sign") {
+    val buckets = 256
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      // first 8 hex chars == first 4 bytes, big-endian unsigned
+      val v = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      v % buckets
+    }
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val cr = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val ct = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((_, lang, ts) <- rows; t <- ts) {
+      val b = bucket(t)
+      cr(b) += 1
+      if (lang == "en") ct(b) += 1
+    }
+    val nr = cr.values.sum
+    val nt = ct.values.sum
+    def ratio(b: Long): Double =
+      math.log((ct(b) + 1).toDouble / (nt + buckets)) -
+        math.log((cr(b) + 1).toDouble / (nr + buckets))
+    val expected = rows.map { case (id, lang, ts) =>
+      val w = ts.map(t => ratio(bucket(t))).sum / ts.length
+      val rounded = BigDecimal(w)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, lang, ts.length.toLong, rounded, rounded > 0.0)
+    }.toSet
+    val got = PipelinePrep.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got == expected)
+    // the flag must split the corpus, not degenerate to one class
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
   test("domainCap: per-source keep-count <= cap, ranks contiguous from 1, " +
       "and keepers are exactly the quality top-cap of their source") {
     val cap = 5

@@ -2113,4 +2113,108 @@ object TextAnalysis {
     val totals = broadcast(types.agg(sum(col("freq")).as("total")))
     r2.crossJoin(totals)
   }
+
+  /** Pairwise source-overlap matrix from K-minimum-values sketches: per
+    * source, the k smallest md5-derived hashes of its distinct 3-word
+    * shingles ([[graft.functions.KmvSketch]]); per source pair, the
+    * Beyer et al. 2007 estimator Ĵ = |A_k ∩ B_k ∩ U| / |U| with
+    * U = k smallest of A_k ∪ B_k (when both sets have < k elements the
+    * sketches ARE the sets and Ĵ is exact Jaccard).
+    *
+    * The sketch aggregation runs straight on the exploded shingle
+    * stream — no distinct, no vocabulary-sized shuffle: duplicates are
+    * absorbed by the sketch's distinct-insert, partials are O(k) per
+    * partition, and the only shuffle is #sources × k longs. This is the
+    * sketch-path twin of [[sourceVocabOverlap]] (exact, pays the full
+    * distinct shuffle); at 100 TB only this one is runnable. The
+    * pairwise stage is |sources|² over a sketch table of #sources rows —
+    * driver-scale by construction.
+    *
+    * Hash = first 15 md5 hex chars as a long (60 bits, positive, exactly
+    * reproducible in DuckDB as ('0x' || substring(md5(g),1,15))::UBIGINT),
+    * so the oracle replays the identical sketch with row_number.
+    */
+  def kmvSourceOverlap(spark: SparkSession, dir: String, k: Int = 128,
+      n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val h = docs(spark, dir)
+      .select($"source", explode(Dedup.ngramsOf(toks, n)).as("gram"))
+      .select($"source",
+        conv(substring(md5($"gram"), 1, 15), 16, 10).cast("long").as("h"))
+    val sk = h.groupBy($"source")
+      .agg(graft.functions.KmvSketch.kmvSketch(k)($"h").as("ks"))
+    val u = slice(array_sort(array_union($"a.ks", $"b.ks")), 1, k)
+    sk.as("a").join(sk.as("b"), $"a.source" < $"b.source")
+      .select(
+        $"a.source".as("source_a"), $"b.source".as("source_b"),
+        size(u).cast("long").as("k_used"),
+        size(array_intersect(array_intersect($"a.ks", $"b.ks"), u))
+          .cast("long").as("n_common"))
+      .withColumn("jaccard_est",
+        round($"n_common".cast("double") / $"k_used", 6))
+  }
+
+  /** Intra-document language mixture: tokens are cut into fixed
+    * non-overlapping w-token windows (window id = pos div w), each
+    * window voted a language by the [[langIdScores]] marker counts (same
+    * en≥de≥fr≥es tie ladder), then per doc: window count, adjacent-window
+    * switch count, majority-language window count, number of distinct
+    * window languages, the Shannon entropy of the window-language
+    * distribution, and a mixed flag. The doc-level langid family
+    * (q23/q143) scores whole documents; this is the "is the doc itself
+    * code-switched" signal a cleaning pipeline cuts on.
+    *
+    * Shape: one narrow posexplode scan → groupBy (doc_id, wid) with
+    * map-side combine → a lag window PARTITIONED BY doc_id (per-doc
+    * partitions, bounded by doc length — never SinglePartition) whose
+    * exchange is reused by the final doc-level aggregate. Entropy sums
+    * its four when-guarded terms in fixed textual order and adds +0.0
+    * so the single-language −0.0 corner canonicalizes identically in
+    * both engines.
+    */
+  def langMixture(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    import spark.implicits._
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and"),
+      "de" -> Seq("der", "die", "und"),
+      "fr" -> Seq("le", "la", "et"),
+      "es" -> Seq("el", "la", "y"))
+    val perWin = docs(spark, dir)
+      .select($"doc_id", posexplode(toks).as(Seq("pos", "tok")))
+      .select($"doc_id", expr(s"pos div $w").as("wid"), $"tok")
+      .groupBy($"doc_id", $"wid")
+      .agg(
+        markers.map { case (l, ms) =>
+          sum(when($"tok".isin(ms: _*), 1L).otherwise(0L)).as(s"c_$l")
+        }: _*)
+      .select($"doc_id", $"wid",
+        when($"c_en" >= $"c_de" && $"c_en" >= $"c_fr" && $"c_en" >= $"c_es", "en")
+          .when($"c_de" >= $"c_fr" && $"c_de" >= $"c_es", "de")
+          .when($"c_fr" >= $"c_es", "fr")
+          .otherwise("es").as("wlang"))
+    val withPrev = perWin.withColumn("prev",
+      lag($"wlang", 1).over(Window.partitionBy($"doc_id").orderBy($"wid")))
+    val counted = withPrev.groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when($"prev".isNotNull && $"prev" =!= $"wlang", 1L).otherwise(0L))
+          .as("n_switches"),
+        sum(when($"wlang" === "en", 1L).otherwise(0L)).as("c_en"),
+        sum(when($"wlang" === "de", 1L).otherwise(0L)).as("c_de"),
+        sum(when($"wlang" === "fr", 1L).otherwise(0L)).as("c_fr"),
+        sum(when($"wlang" === "es", 1L).otherwise(0L)).as("c_es"))
+    def term(c: Column): Column = {
+      val p = c.cast("double") / $"n_windows"
+      when(c > 0L, p * log(p)).otherwise(lit(0.0))
+    }
+    counted.select(
+      $"doc_id", $"n_windows", $"n_switches",
+      greatest($"c_en", $"c_de", $"c_fr", $"c_es").as("majority_n"),
+      (when($"c_en" > 0L, 1L).otherwise(0L) + when($"c_de" > 0L, 1L).otherwise(0L) +
+        when($"c_fr" > 0L, 1L).otherwise(0L) + when($"c_es" > 0L, 1L).otherwise(0L))
+        .as("n_langs"),
+      (round(-(term($"c_en") + term($"c_de") + term($"c_fr") + term($"c_es")), 6)
+        + lit(0.0)).as("mix_entropy"))
+      .withColumn("is_mixed", $"n_langs" > 1L)
+  }
 }

@@ -51,8 +51,10 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(csv) =>
         val wanted = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        // exact name or prefix up to the first underscore: "q16" selects
+        // q16_jaccard_pairs but NOT q160-q169 (a bare startsWith would)
         val m = SparkEntry.queries.filter(kv =>
-          wanted.exists(kv._1.startsWith))
+          wanted.exists(w => kv._1 == w || kv._1.startsWith(w + "_")))
         require(m.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY=$csv matches nothing")
         m
       case None => SparkEntry.queries

@@ -599,6 +599,21 @@ object SparkEntry {
     // DSIR importance weights: 256-bucket hashed-unigram log-ratios
     "q227_dsir_weights" -> ((s: SparkSession, d: String) =>
       PipelinePrep.dsirWeights(s, d)),
+    // KMV-sketch source-overlap matrix: k=128 smallest shingle hashes
+    // per source, Beyer estimator per pair — q95's sketch-path twin
+    "q228_kmv_source_overlap" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.kmvSourceOverlap(s, d)),
+    // intra-doc language mixture: 16-token windows voted a language,
+    // per-doc switch count + window-language entropy (code-switch flag)
+    "q229_lang_mixture" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langMixture(s, d)),
+    // Bar-Yossef (k−1)/v̂_k per-source distinct-shingle cardinality from
+    // the q228 KMV sketch, exact truth twin + tolerance gate beside it
+    "q230_kmv_source_distinct" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.kmvSourceDistinct(s, d)),
+    // q74's Lloyd loop iterated to a detected round-4 centroid fixpoint
+    "q231_kmeans_fixpoint" -> ((s: SparkSession, d: String) =>
+      Similarity.kmeansFixpoint(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4566,6 +4581,112 @@ object SparkEntry {
         | max(o_totalprice) AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_orderkey""".stripMargin,
+    // q228: the oracle replays the KMV sketch exactly — the k smallest
+    // DISTINCT 60-bit md5-prefix hashes per source via row_number (the
+    // sketch is deterministic: no RNG, insert-order-invariant), then the
+    // Beyer Ĵ = |A∩B∩U|/|U| with U = k smallest of A∪B, in list algebra
+    "q228_kmv_source_overlap" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT source,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS g
+        |       FROM tok),
+        |h AS (SELECT DISTINCT source,
+        |       CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT AS BIGINT) AS h
+        |      FROM sh),
+        |rk AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |       FROM h),
+        |sk AS (SELECT source, list(h ORDER BY h) AS ks
+        |       FROM rk WHERE rn <= 128 GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |       a.ks AS ka, b.ks AS kb,
+        |       list_sort(list_distinct(a.ks || b.ks))[1:128] AS u
+        |      FROM sk a JOIN sk b ON a.source < b.source)
+        |SELECT source_a, source_b,
+        | CAST(len(u) AS BIGINT) AS k_used,
+        | CAST(len(list_intersect(list_intersect(ka, kb), u)) AS BIGINT)
+        |   AS n_common,
+        | round(CAST(len(list_intersect(list_intersect(ka, kb), u)) AS DOUBLE)
+        |   / len(u), 6) AS jaccard_est
+        |FROM p""".stripMargin,
+    // q229: parallel unnest zips (token, position); window id = pos//16;
+    // the vote ladder, lag-switch count and when-guarded entropy terms
+    // mirror the Spark spelling clause for clause (+0.0 canonicalizes
+    // the single-language −0.0 corner in both engines)
+    "q229_lang_mixture" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos
+        |        FROM tok),
+        |pw AS (SELECT doc_id, pos // 16 AS wid,
+        |        sum(CASE WHEN tok IN ('the','a','and') THEN 1 ELSE 0 END) AS c_en,
+        |        sum(CASE WHEN tok IN ('der','die','und') THEN 1 ELSE 0 END) AS c_de,
+        |        sum(CASE WHEN tok IN ('le','la','et') THEN 1 ELSE 0 END) AS c_fr,
+        |        sum(CASE WHEN tok IN ('el','la','y') THEN 1 ELSE 0 END) AS c_es
+        |       FROM pos GROUP BY doc_id, pos // 16),
+        |wl AS (SELECT doc_id, wid,
+        |        CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |             WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |             WHEN c_fr >= c_es THEN 'fr'
+        |             ELSE 'es' END AS wlang
+        |       FROM pw),
+        |lg AS (SELECT doc_id, wlang,
+        |        lag(wlang) OVER (PARTITION BY doc_id ORDER BY wid) AS prev
+        |       FROM wl),
+        |c AS (SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> wlang
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_switches,
+        |       CAST(sum(CASE WHEN wlang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+        |       CAST(sum(CASE WHEN wlang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+        |       CAST(sum(CASE WHEN wlang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+        |       CAST(sum(CASE WHEN wlang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es
+        |      FROM lg GROUP BY doc_id)
+        |SELECT doc_id, n_windows, n_switches,
+        | greatest(c_en, c_de, c_fr, c_es) AS majority_n,
+        | (CASE WHEN c_en > 0 THEN 1 ELSE 0 END + CASE WHEN c_de > 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN c_fr > 0 THEN 1 ELSE 0 END + CASE WHEN c_es > 0 THEN 1 ELSE 0 END
+        | )::BIGINT AS n_langs,
+        | round(-((CASE WHEN c_en > 0 THEN (c_en::DOUBLE / n_windows) * ln(c_en::DOUBLE / n_windows) ELSE 0.0 END)
+        |  + (CASE WHEN c_de > 0 THEN (c_de::DOUBLE / n_windows) * ln(c_de::DOUBLE / n_windows) ELSE 0.0 END)
+        |  + (CASE WHEN c_fr > 0 THEN (c_fr::DOUBLE / n_windows) * ln(c_fr::DOUBLE / n_windows) ELSE 0.0 END)
+        |  + (CASE WHEN c_es > 0 THEN (c_es::DOUBLE / n_windows) * ln(c_es::DOUBLE / n_windows) ELSE 0.0 END)), 6)
+        |  + 0.0 AS mix_entropy,
+        | (CASE WHEN c_en > 0 THEN 1 ELSE 0 END + CASE WHEN c_de > 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN c_fr > 0 THEN 1 ELSE 0 END + CASE WHEN c_es > 0 THEN 1 ELSE 0 END) > 1
+        |  AS is_mixed
+        |FROM c""".stripMargin,
+    // q230: the KMV estimate is DETERMINISTIC (no RNG), so unlike
+    // q29/q138's engine-specific HLL the oracle replays it exactly:
+    // row_number over the distinct 60-bit hashes IS the sketch, v_k the
+    // 128th; the numerator 127·2⁶⁰ and the casts are exact doubles in
+    // both engines, so est_distinct (and the gate) hash-match
+    "q230_kmv_source_distinct" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT source,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS g
+        |       FROM tok),
+        |h AS (SELECT DISTINCT source,
+        |       CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT AS BIGINT) AS h
+        |      FROM sh),
+        |rk AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |       FROM h),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+        |         count(*) FILTER (WHERE rn <= 128) AS n_sk,
+        |         max(CASE WHEN rn = 128 THEN h END) AS vk
+        |        FROM rk GROUP BY source)
+        |SELECT source, n_exact,
+        | CASE WHEN n_sk < 128 THEN round(CAST(n_sk AS DOUBLE), 4)
+        |      ELSE round(127.0 * 1152921504606846976.0 / CAST(vk AS DOUBLE), 4)
+        | END AS est_distinct,
+        | abs((CASE WHEN n_sk < 128 THEN round(CAST(n_sk AS DOUBLE), 4)
+        |      ELSE round(127.0 * 1152921504606846976.0 / CAST(vk AS DOUBLE), 4)
+        |      END) - n_exact) <= 0.3 * n_exact AS within_tol
+        |FROM agg""".stripMargin,
+    // q231: the maxIters-round unroll equals the early-stopped loop —
+    // once the round-4 centroid matrix repeats every later round is a
+    // no-op (the q224/q225 shared-cap argument on the clustering family)
+    "q231_kmeans_fixpoint" -> kmeansOracleSql(8, 8),
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
@@ -4760,7 +4881,7 @@ object SparkEntry {
     init + steps +
       s"""
          |SELECT vec_id, r AS rank_e12,
-         | round(r * nn / CAST(1000000000000 AS DOUBLE), 6) AS rank_ratio
+         | round(CAST(r AS DOUBLE) * nn / 1000000000000, 6) AS rank_ratio
          |FROM r$iters CROSS JOIN cnt""".stripMargin
   }
 

@@ -72,6 +72,7 @@ object KmvSketch {
 
   private class KmvAggregator(k: Int)
       extends Aggregator[Long, Vector[Long], Seq[Long]] {
+    require(k > 0, s"KMV sketch size k must be positive, got $k")
     override def zero: Vector[Long] = Vector.empty
     override def reduce(b: Vector[Long], a: Long): Vector[Long] = insert(b, a, k)
     override def merge(b1: Vector[Long], b2: Vector[Long]): Vector[Long] =

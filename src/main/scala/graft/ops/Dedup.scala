@@ -57,10 +57,15 @@ object Dedup {
     * engines, and composable in the DuckDB oracle by the same
     * expression. "ff" keeps everything.
     */
-  private def sampleDocs(d: DataFrame, hexMax: String): DataFrame =
-    if (hexMax >= "ff") d
+  private def sampleDocs(d: DataFrame, hexMax: String): DataFrame = {
+    // an uppercase or short value would silently change the fraction via
+    // raw string comparison against lowercase md5 hex — fail loudly
+    require(hexMax.matches("[0-9a-f]{2}"),
+      s"hexMax must be two lowercase hex chars, got '$hexMax'")
+    if (hexMax == "ff") d
     else d.filter(
       substring(md5(col("doc_id").cast("string")), 1, 2) <= lit(hexMax))
+  }
 
   /** Per-doc distinct SET of 64-bit shingle hashes: xxhash64 applied
     * BEFORE array_distinct, so two distinct shingle strings colliding to

@@ -303,9 +303,11 @@ object Graph {
         ranks = next.select($"vec_id", $"r")
         it += 1
       }
+      // cast r to double BEFORE multiplying: r * n in BIGINT overflows
+      // Long once n ≳ 1e7 with a concentrated hub rank (ADVICE r7)
       (ranks
         .select($"vec_id", $"r".as("rank_e12"),
-          round($"r" * n / lit(scale).cast("double"), 6).as("rank_ratio"))
+          round($"r".cast("double") * n / scale, 6).as("rank_ratio"))
         .localCheckpoint(true), it)
     } finally edges.unpersist()
   }

@@ -559,6 +559,54 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** [[kmeansAssign]] iterated to a detected fixpoint (cap `maxIters`):
+    * Lloyd rounds stop as soon as the round-4 centroid matrix REPEATS —
+    * identical literals assign identically, so every later round is a
+    * no-op and the `maxIters`-round oracle unroll equals the
+    * early-stopped loop on every input (the q224/q225 shared-cap
+    * argument, now on the clustering family). The repeat test compares
+    * the rounded trajectory literals, never raw float sums, so the exit
+    * is sound across engines (the q225 integer-exit rule transposed to
+    * the round-4 grid).
+    *
+    * Scale: each executed round is the kmeansAssign shape (scan
+    * projection + k·dim-cell aggregate); convergence detection is a
+    * driver-side k×dim matrix equality — free. On converging inputs
+    * this does strictly less work than a fixed cap; on non-converging
+    * ones the cap bounds it.
+    */
+  def kmeansFixpoint(spark: SparkSession, dir: String, k: Int = 8,
+      maxIters: Int = 8): DataFrame =
+    kmeansFixpointWithStats(spark, dir, k, maxIters)._1
+
+  /** [[kmeansFixpoint]] plus the number of Lloyd rounds actually
+    * executed — the early-exit observability hook the spec asserts on.
+    */
+  private[ops] def kmeansFixpointWithStats(spark: SparkSession,
+      dir: String, k: Int = 8, maxIters: Int = 8): (DataFrame, Int) = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Int, IndexedSeq[Double])] = sampledCentroids(spark, dir, k)
+        .map { case (cid, v) => (cid, v.map(_.toDouble).toIndexedSeq) }
+      if (cents.isEmpty) {
+        return (e.select($"vec_id", lit(0L).as("cluster_id"),
+          lit(0.0).as("cosine")).limit(0), 0)
+      }
+      var it = 0
+      var converged = false
+      while (it < maxIters && !converged) {
+        val next = lloydStep(e, cents)
+        converged = next == cents
+        cents = next
+        it += 1
+      }
+      (assignToLloyd(e, cents).select($"vec_id", $"cluster_id", $"cosine")
+        .localCheckpoint(true), it)
+    } finally e.unpersist()
+  }
+
   /** Nearest-centroid assignment against literal double centroids (the
     * Lloyd-loop twin of [[assignToCentroids]]): max round-6 cosine, ties
     * to the lowest centroid id, as a pure scan projection — a

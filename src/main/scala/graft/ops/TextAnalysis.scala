@@ -1310,10 +1310,14 @@ object TextAnalysis {
     val cells = docs(spark, dir)
       .select($"source", explode(toks).as("token"))
       .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+    // the corpus total rides a one-row broadcast cross join (q48 idiom) —
+    // a Window.partitionBy() here would funnel the vocabulary-sized
+    // (source, token) table through one task
+    val tot = cells.agg(sum($"n").as("total"))
     val enriched = cells
       .withColumn("n_source", sum($"n").over(Window.partitionBy($"source")))
       .withColumn("n_token", sum($"n").over(Window.partitionBy($"token")))
-      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .crossJoin(broadcast(tot))
     // chi² is ROUNDED BEFORE ranking (the q67 rule): the rank must be a
     // function of the very values the oracle compares, or a last-ulp
     // libm difference flips adjacent ranks
@@ -2154,6 +2158,45 @@ object TextAnalysis {
         round($"n_common".cast("double") / $"k_used", 6))
   }
 
+  /** Per-source distinct-shingle cardinality from the SAME KMV sketch as
+    * [[kmvSourceOverlap]]: the Bar-Yossef et al. 2002 estimator
+    * (k−1)/v̂_k with v̂_k = kth smallest hash normalized to [0,1) over
+    * the 2⁶⁰ hash domain — the mergeable O(k)-state counterpart of the
+    * q138 HLL union (DataSketches HLL estimates are engine-specific;
+    * KMV is deterministic, so THIS oracle replays the estimate
+    * bit-for-bit with row_number instead of settling for tolerance
+    * booleans). Under-full sketches (n < k) ARE the distinct set and the
+    * estimate is exact.
+    *
+    * Emits the exact distinct count beside the estimate plus a ±30%
+    * relative-error gate (3σ for k=128: RSE ≈ 1/√(k−2) ≈ 8.9%) — the
+    * q29 accuracy-ground-truth pattern. At 100 TB only the sketch arm is
+    * runnable (O(k) partials, #sources × k longs shuffled); the exact
+    * arm is the verification twin.
+    */
+  def kmvSourceDistinct(spark: SparkSession, dir: String, k: Int = 128,
+      n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val h = docs(spark, dir)
+      .select($"source", explode(Dedup.ngramsOf(toks, n)).as("gram"))
+      .select($"source",
+        conv(substring(md5($"gram"), 1, 15), 16, 10).cast("long").as("h"))
+    // one grouped pass carries both arms: the O(k) sketch partial and
+    // the exact distinct (the expensive truth twin, q29 pattern)
+    val agg = h.groupBy($"source").agg(
+      graft.functions.KmvSketch.kmvSketch(k)($"h").as("ks"),
+      count_distinct($"h").as("n_exact"))
+    // 2^60 as an exact double; (k-1)*2^60 stays exactly representable
+    // (7 significant bits), so both engines divide identical doubles
+    val num = lit((k - 1).toDouble * 1152921504606846976.0)
+    agg.select($"source", $"n_exact",
+      when(size($"ks") < k, round(size($"ks").cast("double"), 4))
+        .otherwise(round(num / element_at($"ks", k).cast("double"), 4))
+        .as("est_distinct"))
+      .withColumn("within_tol",
+        abs($"est_distinct" - $"n_exact") <= lit(0.3) * $"n_exact")
+  }
+
   /** Intra-document language mixture: tokens are cut into fixed
     * non-overlapping w-token windows (window id = pos div w), each
     * window voted a language by the [[langIdScores]] marker counts (same
@@ -2179,14 +2222,14 @@ object TextAnalysis {
       "de" -> Seq("der", "die", "und"),
       "fr" -> Seq("le", "la", "et"),
       "es" -> Seq("el", "la", "y"))
+    val markerCounts = markers.map { case (l, ms) =>
+      sum(when($"tok".isin(ms: _*), 1L).otherwise(0L)).as(s"c_$l")
+    }
     val perWin = docs(spark, dir)
       .select($"doc_id", posexplode(toks).as(Seq("pos", "tok")))
       .select($"doc_id", expr(s"pos div $w").as("wid"), $"tok")
       .groupBy($"doc_id", $"wid")
-      .agg(
-        markers.map { case (l, ms) =>
-          sum(when($"tok".isin(ms: _*), 1L).otherwise(0L)).as(s"c_$l")
-        }: _*)
+      .agg(markerCounts.head, markerCounts.tail: _*)
       .select($"doc_id", $"wid",
         when($"c_en" >= $"c_de" && $"c_en" >= $"c_fr" && $"c_en" >= $"c_es", "en")
           .when($"c_de" >= $"c_fr" && $"c_de" >= $"c_es", "de")

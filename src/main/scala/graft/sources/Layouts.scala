@@ -51,13 +51,31 @@ object Layouts {
     * identity (q219 keys it by a digest of the corpus dir), so a
     * different corpus never reuses these files; a corpus EDITED in
     * place under the same path must drop the directory first.
+    *
+    * `_SUCCESS` alone does not prove the on-disk LAYOUT matches the
+    * request: if code later changes (nBuckets, keys) under the same
+    * path, a blind DDL registration would claim a bucketing the files
+    * don't have and bucketed joins would silently return wrong results
+    * (ADVICE r7). The write stamps a `_graft_layout` marker encoding
+    * (nBuckets, keys, schema); re-registration requires an exact marker
+    * match and otherwise falls back to a rewrite.
     */
   def ensureBucketed(spark: SparkSession, df: DataFrame, table: String,
       nBuckets: Int, keys: Seq[String], path: String): Unit = {
     if (spark.catalog.tableExists(table)) return
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wanted = layoutStamp(df, nBuckets, keys)
+    val markerPath = new org.apache.hadoop.fs.Path(path, LayoutMarker)
+    val onDiskOk = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) &&
+      fs.exists(markerPath) && {
+        val in = fs.open(markerPath)
+        val found =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        found == wanted
+      }
+    if (onDiskOk) {
       val cols = df.schema.fields
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       val ks = keys.map(k => s"`$k`").mkString(", ")
@@ -65,8 +83,21 @@ object Layouts {
         s"""CREATE TABLE `$table` ($cols) USING parquet
            |CLUSTERED BY ($ks) SORTED BY ($ks) INTO $nBuckets BUCKETS
            |LOCATION '$path'""".stripMargin)
-    } else writeBucketed(df, table, nBuckets, keys, Some(path))
+    } else {
+      writeBucketed(df, table, nBuckets, keys, Some(path))
+      val out = fs.create(markerPath, true)
+      try out.write(wanted.getBytes("UTF-8")) finally out.close()
+    }
   }
+
+  private val LayoutMarker = "_graft_layout"
+
+  /** Canonical one-line encoding of a bucketed layout: bucket count,
+    * ordered keys, and the full column DDL (names + types, in order). */
+  private def layoutStamp(df: DataFrame, nBuckets: Int,
+      keys: Seq[String]): String =
+    s"v1|buckets=$nBuckets|keys=${keys.mkString(",")}|schema=" +
+      df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
 
   /** Write `df` hive-partitioned by `cols` — one directory per distinct
     * value combination. Equality/IN filters on `cols` prune at planning

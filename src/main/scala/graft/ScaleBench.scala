@@ -116,7 +116,10 @@ object ScaleBench {
     "q216_knn_components", "q220_kcore_fixpoint", "q221_bfs_complete",
     "q222_dedup_eval_sampled", "q223_s_curve_sampled",
     "q224_lpa_fixpoint", "q225_pagerank_fixpoint", "q226_domain_cap",
-    "q227_dsir_weights")
+    "q227_dsir_weights", "q228_kmv_source_overlap", "q229_lang_mixture",
+    "q230_kmv_source_distinct", "q231_kmeans_fixpoint",
+    "q232_stupid_backoff", "q233_label_centroid_cosine",
+    "q234_kmeans_silhouette", "q235_lr_quality_train", "q236_scd2_history")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -210,7 +213,10 @@ object ScaleBench {
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
       case Some(csv) =>
         val wanted = csv.split(",").map(_.trim).filter(_.nonEmpty)
-        allQueries.filter(q => wanted.exists(q.startsWith))
+        // exact name or prefix up to the first underscore (the Bench
+        // rule): "q16" must not also select q160-q169
+        allQueries.filter(q =>
+          wanted.exists(w => q == w || q.startsWith(w + "_")))
       case None => allQueries
     }
     if (queries.isEmpty) {

@@ -614,6 +614,22 @@ object SparkEntry {
     // q74's Lloyd loop iterated to a detected round-4 centroid fixpoint
     "q231_kmeans_fixpoint" -> ((s: SparkSession, d: String) =>
       Similarity.kmeansFixpoint(s, d)),
+    // stupid-backoff bigram LM scoring of the eval split against the
+    // train-split model (Brants et al. 2007) — q97 with a real split
+    "q232_stupid_backoff" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.stupidBackoffLogprob(s, d)),
+    // per-label embedding centroids + pairwise cosine matrix
+    "q233_label_centroid_cosine" -> ((s: SparkSession, d: String) =>
+      Similarity.labelCentroidCosine(s, d)),
+    // centroid-based simplified silhouette over the q74 clustering
+    "q234_kmeans_silhouette" -> ((s: SparkSession, d: String) =>
+      Similarity.kmeansSilhouette(s, d)),
+    // full-batch logistic-regression training over feature_hash vectors
+    "q235_lr_quality_train" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lrQualityTrain(s, d)),
+    // SCD2 multi-revision content lineage with gap-closed segments
+    "q236_scd2_history" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.scd2History(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -879,7 +895,7 @@ object SparkEntry {
       |hits AS (SELECT doc_id, n_tokens, score FROM scored
       |         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15)""".stripMargin
 
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  private def kmeansOracleSql(k: Int, iters: Int, dp: Int = 4): String = {
     val init =
       s"""WITH c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          |            [CAST(x AS DOUBLE) for x in embedding] AS ce
@@ -903,7 +919,7 @@ object SparkEntry {
          |x$i AS (SELECT cid, unnest([{'o': j, 'v': CAST(embedding[j] AS DOUBLE)}
          |                            for j in range(1, len(embedding)+1)]) AS s
          |        FROM a$i),
-         |m$i AS (SELECT cid, list(round(c, 4) ORDER BY o) AS ce FROM (
+         |m$i AS (SELECT cid, list(round(c, $dp) ORDER BY o) AS ce FROM (
          |  SELECT cid, s.o AS o, avg(s.v) AS c FROM x$i GROUP BY 1, 2) GROUP BY cid),
          |c$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
          |        FROM c${i - 1} p LEFT JOIN m$i n USING (cid))""".stripMargin
@@ -912,6 +928,70 @@ object SparkEntry {
       s"""
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cos AS cosine
          |FROM aout""".stripMargin
+  }
+
+  /** The q234 oracle replays the q74 trajectory verbatim (same CTE
+    * chain), then reads best/runner-up round-6 cosines per vector out of
+    * the FINAL scoring block `sout` — (cos DESC, cid) ranking mirrors
+    * the Scala side's sorted (cos, −cid) struct array — and rolls the
+    * simplified silhouette up per cluster.
+    */
+  private def silhouetteOracleSql(k: Int, iters: Int): String = {
+    val traj = kmeansOracleSql(k, iters)
+    val cut = traj.lastIndexOf("\nSELECT vec_id")
+    require(cut > 0, "kmeans oracle shape changed; update silhouetteOracleSql")
+    traj.substring(0, cut) +
+      s""",
+         |rk AS (SELECT vec_id, cid, cos, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk FROM sout),
+         |pv AS (SELECT w.vec_id, w.cid, 1.0 - w.cos AS ad, 1.0 - r.cos AS bd
+         |       FROM (SELECT * FROM rk WHERE rk = 1) w
+         |        JOIN (SELECT * FROM rk WHERE rk = 2) r USING (vec_id)),
+         |sl AS (SELECT cid, ad, bd,
+         |        CASE WHEN bd > 0 THEN (bd - ad)/bd ELSE 0.0 END AS sil FROM pv)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id,
+         | CAST(count(*) AS BIGINT) AS n_members,
+         | round(avg(ad), 6) AS avg_intra_dist,
+         | round(avg(bd), 6) AS avg_inter_dist,
+         | round(avg(sil), 6) AS avg_silhouette
+         |FROM sl GROUP BY cid""".stripMargin
+  }
+
+  /** The q235 oracle unrolls the identical rounded LR-training rounds in
+    * TOKEN space: w·x = Σ_tok w[bucket(tok)] (the q57 md5-prefix bucket
+    * scheme), so no 64-dim vectors ever materialize in SQL; weights
+    * round to 1e-6 per round exactly as the Scala driver's BigDecimal
+    * HALF_UP — DuckDB round() is the same half-away-from-zero.
+    */
+  private def lrOracleSql(rounds: Int, lrate: Double): String = {
+    val head =
+      """WITH t AS (SELECT doc_id,
+        |        CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |        string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id,
+        |       CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT % 64 AS INTEGER) AS j,
+        |       CAST(count(*) AS DOUBLE) AS x
+        |      FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+        |w0 AS (SELECT CAST(r.range AS INTEGER) AS j, 0.0 AS w FROM range(64) r)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",
+         |s$i AS (SELECT t.doc_id, t.y, coalesce(sum(c.x * w.w), 0.0) AS s
+         |        FROM t LEFT JOIN c USING (doc_id) LEFT JOIN w${i - 1} w ON c.j = w.j
+         |        GROUP BY 1, 2),
+         |g$i AS (SELECT c.j, sum((1.0/(1.0 + exp(-s$i.s)) - s$i.y) * c.x) AS g
+         |        FROM s$i JOIN c USING (doc_id) GROUP BY 1),
+         |w$i AS (SELECT w.j, round(w.w - $lrate * coalesce(g$i.g, 0.0)/nn.n, 6) AS w
+         |        FROM w${i - 1} w LEFT JOIN g$i ON w.j = g$i.j CROSS JOIN nn)""".stripMargin
+    }.mkString
+    head + steps +
+      s""",
+         |sf AS (SELECT t.doc_id, t.y, coalesce(sum(c.x * w.w), 0.0) AS s
+         |       FROM t LEFT JOIN c USING (doc_id) LEFT JOIN w$rounds w ON c.j = w.j
+         |       GROUP BY 1, 2)
+         |SELECT doc_id, CAST(y AS BIGINT) AS label, round(s, 6) AS score,
+         | round(s, 6) >= 0 AS predicted
+         |FROM sf""".stripMargin
   }
 
   /** The q108 oracle replays the q74 trajectory (same init/score/step
@@ -4684,9 +4764,92 @@ object SparkEntry {
         |      END) - n_exact) <= 0.3 * n_exact AS within_tol
         |FROM agg""".stripMargin,
     // q231: the maxIters-round unroll equals the early-stopped loop —
-    // once the round-4 centroid matrix repeats every later round is a
-    // no-op (the q224/q225 shared-cap argument on the clustering family)
-    "q231_kmeans_fixpoint" -> kmeansOracleSql(8, 8),
+    // once the round-3 centroid matrix repeats every later round is a
+    // no-op (the q224/q225 shared-cap argument on the clustering
+    // family); dp=3 is q231's own grid (q74 keeps 4 — measured: the
+    // coarser grid converges at 7 rounds on sf0.001 where 4dp needs 18)
+    "q231_kmeans_fixpoint" -> kmeansOracleSql(8, 8, dp = 3),
+    // q232: train-split bigram tables, eval pairs scored cb/cctx or the
+    // alpha·add-one-unigram backoff; avg-of-logs rounds to 4 (q97 rule)
+    "q232_stupid_backoff" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' AS is_train
+        |       FROM documents),
+        |tp AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |        SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+        |                               for i in range(1, len(t))]) AS u
+        |        FROM b WHERE is_train)),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM tp GROUP BY 1, 2),
+        |cctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cctx FROM cb GROUP BY 1),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+        |        SELECT unnest(t) AS w FROM b WHERE is_train) GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS vv
+        |        FROM (SELECT unnest(t) AS w FROM b WHERE is_train)),
+        |ep AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |        SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+        |                               for i in range(1, len(t))]) AS u
+        |        FROM b WHERE NOT is_train)),
+        |sc AS (SELECT e.doc_id, cb.cb IS NULL AS backoff,
+        |        CASE WHEN cb.cb IS NOT NULL THEN CAST(cb.cb AS DOUBLE)/cctx.cctx
+        |             ELSE 0.4 * CAST(coalesce(uni.cw, 0) + 1 AS DOUBLE)
+        |                  / CAST(tot.nn + tot.vv AS DOUBLE) END AS s
+        |       FROM ep e LEFT JOIN cb ON e.w1 = cb.w1 AND e.w2 = cb.w2
+        |        LEFT JOIN cctx ON e.w1 = cctx.w1
+        |        LEFT JOIN uni ON e.w2 = uni.w
+        |        CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |         round(avg(-ln(s)), 4) AS avg_neg_logprob
+        |        FROM sc GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+        | CAST(coalesce(a.n_backoff, 0) AS BIGINT) AS n_backoff,
+        | a.avg_neg_logprob
+        |FROM b LEFT JOIN agg a USING (doc_id) WHERE NOT b.is_train""".stripMargin,
+    // q233: centroid components round to 1e-6 BEFORE the pairwise
+    // cosine (both engines then divide identical literals)
+    "q233_label_centroid_cosine" ->
+      """WITH x AS (SELECT label, unnest([{'o': j, 'v': CAST(embedding[j] AS DOUBLE)}
+        |            for j in range(1, len(embedding)+1)]) AS s FROM embeddings),
+        |ce AS (SELECT label, list(round(c, 6) ORDER BY o) AS ce FROM (
+        |        SELECT label, s.o AS o, avg(s.v) AS c FROM x GROUP BY 1, 2)
+        |       GROUP BY label),
+        |nz AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+        |l AS (SELECT ce.label, ce.ce, nz.n FROM ce JOIN nz USING (label))
+        |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+        | round(list_sum([a.ce[i] * b.ce[i] for i in range(1, len(a.ce)+1)]) /
+        |  (sqrt(list_sum([x*x for x in a.ce])) * sqrt(list_sum([y*y for y in b.ce]))), 6)
+        |  AS cosine
+        |FROM l a JOIN l b ON a.label < b.label""".stripMargin,
+    "q234_kmeans_silhouette" -> silhouetteOracleSql(8, 3),
+    "q235_lr_quality_train" -> lrOracleSql(3, 0.5),
+    // q236: the three derived revisions replay the Scala derivation; a
+    // rev gap or a digest change opens a new segment
+    "q236_scd2_history" ->
+      """WITH r0 AS (SELECT doc_id, 0 AS rev,
+        |        coalesce(md5(CASE WHEN doc_id % 5 = 0 THEN text || ' legacy rev'
+        |                          ELSE text END), '<null>') AS digest
+        |       FROM documents WHERE doc_id % 7 <> 0),
+        |r1 AS (SELECT doc_id, 1 AS rev, coalesce(md5(text), '<null>') AS digest
+        |       FROM documents WHERE doc_id % 11 <> 0),
+        |r2 AS (SELECT doc_id, 2 AS rev,
+        |        coalesce(md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2'
+        |                          ELSE text END), '<null>') AS digest
+        |       FROM documents WHERE doc_id % 13 <> 0),
+        |a AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |s AS (SELECT *, CASE WHEN lag(rev) OVER w IS NULL THEN 1
+        |                     WHEN lag(rev) OVER w <> rev - 1 THEN 1
+        |                     WHEN lag(digest) OVER w <> digest THEN 1
+        |                     ELSE 0 END AS new_seg
+        |      FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY rev)),
+        |t AS (SELECT *, sum(new_seg) OVER (PARTITION BY doc_id ORDER BY rev) AS seg
+        |      FROM s)
+        |SELECT doc_id, min(digest) AS digest,
+        | CAST(min(rev) AS INTEGER) AS valid_from,
+        | CAST(CASE WHEN max(rev) = 2 THEN NULL ELSE max(rev) + 1 END AS INTEGER)
+        |   AS valid_to,
+        | max(rev) = 2 AS is_current
+        |FROM t GROUP BY doc_id, seg""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

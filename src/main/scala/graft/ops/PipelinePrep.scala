@@ -1008,4 +1008,54 @@ object PipelinePrep {
         Seq($"score".desc, $"doc_id".asc), saltKey = $"doc_id", k = cap)
       .select($"source", $"doc_id", $"score", $"rn")
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) history across corpus
+    * revisions — the lakehouse answer to "what did this document say at
+    * revision r": one row per (doc, content) SEGMENT with
+    * [valid_from, valid_to) revision bounds and an is_current flag.
+    * Upgrades q103's pairwise snapshotDiff to a full multi-revision
+    * lineage: a doc absent from a middle revision closes its segment (a
+    * gap is a delete + re-add, even at identical content), and a content
+    * change opens a new one. Three revisions derive deterministically
+    * from the one documents table (the q103 replay trick) so the oracle
+    * reconstructs them; null text digests to a sentinel so null↔non-null
+    * transitions are real changes (the q103 null-safety rule).
+    *
+    * Scale: rows reduce to (doc_id, rev, md5) BEFORE anything shuffles
+    * (the q103 digest-only-shuffle rule); the lag/sum windows partition
+    * by doc_id over ≤ nRevs rows — never SinglePartition — and the
+    * segment rollup is (doc, seg)-keyed.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    def rev(df: DataFrame, r: Int): DataFrame = df.select($"doc_id",
+      lit(r).as("rev"), coalesce(md5($"text"), lit("<null>")).as("digest"))
+    val r0 = rev(d.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", when($"doc_id" % 5 === 0,
+        concat($"text", lit(" legacy rev"))).otherwise($"text").as("text")), 0)
+    val r1 = rev(d.filter($"doc_id" % 11 =!= 0)
+      .select($"doc_id", $"text"), 1)
+    val r2 = rev(d.filter($"doc_id" % 13 =!= 0)
+      .select($"doc_id", when($"doc_id" % 3 === 0,
+        concat($"text", lit(" rev2"))).otherwise($"text").as("text")), 2)
+    val all = r0.unionByName(r1).unionByName(r2)
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"rev")
+    val seg = all
+      .withColumn("new_seg",
+        when(lag($"rev", 1).over(byDoc).isNull, 1)
+          .when(lag($"rev", 1).over(byDoc) =!= $"rev" - 1, 1)
+          .when(lag($"digest", 1).over(byDoc) =!= $"digest", 1)
+          .otherwise(0))
+      .withColumn("seg", sum($"new_seg").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    seg.groupBy($"doc_id", $"seg")
+      .agg(min($"digest").as("digest"),
+        min($"rev").as("valid_from"), max($"rev").as("last_rev"))
+      .select($"doc_id", $"digest",
+        $"valid_from".cast("int").as("valid_from"),
+        when($"last_rev" === 2, lit(null).cast("int"))
+          .otherwise($"last_rev" + 1).cast("int").as("valid_to"),
+        ($"last_rev" === 2).as("is_current"))
+  }
 }

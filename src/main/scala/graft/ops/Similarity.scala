@@ -537,7 +537,7 @@ object Similarity {
     * round-6 cosine — the value-dense gate.
     */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, dp: Int = 4): DataFrame = {
     import spark.implicits._
     // persisted: every Lloyd round (and the final assignment) re-derives
     // from this table — without the cache each round re-reads and
@@ -551,7 +551,7 @@ object Similarity {
       return e.select($"vec_id", lit(0L).as("cluster_id"),
         lit(0.0).as("cosine")).limit(0)
     }
-    for (_ <- 1 to iters) cents = lloydStep(e, cents)
+    for (_ <- 1 to iters) cents = lloydStep(e, cents, dp)
     // a failed mid-loop collect must not leak the cached table for the
     // JVM's lifetime (Bench keeps running after a query fails)
     assignToLloyd(e, cents).select($"vec_id", $"cluster_id", $"cosine")
@@ -560,14 +560,18 @@ object Similarity {
   }
 
   /** [[kmeansAssign]] iterated to a detected fixpoint (cap `maxIters`):
-    * Lloyd rounds stop as soon as the round-4 centroid matrix REPEATS —
+    * Lloyd rounds stop as soon as the round-3 centroid matrix REPEATS —
     * identical literals assign identically, so every later round is a
     * no-op and the `maxIters`-round oracle unroll equals the
     * early-stopped loop on every input (the q224/q225 shared-cap
     * argument, now on the clustering family). The repeat test compares
     * the rounded trajectory literals, never raw float sums, so the exit
     * is sound across engines (the q225 integer-exit rule transposed to
-    * the round-4 grid).
+    * the rounded grid). dp=3 is q231's own grid, MEASURED: at 4dp the
+    * sf0.001 trajectory wanders 18 rounds and at 2dp rounding kicks the
+    * centroids into oscillation (13), while 3dp settles in 7; when a
+    * corpus does not settle within the cap the loop just IS the
+    * fixed-cap run and unroll equality still holds.
     *
     * Scale: each executed round is the kmeansAssign shape (scan
     * projection + k·dim-cell aggregate); convergence detection is a
@@ -597,7 +601,7 @@ object Similarity {
       var it = 0
       var converged = false
       while (it < maxIters && !converged) {
-        val next = lloydStep(e, cents)
+        val next = lloydStep(e, cents, dp = 3)
         converged = next == cents
         cents = next
         it += 1
@@ -640,19 +644,21 @@ object Similarity {
     * Clusters that lost every member keep their old centroid.
     */
   private def lloydStep(e: DataFrame,
-      cents: Seq[(Int, IndexedSeq[Double])]): Seq[(Int, IndexedSeq[Double])] = {
-    val means = lloydMeans(assignToLloyd(e, cents))
+      cents: Seq[(Int, IndexedSeq[Double])],
+      dp: Int = 4): Seq[(Int, IndexedSeq[Double])] = {
+    val means = lloydMeans(assignToLloyd(e, cents), dp)
     cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
   }
 
-  private def lloydMeans(assigned: DataFrame): Map[Int, IndexedSeq[Double]] = {
+  private def lloydMeans(assigned: DataFrame,
+      dp: Int = 4): Map[Int, IndexedSeq[Double]] = {
     import assigned.sparkSession.implicits._
     assigned
       .select($"cluster_id", posexplode($"embedding").as(Seq("p", "v")))
       .groupBy($"cluster_id", $"p").agg(avg($"v".cast("double")).as("c"))
       .groupBy($"cluster_id")
       .agg(transform(array_sort(collect_list(struct($"p", $"c"))),
-        s => round(s("c"), 4)).as("ce"))
+        s => round(s("c"), dp)).as("ce"))
       .collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toIndexedSeq)
       .toMap
@@ -1274,5 +1280,98 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .withColumn("frac", round($"n_vectors" /
         sum($"n_vectors").over(Window.partitionBy(lit(1))).cast("double"), 6))
+  }
+
+  /** Left-to-right dot product over two DOUBLE arrays via the builtin
+    * HOFs — used only on label- / cluster-bounded tables where the
+    * interpreted-lambda cost is irrelevant; the same index-order
+    * accumulation as the oracle's list_sum comprehension.
+    */
+  private def dotD(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Per-label embedding centroids and their pairwise cosine matrix —
+    * "how close are the classes in embedding space", the drift/confusion
+    * screen run before trusting a label-conditioned sample (and the
+    * embedding-space complement of q87's lexical KL and q95's vocabulary
+    * overlap, with `label` standing in for the source key). Centroid
+    * components round to 1e-6 BEFORE the cosine so both engines compute
+    * the pairwise matrix from identical literals (the q74 trajectory
+    * argument, one round deep).
+    *
+    * Scale: one posexplode pass → (label × dim)-cell aggregate (map-side
+    * combined); everything after is labels²-bounded, and the pair join
+    * broadcasts. No corpus-sized shuffle beyond the dim-keyed agg.
+    */
+  def labelCentroidCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val ce = e.select($"label", posexplode($"embedding").as(Seq("p", "v")))
+      .groupBy($"label", $"p").agg(avg($"v".cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"p", $"c"))),
+        s => round(s("c"), 6)).as("ce"))
+    val sizes = e.groupBy($"label").agg(count(lit(1)).as("n"))
+    val lab = ce.join(sizes, "label")
+    val a = lab.select($"label".as("label_a"), $"ce".as("ce_a"), $"n".as("n_a"))
+    val b = lab.select($"label".as("label_b"), $"ce".as("ce_b"), $"n".as("n_b"))
+    a.join(broadcast(b), $"label_a" < $"label_b")
+      .select($"label_a", $"label_b", $"n_a", $"n_b",
+        round(dotD($"ce_a", $"ce_b") /
+          (sqrt(dotD($"ce_a", $"ce_a")) * sqrt(dotD($"ce_b", $"ce_b"))), 6)
+          .as("cosine"))
+  }
+
+  /** Simplified (centroid-based) silhouette for the q74 k-means
+    * clustering — the O(n·k) clustering-quality score that is actually
+    * runnable at 100 TB (exact silhouette is O(n²)): per vector,
+    * a = cosine distance to its own centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a)/max(a, b); rolled up per
+    * cluster. Runs the identical rounded Lloyd trajectory as
+    * [[kmeansAssign]], then ONE scan projection computes all k round-6
+    * cosines per vector and picks best/second via a sorted literal-
+    * struct array — no explode, no shuffle before the k-row rollup.
+    * With nearest-centroid assignment a ≤ b always, so s ∈ [0, 1] and
+    * max(a, b) = b; b = 0 (duplicate centroids) yields s = 0.
+    */
+  def kmeansSilhouette(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Int, IndexedSeq[Double])] = sampledCentroids(spark, dir, k)
+        .map { case (cid, v) => (cid, v.map(_.toDouble).toIndexedSeq) }
+      if (cents.sizeIs < 2) {
+        return e.select(lit(0L).as("cluster_id"), lit(0L).as("n_members"),
+          lit(0.0).as("avg_intra_dist"), lit(0.0).as("avg_inter_dist"),
+          lit(0.0).as("avg_silhouette")).limit(0)
+      }
+      for (_ <- 1 to iters) cents = lloydStep(e, cents)
+      def litNormD(ce: IndexedSeq[Double]): Double =
+        math.sqrt(ce.foldLeft(0.0)((a, v) => a + v * v))
+      val cands = cents.map { case (cid, ce) =>
+        struct(round(dot($"embedding", lit(ce.toArray)) /
+          (norm($"embedding") * lit(litNormD(ce))), 6).as("cos"),
+          lit(-cid).as("neg_cid"))
+      }
+      // ascending (cos, neg_cid): last = assignToLloyd's greatest —
+      // max cosine, ties to the LOWEST cid; second-to-last = runner-up
+      val sorted = array_sort(array(cands: _*))
+      val best = element_at(sorted, -1)
+      val second = element_at(sorted, -2)
+      val perVec = e.select(
+          (-best.getField("neg_cid")).cast("long").as("cluster_id"),
+          (lit(1.0) - best.getField("cos")).as("a"),
+          (lit(1.0) - second.getField("cos")).as("b"))
+        .withColumn("sil",
+          when($"b" > 0.0, ($"b" - $"a") / $"b").otherwise(lit(0.0)))
+      perVec.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          round(avg($"a"), 6).as("avg_intra_dist"),
+          round(avg($"b"), 6).as("avg_inter_dist"),
+          round(avg($"sil"), 6).as("avg_silhouette"))
+        .localCheckpoint(true)
+    } finally e.unpersist()
   }
 }

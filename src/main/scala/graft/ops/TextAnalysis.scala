@@ -2260,4 +2260,110 @@ object TextAnalysis {
         + lit(0.0)).as("mix_entropy"))
       .withColumn("is_mixed", $"n_langs" > 1L)
   }
+
+  /** Stupid-backoff LM scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the smoothing DESIGNED for
+    * distributed LMs: no normalization pass, so the model tables stay
+    * mergeable counts): eval-split documents scored against a bigram
+    * model trained on the md5 train split (the q63/q98 split, so unseen
+    * bigrams actually occur). Per pair, S(w2|w1) = cb/cctx when the
+    * train bigram exists, else alpha * add-one unigram
+    * (cw+1)/(N+V) — the add-one floor keeps fully-OOV continuations
+    * finite and deterministic.
+    *
+    * Scale: one pair explode over eval docs; everything joined in is
+    * vocabulary-sized (AQE broadcasts when small) and the (N, V) totals
+    * ride a one-row broadcast. The per-doc aggregate is doc-keyed. At
+    * 100 TB this is the q97 plan with a train/eval split — no new
+    * shuffle class.
+    */
+  def stupidBackoffLogprob(spark: SparkSession, dir: String,
+      alpha: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select($"doc_id", toks.as("t"),
+      (substring(md5($"doc_id".cast("string")), 1, 2) <= "7f").as("is_train"))
+    def pairsOf(df: DataFrame) = df.select($"doc_id", explode(zip_with(
+        slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
+        slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val train = base.filter($"is_train")
+    val trainToks = train.select(explode($"t").as("w"))
+    val cb = pairsOf(train).groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val cctx = cb.groupBy($"w1").agg(sum($"cb").as("cctx"))
+    val uni = trainToks.groupBy($"w").agg(count(lit(1)).as("cw"))
+    val tot = trainToks.agg(count(lit(1)).as("nn"),
+      count_distinct($"w").as("vv"))
+    val scored = pairsOf(base.filter(!$"is_train"))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cctx, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"cb".isNull.as("backoff"),
+        when($"cb".isNotNull, $"cb".cast("double") / $"cctx")
+          .otherwise(lit(alpha) * (coalesce($"cw", lit(0L)) + lit(1L)).cast("double") /
+            ($"nn" + $"vv").cast("double")).as("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"backoff", 1L).otherwise(0L)).as("n_backoff"),
+        round(avg(-log($"s")), 4).as("avg_neg_logprob"))
+    base.filter(!$"is_train").select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_backoff", lit(0L)).as("n_backoff"),
+        $"avg_neg_logprob")
+  }
+
+  /** TRAINED quality classifier — the upgrade of q73's fixed-weight
+    * scorer: full-batch logistic-regression gradient descent over the
+    * codegen'd 64-dim `feature_hash` vectors, label = (lang == 'en').
+    * Classic scalable LM-pipeline shape (fastText-style linear probe):
+    * per round ONE pass computes every per-dim gradient component
+    * (posexplode → dim-keyed sum, map-side combined — the shuffle is
+    * 64 cells), only the 64-double weight vector reaches the driver,
+    * and weights round to 1e-6 between rounds so the whole trajectory
+    * is deterministic and the DuckDB oracle unrolls the identical
+    * rounds (the q74/q105 rounded-trajectory discipline). Scoring
+    * against weight LITERALS is a pure scan projection.
+    */
+  def lrQualityTrain(spark: SparkSession, dir: String, rounds: Int = 3,
+      lrate: Double = 0.5, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextOps.register(spark)
+    val base = docs(spark, dir).select($"doc_id",
+        ($"lang" === "en").cast("double").as("y"),
+        coalesce(call_function("feature_hash", $"text"),
+          array().cast("array<int>")).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      if (n == 0L) {
+        return base.select($"doc_id", lit(0L).as("label"),
+          lit(0.0).as("score"), lit(false).as("predicted")).limit(0)
+      }
+      var w: IndexedSeq[Double] = IndexedSeq.fill(dim)(0.0)
+      // left-to-right fold over the full dim in index order — adding
+      // exact 0.0 terms for absent buckets, so the sum equals the
+      // oracle's sparse join-sum up to double merge order (≪ the 1e-6
+      // rounding grid)
+      def scoreCol(wv: IndexedSeq[Double]): Column =
+        aggregate(zip_with($"f", array(wv.map(lit): _*),
+          (x, wj) => x.cast("double") * wj), lit(0.0), (acc, v) => acc + v)
+      for (_ <- 1 to rounds) {
+        val g = base
+          .select((lit(1.0) / (lit(1.0) + exp(-scoreCol(w))) - $"y").as("r"),
+            posexplode($"f").as(Seq("j", "x")))
+          .filter($"x" =!= 0)
+          .groupBy($"j").agg(sum($"r" * $"x".cast("double")).as("g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = w.indices.map(j => BigDecimal(w(j) - lrate * g.getOrElse(j, 0.0) / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      base.select($"doc_id", $"y".cast("long").as("label"),
+          round(scoreCol(w), 6).as("score"))
+        .withColumn("predicted", $"score" >= 0)
+        .localCheckpoint(true)
+    } finally base.unpersist()
+  }
 }

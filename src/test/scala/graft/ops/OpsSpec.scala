@@ -372,6 +372,22 @@ class OpsSpec extends AnyFunSuite {
     "q226_domain_cap" -> Set("source", "doc_id", "score", "rn"),
     "q227_dsir_weights" ->
       Set("doc_id", "lang", "n_tokens", "logweight", "is_targetlike"),
+    "q228_kmv_source_overlap" ->
+      Set("source_a", "source_b", "k_used", "n_common", "jaccard_est"),
+    "q229_lang_mixture" -> Set("doc_id", "n_windows", "n_switches",
+      "majority_n", "n_langs", "mix_entropy", "is_mixed"),
+    "q230_kmv_source_distinct" ->
+      Set("source", "n_exact", "est_distinct", "within_tol"),
+    "q231_kmeans_fixpoint" -> Set("vec_id", "cluster_id", "cosine"),
+    "q232_stupid_backoff" ->
+      Set("doc_id", "n_pairs", "n_backoff", "avg_neg_logprob"),
+    "q233_label_centroid_cosine" ->
+      Set("label_a", "label_b", "n_a", "n_b", "cosine"),
+    "q234_kmeans_silhouette" -> Set("cluster_id", "n_members",
+      "avg_intra_dist", "avg_inter_dist", "avg_silhouette"),
+    "q235_lr_quality_train" -> Set("doc_id", "label", "score", "predicted"),
+    "q236_scd2_history" ->
+      Set("doc_id", "digest", "valid_from", "valid_to", "is_current"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

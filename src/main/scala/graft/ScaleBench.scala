@@ -119,7 +119,9 @@ object ScaleBench {
     "q227_dsir_weights", "q228_kmv_source_overlap", "q229_lang_mixture",
     "q230_kmv_source_distinct", "q231_kmeans_fixpoint",
     "q232_stupid_backoff", "q233_label_centroid_cosine",
-    "q234_kmeans_silhouette", "q235_lr_quality_train", "q236_scd2_history")
+    "q234_kmeans_silhouette", "q235_lr_quality_train", "q236_scd2_history",
+    "q237_hits_fixpoint", "q238_weighted_sample", "q239_label_dispersion",
+    "q240_readability")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

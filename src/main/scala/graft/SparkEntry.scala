@@ -630,6 +630,22 @@ object SparkEntry {
     // SCD2 multi-revision content lineage with gap-closed segments
     "q236_scd2_history" -> ((s: SparkSession, d: String) =>
       PipelinePrep.scd2History(s, d)),
+    // HITS hubs/authorities as an exact e6-integer fixpoint on the KNN
+    // graph (L1-renormalized each round; q225's cap/unroll argument)
+    "q237_hits_fixpoint" -> ((s: SparkSession, d: String) =>
+      Graph.hitsFixpoint(s, d)),
+    // Efraimidis–Spirakis weighted sample: k smallest −ln(u)/w keys,
+    // u from md5 — RNG-free weight-proportional sampling
+    "q238_weighted_sample" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.weightedSample(s, d)),
+    // per-label mean pairwise cosine in ONE pass via the Gram identity
+    // (‖Σû‖² − Σ‖û‖²)/(n(n−1)) + mean resultant length
+    "q239_label_dispersion" -> ((s: SparkSession, d: String) =>
+      Similarity.labelDispersion(s, d)),
+    // Flesch reading-ease with regex-integer word/sentence/syllable
+    // counts, banded easy/medium/hard
+    "q240_readability" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.readability(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4850,6 +4866,68 @@ object SparkEntry {
         |   AS valid_to,
         | max(rev) = 2 AS is_current
         |FROM t GROUP BY doc_id, seg""".stripMargin,
+    // q237: exact integer HITS rounds (see hitsFixOracleSql)
+    "q237_hits_fixpoint" -> hitsFixOracleSql(6),
+    // q238: the same md5-derived exponential keys, ranked in SQL; the
+    // Spark side ranks via TakeOrdered + broadcast pair-count instead
+    // of this window (oracle runs on DuckDB where the window is fine)
+    "q238_weighted_sample" ->
+      """WITH s AS (SELECT doc_id,
+        |        greatest(coalesce(n_chars, 1), 1) AS weight,
+        |        round(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |                        AS UBIGINT) + 1) / 4294967297.0)
+        |              / CAST(greatest(coalesce(n_chars, 1), 1) AS DOUBLE), 9)
+        |          AS sample_key
+        |       FROM documents),
+        |k AS (SELECT * FROM s ORDER BY sample_key, doc_id LIMIT 25)
+        |SELECT doc_id, weight, sample_key,
+        | CAST(row_number() OVER (ORDER BY sample_key, doc_id) AS BIGINT) AS rk
+        |FROM k""".stripMargin,
+    // q239: per-(label, dim) unit-vector sums round to 1e-6 before the
+    // Gram dot (the q233 discipline); ‖û‖² rolls up once per label
+    "q239_label_dispersion" ->
+      """WITH u AS (SELECT label,
+        |        [CAST(x AS DOUBLE) /
+        |         sqrt(list_sum([CAST(y AS DOUBLE)*CAST(y AS DOUBLE)
+        |                        for y in embedding])) for x in embedding] AS uv
+        |       FROM embeddings),
+        |c AS (SELECT label, s.p AS p, sum(s.v) AS sv, sum(s.v * s.v) AS q
+        |      FROM (SELECT label, unnest([{'p': j, 'v': uv[j]}
+        |                                  for j in range(1, len(uv)+1)]) AS s
+        |            FROM u) GROUP BY 1, 2),
+        |g AS (SELECT label, list(round(sv, 6) ORDER BY p) AS sv,
+        |       round(sum(q), 6) AS sq FROM c GROUP BY label),
+        |nz AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |       FROM embeddings GROUP BY label)
+        |SELECT g.label, nz.n,
+        | CASE WHEN nz.n > 1 THEN
+        |   round((list_sum([x*x for x in sv]) - sq) /
+        |         CAST(nz.n * (nz.n - 1) AS DOUBLE), 6)
+        | END AS mean_pairwise_cosine,
+        | round(sqrt(list_sum([x*x for x in sv])) / CAST(nz.n AS DOUBLE), 6)
+        |   AS resultant_norm
+        |FROM g JOIN nz USING (label)""".stripMargin,
+    // q240: regex-integer counts (sentences floor 1, vowel-less words
+    // add one syllable), one rounding at the end
+    "q240_readability" ->
+      """WITH m AS (SELECT doc_id, lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |             AS BIGINT) AS n_sentences,
+        |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+        |             len(list_filter(string_split(lower(text), ' '),
+        |                             w -> NOT regexp_matches(w, '[aeiouy]')))
+        |             AS BIGINT) AS n_syllables
+        |       FROM documents),
+        |f AS (SELECT *, round(206.835 - 1.015 * (n_words / n_sentences)
+        |                      - 84.6 * (n_syllables / n_words), 4) AS flesch
+        |      FROM m)
+        |SELECT doc_id, lang, n_words, n_sentences, n_syllables, flesch,
+        | CASE WHEN flesch IS NULL THEN NULL
+        |      WHEN flesch >= 60 THEN 'easy'
+        |      WHEN flesch >= 30 THEN 'medium'
+        |      ELSE 'hard' END AS band
+        |FROM f""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
@@ -5046,6 +5124,64 @@ object SparkEntry {
          |SELECT vec_id, r AS rank_e12,
          | round(CAST(r AS DOUBLE) * nn / 1000000000000, 6) AS rank_ratio
          |FROM r$iters CROSS JOIN cnt""".stripMargin
+  }
+
+  /** The q237 oracle replays the IDENTICAL integer HITS trajectory:
+    * e6-scaled BIGINT hub/authority state, per round the in-edge hub
+    * sum, L1-renormalize `(a·SCALE) // max(Σa, 1)`, the out-edge
+    * authority sum, renormalize again — every operation exact i64 on
+    * both engines, so the capped-fixpoint unroll (q220/q225 argument)
+    * agrees bit for bit. SCALE is e6 because the renormalization
+    * product is bounded by SCALE² (see Graph.hitsFixpoint).
+    */
+  private def hitsFixOracleSql(iters: Int): String = {
+    val knnMat = knnOracleCtes.replace("knn AS (", "knn AS MATERIALIZED (")
+    val init =
+      s"""$knnMat,
+         |edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings),
+         |s0 AS (SELECT vec_id, CAST(1000000 // nn AS BIGINT) AS h,
+         |        CAST(1000000 // nn AS BIGINT) AS a
+         |       FROM nodes CROSS JOIN cnt)""".stripMargin
+    // every per-round CTE is MATERIALIZED: ar/an/hr each get referenced
+    // 2-3 times in the round (the renormalize total + the next sum), so
+    // plain CTEs would INLINE and the plan tree would grow ~8× per
+    // round — 8^6 copies of the knn scan at 6 rounds ("too many open
+    // files" long before any row is produced)
+    val steps = (1 to iters).map { i =>
+      s""",
+         |ar$i AS MATERIALIZED (
+         |        SELECT nodes.vec_id, CAST(coalesce(m.s, 0) AS BIGINT) AS a
+         |        FROM nodes LEFT JOIN (
+         |          SELECT e.dst, CAST(sum(p.h) AS BIGINT) AS s
+         |          FROM edges e JOIN s${i - 1} p ON e.src = p.vec_id
+         |          GROUP BY e.dst) m ON nodes.vec_id = m.dst),
+         |an$i AS MATERIALIZED (
+         |        SELECT vec_id, CAST((a * 1000000) // tot AS BIGINT) AS a
+         |        FROM ar$i CROSS JOIN (
+         |          SELECT greatest(CAST(sum(a) AS BIGINT), 1) AS tot
+         |          FROM ar$i) t),
+         |hr$i AS MATERIALIZED (
+         |        SELECT nodes.vec_id, CAST(coalesce(m.s, 0) AS BIGINT) AS h
+         |        FROM nodes LEFT JOIN (
+         |          SELECT e.src, CAST(sum(q.a) AS BIGINT) AS s
+         |          FROM edges e JOIN an$i q ON e.dst = q.vec_id
+         |          GROUP BY e.src) m ON nodes.vec_id = m.src),
+         |s$i AS MATERIALIZED (
+         |        SELECT hn.vec_id, hn.h, an$i.a FROM (
+         |          SELECT vec_id, CAST((h * 1000000) // tot AS BIGINT) AS h
+         |          FROM hr$i CROSS JOIN (
+         |            SELECT greatest(CAST(sum(h) AS BIGINT), 1) AS tot
+         |            FROM hr$i) t) hn
+         |        JOIN an$i ON hn.vec_id = an$i.vec_id)""".stripMargin
+    }.mkString
+    init + steps +
+      s"""
+         |SELECT vec_id, h AS hub_e6, a AS auth_e6,
+         | round(CAST(h AS DOUBLE) / 1000000, 6) AS hub_score,
+         | round(CAST(a AS DOUBLE) / 1000000, 6) AS auth_score
+         |FROM s$iters""".stripMargin
   }
 
   private def lpaOracleSql(rounds: Int): String =

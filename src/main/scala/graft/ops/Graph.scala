@@ -621,6 +621,100 @@ object Graph {
     * 1/ln(deg) is always finite. The anti-join that removes existing
     * edges and the degree join both key on node ids.
     */
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the directed KNN
+    * edge set, run as an exact INTEGER fixpoint (the q225 discipline):
+    * e6-scaled BIGINT hub/authority vectors, per round
+    * a_raw(v) = Σ_{u→v} h(u) then L1-renormalized
+    * a(v) = (a_raw(v)·SCALE) div Σ a_raw, and symmetrically
+    * h(u) = (h_raw(u)·SCALE) div Σ h_raw with h_raw(u) = Σ_{u→v} a(v);
+    * exit when the (h, a) state repeats, capped at `maxIters`. A
+    * repeated integer state is a true fixed point of a deterministic
+    * function, so the capped early-exit equals exactly `maxIters`
+    * unrolled rounds on every input (the q220/q224/q225 cap argument)
+    * and the oracle unrolls the same integer rounds bit for bit.
+    *
+    * SCALE is e6 (not q225's e12) by the normalization overflow bound:
+    * the L1-normalized state keeps every a_raw ≤ Σh ≈ SCALE, so the
+    * renormalization product a_raw·SCALE ≤ SCALE² must fit a signed
+    * 64-bit long — 1e12 at e6, independent of node count, where e12
+    * state would overflow at the first renormalize. That bound is what
+    * makes this loop safe at 100 TB without a BigInt escape hatch.
+    *
+    * Scale: per round two edge⋈state joins keyed on node id (KNN
+    * out-degree ≤ k bounds the fan-out) + two map-side-combined
+    * rollups; the L1 totals are single-row broadcasts. Per-round
+    * localCheckpoint cuts the exit-detected loop's lineage (q220 rule).
+    */
+  def hitsFixpoint(spark: SparkSession, dir: String, maxIters: Int = 6,
+      nPlanes: Int = 8, k: Int = 3): DataFrame =
+    hitsFixpointWithStats(spark, dir, maxIters, nPlanes, k)._1
+
+  /** [[hitsFixpoint]] plus the number of rounds actually executed. */
+  private[ops] def hitsFixpointWithStats(spark: SparkSession,
+      dir: String, maxIters: Int = 6, nPlanes: Int = 8,
+      k: Int = 3): (DataFrame, Int) = {
+    import spark.implicits._
+    val scale = 1000000L
+    val edges = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+      val n = nodes.count()
+      if (n == 0) {
+        return (nodes.select($"vec_id", lit(0L).as("hub_e6"),
+          lit(0L).as("auth_e6"), lit(0.0).as("hub_score"),
+          lit(0.0).as("auth_score")), 0)
+      }
+      // L1-renormalize an integer vector to total ≈ SCALE; tot is a
+      // one-row aggregate joined by broadcast cross-join (never a
+      // SinglePartition window)
+      def renorm(raw: DataFrame, col: String): DataFrame = {
+        val tot = raw.agg(greatest(sum(org.apache.spark.sql.functions
+          .col(col)), lit(1L)).as("tot"))
+        raw.crossJoin(broadcast(tot))
+          .select($"vec_id",
+            expr(s"($col * $scale) div tot").as(col))
+      }
+      var state = nodes
+        .select($"vec_id", lit(scale / n).as("h"), lit(scale / n).as("a"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var it = 0
+      while (it < maxIters && changed > 0) {
+        val aRaw = nodes
+          .join(edges.join(state.select($"vec_id", $"h"),
+              $"src" === $"vec_id")
+            .groupBy($"dst").agg(sum($"h").as("a")),
+            nodes("vec_id") === $"dst", "left")
+          .select(nodes("vec_id"), coalesce($"a", lit(0L)).as("a"))
+        val aNorm = renorm(aRaw, "a")
+        val hRaw = nodes
+          .join(edges.join(aNorm.select($"vec_id".as("av"), $"a"),
+              $"dst" === $"av")
+            .groupBy($"src").agg(sum($"a").as("h")),
+            nodes("vec_id") === $"src", "left")
+          .select(nodes("vec_id"), coalesce($"h", lit(0L)).as("h"))
+        val next = renorm(hRaw, "h")
+          .join(aNorm, "vec_id")
+          .select($"vec_id", $"h", $"a")
+          .localCheckpoint(true)
+        changed = next.as("n")
+          .join(state.as("p"), Seq("vec_id"))
+          .filter($"n.h" =!= $"p.h" || $"n.a" =!= $"p.a")
+          .count()
+        state = next
+        it += 1
+      }
+      (state
+        .select($"vec_id", $"h".as("hub_e6"), $"a".as("auth_e6"),
+          round($"h".cast("double") / scale, 6).as("hub_score"),
+          round($"a".cast("double") / scale, 6).as("auth_score"))
+        .localCheckpoint(true), it)
+    } finally edges.unpersist()
+  }
+
   def adamicAdar(spark: SparkSession, dir: String, nPlanes: Int = 8,
       k: Int = 3, topK: Int = 5): DataFrame = {
     import spark.implicits._

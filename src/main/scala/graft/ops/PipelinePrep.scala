@@ -833,6 +833,43 @@ object PipelinePrep {
       .select(col("a.doc_id").as("anchor"), $"neg_rank", $"negative")
   }
 
+  /** Weighted sample without replacement via the Efraimidis–Spirakis
+    * exponential race (A-ES, 2006): every doc draws a deterministic
+    * uniform u ∈ (0,1) from its md5 (the q199 56-bit-prefix discipline,
+    * here the first 8 hex chars), is assigned the exponential key
+    * e = −ln(u) / w with w = max(n_chars, 1), and the k smallest keys
+    * ARE a without-replacement sample with inclusion probability
+    * proportional to weight — the "sample long documents more" curation
+    * primitive, reproducible bit-for-bit across runs and engines
+    * because there is no RNG, only the hash.
+    *
+    * The key rounds to 9 dp before ranking (doc_id breaks ties), so
+    * both engines rank identical literals; u is (h32+1)/(2³²+1),
+    * bounded away from 0 and 1, so ln never sees a pole.
+    *
+    * Scale: one scan projection into `orderBy(key).limit(k)` —
+    * TakeOrderedAndProject, per-partition k-row heaps merged on the
+    * driver — then [[Ranking.topKGlobal]]'s broadcast k²-pair rank; no
+    * corpus shuffle, no SinglePartition window, no RNG state to
+    * coordinate across 1000 executors.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+      k: Int = 25): DataFrame = {
+    import spark.implicits._
+    val keyed = docs(spark, dir)
+      .select($"doc_id",
+        greatest(coalesce($"n_chars", lit(1L)), lit(1L)).as("weight"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+          .as("h32"))
+      .select($"doc_id", $"weight",
+        round(-log(($"h32" + 1) / lit(4294967297.0)) /
+          $"weight".cast("double"), 9).as("sample_key"))
+    graft.ops.Ranking
+      .topKGlobal(keyed, Seq("sample_key" -> false, "doc_id" -> false), k,
+        rankCol = "rk")
+      .select($"doc_id", $"weight", $"sample_key", $"rk")
+  }
+
   /** Contiguous compaction plan over the q94 shard manifest (q197):
     * group shards, in shard-id order, into bins of roughly
     * total/`nBins` characters by integer division on the running byte

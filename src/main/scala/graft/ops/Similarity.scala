@@ -1322,6 +1322,51 @@ object Similarity {
           .as("cosine"))
   }
 
+  /** Per-label embedding dispersion via the Gram identity — the O(n)
+    * evaluation of an O(n²) quantity: for L2-normalized vectors û the
+    * mean pairwise cosine inside a label is
+    * (‖Σû‖² − Σ‖û‖²) / (n(n−1)), so ONE pass that sums the unit
+    * vectors componentwise replaces the n² cosine pairs; also emitted
+    * is the mean resultant length ‖Σû‖/n, directional statistics'
+    * concentration measure (→1 = all vectors aligned, →0 = spread).
+    * This is the intra-label complement of q233's inter-label centroid
+    * matrix: q233 says "are the classes far apart", this says "is each
+    * class tight" — together the embedding-space confusion screen.
+    *
+    * Cross-engine: each û component is a per-row deterministic literal
+    * (cast-to-double / vec_norm, the kmeans scoring parity); per-(label,
+    * dim) sums round to 1e-6 before the Gram dot (q233 discipline), the
+    * ‖û‖² rollup rounds once at the label grain.
+    *
+    * Scale: posexplode to (label × dim) cells with map-side combine —
+    * the label-count × 64 aggregate is the ONLY shuffle; no pair join
+    * exists at any scale.
+    */
+  def labelDispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val unit = e.select($"label",
+      transform($"embedding",
+        x => x.cast("double") / norm($"embedding")).as("u"))
+    val cells = unit
+      .select($"label", posexplode($"u").as(Seq("p", "v")))
+      .groupBy($"label", $"p")
+      .agg(sum($"v").as("s"), sum($"v" * $"v").as("q"))
+    val perLabel = cells.groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"p", $"s"))),
+          t => round(t("s"), 6)).as("sv"),
+        round(sum($"q"), 6).as("sq"))
+    val sizes = e.groupBy($"label").agg(count(lit(1)).as("n"))
+    perLabel.join(sizes, "label")
+      .select($"label", $"n",
+        when($"n" > 1,
+          round((dotD($"sv", $"sv") - $"sq") /
+            ($"n" * ($"n" - 1)).cast("double"), 6))
+          .as("mean_pairwise_cosine"),
+        round(sqrt(dotD($"sv", $"sv")) / $"n".cast("double"), 6)
+          .as("resultant_norm"))
+  }
+
   /** Simplified (centroid-based) silhouette for the q74 k-means
     * clustering — the O(n·k) clustering-quality score that is actually
     * runnable at 100 TB (exact silhouette is O(n²)): per vector,

@@ -2366,4 +2366,39 @@ object TextAnalysis {
         .localCheckpoint(true)
     } finally base.unpersist()
   }
+
+  /** Flesch reading-ease per document — the classic readability screen
+    * (Flesch 1948): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), banded easy/medium/hard at 60/30. All
+    * three counts are regex-deterministic so both engines see identical
+    * integers: sentences = `[.!?]+` runs (floor 1), syllables = vowel-
+    * group runs `[aeiouy]+` plus one per vowel-less word (the standard
+    * min-one-syllable correction), words = the whitespace tokens every
+    * other text op uses. The score then divides identical i64 pairs —
+    * one rounding, at the end (q97 rule).
+    *
+    * Scale: pure per-row scan projection — no shuffle, no UDF, all
+    * regex inside whole-stage codegen; the hard part of readability at
+    * 100 TB is not compute but determinism, hence integer counts.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", $"lang",
+        size(toks).cast("long").as("n_words"),
+        greatest(size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))),
+          lit(1)).cast("long").as("n_sentences"),
+        (size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0))) +
+          size(filter(split(lower($"text"), " "),
+            w => !w.rlike("[aeiouy]")))).cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * ($"n_words" / $"n_sentences") -
+          lit(84.6) * ($"n_syllables" / $"n_words"), 4))
+      .withColumn("band",
+        when($"flesch".isNull, lit(null).cast("string"))
+          .when($"flesch" >= 60, "easy")
+          .when($"flesch" >= 30, "medium")
+          .otherwise("hard"))
+  }
 }

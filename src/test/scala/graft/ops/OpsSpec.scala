@@ -388,6 +388,13 @@ class OpsSpec extends AnyFunSuite {
     "q235_lr_quality_train" -> Set("doc_id", "label", "score", "predicted"),
     "q236_scd2_history" ->
       Set("doc_id", "digest", "valid_from", "valid_to", "is_current"),
+    "q237_hits_fixpoint" ->
+      Set("vec_id", "hub_e6", "auth_e6", "hub_score", "auth_score"),
+    "q238_weighted_sample" -> Set("doc_id", "weight", "sample_key", "rk"),
+    "q239_label_dispersion" ->
+      Set("label", "n", "mean_pairwise_cosine", "resultant_norm"),
+    "q240_readability" -> Set("doc_id", "lang", "n_words", "n_sentences",
+      "n_syllables", "flesch", "band"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

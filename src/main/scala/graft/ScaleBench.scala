@@ -121,7 +121,8 @@ object ScaleBench {
     "q232_stupid_backoff", "q233_label_centroid_cosine",
     "q234_kmeans_silhouette", "q235_lr_quality_train", "q236_scd2_history",
     "q237_hits_fixpoint", "q238_weighted_sample", "q239_label_dispersion",
-    "q240_readability")
+    "q240_readability", "q241_margin_alignment", "q242_knn_outliers",
+    "q243_decontam_bloom")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

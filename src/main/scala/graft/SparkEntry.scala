@@ -646,6 +646,18 @@ object SparkEntry {
     // counts, banded easy/medium/hard
     "q240_readability" -> ((s: SparkSession, d: String) =>
       TextAnalysis.readability(s, d)),
+    // margin-based mutual alignment mining (Artetxe–Schwenk ratio
+    // margin) between the md5 train/eval embedding splits
+    "q241_margin_alignment" -> ((s: SparkSession, d: String) =>
+      Similarity.marginAlignment(s, d)),
+    // kNN-distance outlier scoring with isolated-vector surfacing and
+    // a broadcast corpus-mean flag
+    "q242_knn_outliers" -> ((s: SparkSession, d: String) =>
+      Similarity.knnOutliers(s, d)),
+    // bloom-prefiltered exact decontamination: output bit-identical to
+    // q66 (the bloom cuts the shuffle; FPs die in the exact join)
+    "q243_decontam_bloom" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.decontaminationBloom(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -788,7 +800,11 @@ object SparkEntry {
         | JOIN documents db ON cand.doc_b = db.doc_id
         |GROUP BY 1, 2""".stripMargin
 
-  private val knnOracleCtes: String =
+  /** The SRP-bucket prefix (head-vector hyperplanes → per-vector bucket
+    * + norm) shared by the KNN oracle chain and the q241 margin-mining
+    * oracle — one text, so the bucketing cannot drift between them.
+    */
+  private val srpCtes: String =
     """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 8),
       |sig AS (SELECT e.vec_id, e.embedding,
       |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(pe[i] AS DOUBLE)
@@ -797,7 +813,10 @@ object SparkEntry {
       |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
       |n AS (SELECT vec_id, embedding, bucket,
       |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
-      |  FROM sig),
+      |  FROM sig)""".stripMargin
+
+  private val knnOracleCtes: String = srpCtes +
+    """,
       |pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
       |   round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
       |                   for i in range(1, len(a.embedding)+1)]) / (a.nrm*b.nrm), 6) AS cosine
@@ -4928,6 +4947,64 @@ object SparkEntry {
         |      WHEN flesch >= 30 THEN 'medium'
         |      ELSE 'hard' END AS band
         |FROM f""".stripMargin,
+    // q241: same SRP buckets, cross-split candidates, exact e6 integer
+    // margins (shifted non-negative sums so the floor div agrees), and
+    // the mutual-argmax rank — all replayed verbatim
+    "q241_margin_alignment" ->
+      s"""$srpCtes,
+         |xs AS (SELECT vec_id, embedding, nrm, bucket FROM n
+         |       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '7f'),
+         |ys AS (SELECT vec_id, embedding, nrm, bucket FROM n
+         |       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) > '7f'),
+         |cand AS (SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+         |   round(list_sum([CAST(x.embedding[i] AS DOUBLE)*CAST(y.embedding[i] AS DOUBLE)
+         |                   for i in range(1, len(x.embedding)+1)]) / (x.nrm*y.nrm), 6) AS cosine
+         |  FROM xs x JOIN ys y ON x.bucket = y.bucket),
+         |c2 AS (SELECT *, CAST(round(cosine * 1e6) AS BIGINT) AS c6 FROM cand),
+         |ax AS (SELECT x_id,
+         |        (CAST(sum(c6 + 1000000) AS BIGINT) // CAST(count(*) AS BIGINT)) - 1000000 AS ax6
+         |       FROM (SELECT x_id, c6,
+         |              row_number() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id) AS rn
+         |             FROM c2) WHERE rn <= 3 GROUP BY x_id),
+         |ay AS (SELECT y_id,
+         |        (CAST(sum(c6 + 1000000) AS BIGINT) // CAST(count(*) AS BIGINT)) - 1000000 AS ay6
+         |       FROM (SELECT y_id, c6,
+         |              row_number() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id) AS rn
+         |             FROM c2) WHERE rn <= 3 GROUP BY y_id),
+         |mg AS (SELECT c.x_id, c.y_id, c.cosine,
+         |        CASE WHEN ax.ax6 + ay.ay6 > 0 AND c.c6 >= 0
+         |             THEN (c.c6 * 2000000) // (ax.ax6 + ay.ay6) END AS margin_e6
+         |       FROM c2 c JOIN ax USING (x_id) JOIN ay USING (y_id)),
+         |f AS (SELECT * FROM mg WHERE margin_e6 IS NOT NULL),
+         |r AS (SELECT *,
+         |       row_number() OVER (PARTITION BY x_id ORDER BY margin_e6 DESC, y_id) AS rx,
+         |       row_number() OVER (PARTITION BY y_id ORDER BY margin_e6 DESC, x_id) AS ry
+         |      FROM f)
+         |SELECT x_id, y_id, cosine, margin_e6,
+         | round(CAST(margin_e6 AS DOUBLE) / 1e6, 6) AS margin
+         |FROM r WHERE rx = 1 AND ry = 1""".stripMargin,
+    // q242: e6 integer distances off the shared knn chain; the corpus
+    // mean rides a one-row cross join, mirroring the broadcast
+    "q242_knn_outliers" ->
+      s"""$knnOracleCtes,
+         |pv AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+         |        CAST(sum(1000000 - CAST(round(cosine * 1e6) AS BIGINT)) AS BIGINT)
+         |          // CAST(count(*) AS BIGINT) AS score_e6
+         |       FROM knn GROUP BY vec_id),
+         |sc AS (SELECT e.vec_id,
+         |        CAST(coalesce(pv.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+         |        pv.score_e6, pv.score_e6 IS NULL AS is_isolated
+         |       FROM embeddings e LEFT JOIN pv ON e.vec_id = pv.vec_id),
+         |m AS (SELECT CAST(sum(score_e6) AS BIGINT)
+         |        // greatest(CAST(count(*) AS BIGINT), 1) AS mean_e6
+         |      FROM sc WHERE score_e6 IS NOT NULL)
+         |SELECT vec_id, n_neighbors, score_e6, is_isolated,
+         | (is_isolated OR coalesce(score_e6 > mean_e6 * 2, false)) AS is_outlier,
+         | mean_e6
+         |FROM sc CROSS JOIN m""".stripMargin,
+    // q243: the EXACT n=8 oracle, shared verbatim with q66 — the bloom
+    // prefilter must not change a single row
+    "q243_decontam_bloom" -> decon8OracleSql,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

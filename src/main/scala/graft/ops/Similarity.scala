@@ -1419,4 +1419,110 @@ object Similarity {
         .localCheckpoint(true)
     } finally e.unpersist()
   }
+
+  /** kNN-distance outlier scoring over the SRP-bucketed KNN graph — the
+    * standard embedding-space noise screen a curation pipeline runs
+    * before training (mislabeled / off-manifold vectors sit far from
+    * even their nearest neighbors, Ramaswamy et al. 2000): per vector
+    * the mean cosine DISTANCE to its ≤k bucket-nearest neighbors, in
+    * exact e6 integer micro-units. [[knnGraph]] cosines are 6-dp by
+    * construction, so 1e6·(1−cos) is an exact non-negative BIGINT and
+    * the per-vector mean is an integer div — no double-sum order
+    * hazard, and floor = truncate because every operand is ≥ 0 (the
+    * round-5 cross-engine playbook). Vectors alone in every LSH bucket
+    * have no KNN rows — emitted with a null score and `is_isolated`
+    * (the strongest outlier signal), never dropped. `is_outlier` flags
+    * scores above 2× the corpus mean score, a one-row broadcast cross
+    * join — never a global window.
+    *
+    * Scale: [[knnGraph]]'s bucket self-join + a vec-keyed rollup; the
+    * corpus mean is one row. Nothing here is corpus-quadratic.
+    */
+  def knnOutliers(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val perVec = knnGraph(spark, dir, nPlanes, k)
+      .select($"vec_id",
+        (lit(1000000L) - round($"cosine" * 1e6).cast("long")).as("d6"))
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_neighbors"), sum($"d6").as("sd"))
+      .select($"vec_id", $"n_neighbors",
+        expr("sd div n_neighbors").as("score_e6"))
+    val scored = emb(spark, dir).select($"vec_id")
+      .join(perVec, Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"n_neighbors", lit(0L)).as("n_neighbors"),
+        $"score_e6", $"score_e6".isNull.as("is_isolated"))
+    val mean = scored.filter($"score_e6".isNotNull)
+      .agg(expr("sum(score_e6) div greatest(count(1), 1)").as("mean_e6"))
+    scored.crossJoin(broadcast(mean))
+      .select($"vec_id", $"n_neighbors", $"score_e6", $"is_isolated",
+        ($"is_isolated" ||
+          coalesce($"score_e6" > $"mean_e6" * 2, lit(false))).as("is_outlier"),
+        $"mean_e6")
+  }
+
+  /** Margin-based alignment mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix bitext-mining criterion): mutual-best matches
+    * between the md5 train split (side X) and the eval split (side Y)
+    * of the embeddings, scored by the RATIO margin
+    * `margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2)` — the cosine
+    * relative to each endpoint's average top-k candidate cosine, which
+    * suppresses hub vectors that score high against everything. A pair
+    * survives only if y is x's best margin AND x is y's best margin
+    * (mutual argmax, ties to the lower id).
+    *
+    * Cross-engine determinism: cosines are 6-dp; all margin arithmetic
+    * is exact e6 integers — per-side averages fold the SHIFTED
+    * non-negative units (c6 + 1e6, so the floor div agrees across
+    * engines even when candidate cosines are negative; the shift
+    * cancels algebraically: div by k then subtract 1e6), and the margin
+    * is `(c6 · 2e6) div (ax6 + ay6)` guarded to positive denominators
+    * and non-negative numerators, so floor = truncate on both engines.
+    * `c6 · 2e6 ≤ 2e12` fits a signed long with 3 decades to spare.
+    *
+    * Scale: candidates come from the same SRP bucket join as
+    * [[knnGraph]] (never all-pairs); every window partitions by an
+    * endpoint id (bucket-bounded, no SinglePartition); the top-k
+    * average and both argmax ranks shuffle candidate rows keyed by
+    * endpoint — the same shuffle class the KNN graph already pays.
+    */
+  def marginAlignment(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      kAvg: Int = 3): DataFrame = {
+    import spark.implicits._
+    val bucketed = emb(spark, dir).select($"vec_id", $"embedding",
+      srpBucket(headVectors(spark, dir, nPlanes)).as("bucket"),
+      norm($"embedding").as("nrm"), isTrainVec.as("is_train"))
+    val cand = bucketed.filter($"is_train").as("x")
+      .join(bucketed.filter(!$"is_train").as("y"),
+        col("x.bucket") === col("y.bucket"))
+      .select(col("x.vec_id").as("x_id"), col("y.vec_id").as("y_id"),
+        round(dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 6).as("cosine"))
+      .withColumn("c6", round($"cosine" * 1e6).cast("long"))
+    // mean of the top-kAvg candidate cosines per endpoint, exact e6:
+    // fold c6 + 1e6 (non-negative) and un-shift after the floor div
+    def sideAvg(key: String, other: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy($"c6".desc, col(other))
+      cand.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= kAvg)
+        .groupBy(col(key))
+        .agg(expr(s"(sum(c6 + 1000000) div count(1)) - 1000000").as(out))
+    }
+    val margins = cand
+      .join(sideAvg("x_id", "y_id", "ax6"), "x_id")
+      .join(sideAvg("y_id", "x_id", "ay6"), "y_id")
+      .withColumn("margin_e6",
+        when($"ax6" + $"ay6" > 0L && $"c6" >= 0L,
+          expr("(c6 * 2000000) div (ax6 + ay6)")))
+      .filter($"margin_e6".isNotNull)
+    val bx = Window.partitionBy($"x_id").orderBy($"margin_e6".desc, $"y_id")
+    val by = Window.partitionBy($"y_id").orderBy($"margin_e6".desc, $"x_id")
+    margins
+      .withColumn("rx", row_number().over(bx))
+      .withColumn("ry", row_number().over(by))
+      .filter($"rx" === 1 && $"ry" === 1)
+      .select($"x_id", $"y_id", $"cosine", $"margin_e6",
+        round($"margin_e6".cast("double") / 1e6, 6).as("margin"))
+  }
 }

@@ -215,6 +215,90 @@ object TextAnalysis {
           .as("shared_frac"))
   }
 
+  /** [[decontaminationHashed]] behind a broadcast BLOOM prefilter — the
+    * shape a 100-TB overlap check actually runs: the train gram-hash
+    * set is folded into ONE mBits bitmap by a mergeable typed
+    * Aggregator ([[graft.functions.BloomFilter]] — map-side partials,
+    * the shuffle carries bitmaps, not keys), the bitmap rides a one-row
+    * broadcast cross join, and only bloom-PASSING eval grams reach the
+    * exact train-gram join. False positives are killed by that exact
+    * join, so the OUTPUT is bit-identical to [[decontaminationHashed]]
+    * (they share the oracle); what the bloom buys is the shuffle: with
+    * a clean eval set, ~zero eval grams shuffle toward the train join
+    * instead of all of them — the runtime-filter idea, made explicit
+    * and deterministic (seed-fixed xxhash64 positions, OR-fold bitmap,
+    * so the prefilter's pass set is reproducible across partitionings).
+    *
+    * Sizing: defaults (2²⁰ bits, 4 hashes) hold ~130k train grams at
+    * <2% FP; at 100 TB you size mBits to the measured train-gram
+    * cardinality (the q230 KMV estimate) — the bitmap stays a few
+    * hundred MB broadcast, still far below shuffling the eval grams.
+    */
+  def decontaminationBloom(spark: SparkSession, dir: String, n: Int = 8,
+      mBits: Int = 1 << 20, nHashes: Int = 4): DataFrame = {
+    import spark.implicits._
+    import graft.functions.BloomFilter
+    graft.functions.TextOps.register(spark)
+    val grams = docs(spark, dir)
+      .select($"doc_id",
+        (substring(md5($"doc_id".cast("string")), 1, 2) <= "7f").as("is_train"),
+        array_distinct(call_function("gram_hashes", $"text", lit(n))).as("g"))
+    val trainGrams = grams.filter($"is_train")
+      .select(explode($"g").as("gh")).distinct()
+    val bm = trainGrams
+      .select(explode(BloomFilter.positionsOf($"gh", mBits, nHashes)).as("p"))
+      .agg(BloomFilter.bloomBuild(mBits)($"p").as("bm"))
+    val pass = grams.filter(!$"is_train")
+      .select($"doc_id", explode($"g").as("gh"))
+      .withColumn("ps", BloomFilter.positionsOf($"gh", mBits, nHashes))
+      .crossJoin(broadcast(bm))
+      .filter(BloomFilter.mightContain($"bm", $"ps", nHashes))
+      .select($"doc_id", $"gh")
+    val shared = pass.join(trainGrams, "gh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    grams.filter(!$"is_train")
+      .select($"doc_id", size($"g").cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shared_grams", lit(0L)).as("n_shared_grams"),
+        $"n_grams",
+        when($"n_grams" > 0,
+          round(coalesce($"n_shared_grams", lit(0L)).cast("double") / $"n_grams", 6))
+          .as("shared_frac"))
+  }
+
+  /** Spec hook: (eval grams probed, bloom passes, exact members) — the
+    * sandwich `exact ≤ pass ≤ probed` plus the measured FP margin.
+    */
+  private[ops] def bloomPrefilterCounts(spark: SparkSession, dir: String,
+      n: Int = 8, mBits: Int = 1 << 20, nHashes: Int = 4): (Long, Long, Long) = {
+    import spark.implicits._
+    import graft.functions.BloomFilter
+    graft.functions.TextOps.register(spark)
+    val grams = docs(spark, dir)
+      .select($"doc_id",
+        (substring(md5($"doc_id".cast("string")), 1, 2) <= "7f").as("is_train"),
+        array_distinct(call_function("gram_hashes", $"text", lit(n))).as("g"))
+    val trainGrams = grams.filter($"is_train")
+      .select(explode($"g").as("gh")).distinct()
+    val bm = trainGrams
+      .select(explode(BloomFilter.positionsOf($"gh", mBits, nHashes)).as("p"))
+      .agg(BloomFilter.bloomBuild(mBits)($"p").as("bm"))
+    val evalGrams = grams.filter(!$"is_train")
+      .select($"doc_id", explode($"g").as("gh"))
+      .persist()
+    try {
+      val probed = evalGrams.count()
+      val pass = evalGrams
+        .withColumn("ps", BloomFilter.positionsOf($"gh", mBits, nHashes))
+        .crossJoin(broadcast(bm))
+        .filter(BloomFilter.mightContain($"bm", $"ps", nHashes))
+        .count()
+      val exact = evalGrams.join(trainGrams, "gh").count()
+      (probed, pass, exact)
+    } finally evalGrams.unpersist()
+  }
+
   /** Unigram language-model score (CCNet-style perplexity proxy): mean
     * negative log-probability of a doc's tokens under the corpus unigram
     * distribution — high values flag gibberish / vocabulary-atypical

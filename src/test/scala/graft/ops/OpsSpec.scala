@@ -395,6 +395,12 @@ class OpsSpec extends AnyFunSuite {
       Set("label", "n", "mean_pairwise_cosine", "resultant_norm"),
     "q240_readability" -> Set("doc_id", "lang", "n_words", "n_sentences",
       "n_syllables", "flesch", "band"),
+    "q241_margin_alignment" ->
+      Set("x_id", "y_id", "cosine", "margin_e6", "margin"),
+    "q242_knn_outliers" -> Set("vec_id", "n_neighbors", "score_e6",
+      "is_isolated", "is_outlier", "mean_e6"),
+    "q243_decontam_bloom" ->
+      Set("doc_id", "n_shared_grams", "n_grams", "shared_frac"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -122,7 +122,8 @@ object ScaleBench {
     "q234_kmeans_silhouette", "q235_lr_quality_train", "q236_scd2_history",
     "q237_hits_fixpoint", "q238_weighted_sample", "q239_label_dispersion",
     "q240_readability", "q241_margin_alignment", "q242_knn_outliers",
-    "q243_decontam_bloom")
+    "q243_decontam_bloom", "q244_harmonic_centrality",
+    "q245_distinct_ngrams")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -658,6 +658,13 @@ object SparkEntry {
     // q66 (the bloom cuts the shuffle; FPs die in the exact join)
     "q243_decontam_bloom" -> ((s: SparkSession, d: String) =>
       TextAnalysis.decontaminationBloom(s, d)),
+    // sampled harmonic centrality: multi-source frontier BFS, exact
+    // e6-integer 1/d sums (q221's cap argument per source)
+    "q244_harmonic_centrality" -> ((s: SparkSession, d: String) =>
+      Graph.harmonicCentrality(s, d)),
+    // distinct-n lexical diversity per source (n = 1..3)
+    "q245_distinct_ngrams" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.distinctNgramDiversity(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4828,7 +4835,7 @@ object SparkEntry {
         |sc AS (SELECT e.doc_id, cb.cb IS NULL AS backoff,
         |        CASE WHEN cb.cb IS NOT NULL THEN CAST(cb.cb AS DOUBLE)/cctx.cctx
         |             ELSE 0.4 * CAST(coalesce(uni.cw, 0) + 1 AS DOUBLE)
-        |                  / CAST(tot.nn + tot.vv AS DOUBLE) END AS s
+        |                  / CAST(greatest(tot.nn + tot.vv, 1) AS DOUBLE) END AS s
         |       FROM ep e LEFT JOIN cb ON e.w1 = cb.w1 AND e.w2 = cb.w2
         |        LEFT JOIN cctx ON e.w1 = cctx.w1
         |        LEFT JOIN uni ON e.w2 = uni.w
@@ -5005,6 +5012,31 @@ object SparkEntry {
     // q243: the EXACT n=8 oracle, shared verbatim with q66 — the bloom
     // prefilter must not change a single row
     "q243_decontam_bloom" -> decon8OracleSql,
+    // q244: the multi-source BFS unrolled to the cap (see
+    // harmonicOracleSql); e6 contributions are positive integer divs
+    "q244_harmonic_centrality" -> harmonicOracleSql(4, 6),
+    // q245: one (source, gram) rollup per n over the decon3-family
+    // n-gram windows; short/null docs contribute nothing on both sides
+    "q245_distinct_ngrams" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |g1 AS (SELECT source, unnest(tk) AS gram FROM t WHERE tk IS NOT NULL),
+        |g2 AS (SELECT source, unnest(CASE WHEN len(tk) >= 2
+        |         THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+        |         ELSE [] END) AS gram FROM t),
+        |g3 AS (SELECT source, unnest(CASE WHEN len(tk) >= 3
+        |         THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |               for i in range(1, len(tk) - 1)]
+        |         ELSE [] END) AS gram FROM t),
+        |u AS (SELECT source, 1 AS n, gram FROM g1
+        |      UNION ALL SELECT source, 2, gram FROM g2
+        |      UNION ALL SELECT source, 3, gram FROM g3)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        | CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+        | CASE WHEN count(*) > 0 THEN
+        |   round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+        | END AS distinct_ratio
+        |FROM u GROUP BY source, n""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
@@ -5561,6 +5593,46 @@ object SparkEntry {
          |  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM embeddings
          |  WHERE vec_id NOT IN (SELECT vec_id FROM v$maxDepth))
          |WHERE n_nodes > 0""".stripMargin
+  }
+
+  /** The q244 oracle: the SAME multi-source BFS, unrolled to the cap.
+    * State rows are (src, vec_id, dist); each round's new set is the
+    * frontier⋈edges expansion ANTI-joined against the visited set on
+    * the (src, vec_id) pair. Every round CTE is MATERIALIZED (the
+    * q220/q237 rule: n_i feeds both v_i's union and the next round's
+    * anti-join, so inlining doubles the tree per round). Contributions
+    * `1000000 // dist` are positive integer divs — exact on both
+    * engines.
+    */
+  private def harmonicOracleSql(nSources: Int, maxDepth: Int): String = {
+    val init =
+      s"""$knnOracleCtes,
+         |ed AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |        greatest(vec_id, neighbor_id) AS b FROM knn),
+         |dr AS MATERIALIZED (SELECT a AS u, b AS v FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |v0 AS (SELECT vec_id AS src, vec_id, CAST(0 AS BIGINT) AS dist
+         |       FROM embeddings WHERE vec_id < $nSources),
+         |f0 AS (SELECT src, vec_id FROM v0)""".stripMargin
+    val steps = (1 to maxDepth).map { i =>
+      s""",
+         |n$i AS MATERIALIZED (SELECT DISTINCT f.src, dr.v AS vec_id FROM dr
+         |        JOIN f${i - 1} f ON dr.u = f.vec_id
+         |        ANTI JOIN v${i - 1} s ON s.src = f.src AND s.vec_id = dr.v),
+         |v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL
+         |        SELECT src, vec_id, CAST($i AS BIGINT) FROM n$i),
+         |f$i AS (SELECT src, vec_id FROM n$i)""".stripMargin
+    }.mkString
+    init + steps +
+      s"""
+         |, per AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_sources_reached,
+         |        CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6
+         |       FROM v$maxDepth WHERE dist > 0 GROUP BY vec_id)
+         |SELECT e.vec_id,
+         | CAST(coalesce(per.n_sources_reached, 0) AS BIGINT) AS n_sources_reached,
+         | CAST(coalesce(per.harmonic_e6, 0) AS BIGINT) AS harmonic_e6,
+         | round(CAST(coalesce(per.harmonic_e6, 0) AS DOUBLE) / 1e6, 6) AS harmonic
+         |FROM embeddings e LEFT JOIN per ON e.vec_id = per.vec_id""".stripMargin
   }
 
   private def markovCtes(iters: Int): String = {

@@ -45,6 +45,25 @@ object BloomFilter {
     * plan-time conjunction of `nHashes` element_at/shift/mask tests —
     * codegen-friendly, no lambda dispatch per element.
     */
+  /** Membership predicate computing the positions INLINE from the key —
+    * the form that works inside higher-order-function lambdas (where a
+    * precomputed positions column isn't available, e.g. filtering a
+    * per-row gram-hash array against a joined-in bitmap). Same position
+    * family as [[positionsOf]], so build and probe cannot disagree.
+    */
+  def mightContainKey(bitmap: Column, key: Column, mBits: Int,
+      nHashes: Int): Column = {
+    require(mBits > 0 && (mBits & 63) == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    (0 until nHashes).map { i =>
+      val p = pmod(xxhash64(key, lit(i)), lit(mBits.toLong)).cast("int")
+      val word = element_at(bitmap,
+        call_function("shiftright", p, lit(6)) + lit(1))
+      call_function("shiftright", word, p.bitwiseAND(lit(63)))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
   def mightContain(bitmap: Column, positions: Column, nHashes: Int): Column =
     (0 until nHashes).map { i =>
       val p = element_at(positions, i + 1)

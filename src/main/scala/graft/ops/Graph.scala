@@ -745,4 +745,73 @@ object Graph {
         .localCheckpoint(true)
     } finally und.unpersist()
   }
+
+  /** Sampled harmonic centrality (the Eppstein–Wang estimator family):
+    * Σ 1/d(s, v) over a deterministic source sample — the closeness-
+    * style centrality that stays finite on disconnected graphs (an
+    * unreached source contributes 0, not 1/∞), completing the repo's
+    * centrality set (degree, PageRank, HITS). Sources are the vec_id <
+    * nSources head rows (the headVectors/SRP-plane discipline: a
+    * pushed-down point predicate, not a scan); exact all-sources
+    * harmonic is O(n·m) BFS work — at 100 TB you sample sources, and
+    * the estimate concentrates (Eppstein–Wang): the PLAN is identical
+    * at any nSources, the state just carries that many (src, node)
+    * rows.
+    *
+    * Determinism: multi-source frontier BFS with per-hop exhaustion
+    * exit under the q221 cap argument (an empty frontier makes every
+    * deeper round a no-op, so the capped early exit equals the full
+    * unroll the oracle runs); contributions are exact e6 integers
+    * (`1000000 div dist`, dist ≥ 1 — floor div of positives agrees on
+    * both engines; the e6 sum over ≤nSources terms is ≤ 4e6, no
+    * overflow anywhere near i64).
+    *
+    * Scale: per hop one edge⋈frontier join + one (src, node)-keyed
+    * anti-join, state bounded by nSources × |V|; visited is
+    * checkpointed per hop (the q220 convergence-loop lineage rule).
+    */
+  def harmonicCentrality(spark: SparkSession, dir: String,
+      nSources: Int = 4, maxDepth: Int = 6, nPlanes: Int = 8,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = und.select($"a".as("u"), $"b".as("v"))
+        .unionByName(und.select($"b".as("u"), $"a".as("v")))
+      val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+      var visited = nodes.filter($"vec_id" < nSources)
+        .select($"vec_id".as("src"), $"vec_id", lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var frontier = visited.select($"src", $"vec_id")
+      var depth = 1
+      var exhausted = frontier.isEmpty
+      while (depth <= maxDepth && !exhausted) {
+        val next = edges
+          .join(frontier.withColumnRenamed("vec_id", "u"), Seq("u"))
+          .select($"src", $"v".as("vec_id")).distinct()
+          .join(visited.select($"src", $"vec_id"),
+            Seq("src", "vec_id"), "left_anti")
+          .select($"src", $"vec_id", lit(depth.toLong).as("dist"))
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next.select($"src", $"vec_id").localCheckpoint(true)
+        if (frontier.isEmpty) exhausted = true
+        depth += 1
+      }
+      val per = visited.filter($"dist" > 0)
+        .groupBy($"vec_id")
+        .agg(count(lit(1)).as("n_sources_reached"),
+          sum(expr("1000000 div dist")).as("harmonic_e6"))
+      nodes.join(per, Seq("vec_id"), "left")
+        .select($"vec_id",
+          coalesce($"n_sources_reached", lit(0L)).as("n_sources_reached"),
+          coalesce($"harmonic_e6", lit(0L)).as("harmonic_e6"),
+          round(coalesce($"harmonic_e6", lit(0L)).cast("double") / 1e6, 6)
+            .as("harmonic"))
+    } finally und.unpersist()
+  }
 }

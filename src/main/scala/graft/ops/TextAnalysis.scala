@@ -2386,7 +2386,11 @@ object TextAnalysis {
       .select($"doc_id", $"cb".isNull.as("backoff"),
         when($"cb".isNotNull, $"cb".cast("double") / $"cctx")
           .otherwise(lit(alpha) * (coalesce($"cw", lit(0L)) + lit(1L)).cast("double") /
-            ($"nn" + $"vv").cast("double")).as("s"))
+            // greatest(·, 1): an all-null/empty TRAIN split has N = V =
+            // 0 and ANSI turns the add-one denominator into a
+            // divide-by-zero error; with no train mass every eval pair
+            // backs off to a flat alpha·1/1 — finite and deterministic
+            greatest($"nn" + $"vv", lit(1L)).cast("double")).as("s"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when($"backoff", 1L).otherwise(0L)).as("n_backoff"),
@@ -2484,5 +2488,36 @@ object TextAnalysis {
           .when($"flesch" >= 60, "easy")
           .when($"flesch" >= 30, "medium")
           .otherwise("hard"))
+  }
+
+  /** Distinct-n lexical diversity per source (the distinct-1/2/3
+    * metric of Li et al. 2016, the standard repetitiveness /
+    * template-spam screen for generated or scraped corpora): for each
+    * n ≤ maxN, the fraction of a source's n-gram OCCURRENCES that are
+    * distinct types — a low distinct-2/3 source is boilerplate or
+    * model-generated loops. One (source, gram) rollup per n over the
+    * shared [[graft.ops.Dedup.ngramsOf]] windows (docs with < n tokens
+    * contribute nothing, null text contributes nothing — identical
+    * guards to the decontamination family).
+    *
+    * Scale: the shuffle is (source, gram)-keyed with map-side partial
+    * counts — the exact twin of what q230's KMV sketch estimates in
+    * O(k) state; run THIS when you need the true ratio on a slice and
+    * the sketch on the full 100 TB corpus.
+    */
+  def distinctNgramDiversity(spark: SparkSession, dir: String,
+      maxN: Int = 3): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select($"source", toks.as("t"))
+    (1 to maxN).map { n =>
+      base.select($"source", explode(Dedup.ngramsOf($"t", n)).as("gram"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          count_distinct($"gram").as("n_distinct"))
+        .select($"source", lit(n.toLong).as("n"), $"n_total", $"n_distinct",
+          when($"n_total" > 0,
+            round($"n_distinct".cast("double") / $"n_total", 6))
+            .as("distinct_ratio"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -159,4 +159,50 @@ object DocStreams {
     dedupByContent(
       scoreDocs(prepDocs(ruleGate(docs)), threshold).filter(col("keep")),
       ingestTs, horizon)
+
+  /** Live contamination TRIPWIRE: each arriving doc's n-gram hashes are
+    * probed — row-locally, no explode, no shuffle — against the static
+    * train-corpus Bloom bitmap (q243's `functions.BloomFilter`, the
+    * identical position family, so this gate and the batch check cannot
+    * disagree on what the filter would pass). Emits per doc the gram
+    * count and the bloom-hit count; `is_flagged` is the tripwire. Bloom
+    * false positives make the flag CONSERVATIVE (flags ⊇ truly
+    * contaminated — the right polarity for a tripwire whose hits are
+    * adjudicated by the exact batch check, q66/q243); false negatives
+    * are impossible, so an unflagged doc is PROVABLY clean.
+    *
+    * Shape: every stage is a stateless projection — the bitmap rides a
+    * one-row static side of a stream-static equi-join (on a constant
+    * key; Structured Streaming re-plans the static side per
+    * micro-batch, so at scale persist the bitmap DataFrame before
+    * passing the stream through). Works unchanged on a batch frame,
+    * which is exactly what the stream==batch gate replays.
+    */
+  def contaminationGate(docs: DataFrame, trainDir: String, n: Int = 8,
+      mBits: Int = 1 << 18, nHashes: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BloomFilter
+    val spark = docs.sparkSession
+    graft.functions.TextOps.register(spark)
+    val trainGrams = spark.read.parquet(s"$trainDir/documents.parquet")
+      .filter(substring(md5($"doc_id".cast("string")), 1, 2) <= "7f")
+      .select(explode(array_distinct(
+        call_function("gram_hashes", $"text", lit(n)))).as("gh"))
+      .distinct()
+    val bm = trainGrams
+      .select(explode(BloomFilter.positionsOf($"gh", mBits, nHashes)).as("p"))
+      .agg(BloomFilter.bloomBuild(mBits)($"p").as("bm"))
+      .withColumn("jk", lit(1))
+    docs
+      .withColumn("g",
+        array_distinct(call_function("gram_hashes", $"text", lit(n))))
+      .withColumn("jk", lit(1))
+      .join(bm, Seq("jk"))
+      .select($"doc_id",
+        coalesce(size($"g").cast("long"), lit(0L)).as("n_grams"),
+        coalesce(size(filter($"g", gh =>
+            BloomFilter.mightContainKey($"bm", gh, mBits, nHashes)))
+          .cast("long"), lit(0L)).as("n_bloom_hits"))
+      .withColumn("is_flagged", $"n_bloom_hits" > 0)
+  }
 }

@@ -401,6 +401,10 @@ class OpsSpec extends AnyFunSuite {
       "is_isolated", "is_outlier", "mean_e6"),
     "q243_decontam_bloom" ->
       Set("doc_id", "n_shared_grams", "n_grams", "shared_frac"),
+    "q244_harmonic_centrality" ->
+      Set("vec_id", "n_sources_reached", "harmonic_e6", "harmonic"),
+    "q245_distinct_ngrams" ->
+      Set("source", "n", "n_total", "n_distinct", "distinct_ratio"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

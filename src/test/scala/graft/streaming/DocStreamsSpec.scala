@@ -261,4 +261,39 @@ class DocStreamsSpec extends AnyFunSuite {
       assert(kept == Set(1L, 2L, 4L), s"got $kept")
     } finally q.stop()
   }
+
+  test("streamed contamination tripwire equals batch; flags cover the exact set") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-doccontam")
+    try {
+      // the stream carries the EVAL split (the batch check's probe
+      // side); the train split stays inside the static bitmap build
+      spark.read.schema(DocStreams.docSchema).parquet(s"$sf/documents.parquet")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) > "7f")
+        .repartition(2).write.parquet(s"$tmp/docs")
+      def snap(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+      val batch = snap(DocStreams.contaminationGate(
+        spark.read.schema(DocStreams.docSchema).parquet(s"$tmp/docs"), sf)
+        .collect())
+      val q = DocStreams.contaminationGate(
+          DocStreams.readDocStream(spark, s"$tmp/docs", maxFilesPerTrigger = 1),
+          sf)
+        .writeStream.format("memory").queryName("doc_contam")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = snap(spark.table("doc_contam").collect())
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // tripwire polarity: every truly contaminated doc (the exact q66
+      // verdict) must be flagged — bloom errs only toward caution
+      val exact = graft.ops.TextAnalysis.decontaminationHashed(spark, sf)
+        .filter(col("n_shared_grams") > 0).collect().map(_.getLong(0)).toSet
+      val flagged = batch.filter(_._4).map(_._1).toSet
+      assert(exact.nonEmpty && exact.subsetOf(flagged),
+        s"tripwire missed contaminated docs: ${exact.diff(flagged)}")
+    } finally graft.TestFiles.rmrf(tmp)
+  }
 }

@@ -677,40 +677,57 @@ object Graph {
           .select($"vec_id",
             expr(s"($col * $scale) div tot").as(col))
       }
+      // State carries the SUPPORT only (rows with a nonzero sum path);
+      // zero-in-degree / zero-out-degree nodes are implicit zeros — the
+      // renorm total ignores them and `(0·SCALE) div tot = 0`, so the
+      // values are bit-identical to the dense formulation while each
+      // round drops two parquet-scan left-joins whose only job was
+      // materializing those zeros. They are re-added ONCE at the end.
       var state = nodes
         .select($"vec_id", lit(scale / n).as("h"), lit(scale / n).as("a"))
         .localCheckpoint(true)
       var changed = 1L
       var it = 0
       while (it < maxIters && changed > 0) {
-        val aRaw = nodes
-          .join(edges.join(state.select($"vec_id", $"h"),
-              $"src" === $"vec_id")
-            .groupBy($"dst").agg(sum($"h").as("a")),
-            nodes("vec_id") === $"dst", "left")
-          .select(nodes("vec_id"), coalesce($"a", lit(0L)).as("a"))
-        val aNorm = renorm(aRaw, "a")
-        val hRaw = nodes
-          .join(edges.join(aNorm.select($"vec_id".as("av"), $"a"),
-              $"dst" === $"av")
-            .groupBy($"src").agg(sum($"a").as("h")),
-            nodes("vec_id") === $"src", "left")
-          .select(nodes("vec_id"), coalesce($"h", lit(0L)).as("h"))
-        val next = renorm(hRaw, "h")
-          .join(aNorm, "vec_id")
-          .select($"vec_id", $"h", $"a")
+        val aAgg = edges.join(state.select($"vec_id", $"h"),
+            $"src" === $"vec_id")
+          .groupBy($"dst").agg(sum($"h").as("a"))
+          .select($"dst".as("vec_id"), $"a")
+        // aNorm is referenced three times (h-sum via renorm's double
+        // branch + the final join) — unmaterialized that re-evaluates
+        // aAgg up to 6× per round, the Spark-side twin of the oracle's
+        // MATERIALIZED-CTE requirement
+        val aNorm = renorm(aAgg, "a").localCheckpoint(true)
+        val hAgg = edges.join(aNorm.select($"vec_id".as("av"), $"a"),
+            $"dst" === $"av")
+          .groupBy($"src").agg(sum($"a").as("h"))
+          .select($"src".as("vec_id"), $"h")
+        val next = renorm(hAgg, "h")
+          .join(aNorm, Seq("vec_id"), "full")
+          .select($"vec_id", coalesce($"h", lit(0L)).as("h"),
+            coalesce($"a", lit(0L)).as("a"))
           .localCheckpoint(true)
-        changed = next.as("n")
-          .join(state.as("p"), Seq("vec_id"))
-          .filter($"n.h" =!= $"p.h" || $"n.a" =!= $"p.a")
+        // the exit compares FULL states: support-only rows make a
+        // vanished (or appeared) row a difference too, so a repeated
+        // support state is a repeated full state — the cap argument
+        // stays sound
+        changed = next
+          .join(state.select($"vec_id", $"h".as("ph"), $"a".as("pa")),
+            Seq("vec_id"), "full")
+          .filter($"h".isNull || $"ph".isNull ||
+            $"h" =!= $"ph" || $"a" =!= $"pa")
           .count()
         state = next
         it += 1
       }
-      (state
-        .select($"vec_id", $"h".as("hub_e6"), $"a".as("auth_e6"),
-          round($"h".cast("double") / scale, 6).as("hub_score"),
-          round($"a".cast("double") / scale, 6).as("auth_score"))
+      (nodes.join(state, Seq("vec_id"), "left")
+        .select($"vec_id",
+          coalesce($"h", lit(0L)).as("hub_e6"),
+          coalesce($"a", lit(0L)).as("auth_e6"),
+          round(coalesce($"h", lit(0L)).cast("double") / scale, 6)
+            .as("hub_score"),
+          round(coalesce($"a", lit(0L)).cast("double") / scale, 6)
+            .as("auth_score"))
         .localCheckpoint(true), it)
     } finally edges.unpersist()
   }

@@ -123,7 +123,8 @@ object ScaleBench {
     "q237_hits_fixpoint", "q238_weighted_sample", "q239_label_dispersion",
     "q240_readability", "q241_margin_alignment", "q242_knn_outliers",
     "q243_decontam_bloom", "q244_harmonic_centrality",
-    "q245_distinct_ngrams")
+    "q245_distinct_ngrams", "q246_wasserstein_drift", "q247_ndcg_at_k",
+    "q248_matryoshka_audit")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

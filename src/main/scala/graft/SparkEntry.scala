@@ -665,6 +665,17 @@ object SparkEntry {
     // distinct-n lexical diversity per source (n = 1..3)
     "q245_distinct_ngrams" -> ((s: SparkSession, d: String) =>
       TextAnalysis.distinctNgramDiversity(s, d)),
+    // 1-D Wasserstein drift per source on a 20-point rank-exact
+    // quantile lattice (prefixCum ranks, exact integer arithmetic)
+    "q246_wasserstein_drift" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.wassersteinDrift(s, d)),
+    // retrieval nDCG@10 for the head queries, label relevance
+    "q247_ndcg_at_k" -> ((s: SparkSession, d: String) =>
+      Similarity.ndcgAtK(s, d)),
+    // matryoshka truncation audit: cosine drift + sign flips at
+    // half/quarter dimensions over the KNN edge set
+    "q248_matryoshka_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.matryoshkaAudit(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5037,6 +5048,108 @@ object SparkEntry {
         |   round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
         | END AS distinct_ratio
         |FROM u GROUP BY source, n""".stripMargin,
+    // q246: rank-exact quantile lattice (row_number replays prefixCum's
+    // (v, doc_id) total order); ceil(g·n/20) = (g·n + 19) // 20 exact
+    "q246_wasserstein_drift" ->
+      """WITH r AS (SELECT source, doc_id,
+        |        CAST(coalesce(n_chars, 0) AS BIGINT) AS v FROM documents),
+        |g AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS g),
+        |sr AS (SELECT source, v,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS BIGINT) AS rk,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |       FROM r),
+        |sq AS (SELECT sr.source, g.g, sr.n_src, sr.v AS q_src
+        |       FROM sr JOIN g ON sr.rk = (g.g * sr.n_src + 19) // 20),
+        |cr AS (SELECT v,
+        |        CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS rk,
+        |        CAST(count(*) OVER () AS BIGINT) AS n_tot
+        |       FROM r),
+        |cq AS (SELECT g.g, cr.v AS q_cor
+        |       FROM cr JOIN g ON cr.rk = (g.g * cr.n_tot + 19) // 20)
+        |SELECT sq.source, sq.n_src,
+        | CAST(sum(abs(q_src - q_cor)) AS BIGINT) // 20 AS w1_chars,
+        | CAST(max(abs(q_src - q_cor)) AS BIGINT) AS max_gap
+        |FROM sq JOIN cq USING (g)
+        |GROUP BY sq.source, sq.n_src""".stripMargin,
+    // q247: dcg folds the rank-SORTED hit list (list ordered by rk, so
+    // list_sum's sequential fold matches Spark's array fold); dcg/idcg
+    // round to 6 BEFORE the ndcg division (q233 discipline)
+    "q247_ndcg_at_k" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+        |       FROM embeddings WHERE vec_id < 4),
+        |s AS (SELECT q.q_id, q.q_label, e.vec_id, e.label,
+        |   round(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE)
+        |                   for i in range(1, len(e.embedding)+1)])
+        |      / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding]))
+        |         * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.qe]))), 6)
+        |     AS cosine
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+        |t AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM s),
+        |kk AS (SELECT * FROM t WHERE rk <= 10),
+        |rel AS (SELECT q.q_id, CAST(count(*) AS BIGINT) AS n_relevant
+        |        FROM embeddings e JOIN q
+        |          ON e.vec_id <> q.q_id AND e.label = q.q_label
+        |        GROUP BY q.q_id),
+        |d AS (SELECT q_id,
+        |       CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS rel_at_k,
+        |       round(coalesce(list_sum(
+        |         [CASE WHEN x.r THEN 1.0 / (ln(x.rk + 1) / ln(2)) ELSE 0.0 END
+        |          for x in list({'rk': rk, 'r': label = q_label} ORDER BY rk)]),
+        |         0.0), 6) AS dcg
+        |      FROM kk GROUP BY q_id)
+        |SELECT q.q_id AS query_id,
+        | coalesce(d.rel_at_k, 0) AS rel_at_k,
+        | coalesce(rel.n_relevant, 0) AS n_relevant,
+        | coalesce(d.dcg, 0.0) AS dcg,
+        | CASE WHEN coalesce(rel.n_relevant, 0) > 0 THEN
+        |   round(list_sum([1.0 / (ln(i + 1) / ln(2))
+        |     for i in range(1, least(10, rel.n_relevant) + 1)]), 6)
+        | ELSE 0.0 END AS idcg,
+        | CASE WHEN coalesce(rel.n_relevant, 0) > 0 AND
+        |           round(list_sum([1.0 / (ln(i + 1) / ln(2))
+        |             for i in range(1, least(10, rel.n_relevant) + 1)]), 6) > 0
+        |      THEN round(coalesce(d.dcg, 0.0) /
+        |        round(list_sum([1.0 / (ln(i + 1) / ln(2))
+        |          for i in range(1, least(10, rel.n_relevant) + 1)]), 6), 6)
+        |      ELSE 0.0 END AS ndcg
+        |FROM q LEFT JOIN d ON q.q_id = d.q_id
+        | LEFT JOIN rel ON q.q_id = rel.q_id""".stripMargin,
+    // q248: sliced-prefix cosines off the shared knn chain; drift and
+    // flips are exact e6 integers
+    "q248_matryoshka_audit" ->
+      s"""$knnOracleCtes,
+         |pr AS (SELECT a.label,
+         |   CAST(round(knn.cosine * 1e6) AS BIGINT) AS c6,
+         |   CAST(round(round(
+         |     list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+         |               for i in range(1, len(a.embedding) // 2 + 1)])
+         |     / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)
+         |               for i in range(1, len(a.embedding) // 2 + 1)]))
+         |        * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+         |               for i in range(1, len(b.embedding) // 2 + 1)]))), 6) * 1e6)
+         |     AS BIGINT) AS h6,
+         |   CAST(round(round(
+         |     list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+         |               for i in range(1, len(a.embedding) // 4 + 1)])
+         |     / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE)
+         |               for i in range(1, len(a.embedding) // 4 + 1)]))
+         |        * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+         |               for i in range(1, len(b.embedding) // 4 + 1)]))), 6) * 1e6)
+         |     AS BIGINT) AS q6
+         |  FROM knn JOIN embeddings a ON knn.vec_id = a.vec_id
+         |   JOIN embeddings b ON knn.neighbor_id = b.vec_id)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_edges,
+         | CAST(sum(abs(c6 - h6)) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |   AS drift_half_e6,
+         | CAST(sum(abs(c6 - q6)) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |   AS drift_quarter_e6,
+         | CAST(sum(CASE WHEN (c6 >= 0) <> (h6 >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS sign_flips_half,
+         | CAST(sum(CASE WHEN (c6 >= 0) <> (q6 >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS sign_flips_quarter
+         |FROM pr GROUP BY label""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

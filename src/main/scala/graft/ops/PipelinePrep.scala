@@ -1095,4 +1095,54 @@ object PipelinePrep {
           .otherwise($"last_rev" + 1).cast("int").as("valid_to"),
         ($"last_rev" === 2).as("is_current"))
   }
+
+  /** 1-D Wasserstein (earth-mover) drift of each source's length
+    * distribution against the corpus — the distribution-shift audit
+    * that, unlike PSI (q126, bin-sensitive) and KS (sup-norm only),
+    * reports HOW MUCH mass moves HOW FAR, in the metric's own units
+    * (chars). W1 is approximated on a `grid`-point rank-exact quantile
+    * lattice: W1 ≈ (1/G) Σ_g |Q_src(g/G) − Q_corpus(g/G)| — rank-exact
+    * order statistics, not interpolated percentiles, because an actual
+    * data value is the same BIGINT on both engines (the round-5
+    * percentile-interpolation lesson) and the whole computation stays
+    * exact integer arithmetic.
+    *
+    * Scale: both rank passes ride `Ranking.prefixCum` (bucket-split
+    * prefix sums — the global corpus rank has NO SinglePartition
+    * window); the quantile lattice is a broadcast sources×G / G-row
+    * join against `cum_before = ceil(g·n/G) − 1`, so one corpus scan
+    * per side is the whole cost.
+    */
+  def wassersteinDrift(spark: SparkSession, dir: String,
+      grid: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(grid > 0, s"grid must be positive, got $grid")
+    val rows = docs(spark, dir)
+      .select($"source", $"doc_id", coalesce($"n_chars", lit(0L)).as("v"))
+    val gs = spark.range(1, grid + 1).select($"id".as("g"))
+    val srcRanked = graft.ops.Ranking
+      .prefixCum(rows, Seq("source"), $"v", Seq($"v", $"doc_id"), lit(1L))
+    val srcTargets = rows.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      .crossJoin(gs)
+      .select($"source", $"g", $"n_src",
+        expr(s"(g * n_src + ${grid - 1}) div $grid").as("rk"))
+    val srcQ = srcRanked.as("sr")
+      .join(broadcast(srcTargets.as("st")),
+        col("sr.source") === col("st.source") &&
+          $"cum_before" === $"rk" - 1)
+      .select(col("st.source"), $"g", $"n_src", $"v".as("q_src"))
+    val corRanked = graft.ops.Ranking
+      .prefixCum(rows.select($"doc_id", $"v"), Nil, $"v",
+        Seq($"v", $"doc_id"), lit(1L))
+    val corTargets = rows.agg(count(lit(1)).as("n_tot"))
+      .crossJoin(gs)
+      .select($"g", expr(s"(g * n_tot + ${grid - 1}) div $grid").as("rk"))
+    val corQ = corRanked.join(broadcast(corTargets),
+        $"cum_before" === $"rk" - 1)
+      .select($"g", $"v".as("q_cor"))
+    srcQ.join(corQ, Seq("g"))
+      .groupBy($"source", $"n_src")
+      .agg(expr(s"sum(abs(q_src - q_cor)) div $grid").as("w1_chars"),
+        max(abs($"q_src" - $"q_cor")).as("max_gap"))
+  }
 }

@@ -1462,6 +1462,117 @@ object Similarity {
         $"mean_e6")
   }
 
+  /** Retrieval quality as nDCG@k over the head queries (vec_id <
+    * nQueries, the headVectors discipline): each query ranks every
+    * other vector by exact cosine, relevance = same label, and
+    * DCG@k = Σ rel_i / log₂(i+1) is compared to the ideal ordering's
+    * IDCG@min(k, R) — the standard graded-retrieval metric completing
+    * the eval set next to recall (q65) and RBO (q211).
+    *
+    * Determinism: the top-k rank comes from `Ranking.topKGlobal`
+    * (TakeOrdered + broadcast k²-rank, no global window); the DCG sum
+    * folds a rank-SORTED array left-to-right (aggregate over
+    * array_sort(collect_list) — both engines fold the identical
+    * sequence, so the double is bit-stable, where a plain SUM would
+    * inherit partition order); dcg and idcg round to 6dp FIRST and
+    * ndcg divides the rounded values (q233 discipline).
+    *
+    * Scale: nQueries scan projections against literal query vectors —
+    * the q86 shape; everything after the scan is k rows per query.
+    */
+  def ndcgAtK(spark: SparkSession, dir: String, nQueries: Int = 4,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val heads = e.filter($"vec_id" < nQueries)
+        .select($"vec_id", $"embedding", $"label").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+        .sortBy(_._1)
+      if (heads.isEmpty) {
+        return e.select($"vec_id".as("query_id"), lit(0L).as("rel_at_k"),
+          lit(0L).as("n_relevant"), lit(0.0).as("dcg"), lit(0.0).as("idcg"),
+          lit(0.0).as("ndcg")).limit(0)
+      }
+      val perQuery = heads.map { case (qid, qv, qlabel) =>
+        val scored = e.filter($"vec_id" =!= qid)
+          .select($"vec_id", ($"label" === qlabel).as("rel"),
+            round(dot($"embedding", litVec(qv)) /
+              (norm($"embedding") * lit(litNorm(qv))), 6).as("cosine"))
+        val top = graft.ops.Ranking.topKGlobal(scored,
+          Seq(("cosine", true), ("vec_id", false)), k)
+        val nRel = e.filter($"vec_id" =!= qid && $"label" === qlabel)
+          .agg(count(lit(1)).as("n_relevant"))
+        top
+          .agg(sum(when($"rel", 1L).otherwise(0L)).as("rel_at_k"),
+            aggregate(
+              array_sort(collect_list(struct($"rk".as("rk"),
+                when($"rel", 1L).otherwise(0L).as("r")))),
+              lit(0.0),
+              (acc, x) => acc + x.getField("r").cast("double") /
+                (log(x.getField("rk").cast("double") + 1) / log(lit(2.0))))
+              .as("dcg_raw"))
+          .crossJoin(broadcast(nRel))
+          .select(lit(qid).as("query_id"),
+            coalesce($"rel_at_k", lit(0L)).as("rel_at_k"),
+            $"n_relevant",
+            round(coalesce($"dcg_raw", lit(0.0)), 6).as("dcg"),
+            when($"n_relevant" > 0, round(aggregate(
+              sequence(lit(1L), least(lit(k.toLong), $"n_relevant")),
+              lit(0.0),
+              (acc, i) => acc + lit(1.0) /
+                (log(i.cast("double") + 1) / log(lit(2.0)))), 6))
+              .otherwise(lit(0.0)).as("idcg"))
+          .withColumn("ndcg",
+            when($"idcg" > 0, round($"dcg" / $"idcg", 6)).otherwise(lit(0.0)))
+      }
+      perQuery.reduce(_ unionByName _).localCheckpoint(true)
+    } finally e.unpersist()
+  }
+
+  /** Matryoshka truncation audit: how much cosine structure survives
+    * keeping only the first 1/2 and 1/4 of the embedding dimensions —
+    * the go/no-go measurement before serving truncated (MRL-style)
+    * vectors from a smaller index. Over the KNN edge set (real
+    * neighbor pairs, the pairs that matter for retrieval), per label:
+    * mean |cos_full − cos_half| and |cos_full − cos_quarter| in exact
+    * e6 integer units (6-dp cosines → integer sums → one div, no
+    * double-sum order hazard) plus the sign-flip counts (a positive
+    * pair turning negative is a retrieval inversion, not just noise).
+    *
+    * Scale: the KNN join is the only shuffle; the sliced cosines are
+    * scan-side array math on the joined pair rows, and the rollup is
+    * labels-sized.
+    */
+  def matryoshkaAudit(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    def half(c: Column, frac: Int): Column =
+      slice(c, lit(1), (size(c) / frac).cast("int"))
+    def cosAt(a: Column, b: Column, frac: Int): Column = {
+      val (sa, sb) = (half(a, frac), half(b, frac))
+      round(dot(sa, sb) / (norm(sa) * norm(sb)), 6)
+    }
+    def e6(c: Column): Column = round(c * 1e6).cast("long")
+    val pairs = knnGraph(spark, dir, nPlanes, k)
+      .join(e.select($"vec_id", $"embedding".as("ea"), $"label"), Seq("vec_id"))
+      .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("eb")),
+        Seq("neighbor_id"))
+      .select($"label", e6($"cosine").as("c6"),
+        e6(cosAt($"ea", $"eb", 2)).as("h6"),
+        e6(cosAt($"ea", $"eb", 4)).as("q6"))
+    pairs.groupBy($"label")
+      .agg(count(lit(1)).as("n_edges"),
+        expr("sum(abs(c6 - h6)) div count(1)").as("drift_half_e6"),
+        expr("sum(abs(c6 - q6)) div count(1)").as("drift_quarter_e6"),
+        sum(when(($"c6" >= 0) =!= ($"h6" >= 0), 1L).otherwise(0L))
+          .as("sign_flips_half"),
+        sum(when(($"c6" >= 0) =!= ($"q6" >= 0), 1L).otherwise(0L))
+          .as("sign_flips_quarter"))
+  }
+
   /** Margin-based alignment mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix bitext-mining criterion): mutual-best matches
     * between the md5 train split (side X) and the eval split (side Y)

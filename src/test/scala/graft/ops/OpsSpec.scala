@@ -405,6 +405,11 @@ class OpsSpec extends AnyFunSuite {
       Set("vec_id", "n_sources_reached", "harmonic_e6", "harmonic"),
     "q245_distinct_ngrams" ->
       Set("source", "n", "n_total", "n_distinct", "distinct_ratio"),
+    "q246_wasserstein_drift" -> Set("source", "n_src", "w1_chars", "max_gap"),
+    "q247_ndcg_at_k" ->
+      Set("query_id", "rel_at_k", "n_relevant", "dcg", "idcg", "ndcg"),
+    "q248_matryoshka_audit" -> Set("label", "n_edges", "drift_half_e6",
+      "drift_quarter_e6", "sign_flips_half", "sign_flips_quarter"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

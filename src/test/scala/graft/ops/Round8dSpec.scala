@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 4: Wasserstein quantile-lattice drift, retrieval
+  * nDCG@k, matryoshka truncation audit.
+  */
+class Round8dSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("wassersteinDrift: brute-force rank-exact lattice replay") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val grid = 20
+    def quantiles(vs: Seq[(Long, Long)]): Map[Long, Long] = {
+      // vs = (doc_id, v) sorted by (v, doc_id); rank g -> value
+      val sorted = vs.sortBy(t => (t._2, t._1)).map(_._2)
+      val n = sorted.length.toLong
+      (1L to grid).map(g => g -> sorted(((g * n + grid - 1) / grid - 1).toInt))
+        .toMap
+    }
+    val corQ = quantiles(rows.map(t => (t._2, t._3)).toSeq)
+    val expect = rows.groupBy(_._1).map { case (src, rs) =>
+      val sq = quantiles(rs.map(t => (t._2, t._3)).toSeq)
+      val gaps = (1L to grid).map(g => math.abs(sq(g) - corQ(g)))
+      (src, (rs.length.toLong, gaps.sum / grid, gaps.max))
+    }
+    val got = PipelinePrep.wassersteinDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (src, e) =>
+      assert(got(src) == e, s"drift drifted for $src: got ${got(src)} want $e")
+    }
+    // w1 is an average of gaps, so it can never exceed the max gap
+    got.values.foreach { case (_, w1, mx) => assert(w1 <= mx && w1 >= 0) }
+  }
+
+  test("ndcgAtK: brute-force dcg/idcg replay; ndcg bounded") {
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+      .sortBy(_._1)
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val k = 10
+    val expect = all.filter(_._1 < 4).map { case (qid, qv, qlabel) =>
+      val qn = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x * x))
+      val scored = all.filter(_._1 != qid).map { case (id, v, lbl) =>
+        val d = v.indices.foldLeft(0.0)((a, i) => a + v(i) * qv(i))
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        (id, lbl == qlabel, round6(d / (n * qn)))
+      }
+      val top = scored.sortBy(t => (-t._3, t._1)).take(k)
+      val relAtK = top.count(_._2).toLong
+      val dcg = round6(top.zipWithIndex.foldLeft(0.0) { case (acc, (t, i)) =>
+        acc + (if (t._2) 1.0 / log2(i + 2.0) else 0.0)
+      })
+      val nRel = scored.count(_._2).toLong
+      val idcg = if (nRel > 0)
+        round6((1L to math.min(k.toLong, nRel)).foldLeft(0.0)(
+          (acc, i) => acc + 1.0 / log2(i + 1.0)))
+      else 0.0
+      val ndcg = if (idcg > 0) round6(dcg / idcg) else 0.0
+      qid -> (relAtK, nRel, dcg, idcg, ndcg)
+    }.toMap
+    val got = Similarity.ndcgAtK(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (q, e) =>
+      assert(got(q) == e, s"ndcg drifted for query $q: got ${got(q)} want $e")
+    }
+    got.values.foreach { case (_, _, _, _, nd) =>
+      assert(nd >= 0.0 && nd <= 1.0 + 1e-9)
+    }
+  }
+
+  test("matryoshkaAudit: brute-force sliced-cosine replay over the knn edges") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))).toMap
+    def cosPrefix(a: Array[Double], b: Array[Double], frac: Int): Long = {
+      val m = a.length / frac
+      val d = (0 until m).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val na = math.sqrt((0 until m).foldLeft(0.0)((acc, i) => acc + a(i) * a(i)))
+      val nb = math.sqrt((0 until m).foldLeft(0.0)((acc, i) => acc + b(i) * b(i)))
+      BigDecimal(round6(d / (na * nb)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val edges = Similarity.knnGraph(spark, sf, 8, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = edges.map { case (u, v, c) =>
+      val (ua, lbl) = vecs(u)
+      val (va, _) = vecs(v)
+      val c6 = BigDecimal(c * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (lbl, c6, cosPrefix(ua, va, 2), cosPrefix(ua, va, 4))
+    }.groupBy(_._1).map { case (lbl, rs) =>
+      lbl -> (rs.length.toLong,
+        rs.map(r => math.abs(r._2 - r._3)).sum / rs.length,
+        rs.map(r => math.abs(r._2 - r._4)).sum / rs.length,
+        rs.count(r => (r._2 >= 0) != (r._3 >= 0)).toLong,
+        rs.count(r => (r._2 >= 0) != (r._4 >= 0)).toLong)
+    }
+    val got = Similarity.matryoshkaAudit(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (lbl, e) =>
+      assert(got(lbl) == e, s"audit drifted for label $lbl: got ${got(lbl)} want $e")
+    }
+  }
+}

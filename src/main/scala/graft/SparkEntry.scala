@@ -676,6 +676,12 @@ object SparkEntry {
     // half/quarter dimensions over the KNN edge set
     "q248_matryoshka_audit" -> ((s: SparkSession, d: String) =>
       Similarity.matryoshkaAudit(s, d)),
+    // per-node local clustering coefficient (exact wedge counts)
+    "q249_clustering_coeff" -> ((s: SparkSession, d: String) =>
+      Graph.clusteringCoefficient(s, d)),
+    // content-defined chunking dedup audit (stateless md5-window cuts)
+    "q250_cdc_chunks" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.cdcChunkStats(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5150,6 +5156,56 @@ object SparkEntry {
          | CAST(sum(CASE WHEN (c6 >= 0) <> (q6 >= 0) THEN 1 ELSE 0 END) AS BIGINT)
          |   AS sign_flips_quarter
          |FROM pr GROUP BY label""".stripMargin,
+    // q249: the q177 wedge join replayed — adjacency self-join on the
+    // center, closure membership on the (lo, hi) pair, exact integers
+    "q249_clustering_coeff" ->
+      s"""$knnOracleCtes,
+         |ed AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |        greatest(vec_id, neighbor_id) AS b FROM knn),
+         |adj AS MATERIALIZED (SELECT a AS u, b AS w FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |deg AS (SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM adj GROUP BY u),
+         |cl AS (SELECT x.u AS vec_id, CAST(count(*) AS BIGINT) AS n_closed
+         |       FROM adj x JOIN adj y ON x.u = y.u AND x.w < y.w
+         |        JOIN ed ON x.w = ed.a AND y.w = ed.b
+         |       GROUP BY x.u)
+         |SELECT e.vec_id,
+         | CAST(coalesce(deg.deg, 0) AS BIGINT) AS deg,
+         | CAST(coalesce(cl.n_closed, 0) AS BIGINT) AS n_closed,
+         | (CAST(coalesce(deg.deg, 0) AS BIGINT) * (coalesce(deg.deg, 0) - 1)) // 2
+         |   AS n_wedges,
+         | CASE WHEN coalesce(deg.deg, 0) > 1 THEN
+         |   round(CAST(coalesce(cl.n_closed, 0) AS DOUBLE) /
+         |     ((coalesce(deg.deg, 0) * (coalesce(deg.deg, 0) - 1)) // 2), 6)
+         | END AS lcc
+         |FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.vec_id
+         | LEFT JOIN cl ON e.vec_id = cl.vec_id""".stripMargin,
+    // q250: the identical stateless cut predicate (md5 of the 8-char
+    // window, first 8 hex digits mod 32) and boundary-array chunking
+    "q250_cdc_chunks" ->
+      """WITH d AS (SELECT source, doc_id, text, length(text) AS len
+        |       FROM documents
+        |       WHERE text IS NOT NULL AND length(text) >= 8),
+        |c AS (SELECT source, doc_id, text, len,
+        |       list_concat(list_concat([0],
+        |         [i for i in range(1, len - 6)
+        |          if (('0x' || substring(md5(substring(text, i, 8)), 1, 8))::UBIGINT
+        |              % 32) = 0]), [len]) AS b
+        |      FROM d),
+        |ch AS (SELECT source, doc_id,
+        |        substring(text, b[j] + 1, b[j + 1] - b[j]) AS chunk
+        |       FROM (SELECT source, doc_id, text, b,
+        |              unnest(range(1, len(b))) AS j FROM c))
+        |SELECT source,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct_chunks,
+        | CAST(sum(length(chunk)) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |   AS avg_chunk_len,
+        | round(1.0 - CAST(count(DISTINCT chunk) AS DOUBLE) / count(*), 6)
+        |   AS dup_chunk_ratio
+        |FROM ch GROUP BY source""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

@@ -763,6 +763,52 @@ object Graph {
     } finally und.unpersist()
   }
 
+  /** Per-node local clustering coefficient (Watts–Strogatz) over the
+    * undirected KNN graph: lcc(v) = closed wedges at v / (deg·(deg−1)/2)
+    * — completing the triangle family (q82 counts them globally; this
+    * localizes them, the per-node "is this vector in a clique or a
+    * star" signal that predicts whether bucketed ANN probes around v
+    * saturate). Exact integer wedge counts; the ratio rounds once.
+    *
+    * Scale: the wedge join is the q177 Adamic–Adar shape — adjacency
+    * self-joined on the center, Σ_v deg(v)² rows with deg bounded by
+    * the KNN closure (≤ 2k + reverse edges), then one edge-membership
+    * join keyed on the (lo, hi) pair. Nothing is corpus-quadratic.
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String,
+      nPlanes: Int = 8, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val und = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val adj = und.select($"a".as("u"), $"b".as("w"))
+        .unionByName(und.select($"b".as("u"), $"a".as("w")))
+      val deg = adj.groupBy($"u".as("vec_id")).agg(count(lit(1)).as("deg"))
+      val wedges = adj.as("x").join(adj.as("y"),
+          col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+        .select(col("x.u").as("center"), col("x.w").as("w1"),
+          col("y.w").as("w2"))
+      val closed = wedges
+        .join(und, $"w1" === $"a" && $"w2" === $"b")
+        .groupBy($"center".as("vec_id")).agg(count(lit(1)).as("n_closed"))
+      val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+      nodes
+        .join(deg, Seq("vec_id"), "left")
+        .join(closed, Seq("vec_id"), "left")
+        .select($"vec_id",
+          coalesce($"deg", lit(0L)).as("deg"),
+          coalesce($"n_closed", lit(0L)).as("n_closed"))
+        .withColumn("n_wedges", expr("(deg * (deg - 1)) div 2"))
+        .withColumn("lcc",
+          when($"n_wedges" > 0,
+            round($"n_closed".cast("double") / $"n_wedges", 6)))
+    } finally und.unpersist()
+  }
+
   /** Sampled harmonic centrality (the Eppstein–Wang estimator family):
     * Σ 1/d(s, v) over a deterministic source sample — the closeness-
     * style centrality that stays finite on disconnected graphs (an

@@ -1145,4 +1145,56 @@ object PipelinePrep {
       .agg(expr(s"sum(abs(q_src - q_cor)) div $grid").as("w1_chars"),
         max(abs($"q_src" - $"q_cor")).as("max_gap"))
   }
+
+  /** Content-defined chunking dedup audit — the modern counterpart of
+    * the reference's FIXED-length chunker (dirhash.py:313-344 chunks at
+    * byte offsets, so a one-char insertion shifts every later chunk;
+    * CDC cuts where the CONTENT says to, so shared spans re-align):
+    * a position i is a cut iff md5 of the w-char window at i ≡ 0
+    * (mod `modulus`) — STATELESS cut points (no min/max-size carry), so
+    * the boundary set is a pure per-position function both engines
+    * replay verbatim. Emits per source the chunk count, distinct-chunk
+    * count, duplicated-chunk ratio (the dedup win CDC exists to
+    * harvest) and the realized average chunk length (≈ modulus + w − 1
+    * expected).
+    *
+    * Scale: the rolling-window hash is the honest O(text) CDC cost and
+    * runs scan-side (one HOF per doc, no shuffle); the only shuffle is
+    * the (source, chunk) distinct rollup — hash 8-byte keys at 100 TB
+    * (the q16 trick) instead of chunk strings. Docs shorter than the
+    * window (or null) have no interior windows and are excluded,
+    * reported via n_docs.
+    */
+  def cdcChunkStats(spark: SparkSession, dir: String, window: Int = 8,
+      modulus: Int = 32): DataFrame = {
+    import spark.implicits._
+    require(window > 0 && modulus > 0)
+    val cutsExpr =
+      s"""filter(sequence(1, length(text) - ${window - 1}),
+         | i -> pmod(cast(conv(substring(md5(substring(text, i, $window)),
+         |   1, 8), 16, 10) as bigint), $modulus) = 0)""".stripMargin
+    val chunks = docs(spark, dir)
+      .filter($"text".isNotNull && length($"text") >= window)
+      .select($"source", $"doc_id", $"text",
+        expr(cutsExpr).as("cuts"), length($"text").as("len"))
+      // materialize the boundary array once per doc (0, cuts…, len)
+      .withColumn("b", expr("concat(array(0), cuts, array(len))"))
+      .select($"source", $"doc_id",
+        explode(expr(
+          """transform(sequence(1, size(b) - 1),
+            | j -> substring(text, element_at(b, j) + 1,
+            |   element_at(b, j + 1) - element_at(b, j)))""".stripMargin))
+          .as("chunk"))
+    chunks
+      .groupBy($"source")
+      .agg(count_distinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        count_distinct($"chunk").as("n_distinct_chunks"),
+        sum(length($"chunk").cast("long")).as("total_len"))
+      .select($"source", $"n_docs", $"n_chunks", $"n_distinct_chunks",
+        expr("total_len div n_chunks").as("avg_chunk_len"),
+        round(lit(1.0) -
+          $"n_distinct_chunks".cast("double") / $"n_chunks", 6)
+          .as("dup_chunk_ratio"))
+  }
 }

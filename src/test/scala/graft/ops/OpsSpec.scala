@@ -410,6 +410,10 @@ class OpsSpec extends AnyFunSuite {
       Set("query_id", "rel_at_k", "n_relevant", "dcg", "idcg", "ndcg"),
     "q248_matryoshka_audit" -> Set("label", "n_edges", "drift_half_e6",
       "drift_quarter_e6", "sign_flips_half", "sign_flips_quarter"),
+    "q249_clustering_coeff" ->
+      Set("vec_id", "deg", "n_closed", "n_wedges", "lcc"),
+    "q250_cdc_chunks" -> Set("source", "n_docs", "n_chunks",
+      "n_distinct_chunks", "avg_chunk_len", "dup_chunk_ratio"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

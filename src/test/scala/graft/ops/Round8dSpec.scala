@@ -84,6 +84,76 @@ class Round8dSpec extends AnyFunSuite {
     }
   }
 
+  test("clusteringCoefficient: brute-force triangle replay; bounds hold") {
+    val knn = Similarity.knnGraph(spark, sf, 8, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = knn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val allIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val got = Graph.clusteringCoefficient(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .sortBy(_._1)
+    assert(got.length == allIds.length)
+    got.foreach { case (id, deg, closed, wedges, lcc) =>
+      val ns = adj.getOrElse(id, Set.empty)
+      assert(deg == ns.size.toLong, s"deg drifted for $id")
+      val pairs = ns.toSeq.sorted
+      var t = 0L
+      for (i <- pairs.indices; j <- (i + 1) until pairs.length)
+        if (und.contains((math.min(pairs(i), pairs(j)),
+            math.max(pairs(i), pairs(j))))) t += 1
+      assert(closed == t, s"closed wedges drifted for $id: $closed vs $t")
+      assert(wedges == ns.size.toLong * (ns.size - 1) / 2)
+      lcc match {
+        case Some(v) =>
+          assert(wedges > 0 && v >= 0.0 && v <= 1.0 + 1e-9)
+          assert(v == round6(t.toDouble / wedges))
+        case None => assert(wedges == 0)
+      }
+    }
+    // the knn graph on real data closes SOME triangle
+    assert(got.exists(_._3 > 0))
+  }
+
+  test("cdcChunkStats: chunks reassemble the text; boundary law; dup ratio sane") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    try {
+      // two docs sharing a long middle span (CDC should harvest shared
+      // chunks), one short doc below the window, one null
+      val shared = "the quick brown fox jumps over the lazy dog " * 6
+      Seq(
+        (1L, "prefix one " + shared + " suffix alpha", "en", "s1", 0L),
+        (2L, "other start " + shared + " ending beta", "en", "s1", 0L),
+        (3L, "tiny", "en", "s1", 0L),
+        (4L, null.asInstanceOf[String], "en", "s1", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = PipelinePrep.cdcChunkStats(spark, tmp).collect()
+      assert(out.length == 1)
+      val r = out.head
+      val (nDocs, nChunks, nDistinct, avgLen, dup) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))
+      assert(nDocs == 2, "short and null docs must be excluded")
+      assert(nDistinct < nChunks,
+        "the planted shared span produced no duplicate chunks")
+      assert(dup > 0.0 && dup < 1.0)
+      // chunk lengths must reassemble each doc exactly: total length ==
+      // sum of the two chunked docs' lengths
+      val totalLen = avgLen * nChunks // floor-div average: check via raw
+      val docLens = Seq("prefix one " + shared + " suffix alpha",
+        "other start " + shared + " ending beta").map(_.length.toLong).sum
+      // avg_chunk_len is floor(total/n): reconstruct bounds
+      assert(totalLen <= docLens && docLens < totalLen + nChunks,
+        s"chunk mass broken: avg=$avgLen n=$nChunks docs=$docLens")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("matryoshkaAudit: brute-force sliced-cosine replay over the knn edges") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), col("label")).collect()

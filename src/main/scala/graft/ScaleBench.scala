@@ -124,7 +124,8 @@ object ScaleBench {
     "q240_readability", "q241_margin_alignment", "q242_knn_outliers",
     "q243_decontam_bloom", "q244_harmonic_centrality",
     "q245_distinct_ngrams", "q246_wasserstein_drift", "q247_ndcg_at_k",
-    "q248_matryoshka_audit", "q249_clustering_coeff", "q250_cdc_chunks")
+    "q248_matryoshka_audit", "q249_clustering_coeff", "q250_cdc_chunks",
+    "q251_cdc_sweep", "q252_label_noise")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -682,6 +682,13 @@ object SparkEntry {
     // content-defined chunking dedup audit (stateless md5-window cuts)
     "q250_cdc_chunks" -> ((s: SparkSession, d: String) =>
       PipelinePrep.cdcChunkStats(s, d)),
+    // CDC modulus sweep: nested cut sets derived from ONE hash pass
+    "q251_cdc_sweep" -> ((s: SparkSession, d: String) =>
+      PipelinePrep.cdcModulusSweep(s, d)),
+    // label-noise screen: neighborhood label agreement + unanimous
+    // dissent flag (confident-learning-lite)
+    "q252_label_noise" -> ((s: SparkSession, d: String) =>
+      Similarity.labelNoiseScreen(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5206,6 +5213,64 @@ object SparkEntry {
         | round(1.0 - CAST(count(DISTINCT chunk) AS DOUBLE) / count(*), 6)
         |   AS dup_chunk_ratio
         |FROM ch GROUP BY source""".stripMargin,
+    // q251: the same window-hash values, cut sets re-derived per
+    // modulus (nesting means the oracle may simply filter per m)
+    "q251_cdc_sweep" ->
+      """WITH d AS (SELECT source, doc_id, text, length(text) AS len
+        |       FROM documents
+        |       WHERE text IS NOT NULL AND length(text) >= 8),
+        |h AS (SELECT source, doc_id, text, len,
+        |       [{'p': i, 'h': (('0x' || substring(md5(substring(text, i, 8)), 1, 8))::UBIGINT
+        |                       % 64)}
+        |        for i in range(1, len - 6)] AS ph
+        |      FROM d),
+        |m AS (SELECT unnest([16, 32, 64]) AS modulus),
+        |c AS (SELECT source, doc_id, text, len, m.modulus,
+        |       list_concat(list_concat([CAST(0 AS BIGINT)],
+        |         [x.p for x in ph if (x.h % m.modulus) = 0]),
+        |         [CAST(len AS BIGINT)]) AS b
+        |      FROM h CROSS JOIN m),
+        |ch AS (SELECT source, modulus,
+        |        substring(text, b[j] + 1, b[j + 1] - b[j]) AS chunk
+        |       FROM (SELECT source, modulus, text, b,
+        |              unnest(range(1, len(b))) AS j FROM c))
+        |SELECT source, CAST(modulus AS BIGINT) AS modulus,
+        | CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct_chunks,
+        | CAST(sum(length(chunk)) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |   AS avg_chunk_len,
+        | round(1.0 - CAST(count(DISTINCT chunk) AS DOUBLE) / count(*), 6)
+        |   AS dup_chunk_ratio
+        |FROM ch GROUP BY source, modulus""".stripMargin,
+    // q252: vote argmax replayed with the same (count desc, label asc)
+    // tie-break; false AND NULL = false on both engines keeps the
+    // isolated-vector flag deterministic
+    "q252_label_noise" ->
+      s"""$knnOracleCtes,
+         |nb AS (SELECT knn.vec_id, e.label AS n_label
+         |       FROM knn JOIN embeddings e ON knn.neighbor_id = e.vec_id),
+         |pv AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+         |       FROM nb GROUP BY vec_id),
+         |vt AS (SELECT vec_id, n_label AS voted_label, n_votes FROM (
+         |        SELECT vec_id, n_label, CAST(count(*) AS BIGINT) AS n_votes,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY count(*) DESC, n_label) AS rn
+         |        FROM nb GROUP BY vec_id, n_label) WHERE rn = 1),
+         |ag AS (SELECT nb.vec_id,
+         |        CAST(sum(CASE WHEN nb.n_label = e.label THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_agree
+         |       FROM nb JOIN embeddings e ON nb.vec_id = e.vec_id
+         |       GROUP BY nb.vec_id)
+         |SELECT e.vec_id, e.label,
+         | CAST(coalesce(pv.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+         | CAST(coalesce(ag.n_agree, 0) AS BIGINT) AS n_agree,
+         | vt.voted_label,
+         | (coalesce(pv.n_neighbors, 0) > 0 AND coalesce(ag.n_agree, 0) = 0
+         |  AND vt.n_votes = pv.n_neighbors) AS is_suspect
+         |FROM embeddings e
+         | LEFT JOIN pv ON e.vec_id = pv.vec_id
+         | LEFT JOIN vt ON e.vec_id = vt.vec_id
+         | LEFT JOIN ag ON e.vec_id = ag.vec_id""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

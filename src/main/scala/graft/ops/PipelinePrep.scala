@@ -1165,6 +1165,58 @@ object PipelinePrep {
     * window (or null) have no interior windows and are excluded,
     * reported via n_docs.
     */
+  /** [[cdcChunkStats]] parameter sweep over NESTED moduli: because a
+    * position with windowHash ≡ 0 (mod 64) is also ≡ 0 (mod 32) and
+    * (mod 16), the three cut sets are derivable from ONE window-hash
+    * pass — the whole sweep costs one scan, not |moduli| scans (the
+    * tuning table for picking the q250 chunk size would otherwise
+    * triple the dominant rolling-hash cost). Emits per (source,
+    * modulus): chunk count, distinct chunks, dup ratio, realized
+    * average length — read it to pick the modulus where dup harvest
+    * saturates.
+    */
+  def cdcModulusSweep(spark: SparkSession, dir: String,
+      window: Int = 8): DataFrame = {
+    import spark.implicits._
+    // one hash per position, kept as (pos, hash mod 64); mod-32/mod-16
+    // cuts are prefix-filters of it
+    val hashExpr =
+      s"""transform(sequence(1, length(text) - ${window - 1}),
+         | i -> named_struct('p', i,
+         |   'h', pmod(cast(conv(substring(md5(substring(text, i, $window)),
+         |     1, 8), 16, 10) as bigint), 64)))""".stripMargin
+    // materialize the hash pass ONCE — the three modulus branches below
+    // would otherwise each re-run it, tripling the dominant cost
+    val base = docs(spark, dir)
+      .filter($"text".isNotNull && length($"text") >= window)
+      .select($"source", $"doc_id", $"text",
+        expr(hashExpr).as("ph"), length($"text").as("len"))
+      .localCheckpoint(true)
+    val perModulus = Seq(16, 32, 64).map { m =>
+      base
+        .withColumn("cuts",
+          expr(s"transform(filter(ph, x -> pmod(x.h, $m) = 0), x -> x.p)"))
+        .withColumn("b", expr("concat(array(0), cuts, array(len))"))
+        .select($"source", $"doc_id",
+          explode(expr(
+            """transform(sequence(1, size(b) - 1),
+              | j -> substring(text, element_at(b, j) + 1,
+              |   element_at(b, j + 1) - element_at(b, j)))""".stripMargin))
+            .as("chunk"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"),
+          count_distinct($"chunk").as("n_distinct_chunks"),
+          sum(length($"chunk").cast("long")).as("total_len"))
+        .select($"source", lit(m.toLong).as("modulus"),
+          $"n_chunks", $"n_distinct_chunks",
+          expr("total_len div n_chunks").as("avg_chunk_len"),
+          round(lit(1.0) -
+            $"n_distinct_chunks".cast("double") / $"n_chunks", 6)
+            .as("dup_chunk_ratio"))
+    }
+    perModulus.reduce(_ unionByName _)
+  }
+
   def cdcChunkStats(spark: SparkSession, dir: String, window: Int = 8,
       modulus: Int = 32): DataFrame = {
     import spark.implicits._

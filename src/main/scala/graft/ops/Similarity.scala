@@ -1531,6 +1531,54 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** Label-noise screen (confident-learning-lite, the Cleanlab idea
+    * applied at corpus scale): per vector, how many of its k bucket-
+    * nearest neighbors SHARE its label, what label its neighborhood
+    * would vote instead, and the `is_suspect` flag — zero agreeing
+    * neighbors AND a unanimous dissenting vote, the classic signature
+    * of a mislabeled example worth pulling before training. Vote ties
+    * break toward the smaller label id (deterministic on both
+    * engines); LSH-isolated vectors have no evidence and are never
+    * flagged.
+    *
+    * Scale: one [[knnGraph]] bucket join + two vec-keyed rollups; the
+    * vote is a ≤k-row-per-vector argmax on (count desc, label asc) —
+    * endpoint-keyed windows only.
+    */
+  def labelNoiseScreen(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"label")
+    val nbr = knnGraph(spark, dir, nPlanes, k)
+      .join(e.select($"vec_id".as("neighbor_id"), $"label".as("n_label")),
+        Seq("neighbor_id"))
+    val perVec = nbr.groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_neighbors"))
+    val votes = nbr.groupBy($"vec_id", $"n_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"n_votes".desc, $"n_label")
+    val top = votes.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"n_label".as("voted_label"),
+        $"n_votes".as("n_voted"))
+    e.join(perVec, Seq("vec_id"), "left")
+      .join(top, Seq("vec_id"), "left")
+      .join(nbr.join(e.select($"vec_id", $"label".as("own_label")),
+          Seq("vec_id"))
+        .groupBy($"vec_id")
+        .agg(sum(when($"n_label" === $"own_label", 1L).otherwise(0L))
+          .as("n_agree")),
+        Seq("vec_id"), "left")
+      .select($"vec_id", $"label",
+        coalesce($"n_neighbors", lit(0L)).as("n_neighbors"),
+        coalesce($"n_agree", lit(0L)).as("n_agree"),
+        $"voted_label",
+        (coalesce($"n_neighbors", lit(0L)) > 0 &&
+          coalesce($"n_agree", lit(0L)) === 0 &&
+          $"n_voted" === $"n_neighbors").as("is_suspect"))
+  }
+
   /** Matryoshka truncation audit: how much cosine structure survives
     * keeping only the first 1/2 and 1/4 of the embedding dimensions —
     * the go/no-go measurement before serving truncated (MRL-style)

@@ -414,6 +414,10 @@ class OpsSpec extends AnyFunSuite {
       Set("vec_id", "deg", "n_closed", "n_wedges", "lcc"),
     "q250_cdc_chunks" -> Set("source", "n_docs", "n_chunks",
       "n_distinct_chunks", "avg_chunk_len", "dup_chunk_ratio"),
+    "q251_cdc_sweep" -> Set("source", "modulus", "n_chunks",
+      "n_distinct_chunks", "avg_chunk_len", "dup_chunk_ratio"),
+    "q252_label_noise" -> Set("vec_id", "label", "n_neighbors",
+      "n_agree", "voted_label", "is_suspect"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

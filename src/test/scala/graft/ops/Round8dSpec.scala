@@ -154,6 +154,65 @@ class Round8dSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("cdcModulusSweep: nested cut sets — modulus 32 rows equal cdcChunkStats") {
+    val sweep = PipelinePrep.cdcModulusSweep(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // the m=32 slice must equal the single-modulus operator exactly
+    val single = PipelinePrep.cdcChunkStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(single.nonEmpty)
+    single.foreach { case (src, s) =>
+      assert(sweep((src, 32L)) == s, s"m=32 sweep row drifted for $src")
+    }
+    // nesting law: larger modulus ⇒ fewer (or equal) cuts ⇒ fewer
+    // chunks and a longer (or equal) average chunk
+    sweep.keys.map(_._1).toSeq.distinct.foreach { src =>
+      val n16 = sweep((src, 16L))._1
+      val n32 = sweep((src, 32L))._1
+      val n64 = sweep((src, 64L))._1
+      assert(n16 >= n32 && n32 >= n64,
+        s"cut nesting violated for $src: $n16/$n32/$n64")
+      assert(sweep((src, 16L))._3 <= sweep((src, 32L))._3 &&
+        sweep((src, 32L))._3 <= sweep((src, 64L))._3)
+    }
+  }
+
+  test("labelNoiseScreen: brute-force vote replay; flag polarity") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = Similarity.knnGraph(spark, sf, 8, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byVec = knn.groupBy(_._1)
+      .map { case (v, es) => v -> es.map(e => labels(e._2)) }
+    val got = Similarity.labelNoiseScreen(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)), r.getBoolean(5)))
+      .sortBy(_._1)
+    assert(got.length == labels.size)
+    got.foreach { case (id, lbl, nN, nAgree, voted, suspect) =>
+      assert(lbl == labels(id))
+      byVec.get(id) match {
+        case None =>
+          assert(nN == 0 && nAgree == 0 && voted.isEmpty && !suspect)
+        case Some(ns) =>
+          assert(nN == ns.length.toLong)
+          assert(nAgree == ns.count(_ == lbl).toLong)
+          val vote = ns.groupBy(identity).map { case (l, g) => (l, g.length) }
+            .toSeq.minBy { case (l, c) => (-c, l) }
+          assert(voted.contains(vote._1), s"vote drifted for $id")
+          val expectSuspect = nAgree == 0 && vote._2 == ns.length
+          assert(suspect == expectSuspect, s"flag drifted for $id")
+      }
+    }
+    // sanity: SOME vector has full agreement (clusters exist), and the
+    // flag never fires on a vector that agrees with any neighbor
+    assert(got.exists(t => t._4 > 0))
+    got.filter(_._6).foreach(t => assert(t._4 == 0))
+  }
+
   test("matryoshkaAudit: brute-force sliced-cosine replay over the knn edges") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), col("label")).collect()

@@ -210,8 +210,13 @@ object ScaleBench {
       case "stream" => Seq("stream_ingest") // custom runner below, not SparkEntry
       case "hotsource" =>
         // q226 is the purpose-built victim: a per-source top-k where 90%
-        // of the corpus shares ONE source — flat iff the salt split works
-        Seq("q144_quantile_normalize", "q198_sliced_auc", "q226_domain_cap")
+        // of the corpus shares ONE source — flat iff the salt split works.
+        // Round-8 source-keyed additions ride the same harness: q245's
+        // (source, gram) rollup, q246's per-source prefixCum ranks,
+        // q250's (source, chunk) distinct rollup.
+        Seq("q144_quantile_normalize", "q198_sliced_auc", "q226_domain_cap",
+          "q245_distinct_ngrams", "q246_wasserstein_drift",
+          "q250_cdc_chunks")
       case _ => docQueries
     }
     // optional csv filter (e.g. SPARK_GRAFT_SCALE_QUERIES=q27,q28) to

@@ -226,6 +226,32 @@ class Round8cSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("BloomFilter: precomputed-positions probe and inline-key probe agree everywhere") {
+    import spark.implicits._
+    import graft.functions.BloomFilter
+    val mBits = 1 << 12
+    val bm = (1L to 64L).toDF("gh")
+      .select(explode(BloomFilter.positionsOf($"gh", mBits, 4)).as("p"))
+      .agg(BloomFilter.bloomBuild(mBits)($"p").as("bm"))
+    // probe a wide key range BOTH ways: members and non-members must get
+    // the identical verdict from mightContain (positions column) and
+    // mightContainKey (inline, the HOF-lambda form used by the
+    // streaming tripwire) — they share positionsOf, this pins it
+    val probes = (1L to 2000L).toDF("gh")
+      .withColumn("ps", BloomFilter.positionsOf($"gh", mBits, 4))
+      .crossJoin(broadcast(bm))
+      .select($"gh",
+        BloomFilter.mightContain($"bm", $"ps", 4).as("via_positions"),
+        BloomFilter.mightContainKey($"bm", $"gh", mBits, 4).as("via_key"))
+      .collect()
+    assert(probes.length == 2000)
+    probes.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2),
+        s"probe forms disagree on key ${r.getLong(0)}")
+    }
+    assert(probes.count(_.getBoolean(1)) >= 64, "members must all pass")
+  }
+
   test("decontaminationBloom: bit-identical to the exact op; the bloom cuts probes") {
     val exact = TextAnalysis.decontaminationHashed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

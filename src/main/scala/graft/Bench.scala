@@ -7,30 +7,50 @@ object Bench {
     // own measurement conditions: benches taken right after the test
     // suite (page-cache churn) or under concurrent load read 10-25% slow
     // with NO plan change — rounds kept re-litigating those artifacts
-    val loadAvg = java.lang.management.ManagementFactory
+    def loadAvgNow(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // SparkTestSession touches this marker whenever a suite JVM starts;
     // a small age here means the bench is in the post-suite regime
-    val marker = java.nio.file.Paths.get("/tmp/graft_last_suite_run")
-    val secsSinceSuite =
+    def secsSinceSuiteNow(): Long = {
+      val marker = java.nio.file.Paths.get("/tmp/graft_last_suite_run")
       if (java.nio.file.Files.exists(marker))
         (System.currentTimeMillis() -
           java.nio.file.Files.getLastModifiedTime(marker).toMillis) / 1000
       else -1L
-    // the regime verdict, computed ONCE and stamped into the artifact:
-    // rounds kept re-litigating post-suite/loaded benches against the
-    // clean BASELINE.md table — now the artifact SAYS which regime it
-    // measured, so an inflated total reads as a measurement condition,
-    // not a plan regression. Thresholds: load_avg > 1.5 (concurrent
-    // work) or a suite JVM within the last 600 s (page-cache churn).
-    val regime =
-      if (loadAvg > 1.5 || (secsSinceSuite >= 0 && secsSinceSuite < 600))
-        "loaded"
-      else "clean"
+    }
+    // Thresholds: load_avg > 1.5 (concurrent work) or a suite JVM within
+    // the last 600 s (page-cache churn) mark the regime "loaded".
+    def regimeNow(la: Double, sss: Long): String =
+      if (la > 1.5 || (sss >= 0 && sss < 600)) "loaded" else "clean"
+    // Regime GATE, not just a stamp (round-8 verdict item 1): the round's
+    // gate artifact was a load_avg-5.64 run while a clean run existed on
+    // the same code. Rather than record a number known to be inflated,
+    // sleep-retry until the machine is clean, bounded so a permanently
+    // busy box still produces an artifact (stamped loaded + its attempt
+    // history) instead of hanging the driver. 10 × 60 s covers the
+    // post-suite cooldown (600 s) exactly and most transient load.
+    val maxWaits = sys.env.get("SPARK_GRAFT_BENCH_MAX_WAITS")
+      .map(_.toInt).getOrElse(10)
+    val attempts = scala.collection.mutable.ListBuffer.empty[String]
+    var loadAvg = loadAvgNow()
+    var secsSinceSuite = secsSinceSuiteNow()
+    var waits = 0
+    while (regimeNow(loadAvg, secsSinceSuite) == "loaded" && waits < maxWaits) {
+      attempts += f"""{"load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite}"""
+      System.err.println(f"[bench] loaded regime (load_avg=$loadAvg%.2f, " +
+        s"secs_since_suite=$secsSinceSuite) — cooling down 60 s " +
+        s"(${waits + 1}/$maxWaits)")
+      Thread.sleep(60000L)
+      waits += 1
+      loadAvg = loadAvgNow()
+      secsSinceSuite = secsSinceSuiteNow()
+    }
+    val regime = regimeNow(loadAvg, secsSinceSuite)
     if (regime == "loaded")
-      System.err.println(s"[bench] WARNING: loaded regime (load_avg=" +
-        f"$loadAvg%.2f, secs_since_suite=$secsSinceSuite) — compare " +
-        "against BASELINE.md's clean table with care")
+      System.err.println(s"[bench] WARNING: still loaded after $waits " +
+        f"cooldowns (load_avg=$loadAvg%.2f, secs_since_suite=" +
+        s"$secsSinceSuite) — compare against BASELINE.md's clean table " +
+        "with care")
     val spark = LocalSession.build()
     // Materialize through the noop sink: every column of every row is
     // computed and serialized, unlike count(), under which Catalyst prunes
@@ -79,7 +99,8 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val cond = f""""load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite,"regime":"$regime""""
+    val hist = attempts.mkString("[", ",", "]")
+    val cond = f""""load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite,"regime":"$regime","cooldown_attempts":$hist"""
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$cond,"sf":"$sfDir"}"""
     println(full)

@@ -1950,7 +1950,12 @@ object TextAnalysis {
     * (keep more data at equal quality).
     *
     * Scale: one scan for scores, a distinct-score aggregate (bounded by
-    * score granularity, 6-dp ratios), windows over that table only.
+    * score granularity, 6-dp ratios); the reverse-cumulative confusion
+    * counts ride [[Ranking.prefixCum]] (bucket-partitioned, never a
+    * SinglePartition window — round-9 rework: the old spelling hid two
+    * `Window.orderBy` globals behind the checkpoint), totals are a
+    * one-row broadcast, and each criterion's argmax is
+    * `orderBy(...).limit(1)` — TakeOrdered, no window at all.
     */
   def optimalThreshold(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1962,14 +1967,19 @@ object TextAnalysis {
     val byScore = scored.groupBy($"score")
       .agg(sum(when($"pos", 1L).otherwise(0L)).as("pos_at"),
         count(lit(1)).as("n_at"))
-    val ge = Window.orderBy($"score")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val tot = Window.partitionBy(lit(1))
-    val conf = byScore
-      .withColumn("tp", sum($"pos_at").over(ge))
-      .withColumn("pred_pos", sum($"n_at").over(ge))
-      .withColumn("p", sum($"pos_at").over(tot))
-      .withColumn("n_all", sum($"n_at").over(tot))
+    // tp(t) = Σ_{score ≥ t} pos_at = total_pos − exclusive-prefix(pos_at);
+    // two prefixCum passes over the (bounded) distinct-score table
+    val withPos = Ranking.prefixCum(byScore, Nil, $"score", Seq($"score"),
+        $"pos_at")
+      .withColumnRenamed("cum_before", "cum_pos_before")
+    val withBoth = Ranking.prefixCum(withPos, Nil, $"score", Seq($"score"),
+        $"n_at")
+      .withColumnRenamed("cum_before", "cum_n_before")
+    val totals = broadcast(byScore.agg(sum($"pos_at").as("p"),
+      sum($"n_at").as("n_all")))
+    val conf = withBoth.crossJoin(totals)
+      .withColumn("tp", $"p" - $"cum_pos_before")
+      .withColumn("pred_pos", $"n_all" - $"cum_n_before")
       .select($"score".as("threshold"), $"tp",
         ($"pred_pos" - $"tp").as("fp"),
         ($"p" - $"tp").as("fn"),
@@ -1982,17 +1992,15 @@ object TextAnalysis {
     val youden = conf
       .withColumn("metric_value",
         round($"tpr" - $"fpr", 6))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"metric_value".desc, $"threshold")))
-      .filter($"rk" === 1)
+      .orderBy($"metric_value".desc, $"threshold")
+      .limit(1)
       .select(lit("youden").as("criterion"), $"threshold", $"tp", $"fp",
         $"fn", $"tn", $"metric_value")
     val f1 = conf
       .withColumn("metric_value",
         round(lit(2.0) * $"tp" / (lit(2.0) * $"tp" + $"fp" + $"fn"), 6))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"metric_value".desc, $"threshold")))
-      .filter($"rk" === 1)
+      .orderBy($"metric_value".desc, $"threshold")
+      .limit(1)
       .select(lit("f1").as("criterion"), $"threshold", $"tp", $"fp",
         $"fn", $"tn", $"metric_value")
     youden.unionByName(f1)

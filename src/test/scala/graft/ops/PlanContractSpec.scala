@@ -590,7 +590,8 @@ class PlanContractSpec extends AnyFunSuite {
   // bucket-partitioned; the only SinglePartition gathers left are 1-row
   // final aggregates, which never sit under a Window.
 
-  private def windowFedBySinglePartition(df: DataFrame): Seq[String] = {
+  private def singlePartitionWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -605,12 +606,15 @@ class PlanContractSpec extends AnyFunSuite {
       case u if u.children.size == 1 => feed(u.children.head)
       case _ => None
     }
-    strip(df.queryExecution.executedPlan).collect {
+    strip(plan).collect {
       case w: WindowExec
           if feed(w.child).exists(_.outputPartitioning == SinglePartition) =>
         w.simpleStringWithNodeId()
     }
   }
+
+  private def windowFedBySinglePartition(df: DataFrame): Seq[String] =
+    singlePartitionWindows(df.queryExecution.executedPlan)
 
   // Queries whose SinglePartition-fed Window ranks a table whose size is
   // INDEPENDENT of corpus scale (or metadata-scale): each entry names the
@@ -641,22 +645,75 @@ class PlanContractSpec extends AnyFunSuite {
   // contract named only six queries — so the contract now walks EVERY
   // registered query's plan. Allowlisted names carry a SinglePartition-
   // fed Window over a PROVABLY BOUNDED table (size independent of
-  // corpus scale) — each entry cites the bound. Eagerly-checkpointed
-  // queries expose only their final (ExistingRDD) plan here; their
-  // internal loops are covered by the targeted contracts above/below.
-  test("every registered query: no SinglePartition exchange feeds any Window") {
+  // corpus scale) — each entry cites the bound.
+  //
+  // Round-9 extension (closing the q179 laundering hole): an eager
+  // localCheckpoint replaces everything above it with an ExistingRDD
+  // scan, so the final plan alone cannot prove the INTERNAL plans were
+  // window-clean. A QueryExecutionListener now captures every action the
+  // operator runs while being constructed (localCheckpoint(true) goes
+  // through Dataset.withAction, as do the bounded collect() sites) and
+  // each captured physical plan is swept with the same predicate — a
+  // checkpoint can no longer hide a SinglePartition window.
+  test("every registered query: no SinglePartition exchange feeds any Window " +
+      "(final AND checkpoint-internal plans)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.jdk.CollectionConverters._
     val allow: Map[String, String] = Map(
       // each value documents the bounded table the window ranks
       ) ++ boundedWindowAllowlist
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(kv => allow.contains(kv._1))
-      .flatMap { case (name, fn) =>
-        try windowFedBySinglePartition(fn(spark, sf)).map(w => s"$name: $w")
-        catch { case e: Throwable =>
-          Seq(s"$name: plan construction failed: ${e.getMessage}") }
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = captured.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // the listener bus is async; actions themselves are blocking (eager
+    // checkpoints materialize before fn returns), so only notification
+    // delivery is in flight — poll until the queue is stable
+    def drain(): Unit = {
+      var last = -1; var stable = 0; var polls = 0
+      while (stable < 2 && polls < 150) {
+        val n = captured.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        if (stable < 2) Thread.sleep(20)
+        polls += 1
       }
+    }
+    spark.listenerManager.register(listener)
+    var internalPlansSeen = 0L
+    val offenders =
+      try {
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+          case (name, _) if allow.contains(name) => Seq.empty[String]
+          case (name, fn) =>
+            drain(); captured.clear()
+            try {
+              val finalBad = windowFedBySinglePartition(fn(spark, sf))
+                .map(w => s"$name (final): $w")
+              drain()
+              internalPlansSeen += captured.size
+              val internalBad = captured.asScala.toSeq.flatMap { qe =>
+                singlePartitionWindows(qe.executedPlan)
+                  .map(w => s"$name (checkpoint-internal): $w")
+              }
+              finalBad ++ internalBad
+            } catch { case e: Throwable =>
+              Seq(s"$name: plan construction failed: ${e.getMessage}") }
+        }
+      } finally spark.listenerManager.unregister(listener)
     assert(offenders.isEmpty,
       s"corpus-rank windows over one task:\n${offenders.mkString("\n")}")
+    // non-vacuity for the listener arm: ~80 eager-checkpoint sites exist
+    // in ops/, so a sweep that captures no internal plans means the
+    // listener hook silently stopped firing (e.g. a Spark upgrade moved
+    // localCheckpoint off Dataset.withAction) — fail loudly, don't
+    // silently revert to final-plan-only coverage
+    assert(internalPlansSeen >= 50,
+      s"listener captured only $internalPlansSeen internal plans — " +
+        "checkpoint-internal coverage has gone vacuous")
     // non-vacuity: allowlisted names must still be registered queries
     val stale = allow.keySet -- graft.SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlist names not in the registry: $stale")

@@ -1015,23 +1015,86 @@ object Dedup {
       .withColumn("plen",
         greatest(lit(0L),
           ($"n" - ceil(lit(tEff) * $"n") + 1).cast("long")))
-      .select($"doc_id", $"sh", $"rn", $"plen")
+      .select($"doc_id", $"sh", $"rn", $"plen", $"n")
   }
 
   /** Candidate pairs of [[prefixVerifiedRepPairs]] — exposed so the
     * prune is testable: a corpus-wide boilerplate shingle must generate
     * ZERO candidates once every doc's prefix excludes it.
+    *
+    * Round-9: PPJoin+ POSITIONAL filtering on top of the prefix lemma.
+    * A matched prefix token at ranks (i, j) of docs (a, b) bounds the
+    * whole intersection: every OTHER shared token sorts after the first
+    * shared one in BOTH docs (same global (df, sh) order), so
+    * common ≤ 1 + min(na − i, nb − j). J ≥ τ needs
+    * common ≥ τ/(1+τ)·(na+nb), so a matched row whose positional bound
+    * misses that floor cannot certify the pair — and a pair none of
+    * whose matched rows pass has common < the floor (the FIRST shared
+    * token carries the LARGEST bound, which dominates the true common).
+    * The length filter (min(n) ≥ τ·max(n)) prunes impossible size
+    * ratios before the bound is even evaluated. Both bounds use
+    * τ − 2e-6 and an absolute 1e-6 slack, so every pair the 6-dp
+    * ROUNDED verify would keep still reaches the verify — soundness is
+    * value-checked by the q148 oracle (the naive SQL), not asserted.
     */
   private[ops] def prefixCandidates(spark: SparkSession, reps: DataFrame,
       t: Double): DataFrame = {
     import spark.implicits._
+    val tEff = math.max(0.0, t - 2e-6)
     val pref = rankedPostings(spark, reps, t)
-      .filter($"rn" <= $"plen").select($"doc_id", $"sh")
+      .filter($"rn" <= $"plen").select($"doc_id", $"sh", $"rn", $"n")
     pref.as("a")
       .join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.n"), col("b.n")).cast("double") >=
+        lit(tEff) * greatest(col("a.n"), col("b.n")) - lit(1e-6))
+      .filter((lit(1L) + least(col("a.n") - col("a.rn"),
+          col("b.n") - col("b.rn"))).cast("double") >=
+        lit(tEff / (1.0 + tEff)) * (col("a.n") + col("b.n")) - lit(1e-6))
       .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
       .distinct()
+  }
+
+  /** Round-9 throwaway instrumentation for the PPJoin+ decision (see
+    * [[graft.DebugQ148]]) — removed with it before commit.
+    */
+  private[graft] def debugPrefixStats(spark: SparkSession, dir: String,
+      t: Double): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    var stats = (0L, 0L, 0L, 0L)
+    shingleSetPairsDedupFirstOf(spark, docs(spark, dir)) { reps =>
+      val tEff = math.max(0.0, t - 2e-6)
+      val pref = rankedPostings(spark, reps, t).filter($"rn" <= $"plen")
+        .select($"doc_id", $"sh", $"rn", $"n")
+        .persist()
+      val joined = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      val t0 = System.nanoTime()
+      val rows = joined.count()
+      val t1 = System.nanoTime()
+      val oldPairs = joined.select(col("a.doc_id"), col("b.doc_id"))
+        .distinct().count()
+      val t2 = System.nanoTime()
+      val filtered = joined
+        .filter(least(col("a.n"), col("b.n")).cast("double") >=
+          lit(tEff) * greatest(col("a.n"), col("b.n")) - lit(1e-6))
+        .filter((lit(1L) + least(col("a.n") - col("a.rn"),
+            col("b.n") - col("b.rn"))).cast("double") >=
+          lit(tEff / (1.0 + tEff)) * (col("a.n") + col("b.n")) - lit(1e-6))
+      val newPairs = filtered.select(col("a.doc_id"), col("b.doc_id"))
+        .distinct().count()
+      val t3 = System.nanoTime()
+      val ver = prefixVerifiedRepPairs(spark, reps, t)
+      val verified = ver.count()
+      val t4 = System.nanoTime()
+      System.err.println(f"[debug] join_count=${(t1 - t0) / 1e9}%.2fs " +
+        f"old_distinct=${(t2 - t1) / 1e9}%.2fs new_distinct=${(t3 - t2) / 1e9}%.2fs " +
+        f"verify=${(t4 - t3) / 1e9}%.2fs")
+      pref.unpersist()
+      stats = (rows, oldPairs, newPairs, verified)
+      ver
+    }
+    stats
   }
 
   /** Exact-dedup-first scaffold shared by the shingle-set pair operators

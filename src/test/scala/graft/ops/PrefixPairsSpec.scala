@@ -38,6 +38,33 @@ class PrefixPairsSpec extends AnyFunSuite {
     assert(naive == 190)
   }
 
+  test("PPJoin+ positional bound prunes a prefix-matched pair that cannot reach τ") {
+    // Four 8-shingle docs engineered so every token of docs 1/3 and 2/4
+    // has df=2 (ties order by sh). Docs 1 and 2 share EXACTLY token 13,
+    // which ranks 4th in doc 1 (plen at τ=0.6 is 8−⌈4.8⌉+1 = 4, so it
+    // IS in both prefixes — the plain prefix lemma admits the pair) but
+    // the positional bound 1 + min(8−4, 8−1) = 5 is below the overlap
+    // floor ⌈τ/(1+τ)·16⌉ = 6, so PPJoin+ prunes it before the verify.
+    // True J(1,2) = 1/15 < 0.6, so pruning it is sound; the genuinely
+    // similar pairs (1,3) and (2,4) (J = 7/9) must survive.
+    val docTokens = Map(
+      1L -> Seq(10L, 11L, 12L, 13L, 14L, 15L, 16L, 17L),
+      2L -> Seq(13L, 20L, 21L, 22L, 23L, 24L, 25L, 26L),
+      3L -> Seq(10L, 11L, 12L, 14L, 15L, 16L, 17L, 99L),
+      4L -> Seq(20L, 21L, 22L, 23L, 24L, 25L, 26L, 98L))
+    val reps = docTokens.toSeq.toDF("doc_id", "shs")
+      .select($"doc_id", array_sort($"shs").as("shs"), size($"shs").as("n"))
+    val cands = Dedup.prefixCandidates(spark, reps, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((1L, 2L)),
+      s"positional bound failed to prune the 1-common pair: $cands")
+    assert(cands == Set((1L, 3L), (2L, 4L)), cands.toString)
+    // and the verified output keeps exactly the two true near-dup pairs
+    val pairs = Dedup.prefixVerifiedRepPairs(spark, reps, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 4L)), pairs.toString)
+  }
+
   private lazy val univDir: String = {
     val dir = "/tmp/graft_prefix_pairs_univ"
     // every doc opens with "aa bb cc", so that trigram is UNIVERSAL

@@ -689,6 +689,9 @@ object SparkEntry {
     // dissent flag (confident-learning-lite)
     "q252_label_noise" -> ((s: SparkSession, d: String) =>
       Similarity.labelNoiseScreen(s, d)),
+    // BPE apply: corpus re-tokenized with the trained merge table
+    "q253_bpe_encode" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeEncode(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3889,6 +3892,10 @@ object SparkEntry {
         |FROM a WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
     // q185: same bpeCtes chain, aggregated at the final segmentation
     "q185_bpe_fertility" -> bpeFertilityOracleSql(6),
+    // q253: same bpeCtes chain — the oracle reads each word's symbol
+    // count from the TRAINING segmentation, the Spark side re-APPLIES
+    // the merge table scan-side, so the hash match proves apply==train
+    "q253_bpe_encode" -> bpeEncodeOracleSql(6),
     // q186: the q15 and q16 chains composed verbatim, f1 from the
     // ROUNDED precision/recall like the engine
     "q186_dedup_eval" -> dedupEvalOracleSql(""),
@@ -5623,6 +5630,30 @@ object SparkEntry {
          | round(nss / CAST(n_word_occurrences AS DOUBLE), 6)
          |   AS single_symbol_rate
          |FROM ag, st""".stripMargin
+
+  /** The q253 oracle joins the per-(doc, word) count table against the
+    * training segmentation's per-word symbol count (same bpeCtes chain
+    * ending at g&lt;k&gt;) — the Spark side re-applies the merges, so the
+    * match proves the scan-side encode reproduces training.
+    */
+  private def bpeEncodeOracleSql(k: Int): String =
+    bpeCtes(k) +
+      s""",
+         |pw AS (SELECT word, CAST(max(pos) AS BIGINT) AS n_syms
+         |       FROM g$k GROUP BY 1),
+         |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |             FROM documents)
+         |       WHERE len(word) >= 1 GROUP BY 1, 2)
+         |SELECT doc_id,
+         | CAST(sum(cnt) AS BIGINT) AS n_words,
+         | CAST(sum(cnt * n_syms) AS BIGINT) AS n_bpe_tokens,
+         | CAST(sum(cnt * len(word)) AS BIGINT) AS n_chars,
+         | round(sum(cnt * n_syms) / CAST(sum(cnt) AS DOUBLE), 6)
+         |   AS fertility,
+         | round(sum(cnt * len(word)) / CAST(sum(cnt * n_syms) AS DOUBLE), 6)
+         |   AS chars_per_token
+         |FROM dw JOIN pw USING (word) GROUP BY 1""".stripMargin
 
   private def bpeCtes(k: Int): String = {
     val init =

@@ -2074,6 +2074,70 @@ object TextAnalysis {
           .as("single_symbol_rate"))
   }
 
+  /** BPE APPLY/encode (q253): re-tokenize the corpus with a TRAINED
+    * merge table — the step an actual data pipeline runs after training
+    * a tokenizer, which q185 only proxied by reading the training
+    * positions table. The k learned merges ([[bpeMerges]]' trajectory)
+    * are applied as a literal-folded chain of `aggregate` higher-order
+    * folds over each word's character array: per merge (a, b), a
+    * left-to-right fold that replaces a trailing `a` followed by `b`
+    * with the merged symbol — the sequential greedy scan itself, which
+    * the training loop's closed-form parity rule provably equals (the
+    * merged symbol `a||b` can never re-match `a`, so overlapping
+    * occurrences resolve left-first exactly as the even-offset rule
+    * does). Output is per-document: whitespace token count, encoded BPE
+    * token count, char count, fertility (BPE tokens per word) and chars
+    * per BPE token — the serving-cost numbers for THIS corpus under the
+    * trained tokenizer.
+    *
+    * The oracle replays training (the q176-gated CTE chain) and reads
+    * the final segmentation's per-word symbol count — so the equality
+    * PROVES the scan-side re-application reproduces the training
+    * segmentation word-for-word, not just that two copies of the same
+    * code agree.
+    *
+    * Scale: encoding is a pure function of the word, so the fold runs
+    * over the DISTINCT word table (Heaps-bounded vocabulary, not the
+    * corpus), k merges deep × O(|word|) each; the corpus is touched
+    * once for the (doc, word) count table, which joins the encoded
+    * vocabulary on its natural key. The merge table itself is k driver
+    * rows folded into the plan as literals — the SRP-plane/centroid
+    * broadcast pattern. Unseen-at-train words (a real train/apply
+    * split) would fall out of the join and keep character
+    * segmentation; here train corpus = apply corpus, so coverage is
+    * total.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 6): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir, k)._1
+    val words = docs(spark, dir)
+      .select($"doc_id", explode(toks).as("word"))
+      .filter(length($"word") >= 1)
+    val perDocWord = words.groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("cnt"))
+    val initSyms = transform(sequence(lit(1), length($"word")),
+      i => $"word".substr(i, lit(1)))
+    val encoded = merges.foldLeft(initSyms) {
+      case (symsCol, (_, a, b, m, _)) =>
+        aggregate(symsCol, lit(Array.empty[String]), (acc, s) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(s))))
+    }
+    val vocabEncoded = words.select($"word").distinct()
+      .select($"word", size(encoded).cast("long").as("n_syms"))
+    perDocWord.join(vocabEncoded, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_words"),
+        sum($"cnt" * $"n_syms").as("n_bpe_tokens"),
+        sum($"cnt" * length($"word")).as("n_chars"))
+      .select($"doc_id", $"n_words", $"n_bpe_tokens", $"n_chars",
+        round($"n_bpe_tokens" / $"n_words".cast("double"), 6).as("fertility"),
+        round($"n_chars" / $"n_bpe_tokens".cast("double"), 6)
+          .as("chars_per_token"))
+  }
+
   /** Shared q176/q185 training loop: returns (merge table rows, final
     * vocabulary segmentation). See [[bpeMerges]] for the algorithm and
     * scale argument.

@@ -418,6 +418,8 @@ class OpsSpec extends AnyFunSuite {
       "n_distinct_chunks", "avg_chunk_len", "dup_chunk_ratio"),
     "q252_label_noise" -> Set("vec_id", "label", "n_neighbors",
       "n_agree", "voted_label", "is_suspect"),
+    "q253_bpe_encode" -> Set("doc_id", "n_words", "n_bpe_tokens",
+      "n_chars", "fertility", "chars_per_token"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -913,6 +915,33 @@ class OpsSpec extends AnyFunSuite {
         (1L, "a", "a", "aa", 4L),
         (2L, "a", "b", "ab", 3L),
         (3L, "aa", "a", "aaa", 2L)))
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
+  test("q253: scan-side encode reproduces training segmentation, incl. overlap folds") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-enc")
+    try {
+      // the q176 fixture: merges learned are (a,a)→aa, (a,b)→ab,
+      // (aa,a)→aaa, so every word collapses to ONE symbol
+      Seq((1L, "ab ab aaa"), (2L, "ab aaa"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = TextAnalysis.bpeEncode(spark, tmp.toString, k = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, 3L, 3L, 7L, 1.0, 2.333333),
+        (2L, 2L, 2L, 5L, 1.0, 2.5)))
+      // overlap parity mid-word at k=1: "aaaaa" under the single merge
+      // (a,a) must fold greedily left-to-right to [aa, aa, a] — 3
+      // symbols, never [a, aa, aa] or a 2-symbol over-merge
+      Seq((1L, "aaaaa")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val Array(r1) = TextAnalysis.bpeEncode(spark, tmp.toString, k = 1)
+        .collect()
+      assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+        r1.getDouble(4), r1.getDouble(5)) == (1L, 1L, 3L, 5L, 3.0, 1.666667))
     } finally graft.TestFiles.rmrf(tmp)
   }
 

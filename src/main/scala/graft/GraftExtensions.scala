@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_counts"),
       info("char_counts", "char_counts(text) - map<char, count> in char-code order"),
       exprs => TextOps.CharCounts(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("cdc_cuts"),
+      info("cdc_cuts", "cdc_cuts(text, window, modulus) - rolling-hash CDC cut positions"),
+      exprs => TextOps.CdcCuts(exprs.head, litInt(exprs(1)), litInt(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("cdc_cut_hashes"),
+      info("cdc_cut_hashes", "cdc_cut_hashes(text, window) - mod-16 CDC cuts with h%64 for nested-moduli sweeps"),
+      exprs => TextOps.CdcCutHashes(exprs.head, litInt(exprs(1)))))
     // bloom sketch surface: Spark's own runtime-filter expressions under
     // stable SQL names (see graft.functions.SketchOps)
     ext.injectFunction((FunctionIdentifier("bloom_agg"),

@@ -5195,18 +5195,27 @@ object SparkEntry {
          | END AS lcc
          |FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.vec_id
          | LEFT JOIN cl ON e.vec_id = cl.vec_id""".stripMargin,
-    // q250: the identical stateless cut predicate (md5 of the 8-char
-    // window, first 8 hex digits mod 32) and boundary-array chunking
+    // q250: the identical stateless cut predicate — the gear-style
+    // polynomial mod 2^31−1 recomputed per position (gear g(c) =
+    // c·2654435761 mod P; window weights are 256^(7−k) mod P, i.e.
+    // 2^25,2^17,2^9,2^1,2^24,2^16,2^8,1 — every product ≤ 2^56, the
+    // 8-term sum ≤ 2^59, all exact BIGINT) — and boundary-array chunking
     "q250_cdc_chunks" ->
       """WITH d AS (SELECT source, doc_id, text, length(text) AS len
         |       FROM documents
         |       WHERE text IS NOT NULL AND length(text) >= 8),
+        |g AS (SELECT source, doc_id, text, len,
+        |       [(unicode(ch) * 2654435761) % 2147483647
+        |        for ch in string_split(text, '')] AS gl
+        |      FROM d),
         |c AS (SELECT source, doc_id, text, len,
         |       list_concat(list_concat([0],
         |         [i for i in range(1, len - 6)
-        |          if (('0x' || substring(md5(substring(text, i, 8)), 1, 8))::UBIGINT
-        |              % 32) = 0]), [len]) AS b
-        |      FROM d),
+        |          if ((gl[i]*33554432 + gl[i+1]*131072 + gl[i+2]*512
+        |             + gl[i+3]*2 + gl[i+4]*16777216 + gl[i+5]*65536
+        |             + gl[i+6]*256 + gl[i+7]) % 2147483647) % 32 = 0]),
+        |         [len]) AS b
+        |      FROM g),
         |ch AS (SELECT source, doc_id,
         |        substring(text, b[j] + 1, b[j + 1] - b[j]) AS chunk
         |       FROM (SELECT source, doc_id, text, b,
@@ -5220,17 +5229,27 @@ object SparkEntry {
         | round(1.0 - CAST(count(DISTINCT chunk) AS DOUBLE) / count(*), 6)
         |   AS dup_chunk_ratio
         |FROM ch GROUP BY source""".stripMargin,
-    // q251: the same window-hash values, cut sets re-derived per
-    // modulus (nesting means the oracle may simply filter per m)
+    // q251: the same gear window-hash values (q250's polynomial), kept
+    // compact as the mod-16 superset cut positions with h mod 64 — the
+    // nested cut sets re-derive per modulus by filtering
     "q251_cdc_sweep" ->
       """WITH d AS (SELECT source, doc_id, text, length(text) AS len
         |       FROM documents
         |       WHERE text IS NOT NULL AND length(text) >= 8),
-        |h AS (SELECT source, doc_id, text, len,
-        |       [{'p': i, 'h': (('0x' || substring(md5(substring(text, i, 8)), 1, 8))::UBIGINT
-        |                       % 64)}
-        |        for i in range(1, len - 6)] AS ph
+        |g AS (SELECT source, doc_id, text, len,
+        |       [(unicode(ch) * 2654435761) % 2147483647
+        |        for ch in string_split(text, '')] AS gl
         |      FROM d),
+        |h0 AS (SELECT source, doc_id, text, len,
+        |       [{'p': i, 'h': ((gl[i]*33554432 + gl[i+1]*131072
+        |          + gl[i+2]*512 + gl[i+3]*2 + gl[i+4]*16777216
+        |          + gl[i+5]*65536 + gl[i+6]*256 + gl[i+7])
+        |          % 2147483647) % 64}
+        |        for i in range(1, len - 6)] AS ph0
+        |      FROM g),
+        |h AS (SELECT source, doc_id, text, len,
+        |       [x for x in ph0 if x.h % 16 = 0] AS ph
+        |      FROM h0),
         |m AS (SELECT unnest([16, 32, 64]) AS modulus),
         |c AS (SELECT source, doc_id, text, len, m.modulus,
         |       list_concat(list_concat([CAST(0 AS BIGINT)],

@@ -329,6 +329,125 @@ object TextOps {
     new GenericArrayData(out.toArray)
   }
 
+  // ---- rolling-hash CDC (q250/q251) ----------------------------------
+  // Gear-style content-defined chunking cuts in ONE O(1)-per-position
+  // rolling pass, replacing the md5-per-position stub (which paid a full
+  // digest per corpus character — ~100× the production constant). The
+  // hash is a Rabin–Karp polynomial over per-codepoint "gear" values:
+  //
+  //   g(c)  = (c · 2654435761) mod P          (Knuth multiplicative mix)
+  //   h(i)  = Σ_{k=0}^{w−1} g(cp_{i+k}) · B^{w−1−k}  mod P
+  //   cut(i) ⇔ h(i) ≡ 0 (mod modulus)
+  //
+  // with P = 2^31 − 1 and B = 256, chosen so every intermediate fits
+  // comfortably in i64 (products ≤ 2^62) and the SAME value is exactly
+  // replayable in DuckDB integer SQL (B^j mod P are 8 literals; the
+  // 8-term sum promotes to HUGEINT before the final mod). Positions are
+  // 1-based in CODEPOINT coordinates — Spark's length()/substring() and
+  // DuckDB's len()/substring() both count codepoints, so the chunk
+  // extraction downstream agrees byte-for-byte.
+
+  private val CdcP = 2147483647L // 2^31 − 1 (prime)
+  private val CdcB = 256L
+
+  private def cdcGear(cp: Int): Long = (cp.toLong * 2654435761L) % CdcP
+
+  /** Folds `f(position, windowHash)` over every w-codepoint window of
+    * `text` (positions 1..n−w+1), hash maintained by the O(1) rolling
+    * update h' = ((h − g(out)·B^{w−1})·B + g(in)) mod P.
+    */
+  private def cdcHashFold(text: UTF8String, window: Int)(
+      f: (Long, Long) => Unit): Unit = {
+    val s = text.toString
+    val sl = s.length
+    val cps = new Array[Int](sl)
+    var n = 0
+    var i = 0
+    while (i < sl) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n < window) return
+    var bw = 1L // B^{w−1} mod P
+    var j = 0
+    while (j < window - 1) { bw = (bw * CdcB) % CdcP; j += 1 }
+    var h = 0L
+    j = 0
+    while (j < window) { h = (h * CdcB + cdcGear(cps(j))) % CdcP; j += 1 }
+    f(1L, h)
+    var start = 1
+    while (start <= n - window) {
+      // (h + P − x) ≤ 2P < 2^32; ·B ≤ 2^40; + g < 2^41 — exact in i64
+      h = (((h + CdcP - (cdcGear(cps(start - 1)) * bw) % CdcP) % CdcP)
+        * CdcB + cdcGear(cps(start + window - 1))) % CdcP
+      f((start + 1).toLong, h)
+      start += 1
+    }
+  }
+
+  /** CDC cut positions of `text` at `modulus` (q250): ascending 1-based
+    * codepoint positions i with h(i) ≡ 0 (mod modulus).
+    */
+  def cdcCuts(text: UTF8String, window: Int,
+      modulus: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new java.util.ArrayList[Any]()
+    cdcHashFold(text, window) { (p, h) =>
+      if (h % modulus == 0L) out.add(p)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The q251 sweep's compact state: only positions with h ≡ 0 (mod 16)
+    * — the SUPERSET cut set, since mod-32/mod-64 cuts are its subsets —
+    * each carrying h mod 64 so the per-modulus filter `h % m = 0`
+    * re-derives every nested cut set. O(cuts) per doc, not O(text): the
+    * round-8 sweep checkpointed a per-character struct for EVERY
+    * position (a >10× corpus materialization); expected cut density at
+    * mod 16 is 1/16 of positions.
+    */
+  def cdcCutHashes(text: UTF8String,
+      window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new java.util.ArrayList[Any]()
+    cdcHashFold(text, window) { (p, h) =>
+      if (h % 16L == 0L)
+        out.add(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](p, h % 64L)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class CdcCuts(child: Expression, window: Int, modulus: Int)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      cdcCuts(t.asInstanceOf[UTF8String], window, modulus)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        t => s"graft.functions.TextOps.cdcCuts($t, $window, $modulus)")
+    override protected def withNewChildInternal(c: Expression): CdcCuts =
+      copy(child = c)
+  }
+
+  case class CdcCutHashes(child: Expression, window: Int)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("h", LongType, nullable = false))),
+        containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      cdcCutHashes(t.asInstanceOf[UTF8String], window)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        t => s"graft.functions.TextOps.cdcCutHashes($t, $window)")
+    override protected def withNewChildInternal(c: Expression): CdcCutHashes =
+      copy(child = c)
+  }
+
   case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType =
       org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
@@ -379,6 +498,12 @@ object TextOps {
       "gram_hashes", exprs => GramHashes(exprs.head, litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "distinct_grams", exprs => DistinctGrams(exprs.head, litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cdc_cuts", exprs =>
+        CdcCuts(exprs.head, litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cdc_cut_hashes", exprs =>
+        CdcCutHashes(exprs.head, litInt(exprs(1))), "built-in")
   }
 
   def bigramCountsCol(spark: SparkSession, text: Column): Column = {

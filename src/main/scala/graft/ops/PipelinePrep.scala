@@ -1150,52 +1150,56 @@ object PipelinePrep {
     * the reference's FIXED-length chunker (dirhash.py:313-344 chunks at
     * byte offsets, so a one-char insertion shifts every later chunk;
     * CDC cuts where the CONTENT says to, so shared spans re-align):
-    * a position i is a cut iff md5 of the w-char window at i ≡ 0
-    * (mod `modulus`) — STATELESS cut points (no min/max-size carry), so
-    * the boundary set is a pure per-position function both engines
-    * replay verbatim. Emits per source the chunk count, distinct-chunk
-    * count, duplicated-chunk ratio (the dedup win CDC exists to
-    * harvest) and the realized average chunk length (≈ modulus + w − 1
-    * expected).
+    * a position i is a cut iff the gear-style rolling polynomial hash
+    * of the w-char window at i ≡ 0 (mod `modulus`) — STATELESS cut
+    * points (no min/max-size carry), so the boundary set is a pure
+    * per-position function both engines replay verbatim (the oracle
+    * recomputes the identical mod-2³¹−1 integer polynomial per
+    * position). Round 9 swapped the md5-per-position stub for the O(1)
+    * rolling update ([[graft.functions.TextOps.cdcCuts]]) — one digest
+    * per corpus character was ~100× the production per-byte constant.
+    * Emits per source the chunk count, distinct-chunk count,
+    * duplicated-chunk ratio (the dedup win CDC exists to harvest) and
+    * the realized average chunk length (≈ modulus + w − 1 expected).
     *
-    * Scale: the rolling-window hash is the honest O(text) CDC cost and
-    * runs scan-side (one HOF per doc, no shuffle); the only shuffle is
-    * the (source, chunk) distinct rollup — hash 8-byte keys at 100 TB
-    * (the q16 trick) instead of chunk strings. Docs shorter than the
-    * window (or null) have no interior windows and are excluded,
-    * reported via n_docs.
+    * Scale: the rolling hash is the honest O(text) CDC cost and runs
+    * scan-side (one codegen'd expression per doc, no shuffle); the only
+    * shuffle is the (source, chunk) distinct rollup — hash 8-byte keys
+    * at 100 TB (the q16 trick) instead of chunk strings. Docs shorter
+    * than the window (or null) have no interior windows and are
+    * excluded, reported via n_docs.
     */
   /** [[cdcChunkStats]] parameter sweep over NESTED moduli: because a
     * position with windowHash ≡ 0 (mod 64) is also ≡ 0 (mod 32) and
     * (mod 16), the three cut sets are derivable from ONE window-hash
     * pass — the whole sweep costs one scan, not |moduli| scans (the
     * tuning table for picking the q250 chunk size would otherwise
-    * triple the dominant rolling-hash cost). Emits per (source,
-    * modulus): chunk count, distinct chunks, dup ratio, realized
-    * average length — read it to pick the modulus where dup harvest
-    * saturates.
+    * triple the dominant rolling-hash cost). The checkpointed state is
+    * O(cuts), not O(text): `cdc_cut_hashes` keeps only the mod-16
+    * positions (the SUPERSET cut set — ~1/16 of positions) with h mod
+    * 64, from which every nested cut set filters (the round-8 spelling
+    * materialized a per-character struct, a >10× corpus blow-up on
+    * local disk). Emits per (source, modulus): chunk count, distinct
+    * chunks, dup ratio, realized average length — read it to pick the
+    * modulus where dup harvest saturates.
     */
   def cdcModulusSweep(spark: SparkSession, dir: String,
       window: Int = 8): DataFrame = {
     import spark.implicits._
-    // one hash per position, kept as (pos, hash mod 64); mod-32/mod-16
-    // cuts are prefix-filters of it
-    val hashExpr =
-      s"""transform(sequence(1, length(text) - ${window - 1}),
-         | i -> named_struct('p', i,
-         |   'h', pmod(cast(conv(substring(md5(substring(text, i, $window)),
-         |     1, 8), 16, 10) as bigint), 64)))""".stripMargin
+    graft.functions.TextOps.register(spark)
     // materialize the hash pass ONCE — the three modulus branches below
     // would otherwise each re-run it, tripling the dominant cost
     val base = docs(spark, dir)
       .filter($"text".isNotNull && length($"text") >= window)
       .select($"source", $"doc_id", $"text",
-        expr(hashExpr).as("ph"), length($"text").as("len"))
+        expr(s"cdc_cut_hashes(text, $window)").as("ph"),
+        length($"text").as("len"))
       .localCheckpoint(true)
     val perModulus = Seq(16, 32, 64).map { m =>
       base
         .withColumn("cuts",
-          expr(s"transform(filter(ph, x -> pmod(x.h, $m) = 0), x -> x.p)"))
+          expr(s"transform(filter(ph, x -> pmod(x.h, $m) = 0)," +
+            " x -> cast(x.p as int))"))
         .withColumn("b", expr("concat(array(0), cuts, array(len))"))
         .select($"source", $"doc_id",
           explode(expr(
@@ -1221,14 +1225,13 @@ object PipelinePrep {
       modulus: Int = 32): DataFrame = {
     import spark.implicits._
     require(window > 0 && modulus > 0)
-    val cutsExpr =
-      s"""filter(sequence(1, length(text) - ${window - 1}),
-         | i -> pmod(cast(conv(substring(md5(substring(text, i, $window)),
-         |   1, 8), 16, 10) as bigint), $modulus) = 0)""".stripMargin
+    graft.functions.TextOps.register(spark)
     val chunks = docs(spark, dir)
       .filter($"text".isNotNull && length($"text") >= window)
       .select($"source", $"doc_id", $"text",
-        expr(cutsExpr).as("cuts"), length($"text").as("len"))
+        expr(s"transform(cdc_cuts(text, $window, $modulus)," +
+          " c -> cast(c as int))").as("cuts"),
+        length($"text").as("len"))
       // materialize the boundary array once per doc (0, cuts…, len)
       .withColumn("b", expr("concat(array(0), cuts, array(len))"))
       .select($"source", $"doc_id",

@@ -45,6 +45,39 @@ class TextOpsPropSpec extends AnyFunSuite {
     }
   }
 
+  // direct (non-rolling) polynomial per window, codepoint coordinates —
+  // the reference the O(1) rolling update must equal at every position
+  private def refCdcHashes(text: String, w: Int): Seq[(Long, Long)] = {
+    val P = 2147483647L
+    val cps = text.codePoints().toArray
+    (0 to cps.length - w).map { s =>
+      var h = 0L
+      cps.slice(s, s + w).foreach { cp =>
+        h = (h * 256L + (cp.toLong * 2654435761L) % P) % P
+      }
+      ((s + 1).toLong, h)
+    }
+  }
+
+  test("property: cdcCuts equals the direct per-window polynomial; cdcCutHashes nests") {
+    for (text <- samples(texts, 200); w <- Seq(2, 8)) {
+      val ref = refCdcHashes(text, w)
+      for (m <- Seq(16, 32, 64)) {
+        val got = TextOps.cdcCuts(UTF8String.fromString(text), w, m)
+          .toLongArray().toSeq
+        val want = ref.collect { case (p, h) if h % m == 0 => p }
+        assert(got == want, s"w=$w m=$m text=${text.take(40)}")
+      }
+      // the sweep state: exactly the mod-16 positions, carrying h mod 64
+      val hs = TextOps.cdcCutHashes(UTF8String.fromString(text), w)
+      val gotPairs = (0 until hs.numElements()).map { i =>
+        val r = hs.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      val wantPairs = ref.collect { case (p, h) if h % 16 == 0 => (p, h % 64) }
+      assert(gotPairs == wantPairs, s"w=$w text=${text.take(40)}")
+    }
+  }
+
   test("property: simhash32 equals the naive per-token vote reference") {
     def refSimhash(text: String): Long = {
       val votes = new Array[Int](32)

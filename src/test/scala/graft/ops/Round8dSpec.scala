@@ -124,8 +124,13 @@ class Round8dSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
     try {
       // two docs sharing a long middle span (CDC should harvest shared
-      // chunks), one short doc below the window, one null
-      val shared = "the quick brown fox jumps over the lazy dog " * 6
+      // chunks), one short doc below the window, one null. The span is
+      // varied (20 distinct words ×3) so the gear hash lands interior
+      // mod-32 cuts — a low-diversity span ("fox jumps" ×6 had only 44
+      // distinct windows) can legitimately contain zero cut windows
+      val shared = ("alpha bravo charlie delta echo foxtrot golf hotel " +
+        "india juliet kilo lima mike november oscar papa quebec romeo " +
+        "sierra tango") * 3
       Seq(
         (1L, "prefix one " + shared + " suffix alpha", "en", "s1", 0L),
         (2L, "other start " + shared + " ending beta", "en", "s1", 0L),

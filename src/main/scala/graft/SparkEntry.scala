@@ -4965,19 +4965,24 @@ object SparkEntry {
         |   AS resultant_norm
         |FROM g JOIN nz USING (label)""".stripMargin,
     // q240: regex-integer counts (sentences floor 1, vowel-less words
-    // add one syllable), one rounding at the end
+    // add one syllable, EMPTY tokens excluded on both sides — round 9:
+    // irregular whitespace minted phantom words+syllables), one
+    // rounding at the end; zero non-empty words → NULL score
     "q240_readability" ->
       """WITH m AS (SELECT doc_id, lang,
-        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |                             w -> w <> '')) AS BIGINT) AS n_words,
         |        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
         |             AS BIGINT) AS n_sentences,
         |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) +
         |             len(list_filter(string_split(lower(text), ' '),
-        |                             w -> NOT regexp_matches(w, '[aeiouy]')))
+        |                             w -> w <> '' AND
+        |                               NOT regexp_matches(w, '[aeiouy]')))
         |             AS BIGINT) AS n_syllables
         |       FROM documents),
-        |f AS (SELECT *, round(206.835 - 1.015 * (n_words / n_sentences)
-        |                      - 84.6 * (n_syllables / n_words), 4) AS flesch
+        |f AS (SELECT *, CASE WHEN n_words > 0 THEN
+        |        round(206.835 - 1.015 * (n_words / n_sentences)
+        |              - 84.6 * (n_syllables / n_words), 4) END AS flesch
         |      FROM m)
         |SELECT doc_id, lang, n_words, n_sentences, n_syllables, flesch,
         | CASE WHEN flesch IS NULL THEN NULL

@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object BloomFilter {
 
+  /** ONE (mBits, nHashes) default shared by the batch decontamination
+    * check (q243, `TextAnalysis.decontaminationBloom`) and the streaming
+    * tripwire (`DocStreams.contaminationGate`): the two claim to agree
+    * on what the filter would pass, which only holds when they build
+    * the SAME filter — round-8 shipped them at 1<<20 vs 1<<18 and the
+    * claim held only for callers passing explicit matching parameters.
+    */
+  val DefaultMBits: Int = 1 << 20
+  val DefaultNHashes: Int = 4
+
   /** The nHashes bit positions of one key column, as an array<int>
     * column. `mBits` must be a positive multiple of 64.
     */

@@ -637,8 +637,11 @@ object Graph {
     * the L1-normalized state keeps every a_raw ≤ Σh ≈ SCALE, so the
     * renormalization product a_raw·SCALE ≤ SCALE² must fit a signed
     * 64-bit long — 1e12 at e6, independent of node count, where e12
-    * state would overflow at the first renormalize. That bound is what
-    * makes this loop safe at 100 TB without a BigInt escape hatch.
+    * state would overflow at the first renormalize. Past a MILLION
+    * nodes SCALE grows to n (see [[hitsScale]]) — at fixed e6 the
+    * uniform init `SCALE div n` would floor to 0 and every centrality
+    * would silently come back 0 — and the same bound then caps the
+    * design at ~3e9 nodes, enforced with a loud `require`.
     *
     * Scale: per round two edge⋈state joins keyed on node id (KNN
     * out-degree ≤ k bounds the fan-out) + two map-side-combined
@@ -649,12 +652,30 @@ object Graph {
       nPlanes: Int = 8, k: Int = 3): DataFrame =
     hitsFixpointWithStats(spark, dir, maxIters, nPlanes, k)._1
 
+  /** The HITS integer scale for an `n`-node graph: e6 for every corpus
+    * the oracle sees, growing to `n` beyond a million nodes so the
+    * uniform init `scale div n` stays ≥ 1 — at the fixed e6 the init
+    * floors to 0 for n ≥ 1e6 and the whole fixpoint silently returns
+    * all-zero centralities (which the oracle, replaying the same math,
+    * could never catch). The renormalization overflow bound caps it:
+    * raw ≤ scale after L1-renorm, so raw·scale ≤ scale² must fit i64 —
+    * scale ≤ 3e9, i.e. ~3e9 nodes is where this integer design honestly
+    * ends (fail loudly, don't wrap).
+    */
+  private[ops] def hitsScale(n: Long): Long = {
+    val s = math.max(1000000L, n)
+    require(s <= 3000000000L,
+      s"hitsFixpoint: $n nodes needs SCALE=$s, past the i64 " +
+        "renormalization bound (scale^2 <= Long.MaxValue) — shard the " +
+        "graph or move the state to e12/BigDecimal math")
+    s
+  }
+
   /** [[hitsFixpoint]] plus the number of rounds actually executed. */
   private[ops] def hitsFixpointWithStats(spark: SparkSession,
       dir: String, maxIters: Int = 6, nPlanes: Int = 8,
       k: Int = 3): (DataFrame, Int) = {
     import spark.implicits._
-    val scale = 1000000L
     val edges = Similarity.knnGraph(spark, dir, nPlanes, k)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -667,6 +688,9 @@ object Graph {
           lit(0L).as("auth_e6"), lit(0.0).as("hub_score"),
           lit(0.0).as("auth_score")), 0)
       }
+      // e6 below a million nodes (what the oracle replays), n above it —
+      // see hitsScale for the init-floors-to-zero hazard and the i64 cap
+      val scale = hitsScale(n)
       // L1-renormalize an integer vector to total ≈ SCALE; tot is a
       // one-row aggregate joined by broadcast cross-join (never a
       // SinglePartition window)

@@ -235,7 +235,7 @@ object TextAnalysis {
     * hundred MB broadcast, still far below shuffling the eval grams.
     */
   def decontaminationBloom(spark: SparkSession, dir: String, n: Int = 8,
-      mBits: Int = 1 << 20, nHashes: Int = 4): DataFrame = {
+      mBits: Int = graft.functions.BloomFilter.DefaultMBits, nHashes: Int = graft.functions.BloomFilter.DefaultNHashes): DataFrame = {
     import spark.implicits._
     import graft.functions.BloomFilter
     graft.functions.TextOps.register(spark)
@@ -271,7 +271,7 @@ object TextAnalysis {
     * sandwich `exact ≤ pass ≤ probed` plus the measured FP margin.
     */
   private[ops] def bloomPrefilterCounts(spark: SparkSession, dir: String,
-      n: Int = 8, mBits: Int = 1 << 20, nHashes: Int = 4): (Long, Long, Long) = {
+      n: Int = 8, mBits: Int = graft.functions.BloomFilter.DefaultMBits, nHashes: Int = graft.functions.BloomFilter.DefaultNHashes): (Long, Long, Long) = {
     import spark.implicits._
     import graft.functions.BloomFilter
     graft.functions.TextOps.register(spark)
@@ -2533,8 +2533,12 @@ object TextAnalysis {
     * three counts are regex-deterministic so both engines see identical
     * integers: sentences = `[.!?]+` runs (floor 1), syllables = vowel-
     * group runs `[aeiouy]+` plus one per vowel-less word (the standard
-    * min-one-syllable correction), words = the whitespace tokens every
-    * other text op uses. The score then divides identical i64 pairs —
+    * min-one-syllable correction), words = the NON-EMPTY whitespace
+    * tokens (round 9: consecutive spaces / leading punctuation used to
+    * mint empty-string "words" that inflated n_words AND each added a
+    * phantom vowel-less syllable, skewing Flesch on irregular
+    * whitespace; a doc with no non-empty token gets a NULL score, not a
+    * division by zero). The score then divides identical i64 pairs —
     * one rounding, at the end (q97 rule).
     *
     * Scale: pure per-row scan projection — no shuffle, no UDF, all
@@ -2545,16 +2549,18 @@ object TextAnalysis {
     import spark.implicits._
     docs(spark, dir)
       .select($"doc_id", $"lang",
-        size(toks).cast("long").as("n_words"),
+        size(filter(toks, w => length(w) >= 1)).cast("long").as("n_words"),
         greatest(size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))),
           lit(1)).cast("long").as("n_sentences"),
         (size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0))) +
           size(filter(split(lower($"text"), " "),
-            w => !w.rlike("[aeiouy]")))).cast("long").as("n_syllables"))
+            w => length(w) >= 1 && !w.rlike("[aeiouy]"))))
+          .cast("long").as("n_syllables"))
       .withColumn("flesch",
-        round(lit(206.835) -
-          lit(1.015) * ($"n_words" / $"n_sentences") -
-          lit(84.6) * ($"n_syllables" / $"n_words"), 4))
+        when($"n_words" > 0,
+          round(lit(206.835) -
+            lit(1.015) * ($"n_words" / $"n_sentences") -
+            lit(84.6) * ($"n_syllables" / $"n_words"), 4)))
       .withColumn("band",
         when($"flesch".isNull, lit(null).cast("string"))
           .when($"flesch" >= 60, "easy")

@@ -169,7 +169,13 @@ object DocStreams {
     * false positives make the flag CONSERVATIVE (flags ⊇ truly
     * contaminated — the right polarity for a tripwire whose hits are
     * adjudicated by the exact batch check, q66/q243); false negatives
-    * are impossible, so an unflagged doc is PROVABLY clean.
+    * are impossible AGAINST THE FILTER'S OWN KEY SET — the md5 ≤ '7f'
+    * half-sample of the train grams below — so an unflagged doc is
+    * provably clean of the SAMPLED train split (grams present only in
+    * the unsampled half are outside this gate's warranty; size the
+    * sample to the leak tolerance). Defaults come from
+    * [[graft.functions.BloomFilter.DefaultMBits]] so this gate and
+    * q243 build the identical filter by default.
     *
     * Shape: every stage is a stateless projection — the bitmap rides a
     * one-row static side of a stream-static equi-join (on a constant
@@ -179,7 +185,8 @@ object DocStreams {
     * which is exactly what the stream==batch gate replays.
     */
   def contaminationGate(docs: DataFrame, trainDir: String, n: Int = 8,
-      mBits: Int = 1 << 18, nHashes: Int = 4): DataFrame = {
+      mBits: Int = graft.functions.BloomFilter.DefaultMBits,
+      nHashes: Int = graft.functions.BloomFilter.DefaultNHashes): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.BloomFilter
     val spark = docs.sparkSession

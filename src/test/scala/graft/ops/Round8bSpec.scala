@@ -11,6 +11,21 @@ class Round8bSpec extends AnyFunSuite {
   private val spark = graft.SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("hitsScale: e6 below a million nodes, n above it, loud failure past the i64 bound") {
+    // fixed e6 would floor the uniform init scale/n to 0 at n >= 1e6 and
+    // return all-zero centralities the oracle replays — the scale must
+    // grow with n and refuse past the renormalization overflow bound
+    assert(Graph.hitsScale(1L) == 1000000L)
+    assert(Graph.hitsScale(999999L) == 1000000L)
+    assert(Graph.hitsScale(1000000L) == 1000000L) // init = 1, still nonzero
+    assert(Graph.hitsScale(1000001L) == 1000001L)
+    assert(Graph.hitsScale(3000000000L) == 3000000000L)
+    // scale^2 must fit i64: raw <= scale after L1-renorm, raw*scale is
+    // the renormalization product
+    assert(Graph.hitsScale(3000000000L) * Graph.hitsScale(3000000000L) > 0)
+    intercept[IllegalArgumentException] { Graph.hitsScale(3000000001L) }
+  }
+
   test("hitsFixpoint: L1-normalized integer state, cap-unroll equality, edgeless exit") {
     val (df6, it6) = Graph.hitsFixpointWithStats(spark, sf, maxIters = 6)
     val rows6 = df6.collect()
@@ -120,7 +135,9 @@ class Round8bSpec extends AnyFunSuite {
       Seq(
         (1L, "the cat sat. it ran! why?", "en", "s1", 25L),
         (2L, "tsk brr", "en", "s1", 7L),
-        (3L, null.asInstanceOf[String], "en", "s1", 0L))
+        (3L, null.asInstanceOf[String], "en", "s1", 0L),
+        (4L, "  tsk   brr ", "en", "s1", 12L),
+        (5L, "   ", "en", "s1", 3L))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
       val m = TextAnalysis.readability(spark, tmp).collect()
@@ -138,6 +155,16 @@ class Round8bSpec extends AnyFunSuite {
       assert(b.getDouble(5) == 120.205, s"flesch=${b.getDouble(5)}")
       val c = m(3L)
       assert(c.isNullAt(5) && c.isNullAt(6), "null text must yield null score")
+      // round 9: irregular whitespace mints NO phantom words/syllables —
+      // "  tsk   brr " must count exactly like "tsk brr"
+      val d = m(4L)
+      assert(d.getLong(2) == 2 && d.getLong(4) == 2, s"counts: ${d.toSeq}")
+      assert(d.getDouble(5) == 120.205, s"flesch=${d.getDouble(5)}")
+      // all-spaces text: zero non-empty words → NULL score, not a
+      // divide-by-zero and not a fake phantom-word score
+      val e = m(5L)
+      assert(e.getLong(2) == 0 && e.isNullAt(5) && e.isNullAt(6),
+        s"all-spaces: ${e.toSeq}")
     } finally graft.TestFiles.rmrf(
       java.nio.file.Paths.get(tmp))
   }

@@ -692,6 +692,11 @@ object SparkEntry {
     // BPE apply: corpus re-tokenized with the trained merge table
     "q253_bpe_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeEncode(s, d)),
+    // batch twin of the streaming contamination tripwire: the deployed
+    // gate function audited against the exact q66 arm, soundness law
+    // oracle-gated
+    "q254_contamination_gate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.contaminationGateAudit(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -723,7 +728,8 @@ object SparkEntry {
         | round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6) AS shared_frac
         |FROM sh JOIN per USING (doc_id)""".stripMargin
 
-  private val decon8OracleSql: String =
+  // shared by q66 and the q254 gate audit — the exact string-gram arm
+  private val decon8Ctes: String =
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT doc_id,
         |       (substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f') AS is_train,
@@ -733,7 +739,11 @@ object SparkEntry {
         |tg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_train),
         |evg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_train),
         |sh AS (SELECT doc_id, count(*) AS n_shared FROM evg JOIN tg USING (gram)
-        |       GROUP BY doc_id)
+        |       GROUP BY doc_id)""".stripMargin
+
+  private val decon8OracleSql: String =
+    decon8Ctes +
+      """
         |SELECT g.doc_id,
         | CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared_grams,
         | CAST(len(g.grams) AS BIGINT) AS n_grams,
@@ -3896,6 +3906,18 @@ object SparkEntry {
     // count from the TRAINING segmentation, the Spark side re-APPLIES
     // the merge table scan-side, so the hash match proves apply==train
     "q253_bpe_encode" -> bpeEncodeOracleSql(6),
+    // q254: the exact arm (q66's CTEs) recomputed with string grams;
+    // gate_sound is asserted LITERALLY TRUE — the bloom's bit pattern
+    // is not SQL-replayable, its no-false-negative/sandwich LAW is
+    "q254_contamination_gate" ->
+      (decon8Ctes +
+        """
+          |SELECT g.doc_id,
+          | CAST(len(g.grams) AS BIGINT) AS n_grams,
+          | CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_exact_hits,
+          | TRUE AS gate_sound
+          |FROM g LEFT JOIN sh USING (doc_id)
+          |WHERE NOT g.is_train""".stripMargin),
     // q186: the q15 and q16 chains composed verbatim, f1 from the
     // ROUNDED precision/recall like the engine
     "q186_dedup_eval" -> dedupEvalOracleSql(""),

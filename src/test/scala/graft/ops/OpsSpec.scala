@@ -420,6 +420,8 @@ class OpsSpec extends AnyFunSuite {
       "n_agree", "voted_label", "is_suspect"),
     "q253_bpe_encode" -> Set("doc_id", "n_words", "n_bpe_tokens",
       "n_chars", "fertility", "chars_per_token"),
+    "q254_contamination_gate" -> Set("doc_id", "n_grams", "n_exact_hits",
+      "gate_sound"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

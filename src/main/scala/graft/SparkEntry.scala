@@ -697,6 +697,10 @@ object SparkEntry {
     // oracle-gated
     "q254_contamination_gate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.contaminationGateAudit(s, d)),
+    // dominant spectral direction of the embedding second-moment matrix
+    // (exact-integer power iteration, q74-style driver steering)
+    "q255_top_eigenvector" -> ((s: SparkSession, d: String) =>
+      Similarity.topEigenvector(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3906,6 +3910,10 @@ object SparkEntry {
     // count from the TRAINING segmentation, the Spark side re-APPLIES
     // the merge table scan-side, so the hash match proves apply==train
     "q253_bpe_encode" -> bpeEncodeOracleSql(6),
+    // q255: the identical e3 quantization, exact HUGEINT moment sums,
+    // and 8 unrolled power-iteration rounds with the same sign-split
+    // non-negative floor division — bit-for-bit integer replay
+    "q255_top_eigenvector" -> eigenOracleSql(8),
     // q254: the exact arm (q66's CTEs) recomputed with string grams;
     // gate_sound is asserted LITERALLY TRUE — the bloom's bit pattern
     // is not SQL-replayable, its no-false-negative/sandwich LAW is
@@ -5676,6 +5684,52 @@ object SparkEntry {
          | round(nss / CAST(n_word_occurrences AS DOUBLE), 6)
          |   AS single_symbol_rate
          |FROM ag, st""".stripMargin
+
+  /** The q255 oracle replays the exact-integer power iteration: e3
+    * quantization, HUGEINT moment sums (order-independent — integer
+    * addition commutes, unlike the double sums the playbook bans),
+    * per round w = S·v, L∞ renorm with sign-split non-negative floor
+    * division (== Spark BigInt trunc), Rayleigh e4 integer at the end.
+    */
+  private def eigenOracleSql(iters: Int): String = {
+    val init =
+      """WITH c AS (SELECT vec_id, i,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) AS xi
+        |  FROM (SELECT vec_id, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings WHERE embedding IS NOT NULL)),
+        |s AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        |     CAST(sum(CAST(a.xi AS HUGEINT) * b.xi) AS HUGEINT) AS s
+        |    FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+        |v0 AS MATERIALIZED (SELECT DISTINCT i AS j,
+        |     CAST(1000000 AS HUGEINT) AS v FROM s)""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s""",
+         |w$r AS MATERIALIZED (SELECT s.i, sum(s.s * v${r - 1}.v) AS w
+         |    FROM s JOIN v${r - 1} ON s.j = v${r - 1}.j GROUP BY 1),
+         |m$r AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$r),
+         |v$r AS MATERIALIZED (SELECT i AS j,
+         |     CAST(CASE WHEN w < 0 THEN -(((-w) * 1000000) // m)
+         |          ELSE (w * 1000000) // m END AS HUGEINT) AS v
+         |    FROM w$r, m$r)""".stripMargin
+    }.mkString
+    val fin =
+      s""",
+         |nm AS (SELECT sum(va.v * s.s * vb.v) AS num FROM s
+         |       JOIN v$iters va ON s.i = va.j
+         |       JOIN v$iters vb ON s.j = vb.j),
+         |dn AS (SELECT sum(v * v) AS den FROM v$iters),
+         |lam AS (SELECT CAST(CASE WHEN dn.den = 0 THEN 0
+         |         ELSE (nm.num * 10000) // dn.den END AS BIGINT) AS l4
+         |        FROM nm, dn)
+         |SELECT CAST(v$iters.j AS BIGINT) AS dim,
+         | CAST(v$iters.v AS BIGINT) AS loading_e6,
+         | lam.l4 AS eigenvalue_e4,
+         | CAST(lam.l4 AS DOUBLE) / 10000.0 AS eigenvalue
+         |FROM v$iters, lam""".stripMargin
+    init + steps + fin
+  }
 
   /** The q253 oracle joins the per-(doc, word) count table against the
     * training segmentation's per-word symbol count (same bpeCtes chain

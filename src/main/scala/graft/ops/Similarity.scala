@@ -1684,4 +1684,89 @@ object Similarity {
       .select($"x_id", $"y_id", $"cosine", $"margin_e6",
         round($"margin_e6".cast("double") / 1e6, 6).as("margin"))
   }
+
+  /** Dominant spectral direction of the embedding corpus (q255): the
+    * top eigenvector (with its Rayleigh eigenvalue) of the d×d
+    * second-moment matrix S = Σ x xᵀ over e3-quantized components — the
+    * "energy axis" behind whitening, matryoshka truncation audits
+    * (q248) and anisotropy diagnostics (a healthy embedding space
+    * spreads energy; one dominant direction means the metric is mostly
+    * one feature). Everything is EXACT integer arithmetic so the
+    * oracle replays it bit-for-bit: components quantize to e3 longs,
+    * S accumulates exact i64 products (overflow-guarded against the
+    * measured max |x̃|²·n, loud require), and `iters` power-iteration
+    * rounds run on the collected d×d matrix in BigInt with an
+    * L∞ = e6 integer renormalization (sign · (|w|·1e6 div max|w|) —
+    * division only ever on non-negative values, so Spark's
+    * trunc == DuckDB's floor `//`). The start vector is the all-1e6
+    * vector, so the sign convention is deterministic, not the usual
+    * eigenvector ± ambiguity.
+    *
+    * Scale: the corpus pass is ONE self-join per vec_id (co-partitioned,
+    * d² fan-out per row) whose (i, j) rollup is map-side combined down
+    * to ≤ d² rows per partition before any shuffle; the iteration
+    * touches only the d×d driver matrix (the q74 Lloyd pattern: k·d²
+    * scalar driver ops steering one distributed pass). d = 64 here;
+    * the require names the honest i64 ceiling (≈ 4e18 / max|x̃|² rows).
+    */
+  def topEigenvector(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame = {
+    import spark.implicits._
+    val comps = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"embedding".isNotNull)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+      .select($"vec_id", ($"i" + 1).as("i"),
+        round($"x".cast("double") * 1000).cast("long").as("xi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val guard = comps.agg(max(abs($"xi")).as("mx"),
+        count_distinct($"vec_id").as("n")).head()
+      val out = if (guard.isNullAt(0)) {
+        // empty corpus: empty result, schema kept
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("dim", "loading_e6", "eigenvalue_e4", "eigenvalue")
+      } else {
+        val (mx, n) = (guard.getLong(0), guard.getLong(1))
+        require(mx * mx <= Long.MaxValue / math.max(n, 1L),
+          s"topEigenvector: max|x_e3|=$mx over $n rows overflows the " +
+            "exact-i64 moment sums — quantize coarser or shard the pass")
+        val sRows = comps.as("a").join(comps.as("b"), "vec_id")
+          .select(col("a.i").as("i"), col("b.i").as("j"),
+            (col("a.xi") * col("b.xi")).as("p"))
+          .groupBy($"i", $"j").agg(sum($"p").as("s"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        val d = sRows.map(_._1).max
+        val sm = Array.ofDim[BigInt](d + 1, d + 1)
+        for (i <- 0 to d; j <- 0 to d) sm(i)(j) = BigInt(0)
+        sRows.foreach { case (i, j, s) => sm(i)(j) = BigInt(s) }
+        var v = Array.fill(d + 1)(BigInt(1000000))
+        v(0) = BigInt(0) // 1-based dims
+        for (_ <- 1 to iters) {
+          val w = (0 to d).map(i =>
+            (1 to d).foldLeft(BigInt(0))((acc, j) => acc + sm(i)(j) * v(j)))
+            .toArray
+          val m = (1 to d).map(i => w(i).abs).max.max(BigInt(1))
+          v = (0 to d).map(i =>
+            (if (w(i) < 0) -((-w(i)) * 1000000 / m)
+             else w(i) * 1000000 / m)).toArray
+          v(0) = BigInt(0)
+        }
+        // Rayleigh quotient as an EXACT e4 integer: S is PSD so num and
+        // den are non-negative, the BigInt division is trunc == floor,
+        // and the double view is one deterministic cast+division — no
+        // round() call to half-boundary-diverge on (memory playbook)
+        val num = (for (i <- 1 to d; j <- 1 to d)
+          yield v(i) * sm(i)(j) * v(j)).sum
+        val den = (1 to d).map(i => v(i) * v(i)).sum
+        val lam4 = if (den == 0) BigInt(0) else num * 10000 / den
+        require(lam4.isValidLong,
+          s"topEigenvector: eigenvalue_e4 $lam4 exceeds i64 — the guarded " +
+            "moment bound should have prevented this")
+        (1 to d).map(i =>
+            (i.toLong, v(i).toLong, lam4.toLong, lam4.toDouble / 10000.0))
+          .toDF("dim", "loading_e6", "eigenvalue_e4", "eigenvalue")
+      }
+      out
+    } finally comps.unpersist()
+  }
 }

@@ -422,6 +422,8 @@ class OpsSpec extends AnyFunSuite {
       "n_chars", "fertility", "chars_per_token"),
     "q254_contamination_gate" -> Set("doc_id", "n_grams", "n_exact_hits",
       "gate_sound"),
+    "q255_top_eigenvector" -> Set("dim", "loading_e6", "eigenvalue_e4",
+      "eigenvalue"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-9 batch: spectral direction (q255) and the contamination gate
+  * audit (q254).
+  */
+class Round9Spec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("topEigenvector: planted dominant axis recovered; unit-ish L-inf norm; PSD eigenvalue") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eig").toString
+    try {
+      // energy overwhelmingly along dim 2 (0-based index 1): the top
+      // eigenvector must put its max |loading| there with the planted
+      // sign convention (all-positive start vector -> positive axis)
+      val vecs = (1L to 10L).map { id =>
+        (id, Array(0.01f * id, 5.0f + 0.1f * id, 0.02f, -0.01f), id.toInt)
+      }
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val rows = Similarity.topEigenvector(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      assert(rows.length == 4, rows.mkString(", "))
+      // L-inf renormalization: the max |loading| is exactly 1e6
+      assert(rows.map(r => math.abs(r._2)).max == 1000000L)
+      val top = rows.maxBy(r => math.abs(r._2))
+      assert(top._1 == 2L, s"dominant axis misplaced: ${rows.mkString(", ")}")
+      assert(top._2 == 1000000L, "planted positive axis must keep positive sign")
+      // S is PSD: Rayleigh eigenvalue is non-negative and near the
+      // planted axis energy sum_i (e3*x_i2)^2 (within renorm truncation)
+      val eig = rows.head._4
+      val planted = vecs.map(v => math.pow(math.round(v._2(1) * 1000.0), 2)).sum
+      assert(eig >= 0.0)
+      assert(math.abs(eig - planted) / planted < 0.01,
+        s"eigenvalue $eig vs planted energy $planted")
+      // the e4 integer and the double view agree exactly
+      rows.foreach(r => assert(r._4 == r._3.toDouble / 10000.0))
+      // empty corpus: empty result, schema intact
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(s"$tmp/embeddings.parquet").schema)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      assert(Similarity.topEigenvector(spark, tmp).count() == 0)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("contaminationGateAudit: every row sound on the corpus; planted contamination flagged") {
+    import spark.implicits._
+    val rows = TextAnalysis.contaminationGateAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4), s"unsound gate rows: ${rows.filterNot(_._4).take(5).mkString(", ")}")
+    // exact hits never exceed gram count
+    assert(rows.filter(_._2 >= 0).forall(r => r._3 <= r._2))
+  }
+}

@@ -701,6 +701,10 @@ object SparkEntry {
     // (exact-integer power iteration, q74-style driver steering)
     "q255_top_eigenvector" -> ((s: SparkSession, d: String) =>
       Similarity.topEigenvector(s, d)),
+    // anisotropy report: dominant-direction share of the total
+    // second-moment energy (shares q255's memoized moment pass)
+    "q256_spectral_energy" -> ((s: SparkSession, d: String) =>
+      Similarity.spectralEnergy(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3914,6 +3918,8 @@ object SparkEntry {
     // and 8 unrolled power-iteration rounds with the same sign-split
     // non-negative floor division — bit-for-bit integer replay
     "q255_top_eigenvector" -> eigenOracleSql(8),
+    // q256: same chain, exact trace + e6 energy fraction
+    "q256_spectral_energy" -> spectralEnergyOracleSql(8),
     // q254: the exact arm (q66's CTEs) recomputed with string grams;
     // gate_sound is asserted LITERALLY TRUE — the bloom's bit pattern
     // is not SQL-replayable, its no-false-negative/sandwich LAW is
@@ -5691,7 +5697,38 @@ object SparkEntry {
     * per round w = S·v, L∞ renorm with sign-split non-negative floor
     * division (== Spark BigInt trunc), Rayleigh e4 integer at the end.
     */
-  private def eigenOracleSql(iters: Int): String = {
+  private def eigenOracleSql(iters: Int): String =
+    eigenCtes(iters) +
+      s"""
+         |SELECT CAST(v$iters.j AS BIGINT) AS dim,
+         | CAST(v$iters.v AS BIGINT) AS loading_e6,
+         | lam.l4 AS eigenvalue_e4,
+         | CAST(lam.l4 AS DOUBLE) / 10000.0 AS eigenvalue
+         |FROM v$iters, lam""".stripMargin
+
+  /** The q256 oracle: same eigenCtes chain, plus the exact trace and
+    * the e6 energy fraction num·1e6 // (den·trace). */
+  private def spectralEnergyOracleSql(iters: Int): String =
+    eigenCtes(iters) +
+      s""",
+         |tr AS (SELECT sum(s) AS trace FROM s WHERE i = j),
+         |nv AS (SELECT count(*) AS n_vecs FROM embeddings
+         |       WHERE embedding IS NOT NULL),
+         |nd AS (SELECT count(*) AS n_dims FROM v$iters),
+         |fr AS (SELECT CAST(CASE WHEN dn.den = 0 OR tr.trace = 0 THEN 0
+         |         ELSE (nm.num * 1000000) // (dn.den * tr.trace) END
+         |         AS BIGINT) AS f6
+         |       FROM nm, dn, tr)
+         |SELECT CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+         | CAST(nd.n_dims AS BIGINT) AS n_dims,
+         | CAST(tr.trace AS BIGINT) AS trace,
+         | lam.l4 AS eigenvalue_e4,
+         | fr.f6 AS energy_frac_e6,
+         | CAST(fr.f6 AS DOUBLE) / 1000000.0 AS energy_frac
+         |FROM nv, nd, tr, lam, fr
+         |WHERE nv.n_vecs > 0""".stripMargin
+
+  private def eigenCtes(iters: Int): String = {
     val init =
       """WITH c AS (SELECT vec_id, i,
         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
@@ -5722,12 +5759,7 @@ object SparkEntry {
          |dn AS (SELECT sum(v * v) AS den FROM v$iters),
          |lam AS (SELECT CAST(CASE WHEN dn.den = 0 THEN 0
          |         ELSE (nm.num * 10000) // dn.den END AS BIGINT) AS l4
-         |        FROM nm, dn)
-         |SELECT CAST(v$iters.j AS BIGINT) AS dim,
-         | CAST(v$iters.v AS BIGINT) AS loading_e6,
-         | lam.l4 AS eigenvalue_e4,
-         | CAST(lam.l4 AS DOUBLE) / 10000.0 AS eigenvalue
-         |FROM v$iters, lam""".stripMargin
+         |        FROM nm, dn)""".stripMargin
     init + steps + fin
   }
 

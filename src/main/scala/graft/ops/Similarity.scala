@@ -1709,64 +1709,118 @@ object Similarity {
     * scalar driver ops steering one distributed pass). d = 64 here;
     * the require names the honest i64 ceiling (≈ 4e18 / max|x̃|² rows).
     */
+  /** The q255/q256 shared spectral state: collected d×d exact moment
+    * matrix, converged e6 eigenvector, Rayleigh numerator/denominator —
+    * memoized per (session, dir, iters) like the KMV sketch table, so
+    * the energy report (q256) reuses q255's one corpus pass.
+    */
+  private case class Spectral(d: Int, n: Long, sm: Array[Array[BigInt]],
+      v: Array[BigInt], num: BigInt, den: BigInt, lam4: BigInt)
+
+  private val spectralCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Option[Spectral]]
+
+  private def spectralCore(spark: SparkSession, dir: String,
+      iters: Int): Option[Spectral] =
+    spectralCache.getOrElseUpdate((spark, dir, iters), {
+      import spark.implicits._
+      val comps = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter($"embedding".isNotNull)
+        .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+        .select($"vec_id", ($"i" + 1).as("i"),
+          round($"x".cast("double") * 1000).cast("long").as("xi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val guard = comps.agg(max(abs($"xi")).as("mx"),
+          count_distinct($"vec_id").as("n")).head()
+        if (guard.isNullAt(0)) None
+        else {
+          val (mx, n) = (guard.getLong(0), guard.getLong(1))
+          require(mx * mx <= Long.MaxValue / math.max(n, 1L),
+            s"topEigenvector: max|x_e3|=$mx over $n rows overflows the " +
+              "exact-i64 moment sums — quantize coarser or shard the pass")
+          val sRows = comps.as("a").join(comps.as("b"), "vec_id")
+            .select(col("a.i").as("i"), col("b.i").as("j"),
+              (col("a.xi") * col("b.xi")).as("p"))
+            .groupBy($"i", $"j").agg(sum($"p").as("s"))
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+          val d = sRows.map(_._1).max
+          val sm = Array.ofDim[BigInt](d + 1, d + 1)
+          for (i <- 0 to d; j <- 0 to d) sm(i)(j) = BigInt(0)
+          sRows.foreach { case (i, j, s) => sm(i)(j) = BigInt(s) }
+          var v = Array.fill(d + 1)(BigInt(1000000))
+          v(0) = BigInt(0) // 1-based dims
+          for (_ <- 1 to iters) {
+            val w = (0 to d).map(i =>
+              (1 to d).foldLeft(BigInt(0))((acc, j) => acc + sm(i)(j) * v(j)))
+              .toArray
+            val m = (1 to d).map(i => w(i).abs).max.max(BigInt(1))
+            v = (0 to d).map(i =>
+              (if (w(i) < 0) -((-w(i)) * 1000000 / m)
+               else w(i) * 1000000 / m)).toArray
+            v(0) = BigInt(0)
+          }
+          // Rayleigh quotient as an EXACT e4 integer: S is PSD so num
+          // and den are non-negative, the BigInt division is trunc ==
+          // floor, and the double view is one deterministic
+          // cast+division — no round() call to half-boundary-diverge on
+          val num = (for (i <- 1 to d; j <- 1 to d)
+            yield v(i) * sm(i)(j) * v(j)).sum
+          val den = (1 to d).map(i => v(i) * v(i)).sum
+          val lam4 = if (den == 0) BigInt(0) else num * 10000 / den
+          require(lam4.isValidLong,
+            s"topEigenvector: eigenvalue_e4 $lam4 exceeds i64 — the " +
+              "guarded moment bound should have prevented this")
+          Some(Spectral(d, n, sm, v, num, den, lam4))
+        }
+      } finally comps.unpersist()
+    })
+
   def topEigenvector(spark: SparkSession, dir: String,
       iters: Int = 8): DataFrame = {
     import spark.implicits._
-    val comps = spark.read.parquet(s"$dir/embeddings.parquet")
-      .filter($"embedding".isNotNull)
-      .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
-      .select($"vec_id", ($"i" + 1).as("i"),
-        round($"x".cast("double") * 1000).cast("long").as("xi"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val guard = comps.agg(max(abs($"xi")).as("mx"),
-        count_distinct($"vec_id").as("n")).head()
-      val out = if (guard.isNullAt(0)) {
+    spectralCore(spark, dir, iters) match {
+      case None =>
         // empty corpus: empty result, schema kept
         Seq.empty[(Long, Long, Long, Double)]
           .toDF("dim", "loading_e6", "eigenvalue_e4", "eigenvalue")
-      } else {
-        val (mx, n) = (guard.getLong(0), guard.getLong(1))
-        require(mx * mx <= Long.MaxValue / math.max(n, 1L),
-          s"topEigenvector: max|x_e3|=$mx over $n rows overflows the " +
-            "exact-i64 moment sums — quantize coarser or shard the pass")
-        val sRows = comps.as("a").join(comps.as("b"), "vec_id")
-          .select(col("a.i").as("i"), col("b.i").as("j"),
-            (col("a.xi") * col("b.xi")).as("p"))
-          .groupBy($"i", $"j").agg(sum($"p").as("s"))
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-        val d = sRows.map(_._1).max
-        val sm = Array.ofDim[BigInt](d + 1, d + 1)
-        for (i <- 0 to d; j <- 0 to d) sm(i)(j) = BigInt(0)
-        sRows.foreach { case (i, j, s) => sm(i)(j) = BigInt(s) }
-        var v = Array.fill(d + 1)(BigInt(1000000))
-        v(0) = BigInt(0) // 1-based dims
-        for (_ <- 1 to iters) {
-          val w = (0 to d).map(i =>
-            (1 to d).foldLeft(BigInt(0))((acc, j) => acc + sm(i)(j) * v(j)))
-            .toArray
-          val m = (1 to d).map(i => w(i).abs).max.max(BigInt(1))
-          v = (0 to d).map(i =>
-            (if (w(i) < 0) -((-w(i)) * 1000000 / m)
-             else w(i) * 1000000 / m)).toArray
-          v(0) = BigInt(0)
-        }
-        // Rayleigh quotient as an EXACT e4 integer: S is PSD so num and
-        // den are non-negative, the BigInt division is trunc == floor,
-        // and the double view is one deterministic cast+division — no
-        // round() call to half-boundary-diverge on (memory playbook)
-        val num = (for (i <- 1 to d; j <- 1 to d)
-          yield v(i) * sm(i)(j) * v(j)).sum
-        val den = (1 to d).map(i => v(i) * v(i)).sum
-        val lam4 = if (den == 0) BigInt(0) else num * 10000 / den
-        require(lam4.isValidLong,
-          s"topEigenvector: eigenvalue_e4 $lam4 exceeds i64 — the guarded " +
-            "moment bound should have prevented this")
-        (1 to d).map(i =>
-            (i.toLong, v(i).toLong, lam4.toLong, lam4.toDouble / 10000.0))
+      case Some(sp) =>
+        (1 to sp.d).map(i => (i.toLong, sp.v(i).toLong, sp.lam4.toLong,
+            sp.lam4.toDouble / 10000.0))
           .toDF("dim", "loading_e6", "eigenvalue_e4", "eigenvalue")
-      }
-      out
-    } finally comps.unpersist()
+    }
+  }
+
+  /** Spectral ENERGY report (q256): how much of the embedding space's
+    * total second-moment energy (the trace of S — exact i64 under the
+    * q255 guard) the dominant direction carries. A healthy embedding
+    * space spreads energy across directions; energy_frac near 1 means
+    * the cosine metric is effectively one feature (the anisotropy
+    * pathology matryoshka/whitening fix). All integers:
+    * frac_e6 = num·1e6 div (den·trace) — the same non-negative exact
+    * division discipline as q255, replayed verbatim by the oracle.
+    * Reuses q255's memoized moment pass — the report itself is O(d)
+    * driver math.
+    */
+  def spectralEnergy(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame = {
+    import spark.implicits._
+    spectralCore(spark, dir, iters) match {
+      case None =>
+        Seq.empty[(Long, Long, Long, Long, Long, Double)]
+          .toDF("n_vecs", "n_dims", "trace", "eigenvalue_e4",
+            "energy_frac_e6", "energy_frac")
+      case Some(sp) =>
+        val trace = (1 to sp.d).map(i => sp.sm(i)(i)).sum
+        require(trace.isValidLong,
+          s"spectralEnergy: trace $trace exceeds i64")
+        val frac6 =
+          if (sp.den == 0 || trace == 0) BigInt(0)
+          else sp.num * 1000000 / (sp.den * trace)
+        Seq((sp.n, sp.d.toLong, trace.toLong, sp.lam4.toLong,
+            frac6.toLong, frac6.toLong.toDouble / 1000000.0))
+          .toDF("n_vecs", "n_dims", "trace", "eigenvalue_e4",
+            "energy_frac_e6", "energy_frac")
+    }
   }
 }

@@ -424,6 +424,8 @@ class OpsSpec extends AnyFunSuite {
       "gate_sound"),
     "q255_top_eigenvector" -> Set("dim", "loading_e6", "eigenvalue_e4",
       "eigenvalue"),
+    "q256_spectral_energy" -> Set("n_vecs", "n_dims", "trace",
+      "eigenvalue_e4", "energy_frac_e6", "energy_frac"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -41,12 +41,39 @@ class Round9Spec extends AnyFunSuite {
         s"eigenvalue $eig vs planted energy $planted")
       // the e4 integer and the double view agree exactly
       rows.foreach(r => assert(r._4 == r._3.toDouble / 10000.0))
-      // empty corpus: empty result, schema intact
+      // empty corpus: empty result, schema intact. A SEPARATE dir —
+      // the spectral core memoizes per (session, dir) under the
+      // corpus-immutable-within-session contract, so overwriting the
+      // same path would (correctly) serve the cached planted result
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(s"$tmp/embeddings.parquet").schema)
+        .write.mode("overwrite").parquet(s"$tmp/empty/embeddings.parquet")
+      assert(Similarity.topEigenvector(spark, s"$tmp/empty").count() == 0)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("spectralEnergy: planted one-axis corpus carries ~all energy in the top direction") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_senergy").toString
+    try {
+      (1L to 10L).map { id =>
+        (id, Array(0.001f * id, 4.0f + 0.1f * id, 0.0f, 0.0f), id.toInt)
+      }.toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-      assert(Similarity.topEigenvector(spark, tmp).count() == 0)
+      val Array(r) = Similarity.spectralEnergy(spark, tmp).collect()
+      assert(r.getLong(0) == 10L && r.getLong(1) == 4L)
+      val (trace, frac) = (r.getLong(2), r.getDouble(5))
+      assert(trace > 0L)
+      // energy is overwhelmingly on the planted axis
+      assert(frac > 0.999 && frac <= 1.0, s"frac=$frac")
+      // frac double view is exactly the e6 integer / 1e6
+      assert(frac == r.getLong(4).toDouble / 1000000.0)
+      // eigenvalue column agrees with q255's on the same corpus (the
+      // memoized core must serve both)
+      val eig255 = Similarity.topEigenvector(spark, tmp)
+        .select($"eigenvalue_e4").head().getLong(0)
+      assert(r.getLong(3) == eig255)
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 

@@ -705,6 +705,10 @@ object SparkEntry {
     // second-moment energy (shares q255's memoized moment pass)
     "q256_spectral_energy" -> ((s: SparkSession, d: String) =>
       Similarity.spectralEnergy(s, d)),
+    // seed-teleport PageRank: relevance to a trusted doc set (q225's
+    // exact-integer fixpoint with seed-restricted teleport mass)
+    "q257_personalized_pagerank" -> ((s: SparkSession, d: String) =>
+      Graph.personalizedPageRank(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4721,6 +4725,8 @@ object SparkEntry {
     "q224_lpa_fixpoint" -> lpaOracleSql(8),
     // q225: exact integer rounds (see pagerankFixOracleSql)
     "q225_pagerank_fixpoint" -> pagerankFixOracleSql(12),
+    // q257: the same rounds, teleport CASE'd to the seed set
+    "q257_personalized_pagerank" -> pprFixOracleSql(12),
     // q226: the salted two-phase ranks equal the single-window spelling
     // row-for-row (total order via the doc_id tiebreak), so the oracle
     // IS that single window; score is q106's TTR expression verbatim
@@ -5534,6 +5540,44 @@ object SparkEntry {
          |SELECT vec_id, r AS rank_e12,
          | round(CAST(r AS DOUBLE) * nn / 1000000000000, 6) AS rank_ratio
          |FROM r$iters CROSS JOIN cnt""".stripMargin
+  }
+
+  /** The q257 oracle: q225's integer rounds with the teleport CASE'd to
+    * the seed set (vec_id < 8) and the seed-concentrated init. */
+  private def pprFixOracleSql(iters: Int): String = {
+    val knnMat = knnOracleCtes.replace("knn AS (", "knn AS MATERIALIZED (")
+    val init =
+      s"""$knnMat,
+         |edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+         |         CAST(((1000000000000 * 15) // 100) // count(*) AS BIGINT)
+         |           AS tele
+         |        FROM embeddings WHERE vec_id < 8),
+         |r0 AS (SELECT vec_id,
+         |        CAST(CASE WHEN vec_id < 8 THEN 1000000000000 // ns
+         |             ELSE 0 END AS BIGINT) AS r
+         |       FROM nodes CROSS JOIN cnt)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |r$i AS (SELECT nodes.vec_id,
+         |         CAST(CASE WHEN nodes.vec_id < 8 THEN tele ELSE 0 END
+         |           + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes CROSS JOIN cnt LEFT JOIN (
+         |          SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+         |          FROM edges e
+         |          JOIN deg d USING (src)
+         |          JOIN r${i - 1} r ON e.src = r.vec_id
+         |          GROUP BY e.dst) m
+         |        ON nodes.vec_id = m.dst)""".stripMargin
+    }.mkString
+    init + steps +
+      s"""
+         |SELECT vec_id, r AS ppr_e12, vec_id < 8 AS is_seed,
+         | round(CAST(r AS DOUBLE) / 1000000000000, 6) AS ppr_mass
+         |FROM r$iters""".stripMargin
   }
 
   /** The q237 oracle replays the IDENTICAL integer HITS trajectory:

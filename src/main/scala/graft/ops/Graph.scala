@@ -312,6 +312,73 @@ object Graph {
     } finally edges.unpersist()
   }
 
+  /** PERSONALIZED PageRank (q257): the q225 exact-integer fixpoint with
+    * the teleport mass restricted to a deterministic SEED set
+    * (vec_id < `seedMax`) — "relevance to these documents" instead of
+    * global importance, the expansion primitive behind seed-based
+    * curation (find corpus regions similar to a trusted set) and
+    * topic-conditioned retrieval. Per round every node gets
+    * 1{seed}·(15%·SCALE div |seeds|) + (85·Σ_in (r div deg)) div 100;
+    * identical integer discipline, early exit on a repeated state,
+    * capped at `maxIters` (the q220/q225 cap-unroll argument verbatim —
+    * the oracle unrolls the same rounds bit for bit). Dangling mass
+    * leaks exactly as q225 — both engines drop it identically.
+    *
+    * Scale: same per-round edge⋈rank shape as q225 (node-keyed joins,
+    * KNN-bounded fan-out), per-round checkpoints (exit-detected loop).
+    */
+  def personalizedPageRank(spark: SparkSession, dir: String,
+      maxIters: Int = 12, nPlanes: Int = 8, k: Int = 3,
+      seedMax: Long = 8L): DataFrame =
+    personalizedPageRankWithStats(spark, dir, maxIters, nPlanes, k,
+      seedMax)._1
+
+  private[ops] def personalizedPageRankWithStats(spark: SparkSession,
+      dir: String, maxIters: Int = 12, nPlanes: Int = 8, k: Int = 3,
+      seedMax: Long = 8L): (DataFrame, Int) = {
+    import spark.implicits._
+    val scale = 1000000000000L
+    val edges = Similarity.knnGraph(spark, dir, nPlanes, k)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withDeg = edges
+        .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+      val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id")
+      val ns = nodes.filter($"vec_id" < seedMax).count()
+      if (ns == 0) {
+        return (nodes.select($"vec_id", lit(0L).as("ppr_e12"),
+          lit(false).as("is_seed"), lit(0.0).as("ppr_mass")), 0)
+      }
+      val teleSeed = (scale * 15L / 100L) / ns
+      val seedCol = $"vec_id" < seedMax
+      var ranks = nodes.select($"vec_id",
+          when(seedCol, lit(scale / ns)).otherwise(lit(0L)).as("r"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var it = 0
+      while (it < maxIters && changed > 0) {
+        val inMass = withDeg.join(ranks, $"src" === $"vec_id")
+          .select($"dst", expr("r div deg").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("s"))
+        val next = ranks.select($"vec_id", $"r".as("prev"))
+          .join(inMass, $"vec_id" === $"dst", "left")
+          .select($"vec_id", $"prev",
+            (when(seedCol, lit(teleSeed)).otherwise(lit(0L)) +
+              expr(s"(85 * coalesce(s, 0L)) div 100")).as("r"))
+          .localCheckpoint(true)
+        changed = next.filter($"r" =!= $"prev").count()
+        ranks = next.select($"vec_id", $"r")
+        it += 1
+      }
+      (ranks
+        .select($"vec_id", $"r".as("ppr_e12"), seedCol.as("is_seed"),
+          round($"r".cast("double") / scale, 6).as("ppr_mass"))
+        .localCheckpoint(true), it)
+    } finally edges.unpersist()
+  }
+
   /** Newman modularity of the LPA partition (q175): per community c the
     * intra-community edge count m_c, the degree mass d_c, and the
     * contribution m_c/m − (d_c/2m)², whose sum is the partition's Q —

@@ -426,6 +426,8 @@ class OpsSpec extends AnyFunSuite {
       "eigenvalue"),
     "q256_spectral_energy" -> Set("n_vecs", "n_dims", "trace",
       "eigenvalue_e4", "energy_frac_e6", "energy_frac"),
+    "q257_personalized_pagerank" -> Set("vec_id", "ppr_e12", "is_seed",
+      "ppr_mass"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -77,6 +77,30 @@ class Round9Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("personalizedPageRank: mass concentrates on and around seeds; cap-unroll equality") {
+    val (df, it) = Graph.personalizedPageRankWithStats(spark, sf, maxIters = 12)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows.nonEmpty && it <= 12)
+    val (seeds, rest) = rows.partition(_._3)
+    assert(seeds.nonEmpty && seeds.forall(_._1 < 8L))
+    // seeds hold strictly more average mass than non-seeds (teleport
+    // goes only to them) and every rank is non-negative
+    assert(rows.forall(_._2 >= 0L))
+    val seedAvg = seeds.map(_._2).sum.toDouble / seeds.length
+    val restAvg = if (rest.isEmpty) 0.0 else rest.map(_._2).sum.toDouble / rest.length
+    assert(seedAvg > restAvg, s"seed mass $seedAvg !> non-seed $restAvg")
+    // total mass never exceeds SCALE (teleport 15% + damped 85% of a
+    // sub-SCALE total, minus dangling leak)
+    assert(rows.map(_._2).sum <= 1000000000000L)
+    // cap-unroll: early exit below the cap must be a true fixpoint
+    if (it < 12) {
+      val rows13 = Graph.personalizedPageRank(spark, sf, maxIters = 13)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(rows.sortBy(_._1) == rows13.sortBy(_._1))
+    }
+  }
+
   test("contaminationGateAudit: every row sound on the corpus; planted contamination flagged") {
     import spark.implicits._
     val rows = TextAnalysis.contaminationGateAudit(spark, sf).collect()

@@ -709,6 +709,10 @@ object SparkEntry {
     // exact-integer fixpoint with seed-restricted teleport mass)
     "q257_personalized_pagerank" -> ((s: SparkSession, d: String) =>
       Graph.personalizedPageRank(s, d)),
+    // U-shaped conversion attribution: exact e6 integer credit split
+    // by (touch_type, journey position)
+    "q258_position_attribution" -> ((s: SparkSession, d: String) =>
+      Sessionize.positionAttribution(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4727,6 +4731,39 @@ object SparkEntry {
     "q225_pagerank_fixpoint" -> pagerankFixOracleSql(12),
     // q257: the same rounds, teleport CASE'd to the seed set
     "q257_personalized_pagerank" -> pprFixOracleSql(12),
+    // q258: same pairing, rank, and integer U-split — the CASE ladder
+    // keeps the n-2 divisor unreachable below n=3 on both engines
+    "q258_position_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |       epoch_ns(ts)//1000000000 AS sec FROM events),
+        |cv AS (SELECT user_id, event_id AS conv_id, sec AS conv_sec
+        |       FROM ev WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id, event_id AS touch_id,
+        |        event_type AS touch_type, sec AS touch_sec
+        |       FROM ev WHERE event_type IN ('click', 'view')),
+        |pr AS (SELECT tc.touch_type, cv.conv_id,
+        |        row_number() OVER (PARTITION BY cv.conv_id
+        |          ORDER BY tc.touch_sec, tc.touch_id) AS rn,
+        |        count(*) OVER (PARTITION BY cv.conv_id) AS n
+        |       FROM tc JOIN cv USING (user_id)
+        |       WHERE tc.touch_sec < cv.conv_sec
+        |         AND tc.touch_sec >= cv.conv_sec - 604800),
+        |cr AS (SELECT touch_type,
+        |        CASE WHEN n = 1 THEN 'only' WHEN rn = 1 THEN 'first'
+        |             WHEN rn = n THEN 'last' ELSE 'middle' END
+        |          AS touch_position,
+        |        CASE WHEN n = 1 THEN 1000000
+        |             WHEN n = 2 THEN 500000
+        |             WHEN rn = 1 THEN 400000
+        |             WHEN rn = n THEN
+        |               400000 + (200000 - (n - 2) * (200000 // (n - 2)))
+        |             ELSE 200000 // (n - 2) END AS credit_e6
+        |       FROM pr)
+        |SELECT touch_type, touch_position,
+        | CAST(count(*) AS BIGINT) AS n_touches,
+        | CAST(sum(credit_e6) AS BIGINT) AS credit_e6,
+        | round(CAST(sum(credit_e6) AS BIGINT) / 1e6, 6) AS credit
+        |FROM cr GROUP BY 1, 2""".stripMargin,
     // q226: the salted two-phase ranks equal the single-window spelling
     // row-for-row (total order via the doc_id tiebreak), so the oracle
     // IS that single window; score is q106's TTR expression verbatim

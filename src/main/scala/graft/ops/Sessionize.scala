@@ -743,4 +743,58 @@ object Sessionize {
             ($"n_days" * $"syy" - $"sy" * $"sy").cast("double")), 6)
           .as("r"))
   }
+
+  /** Position-based (U-shaped) conversion attribution (q258): every
+    * purchase distributes EXACTLY 1e6 credit units over the user's
+    * click/view touches in the preceding `lookbackSec` window — 40% to
+    * the first touch, 40% to the last, the middle 20% split evenly with
+    * the integer remainder assigned to the last touch (a deterministic
+    * rule, so the split is exact on both engines: n=1 → 1e6, n=2 →
+    * 5e5+5e5, n≥3 → 4e5 / 200000 div (n−2) each / 4e5+remainder).
+    * Rolled up by (touch_type, position) — which channel earns credit
+    * and WHERE in the journey it sits, the report first/last-touch
+    * attribution (q35) cannot answer.
+    *
+    * Scale: the touch⋈conversion pairing is a user-keyed equi-join with
+    * a time-range predicate (per-user pair volume, never cross-user);
+    * the position rank is a per-conversion window (touches-per-
+    * conversion partitions); the rollup is ≤ |touch types| × 4 rows.
+    * All weights are exact i64 — no float credit can drift.
+    */
+  def positionAttribution(spark: SparkSession, dir: String,
+      lookbackSec: Long = 7L * 86400L): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        expr("ts div 1000000000").as("sec"))
+    val convs = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("conv_id"), $"sec".as("conv_sec"))
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"event_id".as("touch_id"),
+        $"event_type".as("touch_type"), $"sec".as("touch_sec"))
+    val w = Window.partitionBy($"conv_id").orderBy($"touch_sec", $"touch_id")
+    val paired = touches.join(convs, Seq("user_id"))
+      .filter($"touch_sec" < $"conv_sec" &&
+        $"touch_sec" >= $"conv_sec" - lookbackSec)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"conv_id")).cast("long"))
+    val midW = expr("200000 div (n - 2)")
+    val credited = paired.withColumn("credit_e6",
+      when($"n" === 1, lit(1000000L))
+        .when($"n" === 2, lit(500000L))
+        .when($"rn" === 1, lit(400000L))
+        .when($"rn" === $"n",
+          lit(400000L) + (lit(200000L) - ($"n" - 2) * midW))
+        .otherwise(midW))
+      .withColumn("touch_position",
+        when($"n" === 1, "only")
+          .when($"rn" === 1, "first")
+          .when($"rn" === $"n", "last")
+          .otherwise("middle"))
+    credited.groupBy($"touch_type", $"touch_position")
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"credit_e6").as("credit_e6"))
+      .withColumn("credit", round($"credit_e6".cast("double") / 1e6, 6))
+  }
 }

@@ -428,6 +428,8 @@ class OpsSpec extends AnyFunSuite {
       "eigenvalue_e4", "energy_frac_e6", "energy_frac"),
     "q257_personalized_pagerank" -> Set("vec_id", "ppr_e12", "is_seed",
       "ppr_mass"),
+    "q258_position_attribution" -> Set("touch_type", "touch_position",
+      "n_touches", "credit_e6", "credit"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

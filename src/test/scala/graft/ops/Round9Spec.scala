@@ -101,6 +101,47 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("positionAttribution: every conversion's credit sums to exactly 1e6") {
+    import spark.implicits._
+    // hand fixture: user 1 has 4 touches before one purchase (first/
+    // last 400k, two middles 100k each); user 2 has 1 touch (only,
+    // 1e6); user 3 has 3 touches → middle gets 200000 div 1 = 200000,
+    // last gets 400000 + remainder 0; user 4's touch is OUTSIDE the
+    // 7-day lookback and earns nothing
+    val base = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    def ts(offSec: Long) = java.sql.Timestamp.from(base.plusSeconds(offSec))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    Seq(
+      (1L, ts(0L), 1L, "click", 1.0, "{}"),
+      (2L, ts(10L), 1L, "view", 1.0, "{}"),
+      (3L, ts(20L), 1L, "view", 1.0, "{}"),
+      (4L, ts(30L), 1L, "click", 1.0, "{}"),
+      (5L, ts(40L), 1L, "purchase", 9.0, "{}"),
+      (6L, ts(0L), 2L, "click", 1.0, "{}"),
+      (7L, ts(5L), 2L, "purchase", 9.0, "{}"),
+      (8L, ts(0L), 3L, "view", 1.0, "{}"),
+      (9L, ts(1L), 3L, "view", 1.0, "{}"),
+      (10L, ts(2L), 3L, "click", 1.0, "{}"),
+      (11L, ts(3L), 3L, "purchase", 9.0, "{}"),
+      (12L, ts(0L), 4L, "click", 1.0, "{}"),
+      (13L, ts(8L * 86400L), 4L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    try {
+      val rows = Sessionize.positionAttribution(spark, tmp).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // three conversions with in-window touches → exactly 3e6 credit
+      assert(rows.map(_._4).sum == 3000000L, rows.mkString(", "))
+      val m = rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(m(("click", "first")) == (1L, 400000L))   // user 1 first
+      assert(m(("click", "last")) == (2L, 800000L))    // users 1 & 3 last
+      assert(m(("view", "middle")) == (3L, 400000L))   // 2×100k + 1×200k
+      assert(m(("click", "only")) == (1L, 1000000L))   // user 2
+      assert(m(("view", "first")) == (1L, 400000L))    // user 3 first
+      assert(!m.contains(("click", "middle")) || m(("click", "middle"))._2 == 0L)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("contaminationGateAudit: every row sound on the corpus; planted contamination flagged") {
     import spark.implicits._
     val rows = TextAnalysis.contaminationGateAudit(spark, sf).collect()

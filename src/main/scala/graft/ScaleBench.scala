@@ -137,7 +137,8 @@ object ScaleBench {
     "q111_zorder_locality", "q114_bloom_prune", "q115_numeric_correlation",
     "q120_key_skew", "q149_spearman_corr", "q150_benford_prices",
     "q151_scd2_history", "q156_interval_merge", "q173_rfm_segments",
-    "q217_fk_audit", "q218_order_reconciliation")
+    "q217_fk_audit", "q218_order_reconciliation",
+    "q259_small_qty_revenue", "q260_order_holding_suppliers")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",

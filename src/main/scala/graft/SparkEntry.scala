@@ -713,6 +713,14 @@ object SparkEntry {
     // by (touch_type, journey position)
     "q258_position_attribution" -> ((s: SparkSession, d: String) =>
       Sessionize.positionAttribution(s, d)),
+    // TPC-H Q17 shape: below-20%-of-part-average quantity revenue,
+    // correlated subquery planned as one per-part agg joined back
+    "q259_small_qty_revenue" -> ((s: SparkSession, d: String) =>
+      Relational.smallQuantityRevenue(s, d)),
+    // TPC-H Q21 shape: uniquely-latest supplier on multi-supplier
+    // finished orders
+    "q260_order_holding_suppliers" -> ((s: SparkSession, d: String) =>
+      Relational.orderHoldingSuppliers(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -4764,6 +4772,45 @@ object SparkEntry {
         | CAST(sum(credit_e6) AS BIGINT) AS credit_e6,
         | round(CAST(sum(credit_e6) AS BIGINT) / 1e6, 6) AS credit
         |FROM cr GROUP BY 1, 2""".stripMargin,
+    // q259: the same integer threshold 5·qty·cnt < Σqty and cent sums
+    "q259_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |      FROM lineitem),
+        |pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(qty) AS BIGINT) AS sum_qty
+        |       FROM li GROUP BY 1)
+        |SELECT p.p_brand,
+        | CAST(count(*) AS BIGINT) AS n_small_lines,
+        | CAST(sum(li.price_cents) AS BIGINT) AS revenue_cents,
+        | round(avg(li.qty), 6) AS avg_small_qty
+        |FROM li JOIN pp USING (l_partkey)
+        |JOIN part p ON li.l_partkey = p.p_partkey
+        |WHERE 5 * li.qty * pp.cnt < pp.sum_qty
+        |GROUP BY 1""".stripMargin,
+    // q260: per-(order, supplier) max ship date, per-order rollup,
+    // uniquely-latest filter — no tie-break rule to mirror because ties
+    // disqualify the order
+    "q260_order_holding_suppliers" ->
+      """WITH li AS (SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |      WHERE o.o_orderstatus = 'F'),
+        |os AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+        |       FROM li GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+        |        max(s_max) AS o_max
+        |       FROM os GROUP BY 1),
+        |lt AS (SELECT os.l_orderkey, os.l_suppkey
+        |       FROM os JOIN po USING (l_orderkey)
+        |       WHERE po.n_supp >= 2 AND os.s_max = po.o_max),
+        |uq AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_latest,
+        |        min(l_suppkey) AS supp
+        |       FROM lt GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        | CAST(count(*) AS BIGINT) AS n_held_orders
+        |FROM uq JOIN supplier s ON uq.supp = s.s_suppkey
+        |WHERE uq.n_latest = 1
+        |GROUP BY 1, 2""".stripMargin,
     // q226: the salted two-phase ranks equal the single-window spelling
     // row-for-row (total order via the doc_id tiebreak), so the oracle
     // IS that single window; score is q106's TTR expression verbatim

@@ -790,4 +790,74 @@ object Relational {
       .withColumn("frac_mismatched",
         round($"n_mismatched" / $"n_orders".cast("double"), 6))
   }
+
+  /** Small-quantity order revenue per brand (q259, the TPC-H Q17
+    * shape): lineitems whose quantity is below 20% of their PART's
+    * average quantity — the correlated-scalar-subquery classic, planned
+    * the scalable way: ONE per-part aggregate joined back to the fact
+    * table (never a per-row subquery). The threshold compares in exact
+    * integers — qty < 0.2·avg ⟺ 5·qty·cnt < Σqty, with the
+    * whole-number-valued quantities cast to i64 — and money sums in
+    * cents (the q218 discipline), so no float threshold can flip a row
+    * between engines.
+    *
+    * Scale: per-part agg is map-side combined; the join back is
+    * partkey-keyed (AQE broadcasts the part-sized aggregate when it
+    * fits); the brand rollup is |brands| rows.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * 100).cast("long").as("price_cents"))
+    val perPart = li.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("cnt"), sum($"qty").as("sum_qty"))
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select($"p_partkey", $"p_brand")
+    li.join(perPart, Seq("l_partkey"))
+      .filter(lit(5L) * $"qty" * $"cnt" < $"sum_qty")
+      .join(part, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum($"price_cents").as("revenue_cents"),
+        round(avg($"qty"), 6).as("avg_small_qty"))
+  }
+
+  /** Order-holding suppliers (q260, the TPC-H Q21 shape adapted to this
+    * schema's columns): on finished multi-supplier orders, the supplier
+    * whose latest lineitem ship date UNIQUELY equals the order's latest
+    * ship date was the one holding the order up; count those per
+    * supplier. Ties for latest (two suppliers sharing the max date)
+    * disqualify the order — "uniquely last" is the blame criterion, and
+    * it also keeps the result deterministic with no tie-break rule to
+    * mirror.
+    *
+    * Scale: everything keys on orderkey — per-(order, supplier) max, a
+    * per-order rollup, one join back — then a supplier-sized count;
+    * no window, no correlated probe. Date comparisons are exact
+    * timestamp equality on both engines.
+    */
+  def orderHoldingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fOrders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter($"o_orderstatus" === "F").select($"o_orderkey")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(fOrders, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val perOrderSupp = li.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"l_shipdate").as("s_max"))
+    val perOrder = perOrderSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), max($"s_max").as("o_max"))
+    val latest = perOrderSupp
+      .join(perOrder, Seq("l_orderkey"))
+      .filter($"n_supp" >= 2 && $"s_max" === $"o_max")
+    val unique = latest.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_latest"), min($"l_suppkey").as("supp"))
+      .filter($"n_latest" === 1)
+    unique.groupBy($"supp".as("s_suppkey"))
+      .agg(count(lit(1)).as("n_held_orders"))
+      .join(spark.read.parquet(s"$dir/supplier.parquet")
+        .select($"s_suppkey", $"s_name"), Seq("s_suppkey"))
+      .select($"s_suppkey", $"s_name", $"n_held_orders")
+  }
 }

@@ -430,6 +430,10 @@ class OpsSpec extends AnyFunSuite {
       "ppr_mass"),
     "q258_position_attribution" -> Set("touch_type", "touch_position",
       "n_touches", "credit_e6", "credit"),
+    "q259_small_qty_revenue" -> Set("p_brand", "n_small_lines",
+      "revenue_cents", "avg_small_qty"),
+    "q260_order_holding_suppliers" -> Set("s_suppkey", "s_name",
+      "n_held_orders"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

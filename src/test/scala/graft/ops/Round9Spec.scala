@@ -142,6 +142,62 @@ class Round9Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("smallQuantityRevenue: threshold law — every counted line is strictly below 0.2x its part average") {
+    import spark.implicits._
+    // brute-force replay on the corpus: recompute per-part thresholds
+    // driver-side and check the rollup counts exactly
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey", $"l_quantity".cast("long"),
+        round($"l_extendedprice" * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brand = spark.read.parquet(s"$sf/part.parquet")
+      .select($"p_partkey", $"p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perPart = li.groupBy(_._1).map { case (pk, rows) =>
+      pk -> (rows.length.toLong, rows.map(_._2).sum)
+    }
+    val expect = li.filter { case (pk, q, _) =>
+      val (cnt, sq) = perPart(pk); 5L * q * cnt < sq
+    }.groupBy(t => brand(t._1))
+      .map { case (b, rows) => b -> (rows.size.toLong, rows.map(_._3).sum) }
+    val got = Relational.smallQuantityRevenue(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
+  test("orderHoldingSuppliers: a tie for latest disqualifies the order") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q260").toString
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    try {
+      Seq((10L, "C1", "F"), (11L, "C1", "F"), (12L, "C1", "O"))
+        .toDF("o_orderkey", "o_custkey_s", "o_orderstatus")
+        .selectExpr("o_orderkey", "1L AS o_custkey", "o_orderstatus",
+          "0.0 AS o_totalprice", "CAST('2024-01-01' AS TIMESTAMP) AS o_orderdate",
+          "'x' AS o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      // order 10: supplier 2 uniquely latest among 2 suppliers → blamed;
+      // order 11: suppliers 1 and 2 TIE on the max date → nobody blamed;
+      // order 12: status O → out of scope entirely
+      Seq(
+        (10L, 1L, d("2024-01-01")), (10L, 2L, d("2024-02-01")),
+        (11L, 1L, d("2024-03-01")), (11L, 2L, d("2024-03-01")),
+        (12L, 2L, d("2024-04-01")))
+        .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+        .selectExpr("l_orderkey", "0L AS l_partkey", "l_suppkey",
+          "1 AS l_linenumber", "1.0 AS l_quantity", "1.0 AS l_extendedprice",
+          "0.0 AS l_discount", "0.0 AS l_tax", "'N' AS l_returnflag",
+          "'O' AS l_linestatus", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      Seq((1L, "Supp One", 0L, 0.0), (2L, "Supp Two", 0L, 0.0))
+        .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+      val rows = Relational.orderHoldingSuppliers(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows == Seq((2L, "Supp Two", 1L)), rows.mkString(", "))
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("contaminationGateAudit: every row sound on the corpus; planted contamination flagged") {
     import spark.implicits._
     val rows = TextAnalysis.contaminationGateAudit(spark, sf).collect()

@@ -127,7 +127,8 @@ object ScaleBench {
     "q248_matryoshka_audit", "q249_clustering_coeff", "q250_cdc_chunks",
     "q251_cdc_sweep", "q252_label_noise", "q253_bpe_encode",
     "q254_contamination_gate", "q255_top_eigenvector",
-    "q256_spectral_energy", "q257_personalized_pagerank")
+    "q256_spectral_energy", "q257_personalized_pagerank",
+    "q261_score_lift")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

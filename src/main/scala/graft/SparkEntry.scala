@@ -721,6 +721,9 @@ object SparkEntry {
     // finished orders
     "q260_order_holding_suppliers" -> ((s: SparkSession, d: String) =>
       Relational.orderHoldingSuppliers(s, d)),
+    // decile lift of the q73 classifier score vs the en base rate
+    "q261_score_lift" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.scoreLift(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -751,6 +754,33 @@ object SparkEntry {
         |SELECT doc_id, n_shared_grams, n_grams,
         | round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6) AS shared_frac
         |FROM sh JOIN per USING (doc_id)""".stripMargin
+
+  /** The q73 score replay (feature-hash counts, literal weight vector,
+    * length-normalized sigmoid) — shared verbatim by the q73 row and
+    * the q261 lift table, which ranks exactly these scores.
+    */
+  private val q73OracleSql: String =
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |u AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |h AS (SELECT doc_id,
+        |   CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT % 64 AS INTEGER) AS idx
+        |  FROM u),
+        |c AS (SELECT doc_id, idx, count(*) AS n FROM h GROUP BY 1, 2),
+        |m AS (SELECT doc_id,
+        |   map(list(idx ORDER BY idx), list(n ORDER BY idx)) AS mp
+        |  FROM c GROUP BY doc_id),
+        |v AS (SELECT doc_id,
+        |   [coalesce(mp[i][1], 0) for i in range(0, 64)] AS fv FROM m),
+        |w AS (SELECT [(CAST(('0x' || substring(md5('w' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT
+        |                    % 2001 AS BIGINT) - 1000) / 1000.0
+        |              for i in range(0, 64)] AS wv),
+        |z AS (SELECT v.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |       list_sum([CAST(fv[i] AS DOUBLE) * wv[i] for i in range(1, 65)]) AS dotp
+        |      FROM v JOIN t USING (doc_id) CROSS JOIN w)
+        |SELECT doc_id, n_tokens,
+        | round(1.0 / (1.0 + exp(-(dotp / greatest(n_tokens, 1)))), 6) AS score,
+        | round(1.0 / (1.0 + exp(-(dotp / greatest(n_tokens, 1)))), 6) >= 0.5 AS keep
+        |FROM z""".stripMargin
 
   // shared by q66 and the q254 gate audit — the exact string-gram arm
   private val decon8Ctes: String =
@@ -1951,28 +1981,7 @@ object SparkEntry {
     // q73: weights are integer md5 arithmetic until one division, so
     // both engines materialize identical doubles; the dot product is a
     // left-associated 64-term sum on both sides
-    "q73_quality_classifier" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |u AS (SELECT doc_id, unnest(tk) AS tok FROM t),
-        |h AS (SELECT doc_id,
-        |   CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT % 64 AS INTEGER) AS idx
-        |  FROM u),
-        |c AS (SELECT doc_id, idx, count(*) AS n FROM h GROUP BY 1, 2),
-        |m AS (SELECT doc_id,
-        |   map(list(idx ORDER BY idx), list(n ORDER BY idx)) AS mp
-        |  FROM c GROUP BY doc_id),
-        |v AS (SELECT doc_id,
-        |   [coalesce(mp[i][1], 0) for i in range(0, 64)] AS fv FROM m),
-        |w AS (SELECT [(CAST(('0x' || substring(md5('w' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT
-        |                    % 2001 AS BIGINT) - 1000) / 1000.0
-        |              for i in range(0, 64)] AS wv),
-        |z AS (SELECT v.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
-        |       list_sum([CAST(fv[i] AS DOUBLE) * wv[i] for i in range(1, 65)]) AS dotp
-        |      FROM v JOIN t USING (doc_id) CROSS JOIN w)
-        |SELECT doc_id, n_tokens,
-        | round(1.0 / (1.0 + exp(-(dotp / greatest(n_tokens, 1)))), 6) AS score,
-        | round(1.0 / (1.0 + exp(-(dotp / greatest(n_tokens, 1)))), 6) >= 0.5 AS keep
-        |FROM z""".stripMargin,
+    "q73_quality_classifier" -> q73OracleSql,
     "q74_kmeans_assign" -> kmeansOracleSql(8, 3),
     // q75: the oracle groups copies by the text itself where Spark
     // groups by sha256(text) — identical partitions, and both sides
@@ -4772,6 +4781,30 @@ object SparkEntry {
         | CAST(sum(credit_e6) AS BIGINT) AS credit_e6,
         | round(CAST(sum(credit_e6) AS BIGINT) / 1e6, 6) AS credit
         |FROM cr GROUP BY 1, 2""".stripMargin,
+    // q261: q73's score replay nested as a CTE, global rank via
+    // row_number (the oracle side of prefixCum), band = (10·rb) div n
+    "q261_score_lift" ->
+      s"""WITH sc AS MATERIALIZED ($q73OracleSql),
+         |j AS (SELECT sc.doc_id, sc.score, (d.lang = 'en') AS is_pos
+         |      FROM sc JOIN documents d USING (doc_id)),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+         |        CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS pt FROM j),
+         |rk AS (SELECT j.*, row_number() OVER (
+         |         ORDER BY score DESC, doc_id) - 1 AS rb FROM j),
+         |dc AS (SELECT CAST((10 * rb) // nt AS BIGINT) AS decile, is_pos
+         |       FROM rk, tt),
+         |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pos
+         |      FROM dc GROUP BY 1)
+         |SELECT g.decile, g.n_docs, g.n_pos,
+         | round(CAST(g.n_pos AS DOUBLE) / g.n_docs, 6) AS band_precision,
+         | CASE WHEN tt.pt > 0 THEN
+         |   round((CAST(g.n_pos AS DOUBLE) * tt.nt) /
+         |         (CAST(g.n_docs AS DOUBLE) * tt.pt), 6)
+         | END AS lift
+         |FROM g, tt""".stripMargin,
     // q259: the same integer threshold 5·qty·cnt < Σqty and cent sums
     "q259_small_qty_revenue" ->
       """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,

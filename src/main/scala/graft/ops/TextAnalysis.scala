@@ -510,6 +510,47 @@ object TextAnalysis {
       .withColumn("keep", $"score" >= threshold)
   }
 
+  /** Classifier DECILE LIFT table (q261): rank the corpus by the q73
+    * quality score (descending, doc_id tie-break), cut into `buckets`
+    * equal-population rank bands, and report per band the en-precision
+    * and its lift over the base rate — the standard "is the top decile
+    * actually better" calibration read on a model-scored filter (q179
+    * says the score RANKS, q190 where to CUT, this what each band
+    * BUYS). Ranks ride [[Ranking.prefixCum]] (bucket-split, no
+    * SinglePartition window); band id = (buckets·rank) div n with the
+    * corpus totals on a one-row broadcast; precision/lift divide exact
+    * counts once, products cast to double BEFORE multiplying (the
+    * moment-formula overflow rule).
+    *
+    * Scale: one scored scan, the prefixCum rank machinery, a
+    * buckets-sized rollup.
+    */
+  def scoreLift(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val scored = qualityClassifierScores(spark, dir)
+      .select($"doc_id", $"score")
+    val lang = docs(spark, dir)
+      .select($"doc_id", ($"lang" === "en").as("is_pos"))
+    val base = scored.join(lang, "doc_id")
+    val totals = broadcast(base.agg(count(lit(1)).as("n_total"),
+      sum(when($"is_pos", 1L).otherwise(0L)).as("pos_total")))
+    val ranked = Ranking.prefixCum(base, Nil, -$"score",
+      Seq($"score".desc, $"doc_id"), lit(1L))
+    ranked.crossJoin(totals)
+      .withColumn("decile", expr(s"($buckets * cum_before) div n_total"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_pos", 1L).otherwise(0L)).as("n_pos"),
+        max($"n_total").as("nt"), max($"pos_total").as("pt"))
+      .select($"decile", $"n_docs", $"n_pos",
+        round($"n_pos".cast("double") / $"n_docs", 6).as("band_precision"),
+        when($"pt" > 0,
+          round(($"n_pos".cast("double") * $"nt") /
+            ($"n_docs".cast("double") * $"pt"), 6)).as("lift"))
+  }
+
   /** TF-IDF keyterm extraction: the `k` highest tf·idf terms per document
     * (idf = ln(N/df), document frequency over per-doc distinct terms).
     * Two shuffles, both on aggregated rows: (doc_id, term) term counts

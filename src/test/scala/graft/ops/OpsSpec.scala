@@ -434,6 +434,8 @@ class OpsSpec extends AnyFunSuite {
       "revenue_cents", "avg_small_qty"),
     "q260_order_holding_suppliers" -> Set("s_suppkey", "s_name",
       "n_held_orders"),
+    "q261_score_lift" -> Set("decile", "n_docs", "n_pos",
+      "band_precision", "lift"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -198,6 +198,29 @@ class Round9Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("scoreLift: bands partition the corpus; lift averages to 1 over the population") {
+    val rows = TextAnalysis.scoreLift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    val nTotal = spark.read.parquet(s"$sf/documents.parquet").count()
+    val nPos = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en").count()
+    // bands partition: doc counts sum to the corpus, positives to en
+    assert(rows.map(_._2).sum == nTotal)
+    assert(rows.map(_._3).sum == nPos)
+    // equal-population cut: every band within 1 of n/10
+    assert(rows.forall(r => math.abs(r._2 - nTotal / 10.0) <= 1.0),
+      rows.mkString(", "))
+    // population-weighted mean lift is 1 (each band's lift is its
+    // precision over the base rate; weights n_docs/n)
+    if (nPos > 0) {
+      val weighted = rows.map(r => r._4 * r._2).sum / nTotal
+      assert(math.abs(weighted - 1.0) < 1e-3, s"mean lift $weighted")
+    }
+  }
+
   test("contaminationGateAudit: every row sound on the corpus; planted contamination flagged") {
     import spark.implicits._
     val rows = TextAnalysis.contaminationGateAudit(spark, sf).collect()

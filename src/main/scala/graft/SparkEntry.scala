@@ -724,6 +724,10 @@ object SparkEntry {
     // decile lift of the q73 classifier score vs the en base rate
     "q261_score_lift" -> ((s: SparkSession, d: String) =>
       TextAnalysis.scoreLift(s, d)),
+    // per-vector cos² against the q255 top eigenvector (which rows
+    // ride the dominant axis)
+    "q262_dominant_share" -> ((s: SparkSession, d: String) =>
+      Similarity.dominantShare(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3945,6 +3949,25 @@ object SparkEntry {
     "q255_top_eigenvector" -> eigenOracleSql(8),
     // q256: same chain, exact trace + e6 energy fraction
     "q256_spectral_energy" -> spectralEnergyOracleSql(8),
+    // q262: same chain; per-vector exact i64 dot/norm against the
+    // converged v, one double division on exactly-representable ints
+    "q262_dominant_share" ->
+      (eigenCtes(8) +
+        s""",
+           |pv AS (SELECT c.vec_id,
+           |        CAST(sum(c.xi * v.v) AS BIGINT) AS dot_e9,
+           |        CAST(sum(c.xi * c.xi) AS BIGINT) AS norm2_e6
+           |       FROM c JOIN v8 v ON c.i = v.j GROUP BY 1),
+           |sh AS (SELECT pv.vec_id, pv.dot_e9, pv.norm2_e6,
+           |        CASE WHEN pv.norm2_e6 > 0 AND dn.den > 0 THEN
+           |          round((CAST(pv.dot_e9 AS DOUBLE) * pv.dot_e9) /
+           |                (CAST(pv.norm2_e6 AS DOUBLE) *
+           |                 CAST(dn.den AS BIGINT)), 6)
+           |        END AS dom_share
+           |       FROM pv, dn)
+           |SELECT vec_id, dot_e9, norm2_e6, dom_share,
+           | (dom_share IS NOT NULL AND dom_share >= 0.5) AS is_dominated
+           |FROM sh""".stripMargin),
     // q254: the exact arm (q66's CTEs) recomputed with string grams;
     // gate_sound is asserted LITERALLY TRUE — the bloom's bit pattern
     // is not SQL-replayable, its no-false-negative/sandwich LAW is

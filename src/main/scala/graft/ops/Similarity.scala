@@ -1791,6 +1791,52 @@ object Similarity {
     }
   }
 
+  /** Per-vector dominant-direction share (q262): for every embedding,
+    * cos²(x̃, v) against the q255 top eigenvector — which VECTORS ride
+    * the dominant axis (q256 says how anisotropic the space is; this
+    * names the rows). share = (x̃·v)² / (‖x̃‖²·‖v‖²) with x̃ the e3
+    * quantization and v the converged e6 eigenvector folded into the
+    * plan as literals (the SRP-plane broadcast pattern): the dot and
+    * both norms are EXACT i64 (|dot| ≤ 64·2e3·1e6 ≈ 1.3e11), and the
+    * one double division happens on exactly-representable integers —
+    * deterministic IEEE on both engines, rounded once. `is_dominated`
+    * flags share ≥ 0.5 (more of the vector's energy on the one axis
+    * than off it).
+    *
+    * Scale: pure scan projection over the corpus (the spectral core is
+    * memoized; its one pass is q255's) — zero shuffles.
+    */
+  def dominantShare(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame = {
+    import spark.implicits._
+    spectralCore(spark, dir, iters) match {
+      case None =>
+        Seq.empty[(Long, Long, Long, Double, Boolean)]
+          .toDF("vec_id", "dot_e9", "norm2_e6", "dom_share", "is_dominated")
+      case Some(sp) =>
+        val nv = sp.den.toLong // Σv² ≤ 64·1e12, fits i64
+        val vLit = array((1 to sp.d).map(i => lit(sp.v(i).toLong)): _*)
+        val xQ = expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          // size > 0 mirrors the oracle, whose component table simply
+          // has no rows for an empty array
+          .filter($"embedding".isNotNull && size($"embedding") > 0)
+          .select($"vec_id", xQ.as("xq"))
+          .select($"vec_id",
+            aggregate(zip_with($"xq", vLit, (x, vi) => x * vi),
+              lit(0L), (acc, t) => acc + t).as("dot_e9"),
+            aggregate($"xq", lit(0L), (acc, x) => acc + x * x)
+              .as("norm2_e6"))
+          .select($"vec_id", $"dot_e9", $"norm2_e6",
+            when($"norm2_e6" > 0 && lit(nv) > 0,
+              round(($"dot_e9".cast("double") * $"dot_e9") /
+                ($"norm2_e6".cast("double") * lit(nv)), 6)).as("dom_share"))
+          .withColumn("is_dominated",
+            $"dom_share".isNotNull && $"dom_share" >= 0.5)
+    }
+  }
+
   /** Spectral ENERGY report (q256): how much of the embedding space's
     * total second-moment energy (the trace of S — exact i64 under the
     * q255 guard) the dominant direction carries. A healthy embedding

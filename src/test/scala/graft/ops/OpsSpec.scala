@@ -436,6 +436,8 @@ class OpsSpec extends AnyFunSuite {
       "n_held_orders"),
     "q261_score_lift" -> Set("decile", "n_docs", "n_pos",
       "band_precision", "lift"),
+    "q262_dominant_share" -> Set("vec_id", "dot_e9", "norm2_e6",
+      "dom_share", "is_dominated"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

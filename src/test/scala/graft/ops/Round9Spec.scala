@@ -101,6 +101,26 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("dominantShare: on-axis vectors score ~1, an orthogonal vector ~0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_domsh").toString
+    try {
+      // nine vectors on dim 2 (the dominant axis), one on dim 3 only
+      val vecs = (1L to 9L).map(id =>
+        (id, Array(0.0f, 3.0f + 0.1f * id, 0.0f, 0.0f), id.toInt)) :+
+        ((10L, Array(0.0f, 0.0f, 2.0f, 0.0f), 10))
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val rows = Similarity.dominantShare(spark, tmp).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+      assert(rows.size == 10)
+      (1L to 9L).foreach { id =>
+        assert(rows(id)._1 > 0.9999 && rows(id)._2, s"vec $id: ${rows(id)}")
+      }
+      assert(rows(10L)._1 < 1e-4 && !rows(10L)._2, s"orthogonal: ${rows(10L)}")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("positionAttribution: every conversion's credit sums to exactly 1e6") {
     import spark.implicits._
     // hand fixture: user 1 has 4 touches before one purchase (first/

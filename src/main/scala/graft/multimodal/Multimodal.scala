@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` processing (the JVM twin of `mapInPandas`: decode
   * libraries amortize setup per batch, not per row), partitioning,
   * and the feature output contract that feeds graft.ops.Similarity.
-  * The codec itself is a STUB: this container has no image/audio
-  * libraries, so `StubCodec` is a deterministic fake that stands in for
-  * e.g. a JNI/FFI decoder. Swap `StubCodec` for a real one and nothing
-  * else changes.
+  * Two codecs ship: [[JdkMediaCodec]] — a REAL binding on Java SE's
+  * own decoders (ImageIO rasters, javax.sound WAV containers;
+  * spec-gated over real in-memory PNGs/WAVs, see JdkCodecSpec) — and
+  * [[StubCodec]], the deterministic md5-derived fake the ORACLE-gated
+  * queries (q30/q130/q134) keep using because DuckDB can recompute its
+  * values per payload where it cannot replay a raster decode. Video
+  * decoding is the remaining genuinely-external dependency (Java SE
+  * has none); swap in an FFI decoder and nothing else changes.
   */
 object Multimodal {
 

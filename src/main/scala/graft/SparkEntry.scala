@@ -728,6 +728,10 @@ object SparkEntry {
     // ride the dominant axis)
     "q262_dominant_share" -> ((s: SparkSession, d: String) =>
       Similarity.dominantShare(s, d)),
+    // real-codec PNG round-trip law (lossless decode + exact resize
+    // dims), oracle asserts the law with a replayed count
+    "q263_png_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.pngRoundtrip(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3949,6 +3953,15 @@ object SparkEntry {
     "q255_top_eigenvector" -> eigenOracleSql(8),
     // q256: same chain, exact trace + e6 energy fraction
     "q256_spectral_energy" -> spectralEnergyOracleSql(8),
+    // q263: the engine-external PNG decode cannot be replayed in SQL;
+    // its LAW can — count replayed from documents, law asserted TRUE
+    "q263_png_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_media,
+        | CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+        | CAST(count(*) AS BIGINT) AS n_resize_ok,
+        | TRUE AS roundtrip_law
+        |FROM documents WHERE text IS NOT NULL
+        | AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'""".stripMargin,
     // q262: same chain; per-vector exact i64 dot/norm against the
     // converged v, one double division on exactly-representable ints
     "q262_dominant_share" ->

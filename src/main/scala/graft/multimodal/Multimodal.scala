@@ -262,6 +262,88 @@ object Multimodal {
         sum($"sig").as("sig_sum"))
   }
 
+  /** PNG round-trip law over the REAL JDK codec (q263): per document, a
+    * deterministic 16×8 raster (pixel = f(doc_id, x, y), no text
+    * dependence, so the count is oracle-replayable) is encoded to PNG
+    * with ImageIO, decoded back with [[JdkMediaCodec]], and checked
+    * pixel-for-pixel — PNG is lossless, so ANY mismatch is a codec
+    * regression — plus a real nearest-neighbor resize whose output dims
+    * must be exactly (w/2, h/2). The rollup emits the counts and a
+    * `roundtrip_law` boolean the DuckDB oracle asserts literally TRUE
+    * (the q254 pattern: the engine-external decode can't be replayed in
+    * SQL, its LAW can) with n_media replayed from the documents table —
+    * the real-codec binding is now in the driver's per-round sweep, not
+    * only the spec suite.
+    *
+    * Scale: the audit runs on a DETERMINISTIC md5-bucket doc sample
+    * (the q222/q223 twin recipe, `hexMax` = first md5 hex digit cap) —
+    * a per-payload decode is inherently linear in payloads (~0.4 ms
+    * each), which at 10⁹ media is a sampling problem, not a plan
+    * problem; the oracle replays the identical sample predicate. Per
+    * sampled row: batched mapPartitions encode+decode, one single-row
+    * aggregate.
+    */
+  def pngRoundtrip(spark: SparkSession, dir: String,
+      hexMax: String = "3"): DataFrame = {
+    import spark.implicits._
+    val w = 16
+    val h = 8
+    val checks = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"text".isNotNull &&
+        substring(md5($"doc_id".cast("string")), 1, 1) <= hexMax)
+      .select($"doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(64).flatMap { batch =>
+          batch.iterator.map { id =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  ((id * 31 + x * 17 + y * 7) & 0xffffffL).toInt & 0xffffff)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val png = bos.toByteArray
+            val meta = JdkMediaCodec.decode("image", png)
+            val back = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            var exact = back != null && back.getWidth == w &&
+              back.getHeight == h && meta.codec == "jdk-imageio"
+            if (exact) {
+              var y2 = 0
+              while (exact && y2 < h) {
+                var x2 = 0
+                while (exact && x2 < w) {
+                  if ((back.getRGB(x2, y2) & 0xffffff) !=
+                      (img.getRGB(x2, y2) & 0xffffff)) exact = false
+                  x2 += 1
+                }
+                y2 += 1
+              }
+            }
+            val half = JdkMediaCodec.resize(png, 2)
+            val halfImg = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(half))
+            val resized = halfImg != null &&
+              halfImg.getWidth == w / 2 && halfImg.getHeight == h / 2
+            (1L, if (exact) 1L else 0L, if (resized) 1L else 0L)
+          }
+        }
+      }
+      .toDF("one", "rt", "rs")
+    checks.agg(sum($"one").as("n_media"),
+        sum($"rt").as("n_roundtrip_ok"), sum($"rs").as("n_resize_ok"))
+      .select($"n_media", $"n_roundtrip_ok", $"n_resize_ok",
+        ($"n_roundtrip_ok" === $"n_media" &&
+          $"n_resize_ok" === $"n_media").as("roundtrip_law"))
+  }
+
   /** The queries-surface entry: media → decode → featurize → per-kind
     * rollup, every column a VALUE the oracle recomputes from the payload
     * bytes: counts, byte totals, durations (= 8×bytes by the stub's

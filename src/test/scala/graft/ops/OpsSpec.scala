@@ -438,6 +438,8 @@ class OpsSpec extends AnyFunSuite {
       "band_precision", "lift"),
     "q262_dominant_share" -> Set("vec_id", "dot_e9", "norm2_e6",
       "dom_share", "is_dominated"),
+    "q263_png_roundtrip" -> Set("n_media", "n_roundtrip_ok",
+      "n_resize_ok", "roundtrip_law"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -583,6 +583,13 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Scan parquet"), p)
   }
 
+  test("q262: dominant-share is a pure scan projection — no Exchange anywhere") {
+    // the scaladoc claims zero shuffles (eigenvector folded in as
+    // literals, per-row exact integer math); hold it to that
+    val p = plan(Similarity.dominantShare(spark, sf))
+    assert(!p.contains("Exchange"), s"q262 pays a shuffle:\n$p")
+  }
+
   // ---- rank-statistic family: no Exchange SinglePartition may feed a
   // Window (the one-task global sort that kills these at 100×). Walks the
   // physical plan: for every Window, the first exchange below it (through

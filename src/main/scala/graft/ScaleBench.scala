@@ -128,7 +128,8 @@ object ScaleBench {
     "q251_cdc_sweep", "q252_label_noise", "q253_bpe_encode",
     "q254_contamination_gate", "q255_top_eigenvector",
     "q256_spectral_energy", "q257_personalized_pagerank",
-    "q261_score_lift", "q262_dominant_share", "q263_png_roundtrip")
+    "q261_score_lift", "q262_dominant_share", "q263_png_roundtrip",
+    "q264_label_spectral_energy")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -732,6 +732,9 @@ object SparkEntry {
     // dims), oracle asserts the law with a replayed count
     "q263_png_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.pngRoundtrip(s, d)),
+    // per-label anisotropy: which classes live on one spectral axis
+    "q264_label_spectral_energy" -> ((s: SparkSession, d: String) =>
+      Similarity.labelSpectralEnergy(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -3953,6 +3956,8 @@ object SparkEntry {
     "q255_top_eigenvector" -> eigenOracleSql(8),
     // q256: same chain, exact trace + e6 energy fraction
     "q256_spectral_energy" -> spectralEnergyOracleSql(8),
+    // q264: the eigen chain label-grouped end to end
+    "q264_label_spectral_energy" -> eigenByLabelSql(8),
     // q263: the engine-external PNG decode cannot be replayed in SQL;
     // its LAW can — count replayed from documents, law asserted TRUE
     "q263_png_roundtrip" ->
@@ -5924,6 +5929,66 @@ object SparkEntry {
          | CAST(fr.f6 AS DOUBLE) / 1000000.0 AS energy_frac
          |FROM nv, nd, tr, lam, fr
          |WHERE nv.n_vecs > 0""".stripMargin
+
+  /** The q264 oracle: the eigen chain with `lbl` carried through every
+    * CTE — per-label moment sums, label-grouped unrolled rounds,
+    * per-label Rayleigh/trace/energy — same exact integer semantics.
+    */
+  private def eigenByLabelSql(iters: Int): String = {
+    val init =
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS lbl, vec_id, i,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) AS xi
+        |  FROM (SELECT label, vec_id, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings
+        |        WHERE embedding IS NOT NULL AND label IS NOT NULL)),
+        |s AS MATERIALIZED (SELECT a.lbl, a.i AS i, b.i AS j,
+        |     CAST(sum(CAST(a.xi AS HUGEINT) * b.xi) AS HUGEINT) AS s
+        |    FROM c a JOIN c b ON a.lbl = b.lbl AND a.vec_id = b.vec_id
+        |    GROUP BY 1, 2, 3),
+        |v0 AS MATERIALIZED (SELECT DISTINCT lbl, i AS j,
+        |     CAST(1000000 AS HUGEINT) AS v FROM s)""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s""",
+         |w$r AS MATERIALIZED (SELECT s.lbl, s.i, sum(s.s * v.v) AS w
+         |    FROM s JOIN v${r - 1} v ON s.lbl = v.lbl AND s.j = v.j
+         |    GROUP BY 1, 2),
+         |m$r AS (SELECT lbl, greatest(max(abs(w)), 1) AS m
+         |        FROM w$r GROUP BY 1),
+         |v$r AS MATERIALIZED (SELECT w.lbl, w.i AS j,
+         |     CAST(CASE WHEN w < 0 THEN -(((-w) * 1000000) // m)
+         |          ELSE (w * 1000000) // m END AS HUGEINT) AS v
+         |    FROM w$r w JOIN m$r m ON w.lbl = m.lbl)""".stripMargin
+    }.mkString
+    init + steps +
+      s""",
+         |nm AS (SELECT s.lbl, sum(va.v * s.s * vb.v) AS num FROM s
+         |       JOIN v$iters va ON s.lbl = va.lbl AND s.i = va.j
+         |       JOIN v$iters vb ON s.lbl = vb.lbl AND s.j = vb.j
+         |       GROUP BY 1),
+         |dn AS (SELECT lbl, sum(v * v) AS den FROM v$iters GROUP BY 1),
+         |tr AS (SELECT lbl, sum(s) AS trace FROM s WHERE i = j GROUP BY 1),
+         |nv AS (SELECT CAST(label AS BIGINT) AS lbl,
+         |        CAST(count(*) AS BIGINT) AS n_vecs
+         |       FROM embeddings
+         |       WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |       GROUP BY 1),
+         |lam AS (SELECT nm.lbl,
+         |        CAST(CASE WHEN dn.den = 0 THEN 0
+         |          ELSE (nm.num * 10000) // dn.den END AS BIGINT) AS l4,
+         |        CAST(CASE WHEN dn.den = 0 OR tr.trace = 0 THEN 0
+         |          ELSE (nm.num * 1000000) // (dn.den * tr.trace) END
+         |          AS BIGINT) AS f6
+         |        FROM nm JOIN dn ON nm.lbl = dn.lbl
+         |        JOIN tr ON nm.lbl = tr.lbl)
+         |SELECT nv.lbl AS label, nv.n_vecs,
+         | CAST(tr.trace AS BIGINT) AS trace,
+         | lam.l4 AS eigenvalue_e4, lam.f6 AS energy_frac_e6,
+         | CAST(lam.f6 AS DOUBLE) / 1000000.0 AS energy_frac
+         |FROM nv JOIN tr ON nv.lbl = tr.lbl
+         | JOIN lam ON nv.lbl = lam.lbl""".stripMargin
+  }
 
   private def eigenCtes(iters: Int): String = {
     val init =

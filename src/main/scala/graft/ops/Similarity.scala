@@ -1720,6 +1720,36 @@ object Similarity {
   private val spectralCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), Option[Spectral]]
 
+  /** The shared exact-integer power iteration: `iters` rounds of
+    * w = S·v in BigInt from the all-1e6 start, L∞ e6 renormalization
+    * with sign-split non-negative division (trunc == floor), then the
+    * Rayleigh pieces. Returns (v, num, den, lam4). Pure driver math —
+    * q255/q256 run it on the corpus moment matrix, q264 per label.
+    */
+  private def powerIterate(sm: Array[Array[BigInt]], d: Int,
+      iters: Int): (Array[BigInt], BigInt, BigInt, BigInt) = {
+    var v = Array.fill(d + 1)(BigInt(1000000))
+    v(0) = BigInt(0) // 1-based dims
+    for (_ <- 1 to iters) {
+      val w = (0 to d).map(i =>
+        (1 to d).foldLeft(BigInt(0))((acc, j) => acc + sm(i)(j) * v(j)))
+        .toArray
+      val m = (1 to d).map(i => w(i).abs).max.max(BigInt(1))
+      v = (0 to d).map(i =>
+        (if (w(i) < 0) -((-w(i)) * 1000000 / m)
+         else w(i) * 1000000 / m)).toArray
+      v(0) = BigInt(0)
+    }
+    val num = (for (i <- 1 to d; j <- 1 to d)
+      yield v(i) * sm(i)(j) * v(j)).sum
+    val den = (1 to d).map(i => v(i) * v(i)).sum
+    val lam4 = if (den == 0) BigInt(0) else num * 10000 / den
+    require(lam4.isValidLong,
+      s"powerIterate: eigenvalue_e4 $lam4 exceeds i64 — the guarded " +
+        "moment bound should have prevented this")
+    (v, num, den, lam4)
+  }
+
   private def spectralCore(spark: SparkSession, dir: String,
       iters: Int): Option[Spectral] =
     spectralCache.getOrElseUpdate((spark, dir, iters), {
@@ -1748,29 +1778,7 @@ object Similarity {
           val sm = Array.ofDim[BigInt](d + 1, d + 1)
           for (i <- 0 to d; j <- 0 to d) sm(i)(j) = BigInt(0)
           sRows.foreach { case (i, j, s) => sm(i)(j) = BigInt(s) }
-          var v = Array.fill(d + 1)(BigInt(1000000))
-          v(0) = BigInt(0) // 1-based dims
-          for (_ <- 1 to iters) {
-            val w = (0 to d).map(i =>
-              (1 to d).foldLeft(BigInt(0))((acc, j) => acc + sm(i)(j) * v(j)))
-              .toArray
-            val m = (1 to d).map(i => w(i).abs).max.max(BigInt(1))
-            v = (0 to d).map(i =>
-              (if (w(i) < 0) -((-w(i)) * 1000000 / m)
-               else w(i) * 1000000 / m)).toArray
-            v(0) = BigInt(0)
-          }
-          // Rayleigh quotient as an EXACT e4 integer: S is PSD so num
-          // and den are non-negative, the BigInt division is trunc ==
-          // floor, and the double view is one deterministic
-          // cast+division — no round() call to half-boundary-diverge on
-          val num = (for (i <- 1 to d; j <- 1 to d)
-            yield v(i) * sm(i)(j) * v(j)).sum
-          val den = (1 to d).map(i => v(i) * v(i)).sum
-          val lam4 = if (den == 0) BigInt(0) else num * 10000 / den
-          require(lam4.isValidLong,
-            s"topEigenvector: eigenvalue_e4 $lam4 exceeds i64 — the " +
-              "guarded moment bound should have prevented this")
+          val (v, num, den, lam4) = powerIterate(sm, d, iters)
           Some(Spectral(d, n, sm, v, num, den, lam4))
         }
       } finally comps.unpersist()
@@ -1789,6 +1797,72 @@ object Similarity {
             sp.lam4.toDouble / 10000.0))
           .toDF("dim", "loading_e6", "eigenvalue_e4", "eigenvalue")
     }
+  }
+
+  /** Per-LABEL spectral energy (q264): the q256 anisotropy report
+    * computed within each label's embedding slice — which CLASSES live
+    * on one axis (a label whose energy_frac ≈ 1 is near-degenerate:
+    * its members differ along a single direction, the classic symptom
+    * of caption-template or near-duplicate classes). Same exact-integer
+    * discipline end to end: per-(label, i, j) i64 moment sums in ONE
+    * grouped pass (map-side combined to ≤ |labels|·d² rows), the
+    * BigInt power iteration per label on the driver (|labels|·d²
+    * scalar ops — the q74 pattern), e4/e6 integer outputs the oracle
+    * replays with label-grouped unrolled rounds.
+    *
+    * Scale: one corpus pass; the collect is |labels|·d² longs (a few
+    * MB at 10⁴ labels × d=64 — past that, shard the driver loop).
+    */
+  def labelSpectralEnergy(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame = {
+    import spark.implicits._
+    val comps = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"embedding".isNotNull && $"label".isNotNull)
+      .select($"label".cast("long").as("lbl"), $"vec_id",
+        posexplode($"embedding").as(Seq("i", "x")))
+      .select($"lbl", $"vec_id", ($"i" + 1).as("i"),
+        round($"x".cast("double") * 1000).cast("long").as("xi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val guard = comps.agg(max(abs($"xi")).as("mx"),
+        count_distinct($"vec_id").as("n")).head()
+      if (guard.isNullAt(0)) {
+        return Seq.empty[(Long, Long, Long, Long, Long, Double)]
+          .toDF("label", "n_vecs", "trace", "eigenvalue_e4",
+            "energy_frac_e6", "energy_frac")
+      }
+      val (mx, n) = (guard.getLong(0), guard.getLong(1))
+      require(mx * mx <= Long.MaxValue / math.max(n, 1L),
+        s"labelSpectralEnergy: max|x_e3|=$mx over $n rows overflows the " +
+          "exact-i64 moment sums — quantize coarser or shard the pass")
+      val nPer = comps.groupBy($"lbl")
+        .agg(count_distinct($"vec_id").as("nv"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sRows = comps.as("a")
+        .join(comps.as("b"), Seq("lbl", "vec_id"))
+        .select($"lbl", col("a.i").as("i"), col("b.i").as("j"),
+          (col("a.xi") * col("b.xi")).as("p"))
+        .groupBy($"lbl", $"i", $"j").agg(sum($"p").as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      val d = sRows.map(_._2).max
+      val out = sRows.groupBy(_._1).toSeq.map { case (lbl, rows) =>
+        val sm = Array.ofDim[BigInt](d + 1, d + 1)
+        for (i <- 0 to d; j <- 0 to d) sm(i)(j) = BigInt(0)
+        rows.foreach { case (_, i, j, s) => sm(i)(j) = BigInt(s) }
+        val (_, num, den, lam4) = powerIterate(sm, d, iters)
+        val trace = (1 to d).map(i => sm(i)(i)).sum
+        require(trace.isValidLong,
+          s"labelSpectralEnergy: trace $trace exceeds i64")
+        val frac6 =
+          if (den == 0 || trace == 0) BigInt(0)
+          else num * 1000000 / (den * trace)
+        (lbl, nPer(lbl), trace.toLong, lam4.toLong, frac6.toLong,
+          frac6.toLong.toDouble / 1000000.0)
+      }
+      out.toDF("label", "n_vecs", "trace", "eigenvalue_e4",
+        "energy_frac_e6", "energy_frac")
+    } finally comps.unpersist()
   }
 
   /** Per-vector dominant-direction share (q262): for every embedding,

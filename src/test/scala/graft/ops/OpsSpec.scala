@@ -440,6 +440,8 @@ class OpsSpec extends AnyFunSuite {
       "dom_share", "is_dominated"),
     "q263_png_roundtrip" -> Set("n_media", "n_roundtrip_ok",
       "n_resize_ok", "roundtrip_law"),
+    "q264_label_spectral_energy" -> Set("label", "n_vecs", "trace",
+      "eigenvalue_e4", "energy_frac_e6", "energy_frac"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -121,6 +121,28 @@ class Round9Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("labelSpectralEnergy: a one-axis label reads ~1, an isotropic label reads ~1/2") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lse").toString
+    try {
+      // label 1: all energy on dim 2 → frac ≈ 1. label 2: equal mass on
+      // two orthogonal axes (half the vectors each) → top direction
+      // carries ≈ half the trace
+      val l1 = (1L to 8L).map(id => (id, Array(0.0f, 2.0f, 0.0f, 0.0f), 1))
+      val l2 = (9L to 12L).map(id => (id, Array(2.0f, 0.0f, 0.0f, 0.0f), 2)) ++
+        (13L to 16L).map(id => (id, Array(0.0f, 0.0f, 2.0f, 0.0f), 2))
+      (l1 ++ l2).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val rows = Similarity.labelSpectralEnergy(spark, tmp).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(5))).toMap
+      assert(rows.keySet == Set(1L, 2L))
+      assert(rows(1L)._1 == 8L && rows(2L)._1 == 8L)
+      assert(rows(1L)._2 > 0.999, s"one-axis label: ${rows(1L)}")
+      assert(math.abs(rows(2L)._2 - 0.5) < 0.01,
+        s"two-axis label: ${rows(2L)}")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("positionAttribution: every conversion's credit sums to exactly 1e6") {
     import spark.implicits._
     // hand fixture: user 1 has 4 touches before one purchase (first/

@@ -129,7 +129,8 @@ object ScaleBench {
     "q254_contamination_gate", "q255_top_eigenvector",
     "q256_spectral_energy", "q257_personalized_pagerank",
     "q261_score_lift", "q262_dominant_share", "q263_png_roundtrip",
-    "q264_label_spectral_energy")
+    "q264_label_spectral_energy", "q265_real_codec_audit",
+    "q268_ingest_audit")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -140,7 +141,8 @@ object ScaleBench {
     "q120_key_skew", "q149_spearman_corr", "q150_benford_prices",
     "q151_scd2_history", "q156_interval_merge", "q173_rfm_segments",
     "q217_fk_audit", "q218_order_reconciliation",
-    "q259_small_qty_revenue", "q260_order_holding_suppliers")
+    "q259_small_qty_revenue", "q260_order_holding_suppliers",
+    "q266_dominant_part_suppliers", "q267_lapsed_customers")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",

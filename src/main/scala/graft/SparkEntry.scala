@@ -735,6 +735,24 @@ object SparkEntry {
     // per-label anisotropy: which classes live on one spectral axis
     "q264_label_spectral_energy" -> ((s: SparkSession, d: String) =>
       Similarity.labelSpectralEnergy(s, d)),
+    // real-codec decode/featurize/resize through the PRODUCTION
+    // operators: value-level oracle (replayed dim/duration sums) +
+    // codec law
+    "q265_real_codec_audit" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.realCodecAudit(s, d)),
+    // TPC-H Q20 shape: two-level semi-join, dominant suppliers of a
+    // part family
+    "q266_dominant_part_suppliers" -> ((s: SparkSession, d: String) =>
+      Relational.dominantPartSuppliers(s, d)),
+    // TPC-H Q22 shape: anti-join + scalar-average filter, lapsed
+    // high-balance customers per segment
+    "q267_lapsed_customers" -> ((s: SparkSession, d: String) =>
+      Relational.lapsedHighBalanceCustomers(s, d)),
+    // end-to-end ingest-DAG row accounting: the deployed streaming
+    // composition audited on the batch frame, every stage count
+    // value-replayed
+    "q268_ingest_audit" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStreams.ingestAudit(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5502,6 +5520,116 @@ object SparkEntry {
          | LEFT JOIN pv ON e.vec_id = pv.vec_id
          | LEFT JOIN vt ON e.vec_id = vt.vec_id
          | LEFT JOIN ag ON e.vec_id = ag.vec_id""".stripMargin,
+    // q265: the REAL codec's decoded dims/durations are pure functions
+    // of doc_id by construction, so the oracle replays every SUM from
+    // the sample predicate alone; the law is asserted TRUE (q254/q263
+    // pattern) for the parts SQL cannot see (codec tags, unit norms)
+    "q265_real_codec_audit" ->
+      """WITH s AS (SELECT doc_id FROM documents
+        |           WHERE text IS NOT NULL
+        |             AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3')
+        |SELECT CAST(2 * count(*) AS BIGINT) AS n_media,
+        | CAST(count(*) AS BIGINT) AS n_images,
+        | CAST(coalesce(sum(8 + doc_id % 9), 0) AS BIGINT) AS sum_img_width,
+        | CAST(coalesce(sum(8 + doc_id % 7), 0) AS BIGINT) AS sum_img_height,
+        | CAST(coalesce(sum(100 + doc_id % 32), 0) AS BIGINT) AS sum_audio_ms,
+        | CAST(coalesce(sum(greatest(1, (8 + doc_id % 9) // 2)), 0) AS BIGINT)
+        |   AS sum_half_width,
+        | CAST(coalesce(sum(greatest(1, (8 + doc_id % 7) // 2)), 0) AS BIGINT)
+        |   AS sum_half_height,
+        | TRUE AS codec_law
+        |FROM s""".stripMargin,
+    // q266: the Q20 nesting as IN-subqueries — DuckDB plans them as the
+    // same semi joins the engine pins
+    "q266_dominant_part_suppliers" ->
+      """WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE 's%'),
+        |fl AS (SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+        |       FROM lineitem
+        |       WHERE l_partkey IN (SELECT p_partkey FROM fp)),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(q) AS sq FROM fl GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(q) AS tq,
+        |        count(DISTINCT l_suppkey) AS ns FROM fl GROUP BY 1),
+        |qual AS (SELECT DISTINCT ps.l_suppkey FROM ps JOIN pt USING (l_partkey)
+        |         WHERE ps.sq * pt.ns > 2 * pt.tq)
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)""".stripMargin,
+    // q267: the Q22 anti-join as NOT EXISTS + the scalar positive-
+    // balance average, compared in exact integer cents on both engines
+    "q267_lapsed_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |            CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |stat AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |          CAST(sum(cents) AS BIGINT) AS sum_pos_cents
+        |         FROM c WHERE cents > 0),
+        |idle AS (SELECT c.c_mktsegment, c.cents FROM c, stat
+        |         WHERE c.cents * stat.n_pos > stat.sum_pos_cents
+        |           AND NOT EXISTS (SELECT 1 FROM orders o
+        |                           WHERE o.o_custkey = c.c_custkey
+        |                             AND o.o_orderdate >= '2001-01-01'))
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(cents) AS BIGINT) AS total_acctbal_cents,
+        | CAST(max(cents) AS BIGINT) AS max_acctbal_cents
+        |FROM idle GROUP BY 1""".stripMargin,
+    // q268: the deployed ingest DAG recomposed stage by stage from the
+    // SAME CTE formulas the q78 (rules), q56 (clean/prep) and q73
+    // (score) oracles are green on — every stage count value-replayed,
+    // the composition law asserted TRUE
+    "q268_ingest_audit" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |             FROM documents),
+        |gs AS (SELECT doc_id, text,
+        |        CAST(len(w) AS BIGINT) AS n_words,
+        |        round((length(text) - len(w) + 1) / CAST(len(w) AS DOUBLE), 6)
+        |          AS mwl,
+        |        len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+        |          AS n_stop,
+        |        round(CAST(list_max([len(list_filter(w, x -> x = u))
+        |                             for u in list_distinct(w)]) AS DOUBLE)
+        |              / len(w), 6) AS twf
+        |       FROM tok),
+        |g AS MATERIALIZED (SELECT doc_id, text FROM gs
+        |     WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+        |       AND n_stop >= 2 AND twf <= 0.2),
+        |p AS (SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'),
+        |                           ' +', ' ', 'g')) AS ct FROM g),
+        |pf AS (SELECT doc_id, ct,
+        |        CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(string_split(ct, ' '))) AS DOUBLE)
+        |          / len(string_split(ct, ' ')) AS ttr FROM p),
+        |pp AS MATERIALIZED (SELECT doc_id, ct, n_tokens FROM pf
+        |     WHERE n_tokens >= 30 AND ttr >= 0.45
+        |       AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f'),
+        |u AS (SELECT doc_id, unnest(string_split(ct, ' ')) AS tk FROM pp),
+        |hh AS (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(tk), 1, 8))::UBIGINT % 64
+        |          AS INTEGER) AS idx
+        |       FROM u),
+        |cc AS (SELECT doc_id, idx, count(*) AS n FROM hh GROUP BY 1, 2),
+        |mm AS (SELECT doc_id,
+        |        map(list(idx ORDER BY idx), list(n ORDER BY idx)) AS mp
+        |       FROM cc GROUP BY doc_id),
+        |vv AS (SELECT doc_id, [coalesce(mp[i][1], 0) for i in range(0, 64)]
+        |         AS fv FROM mm),
+        |ww AS (SELECT [(CAST(('0x' || substring(md5('w' || CAST(i AS VARCHAR)),
+        |                1, 8))::UBIGINT % 2001 AS BIGINT) - 1000) / 1000.0
+        |               for i in range(0, 64)] AS wv),
+        |zz AS (SELECT vv.doc_id,
+        |        list_sum([CAST(fv[i] AS DOUBLE) * wv[i] for i in range(1, 65)])
+        |          AS dotp
+        |       FROM vv CROSS JOIN ww),
+        |k AS MATERIALIZED (SELECT pp.doc_id, pp.ct FROM pp JOIN zz USING (doc_id)
+        |     WHERE round(1.0 / (1.0 + exp(-(dotp / greatest(pp.n_tokens, 1)))),
+        |                 6) >= 0.5),
+        |d AS (SELECT DISTINCT sha256(ct) AS ch FROM k)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_raw,
+        | (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_gated,
+        | (SELECT CAST(count(*) AS BIGINT) FROM pp) AS n_prepped,
+        | (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_scored_keep,
+        | (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_out,
+        | TRUE AS accounting_law""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

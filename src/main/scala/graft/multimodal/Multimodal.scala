@@ -337,11 +337,127 @@ object Multimodal {
         }
       }
       .toDF("one", "rt", "rs")
-    checks.agg(sum($"one").as("n_media"),
-        sum($"rt").as("n_roundtrip_ok"), sum($"rs").as("n_resize_ok"))
+    // coalesce: an empty sample (no doc_id hashes ≤ hexMax) must yield
+    // 0,0,0,true — the oracle replays count(*)-based zeros, and bare
+    // sum() over zero rows would emit NULLs and a NULL law instead.
+    checks.agg(coalesce(sum($"one"), lit(0L)).as("n_media"),
+        coalesce(sum($"rt"), lit(0L)).as("n_roundtrip_ok"),
+        coalesce(sum($"rs"), lit(0L)).as("n_resize_ok"))
       .select($"n_media", $"n_roundtrip_ok", $"n_resize_ok",
         ($"n_roundtrip_ok" === $"n_media" &&
           $"n_resize_ok" === $"n_media").as("roundtrip_law"))
+  }
+
+  /** Deterministic 3-channel raster for [[realCodecAudit]]: dims and
+    * pixels are pure functions of the doc id, so the DuckDB oracle can
+    * replay every decoded width/height as `8 + doc_id % 9` / `8 +
+    * doc_id % 7` without seeing a single pixel.
+    */
+  private def auditPng(id: Long): Array[Byte] = {
+    val w = 8 + java.lang.Math.floorMod(id, 9L).toInt
+    val h = 8 + java.lang.Math.floorMod(id, 7L).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id * 37 + x * 13 + y * 5) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 8-bit mono WAV for [[realCodecAudit]]: frame count =
+    * 8·(100 + doc_id % 32) at 8 kHz, so the REAL header parse must
+    * yield duration_ms = 100 + doc_id % 32 exactly (frames·1000/8000 =
+    * frames/8, an exact power-of-two division in double).
+    */
+  private def auditWav(id: Long): Array[Byte] = {
+    val nFrames = 8 * (100 + java.lang.Math.floorMod(id, 32L).toInt)
+    val data = new Array[Byte](nFrames)
+    var i = 0
+    while (i < nFrames) { data(i) = ((id * 31 + i * 7) & 0xff).toByte; i += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real-codec audit through the PRODUCTION operators (q265): the
+    * decode-meta / featurize / resize coverage q263's round-trip law
+    * left to the spec suite, now driver-sweep-gated. Each sampled doc
+    * (the q263/q222 md5-bucket predicate, replayed verbatim by the
+    * oracle) becomes one deterministic PNG and one deterministic WAV
+    * payload whose ground-truth dims/duration are pure functions of
+    * doc_id; the FULL batched [[decodeMeta]] / [[featurize]] /
+    * [[resize]] operators — not a bespoke loop — then run over them
+    * with [[JdkMediaCodec]], and the resized payloads go through
+    * [[decodeMeta]] AGAIN to prove the re-encoded PNG halves. Every
+    * output is a VALUE the oracle recomputes from the sample predicate
+    * alone: Σwidth = Σ(8 + id%9), Σduration = Σ(100 + id%32),
+    * Σhalf-width = Σ greatest(1, (8 + id%9) // 2), plus `codec_law`
+    * (all rows decoded by the REAL jdk codec paths and every feature
+    * vector unit-norm) asserted literally TRUE — a regression in any
+    * real decode path breaks a replayed SUM, not just a boolean.
+    *
+    * Scale: same story as q263 — per-payload decode is linear, so the
+    * audit rides a deterministic sample; operators are one batched
+    * mapPartitions scan each, aggregates are single-row.
+    */
+  def realCodecAudit(spark: SparkSession, dir: String,
+      hexMax: String = "3", dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"text".isNotNull &&
+        substring(md5($"doc_id".cast("string")), 1, 1) <= hexMax)
+      .select($"doc_id").as[Long]
+    val media: Dataset[MediaRow] = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        Iterator(MediaRow(2 * id, "image", auditPng(id)),
+          MediaRow(2 * id + 1, "audio", auditWav(id)))
+      }
+    }
+    val meta = decodeMeta(media, codec = JdkMediaCodec).toDF()
+    val feats = featurize(media, dim, codec = JdkMediaCodec).toDF()
+    val halves = decodeMeta(
+      resize(media.filter(_.kind == "image"), 2, codec = JdkMediaCodec)
+        .map(r => MediaRow(r.media_id, r.kind, r.content)),
+      codec = JdkMediaCodec).toDF()
+    val m = meta.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_media"),
+      coalesce(sum(when($"kind" === "image", 1L).otherwise(0L)), lit(0L))
+        .as("n_images"),
+      coalesce(sum(when($"kind" === "image", $"width".cast("long"))
+        .otherwise(0L)), lit(0L)).as("sum_img_width"),
+      coalesce(sum(when($"kind" === "image", $"height".cast("long"))
+        .otherwise(0L)), lit(0L)).as("sum_img_height"),
+      coalesce(sum(when($"kind" === "audio", $"duration_ms")
+        .otherwise(0L)), lit(0L)).as("sum_audio_ms"),
+      coalesce(sum(when($"codec".isin("jdk-imageio", "jdk-sampled"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_jdk_decoded"))
+    val norm2 = aggregate($"feature", lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val f = feats.agg(
+      coalesce(sum(when(abs(norm2 - 1.0) < 1e-3, 1L).otherwise(0L)), lit(0L))
+        .as("n_unit_norm"))
+    val r = halves.agg(
+      coalesce(sum($"width".cast("long")), lit(0L)).as("sum_half_width"),
+      coalesce(sum($"height".cast("long")), lit(0L)).as("sum_half_height"),
+      coalesce(sum(when($"codec" === "jdk-imageio", 1L).otherwise(0L)),
+        lit(0L)).as("n_half_decoded"))
+    m.crossJoin(f).crossJoin(r)
+      .select($"n_media", $"n_images", $"sum_img_width", $"sum_img_height",
+        $"sum_audio_ms", $"sum_half_width", $"sum_half_height",
+        ($"n_jdk_decoded" === $"n_media" && $"n_unit_norm" === $"n_media" &&
+          $"n_half_decoded" === $"n_images").as("codec_law"))
   }
 
   /** The queries-surface entry: media → decode → featurize → per-kind

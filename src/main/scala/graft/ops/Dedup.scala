@@ -1055,48 +1055,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Round-9 throwaway instrumentation for the PPJoin+ decision (see
-    * [[graft.DebugQ148]]) — removed with it before commit.
-    */
-  private[graft] def debugPrefixStats(spark: SparkSession, dir: String,
-      t: Double): (Long, Long, Long, Long) = {
-    import spark.implicits._
-    var stats = (0L, 0L, 0L, 0L)
-    shingleSetPairsDedupFirstOf(spark, docs(spark, dir)) { reps =>
-      val tEff = math.max(0.0, t - 2e-6)
-      val pref = rankedPostings(spark, reps, t).filter($"rn" <= $"plen")
-        .select($"doc_id", $"sh", $"rn", $"n")
-        .persist()
-      val joined = pref.as("a").join(pref.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      val t0 = System.nanoTime()
-      val rows = joined.count()
-      val t1 = System.nanoTime()
-      val oldPairs = joined.select(col("a.doc_id"), col("b.doc_id"))
-        .distinct().count()
-      val t2 = System.nanoTime()
-      val filtered = joined
-        .filter(least(col("a.n"), col("b.n")).cast("double") >=
-          lit(tEff) * greatest(col("a.n"), col("b.n")) - lit(1e-6))
-        .filter((lit(1L) + least(col("a.n") - col("a.rn"),
-            col("b.n") - col("b.rn"))).cast("double") >=
-          lit(tEff / (1.0 + tEff)) * (col("a.n") + col("b.n")) - lit(1e-6))
-      val newPairs = filtered.select(col("a.doc_id"), col("b.doc_id"))
-        .distinct().count()
-      val t3 = System.nanoTime()
-      val ver = prefixVerifiedRepPairs(spark, reps, t)
-      val verified = ver.count()
-      val t4 = System.nanoTime()
-      System.err.println(f"[debug] join_count=${(t1 - t0) / 1e9}%.2fs " +
-        f"old_distinct=${(t2 - t1) / 1e9}%.2fs new_distinct=${(t3 - t2) / 1e9}%.2fs " +
-        f"verify=${(t4 - t3) / 1e9}%.2fs")
-      pref.unpersist()
-      stats = (rows, oldPairs, newPairs, verified)
-      ver
-    }
-    stats
-  }
-
   /** Exact-dedup-first scaffold shared by the shingle-set pair operators
     * (q16 jaccardPairs, q148 prefixJaccardJoin) — the q39 lesson applied
     * WITHOUT changing the output contract: identical shingle SETS

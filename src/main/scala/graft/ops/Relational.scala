@@ -837,6 +837,83 @@ object Relational {
     * no window, no correlated probe. Date comparisons are exact
     * timestamp equality on both engines.
     */
+  /** Dominant suppliers of a part family (q266, the TPC-H Q20 shape —
+    * the two-level nested semi-join — adapted to this schema, which has
+    * no partsupp/availqty): suppliers who, for at least one shipped
+    * part whose name starts with 's', shipped MORE THAN TWICE their
+    * fair share of that part's total quantity (share > 2/n_suppliers).
+    * The correlated sub-aggregates plan the scalable way: one
+    * per-(part, supplier) aggregate, one per-part aggregate, an exact
+    * integer threshold (sq·ns > 2·tq — quantities are whole-valued
+    * doubles cast to i64, so no float share can flip a row), then a
+    * DISTINCT supplier set semi-joined into the supplier dimension.
+    *
+    * Plan shape (pinned in PlanContractSpec): lineitem is filtered by a
+    * LEFT SEMI join against the name-filtered part keys (level 1), and
+    * the supplier table is filtered by a LEFT SEMI join against the
+    * qualifying-supplier set (level 2) — neither probe side's payload
+    * ever joins through, exactly Q20's EXISTS/IN nesting. Both semi
+    * sides are key-only and dimension-sized → AQE broadcasts them.
+    */
+  def dominantPartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fParts = spark.read.parquet(s"$dir/part.parquet")
+      .filter($"p_name".startsWith("s")).select($"p_partkey")
+    val fl = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(fParts, $"l_partkey" === $"p_partkey", "left_semi")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("q"))
+    val perPartSupp = fl.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"q").as("sq"))
+    val perPart = fl.groupBy($"l_partkey")
+      .agg(sum($"q").as("tq"), count_distinct($"l_suppkey").as("ns"))
+    val qual = perPartSupp.join(perPart, Seq("l_partkey"))
+      .filter($"sq" * $"ns" > lit(2L) * $"tq")
+      .select($"l_suppkey").distinct()
+    spark.read.parquet(s"$dir/supplier.parquet")
+      .join(qual, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+  }
+
+  /** Lapsed high-balance customers (q267, the TPC-H Q22 shape on this
+    * schema): customers whose account balance exceeds the positive-
+    * balance average but who placed NO order on/after the cutoff —
+    * the anti-join + scalar-average-filter classic (Q22's phone-prefix
+    * country code becomes the market segment), rolled up per segment.
+    * The average compares in exact integers — bal > avg ⟺
+    * cents·n_pos > sum_pos_cents with cents = round(bal·100) i64 (the
+    * q259 discipline: rounding the raw value, never a float sum, and
+    * cents·n ≤ 1e6·1e7 well inside i64) — so no float threshold can
+    * flip a customer between engines.
+    *
+    * Plan shape (pinned in PlanContractSpec): the scalar aggregate is a
+    * one-row broadcast (the house crossJoin-total idiom) and the
+    * "no recent order" probe is a LEFT ANTI join of customers against
+    * the date-filtered order custkeys — never a per-row NOT EXISTS
+    * probe. The anti side is key-only; the date filter is pushed to the
+    * orders scan.
+    */
+  def lapsedHighBalanceCustomers(spark: SparkSession, dir: String,
+      cutoff: String = "2001-01-01"): DataFrame = {
+    import spark.implicits._
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_mktsegment",
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    val stat = broadcast(cust.filter($"cents" > 0L)
+      .agg(count(lit(1)).as("n_pos"), sum($"cents").as("sum_pos_cents")))
+    val recent = spark.read.parquet(s"$dir/orders.parquet")
+      .filter($"o_orderdate" >= lit(cutoff))
+      .select($"o_custkey")
+    cust.crossJoin(stat)
+      .filter($"cents" * $"n_pos" > $"sum_pos_cents")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("total_acctbal_cents"),
+        max($"cents").as("max_acctbal_cents"))
+  }
+
   def orderHoldingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fOrders = spark.read.parquet(s"$dir/orders.parquet")

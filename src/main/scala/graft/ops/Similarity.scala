@@ -1717,8 +1717,13 @@ object Similarity {
   private case class Spectral(d: Int, n: Long, sm: Array[Array[BigInt]],
       v: Array[BigInt], num: BigInt, den: BigInt, lam4: BigInt)
 
+  /** Keyed by (session, dir, iters, corpus fingerprint) and entry-capped
+    * via [[Memo]]: an in-session corpus rewrite recomputes instead of
+    * serving the stale moment matrix, and the retained d×d BigInt
+    * state is bounded across distinct key combinations.
+    */
   private val spectralCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), Option[Spectral]]
+    .empty[(SparkSession, String, Int, Long), Option[Spectral]]
 
   /** The shared exact-integer power iteration: `iters` rounds of
     * w = S·v in BigInt from the all-1e6 start, L∞ e6 renormalization
@@ -1751,22 +1756,33 @@ object Similarity {
   }
 
   private def spectralCore(spark: SparkSession, dir: String,
-      iters: Int): Option[Spectral] =
-    spectralCache.getOrElseUpdate((spark, dir, iters), {
+      iters: Int): Option[Spectral] = {
+    val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
+    Memo.cached(spectralCache, (spark, dir, iters, fp)) {
       import spark.implicits._
-      val comps = spark.read.parquet(s"$dir/embeddings.parquet")
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
         .filter($"embedding".isNotNull)
+      val comps = base
         .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
         .select($"vec_id", ($"i" + 1).as("i"),
           round($"x".cast("double") * 1000).cast("long").as("xi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val guard = comps.agg(max(abs($"xi")).as("mx"),
-          count_distinct($"vec_id").as("n")).head()
+        val guard = comps.agg(max(abs($"xi")).as("mx")).head()
         if (guard.isNullAt(0)) None
         else {
-          val (mx, n) = (guard.getLong(0), guard.getLong(1))
-          require(mx * mx <= Long.MaxValue / math.max(n, 1L),
+          val mx = guard.getLong(0)
+          // n_vecs from the UNEXPLODED table under the oracle's own
+          // predicate (count(*) WHERE embedding IS NOT NULL): a
+          // zero-length embedding array counts here but contributes no
+          // components, so counting distinct vec_id over the exploded
+          // rows would desync the two engines.
+          val n = base.count()
+          // Per-cell moment bound is n·mx²; compare in BigInt — the
+          // naive mx*mx pre-check itself wraps past |x̃| ≈ 3e9 and
+          // would spuriously pass exactly when it matters.
+          require(BigInt(mx) * BigInt(mx) * BigInt(math.max(n, 1L)) <=
+              BigInt(Long.MaxValue),
             s"topEigenvector: max|x_e3|=$mx over $n rows overflows the " +
               "exact-i64 moment sums — quantize coarser or shard the pass")
           val sRows = comps.as("a").join(comps.as("b"), "vec_id")
@@ -1782,7 +1798,8 @@ object Similarity {
           Some(Spectral(d, n, sm, v, num, den, lam4))
         }
       } finally comps.unpersist()
-    })
+    }
+  }
 
   def topEigenvector(spark: SparkSession, dir: String,
       iters: Int = 8): DataFrame = {
@@ -1811,13 +1828,18 @@ object Similarity {
     * replays with label-grouped unrolled rounds.
     *
     * Scale: one corpus pass; the collect is |labels|·d² longs (a few
-    * MB at 10⁴ labels × d=64 — past that, shard the driver loop).
+    * MB at 10⁴ labels × d=64) — enforced, not aspirational: a loud
+    * `require` trips when |labels|·d² exceeds `maxDriverCells` (default
+    * 1e8 cells = 800 MB of longs, the honest single-driver ceiling)
+    * instead of silently OOMing the driver; past it, shard the loop by
+    * label range.
     */
   def labelSpectralEnergy(spark: SparkSession, dir: String,
-      iters: Int = 8): DataFrame = {
+      iters: Int = 8, maxDriverCells: Long = 100000000L): DataFrame = {
     import spark.implicits._
-    val comps = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter($"embedding".isNotNull && $"label".isNotNull)
+    val comps = base
       .select($"label".cast("long").as("lbl"), $"vec_id",
         posexplode($"embedding").as(Seq("i", "x")))
       .select($"lbl", $"vec_id", ($"i" + 1).as("i"),
@@ -1825,19 +1847,34 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val guard = comps.agg(max(abs($"xi")).as("mx"),
-        count_distinct($"vec_id").as("n")).head()
+        count_distinct($"lbl").as("nl"),
+        max($"i").cast("long").as("d")).head()
       if (guard.isNullAt(0)) {
         return Seq.empty[(Long, Long, Long, Long, Long, Double)]
           .toDF("label", "n_vecs", "trace", "eigenvalue_e4",
             "energy_frac_e6", "energy_frac")
       }
-      val (mx, n) = (guard.getLong(0), guard.getLong(1))
-      require(mx * mx <= Long.MaxValue / math.max(n, 1L),
+      val mx = guard.getLong(0)
+      val (nl, dMax) = (guard.getLong(1), guard.getLong(2))
+      // n_vecs per label from the UNEXPLODED table (oracle predicate:
+      // count(*) WHERE embedding IS NOT NULL AND label IS NOT NULL) —
+      // zero-length arrays count as vectors but have no components.
+      val nPer = base.groupBy($"label".cast("long").as("lbl"))
+        .agg(count(lit(1)).as("nv"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = nPer.valuesIterator.sum
+      // BigInt comparisons: both the n·mx² moment bound and nl·d² can
+      // overflow i64 exactly in the regimes the guards exist for.
+      require(BigInt(mx) * BigInt(mx) * BigInt(math.max(n, 1L)) <=
+          BigInt(Long.MaxValue),
         s"labelSpectralEnergy: max|x_e3|=$mx over $n rows overflows the " +
           "exact-i64 moment sums — quantize coarser or shard the pass")
-      val nPer = comps.groupBy($"lbl")
-        .agg(count_distinct($"vec_id").as("nv"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(BigInt(nl) * BigInt(dMax) * BigInt(dMax) <=
+          BigInt(maxDriverCells),
+        s"labelSpectralEnergy: $nl labels x d=$dMax would collect " +
+          s"${BigInt(nl) * BigInt(dMax) * BigInt(dMax)} moment cells " +
+          s"(> budget $maxDriverCells) onto the driver — shard the " +
+          "loop by label range")
       val sRows = comps.as("a")
         .join(comps.as("b"), Seq("lbl", "vec_id"))
         .select($"lbl", col("a.i").as("i"), col("b.i").as("j"),

@@ -2382,16 +2382,19 @@ object TextAnalysis {
     * cold (19.1 + 5.5 s at sf0.1, round-8 BASELINE). This is the
     * in-session stand-in for what production does structurally — a
     * sketch TABLE maintained by ingest that analysis queries read in
-    * place. Contract: the corpus at `dir` is immutable within the
-    * session (true for the driver's testdata and any content-addressed
-    * corpus store); the cached state is #sources × (k longs + 1 count).
+    * place. The cached state is #sources × (k longs + 1 count); the key
+    * folds in a corpus fingerprint and the cache is entry-capped (both
+    * via [[graft.ops.Memo]]), so an in-session rewrite of `dir`
+    * recomputes instead of serving the stale checkpoint and pinned
+    * blocks can't accumulate without bound.
     */
   private val kmvTableCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Int), DataFrame]
+    .empty[(SparkSession, String, Int, Int, Long), DataFrame]
 
   private def kmvSketchTable(spark: SparkSession, dir: String, k: Int,
-      n: Int): DataFrame =
-    kmvTableCache.getOrElseUpdate((spark, dir, k, n), {
+      n: Int): DataFrame = {
+    val fp = Memo.fingerprint(spark, s"$dir/documents.parquet")
+    Memo.cached(kmvTableCache, (spark, dir, k, n, fp)) {
       import spark.implicits._
       docs(spark, dir)
         .select($"source", explode(Dedup.ngramsOf(toks, n)).as("gram"))
@@ -2401,7 +2404,8 @@ object TextAnalysis {
         .agg(graft.functions.KmvSketch.kmvSketch(k)($"h").as("ks"),
           count_distinct($"h").as("n_exact"))
         .localCheckpoint(true)
-    })
+    }
+  }
 
   def kmvSourceOverlap(spark: SparkSession, dir: String, k: Int = 128,
       n: Int = 3): DataFrame = {

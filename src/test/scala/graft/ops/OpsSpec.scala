@@ -442,6 +442,14 @@ class OpsSpec extends AnyFunSuite {
       "n_resize_ok", "roundtrip_law"),
     "q264_label_spectral_energy" -> Set("label", "n_vecs", "trace",
       "eigenvalue_e4", "energy_frac_e6", "energy_frac"),
+    "q265_real_codec_audit" -> Set("n_media", "n_images", "sum_img_width",
+      "sum_img_height", "sum_audio_ms", "sum_half_width",
+      "sum_half_height", "codec_law"),
+    "q266_dominant_part_suppliers" -> Set("s_suppkey", "s_name", "n_name"),
+    "q267_lapsed_customers" -> Set("c_mktsegment", "n_customers",
+      "total_acctbal_cents", "max_acctbal_cents"),
+    "q268_ingest_audit" -> Set("n_raw", "n_gated", "n_prepped",
+      "n_scored_keep", "n_out", "accounting_law"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -590,6 +590,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"q262 pays a shuffle:\n$p")
   }
 
+  test("q266: both Q20 nesting levels plan as LEFT SEMI joins, part filter pushed") {
+    val p = plan(Relational.dominantPartSuppliers(spark, sf))
+    // level 1 (part-family filter on lineitem) + level 2 (qualifying
+    // suppliers into the dimension) — two semi joins, payloads never
+    // join through
+    assert("LeftSemi".r.findAllIn(p).size >= 2, s"q266 lost a semi join:\n$p")
+    // the name prefix reaches the part scan as a pushed filter
+    assert(p.contains("StringStartsWith(p_name"), p)
+    // no cartesian/nested-loop fallback anywhere in the nesting
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q267: Q22 shape = LEFT ANTI on recent orders + broadcast scalar average, date pushed") {
+    val p = plan(Relational.lapsedHighBalanceCustomers(spark, sf))
+    assert(p.contains("LeftAnti"), s"q267 lost the anti join:\n$p")
+    // the scalar positive-balance aggregate arrives by broadcast (the
+    // one-row crossJoin-total idiom), never a per-row subquery probe
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q267 scalar average not broadcast:\n$p")
+    // the cutoff reaches the orders scan as a pushed filter
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   // ---- rank-statistic family: no Exchange SinglePartition may feed a
   // Window (the one-task global sort that kills these at 100×). Walks the
   // physical plan: for every Window, the first exchange below it (through

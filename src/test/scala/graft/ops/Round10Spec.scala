@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 hardening batch: the spectral driver-size guard, the
+  * fingerprinted memo caches, the empty-embedding n_vecs contract, and
+  * the empty-sample multimodal law.
+  */
+class Round10Spec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+
+  test("labelSpectralEnergy: the labels-times-d-squared budget trips loudly, not OOM") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lse_guard").toString
+    try {
+      // 3 labels x d=4 -> 48 cells; a budget of 47 must refuse BEFORE
+      // the driver collect
+      (1L to 9L).map(id => (id, Array(1.0f, 0.5f, 0.25f, 0.1f), (id % 3).toInt))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.labelSpectralEnergy(spark, tmp, maxDriverCells = 47L).collect()
+      }
+      assert(e.getMessage.contains("48") && e.getMessage.contains("47"),
+        e.getMessage)
+      // at the documented bound the same corpus computes fine
+      assert(Similarity.labelSpectralEnergy(spark, tmp, maxDriverCells = 48L)
+        .count() == 3L)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("spectral memo: rewriting the corpus at the same path recomputes (fingerprint key)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_memo_fp").toString
+    try {
+      (1L to 6L).map(id => (id, Array(0.0f, 3.0f, 0.0f, 0.0f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val axis1 = Similarity.topEigenvector(spark, tmp).collect()
+        .maxBy(r => math.abs(r.getLong(1))).getLong(0)
+      assert(axis1 == 2L)
+      // overwrite IN PLACE with energy on a different axis: the old
+      // contract served the stale dim-2 answer; the fingerprinted key
+      // must recompute and move the dominant axis
+      (1L to 6L).map(id => (id, Array(0.0f, 0.0f, 0.0f, 4.0f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val axis2 = Similarity.topEigenvector(spark, tmp).collect()
+        .maxBy(r => math.abs(r.getLong(1))).getLong(0)
+      assert(axis2 == 4L, s"stale memo served: dominant axis $axis2")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("n_vecs counts zero-length embedding arrays (oracle's unexploded predicate)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_emptyvec").toString
+    try {
+      val rows = (1L to 5L).map(id =>
+        (id, Array(0.0f, 2.0f, 0.0f, 0.0f), 1)) :+
+        ((6L, Array.empty[Float], 1)) :+ ((7L, Array.empty[Float], 2))
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      // q256: the empty-array rows are vectors with no components —
+      // count(*) over the unexploded table is 7, not 5
+      val energy = Similarity.spectralEnergy(spark, tmp).head()
+      assert(energy.getLong(0) == 7L, s"n_vecs ${energy.getLong(0)}")
+      // q264: label 1 counts its empty-array member; label 2 (ONLY an
+      // empty array, no components) has no moment rows on either
+      // engine and is absent
+      val byLabel = Similarity.labelSpectralEnergy(spark, tmp).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byLabel == Map(1L -> 6L), byLabel.toString)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("pngRoundtrip: empty sample yields 0,0,0,true — not NULLs") {
+    // hexMax below any md5 hex digit selects nothing
+    val r = graft.multimodal.Multimodal
+      .pngRoundtrip(spark, "/root/testdata/sf0.001", hexMax = "").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getBoolean(3), "empty-sample law must be vacuously true")
+  }
+
+  test("realCodecAudit: decoded dims/durations match the ground-truth formulas exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_codec").toString
+    try {
+      val ids = 0L to 19L
+      ids.map(id => (id, s"doc $id", "en", "web", 6L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      // hexMax "f" samples everything — brute-force replay of the
+      // oracle's formulas over the full id set
+      val r = graft.multimodal.Multimodal
+        .realCodecAudit(spark, tmp, hexMax = "f").head()
+      assert(r.getLong(0) == 40L && r.getLong(1) == 20L)
+      assert(r.getLong(2) == ids.map(8 + _ % 9).sum, "sum_img_width")
+      assert(r.getLong(3) == ids.map(8 + _ % 7).sum, "sum_img_height")
+      assert(r.getLong(4) == ids.map(100 + _ % 32).sum, "sum_audio_ms")
+      assert(r.getLong(5) == ids.map(id => math.max(1L, (8 + id % 9) / 2)).sum)
+      assert(r.getLong(6) == ids.map(id => math.max(1L, (8 + id % 7) / 2)).sum)
+      assert(r.getBoolean(7), "codec_law: a payload fell back off the jdk codec")
+      // empty sample: zeros and a vacuously-true law, not NULLs
+      val e = graft.multimodal.Multimodal
+        .realCodecAudit(spark, tmp, hexMax = "").head()
+      assert((0 to 6).forall(i => e.getLong(i) == 0L) && e.getBoolean(7))
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("dominantPartSuppliers: >2x fair share qualifies; 2-supplier parts cannot; family filter holds") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q266").toString
+    try {
+      Seq((1L, "small ring", "B1", "t", 1, 1.0),
+          (2L, "big ring", "B1", "t", 1, 1.0),
+          (3L, "small bolt", "B1", "t", 1, 1.0))
+        .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+          "p_retailprice")
+        .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+      // part 1 ('s…', 3 suppliers): s1 ships 8 of 10 -> 24 > 20 ✓;
+      // part 3 ('s…', 2 suppliers): s4 ships 9 of 10 -> 18 > 20 ✗
+      //   (share > 2/ns is unreachable at ns=2 — the tie-proof regime);
+      // part 2 (not 's…'): s5 dominates but the family filter drops it
+      val li = Seq((1L, 1L, 8.0), (1L, 2L, 1.0), (1L, 3L, 1.0),
+        (3L, 4L, 9.0), (3L, 1L, 1.0), (2L, 5L, 100.0))
+      li.zipWithIndex.map { case ((pk, sk, q), i) =>
+        (100L + i, pk, sk, 1, q, 1.0, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      (1L to 5L).map(k => (k, s"Supp $k", 0, 0.0))
+        .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+      Seq((0, "HOMELAND", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+      val rows = Relational.dominantPartSuppliers(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows == Seq((1L, "Supp 1", "HOMELAND")), rows.mkString(", "))
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("lapsedHighBalanceCustomers: above positive-average AND order-silent since cutoff") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q267").toString
+    try {
+      // positive balances: 100, 200, 900 -> avg 400; negative excluded
+      // from the average but scanned (can never exceed it)
+      Seq((1L, "C1", 0, 900.0, "AUTO"),   // above avg, silent -> counted
+          (2L, "C2", 0, 900.0, "AUTO"),   // above avg, RECENT order -> out
+          (3L, "C3", 0, 100.0, "RETAIL"), // below avg -> out
+          (4L, "C4", 0, 200.0, "RETAIL"), // below avg -> out
+          (5L, "C5", 0, -50.0, "RETAIL")) // negative -> out
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+      def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+      // cust 1's order is BEFORE the cutoff (doesn't count as recent)
+      Seq((10L, 1L, "F", 1.0, d("2000-06-01"), "x"),
+          (11L, 2L, "O", 1.0, d("2001-06-01"), "x"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val rows = Relational.lapsedHighBalanceCustomers(spark, tmp).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(("AUTO", 1L, 90000L, 90000L)),
+        rows.mkString(", "))
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("ingestAudit: accounting law holds on the corpus; counts are monotone and exact") {
+    val r = graft.streaming.DocStreams
+      .ingestAudit(spark, "/root/testdata/sf0.001").head()
+    val (nRaw, nGated, nPrepped, nKept, nOut) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(r.getBoolean(5), "accounting_law")
+    assert(nRaw == 500L, s"n_raw $nRaw")
+    assert(nRaw >= nGated && nGated >= nPrepped && nPrepped >= nKept &&
+      nKept >= nOut, (nRaw, nGated, nPrepped, nKept, nOut).toString)
+    // at sf0.001 every prepped doc scores just under the deployed 0.5
+    // cut (scores live in [0.42, 0.53] across SFs; the driver-gate
+    // corpus sf0.01 keeps 3) — a lowered-threshold run proves the
+    // downstream stages are non-vacuous and the law survives real flow
+    val r44 = graft.streaming.DocStreams
+      .ingestAudit(spark, "/root/testdata/sf0.001", threshold = 0.44).head()
+    assert(r44.getBoolean(5), "accounting_law at threshold 0.44")
+    assert(r44.getLong(4) > 0L, "lowered-threshold pipeline still empty")
+    // batch mode of the deployed dedup stage is EXACT dedup
+    import spark.implicits._
+    val dup = Seq((1L, "alpha beta", "2024-01-01 00:00:00"),
+        (2L, "alpha beta", "2024-01-01 00:01:00"),
+        (3L, "gamma", "2024-01-01 00:02:00"))
+      .toDF("doc_id", "clean_text", "ts_s")
+      .withColumn("ingest_ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts_s")))
+    val dd = graft.streaming.DocStreams.dedupByContent(dup, "ingest_ts")
+    assert(dd.count() == 2L, "batch dedupByContent must be exact")
+  }
+}

@@ -41,10 +41,9 @@ class Round9Spec extends AnyFunSuite {
         s"eigenvalue $eig vs planted energy $planted")
       // the e4 integer and the double view agree exactly
       rows.foreach(r => assert(r._4 == r._3.toDouble / 10000.0))
-      // empty corpus: empty result, schema intact. A SEPARATE dir —
-      // the spectral core memoizes per (session, dir) under the
-      // corpus-immutable-within-session contract, so overwriting the
-      // same path would (correctly) serve the cached planted result
+      // empty corpus: empty result, schema intact. A separate dir for
+      // clarity (the memo key also folds in a corpus fingerprint, so
+      // overwriting the same path would recompute — Round10Spec)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(s"$tmp/embeddings.parquet").schema)

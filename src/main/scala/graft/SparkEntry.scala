@@ -753,6 +753,10 @@ object SparkEntry {
     // value-replayed
     "q268_ingest_audit" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStreams.ingestAudit(s, d)),
+    // PQ asymmetric-distance top-k: the q184 codebook as the actual
+    // zero-shuffle ANN query path (exact i64 lookup-table sums)
+    "q269_pq_adc_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.pqAdcTopK(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5630,6 +5634,66 @@ object SparkEntry {
         | (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_scored_keep,
         | (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_out,
         | TRUE AS accounting_law""".stripMargin,
+    // q269: the q184 encoder CTEs verbatim (same seeds, same rounded-d²
+    // + min-code argmin), plus the query-side lookup table in exact
+    // integer micro-units — ADC distances are i64 sums on both engines
+    "q269_pq_adc_topk" ->
+      """WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+        |          - 1 AS BIGINT) AS code, embedding
+        |       FROM (SELECT vec_id, embedding FROM embeddings
+        |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+        |               <= '19'
+        |             ORDER BY vec_id LIMIT 8)),
+        |blk AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS block),
+        |cent AS (SELECT block, code,
+        |   list_slice(embedding, block * 16 + 1, block * 16 + 16) AS c,
+        |   list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in
+        |     list_slice(embedding, block * 16 + 1, block * 16 + 16)])
+        |     AS cc
+        |  FROM seeds, blk),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |qb AS (SELECT block, list_slice(qe, block * 16 + 1, block * 16 + 16)
+        |         AS qv FROM q, blk),
+        |lt AS (SELECT cent.block, cent.code,
+        |   CAST(round((list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+        |           for i in range(1, len(qv) + 1)])
+        |     - 2.0 * list_sum([CAST(qv[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)
+        |           for i in range(1, len(qv) + 1)])
+        |     + cc) * 1000000) AS BIGINT) AS ltm
+        |  FROM cent JOIN qb ON cent.block = qb.block),
+        |x AS (SELECT vec_id, block,
+        |   list_slice(embedding, block * 16 + 1, block * 16 + 16) AS v
+        |  FROM embeddings, blk),
+        |d AS (SELECT x.vec_id, x.block, cent.code,
+        |   round(list_sum([CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)
+        |           for i in range(1, len(v) + 1)])
+        |     - 2.0 * list_sum([CAST(v[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)
+        |           for i in range(1, len(v) + 1)])
+        |     + cc, 6) AS d2
+        |  FROM x JOIN cent ON x.block = cent.block),
+        |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block
+        |        ORDER BY d2, code) AS rk FROM d),
+        |enc AS (SELECT vec_id, block, code FROM a WHERE rk = 1),
+        |adc AS (SELECT enc.vec_id, CAST(sum(lt.ltm) AS BIGINT) AS adc_micro
+        |        FROM enc JOIN lt ON enc.block = lt.block
+        |          AND enc.code = lt.code
+        |        GROUP BY 1),
+        |ex AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |   round(list_sum([CAST(e.embedding[i] AS DOUBLE)
+        |           * CAST(e.embedding[i] AS DOUBLE)
+        |           for i in range(1, len(e.embedding) + 1)])
+        |     - 2.0 * list_sum([CAST(e.embedding[i] AS DOUBLE)
+        |           * CAST(qe[i] AS DOUBLE)
+        |           for i in range(1, len(e.embedding) + 1)])
+        |     + list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) for y in qe]),
+        |     6) AS exact_d2
+        |  FROM embeddings e, q)
+        |SELECT adc.vec_id, ex.label, adc.adc_micro AS adc_d2_micro,
+        | CAST(adc.adc_micro AS DOUBLE) / 1000000.0 AS adc_d2,
+        | ex.exact_d2
+        |FROM adc JOIN ex ON adc.vec_id = ex.vec_id
+        |WHERE adc.vec_id <> 0
+        |ORDER BY adc.adc_micro, adc.vec_id LIMIT 10""".stripMargin,
   )
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one

@@ -1129,6 +1129,80 @@ object Similarity {
         round($"mse_micro" / ($"n_assigned" * 1000000.0), 6).as("mse"))
   }
 
+  /** PQ-ADC top-k search (q269): the q184 codebook turned into the
+    * actual ANN query path — asymmetric distance computation, the
+    * standard memory-bound search behind every billion-vector index
+    * (Jégou et al.'s PQ): the query (vec_id 0) precomputes one
+    * `nBlocks × codesPerBlock` lookup table of exact block distances
+    * ‖q_b − c‖² in integer micro-units; every corpus vector is encoded
+    * to its per-block argmin code (q184's identical rounded-d² +
+    * min-code tie-break, so encoder and codebook report can't drift)
+    * and its approximate distance is the exact i64 SUM of table
+    * lookups — no per-row float accumulation for the engines to
+    * disagree on. `exact_d2` (the true ‖q − v‖², q184's three-dot
+    * formula at full width) rides along so the output doubles as a
+    * quantization-quality readout.
+    *
+    * Scale: this is the whole point of PQ — encoding is a pure scan
+    * projection (argmin over literal code vectors, codegen'd dots),
+    * the lookup is `element_at` on a literal array, and the top-k is a
+    * TakeOrdered: ZERO shuffles at any corpus size, 4 bytes of code
+    * state per vector if materialized. The codebook and query are
+    * plan-time literals (dim-bounded collects).
+    */
+  def pqAdcTopK(spark: SparkSession, dir: String, nBlocks: Int = 4,
+      codesPerBlock: Int = 8, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val dim = 64
+    val bw = dim / nBlocks
+    val seeds = sampledCentroids(spark, dir, codesPerBlock)
+    val qRows = e.filter($"vec_id" === 0L).select($"embedding").collect()
+    if (seeds.isEmpty || qRows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double, Double)]
+        .toDF("vec_id", "label", "adc_d2_micro", "adc_d2", "exact_d2")
+    val qv = qRows(0).getSeq[Float](0).toSeq
+    def sumSq(vals: Seq[Float]): Double =
+      vals.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+    def dotSeq(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    // lookup table in micro-units: the same left-to-right double folds
+    // and (a − 2b + c)·1e6 op order as the oracle's list_sum CTE, so
+    // the JVM and DuckDB doubles (and hence the rounded i64s) agree
+    // bitwise; half-up == DuckDB's half-away on these non-negative d²
+    val ltMicro: IndexedSeq[IndexedSeq[Long]] =
+      (0 until nBlocks).map { b =>
+        val qb = qv.slice(b * bw, (b + 1) * bw)
+        seeds.indices.map { ci =>
+          val c = seeds(ci)._2.slice(b * bw, (b + 1) * bw)
+          math.round((sumSq(qb) - 2.0 * dotSeq(qb, c) + sumSq(c)) * 1000000.0)
+        }.toIndexedSeq
+      }
+    val adcMicro = (0 until nBlocks).map { b =>
+      val v = slice($"embedding", b * bw + 1, bw)
+      val cands = seeds.map { case (code, full) =>
+        val c = full.slice(b * bw, (b + 1) * bw)
+        struct(
+          round(dot(v, v) - lit(2.0) * dot(v, litVec(c)) + lit(sumSq(c)), 6)
+            .as("d2"),
+          lit(code.toLong).as("code"))
+      }
+      val codeCol = (if (cands.length == 1) cands.head else least(cands: _*))
+        .getField("code")
+      element_at(array(ltMicro(b).map(lit): _*), codeCol.cast("int") + 1)
+    }.reduce(_ + _)
+    val exactD2 =
+      round(dot($"embedding", $"embedding") -
+        lit(2.0) * dot($"embedding", litVec(qv)) + lit(sumSq(qv)), 6)
+    e.filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        adcMicro.as("adc_d2_micro"), exactD2.as("exact_d2"))
+      .select($"vec_id", $"label", $"adc_d2_micro",
+        ($"adc_d2_micro" / 1000000.0).as("adc_d2"), $"exact_d2")
+      .orderBy($"adc_d2_micro", $"vec_id")
+      .limit(k)
+  }
+
   /** Embedding-space outliers (q189): per vector the z-normalized
     * squared distance to the corpus centroid — Σ_d ((x_d − μ_d)/σ_d)²,
     * a diagonal-covariance Mahalanobis — ranked to the top `k`. This is

@@ -11,4 +11,11 @@ object TestFiles {
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
+
+  /** Lowercase md5 hex of a UTF-8 string — brute-force-replay twin of
+    * the engine's md5-prefix sample predicates.
+    */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

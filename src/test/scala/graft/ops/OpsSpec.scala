@@ -450,6 +450,8 @@ class OpsSpec extends AnyFunSuite {
       "total_acctbal_cents", "max_acctbal_cents"),
     "q268_ingest_audit" -> Set("n_raw", "n_gated", "n_prepped",
       "n_scored_keep", "n_out", "accounting_law"),
+    "q269_pq_adc_topk" -> Set("vec_id", "label", "adc_d2_micro",
+      "adc_d2", "exact_d2"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -590,6 +590,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"q262 pays a shuffle:\n$p")
   }
 
+  test("q269: PQ-ADC search is a zero-shuffle scan into TakeOrdered") {
+    // the whole point of ADC: codebook + lookup table are literals, so
+    // the query path is projection → TakeOrdered — no Exchange, no join
+    val p = plan(Similarity.pqAdcTopK(spark, sf))
+    assert(!p.contains("Exchange"), s"q269 pays a shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q269 lost top-k:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q266: both Q20 nesting levels plan as LEFT SEMI joins, part filter pushed") {
     val p = plan(Relational.dominantPartSuppliers(spark, sf))
     // level 1 (part-family filter on lineitem) + level 2 (qualifying

@@ -170,6 +170,65 @@ class Round10Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("pqAdcTopK: brute-force ADC replay agrees; planted near-twin ranks first") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_adc").toString
+    try {
+      // 64-dim corpus: vec 0 is the query; vec 7 is a near-twin (tiny
+      // perturbation); the rest are far. Seeds = md5-sampled head — with
+      // 40 vecs several land in the sample, enough for a codebook
+      val rnd = new scala.util.Random(7)
+      def vec(seedShift: Int): Array[Float] =
+        Array.tabulate(64)(i => ((i * 31 + seedShift * 17) % 13 - 6) / 3.0f)
+      val rows = (0L to 39L).map { id =>
+        val base =
+          if (id == 7L) vec(0).zipWithIndex.map { case (v, i) =>
+            v + (if (i % 16 == 0) 0.01f else 0.0f) }
+          else vec(id.toInt)
+        (id, base, (id % 4).toInt)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val got = Similarity.pqAdcTopK(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+      assert(got.length == 10)
+      // brute-force replay: encode every vector against the same seeds
+      // (rounded-d2 argmin, min-code ties) and sum lookup-table micros
+      val all = rows.map { case (id, e, _) => id -> e }.toMap
+      val seedIds = rows.map(_._1)
+        .filter(id => graft.TestFiles.md5Hex(id.toString).take(2) <= "19")
+        .sorted.take(8)
+      val seeds = seedIds.zipWithIndex.map { case (id, c) => (c, all(id)) }
+      val q = all(0L)
+      def sumSq(v: Seq[Float]) =
+        v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      def dotD(a: Seq[Float], b: Seq[Float]) =
+        a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      def d2(a: Seq[Float], b: Seq[Float]) =
+        sumSq(a) - 2.0 * dotD(a, b) + sumSq(b)
+      def rounded6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expect = rows.filter(_._1 != 0L).map { case (id, e, _) =>
+        val adc = (0 until 4).map { b =>
+          val vb = e.slice(b * 16, b * 16 + 16).toSeq
+          val code = seeds
+            .map { case (c, s) =>
+              (rounded6(d2(vb, s.slice(b * 16, b * 16 + 16).toSeq)), c) }
+            .min._2
+          val qb = q.slice(b * 16, b * 16 + 16).toSeq
+          math.round(d2(qb,
+            seeds(code)._2.slice(b * 16, b * 16 + 16).toSeq) * 1000000.0)
+        }.sum
+        (id, adc)
+      }.sortBy(t => (t._2, t._1)).take(10)
+      assert(got.map(t => (t._1, t._2)).toSeq == expect,
+        s"got ${got.mkString(", ")}\nexpect ${expect.mkString(", ")}")
+      // the planted near-twin is the top hit, and its exact d2 is ~0
+      assert(got.head._1 == 7L, got.mkString(", "))
+      assert(got.head._3 < 0.01, s"near-twin exact_d2 ${got.head._3}")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("ingestAudit: accounting law holds on the corpus; counts are monotone and exact") {
     val r = graft.streaming.DocStreams
       .ingestAudit(spark, "/root/testdata/sf0.001").head()

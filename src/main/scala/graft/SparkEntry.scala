@@ -757,6 +757,10 @@ object SparkEntry {
     // zero-shuffle ANN query path (exact i64 lookup-table sums)
     "q269_pq_adc_topk" -> ((s: SparkSession, d: String) =>
       Similarity.pqAdcTopK(s, d)),
+    // measured recall of the ADC ranking vs the exact-L2 top-k — the
+    // quantized index's quality contract (the q19/q65 IVF pattern)
+    "q270_adc_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.adcRecallAtK(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5638,6 +5642,36 @@ object SparkEntry {
     // + min-code argmin), plus the query-side lookup table in exact
     // integer micro-units — ADC distances are i64 sums on both engines
     "q269_pq_adc_topk" ->
+      (pqAdcCtes +
+        """
+          |SELECT adc.vec_id, ex.label, adc.adc_micro AS adc_d2_micro,
+          | CAST(adc.adc_micro AS DOUBLE) / 1000000.0 AS adc_d2,
+          | ex.exact_d2
+          |FROM adc JOIN ex ON adc.vec_id = ex.vec_id
+          |WHERE adc.vec_id <> 0
+          |ORDER BY adc.adc_micro, adc.vec_id LIMIT 10""".stripMargin),
+    // q270: both deterministic rankings replayed, recall = exact
+    // intersection over k
+    "q270_adc_recall" ->
+      (pqAdcCtes +
+        """,
+          |adctop AS (SELECT adc.vec_id FROM adc WHERE adc.vec_id <> 0
+          |           ORDER BY adc.adc_micro, adc.vec_id LIMIT 10),
+          |extop AS (SELECT ex.vec_id FROM ex WHERE ex.vec_id <> 0
+          |          ORDER BY ex.exact_d2, ex.vec_id LIMIT 10)
+          |SELECT CAST(10 AS BIGINT) AS k,
+          | CAST(count(*) AS BIGINT) AS n_overlap,
+          | round(count(*) / 10.0, 6) AS recall
+          |FROM adctop JOIN extop USING (vec_id)""".stripMargin),
+  )
+
+  /** The q269/q270 shared oracle chain: q184's encoder CTEs (seeds,
+    * per-block rounded-d² argmin) + the query-side ADC lookup table in
+    * exact integer micro-units + the full-width exact d² — one
+    * definition, so the search and its recall judge replay the
+    * identical ranker.
+    */
+  private val pqAdcCtes: String =
       """WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
         |          - 1 AS BIGINT) AS code, embedding
         |       FROM (SELECT vec_id, embedding FROM embeddings
@@ -5687,14 +5721,7 @@ object SparkEntry {
         |           for i in range(1, len(e.embedding) + 1)])
         |     + list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) for y in qe]),
         |     6) AS exact_d2
-        |  FROM embeddings e, q)
-        |SELECT adc.vec_id, ex.label, adc.adc_micro AS adc_d2_micro,
-        | CAST(adc.adc_micro AS DOUBLE) / 1000000.0 AS adc_d2,
-        | ex.exact_d2
-        |FROM adc JOIN ex ON adc.vec_id = ex.vec_id
-        |WHERE adc.vec_id <> 0
-        |ORDER BY adc.adc_micro, adc.vec_id LIMIT 10""".stripMargin,
-  )
+        |  FROM embeddings e, q)""".stripMargin
 
   /** Shared q170/q175 oracle chain: the q54 KNN closure, then one
     * generated CTE block per synchronous LPA round — mode of neighbor

@@ -77,7 +77,11 @@ object JdkMediaCodec extends MediaCodec {
     * PNG raster decodes to the same pixels everywhere) and actually
     * content-derived: two images with different pixel distributions get
     * different vectors even at identical byte length. Non-image bytes
-    * fall back to the stub's byte-4-gram feature.
+    * try the REAL audio path next — the decoded PCM sample histogram
+    * (the audio twin of the luminance histogram: container headers and
+    * encoding widths stop mattering, the waveform distribution is the
+    * feature) — and only then fall back to the stub's byte-4-gram
+    * feature, so undecodable payloads still featurize.
     */
   override def featurize(bytes: Array[Byte], dim: Int): Array[Float] =
     readImage(bytes) match {
@@ -98,8 +102,48 @@ object JdkMediaCodec extends MediaCodec {
         }
         val n = math.sqrt(acc.foldLeft(0.0)((s, v) => s + v * v)).toFloat
         if (n == 0f) acc else acc.map(_ / n)
-      case None => Multimodal.StubCodec.featurize(bytes, dim)
+      case None =>
+        audioSampleHistogram(bytes, dim)
+          .getOrElse(Multimodal.StubCodec.featurize(bytes, dim))
     }
+
+  /** Decoded-PCM sample histogram: every frame's first-channel sample
+    * (any supported bit width, normalized to an unsigned byte) bucketed
+    * into `dim` equal-width bins, L2-normalized. None when the JDK has
+    * no reader for the container — the caller falls through to the
+    * byte-level stub.
+    */
+  private def audioSampleHistogram(bytes: Array[Byte],
+      dim: Int): Option[Array[Float]] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frameSize = math.max(1, fmt.getFrameSize)
+        val acc = new Array[Float](dim)
+        val buf = new Array[Byte](frameSize * 1024)
+        var read = ais.read(buf)
+        while (read > 0) {
+          var off = 0
+          while (off + frameSize <= read) {
+            // first byte of the first channel, de-signed per encoding:
+            // PCM_SIGNED stores two's-complement, shift to unsigned
+            val raw = buf(off).toInt
+            val u =
+              if (fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                (raw + 256 + 128) % 256
+              else raw & 0xff
+            acc(u * dim / 256) += 1f
+            off += frameSize
+          }
+          read = ais.read(buf)
+        }
+        val n = math.sqrt(acc.foldLeft(0.0)((s, v) => s + v * v)).toFloat
+        Some(if (n == 0f) acc else acc.map(_ / n))
+      } finally ais.close()
+    } catch { case _: Exception => None }
 
   /** Real image resize: decode, scale the raster down by `scale` with
     * nearest-neighbor sampling (deterministic, unlike interpolating

@@ -1191,16 +1191,54 @@ object Similarity {
         .getField("code")
       element_at(array(ltMicro(b).map(lit): _*), codeCol.cast("int") + 1)
     }.reduce(_ + _)
-    val exactD2 =
-      round(dot($"embedding", $"embedding") -
-        lit(2.0) * dot($"embedding", litVec(qv)) + lit(sumSq(qv)), 6)
     e.filter($"vec_id" =!= 0L)
       .select($"vec_id", $"label".cast("long").as("label"),
-        adcMicro.as("adc_d2_micro"), exactD2.as("exact_d2"))
+        adcMicro.as("adc_d2_micro"), exactD2To(qv).as("exact_d2"))
       .select($"vec_id", $"label", $"adc_d2_micro",
         ($"adc_d2_micro" / 1000000.0).as("adc_d2"), $"exact_d2")
       .orderBy($"adc_d2_micro", $"vec_id")
       .limit(k)
+  }
+
+  /** ‖q − embedding‖² at full width, rounded to 6 — q184's three-dot
+    * formula against a literal query vector; shared by the ADC search
+    * (q269) and its recall eval (q270) so ranker and judge can't drift.
+    */
+  private def exactD2To(qv: Seq[Float]): Column = {
+    val qq = qv.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+    round(dot(col("embedding"), col("embedding")) -
+      lit(2.0) * dot(col("embedding"), litVec(qv)) + lit(qq), 6)
+  }
+
+  /** ADC recall@k (q270): how much of the TRUE exact-L2 top-k the q269
+    * PQ-ADC ranking recovers — the measured-recall contract every
+    * quantized index must ship with (the q19/q65 IVF pattern applied to
+    * PQ): both rankings are fully deterministic (integer ADC sums /
+    * rounded exact d², vec_id tie-breaks), so recall is an exact
+    * replayable VALUE, not a statistical estimate.
+    *
+    * Scale: two zero-shuffle scan rankings into TakeOrdered(k) and a
+    * k-row intersection — the eval costs what two q269 queries cost.
+    */
+  def adcRecallAtK(spark: SparkSession, dir: String, nBlocks: Int = 4,
+      codesPerBlock: Int = 8, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val adcTop = pqAdcTopK(spark, dir, nBlocks, codesPerBlock, k)
+      .select($"vec_id")
+    val qRows = e.filter($"vec_id" === 0L).select($"embedding").collect()
+    val exactTop =
+      if (qRows.isEmpty) adcTop.limit(0)
+      else e.filter($"vec_id" =!= 0L)
+        .select($"vec_id", exactD2To(qRows(0).getSeq[Float](0).toSeq)
+          .as("exact_d2"))
+        .orderBy($"exact_d2", $"vec_id")
+        .limit(k)
+        .select($"vec_id")
+    adcTop.join(exactTop, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), $"n_overlap",
+        round($"n_overlap" / lit(k.toDouble), 6).as("recall"))
   }
 
   /** Embedding-space outliers (q189): per vector the z-normalized

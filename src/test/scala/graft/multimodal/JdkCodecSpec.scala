@@ -95,6 +95,35 @@ class JdkCodecSpec extends AnyFunSuite {
     assert(feats.head.feature.toSeq == fa.toSeq)
   }
 
+  test("featurize on real WAVs: decoded-sample histogram, unit norm, waveform-derived") {
+    // two WAVs with the SAME byte length but different waveforms must
+    // get different features — proving the feature reads decoded PCM,
+    // not container bytes
+    def wavOf(f: Int => Byte): Array[Byte] = {
+      val pcm = Array.tabulate[Byte](800)(f)
+      val fmt = new AudioFormat(8000f, 8, 1, false, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, 800L)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val quiet = wavOf(_ => 10.toByte)           // constant low sample
+    val loud = wavOf(i => (i * 37 % 256).toByte) // spread samples
+    val fq = JdkMediaCodec.featurize(quiet, 16)
+    val fl = JdkMediaCodec.featurize(loud, 16)
+    def norm2(v: Array[Float]): Double =
+      v.foldLeft(0.0)((s, x) => s + x.toDouble * x)
+    assert(math.abs(norm2(fq) - 1.0) < 1e-3)
+    assert(math.abs(norm2(fl) - 1.0) < 1e-3)
+    assert(fq.toSeq != fl.toSeq, "audio feature ignored the waveform")
+    // constant-waveform histogram concentrates in ONE bucket exactly
+    assert(fq.count(_ != 0f) == 1, fq.mkString(","))
+    // NOT the stub's byte-4-gram fallback — the real decode path ran
+    assert(fq.toSeq != Multimodal.StubCodec.featurize(quiet, 16).toSeq)
+    // deterministic across calls
+    assert(JdkMediaCodec.featurize(loud, 16).toSeq == fl.toSeq)
+  }
+
   test("corrupt image bytes fall back deterministically instead of failing the batch") {
     val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
     val m = JdkMediaCodec.decode("image", junk)

@@ -452,6 +452,7 @@ class OpsSpec extends AnyFunSuite {
       "n_scored_keep", "n_out", "accounting_law"),
     "q269_pq_adc_topk" -> Set("vec_id", "label", "adc_d2_micro",
       "adc_d2", "exact_d2"),
+    "q270_adc_recall" -> Set("k", "n_overlap", "recall"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

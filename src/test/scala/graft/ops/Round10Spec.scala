@@ -226,6 +226,19 @@ class Round10Spec extends AnyFunSuite {
       // the planted near-twin is the top hit, and its exact d2 is ~0
       assert(got.head._1 == 7L, got.mkString(", "))
       assert(got.head._3 < 0.01, s"near-twin exact_d2 ${got.head._3}")
+      // q270: recall replay — exact top-10 by full-width d2, then the
+      // intersection with the ADC top-10 above
+      val exactTop = rows.filter(_._1 != 0L)
+        .map { case (id, e, _) => (id, rounded6(d2(e.toSeq, q.toSeq))) }
+        .sortBy(t => (t._2, t._1)).take(10).map(_._1).toSet
+      val expOverlap = got.map(_._1).count(exactTop)
+      val rec = Similarity.adcRecallAtK(spark, tmp).head()
+      assert(rec.getLong(0) == 10L)
+      assert(rec.getLong(1) == expOverlap.toLong,
+        s"recall overlap ${rec.getLong(1)} vs replay $expOverlap")
+      assert(rec.getDouble(2) == expOverlap / 10.0)
+      // the near-twin guarantees at least one true hit survives ADC
+      assert(rec.getLong(1) >= 1L)
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 

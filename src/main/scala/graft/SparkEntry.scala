@@ -761,6 +761,10 @@ object SparkEntry {
     // quantized index's quality contract (the q19/q65 IVF pattern)
     "q270_adc_recall" -> ((s: SparkSession, d: String) =>
       Similarity.adcRecallAtK(s, d)),
+    // per-block Lloyd training of the PQ codebook in exact integers,
+    // recall re-measured before/after — q270's finding, answered
+    "q271_trained_pq_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.trainedPqRecall(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5663,7 +5667,113 @@ object SparkEntry {
           | CAST(count(*) AS BIGINT) AS n_overlap,
           | round(count(*) / 10.0, 6) AS recall
           |FROM adctop JOIN extop USING (vec_id)""".stripMargin),
+    // q271: the integer per-block Lloyd trajectory unrolled, both
+    // phases' rankings replayed against the shared exact top-k
+    "q271_trained_pq_recall" -> trainedPqSql(2),
   )
+
+  /** The q271 oracle: per-block Lloyd unrolled round by round in EXACT
+    * integer arithmetic (e6 components, i64 squared distances, shifted
+    * non-negative floor division for the means — `//` == Spark's `div`
+    * on non-negative numerators), then the init- and trained-codebook
+    * ADC rankings and the shared exact quantized-L2 top-k. Integer sums
+    * are order-independent, so no float association can split the
+    * engines anywhere in the chain.
+    */
+  private def trainedPqSql(iters: Int): String = {
+    val init =
+      """WITH cx AS MATERIALIZED (SELECT vec_id,
+        |   CAST((i - 1) // 16 AS BIGINT) AS b,
+        |   CAST((i - 1) % 16 + 1 AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS x
+        |  FROM (SELECT vec_id, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings WHERE vec_id <> 0)),
+        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+        |          - 1 AS BIGINT) AS code, embedding
+        |       FROM (SELECT vec_id, embedding FROM embeddings
+        |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+        |               <= '19'
+        |             ORDER BY vec_id LIMIT 8)),
+        |cent0 AS MATERIALIZED (SELECT code,
+        |   CAST((i - 1) // 16 AS BIGINT) AS b,
+        |   CAST((i - 1) % 16 + 1 AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS c
+        |  FROM (SELECT code, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM seeds)),
+        |qx AS MATERIALIZED (SELECT CAST((i - 1) // 16 AS BIGINT) AS b,
+        |   CAST((i - 1) % 16 + 1 AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS x
+        |  FROM (SELECT embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings WHERE vec_id = 0))""".stripMargin
+    // round r: assign against cent{r-1}, recompute cent{r}
+    def assignCtes(r: Int, centName: String): String =
+      s""",
+         |d$r AS (SELECT cx.vec_id, cx.b, ct.code,
+         |   CAST(sum((cx.x - ct.c) * (cx.x - ct.c)) AS BIGINT) AS d2
+         |  FROM cx JOIN $centName ct ON cx.b = ct.b AND cx.j = ct.j
+         |  GROUP BY 1, 2, 3),
+         |a$r AS MATERIALIZED (SELECT vec_id, b, code, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, b
+         |      ORDER BY d2, code) AS rk FROM d$r) WHERE rk = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      assignCtes(r, s"cent${r - 1}") +
+        s""",
+           |m$r AS (SELECT a.b, a.code, cx.j,
+           |   CAST(sum(cx.x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+           |  FROM a$r a JOIN cx ON a.vec_id = cx.vec_id AND a.b = cx.b
+           |  GROUP BY 1, 2, 3),
+           |cent$r AS MATERIALIZED (SELECT p.code, p.b, p.j,
+           |   CAST(coalesce((m.s + 4000000 * m.n) // m.n - 4000000, p.c)
+           |     AS BIGINT) AS c
+           |  FROM cent${r - 1} p LEFT JOIN m$r m
+           |    ON p.b = m.b AND p.code = m.code AND p.j = m.j)""".stripMargin
+    }.mkString
+    val finalAssign = assignCtes(iters + 1, s"cent$iters")
+    init + rounds + finalAssign +
+      s""",
+         |lti AS (SELECT ct.b, ct.code,
+         |   CAST(sum((qx.x - ct.c) * (qx.x - ct.c)) AS BIGINT) AS ltm
+         |  FROM cent0 ct JOIN qx ON ct.b = qx.b AND ct.j = qx.j
+         |  GROUP BY 1, 2),
+         |ltt AS (SELECT ct.b, ct.code,
+         |   CAST(sum((qx.x - ct.c) * (qx.x - ct.c)) AS BIGINT) AS ltm
+         |  FROM cent$iters ct JOIN qx ON ct.b = qx.b AND ct.j = qx.j
+         |  GROUP BY 1, 2),
+         |adci AS (SELECT a.vec_id, CAST(sum(lti.ltm) AS BIGINT) AS adc
+         |  FROM a1 a JOIN lti ON a.b = lti.b AND a.code = lti.code
+         |  GROUP BY 1),
+         |adct AS (SELECT a.vec_id, CAST(sum(ltt.ltm) AS BIGINT) AS adc
+         |  FROM a${iters + 1} a JOIN ltt ON a.b = ltt.b
+         |    AND a.code = ltt.code
+         |  GROUP BY 1),
+         |exq AS (SELECT cx.vec_id,
+         |   CAST(sum((cx.x - qx.x) * (cx.x - qx.x)) AS BIGINT) AS d2
+         |  FROM cx JOIN qx ON cx.b = qx.b AND cx.j = qx.j GROUP BY 1),
+         |extop AS (SELECT vec_id FROM exq ORDER BY d2, vec_id LIMIT 10),
+         |topi AS (SELECT vec_id FROM adci ORDER BY adc, vec_id LIMIT 10),
+         |topt AS (SELECT vec_id FROM adct ORDER BY adc, vec_id LIMIT 10),
+         |disti AS (SELECT CAST(coalesce(sum(pm), 0) AS BIGINT) AS dm FROM (
+         |    SELECT sum(d2) // 1000000 AS pm FROM a1 GROUP BY vec_id)),
+         |distt AS (SELECT CAST(coalesce(sum(pm), 0) AS BIGINT) AS dm FROM (
+         |    SELECT sum(d2) // 1000000 AS pm FROM a${iters + 1}
+         |    GROUP BY vec_id))
+         |SELECT 'init' AS phase, CAST(10 AS BIGINT) AS k,
+         | CAST(count(*) AS BIGINT) AS n_overlap,
+         | round(count(*) / 10.0, 6) AS recall,
+         | (SELECT dm FROM disti) AS distortion_m
+         |FROM topi JOIN extop USING (vec_id)
+         |UNION ALL
+         |SELECT 'trained', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+         | round(count(*) / 10.0, 6),
+         | (SELECT dm FROM distt)
+         |FROM topt JOIN extop USING (vec_id)""".stripMargin
+  }
 
   /** The q269/q270 shared oracle chain: q184's encoder CTEs (seeds,
     * per-block rounded-d² argmin) + the query-side ADC lookup table in

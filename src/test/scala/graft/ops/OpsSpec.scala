@@ -453,6 +453,8 @@ class OpsSpec extends AnyFunSuite {
     "q269_pq_adc_topk" -> Set("vec_id", "label", "adc_d2_micro",
       "adc_d2", "exact_d2"),
     "q270_adc_recall" -> Set("k", "n_overlap", "recall"),
+    "q271_trained_pq_recall" -> Set("phase", "k", "n_overlap", "recall",
+      "distortion_m"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -242,6 +242,49 @@ class Round10Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("trainedPqRecall: Lloyd never increases distortion; exact-seed corpus is a fixpoint") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tpq").toString
+    try {
+      // clustered corpus: each vector's blocks are one of two patterns
+      // plus a small id-dependent wobble — training must strictly cut
+      // distortion here (the sampled seeds won't sit on the means)
+      val rows = (0L to 63L).map { id =>
+        val base = if (id % 2 == 0) 0.4f else -0.3f
+        (id, Array.tabulate(64)(i => base + (id % 5) * 0.01f + i * 0.001f),
+          (id % 3).toInt)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val r = Similarity.trainedPqRecall(spark, tmp).collect()
+        .map(x => x.getString(0) -> (x.getLong(2), x.getLong(4))).toMap
+      assert(r.keySet == Set("init", "trained"))
+      val (initD, trainedD) = (r("init")._2, r("trained")._2)
+      assert(trainedD <= initD, s"Lloyd increased distortion: $initD -> $trainedD")
+      assert(trainedD < initD, s"clustered corpus should improve: $initD -> $trainedD")
+      // fixpoint: every vector IS one of the 8 md5-sampled seeds -> the
+      // init codebook is optimal, distortion 0, training changes nothing
+      val seedIds = (0L to 63L)
+        .filter(id => graft.TestFiles.md5Hex(id.toString).take(2) <= "19")
+        .sorted.take(8)
+      assert(seedIds.nonEmpty, "fixture needs at least one sampled seed")
+      val all = rows.map(r2 => r2._1 -> r2._2).toMap
+      val fix = (0L to 63L).map(id =>
+        (id, all(seedIds((id % seedIds.size).toInt)), 0))
+      // seed rows must map to THEMSELVES under the sample+order recipe:
+      // overwrite seed positions with their own vectors
+      val fixed = fix.map { case (id, e, l) =>
+        if (seedIds.contains(id)) (id, all(id), l) else (id, e, l)
+      }
+      fixed.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/fix/embeddings.parquet")
+      val rf = Similarity.trainedPqRecall(spark, s"$tmp/fix").collect()
+        .map(x => x.getString(0) -> x.getLong(4)).toMap
+      assert(rf("init") == 0L && rf("trained") == 0L,
+        s"exact-seed corpus must have zero distortion: $rf")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("ingestAudit: accounting law holds on the corpus; counts are monotone and exact") {
     val r = graft.streaming.DocStreams
       .ingestAudit(spark, "/root/testdata/sf0.001").head()

@@ -159,7 +159,8 @@ object ScaleBench {
     "q165_audience_overlap", "q167_jackknife_ci", "q168_ab_lift",
     "q169_funnel_latency", "q178_kaplan_meier", "q188_lagged_xcorr",
     "q193_sax_symbols", "q200_simpson_check", "q204_conversion_windows",
-    "q208_entropy_rate", "q258_position_attribution")
+    "q208_entropy_rate", "q258_position_attribution",
+    "q272_event_stream_audit")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("docs")

@@ -765,6 +765,10 @@ object SparkEntry {
     // recall re-measured before/after — q270's finding, answered
     "q271_trained_pq_recall" -> ((s: SparkSession, d: String) =>
       Similarity.trainedPqRecall(s, d)),
+    // the deployed event-stream transforms audited on the batch frame:
+    // conservation laws + native session_window replayed via gap islands
+    "q272_event_stream_audit" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.streamAudit(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5670,6 +5674,35 @@ object SparkEntry {
     // q271: the integer per-block Lloyd trajectory unrolled, both
     // phases' rankings replayed against the shared exact top-k
     "q271_trained_pq_recall" -> trainedPqSql(2),
+    // q272: tumbling cells by epoch-hour floor, session_window replayed
+    // as lag/gap islands — break STRICTLY past the gap: session_window
+    // merges an exactly-gap-length silence (boundary pinned by the
+    // Round10Spec hand fixture, which caught the >= variant), pairs by
+    // the identical time-range predicate
+    "q272_event_stream_audit" ->
+      """WITH base AS (SELECT event_id, epoch_ns(ts) // 1000 AS us,
+        |        user_id, event_type, value FROM events),
+        |hr AS (SELECT CAST(count(*) AS BIGINT) AS n_hourly_cells FROM (
+        |    SELECT DISTINCT us // 3600000000 AS h, event_type FROM base)),
+        |sg AS (SELECT user_id, us, event_id,
+        |        lag(us) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS pu
+        |       FROM base),
+        |ns AS (SELECT CAST(sum(CASE WHEN pu IS NULL
+        |          OR us - pu > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_sessions FROM sg),
+        |dd AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_dedup
+        |       FROM base),
+        |pr AS (SELECT CAST(count(*) AS BIGINT) AS n_click_purchase_pairs
+        |       FROM base c JOIN base p ON c.user_id = p.user_id
+        |        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |        AND p.us >= c.us AND p.us <= c.us + 7200000000),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_raw FROM base)
+        |SELECT nr.n_raw, hr.n_hourly_cells,
+        | nr.n_raw AS n_hourly_counted,
+        | ns.n_sessions, nr.n_raw AS n_sessioned, dd.n_dedup,
+        | pr.n_click_purchase_pairs, TRUE AS conservation_law
+        |FROM nr, hr, ns, dd, pr""".stripMargin,
   )
 
   /** The q271 oracle: per-block Lloyd unrolled round by round in EXACT

@@ -92,12 +92,59 @@ object EventStreams {
   /** Streaming exact dedup: first occurrence of each key wins, state
     * bounded by the watermark horizon (`dropDuplicatesWithinWatermark`
     * evicts seen-keys once they age out — the only way streaming dedup
-    * state survives an unbounded stream). Batch twin: `dropDuplicates`.
+    * state survives an unbounded stream). On a batch frame the same
+    * function IS its batch twin (exact `dropDuplicates`, no horizon) —
+    * the DocStreams.dedupByContent backfill contract, audited by q272.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String] = Seq("event_id")): DataFrame =
-    events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
+  /** Event-pipeline accounting audit (q272): the q268 pattern on the
+    * EVENTS side — every deployed streaming transform ([[hourlyCounts]],
+    * [[sessionWindows]], [[dedupStream]], [[clickPurchaseJoin]]) run on
+    * the batch events frame (identical plans by construction — each
+    * takes its input as an argument), rolled up into row-accounting
+    * values the DuckDB oracle replays independently: tumbling cells by
+    * epoch-hour flooring, native `session_window` sessions against the
+    * lag/gap-island derivation (two DIFFERENT constructions of the same
+    * semantics — a disagreement is an engine bug, not drift), the
+    * stream-stream join's pair count by the same time-range predicate,
+    * and conservation laws (every event lands in exactly one hourly
+    * cell and one session) asserted literally.
+    *
+    * Scale: each audited transform keeps its production shape (keyed
+    * windows/aggregates); the audit adds only single-row rollups.
+    */
+  def streamAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.ops.Tables.eventsNs(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val nRaw = ev.agg(count(lit(1)).as("n_raw"))
+    val hAgg = hourlyCounts(ev).agg(
+      count(lit(1)).as("n_hourly_cells"),
+      coalesce(sum($"n"), lit(0L)).as("n_hourly_counted"))
+    val sAgg = sessionWindows(ev).agg(
+      count(lit(1)).as("n_sessions"),
+      coalesce(sum($"n_events"), lit(0L)).as("n_sessioned"))
+    val dAgg = dedupStream(ev).agg(count(lit(1)).as("n_dedup"))
+    val pAgg = clickPurchaseJoin(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"))
+      .agg(count(lit(1)).as("n_click_purchase_pairs"))
+    nRaw.crossJoin(hAgg).crossJoin(sAgg).crossJoin(dAgg).crossJoin(pAgg)
+      .select($"n_raw", $"n_hourly_cells", $"n_hourly_counted",
+        $"n_sessions", $"n_sessioned", $"n_dedup",
+        $"n_click_purchase_pairs",
+        ($"n_hourly_counted" === $"n_raw" &&
+          $"n_sessioned" === $"n_raw" &&
+          $"n_sessions" <= $"n_raw" && $"n_dedup" <= $"n_raw")
+          .as("conservation_law"))
+  }
 
   /** Custom-state sessionizer: `flatMapGroupsWithState` with event-time
     * timeout. Emits a SessionOut each time a 30-minute gap closes a

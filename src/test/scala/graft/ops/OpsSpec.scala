@@ -455,6 +455,9 @@ class OpsSpec extends AnyFunSuite {
     "q270_adc_recall" -> Set("k", "n_overlap", "recall"),
     "q271_trained_pq_recall" -> Set("phase", "k", "n_overlap", "recall",
       "distortion_m"),
+    "q272_event_stream_audit" -> Set("n_raw", "n_hourly_cells",
+      "n_hourly_counted", "n_sessions", "n_sessioned", "n_dedup",
+      "n_click_purchase_pairs", "conservation_law"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -285,6 +285,54 @@ class Round10Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("streamAudit: session boundary at EXACTLY the gap splits; +2h pair boundary is inclusive") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q272").toString
+    try {
+      val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      def ts(sec: Long) = java.sql.Timestamp.from(base.plusSeconds(sec))
+      // user 1: gaps 1700 (merge) then 1900 (split)  -> 2 sessions
+      // user 2: gap EXACTLY 1800 -> session_window's merge is
+      //         INCLUSIVE of the boundary (measured; the oracle's gap
+      //         islands split strictly past the gap) -> 1 session
+      // user 3: click at 0; purchases at +7200 (inclusive pair) and
+      //         +7201 (outside)                       -> 1 pair
+      // event 99 is duplicated                        -> n_dedup = n-1
+      val rows = Seq(
+        (1L, ts(0L), 1L, "view", 1.0),
+        (2L, ts(1700L), 1L, "view", 1.0),
+        (3L, ts(3600L), 1L, "view", 1.0),
+        (4L, ts(0L), 2L, "click", 1.0),
+        (5L, ts(1800L), 2L, "view", 1.0),
+        (6L, ts(0L), 3L, "click", 1.0),
+        (7L, ts(7200L), 3L, "purchase", 5.0),
+        (8L, ts(7201L), 3L, "purchase", 5.0),
+        (99L, ts(100L), 4L, "view", 1.0),
+        (99L, ts(100L), 4L, "view", 1.0))
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val r = graft.streaming.EventStreams.streamAudit(spark, tmp).head()
+      assert(r.getLong(0) == 10L, "n_raw")
+      // hours 0,1,2 x types present: (0,view),(0,click),(1,view),
+      // (2,purchase),(2,view at 7201? no - 7201s is hour 2),(1700s=hour 0)
+      // enumerate: view@0,1700,100,100 -> (h0,view); click@0,0 ->(h0,click);
+      // view@3600,1800? 1800s = hour 0! (1800 < 3600) -> (h0,view);
+      // view@3600 -> (h1,view); purchase@7200,7201 -> (h2,purchase)
+      assert(r.getLong(1) == 4L, s"n_hourly_cells ${r.getLong(1)}")
+      assert(r.getLong(2) == 10L, "hourly conservation")
+      // sessions: u1: {0,1700} + {3600} = 2; u2: {0,1800} = 1;
+      // u3: {0} + {7200,7201} = 2; u4: {100,100} = 1  -> 6
+      assert(r.getLong(3) == 6L, s"n_sessions ${r.getLong(3)}")
+      assert(r.getLong(4) == 10L, "session conservation")
+      assert(r.getLong(5) == 9L, s"n_dedup ${r.getLong(5)}")
+      // u3's click pairs with +7200 (inclusive) but not +7201; u2's
+      // click has no purchase
+      assert(r.getLong(6) == 1L, s"n_pairs ${r.getLong(6)}")
+      assert(r.getBoolean(7), "conservation_law")
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("ingestAudit: accounting law holds on the corpus; counts are monotone and exact") {
     val r = graft.streaming.DocStreams
       .ingestAudit(spark, "/root/testdata/sf0.001").head()

@@ -143,7 +143,8 @@ object ScaleBench {
     "q151_scd2_history", "q156_interval_merge", "q173_rfm_segments",
     "q217_fk_audit", "q218_order_reconciliation",
     "q259_small_qty_revenue", "q260_order_holding_suppliers",
-    "q266_dominant_part_suppliers", "q267_lapsed_customers")
+    "q266_dominant_part_suppliers", "q267_lapsed_customers",
+    "q273_part_value_concentration", "q274_part_supplier_census")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",

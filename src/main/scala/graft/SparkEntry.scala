@@ -769,6 +769,13 @@ object SparkEntry {
     // conservation laws + native session_window replayed via gap islands
     "q272_event_stream_audit" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.streamAudit(s, d)),
+    // TPC-H Q11 shape: HAVING against a broadcast global scalar, the
+    // threshold on the overflow-safe floored average
+    "q273_part_value_concentration" -> ((s: SparkSession, d: String) =>
+      Relational.partValueConcentration(s, d)),
+    // TPC-H Q16 shape: NOT IN blacklist as LEFT ANTI + count distinct
+    "q274_part_supplier_census" -> ((s: SparkSession, d: String) =>
+      Relational.partSupplierCensus(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5703,6 +5710,29 @@ object SparkEntry {
         | ns.n_sessions, nr.n_raw AS n_sessioned, dd.n_dedup,
         | pr.n_click_purchase_pairs, TRUE AS conservation_law
         |FROM nr, hr, ns, dd, pr""".stripMargin,
+    // q273: per-part exact cents, the floored global average, the
+    // identical integer threshold
+    "q273_part_value_concentration" ->
+      """WITH pc AS (SELECT l_partkey,
+        |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |     AS BIGINT) AS value_cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t,
+        |       CAST(count(*) AS BIGINT) AS np FROM pc)
+        |SELECT pc.l_partkey, pc.value_cents,
+        | round(pc.value_cents /
+        |   CAST(greatest(g.t // g.np, 1) AS DOUBLE), 6) AS avg_multiple
+        |FROM pc, g
+        |WHERE pc.value_cents * 10 > 15 * (g.t // g.np)""".stripMargin,
+    // q274: NOT IN as the anti-join it plans to, count distinct per
+    // (brand, type, size)
+    "q274_part_supplier_census" ->
+      """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        | CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 
   /** The q271 oracle: per-block Lloyd unrolled round by round in EXACT

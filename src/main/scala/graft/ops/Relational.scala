@@ -914,6 +914,62 @@ object Relational {
         max($"cents").as("max_acctbal_cents"))
   }
 
+  /** High-value part concentration (q273, the TPC-H Q11 shape): parts
+    * whose shipped value exceeds 1.5× the average per-part value — the
+    * GROUP BY + HAVING-against-a-global-scalar classic, planned the
+    * scalable way: per-part exact cent sums once, the global (total,
+    * n_parts) on a one-row broadcast, and the threshold compared as
+    * c·10 > 15·(total div n_parts) — the floored average keeps every
+    * factor far inside i64 at any corpus size (the naive c·np·10 >
+    * 15·t cross-multiplication overflows past ~10× this scale), and
+    * floor-div equals `//` on the non-negative operands so the
+    * boundary is engine-identical.
+    *
+    * Plan shape: one map-side-combined per-part aggregate, one
+    * broadcast cross join, a scan-stage filter — no second pass, no
+    * correlated probe.
+    */
+  def partValueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pc = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_partkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"l_partkey").agg(sum($"cents").as("value_cents"))
+    val g = broadcast(pc.agg(sum($"value_cents").as("t"),
+      count(lit(1)).as("np")))
+    pc.crossJoin(g)
+      .withColumn("avg_floor", expr("t div np"))
+      .filter($"value_cents" * 10L > lit(15L) * $"avg_floor")
+      .select($"l_partkey", $"value_cents",
+        round($"value_cents" / greatest($"avg_floor", lit(1L))
+          .cast("double"), 6).as("avg_multiple"))
+  }
+
+  /** Part-supplier census excluding flagged suppliers (q274, the TPC-H
+    * Q16 shape): distinct supplier counts per (brand, type, size) over
+    * lineitems whose supplier is NOT on the blacklist (negative account
+    * balance) — the NOT IN + COUNT DISTINCT classic. The NOT IN plans
+    * as a LEFT ANTI join of the fact table against the key-only
+    * blacklist (never a per-row subquery; the blacklist is
+    * dimension-sized → broadcast), and the distinct count shuffles
+    * (group, supplier) pairs, not payloads.
+    */
+  def partSupplierCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flagged = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey")
+      .join(flagged, $"l_suppkey" === $"s_suppkey", "left_anti")
+    li.join(spark.read.parquet(s"$dir/part.parquet")
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(count_distinct($"l_suppkey").as("supplier_cnt"))
+      .select($"p_brand", $"p_type", $"p_size".cast("long").as("p_size"),
+        $"supplier_cnt")
+  }
+
   def orderHoldingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fOrders = spark.read.parquet(s"$dir/orders.parquet")

@@ -458,6 +458,10 @@ class OpsSpec extends AnyFunSuite {
     "q272_event_stream_audit" -> Set("n_raw", "n_hourly_cells",
       "n_hourly_counted", "n_sessions", "n_sessioned", "n_dedup",
       "n_click_purchase_pairs", "conservation_law"),
+    "q273_part_value_concentration" -> Set("l_partkey", "value_cents",
+      "avg_multiple"),
+    "q274_part_supplier_census" -> Set("p_brand", "p_type", "p_size",
+      "supplier_cnt"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

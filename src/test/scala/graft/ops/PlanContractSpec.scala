@@ -599,6 +599,21 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q273: the global scalar rides a broadcast; one aggregate pass over lineitem") {
+    val p = plan(Relational.partValueConcentration(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q273 global total not broadcast:\n$p")
+    // two scans of lineitem (per-part agg + its rollup share one via
+    // reuse or not — what matters is no correlated per-row probe)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q274: NOT IN plans as an anti join against the key-only blacklist") {
+    val p = plan(Relational.partSupplierCensus(spark, sf))
+    assert(p.contains("LeftAnti"), s"q274 lost the anti join:\n$p")
+    assert(p.contains("LessThan(s_acctbal"), s"blacklist filter not pushed:\n$p")
+  }
+
   test("q266: both Q20 nesting levels plan as LEFT SEMI joins, part filter pushed") {
     val p = plan(Relational.dominantPartSuppliers(spark, sf))
     // level 1 (part-family filter on lineitem) + level 2 (qualifying

@@ -333,6 +333,65 @@ class Round10Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("partValueConcentration: threshold is 1.5x the floored average, exact boundary") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q273").toString
+    try {
+      // parts A=100, B=100, C=400 cents -> t=600, np=3, floored avg=200,
+      // threshold c*10 > 3000 -> only C qualifies (avg_multiple 2.0);
+      // BOUNDARY: D=300 gives exactly c*10 == 15*avg -> excluded
+      val li = Seq((1L, 1.00), (2L, 1.00), (3L, 4.00))
+      li.zipWithIndex.map { case ((pk, price), i) =>
+        (100L + i, pk, 1L, 1, 1.0, price, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      val rows = Relational.partValueConcentration(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((3L, 400L, 2.0)), rows.mkString(", "))
+      // boundary corpus: two parts 300/100 -> t=400, np=2, avg=200;
+      // 300*10 = 15*200 exactly -> strict > excludes it, empty result
+      Seq((100L, 1L, 1L, 1, 1.0, 3.00, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (101L, 2L, 1L, 1, 1.0, 1.00, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$tmp/b/lineitem.parquet")
+      assert(Relational.partValueConcentration(spark, s"$tmp/b").count() == 0L)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
+  test("partSupplierCensus: flagged suppliers vanish; groups with only flagged rows drop") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q274").toString
+    try {
+      Seq((1L, "S1", 0, 5.0), (2L, "S2", 0, -1.0))
+        .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+      Seq((1L, "x", "B1", "T1", 4, 1.0), (2L, "y", "B1", "T1", 5, 1.0))
+        .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+          "p_retailprice")
+        .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+      // part 1: suppliers 1 and 2 (2 flagged -> counts 1); part 2: only
+      // supplier 2 -> the whole group disappears
+      Seq((1L, 1L), (1L, 2L), (2L, 2L)).zipWithIndex
+        .map { case ((pk, sk), i) =>
+          (100L + i, pk, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+            java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      val rows = Relational.partSupplierCensus(spark, tmp).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(("B1", "T1", 4L, 1L)), rows.mkString(", "))
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("ingestAudit: accounting law holds on the corpus; counts are monotone and exact") {
     val r = graft.streaming.DocStreams
       .ingestAudit(spark, "/root/testdata/sf0.001").head()

@@ -864,8 +864,11 @@ object Relational {
       .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("q"))
     val perPartSupp = fl.groupBy($"l_partkey", $"l_suppkey")
       .agg(sum($"q").as("sq"))
-    val perPart = fl.groupBy($"l_partkey")
-      .agg(sum($"q").as("tq"), count_distinct($"l_suppkey").as("ns"))
+    // derived from the (part, supplier) aggregate, NOT a second
+    // lineitem pass: Σ per-supplier sums == the part total, and the
+    // rows of perPartSupp are exactly the distinct suppliers
+    val perPart = perPartSupp.groupBy($"l_partkey")
+      .agg(sum($"sq").as("tq"), count(lit(1)).as("ns"))
     val qual = perPartSupp.join(perPart, Seq("l_partkey"))
       .filter($"sq" * $"ns" > lit(2L) * $"tq")
       .select($"l_suppkey").distinct()

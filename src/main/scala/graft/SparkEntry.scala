@@ -776,6 +776,10 @@ object SparkEntry {
     // TPC-H Q16 shape: NOT IN blacklist as LEFT ANTI + count distinct
     "q274_part_supplier_census" -> ((s: SparkSession, d: String) =>
       Relational.partSupplierCensus(s, d)),
+    // decontamination EXCISION: exact tokens removed when leaked eval
+    // spans are cut from the train split (detection → surgery)
+    "q275_decontam_excise" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.decontamExcise(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5733,6 +5737,46 @@ object SparkEntry {
         |WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
         |                          WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3""".stripMargin,
+    // q275: the same 8-gram recipe as q66 with POSITIONS carried —
+    // coverage = distinct union of [i, i+7] windows per train doc
+    // (1-based here, 0-based in the engine; distinct counts agree)
+    "q275_decontam_excise" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f'
+        |     AS is_train
+        |  FROM documents),
+        |tr AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens
+        |       FROM tok WHERE is_train),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(
+        |        CASE WHEN len(t) >= 8
+        |             THEN [array_to_string(t[i:i+7], ' ')
+        |                   for i in range(1, len(t) - 6)]
+        |             ELSE [] END)) AS g
+        |       FROM tok WHERE NOT is_train),
+        |tg AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ')
+        |         AS gram
+        |       FROM (SELECT doc_id, t,
+        |              unnest(generate_series(1, greatest(len(t) - 7, 0)))
+        |                AS i
+        |             FROM tr WHERE len(t) >= 8)),
+        |sh AS (SELECT DISTINCT tg.doc_id, tg.pos
+        |       FROM tg JOIN eg ON tg.gram = eg.g),
+        |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT)
+        |          AS removed
+        |        FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7))
+        |                AS p FROM sh) GROUP BY 1),
+        |j AS (SELECT tr.doc_id, tr.n_tokens,
+        |       coalesce(cov.removed, 0) AS removed
+        |      FROM tr LEFT JOIN cov USING (doc_id))
+        |SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_train_docs,
+        | CAST(coalesce(sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_docs_touched,
+        | CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+        | CAST(coalesce(sum(removed), 0) AS BIGINT) AS tokens_removed,
+        | round(coalesce(sum(removed), 0) /
+        |   CAST(greatest(coalesce(sum(n_tokens), 0), 1) AS DOUBLE), 6)
+        |   AS removed_frac
+        |FROM j""".stripMargin,
   )
 
   /** The q271 oracle: per-block Lloyd unrolled round by round in EXACT

@@ -179,6 +179,56 @@ object TextAnalysis {
         round($"n_shared_grams".cast("double") / $"n_grams", 6).as("shared_frac"))
   }
 
+  /** Decontamination EXCISION (q275): the removal step the detection
+    * queries (q63/q66/q243) stop short of — for every TRAIN doc, the
+    * token positions covered by ANY n-gram shared with the eval split
+    * are marked for surgical removal (the Lee et al. span-excision
+    * recipe: cut the leaked span, keep the document), and the corpus
+    * rollup reports docs touched and exact tokens removed. Coverage is
+    * computed as the distinct union of per-match windows [i, i+n−1] —
+    * overlapping matches never double-count — via one explode of n
+    * offsets per shared-gram position.
+    *
+    * Scale: gram extraction is the scan-stage ngram projection; the
+    * shared-gram probe is an equi-join against the DISTINCT eval gram
+    * set (semi-join, key-only); the coverage union is per-doc bounded
+    * (≤ n_tokens positions). No stage holds more than (doc, position)
+    * pairs for MATCHED spans — clean corpora cost one empty join.
+    */
+  def decontamExcise(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select($"doc_id", toks.as("t"),
+        (substring(md5($"doc_id".cast("string")), 1, 2) <= "7f").as("is_train"))
+    val train = tok.filter($"is_train")
+      .select($"doc_id", $"t", size($"t").cast("long").as("n_tokens"))
+    val evalGrams = tok.filter(!$"is_train")
+      .select(explode(array_distinct(Dedup.ngramsOf($"t", n))).as("g"))
+      .distinct()
+    val sharedPos = train
+      .select($"doc_id", posexplode(Dedup.ngramsOf($"t", n)).as(Seq("pos", "gram")))
+      .join(evalGrams, $"gram" === $"g", "left_semi")
+      .select($"doc_id", $"pos")
+    val covered = sharedPos
+      .select($"doc_id",
+        explode(sequence($"pos", $"pos" + lit(n - 1))).as("p"))
+      .groupBy($"doc_id").agg(count_distinct($"p").as("removed"))
+    train.join(covered, Seq("doc_id"), "left")
+      .select($"n_tokens", coalesce($"removed", lit(0L)).as("removed"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when($"removed" > 0L, 1L).otherwise(0L)).as("n_docs_touched"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"removed").as("tokens_removed"))
+      .select(
+        coalesce($"n_train_docs", lit(0L)).as("n_train_docs"),
+        coalesce($"n_docs_touched", lit(0L)).as("n_docs_touched"),
+        coalesce($"total_tokens", lit(0L)).as("total_tokens"),
+        coalesce($"tokens_removed", lit(0L)).as("tokens_removed"))
+      .withColumn("removed_frac",
+        round($"tokens_removed" /
+          greatest($"total_tokens", lit(1L)).cast("double"), 6))
+  }
+
   /** Decontamination at realistic gram length (n = 8, the C4/GPT range)
     * on HASHED grams: the join key is the codegen'd `gram_hashes` output
     * — 8-byte longs hashed straight off the document bytes — instead of

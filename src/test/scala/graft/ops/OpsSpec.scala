@@ -462,6 +462,8 @@ class OpsSpec extends AnyFunSuite {
       "avg_multiple"),
     "q274_part_supplier_census" -> Set("p_brand", "p_type", "p_size",
       "supplier_cnt"),
+    "q275_decontam_excise" -> Set("n_train_docs", "n_docs_touched",
+      "total_tokens", "tokens_removed", "removed_frac"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -392,6 +392,38 @@ class Round10Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("decontamExcise: overlapping leaked spans union, never double-count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q275").toString
+    try {
+      val ids = (0L to 200L)
+      val trainId = ids.find(id =>
+        graft.TestFiles.md5Hex(id.toString).take(2) <= "7f").get
+      val cleanId = ids.find(id => id != trainId &&
+        graft.TestFiles.md5Hex(id.toString).take(2) <= "7f").get
+      val evalId = ids.find(id =>
+        graft.TestFiles.md5Hex(id.toString).take(2) > "7f").get
+      // eval doc carries two overlapping 8-grams (a..h, b..i); the train
+      // doc contains both at 0-based positions 3 and 4 -> coverage is
+      // the UNION 3..11 = 9 tokens of its 14, not 16
+      val evalText = "a b c d e f g h i"
+      val trainText = "x x x a b c d e f g h i y y"
+      val cleanText = "p q r s t u v w z p q r s t"
+      Seq((trainId, trainText, "en", "s1", trainText.length.toLong),
+          (cleanId, cleanText, "en", "s1", cleanText.length.toLong),
+          (evalId, evalText, "en", "s1", evalText.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val r = TextAnalysis.decontamExcise(spark, tmp).head()
+      assert(r.getLong(0) == 2L, "n_train_docs")
+      assert(r.getLong(1) == 1L, "n_docs_touched")
+      assert(r.getLong(2) == 28L, "total_tokens")
+      assert(r.getLong(3) == 9L,
+        s"overlapping spans must union: removed ${r.getLong(3)}")
+      assert(r.getDouble(4) == math.rint(9.0 / 28.0 * 1e6) / 1e6)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("ingestAudit: accounting law holds on the corpus; counts are monotone and exact") {
     val r = graft.streaming.DocStreams
       .ingestAudit(spark, "/root/testdata/sf0.001").head()

@@ -780,6 +780,10 @@ object SparkEntry {
     // spans are cut from the train split (detection → surgery)
     "q275_decontam_excise" -> ((s: SparkSession, d: String) =>
       TextAnalysis.decontamExcise(s, d)),
+    // residual (two-level) PQ: zero-code makes the refinement a
+    // theorem — n_violations asserted 0, improvement value-replayed
+    "q276_residual_pq" -> ((s: SparkSession, d: String) =>
+      Similarity.residualPqDistortion(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5777,6 +5781,97 @@ object SparkEntry {
         |   CAST(greatest(coalesce(sum(n_tokens), 0), 1) AS DOUBLE), 6)
         |   AS removed_frac
         |FROM j""".stripMargin,
+    // q276: both quantization levels replayed in the identical exact
+    // integers; code 0 of level 2 is the zero residual, so
+    // n_violations == 0 is a replayed theorem
+    "q276_residual_pq" ->
+      """WITH cx AS MATERIALIZED (SELECT vec_id,
+        |   CAST((i - 1) // 16 AS BIGINT) AS b,
+        |   CAST((i - 1) % 16 + 1 AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS x
+        |  FROM (SELECT vec_id, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |samp AS (SELECT vec_id, embedding FROM embeddings
+        |         WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+        |           <= '19'
+        |         ORDER BY vec_id LIMIT 16),
+        |s1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+        |          AS BIGINT) AS code, embedding
+        |       FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 8)),
+        |cent1 AS MATERIALIZED (SELECT code,
+        |   CAST((i - 1) // 16 AS BIGINT) AS b,
+        |   CAST((i - 1) % 16 + 1 AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS c
+        |  FROM (SELECT code, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i FROM s1)),
+        |s2 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+        |          AS BIGINT) AS code2, embedding
+        |       FROM (SELECT * FROM samp ORDER BY vec_id
+        |             LIMIT 8 OFFSET 8)),
+        |c2x AS MATERIALIZED (SELECT code2,
+        |   CAST((i - 1) // 16 AS BIGINT) AS b,
+        |   CAST((i - 1) % 16 + 1 AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS v
+        |  FROM (SELECT code2, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i FROM s2)),
+        |sd AS (SELECT c2x.code2, c2x.b, cent1.code,
+        |   CAST(sum((c2x.v - cent1.c) * (c2x.v - cent1.c)) AS BIGINT) AS d2
+        |  FROM c2x JOIN cent1 ON c2x.b = cent1.b AND c2x.j = cent1.j
+        |  GROUP BY 1, 2, 3),
+        |sa AS (SELECT code2, b, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY code2, b
+        |      ORDER BY d2, code) AS rk FROM sd) WHERE rk = 1),
+        |cent2 AS MATERIALIZED (
+        |  SELECT c2x.code2, c2x.b, c2x.j, c2x.v - cent1.c AS r
+        |  FROM c2x JOIN sa ON c2x.code2 = sa.code2 AND c2x.b = sa.b
+        |   JOIN cent1 ON sa.code = cent1.code AND c2x.b = cent1.b
+        |    AND c2x.j = cent1.j
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT), b, j, CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT b, j FROM cent1)),
+        |dl1 AS (SELECT cx.vec_id, cx.b, cent1.code,
+        |   CAST(sum((cx.x - cent1.c) * (cx.x - cent1.c)) AS BIGINT) AS d2
+        |  FROM cx JOIN cent1 ON cx.b = cent1.b AND cx.j = cent1.j
+        |  GROUP BY 1, 2, 3),
+        |a1 AS MATERIALIZED (SELECT vec_id, b, code, d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, b
+        |      ORDER BY d2, code) AS rk FROM dl1) WHERE rk = 1),
+        |rv AS MATERIALIZED (SELECT cx.vec_id, cx.b, cx.j,
+        |   cx.x - cent1.c AS r
+        |  FROM cx JOIN a1 ON cx.vec_id = a1.vec_id AND cx.b = a1.b
+        |   JOIN cent1 ON a1.code = cent1.code AND cx.b = cent1.b
+        |    AND cx.j = cent1.j),
+        |dl2 AS (SELECT rv.vec_id, rv.b, cent2.code2,
+        |   CAST(sum((rv.r - cent2.r) * (rv.r - cent2.r)) AS BIGINT) AS dd
+        |  FROM rv JOIN cent2 ON rv.b = cent2.b AND rv.j = cent2.j
+        |  GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, b, min(dd) AS dd FROM dl2 GROUP BY 1, 2),
+        |p1 AS (SELECT vec_id, CAST(sum(d2) AS BIGINT) AS d1 FROM a1
+        |       GROUP BY 1),
+        |p2 AS (SELECT vec_id, CAST(sum(dd) AS BIGINT) AS d2 FROM a2
+        |       GROUP BY 1),
+        |pv AS (SELECT p1.vec_id, p1.d1, p2.d2 FROM p1
+        |       JOIN p2 ON p1.vec_id = p2.vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(coalesce(sum(d1 // 1000000), 0) AS BIGINT)
+        |   AS distortion1_m,
+        | CAST(coalesce(sum(d2 // 1000000), 0) AS BIGINT)
+        |   AS distortion2_m,
+        | CAST(coalesce(sum(CASE WHEN d2 > d1 THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) AS n_violations,
+        | CAST((coalesce(sum(d1 // 1000000), 0)
+        |    - coalesce(sum(d2 // 1000000), 0)) * 1000000
+        |   // greatest(coalesce(sum(d1 // 1000000), 0), 1) AS BIGINT)
+        |   AS improvement_e6,
+        | CAST((coalesce(sum(d1 // 1000000), 0)
+        |    - coalesce(sum(d2 // 1000000), 0)) * 1000000
+        |   // greatest(coalesce(sum(d1 // 1000000), 0), 1) AS DOUBLE)
+        |   / 1000000.0 AS improvement_frac
+        |FROM pv""".stripMargin,
   )
 
   /** The q271 oracle: per-block Lloyd unrolled round by round in EXACT

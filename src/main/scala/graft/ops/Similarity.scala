@@ -1332,6 +1332,107 @@ object Similarity {
     phaseRecall("init", initCents).unionByName(phaseRecall("trained", cents))
   }
 
+  /** Residual (two-level) product quantization report (q276): the
+    * second standard compression step after q184/q269's one-level PQ —
+    * quantize each block, then quantize the RESIDUAL against a second
+    * codebook (the RQ/IVF-ADC refinement used by every billion-vector
+    * index when one codebook's cells are too coarse). All integer, and
+    * the improvement is a THEOREM here, not a hope: the residual
+    * codebook always contains the ZERO vector (code 0), so the
+    * two-level distortion of every vector is ≤ its one-level
+    * distortion by construction — `n_violations` (vectors where level
+    * 2 made things worse) is emitted and asserted 0 by the oracle,
+    * alongside the exact distortion totals and the measured
+    * improvement fraction. Level-2 codes are the residuals of the
+    * NEXT 8 md5-sampled vectors against the level-1 codebook (the
+    * first 8 are the level-1 seeds; their own residuals are 0 and
+    * would be degenerate).
+    *
+    * Scale: both levels are zero-shuffle scan projections (argmin over
+    * literal integer vectors — the q269 shape, twice); the report is
+    * one single-row aggregate. Codebooks are plan-time literals
+    * (2 × blocks × codes × blockDim ints).
+    */
+  def residualPqDistortion(spark: SparkSession, dir: String,
+      nBlocks: Int = 4, codesPerBlock: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val dim = 64
+    val bw = dim / nBlocks
+    val seeds16 = sampledCentroids(spark, dir, 2 * codesPerBlock)
+    if (seeds16.size <= codesPerBlock)
+      return Seq.empty[(Long, Long, Long, Long, Long, Double)]
+        .toDF("n_vecs", "distortion1_m", "distortion2_m", "n_violations",
+          "improvement_e6", "improvement_frac")
+    def qe6(x: Float): Long = math.round(x.toDouble * 1000.0) * 1000L
+    // level-1 codebook: the first 8 sampled vectors, e6-quantized
+    val c1: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      (0 until nBlocks).map(b => seeds16.take(codesPerBlock).map(s =>
+        s._2.slice(b * bw, (b + 1) * bw).map(qe6).toIndexedSeq).toIndexedSeq)
+    // level-2 codebook: code 0 is the ZERO residual (the law-maker);
+    // codes 1.. are the next sampled vectors' residuals against c1,
+    // computed driver-side in the same exact integers
+    def argminIdx(v: IndexedSeq[Long], cs: IndexedSeq[IndexedSeq[Long]]): Int =
+      cs.indices.minBy { ci =>
+        (v.indices.foldLeft(0L)((acc, i) =>
+          acc + (v(i) - cs(ci)(i)) * (v(i) - cs(ci)(i))), ci)
+      }
+    val c2: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      (0 until nBlocks).map { b =>
+        val zero = IndexedSeq.fill(bw)(0L)
+        val res = seeds16.drop(codesPerBlock).map { s =>
+          val v = s._2.slice(b * bw, (b + 1) * bw).map(qe6).toIndexedSeq
+          val c = c1(b)(argminIdx(v, c1(b)))
+          v.indices.map(i => v(i) - c(i))
+        }
+        zero +: res.toIndexedSeq
+      }
+    val xq = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint) * 1000)")
+    // per block: struct(d2_one, d2_two) — level-1 argmin picks the
+    // centroid, then level-2 argmin runs on the residual; both exact i64
+    def blockPair(b: Int): Column = {
+      val v = slice($"xq", b * bw + 1, bw)
+      def d2To(c: IndexedSeq[Long], base: Column): Column =
+        aggregate(zip_with(base, array(c.map(lit): _*),
+          (x, ci) => (x - ci) * (x - ci)), lit(0L), (acc, t) => acc + t)
+      val lvl1 = c1(b).zipWithIndex.map { case (c, code) =>
+        struct(d2To(c, v).as("d2"), lit(code).as("code"))
+      }
+      val best1 = if (lvl1.length == 1) lvl1.head else least(lvl1: _*)
+      val code1 = best1.getField("code")
+      val d2One = best1.getField("d2")
+      // residual = v − c1[code1], selected via a literal array-of-arrays
+      val c1Arr = array(c1(b).map(c => array(c.map(lit): _*)): _*)
+      val r = zip_with(v, element_at(c1Arr, code1 + 1), (x, ci) => x - ci)
+      val d2Two = c2(b).map(cc => d2To(cc, r)) match {
+        case Seq(one) => one
+        case many => least(many: _*)
+      }
+      struct(d2One.as("d1"), d2Two.as("d2"))
+    }
+    val perVec = e.select($"vec_id", xq.as("xq"))
+      .select(col("vec_id") +: (0 until nBlocks).map(b =>
+        blockPair(b).as(s"b$b")): _*)
+      .select(
+        (0 until nBlocks).map(b => col(s"b$b").getField("d1"))
+          .reduce(_ + _).as("d1"),
+        (0 until nBlocks).map(b => col(s"b$b").getField("d2"))
+          .reduce(_ + _).as("d2"))
+      .selectExpr("d1 div 1000000 AS d1m", "d2 div 1000000 AS d2m",
+        "CASE WHEN d2 > d1 THEN 1L ELSE 0L END AS viol")
+    perVec.agg(
+        count(lit(1)).as("n_vecs"),
+        coalesce(sum($"d1m"), lit(0L)).as("distortion1_m"),
+        coalesce(sum($"d2m"), lit(0L)).as("distortion2_m"),
+        coalesce(sum($"viol"), lit(0L)).as("n_violations"))
+      .withColumn("improvement_e6",
+        expr("(distortion1_m - distortion2_m) * 1000000 div " +
+          "greatest(distortion1_m, 1)"))
+      .withColumn("improvement_frac",
+        $"improvement_e6".cast("double") / 1000000.0)
+  }
+
   /** ‖q − embedding‖² at full width, rounded to 6 — q184's three-dot
     * formula against a literal query vector; shared by the ADC search
     * (q269) and its recall eval (q270) so ranker and judge can't drift.

@@ -464,6 +464,8 @@ class OpsSpec extends AnyFunSuite {
       "supplier_cnt"),
     "q275_decontam_excise" -> Set("n_train_docs", "n_docs_touched",
       "total_tokens", "tokens_removed", "removed_frac"),
+    "q276_residual_pq" -> Set("n_vecs", "distortion1_m", "distortion2_m",
+      "n_violations", "improvement_e6", "improvement_frac"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

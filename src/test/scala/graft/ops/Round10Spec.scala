@@ -424,6 +424,42 @@ class Round10Spec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
   }
 
+  test("residualPqDistortion: zero-code theorem holds; a residual-coded corpus hits zero") {
+    import spark.implicits._
+    // law on the real corpus: no vector gets worse, improvement in [0,1]
+    val r = Similarity.residualPqDistortion(spark, "/root/testdata/sf0.001").head()
+    assert(r.getLong(3) == 0L, s"violations ${r.getLong(3)}")
+    assert(r.getLong(2) <= r.getLong(1), "two-level distortion must not exceed one-level")
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    // planted corpus: every vector IS either a level-1 seed or a
+    // level-2 prototype (sample ranks 9-16), so two-level distortion
+    // collapses to EXACTLY zero while one-level stays positive
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q276").toString
+    try {
+      val sampled = (0L to 199L)
+        .filter(id => graft.TestFiles.md5Hex(id.toString).take(2) <= "19")
+      assert(sampled.size >= 16, s"fixture needs 16 sampled ids: $sampled")
+      val protoIds = sampled.take(16)
+      def proto(k: Int): Array[Float] =
+        Array.tabulate(64)(i =>
+          ((k * 13 + i * 7) % 11 - 5) * 0.05f +
+            (if (k >= 8) ((k * 29 + i * 3) % 9 - 4) * 0.031f else 0f))
+      val protos = protoIds.zipWithIndex.map { case (id, k) => id -> proto(k) }.toMap
+      val rows = (0L to 199L).map { id =>
+        val e = protos.getOrElse(id,
+          proto(8 + java.lang.Math.floorMod(id, 8L).toInt))
+        (id, e, 0)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val z = Similarity.residualPqDistortion(spark, tmp).head()
+      assert(z.getLong(1) > 0L, "one-level distortion should be positive")
+      assert(z.getLong(2) == 0L,
+        s"residual-coded corpus must quantize exactly: ${z.getLong(2)}")
+      assert(z.getLong(3) == 0L && z.getLong(4) == 1000000L)
+    } finally graft.TestFiles.rmrf(java.nio.file.Paths.get(tmp))
+  }
+
   test("ingestAudit: accounting law holds on the corpus; counts are monotone and exact") {
     val r = graft.streaming.DocStreams
       .ingestAudit(spark, "/root/testdata/sf0.001").head()

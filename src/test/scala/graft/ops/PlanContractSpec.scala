@@ -709,6 +709,26 @@ class PlanContractSpec extends AnyFunSuite {
   // through Dataset.withAction, as do the bounded collect() sites) and
   // each captured physical plan is swept with the same predicate — a
   // checkpoint can no longer hide a SinglePartition window.
+  // Second universal contract (round 10): a true CartesianProduct —
+  // the non-broadcast both-sides-large fallback — is ALWAYS a plan bug
+  // in this engine: every intentional total/scalar pairing rides a
+  // one-row BroadcastNestedLoopJoin (the crossJoin-total idiom), never
+  // a shuffled cartesian. Planning only, no execution — cheap enough
+  // to sweep the whole surface.
+  test("every registered query: no CartesianProduct anywhere in the final plan") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          if (plan(fn(spark, sf)).contains("CartesianProduct"))
+            Seq(name)
+          else Seq.empty[String]
+        } catch { case e: Throwable =>
+          Seq(s"$name: plan construction failed: ${e.getMessage}") }
+    }
+    assert(offenders.isEmpty,
+      s"cartesian fallback in: ${offenders.mkString(", ")}")
+  }
+
   test("every registered query: no SinglePartition exchange feeds any Window " +
       "(final AND checkpoint-internal plans)") {
     import org.apache.spark.sql.execution.QueryExecution

@@ -126,11 +126,20 @@ object Bench {
     val spikes = firstPass.filter { case (name, t) =>
       t > 0 && baseline.get(name).exists(b => b > 0 && t > 2 * b && t - b > 1.0)
     }
+    // a spiked query has a VALID first-pass time (spikes filter t > 0),
+    // so a retry that itself throws must not land in the shared `errors`
+    // buffer — the artifact would report the query both errored and
+    // positively timed (and a name could appear twice). Retry failures
+    // are split into their own list; the retry shows as retry:-1 in
+    // spike_retries and the query keeps its first-pass measurement.
+    val nFirstPassErrors = errors.size
     val retried: Map[String, Double] = spikes.map { case (name, _) =>
       System.err.println(f"[bench] $name exceeded 2x committed baseline " +
         f"(${baseline(name)}%.3f s) — re-running once")
       name -> timeOne(name, selected(name))
     }.toMap
+    val retryErrors = errors.drop(nFirstPassErrors).toList
+    errors.remove(nFirstPassErrors, errors.size - nFirstPassErrors)
     val results = firstPass.map { case (name, t) =>
       retried.get(name) match {
         case Some(r) if r >= 0 => name -> math.min(t, r)
@@ -145,9 +154,10 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retryErrs = retryErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val hist = attempts.mkString("[", ",", "]")
-    val cond = f""""load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite,"regime":"$regime","cooldown_attempts":$hist,"spike_retries":$retriesJson"""
+    val cond = f""""load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite,"regime":"$regime","cooldown_attempts":$hist,"spike_retries":$retriesJson,"retry_errors":$retryErrs"""
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$cond,"sf":"$sfDir"}"""
     println(full)

@@ -121,15 +121,22 @@ object JdkMediaCodec extends MediaCodec {
       try {
         val fmt = ais.getFormat
         val frameSize = math.max(1, fmt.getFrameSize)
+        // most-significant byte of the first channel's sample: for
+        // multi-byte PCM (16-bit WAV stores little-endian) the frame's
+        // FIRST byte is the LSB — bucketing it histograms noise, not the
+        // waveform (round-10 ADVICE). 8-bit keeps offset 0.
+        val sampleBytes =
+          math.max(1, (fmt.getSampleSizeInBits + 7) / 8)
+        val msbOff = if (fmt.isBigEndian) 0 else sampleBytes - 1
         val acc = new Array[Float](dim)
         val buf = new Array[Byte](frameSize * 1024)
         var read = ais.read(buf)
         while (read > 0) {
           var off = 0
           while (off + frameSize <= read) {
-            // first byte of the first channel, de-signed per encoding:
-            // PCM_SIGNED stores two's-complement, shift to unsigned
-            val raw = buf(off).toInt
+            // de-signed per encoding: PCM_SIGNED stores two's-complement
+            // (the MSB carries the sign), shift to unsigned
+            val raw = buf(off + msbOff).toInt
             val u =
               if (fmt.getEncoding ==
                   javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)

@@ -51,12 +51,25 @@ object Memo {
     }
   }
 
-  /** getOrElseUpdate with the [[maxEntries]] cap. */
-  def cached[K, V](cache: TrieMap[K, V], key: K)(compute: => V): V =
+  /** getOrElseUpdate with the [[maxEntries]] cap. `onEvict` runs once per
+    * evicted value BEFORE the clear, so values holding executor state
+    * (localCheckpoint'd DataFrames pin block-manager blocks) release it
+    * deterministically at eviction time instead of waiting for driver GC
+    * plus the ContextCleaner to notice the dropped references.
+    */
+  def cached[K, V](cache: TrieMap[K, V], key: K,
+      onEvict: V => Unit = (_: V) => ())(compute: => V): V =
     cache.get(key) match {
       case Some(v) => v
       case None =>
-        if (cache.size >= maxEntries) cache.clear()
+        if (cache.size >= maxEntries) {
+          cache.values.foreach { v =>
+            try onEvict(v)
+            catch { case _: Exception => () } // a dead session must not
+            // poison the recompute — eviction cleanup is best-effort
+          }
+          cache.clear()
+        }
         cache.getOrElseUpdate(key, compute)
     }
 }

@@ -1275,8 +1275,21 @@ object Similarity {
         assigned.select(lit(b).as("b"), col(s"c$b").as("code"),
           posexplode(slice($"xq", b * bw + 1, bw)).as(Seq("i", "x")))
           .groupBy($"b", $"code", $"i")
-          .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+          .agg(sum($"x").as("s"), count(lit(1)).as("n"),
+            min($"x").as("mn"))
       }.reduce(_ unionByName _).collect()
+      // the shifted floor division below assumes every component ≥ -4e6
+      // (s + 4e6·n ≥ 0); a corpus below -4.0 would send the numerator
+      // negative, where Spark's truncating div diverges from the
+      // oracle's flooring // SILENTLY. Guard loudly instead (the
+      // spectralCore discipline, round-10 ADVICE) — min(x) rides the
+      // same rollup, so the check costs nothing.
+      sums.foreach { r =>
+        require(r.getLong(5) >= -4000000L,
+          s"trainedPqRecall: component ${r.getLong(5)} e-6 below the " +
+            "-4.0 shift bound — raise the shift constant or rescale " +
+            "the corpus (engine-split hazard in the mean's floor div)")
+      }
       val byCell = sums.map(r => (r.getInt(0), r.getLong(1), r.getInt(2)) ->
         (r.getLong(3), r.getLong(4))).toMap
       cents = (0 until nBlocks).map { b =>

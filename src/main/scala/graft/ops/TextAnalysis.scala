@@ -2444,7 +2444,10 @@ object TextAnalysis {
   private def kmvSketchTable(spark: SparkSession, dir: String, k: Int,
       n: Int): DataFrame = {
     val fp = Memo.fingerprint(spark, s"$dir/documents.parquet")
-    Memo.cached(kmvTableCache, (spark, dir, k, n, fp)) {
+    // values are localCheckpoint'd — eviction must unpersist the pinned
+    // blocks, not just drop the reference (round-10 ADVICE)
+    Memo.cached(kmvTableCache, (spark, dir, k, n, fp),
+        onEvict = (df: DataFrame) => { df.unpersist(); () }) {
       import spark.implicits._
       docs(spark, dir)
         .select($"source", explode(Dedup.ngramsOf(toks, n)).as("gram"))

@@ -124,6 +124,31 @@ class JdkCodecSpec extends AnyFunSuite {
     assert(JdkMediaCodec.featurize(loud, 16).toSeq == fl.toSeq)
   }
 
+  test("featurize on 16-bit PCM buckets the sample's MSB, not the little-endian LSB") {
+    // constant waveform whose LOW byte sweeps 0..255 while the HIGH
+    // (most-significant) byte is fixed: the decoded-sample histogram
+    // must concentrate in exactly ONE bucket. Bucketing the frame's
+    // first byte (the 16-bit LE LSB — the round-10 ADVICE bug) would
+    // spread it uniformly instead.
+    val n = 800
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      pcm(2 * i) = (i % 256).toByte // LSB varies (little-endian first)
+      pcm(2 * i + 1) = 0x20.toByte  // MSB constant: sample ≈ 0x20xx
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed, LE
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val f = JdkMediaCodec.featurize(bos.toByteArray, 16)
+    assert(f.count(_ != 0f) == 1, f.mkString(","))
+    // MSB 0x20 = 32, de-signed (32+128)%256 = 160 → bucket 160·16/256
+    assert(f(160 * 16 / 256) == 1f, f.mkString(","))
+  }
+
   test("corrupt image bytes fall back deterministically instead of failing the batch") {
     val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
     val m = JdkMediaCodec.decode("image", junk)

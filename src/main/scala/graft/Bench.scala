@@ -94,8 +94,61 @@ object Bench {
           .findAllMatchIn(qsPart)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Plan metrics per query (round-10 verdict #7): wall time drifts
+    // with the machine (±5-10% per round, re-litigated every verdict);
+    // shuffle bytes written and rows scanned are properties of the PLAN
+    // and don't. A QueryExecutionListener walks every completed
+    // execution's physical plan — including the eager driver-steering
+    // collects a query runs while BUILDING its plan (Lloyd rounds,
+    // centroid seeds), which are honestly part of that query's cost —
+    // and accumulates both counters; timeOne diffs them around the run.
+    val mShuffle = new java.util.concurrent.atomic.AtomicLong
+    val mScan = new java.util.concurrent.atomic.AtomicLong
+    def walkPlan(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walkPlan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walkPlan(q.plan)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        () // shares the original exchange's metrics — counting = double
+      case n =>
+        if (n.nodeName.startsWith("Scan"))
+          n.metrics.get("numOutputRows").foreach(m => mScan.addAndGet(m.value))
+        n.metrics.get("shuffleBytesWritten")
+          .foreach(m => mShuffle.addAndGet(m.value))
+        n.children.foreach(walkPlan)
+        n.subqueries.foreach(walkPlan)
+    }
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          try walkPlan(qe.executedPlan) catch { case _: Throwable => () }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    // the execution listener rides the async shared listener bus, so the
+    // counters lag the write() return by a bus dispatch; waitUntilEmpty
+    // is private[spark] (= public in bytecode) — reflection, with a
+    // bounded sleep fallback so a signature change degrades to slightly
+    // coarser attribution instead of a crash
+    def drainListeners(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        try bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        catch { case _: NoSuchMethodException =>
+          bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+            .invoke(bus, java.lang.Long.valueOf(10000L))
+        }
+      } catch { case _: Throwable => Thread.sleep(200L) }
+    val qMetrics = scala.collection.mutable.Map.empty[String, (Long, Long)]
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      drainListeners()
+      val shuf0 = mShuffle.get; val scan0 = mScan.get
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -104,10 +157,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
+      val secs = (System.nanoTime() - t0) / 1e9
+      drainListeners()
+      // a spike retry overwrites with its own (equal-plan) numbers
+      qMetrics(name) = (mShuffle.get - shuf0, mScan.get - scan0)
       // a failed query reports -1 and contributes NOTHING to the total:
       // its time-to-exception is not a measurement, and summing it would
       // let a broken build pass the 2x gate on a shrunken total
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) secs else -1.0
     }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)
@@ -157,9 +214,19 @@ object Bench {
     val retryErrs = retryErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val hist = attempts.mkString("[", ",", "]")
+    // integer-valued side maps ON PURPOSE: the committed-baseline regex
+    // above matches only decimal-pointed values, so these entries can
+    // never be mistaken for per-query seconds when next round parses
+    // this file back
+    val shufJson = results.map { case (k, _) =>
+      s""""$k":${qMetrics.get(k).map(_._1).getOrElse(-1L)}""" }
+      .mkString("{", ",", "}")
+    val scanJson = results.map { case (k, _) =>
+      s""""$k":${qMetrics.get(k).map(_._2).getOrElse(-1L)}""" }
+      .mkString("{", ",", "}")
     val cond = f""""load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite,"regime":"$regime","cooldown_attempts":$hist,"spike_retries":$retriesJson,"retry_errors":$retryErrs"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$cond,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$cond,"shuffle_bytes":$shufJson,"scan_rows":$scanJson,"sf":"$sfDir"}"""
     println(full)
     // the driver captures a bounded TAIL of stdout (round 3 cut the head
     // off the 2 KB+ line above and left "parsed": null); the full

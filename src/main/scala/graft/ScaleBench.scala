@@ -132,7 +132,7 @@ object ScaleBench {
     "q264_label_spectral_energy", "q265_real_codec_audit",
     "q268_ingest_audit", "q269_pq_adc_topk", "q270_adc_recall",
     "q271_trained_pq_recall", "q275_decontam_excise",
-    "q276_residual_pq")
+    "q276_residual_pq", "q277_pq_codebook_sweep")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -145,7 +145,8 @@ object ScaleBench {
     "q217_fk_audit", "q218_order_reconciliation",
     "q259_small_qty_revenue", "q260_order_holding_suppliers",
     "q266_dominant_part_suppliers", "q267_lapsed_customers",
-    "q273_part_value_concentration", "q274_part_supplier_census")
+    "q273_part_value_concentration", "q274_part_supplier_census",
+    "q278_customer_order_distribution", "q279_top_revenue_supplier")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",

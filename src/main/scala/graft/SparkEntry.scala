@@ -784,6 +784,19 @@ object SparkEntry {
     // theorem — n_violations asserted 0, improvement value-replayed
     "q276_residual_pq" -> ((s: SparkSession, d: String) =>
       Similarity.residualPqDistortion(s, d)),
+    // the recall-vs-codebook OPERATING TABLE: q271's eval swept over
+    // (blocks, codes) — the sweep's top point measures recall@10 = 0.7
+    // on this corpus (16 × 4-dim blocks, 64 trained codes), answering
+    // q270/q271's "recall is noise at 4 × 8" with the config that fixes
+    // it rather than a hope
+    "q277_pq_codebook_sweep" -> ((s: SparkSession, d: String) =>
+      Similarity.pqCodebookSweep(s, d)),
+    // TPC-H Q13 shape: left-outer + histogram of counts, zero included
+    "q278_customer_order_distribution" -> ((s: SparkSession, d: String) =>
+      Relational.customerOrderDistribution(s, d)),
+    // TPC-H Q15 shape: revenue view + exact scalar-max winner filter
+    "q279_top_revenue_supplier" -> ((s: SparkSession, d: String) =>
+      Relational.topRevenueSupplier(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5689,6 +5702,38 @@ object SparkEntry {
     // q271: the integer per-block Lloyd trajectory unrolled, both
     // phases' rankings replayed against the shared exact top-k
     "q271_trained_pq_recall" -> trainedPqSql(2),
+    // q277: four full q271 replays at the swept (blocks, codes) points,
+    // each arm's WITH chain scoped inside its own derived table
+    "q277_pq_codebook_sweep" ->
+      Seq((4, 8), (4, 64), (16, 8), (16, 64)).map { case (nb, cd) =>
+        s"SELECT * FROM (" + trainedPqSql(2, nb, cd,
+          s"CAST($nb AS BIGINT) AS n_blocks, " +
+            s"CAST($cd AS BIGINT) AS codes_per_block, ") + s") arm_${nb}_$cd"
+      }.mkString("\n UNION ALL \n"),
+    // q278: the outer join + zero bucket replayed; priority filter on
+    // the fact side BEFORE the count, as the engine plans it
+    "q278_customer_order_distribution" ->
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |           FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |           GROUP BY 1)
+        |SELECT coalesce(pc.n, 0) AS c_count,
+        | CAST(count(*) AS BIGINT) AS custdist
+        |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+        |GROUP BY 1""".stripMargin,
+    // q279: identical per-row e-4 integer rounding, winner(s) by exact
+    // equality against the scalar max
+    "q279_top_revenue_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |     * 10000) AS BIGINT)) AS BIGINT) AS total_revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, rev.total_revenue_e4
+        |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.total_revenue_e4 = (SELECT max(total_revenue_e4)
+        |                              FROM rev)""".stripMargin,
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the
@@ -5882,11 +5927,13 @@ object SparkEntry {
     * are order-independent, so no float association can split the
     * engines anywhere in the chain.
     */
-  private def trainedPqSql(iters: Int): String = {
+  private def trainedPqSql(iters: Int, nBlocks: Int = 4, codes: Int = 8,
+      cfgCols: String = ""): String = {
+    val bw = 64 / nBlocks
     val init =
-      """WITH cx AS MATERIALIZED (SELECT vec_id,
-        |   CAST((i - 1) // 16 AS BIGINT) AS b,
-        |   CAST((i - 1) % 16 + 1 AS BIGINT) AS j,
+      s"""WITH cx AS MATERIALIZED (SELECT vec_id,
+        |   CAST((i - 1) // $bw AS BIGINT) AS b,
+        |   CAST((i - 1) % $bw + 1 AS BIGINT) AS j,
         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
         |     AS BIGINT) * 1000 AS x
         |  FROM (SELECT vec_id, embedding,
@@ -5897,17 +5944,17 @@ object SparkEntry {
         |       FROM (SELECT vec_id, embedding FROM embeddings
         |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
         |               <= '19'
-        |             ORDER BY vec_id LIMIT 8)),
+        |             ORDER BY vec_id LIMIT $codes)),
         |cent0 AS MATERIALIZED (SELECT code,
-        |   CAST((i - 1) // 16 AS BIGINT) AS b,
-        |   CAST((i - 1) % 16 + 1 AS BIGINT) AS j,
+        |   CAST((i - 1) // $bw AS BIGINT) AS b,
+        |   CAST((i - 1) % $bw + 1 AS BIGINT) AS j,
         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
         |     AS BIGINT) * 1000 AS c
         |  FROM (SELECT code, embedding,
         |         unnest(generate_series(1, len(embedding))) AS i
         |        FROM seeds)),
-        |qx AS MATERIALIZED (SELECT CAST((i - 1) // 16 AS BIGINT) AS b,
-        |   CAST((i - 1) % 16 + 1 AS BIGINT) AS j,
+        |qx AS MATERIALIZED (SELECT CAST((i - 1) // $bw AS BIGINT) AS b,
+        |   CAST((i - 1) % $bw + 1 AS BIGINT) AS j,
         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
         |     AS BIGINT) * 1000 AS x
         |  FROM (SELECT embedding,
@@ -5965,13 +6012,13 @@ object SparkEntry {
          |distt AS (SELECT CAST(coalesce(sum(pm), 0) AS BIGINT) AS dm FROM (
          |    SELECT sum(d2) // 1000000 AS pm FROM a${iters + 1}
          |    GROUP BY vec_id))
-         |SELECT 'init' AS phase, CAST(10 AS BIGINT) AS k,
+         |SELECT $cfgCols'init' AS phase, CAST(10 AS BIGINT) AS k,
          | CAST(count(*) AS BIGINT) AS n_overlap,
          | round(count(*) / 10.0, 6) AS recall,
          | (SELECT dm FROM disti) AS distortion_m
          |FROM topi JOIN extop USING (vec_id)
          |UNION ALL
-         |SELECT 'trained', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+         |SELECT $cfgCols'trained', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
          | round(count(*) / 10.0, 6),
          | (SELECT dm FROM distt)
          |FROM topt JOIN extop USING (vec_id)""".stripMargin

@@ -46,6 +46,50 @@ object Chunker {
     }.toSeq
   }
 
+  /** Total planned chunks for a listing — O(#files) driver arithmetic,
+    * no spec materialization.
+    */
+  def countChunks(entries: Seq[FileEntry], blockSize: Long): Long =
+    entries.iterator.filterNot(_.isDir)
+      .map(fe => (fe.size + blockSize - 1) / blockSize).sum
+
+  /** The chunk plan as a Dataset. Plans up to `driverSpecLimit` specs
+    * take the driver Seq path (byte-identical to [[planChunks]], zero
+    * extra jobs — the default covers 100 TB at the 128 MiB default
+    * block size, ~10⁶ specs); above it the expansion runs as a
+    * distributed flatMap over the FILE list, so the driver holds
+    * O(#files), never O(#chunks). The old always-driver path made
+    * plan-time memory scale inversely with block size: 100 TB at 1 MiB
+    * blocks is 10⁸ specs — a driver OOM for choosing a small `-b`,
+    * which the reference's own collect bound never imposed at plan
+    * time. A single huge file expands lazily (iterator flatMap) inside
+    * its task and is immediately re-spread by digestChunks'
+    * range-repartition on (path, idx).
+    */
+  def planChunksDataset(spark: SparkSession, rootDir: String,
+      entries: Seq[FileEntry], blockSize: Long,
+      driverSpecLimit: Long = 4000000L): Dataset[ChunkSpec] = {
+    import spark.implicits._
+    require(blockSize > 0, s"block size must be positive: $blockSize")
+    if (countChunks(entries, blockSize) <= driverSpecLimit)
+      spark.createDataset(planChunks(rootDir, entries, blockSize))
+    else {
+      val root = graft.fs.Listing.stripTrailingSlashes(rootDir)
+      val files = entries.filterNot(_.isDir)
+      val bs = blockSize
+      spark.createDataset(files)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .flatMap { fe =>
+          val nChunks = (fe.size + bs - 1) / bs // 0 for empty files
+          (0L until nChunks).iterator.map { i =>
+            val offset = i * bs
+            ChunkSpec(fe.relPath, s"$root/${fe.relPath}", i, offset,
+              math.min(bs, fe.size - offset))
+          }
+        }
+    }
+  }
+
   /** Computes the domain-separated digest of every planned chunk, streaming
     * file bytes through the digest in 64 KiB reads (never materializing a
     * whole chunk — the default block size is 128 MiB). Specs are
@@ -61,13 +105,28 @@ object Chunker {
       algo: String,
       hadoopConf: Configuration): Dataset[ChunkDigest] = {
     import spark.implicits._
+    digestChunks(spark, spark.createDataset(specs), specs.size.toLong,
+      algo, hadoopConf)
+  }
+
+  /** Dataset-plan variant: `nSpecs` is the planned chunk count (cheap
+    * O(#files) arithmetic via [[countChunks]]) used to size the range
+    * partitioning without counting the Dataset.
+    */
+  def digestChunks(
+      spark: SparkSession,
+      specs: Dataset[ChunkSpec],
+      nSpecs: Long,
+      algo: String,
+      hadoopConf: Configuration): Dataset[ChunkDigest] = {
+    import spark.implicits._
     Algos.get(algo) // fail fast on the driver for unknown algorithms
     val serConf = new SerializableConfiguration(hadoopConf)
     val parallelism = spark.sparkContext.defaultParallelism
     // ~4 specs per core up to the spec count, so large files fan out wide
     // while tiny trees don't pay for empty tasks.
-    val nParts = math.max(1, math.min(specs.size, parallelism * 4))
-    spark.createDataset(specs)
+    val nParts = math.max(1, math.min(nSpecs, parallelism * 4L)).toInt
+    specs
       .repartitionByRange(nParts, $"absPath", $"idx")
       .sortWithinPartitions($"absPath", $"idx")
       .mapPartitions { it =>

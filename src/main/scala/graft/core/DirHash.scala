@@ -73,8 +73,12 @@ object DirHash {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val entries = Listing.list(dir, hadoopConf)
 
-    val specs = Chunker.planChunks(dir, entries, blockSize)
-    val sortedDigests = Chunker.digestChunks(spark, specs, algo, hadoopConf)
+    // Dataset-side plan: O(#files) on the driver regardless of block
+    // size (the digest COLLECT below stays driver-bounded by design —
+    // that bound is the reference's own spec)
+    val specs = Chunker.planChunksDataset(spark, dir, entries, blockSize)
+    val sortedDigests = Chunker.digestChunks(spark, specs,
+      Chunker.countChunks(entries, blockSize), algo, hadoopConf)
       .orderBy("relPath", "idx") // UTF8 binary order == Python code-point order
       .collect()
 

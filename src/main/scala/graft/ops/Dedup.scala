@@ -1505,9 +1505,10 @@ object Dedup {
     * q186 at real scale.
     */
   def sCurveCheck(spark: SparkSession, dir: String,
-      sampleHexMax: String = "ff"): DataFrame = {
+      sampleHexMax: String = "ff", maxEvalDocs: Long = 1000000L): DataFrame = {
     import spark.implicits._
     val d = sampleDocs(docs(spark, dir), sampleHexMax)
+    evalTierGuard(d, sampleHexMax, maxEvalDocs, "sCurveCheck (q196)")
     val truth = jaccardPairsOf(spark, d, 0.05)
       .select($"doc_a", $"doc_b", $"jaccard")
     val cand = candidatePairs(bandSignatures(shingleRowsOf(d), 4, 4))
@@ -1527,6 +1528,30 @@ object Dedup {
         round(abs($"empirical_rate" - $"analytic_rate"), 6))
   }
 
+  /** The banding evaluators are EVAL-TIER operators: their exact-Jaccard
+    * ground-truth arm is the one deliberately-superlinear computation in
+    * the suite (true-pair volume grows superquadratically in duplicated
+    * content, even behind the df-adaptive prefix join), because that is
+    * what MEASURING a banding config costs. Running it on an unbounded
+    * corpus is a design error, not a slow query — so the full arm
+    * (`sampleHexMax = "ff"`) refuses corpora above `maxEvalDocs`
+    * (default 1M docs ≈ the eval-tier budget where the truth arm is
+    * minutes, not days; the dedupClusters driver-tier precedent) and
+    * the error names the two 100-TB recipes: the sampled twins
+    * (q222/q223, `sampleHexMax = "7f"`) or an explicit higher bound.
+    * The count() is parquet-footer metadata, not a scan.
+    */
+  private def evalTierGuard(d: DataFrame, sampleHexMax: String,
+      maxEvalDocs: Long, op: String): Unit =
+    if (sampleHexMax == "ff") {
+      val n = d.count()
+      require(n <= maxEvalDocs,
+        s"$op: full-corpus exact-truth arm on $n docs exceeds the " +
+          s"eval-tier bound $maxEvalDocs — run the md5-sampled twin " +
+          "(sampleHexMax, e.g. \"7f\" = q222/q223) or raise maxEvalDocs " +
+          "if this corpus size is intentional")
+    }
+
   /** `sampleHexMax` < "ff" runs BOTH arms — banding candidates and the
     * exact-Jaccard ground truth — on the same deterministic md5-bucket
     * doc sample ([[sampleDocs]]): at 100 TB the exact truth arm is
@@ -1535,9 +1560,11 @@ object Dedup {
     * identical sample predicate, so the sampled row is value-gated too.
     */
   def dedupEval(spark: SparkSession, dir: String,
-      tau: Double = 0.5, sampleHexMax: String = "ff"): DataFrame = {
+      tau: Double = 0.5, sampleHexMax: String = "ff",
+      maxEvalDocs: Long = 1000000L): DataFrame = {
     import spark.implicits._
     val d = sampleDocs(docs(spark, dir), sampleHexMax)
+    evalTierGuard(d, sampleHexMax, maxEvalDocs, "dedupEval (q186)")
     val cand = candidatePairs(bandSignatures(shingleRowsOf(d), 4, 4))
       .select($"doc_a", $"doc_b", lit(1L).as("is_cand"))
     val truth = jaccardPairsOf(spark, d, tau)

@@ -973,6 +973,63 @@ object Relational {
         $"supplier_cnt")
   }
 
+  /** Customer order-count distribution (q278, the TPC-H Q13 shape): how
+    * many customers placed exactly k non-urgent orders, INCLUDING k = 0
+    * — the left-outer-join + histogram-of-counts classic (the zero
+    * bucket is the whole point: an inner join silently drops customers
+    * who never ordered). Q13's "%special%requests%" comment exclusion
+    * becomes the 1-URGENT priority class (this schema has no o_comment).
+    *
+    * Scale: the fact side aggregates FIRST (per-custkey counts,
+    * map-side combined, priority filter pushed to the scan), so the
+    * outer join carries one row per customer, never one per order; the
+    * final histogram is ≤ max-orders-per-customer rows.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = spark.read.parquet(s"$dir/orders.parquet")
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .select(coalesce($"n", lit(0L)).as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Top-revenue supplier (q279, the TPC-H Q15 shape): the supplier(s)
+    * whose 1998-Q1 discounted revenue equals the maximum over ALL
+    * suppliers — the revenue-view + scalar-max-HAVING classic. Revenue
+    * sums in exact i64 at e-4 dollars: price (2 dp) × (1 − discount)
+    * (2 dp) × 10⁴ is an INTEGER in decimal, so the per-row round() has
+    * no half-boundary to split the engines (rounding to cents instead
+    * WOULD hit exact .005 boundaries — the q259 discipline, one scale
+    * finer), and the equality against the max is exact. Bounds: ≤ 1e9
+    * per line, ~1e5 lines per supplier even at 100 TB → ≪ i64.
+    *
+    * Scale: ONE per-supplier aggregate over the date-pruned scan feeds
+    * both the scalar max (a one-row broadcast) and the winner filter;
+    * the supplier dimension joins AFTER the filter (≤ a handful of
+    * winner rows).
+    */
+  def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_shipdate" >= lit("1998-01-01") &&
+        $"l_shipdate" < lit("1998-04-01"))
+      .select($"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_e4"))
+      .groupBy($"l_suppkey").agg(sum($"rev_e4").as("total_revenue_e4"))
+    val mx = broadcast(rev.agg(max($"total_revenue_e4").as("max_rev")))
+    rev.crossJoin(mx)
+      .filter($"total_revenue_e4" === $"max_rev")
+      .join(spark.read.parquet(s"$dir/supplier.parquet")
+        .select($"s_suppkey", $"s_name"), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue_e4")
+  }
+
   def orderHoldingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fOrders = spark.read.parquet(s"$dir/orders.parquet")

@@ -1230,14 +1230,59 @@ object Similarity {
   def trainedPqRecall(spark: SparkSession, dir: String, nBlocks: Int = 4,
       codesPerBlock: Int = 8, iters: Int = 2, k: Int = 10): DataFrame = {
     import spark.implicits._
+    trainedPqPhases(spark, dir, nBlocks, codesPerBlock, iters, k).getOrElse(
+      Seq.empty[(String, Long, Long, Double)]
+        .toDF("phase", "k", "n_overlap", "recall"))
+  }
+
+  /** PQ codebook-size sweep (q277): the q271 trained-recall eval
+    * repeated at 8/16/32/64 codes per block — the recall-vs-codebook
+    * OPERATING TABLE a 100-TB build reads before freezing its index
+    * parameters (q270/q271 measured recall 0.0–0.3 at 8 codes/block and
+    * correctly said "train more codes"; this query is the answer:
+    * recall and the Lloyd distortion objective at every codebook size,
+    * init and trained phases both, one oracle-replayed row each).
+    *
+    * Scale: each arm is q271's shape — zero-shuffle assignment
+    * projections (codegen'd pq_d2 argmin over ≤ m literal centroids), a
+    * (block, code, dim) map-side-combined rollup per Lloyd round
+    * (≤ blocks·m·blockDim = 4096 cells at m=64, the q74 driver-steering
+    * bound), TakeOrdered rankings. The sweep is Σ over sizes of that —
+    * linear in the scan count, constant driver state.
+    */
+  def pqCodebookSweep(spark: SparkSession, dir: String,
+      configs: Seq[(Int, Int)] = Seq((4, 8), (4, 64), (16, 8), (16, 64)),
+      iters: Int = 2, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val arms = configs.flatMap { case (nBlocks, n) =>
+      trainedPqPhases(spark, dir, nBlocks, n, iters, k).map(df =>
+        df.select(lit(nBlocks.toLong).as("n_blocks"),
+          lit(n.toLong).as("codes_per_block"), col("phase"),
+          col("k"), col("n_overlap"), col("recall"), col("distortion_m")))
+    }
+    if (arms.isEmpty)
+      Seq.empty[(Long, Long, String, Long, Long, Double, Long)]
+        .toDF("n_blocks", "codes_per_block", "phase", "k", "n_overlap",
+          "recall", "distortion_m")
+    else arms.reduce(_ unionByName _)
+  }
+
+  /** The q271 core for ONE codebook size: None when the corpus has no
+    * sampled seeds or no query vector; otherwise the two-phase
+    * (init/trained) recall + distortion rows. `codesPerBlock` is a
+    * REQUEST — the actual codebook is min(request, sampled pool) codes,
+    * exactly like the oracle's `LIMIT n` over the same md5 sample.
+    */
+  private def trainedPqPhases(spark: SparkSession, dir: String, nBlocks: Int,
+      codesPerBlock: Int, iters: Int, k: Int): Option[DataFrame] = {
+    import spark.implicits._
     val e = emb(spark, dir)
     val dim = 64
     val bw = dim / nBlocks
     val seeds = sampledCentroids(spark, dir, codesPerBlock)
     val qRows = e.filter($"vec_id" === 0L).select($"embedding").collect()
-    if (seeds.isEmpty || qRows.isEmpty)
-      return Seq.empty[(String, Long, Long, Double)]
-        .toDF("phase", "k", "n_overlap", "recall")
+    if (seeds.isEmpty || qRows.isEmpty) return None
+    val m = seeds.size
     // e6 integer view of a float component: round(x·1e3)·1e3 — the e3
     // corpus quantization lifted to the centroid scale
     def qe6(x: Float): Long = math.round(x.toDouble * 1000.0) * 1000L
@@ -1251,33 +1296,30 @@ object Similarity {
     var cents: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
       (0 until nBlocks).map(b => seeds.map(s =>
         s._2.slice(b * bw, (b + 1) * bw).map(qe6).toIndexedSeq).toIndexedSeq)
-    // exact i64 block distance of the row's block slice to a literal
-    // integer centroid; assignment = least(struct(d2, code))
-    def blockArgmin(b: Int, cs: IndexedSeq[IndexedSeq[Long]]): Column = {
-      val v = slice($"xq", b * bw + 1, bw)
-      val cands = cs.zipWithIndex.map { case (c, code) =>
-        struct(
-          aggregate(zip_with(v, array(c.map(lit): _*),
-            (x, ci) => (x - ci) * (x - ci)), lit(0L), (acc, t) => acc + t)
-            .as("d2"),
-          lit(code.toLong).as("code"))
-      }
-      if (cands.length == 1) cands.head else least(cands: _*)
-    }
-    def blockCode(b: Int, cs: IndexedSeq[IndexedSeq[Long]]): Column =
-      blockArgmin(b, cs).getField("code")
+    // whole-vector assignment in ONE codegen'd pq_encode call: argmin
+    // code per block by exact i64 d², min-code ties — the identical
+    // `least(struct(d2, code))` contract, minus the blocks × codes
+    // Catalyst tree whose planning time dominated at 16 × 64
+    def encodeWith(cs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): Column =
+      VectorOps.pqEncodeCol(spark, $"xq", cs)
     for (_ <- 1 to iters) {
       val frozen = cents
-      val assigned = vecs.select(col("xq") +: (0 until nBlocks).map(b =>
-        blockCode(b, frozen(b)).as(s"c$b")): _*)
-      // one (block, code, dim) rollup; exact i64 sums + counts
-      val sums = (0 until nBlocks).map { b =>
-        assigned.select(lit(b).as("b"), col(s"c$b").as("code"),
-          posexplode(slice($"xq", b * bw + 1, bw)).as(Seq("i", "x")))
-          .groupBy($"b", $"code", $"i")
-          .agg(sum($"x").as("s"), count(lit(1)).as("n"),
-            min($"x").as("mn"))
-      }.reduce(_ unionByName _).collect()
+      val assigned = vecs.select($"xq",
+        encodeWith(frozen).getField("codes").as("codes"))
+      // one (block, code, dim) rollup off a single posexplode of the
+      // full vector — block and in-block dim derived from the position,
+      // the block's code picked out of the assignment array; exact i64
+      // sums + counts, map-side combined, ≤ blocks·m·bw cells
+      val sums = assigned
+        .select($"codes", posexplode($"xq").as(Seq("p", "x")))
+        .select(expr(s"CAST(p div $bw AS INT)").as("b"),
+          element_at($"codes", expr(s"CAST(p div $bw AS INT)") + 1)
+            .as("code"),
+          expr(s"CAST(p % $bw AS INT)").as("i"), $"x")
+        .groupBy($"b", $"code", $"i")
+        .agg(sum($"x").as("s"), count(lit(1)).as("n"),
+          min($"x").as("mn"))
+        .collect()
       // the shifted floor division below assumes every component ≥ -4e6
       // (s + 4e6·n ≥ 0); a corpus below -4.0 would send the numerator
       // negative, where Spark's truncating div diverges from the
@@ -1293,7 +1335,7 @@ object Similarity {
       val byCell = sums.map(r => (r.getInt(0), r.getLong(1), r.getInt(2)) ->
         (r.getLong(3), r.getLong(4))).toMap
       cents = (0 until nBlocks).map { b =>
-        (0 until codesPerBlock).map { code =>
+        (0 until m).map { code =>
           (0 until bw).map { i =>
             byCell.get((b, code.toLong, i)) match {
               case Some((s, n)) if n > 0 =>
@@ -1316,22 +1358,25 @@ object Similarity {
         qb.indices.foldLeft(0L)((acc, i) =>
           acc + (qb(i) - c(i)) * (qb(i) - c(i)))
       }
+      // one pq_encode per row serves BOTH readouts: the ADC ranking
+      // (lookup-table sum over the assigned codes) and the distortion
+      // objective (sum of the per-block min d²s)
+      val enc = vecs.select($"vec_id", encodeWith(cs).as("e"))
       val adc = (0 until nBlocks).map { b =>
         element_at(
-          array((0 until codesPerBlock).map(c => lit(ltOf(b, c))): _*),
-          blockCode(b, cs(b)).cast("int") + 1)
+          array((0 until m).map(c => lit(ltOf(b, c))): _*),
+          element_at($"e".getField("codes"), b + 1).cast("int") + 1)
       }.reduce(_ + _)
-      val adcTop = vecs.select($"vec_id", adc.as("adc"))
+      val adcTop = enc.select($"vec_id", adc.as("adc"))
         .orderBy($"adc", $"vec_id").limit(k).select($"vec_id")
-      val exact = aggregate(zip_with($"xq", array(qv6.map(lit): _*),
-        (x, q) => (x - q) * (x - q)), lit(0L), (acc, t) => acc + t)
+      val exact = VectorOps.pqD2Col(spark, $"xq", 0, qv6)
       val exactTop = vecs.select($"vec_id", exact.as("d2"))
         .orderBy($"d2", $"vec_id").limit(k).select($"vec_id")
       // Σ per-vector min-code error in e6-reduced units — the Lloyd
       // objective (trained ≤ init is the provable law)
       val distM = (0 until nBlocks).map(b =>
-        blockArgmin(b, cs(b)).getField("d2")).reduce(_ + _)
-      val dist = vecs.select(distM.as("pd"))
+        element_at($"e".getField("d2s"), b + 1)).reduce(_ + _)
+      val dist = enc.select(distM.as("pd"))
         .selectExpr("pd div 1000000 AS pm") // integer div: trunc==floor on ≥0
         .agg(coalesce(sum($"pm"), lit(0L)).as("distortion_m"))
       adcTop.join(exactTop, "vec_id")
@@ -1342,7 +1387,8 @@ object Similarity {
           round($"n_overlap" / lit(k.toDouble), 6).as("recall"),
           $"distortion_m")
     }
-    phaseRecall("init", initCents).unionByName(phaseRecall("trained", cents))
+    Some(phaseRecall("init", initCents)
+      .unionByName(phaseRecall("trained", cents)))
   }
 
   /** Residual (two-level) product quantization report (q276): the
@@ -1405,20 +1451,20 @@ object Similarity {
     // per block: struct(d2_one, d2_two) — level-1 argmin picks the
     // centroid, then level-2 argmin runs on the residual; both exact i64
     def blockPair(b: Int): Column = {
-      val v = slice($"xq", b * bw + 1, bw)
-      def d2To(c: IndexedSeq[Long], base: Column): Column =
-        aggregate(zip_with(base, array(c.map(lit): _*),
-          (x, ci) => (x - ci) * (x - ci)), lit(0L), (acc, t) => acc + t)
       val lvl1 = c1(b).zipWithIndex.map { case (c, code) =>
-        struct(d2To(c, v).as("d2"), lit(code).as("code"))
+        struct(VectorOps.pqD2Col(spark, $"xq", b * bw, c).as("d2"),
+          lit(code).as("code"))
       }
       val best1 = if (lvl1.length == 1) lvl1.head else least(lvl1: _*)
       val code1 = best1.getField("code")
       val d2One = best1.getField("d2")
-      // residual = v − c1[code1], selected via a literal array-of-arrays
+      // level-1 pick via a literal array-of-arrays; level-2 distance via
+      // codegen'd pq_res_d2, which subtracts the pick inline — the
+      // residual array is never materialized
       val c1Arr = array(c1(b).map(c => array(c.map(lit): _*)): _*)
-      val r = zip_with(v, element_at(c1Arr, code1 + 1), (x, ci) => x - ci)
-      val d2Two = c2(b).map(cc => d2To(cc, r)) match {
+      val sel = element_at(c1Arr, code1 + 1)
+      val d2Two = c2(b).map(cc =>
+        VectorOps.pqResD2Col(spark, $"xq", b * bw, sel, cc)) match {
         case Seq(one) => one
         case many => least(many: _*)
       }

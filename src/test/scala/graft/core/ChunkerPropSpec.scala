@@ -93,4 +93,42 @@ class ChunkerPropSpec extends AnyFunSuite {
       } finally rmTree(root)
     }
   }
+
+  test("property: distributed plan == driver plan (forced via driverSpecLimit 0)") {
+    import graft.fs.FileEntry
+    for {
+      size <- samples(sizes, 20)
+      block <- samples(blocks, 4)
+    } {
+      val entries = Seq(FileEntry("a/f1", isDir = false, size),
+        FileEntry("f2", isDir = false, (size * 3) % 4097),
+        FileEntry("a", isDir = true, 0L),
+        FileEntry("empty", isDir = false, 0L))
+      val driver = Chunker.planChunks("/r", entries, block)
+      val dist = Chunker.planChunksDataset(spark, "/r", entries, block,
+        driverSpecLimit = 0L).collect().toSeq
+      assert(dist.sortBy(s => (s.relPath, s.idx)) ==
+        driver.sortBy(s => (s.relPath, s.idx)),
+        s"plan mismatch at size=$size block=$block")
+    }
+  }
+
+  test("a 10-million-chunk listing plans without driver materialization") {
+    import graft.fs.FileEntry
+    // 10 files × 1e6 chunks each: the old driver Seq would be 1e7
+    // ChunkSpec objects (~1.5 GB with object headers + two boxed paths
+    // each); the Dataset plan never materializes them driver-side —
+    // lazy iterator flatMap per file, spot-checked at both extremes.
+    // (Planning needs sizes only; no bytes are read.)
+    val entries = (0 until 10).map(i =>
+      FileEntry(f"big$i%02d", isDir = false, 1000000L * 512))
+    val ds = Chunker.planChunksDataset(spark, "/r", entries, 512L,
+      driverSpecLimit = 1000L)
+    assert(ds.count() == 10000000L)
+    import spark.implicits._
+    val last = ds.filter($"relPath" === "big09" && $"idx" === 999999L)
+      .collect()
+    assert(last.length == 1 && last(0).offset == 999999L * 512 &&
+      last(0).len == 512L)
+  }
 }

@@ -69,4 +69,82 @@ class VectorOpsSpec extends AnyFunSuite {
       .head()
     assert(r.isNullAt(0))
   }
+
+  private val longVecGen: Gen[Array[Long]] = for {
+    xs <- Gen.listOfN(64, Gen.chooseNum(-4000000L, 4000000L))
+  } yield xs.toArray
+
+  test("pq_d2/pq_res_d2 equal the aggregate(zip_with) i64 fold, codegen and interpreted") {
+    VectorOps.register(spark)
+    val rows = samples(longVecGen, 6)
+    val cent = samples(longVecGen, 1).head.slice(0, 16).toSeq
+    val sel = samples(longVecGen, 2).last.slice(0, 16).toSeq
+    val df = rows.map(Tuple1(_)).toDF("xq")
+    def hof(off: Int): Seq[Long] = df.select(
+      aggregate(zip_with(slice($"xq", off + 1, 16), array(cent.map(lit): _*),
+        (x, c) => (x - c) * (x - c)), lit(0L), (acc, t) => acc + t).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    def hofRes(off: Int): Seq[Long] = df.select(
+      aggregate(zip_with(
+        zip_with(slice($"xq", off + 1, 16), array(sel.map(lit): _*), (x, s) => x - s),
+        array(cent.map(lit): _*),
+        (x, c) => (x - c) * (x - c)), lit(0L), (acc, t) => acc + t).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    def run(off: Int, codegen: String): (Seq[Long], Seq[Long]) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val out = df.select(
+          VectorOps.pqD2Col(spark, $"xq", off, cent).as("d"),
+          VectorOps.pqResD2Col(spark, $"xq", off, array(sel.map(lit): _*), cent).as("r"))
+          .collect()
+        (out.map(_.getLong(0)).toSeq, out.map(_.getLong(1)).toSeq)
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    for (off <- Seq(0, 16, 48)) {
+      val (d2t, rest) = run(off, "true")
+      val (d2f, resf) = run(off, "false")
+      assert(d2t == hof(off) && d2f == hof(off))
+      assert(rest == hofRes(off) && resf == hofRes(off))
+    }
+  }
+
+  test("pq_encode equals the least(struct(pq_d2, code)) route, codegen and interpreted") {
+    VectorOps.register(spark)
+    // small value range on purpose: collisions force d² ties, which must
+    // resolve to the LOWEST code (the least(struct) contract)
+    val tieGen: Gen[Array[Long]] = for {
+      xs <- Gen.listOfN(8, Gen.chooseNum(-2L, 2L))
+    } yield xs.toArray
+    val rows = samples(tieGen, 10)
+    val cb: Seq[Seq[Seq[Long]]] = (0 until 2).map { b =>
+      (0 until 5).map(c => samples(tieGen, 1 + b * 5 + c).last.slice(0, 4).toSeq)
+    }
+    val df = rows.map(Tuple1(_)).toDF("xq")
+    val ref = df.select((0 until 2).flatMap { b =>
+      val arg = cb(b).zipWithIndex.map { case (c, code) =>
+        struct(VectorOps.pqD2Col(spark, $"xq", b * 4, c).as("d2"),
+          lit(code.toLong).as("code"))
+      }.reduceLeft((a, x) => least(a, x))
+      Seq(arg.getField("code").as(s"c$b"), arg.getField("d2").as(s"d$b"))
+    }: _*).collect().map(r => (0 until 2).map(b =>
+      (r.getLong(2 * b), r.getLong(2 * b + 1))))
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(VectorOps.pqEncodeCol(spark, $"xq", cb).as("e"))
+        .select($"e.codes", $"e.d2s").collect().map { r =>
+          val cs = r.getSeq[Long](0); val ds = r.getSeq[Long](1)
+          (0 until 2).map(b => (cs(b), ds(b)))
+        }.toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(run("true") == ref.toSeq)
+    assert(run("false") == ref.toSeq)
+  }
+
+  test("pq_d2 null array yields null") {
+    VectorOps.register(spark)
+    val r = spark.sql(
+      "SELECT pq_d2(CAST(NULL AS ARRAY<BIGINT>), 0, array(1L))").head()
+    assert(r.isNullAt(0))
+  }
 }

@@ -614,6 +614,25 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("LessThan(s_acctbal"), s"blacklist filter not pushed:\n$p")
   }
 
+  test("q278: Q13 shape = LEFT OUTER of customer against the PRE-AGGREGATED fact side") {
+    val p = plan(Relational.customerOrderDistribution(spark, sf))
+    assert(p.contains("LeftOuter"), s"q278 lost the outer join (zero bucket):\n$p")
+    // the priority exclusion reaches the orders scan; the join build
+    // side is the per-custkey aggregate, never raw orders (the
+    // HashAggregate must sit under the join's build exchange)
+    assert(p.contains("Not(EqualTo(o_orderpriority"), s"filter not pushed:\n$p")
+    // customer reads its key only (column pruning through the outer join)
+    assert(p.contains("struct<c_custkey:bigint>"), s"customer not pruned:\n$p")
+  }
+
+  test("q279: Q15 shape = one revenue aggregate, scalar max by broadcast, date pushed") {
+    val p = plan(Relational.topRevenueSupplier(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q279 scalar max not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"date not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q266: both Q20 nesting levels plan as LEFT SEMI joins, part filter pushed") {
     val p = plan(Relational.dominantPartSuppliers(spark, sf))
     // level 1 (part-family filter on lineitem) + level 2 (qualifying

@@ -20,13 +20,14 @@ def norm(v):
         return v
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
     for name in sorted(oracle):
         sql = oracle[name]
         try:
@@ -36,6 +37,9 @@ def main(sf_dir, out_dir):
             ).fetch_arrow_table().to_pylist()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": -1,
+                            "oracle_rows": -1, "err": str(e)[:300]}
             n_fail += 1
             continue
         def canon(rows):
@@ -45,6 +49,12 @@ def main(sf_dir, out_dir):
         exp_c, got_c = canon(exp), canon(got)
         exp_cols = sorted(exp[0]) if exp else []
         got_cols = sorted(got[0]) if got else []
+        entry = {"rows_match": len(exp_c) == len(got_c),
+                 "schema_match": exp_cols == got_cols,
+                 "hash_match": exp_c == got_c,
+                 "spark_rows": len(got_c), "oracle_rows": len(exp_c),
+                 "err": None}
+        report[name] = entry
         if exp_cols != got_cols:
             print(f"FAIL {name}: columns differ oracle={exp_cols} spark={got_cols}")
             n_fail += 1
@@ -57,7 +67,21 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(got_c)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        # the driver's CORRECTNESS_r{N}.json shape, so an empty or
+        # missing driver artifact is diagnosable against this one at a
+        # glance (round-10 verdict: the driver round artifact arrived
+        # as {} while the sweep was green)
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    jo = None
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        jo = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jo))

@@ -466,6 +466,11 @@ class OpsSpec extends AnyFunSuite {
       "total_tokens", "tokens_removed", "removed_frac"),
     "q276_residual_pq" -> Set("n_vecs", "distortion1_m", "distortion2_m",
       "n_violations", "improvement_e6", "improvement_frac"),
+    "q277_pq_codebook_sweep" -> Set("n_blocks", "codes_per_block", "phase",
+      "k", "n_overlap", "recall", "distortion_m"),
+    "q278_customer_order_distribution" -> Set("c_count", "custdist"),
+    "q279_top_revenue_supplier" -> Set("s_suppkey", "s_name",
+      "total_revenue_e4"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -797,6 +797,11 @@ object SparkEntry {
     // TPC-H Q15 shape: revenue view + exact scalar-max winner filter
     "q279_top_revenue_supplier" -> ((s: SparkSession, d: String) =>
       Relational.topRevenueSupplier(s, d)),
+    // IVF-PQ: coarse cells route, residuals PQ-encode, a query probes
+    // nProbe cells and ADC-ranks their members — the recall-vs-cost
+    // curve (n_scanned) is the contract
+    "q280_ivf_pq_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopK(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5710,6 +5715,10 @@ object SparkEntry {
           s"CAST($nb AS BIGINT) AS n_blocks, " +
             s"CAST($cd AS BIGINT) AS codes_per_block, ") + s") arm_${nb}_$cd"
       }.mkString("\n UNION ALL \n"),
+    // q280: the full IVF-PQ replay — cells, residual codebook (code 0 =
+    // zero), corpus cell assignment + residual codes, query cell rank +
+    // per-(cell, block, code) lookup tables, four probe arms
+    "q280_ivf_pq_topk" -> ivfPqOracleSql(Seq(1, 2, 4, 8)),
     // q278: the outer join + zero bucket replayed; priority filter on
     // the fact side BEFORE the count, as the engine plans it
     "q278_customer_order_distribution" ->
@@ -5927,6 +5936,117 @@ object SparkEntry {
     * are order-independent, so no float association can split the
     * engines anywhere in the chain.
     */
+  /** q280 oracle: replays `Similarity.ivfPqTopK` at the default
+    * (8 cells, 4 blocks × 16, zero + 8 residual codes, k = 10) in the
+    * identical exact integers; every argmin tie-breaks (d2, id asc)
+    * like the engine's minBy/least.
+    */
+  private def ivfPqOracleSql(probes: Seq[Int]): String = {
+    val ctes =
+      """WITH cx AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS x
+        |  FROM (SELECT vec_id, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings WHERE vec_id <> 0)),
+        |qx AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS x
+        |  FROM (SELECT embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings WHERE vec_id = 0)),
+        |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+        |          AS BIGINT) AS sid, embedding
+        |       FROM (SELECT vec_id, embedding FROM embeddings
+        |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+        |               <= '19'
+        |             ORDER BY vec_id LIMIT 16)),
+        |cellx AS MATERIALIZED (SELECT sid AS cell, CAST(i AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS c
+        |  FROM (SELECT sid, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM samp WHERE sid < 8)),
+        |s2x AS MATERIALIZED (SELECT sid - 8 AS rid, CAST(i AS BIGINT) AS j,
+        |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+        |     AS BIGINT) * 1000 AS v
+        |  FROM (SELECT sid, embedding,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |        FROM samp WHERE sid >= 8)),
+        |s2d AS (SELECT s2x.rid, cellx.cell,
+        |   CAST(sum((s2x.v - cellx.c) * (s2x.v - cellx.c)) AS BIGINT) AS d2
+        |  FROM s2x JOIN cellx ON s2x.j = cellx.j GROUP BY 1, 2),
+        |s2a AS (SELECT rid, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY rid
+        |      ORDER BY d2, cell) AS rk FROM s2d) WHERE rk = 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT CAST(0 AS BIGINT) AS code, CAST((j - 1) // 16 AS BIGINT)
+        |    AS b, CAST((j - 1) % 16 + 1 AS BIGINT) AS jj,
+        |   CAST(0 AS BIGINT) AS r
+        |  FROM (SELECT DISTINCT j FROM qx)
+        |  UNION ALL
+        |  SELECT s2x.rid + 1, CAST((s2x.j - 1) // 16 AS BIGINT),
+        |   CAST((s2x.j - 1) % 16 + 1 AS BIGINT), s2x.v - cellx.c
+        |  FROM s2x JOIN s2a ON s2x.rid = s2a.rid
+        |   JOIN cellx ON s2a.cell = cellx.cell AND s2x.j = cellx.j),
+        |cad AS (SELECT cx.vec_id, cellx.cell,
+        |   CAST(sum((cx.x - cellx.c) * (cx.x - cellx.c)) AS BIGINT) AS d2
+        |  FROM cx JOIN cellx ON cx.j = cellx.j GROUP BY 1, 2),
+        |ca AS MATERIALIZED (SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, cell) AS rk FROM cad) WHERE rk = 1),
+        |rv AS MATERIALIZED (SELECT cx.vec_id,
+        |   CAST((cx.j - 1) // 16 AS BIGINT) AS b,
+        |   CAST((cx.j - 1) % 16 + 1 AS BIGINT) AS jj,
+        |   cx.x - cellx.c AS r
+        |  FROM cx JOIN ca ON cx.vec_id = ca.vec_id
+        |   JOIN cellx ON ca.cell = cellx.cell AND cx.j = cellx.j),
+        |rcd AS (SELECT rv.vec_id, rv.b, c2.code,
+        |   CAST(sum((rv.r - c2.r) * (rv.r - c2.r)) AS BIGINT) AS d2
+        |  FROM rv JOIN c2 ON rv.b = c2.b AND rv.jj = c2.jj
+        |  GROUP BY 1, 2, 3),
+        |rca AS MATERIALIZED (SELECT vec_id, b, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, b
+        |      ORDER BY d2, code) AS rk FROM rcd) WHERE rk = 1),
+        |qd AS (SELECT cellx.cell,
+        |   CAST(sum((qx.x - cellx.c) * (qx.x - cellx.c)) AS BIGINT) AS d2
+        |  FROM qx JOIN cellx ON qx.j = cellx.j GROUP BY 1),
+        |qrank AS (SELECT cell,
+        |   row_number() OVER (ORDER BY d2, cell) AS rk FROM qd),
+        |qres AS (SELECT cellx.cell,
+        |   CAST((qx.j - 1) // 16 AS BIGINT) AS b,
+        |   CAST((qx.j - 1) % 16 + 1 AS BIGINT) AS jj,
+        |   qx.x - cellx.c AS qr
+        |  FROM qx JOIN cellx ON qx.j = cellx.j),
+        |qlt AS MATERIALIZED (SELECT qres.cell, qres.b, c2.code,
+        |   CAST(sum((qres.qr - c2.r) * (qres.qr - c2.r)) AS BIGINT) AS ltv
+        |  FROM qres JOIN c2 ON qres.b = c2.b AND qres.jj = c2.jj
+        |  GROUP BY 1, 2, 3),
+        |adc AS MATERIALIZED (SELECT rca.vec_id, ca.cell,
+        |   CAST(sum(qlt.ltv) AS BIGINT) AS adc
+        |  FROM rca JOIN ca ON rca.vec_id = ca.vec_id
+        |   JOIN qlt ON qlt.cell = ca.cell AND qlt.b = rca.b
+        |    AND qlt.code = rca.code
+        |  GROUP BY 1, 2),
+        |exq AS (SELECT cx.vec_id,
+        |   CAST(sum((cx.x - qx.x) * (cx.x - qx.x)) AS BIGINT) AS d2
+        |  FROM cx JOIN qx ON cx.j = qx.j GROUP BY 1),
+        |extop AS (SELECT vec_id FROM exq ORDER BY d2, vec_id LIMIT 10)""".stripMargin
+    val arms = probes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS n_probe, CAST(10 AS BIGINT) AS k,
+         | (SELECT CAST(count(*) AS BIGINT) FROM ca
+         |  WHERE cell IN (SELECT cell FROM qrank WHERE rk <= $np))
+         |   AS n_scanned,
+         | CAST(count(*) AS BIGINT) AS n_overlap,
+         | round(count(*) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM adc
+         |      WHERE cell IN (SELECT cell FROM qrank WHERE rk <= $np)
+         |      ORDER BY adc, vec_id LIMIT 10) t
+         |JOIN extop ON t.vec_id = extop.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    ctes + "\n" + arms
+  }
+
   private def trainedPqSql(iters: Int, nBlocks: Int = 4, codes: Int = 8,
       cfgCols: String = ""): String = {
     val bw = 64 / nBlocks

@@ -165,6 +165,44 @@ object VectorOps {
     InternalRow(ArrayData.toArrayData(codes), ArrayData.toArrayData(d2s))
   }
 
+  /** Residual PQ encoding: like pqEncode, but block slices are taken
+    * from `a − sel` (the row's residual against its selected coarse
+    * centroid `sel`, a full-width array picked per row) without ever
+    * materializing the residual. Same argmin/tie contract.
+    */
+  def pqResEncode(a: ArrayData, sel: ArrayData,
+      cb: Array[Array[Array[Long]]]): InternalRow = {
+    val nb = cb.length
+    val codes = new Array[Long](nb)
+    val d2s = new Array[Long](nb)
+    var off = 0
+    var b = 0
+    while (b < nb) {
+      val blk = cb(b)
+      val bw = if (blk.length > 0) blk(0).length else 0
+      var best = Long.MaxValue
+      var bestC = 0L
+      var c = 0
+      while (c < blk.length) {
+        val cent = blk(c)
+        var acc = 0L
+        var i = 0
+        while (i < bw) {
+          val d = a.getLong(off + i) - sel.getLong(off + i) - cent(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < best) { best = acc; bestC = c }
+        c += 1
+      }
+      codes(b) = bestC
+      d2s(b) = best
+      off += bw
+      b += 1
+    }
+    InternalRow(ArrayData.toArrayData(codes), ArrayData.toArrayData(d2s))
+  }
+
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
     case ArrayType(FloatType, _)  => false
@@ -282,6 +320,40 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** pq_res_encode(arr, sel, codebook): codegen'd whole-vector residual
+    * PQ assignment (see pqResEncode). `sel` is a full-width
+    * array<bigint> column (the row's coarse centroid, typically
+    * element_at of a literal array-of-arrays by the row's cell code);
+    * `codebook` must be foldable, carried as a primitive reference
+    * object exactly like PqEncode.
+    */
+  case class PqResEncode(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("codes", ArrayType(LongType, containsNull = false),
+        nullable = false),
+      StructField("d2s", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    @transient private lazy val cb: Array[Array[Array[Long]]] = {
+      require(third.foldable, "pq_res_encode codebook must be a literal")
+      val top = third.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(top.numElements()) { b =>
+        val blk = top.getArray(b)
+        Array.tabulate(blk.numElements())(c => blk.getArray(c).toLongArray())
+      }
+    }
+    override def nullSafeEval(a: Any, s: Any, unused: Any): Any =
+      pqResEncode(a.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData], cb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqResCodebook", cb, "long[][][]")
+      nullSafeCodeGen(ctx, ev, (a, s, _) =>
+        s"${ev.value} = graft.functions.VectorOps.pqResEncode($a, $s, $cbRef);")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): PqResEncode =
+      copy(first = f, second = s, third = t)
+  }
+
   /** Registers vec_dot / vec_norm on the session (idempotent) — the same
     * extension point a SparkSessionExtensions injectedFunction would use,
     * kept session-local so any driver-created session works.
@@ -296,6 +368,8 @@ object VectorOps {
       exprs => PqResD2(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction("pq_encode",
       exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("pq_res_encode",
+      exprs => PqResEncode(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   def vecDot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -325,9 +399,19 @@ object VectorOps {
   def pqEncodeCol(spark: SparkSession, arr: Column,
       cb: Seq[Seq[Seq[Long]]]): Column = {
     register(spark)
-    import org.apache.spark.sql.functions.{array, lit}
-    val cbLit = array(cb.map(blk =>
-      array(blk.map(c => array(c.map(lit): _*)): _*)): _*)
-    call_function("pq_encode", arr, cbLit)
+    // typedlit: ONE Literal node — a nested array(array(lit...)) tree
+    // pays a constant-fold over blocks*codes*dim nodes at every
+    // optimizer visit, which dominates planning for large codebooks
+    call_function("pq_encode", arr,
+      org.apache.spark.sql.functions.typedlit(cb))
+  }
+  /** struct(codes, d2s) residual PQ assignment of `arr − sel` against a
+    * literal codebook; `sel` is a full-width array column.
+    */
+  def pqResEncodeCol(spark: SparkSession, arr: Column, sel: Column,
+      cb: Seq[Seq[Seq[Long]]]): Column = {
+    register(spark)
+    call_function("pq_res_encode", arr, sel,
+      org.apache.spark.sql.functions.typedlit(cb))
   }
 }

@@ -1412,6 +1412,132 @@ object Similarity {
     * one single-row aggregate. Codebooks are plan-time literals
     * (2 × blocks × codes × blockDim ints).
     */
+  /** IVF-PQ search (q280): the full billion-vector index shape the
+    * q269-q277 ladder builds toward — a coarse quantizer (nCells
+    * full-width cells, exact-i64 argmin) routes every vector to ONE
+    * cell; the vector's RESIDUAL against its cell is PQ-encoded
+    * (per-block argmin over a shared residual codebook whose code 0 is
+    * the zero vector, the q276 discipline); a query probes only its
+    * `nProbe` nearest cells and ranks their members by ADC — a
+    * per-(cell, block, code) lookup table built driver-side from the
+    * QUERY's residual in each probed cell. One output row per nProbe ∈
+    * `probes`: recall@k against the exact quantized-L2 top-k AND
+    * `n_scanned` (corpus rows in the probed cells) — the
+    * recall-vs-cost OPERATING CURVE that is the IVF contract (recall
+    * is usually monotone in nProbe but not provably so — ADC over a
+    * candidate superset can displace true positives — so the curve is
+    * REPORTED, not asserted).
+    *
+    * All integer: e6 components; residual diffs ≤ 1.6e7 per dim →
+    * block d² ≤ 4e15, ADC sums ≤ 1.6e16 — overflow-free i64.
+    *
+    * Scale: cell assignment + residual encoding are ONE zero-shuffle
+    * scan projection (pq_encode for the coarse level, codegen'd
+    * pq_res_d2 argmins for the residual level); each probe arm is a
+    * pushed-down cell filter → TakeOrdered(k) plus a one-row count.
+    * Codebooks and lookup tables are plan-time literals (nCells·dim +
+    * blocks·codes·blockDim + nCells·blocks·codes longs). At 100 TB the
+    * cell filter is the point: nProbe/nCells of the corpus is scanned,
+    * and the same plan over a cell-partitioned layout prunes at the
+    * file level.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, nCells: Int = 8,
+      nBlocks: Int = 4, codesPerBlock: Int = 8, k: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val dim = 64
+    val bw = dim / nBlocks
+    val seeds = sampledCentroids(spark, dir, nCells + codesPerBlock)
+    val qRows = e.filter($"vec_id" === 0L).select($"embedding").collect()
+    if (seeds.size <= nCells || qRows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("n_probe", "k", "n_scanned", "n_overlap", "recall")
+    def qe6(x: Float): Long = math.round(x.toDouble * 1000.0) * 1000L
+    val qv6: IndexedSeq[Long] = qRows(0).getSeq[Float](0).map(qe6).toIndexedSeq
+    // coarse cells: the first nCells sampled vectors, full width
+    val cells: IndexedSeq[IndexedSeq[Long]] =
+      seeds.take(nCells).map(_._2.map(qe6).toIndexedSeq).toIndexedSeq
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) =>
+        acc + (a(i) - b(i)) * (a(i) - b(i)))
+    def cellOf(v: IndexedSeq[Long]): Int =
+      cells.indices.minBy(c => (d2(v, cells(c)), c))
+    // residual codebook: code 0 = zero; codes 1.. = the NEXT sampled
+    // vectors' residuals against their own nearest cell (q276's rule)
+    val c2: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      (0 until nBlocks).map { b =>
+        val zero = IndexedSeq.fill(bw)(0L)
+        val res = seeds.drop(nCells).map { s =>
+          val v = s._2.map(qe6).toIndexedSeq
+          val c = cells(cellOf(v))
+          (b * bw until (b + 1) * bw).map(i => v(i) - c(i))
+        }
+        zero +: res.toIndexedSeq
+      }
+    // query-side: probed-cell ranking (exact d², cell id ties) and the
+    // per-(cell, block, code) ADC lookup table from the query residual
+    val cellRank: IndexedSeq[Int] =
+      cells.indices.sortBy(c => (d2(qv6, cells(c)), c)).toIndexedSeq
+    val lt: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      cells.indices.map { c =>
+        val qr = qv6.indices.map(i => qv6(i) - cells(c)(i))
+        (0 until nBlocks).map { b =>
+          c2(b).map { cc =>
+            (0 until bw).foldLeft(0L)((acc, i) =>
+              acc + (qr(b * bw + i) - cc(i)) * (qr(b * bw + i) - cc(i)))
+          }
+        }
+      }
+    val xq = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint) * 1000)")
+    // ONE scan: coarse cell via pq_encode (a single 64-wide block), then
+    // per-block residual codes via codegen'd pq_res_d2 argmins against
+    // the cell slice picked out of a literal array-of-arrays
+    val withCell = e.filter($"vec_id" =!= 0L)
+      .select($"vec_id", xq.as("xq"))
+      .select($"vec_id", $"xq",
+        element_at(VectorOps.pqEncodeCol(spark, $"xq", Seq(cells.map(_.toSeq)))
+          .getField("codes"), 1).as("cell"))
+    // residual codes in ONE pq_res_encode node: the full-width cell
+    // centroid is picked per row out of a literal array-of-arrays, the
+    // codebook rides as a primitive reference object (at 16 blocks ×
+    // 33 codes the per-block struct/least tree this replaces costs
+    // ~25 s in planning alone)
+    val cellFullArr = typedlit(cells.map(_.toSeq))
+    val resCodes = VectorOps.pqResEncodeCol(spark, $"xq",
+      element_at(cellFullArr, $"cell".cast("int") + 1),
+      c2.map(_.map(_.toSeq))).getField("codes")
+    // ADC: nested literal table indexed by (cell, block, code)
+    val ltLit = typedlit(cells.indices.map(c =>
+      (0 until nBlocks).map(b => lt(c)(b).toSeq)))
+    def adcOf(codes: Column): Column = (0 until nBlocks).map { b =>
+      element_at(element_at(element_at(ltLit, $"cell".cast("int") + 1),
+        b + 1), element_at(codes, b + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val exactTop = e.filter($"vec_id" =!= 0L)
+      .select($"vec_id", xq.as("xq"))
+      .select($"vec_id", VectorOps.pqD2Col(spark, $"xq", 0, qv6).as("d2"))
+      .orderBy($"d2", $"vec_id").limit(k).select($"vec_id")
+    probes.map { np =>
+      val probed = cellRank.take(np).map(_.toLong)
+      // cell filter FIRST, residual encode + ADC only on survivors —
+      // the order a 100-TB probe must have (with a cell-partitioned
+      // layout the same filter prunes at the file level)
+      val inCells = withCell.filter($"cell".isin(probed: _*))
+      val scanned = inCells.agg(count(lit(1)).as("n_scanned"))
+      val top = inCells
+        .select($"vec_id", $"cell", adcOf(resCodes).as("adc"))
+        .orderBy($"adc", $"vec_id").limit(k).select($"vec_id")
+      top.join(exactTop, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(scanned)
+        .select(lit(np.toLong).as("n_probe"), lit(k.toLong).as("k"),
+          $"n_scanned", $"n_overlap",
+          round($"n_overlap" / lit(k.toDouble), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   def residualPqDistortion(spark: SparkSession, dir: String,
       nBlocks: Int = 4, codesPerBlock: Int = 8): DataFrame = {
     import spark.implicits._

@@ -141,6 +141,38 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(run("false") == ref.toSeq)
   }
 
+  test("pq_res_encode equals the least(struct(pq_res_d2, code)) route") {
+    VectorOps.register(spark)
+    val tieGen: Gen[Array[Long]] = for {
+      xs <- Gen.listOfN(8, Gen.chooseNum(-2L, 2L))
+    } yield xs.toArray
+    val rows = samples(tieGen, 10)
+    val sel = samples(tieGen, 3).last.toSeq // full-width (8) centroid
+    val cb: Seq[Seq[Seq[Long]]] = (0 until 2).map { b =>
+      (0 until 5).map(c => samples(tieGen, 20 + b * 5 + c).last.slice(0, 4).toSeq)
+    }
+    val df = rows.map(Tuple1(_)).toDF("xq")
+    val selCol = array(sel.map(lit): _*)
+    val ref = df.select((0 until 2).map { b =>
+      val selB = array(sel.slice(b * 4, (b + 1) * 4).map(lit): _*)
+      cb(b).zipWithIndex.map { case (c, code) =>
+        struct(VectorOps.pqResD2Col(spark, $"xq", b * 4, selB, c).as("d2"),
+          lit(code.toLong).as("code"))
+      }.reduceLeft((a, x) => least(a, x)).getField("code").as(s"c$b")
+    }: _*).collect().map(r => (r.getLong(0), r.getLong(1)))
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(VectorOps.pqResEncodeCol(spark, $"xq", selCol, cb)
+          .getField("codes").as("cs"))
+        .collect().map { r =>
+          val cs = r.getSeq[Long](0); (cs(0), cs(1))
+        }.toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(run("true") == ref.toSeq)
+    assert(run("false") == ref.toSeq)
+  }
+
   test("pq_d2 null array yields null") {
     VectorOps.register(spark)
     val r = spark.sql(

@@ -471,6 +471,8 @@ class OpsSpec extends AnyFunSuite {
     "q278_customer_order_distribution" -> Set("c_count", "custdist"),
     "q279_top_revenue_supplier" -> Set("s_suppkey", "s_name",
       "total_revenue_e4"),
+    "q280_ivf_pq_topk" -> Set("n_probe", "k", "n_scanned", "n_overlap",
+      "recall"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

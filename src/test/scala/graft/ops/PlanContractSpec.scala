@@ -633,6 +633,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q280: IVF probe arms are filter -> TakeOrdered scans, no join fallback") {
+    val p = plan(Similarity.ivfPqTopK(spark, sf))
+    // each probe arm: cell-filter projection into TakeOrdered(k); the
+    // only joins are the k-row overlap and one-row count broadcasts
+    assert(p.contains("TakeOrderedAndProject"), s"q280 lost top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"q280 pays a shuffle join:\n$p")
+  }
+
   test("q266: both Q20 nesting levels plan as LEFT SEMI joins, part filter pushed") {
     val p = plan(Relational.dominantPartSuppliers(spark, sf))
     // level 1 (part-family filter on lineitem) + level 2 (qualifying

@@ -54,6 +54,24 @@ class Round11Spec extends AnyFunSuite {
     assert(Dedup.dedupEval(spark, dir, maxEvalDocs = 100000L).count() == 1L)
   }
 
+  test("q280 IVF-PQ: cost curve is exact cell accounting; full probe scans everything") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L, 8L))
+    // n_scanned is strictly increasing in nProbe (cells are non-empty
+    // on this corpus) and the all-cells arm scans the whole corpus
+    // minus the query vector
+    val scans = Seq(1L, 2L, 4L, 8L).map(np => rows(np)._1)
+    assert(scans == scans.sorted && scans.distinct == scans,
+      s"cost curve not strictly increasing: $scans")
+    assert(scans.last == 499L, s"full probe scanned ${scans.last}, corpus is 499")
+    // probing more cells never loses scanned rows (supersets) — the
+    // recall VALUES are oracle-gated, not asserted monotone (ADC over a
+    // candidate superset can displace true positives; measured and
+    // documented in BASELINE.md)
+  }
+
   test("trainedPqRecall is unchanged by the pq_encode rewrite (q271 regression pin)") {
     val out = Similarity.trainedPqRecall(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(4)))).toMap

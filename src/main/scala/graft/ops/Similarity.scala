@@ -1302,54 +1302,54 @@ object Similarity {
     // Catalyst tree whose planning time dominated at 16 × 64
     def encodeWith(cs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): Column =
       VectorOps.pqEncodeCol(spark, $"xq", cs)
+    val rollup = graft.functions.PqRollup.pqRollup(nBlocks, m, bw)
     for (_ <- 1 to iters) {
       val frozen = cents
       val assigned = vecs.select($"xq",
         encodeWith(frozen).getField("codes").as("codes"))
-      // one (block, code, dim) rollup off a single posexplode of the
-      // full vector — block and in-block dim derived from the position,
-      // the block's code picked out of the assignment array; exact i64
-      // sums + counts, map-side combined, ≤ blocks·m·bw cells
-      val sums = assigned
-        .select($"codes", posexplode($"xq").as(Seq("p", "x")))
-        .select(expr(s"CAST(p div $bw AS INT)").as("b"),
-          element_at($"codes", expr(s"CAST(p div $bw AS INT)") + 1)
-            .as("code"),
-          expr(s"CAST(p % $bw AS INT)").as("i"), $"x")
-        .groupBy($"b", $"code", $"i")
-        .agg(sum($"x").as("s"), count(lit(1)).as("n"),
-          min($"x").as("mn"))
-        .collect()
+      // the (block, code, dim) rollup as ONE mergeable Aggregator fold:
+      // a flat long[1 + blocks·m + blocks·m·bw] buffer per partition,
+      // exact i64 sums + counts + the global component min — no ×dim
+      // posexplode (38M exploded rows per round at 10×), the shuffle
+      // carries one buffer per partition
+      val buf = assigned
+        .select(rollup(col("codes"), col("xq")).as("buf"))
+        .head().getSeq[Long](0)
+      val nCnt = nBlocks * m
+      def cnt(b: Int, code: Int): Long = buf(1 + b * m + code)
+      def sm(b: Int, code: Int, i: Int): Long =
+        buf(1 + nCnt + (b * m + code) * bw + i)
       // the shifted floor division below assumes every component ≥ -4e6
       // (s + 4e6·n ≥ 0); a corpus below -4.0 would send the numerator
       // negative, where Spark's truncating div diverges from the
       // oracle's flooring // SILENTLY. Guard loudly instead (the
-      // spectralCore discipline, round-10 ADVICE) — min(x) rides the
-      // same rollup, so the check costs nothing.
-      sums.foreach { r =>
-        require(r.getLong(5) >= -4000000L,
-          s"trainedPqRecall: component ${r.getLong(5)} e-6 below the " +
+      // spectralCore discipline, round-10 ADVICE) — the min rides the
+      // same buffer, so the check costs nothing.
+      if ((0 until nBlocks).exists(b => (0 until m).exists(c => cnt(b, c) > 0)))
+        require(buf(0) >= -4000000L,
+          s"trainedPqRecall: component ${buf(0)} e-6 below the " +
             "-4.0 shift bound — raise the shift constant or rescale " +
             "the corpus (engine-split hazard in the mean's floor div)")
-      }
-      val byCell = sums.map(r => (r.getInt(0), r.getLong(1), r.getInt(2)) ->
-        (r.getLong(3), r.getLong(4))).toMap
       cents = (0 until nBlocks).map { b =>
         (0 until m).map { code =>
+          val n = cnt(b, code)
           (0 until bw).map { i =>
-            byCell.get((b, code.toLong, i)) match {
-              case Some((s, n)) if n > 0 =>
-                // floor division made engine-identical by shifting the
-                // numerator non-negative (components ≥ -4e6 · n)
-                (s + 4000000L * n) / n - 4000000L
-              case _ => cents(b)(code)(i) // empty code keeps its centroid
-            }
+            if (n > 0)
+              // floor division made engine-identical by shifting the
+              // numerator non-negative (components ≥ -4e6 · n)
+              (sm(b, code, i) + 4000000L * n) / n - 4000000L
+            else cents(b)(code)(i) // empty code keeps its centroid
           }
         }
       }
     }
     val initCents = (0 until nBlocks).map(b => seeds.map(s =>
       s._2.slice(b * bw, (b + 1) * bw).map(qe6).toIndexedSeq).toIndexedSeq)
+    // the exact quantized-L2 ranking is codebook-independent — built
+    // ONCE and shared by both phases (it was a per-phase subplan)
+    val exactTop = vecs
+      .select($"vec_id", VectorOps.pqD2Col(spark, $"xq", 0, qv6).as("d2"))
+      .orderBy($"d2", $"vec_id").limit(k).select($"vec_id")
     def phaseRecall(phase: String,
         cs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
       def ltOf(b: Int, code: Int): Long = {
@@ -1369,9 +1369,6 @@ object Similarity {
       }.reduce(_ + _)
       val adcTop = enc.select($"vec_id", adc.as("adc"))
         .orderBy($"adc", $"vec_id").limit(k).select($"vec_id")
-      val exact = VectorOps.pqD2Col(spark, $"xq", 0, qv6)
-      val exactTop = vecs.select($"vec_id", exact.as("d2"))
-        .orderBy($"d2", $"vec_id").limit(k).select($"vec_id")
       // Σ per-vector min-code error in e6-reduced units — the Lloyd
       // objective (trained ≤ init is the provable law)
       val distM = (0 until nBlocks).map(b =>

@@ -85,15 +85,28 @@ object Bench {
     // regex over our own one-line format — no JSON dependency.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
-    val baseline: Map[String, Double] =
-      try {
-        val txt = java.nio.file.Files.readString(
-          java.nio.file.Paths.get(outPath))
-        val qsPart = txt.drop(math.max(0, txt.indexOf("\"queries\":")))
-        """"(q[0-9]+[a-z0-9_]*)":(-?[0-9]+\.[0-9]+)""".r
-          .findAllMatchIn(qsPart)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+    val baselineTxt =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
+      catch { case _: Throwable => "" }
+    val baseline: Map[String, Double] = {
+      val qsPart = baselineTxt.drop(
+        math.max(0, baselineTxt.indexOf("\"queries\":")))
+      """"(q[0-9]+[a-z0-9_]*)":(-?[0-9]+\.[0-9]+)""".r
+        .findAllMatchIn(qsPart)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    // committed-baseline shuffle bytes (round-11+ artifacts carry them):
+    // the object is integer-valued, so scope the regex to its braces
+    val baselineShuffle: Map[String, Long] = {
+      val i = baselineTxt.indexOf("\"shuffle_bytes\":{")
+      if (i < 0) Map.empty
+      else {
+        val body = baselineTxt.substring(i,
+          math.max(i, baselineTxt.indexOf("}", i) + 1))
+        """"(q[0-9]+[a-z0-9_]*)":(-?[0-9]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      }
+    }
     // Plan metrics per query (round-10 verdict #7): wall time drifts
     // with the machine (±5-10% per round, re-litigated every verdict);
     // shuffle bytes written and rows scanned are properties of the PLAN
@@ -224,9 +237,23 @@ object Bench {
     val scanJson = results.map { case (k, _) =>
       s""""$k":${qMetrics.get(k).map(_._2).getOrElse(-1L)}""" }
       .mkString("{", ",", "}")
+    // plan-drift gate (the mechanical spike-vs-regression separator the
+    // wall-time gate can't be): shuffle bytes are a plan property, so a
+    // >20% AND >1 MiB move against the committed baseline means the
+    // PLAN changed, not the machine — flagged with both values; wall
+    // drift with flat shuffle bytes is machine noise by elimination
+    val planDrift = results.flatMap { case (name, _) =>
+      for {
+        base <- baselineShuffle.get(name)
+        cur <- qMetrics.get(name).map(_._1)
+        if base >= 0 && cur >= 0
+        if math.abs(cur - base) * 5 > math.abs(base) &&
+          math.abs(cur - base) > (1L << 20)
+      } yield s""""$name":{"base_bytes":$base,"now_bytes":$cur}"""
+    }.mkString("{", ",", "}")
     val cond = f""""load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite,"regime":"$regime","cooldown_attempts":$hist,"spike_retries":$retriesJson,"retry_errors":$retryErrs"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$cond,"shuffle_bytes":$shufJson,"scan_rows":$scanJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$cond,"shuffle_bytes":$shufJson,"scan_rows":$scanJson,"plan_drift":$planDrift,"sf":"$sfDir"}"""
     println(full)
     // the driver captures a bounded TAIL of stdout (round 3 cut the head
     // off the 2 KB+ line above and left "parsed": null); the full

@@ -172,8 +172,14 @@ object Bench {
         }
       val secs = (System.nanoTime() - t0) / 1e9
       drainListeners()
-      // a spike retry overwrites with its own (equal-plan) numbers
-      qMetrics(name) = (mShuffle.get - shuf0, mScan.get - scan0)
+      // FIRST-pass metrics only: a spike retry rides the session's memo
+      // caches (kmv sketch tables, spectral moments), so its shuffle
+      // bytes are cache-hit-shaped and retry occurrence is
+      // machine-dependent — letting it overwrite made the plan-drift
+      // gate flag phantom "drift" on whichever queries happened to
+      // retry in either run
+      if (!qMetrics.contains(name))
+        qMetrics(name) = (mShuffle.get - shuf0, mScan.get - scan0)
       // a failed query reports -1 and contributes NOTHING to the total:
       // its time-to-exception is not a measurement, and summing it would
       // let a broken build pass the 2x gate on a shrunken total

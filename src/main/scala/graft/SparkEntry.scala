@@ -802,6 +802,33 @@ object SparkEntry {
     // curve (n_scanned) is the contract
     "q280_ivf_pq_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqTopK(s, d)),
+    // q281-q292 complete the TPC-H 1..22 shape sweep (Q2, Q4, Q5, Q6,
+    // Q7, Q8, Q9, Q10, Q12, Q14, Q18, Q19 adapted to this star schema;
+    // the other ten shapes landed in earlier rounds)
+    "q281_min_cost_supplier" -> ((s: SparkSession, d: String) =>
+      Relational.minCostSupplier(s, d)),
+    "q282_late_priority_census" -> ((s: SparkSession, d: String) =>
+      Relational.latePriorityCensus(s, d)),
+    "q283_local_supplier_volume" -> ((s: SparkSession, d: String) =>
+      Relational.localSupplierVolume(s, d)),
+    "q284_forecast_revenue" -> ((s: SparkSession, d: String) =>
+      Relational.forecastRevenue(s, d)),
+    "q285_nation_pair_volume" -> ((s: SparkSession, d: String) =>
+      Relational.nationPairVolume(s, d)),
+    "q286_national_market_share" -> ((s: SparkSession, d: String) =>
+      Relational.nationalMarketShare(s, d)),
+    "q287_product_line_profit" -> ((s: SparkSession, d: String) =>
+      Relational.productLineProfit(s, d)),
+    "q288_returned_item_customers" -> ((s: SparkSession, d: String) =>
+      Relational.returnedItemCustomers(s, d)),
+    "q289_lateness_priority_census" -> ((s: SparkSession, d: String) =>
+      Relational.latenessPriorityCensus(s, d)),
+    "q290_promo_revenue_share" -> ((s: SparkSession, d: String) =>
+      Relational.promoRevenueShare(s, d)),
+    "q291_large_volume_customers" -> ((s: SparkSession, d: String) =>
+      Relational.largeVolumeCustomers(s, d)),
+    "q292_disjunctive_revenue" -> ((s: SparkSession, d: String) =>
+      Relational.disjunctiveRevenue(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5743,6 +5770,201 @@ object SparkEntry {
         |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
         |WHERE rev.total_revenue_e4 = (SELECT max(total_revenue_e4)
         |                              FROM rev)""".stripMargin,
+    // q281: the correlated min replayed as the same two-level aggregate
+    // + exact-cent equality join-back; ties survive on both engines
+    "q281_min_cost_supplier" ->
+      """WITH ep AS (SELECT n_nationkey, n_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |es AS (SELECT s_suppkey, s_name, n_name FROM supplier
+        |  JOIN ep ON s_nationkey = n_nationkey),
+        |sup AS (SELECT l_partkey, l_suppkey,
+        |   CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS cost_cents
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |         WHERE p_type = 'STANDARD' AND p_size >= 40)
+        |    AND l_suppkey IN (SELECT s_suppkey FROM es)
+        |  GROUP BY 1, 2),
+        |pm AS (SELECT l_partkey, min(cost_cents) AS min_cents
+        |       FROM sup GROUP BY 1)
+        |SELECT sup.l_partkey AS p_partkey, es.s_suppkey, es.s_name,
+        | es.n_name, sup.cost_cents
+        |FROM sup JOIN pm ON sup.l_partkey = pm.l_partkey
+        |  AND sup.cost_cents = pm.min_cents
+        |JOIN es ON sup.l_suppkey = es.s_suppkey""".stripMargin,
+    // q282: the semi join replayed as EXISTS with the same exact
+    // timestamp-interval inequality
+    "q282_late_priority_census" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    // q283: Q5's c/s nation equality rides the supplier join on both
+    // engines; revenue in exact e-4 integers
+    "q283_local_supplier_volume" ->
+      """WITH an AS (SELECT n_nationkey, n_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |SELECT an.n_name,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |   AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |JOIN an ON s_nationkey = an.n_nationkey
+        |GROUP BY 1""".stripMargin,
+    // q284: identical literal bounds on the stored 2-dp doubles — no
+    // boundary ambiguity to mirror
+    "q284_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+        |   AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // q285: nation joined twice under two aliases, both pair
+    // orientations, ship year as i64
+    "q285_nation_pair_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |   AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q286: both sums exact e-4 i64; only the final share divides
+    // (i64 -> double, round 6 — identical IEEE operands)
+    "q286_national_market_share" ->
+      """WITH base AS (
+        | SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  n_name AS supp_nation,
+        |  CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |    AS BIGINT) AS rev_e4
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'AMERICA'))
+        |SELECT o_year,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4
+        |   ELSE 0 END) AS BIGINT) AS nation_e4,
+        | CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+        | round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4
+        |     ELSE 0 END) AS BIGINT)
+        |   / CAST(CAST(sum(rev_e4) AS BIGINT) AS DOUBLE), 6) AS mkt_share
+        |FROM base GROUP BY 1""".stripMargin,
+    // q287: retail-price cost basis in exact e-4 (2 dp * 10^4 integer),
+    // profit summed in i64
+    "q287_product_line_profit" ->
+      """WITH wp AS (SELECT p_partkey,
+        |   CAST(round(p_retailprice * 100) AS BIGINT) * 100 AS retail_e4
+        |  FROM part WHERE p_name LIKE '%widget%'),
+        |sn AS (SELECT s_suppkey, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT sn.n_name AS nation,
+        | CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |     AS BIGINT)
+        |   - retail_e4 * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |   AS profit_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN wp ON l_partkey = p_partkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+    // q288: the top-20 replayed with the identical (revenue DESC,
+    // custkey) tie-break; dimension names join after the limit
+    "q288_returned_item_customers" ->
+      """WITH pc AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e4
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R'
+        |   AND o_orderdate >= TIMESTAMP '1997-07-01'
+        |   AND o_orderdate < TIMESTAMP '1997-10-01'
+        | GROUP BY 1
+        | ORDER BY revenue_e4 DESC, o_custkey LIMIT 20)
+        |SELECT c_custkey, c_name, n_name, revenue_e4
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    // q289: the lateness class and both conditional counts replayed
+    // with the same exact interval boundary
+    "q289_lateness_priority_census" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |   THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1""".stripMargin,
+    // q290: conditional e-4 sums, the share divides once at the end
+    "q290_promo_revenue_share" ->
+      """SELECT
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END)
+        |   AS BIGINT) AS promo_e4,
+        | CAST(sum(r) AS BIGINT) AS total_e4,
+        | round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN r
+        |     ELSE 0 END) AS BIGINT)
+        |   / CAST(CAST(sum(r) AS BIGINT) AS DOUBLE), 6)
+        |   AS promo_share_pct
+        |FROM (SELECT l_partkey,
+        |   CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |     AS BIGINT) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01') li
+        |JOIN part ON l_partkey = p_partkey""".stripMargin,
+    // q291: HAVING on the exact i64 quantity sum; joins after the filter
+    "q291_large_volume_customers" ->
+      """WITH big AS (SELECT l_orderkey,
+        |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS total_price_cents,
+        | total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // q292: the same OR-of-ANDs over both tables' columns; quantity
+    // envelope implied by the arms
+    "q292_disjunctive_revenue" ->
+      """SELECT CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |   CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |     AS BIGINT) AS rev_e4
+        |  FROM lineitem) li
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 10
+        |    AND qty BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 20
+        |    AND qty BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 30
+        |    AND qty BETWEEN 20 AND 30)""".stripMargin,
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the

@@ -1053,4 +1053,391 @@ object Relational {
         .select($"s_suppkey", $"s_name"), Seq("s_suppkey"))
       .select($"s_suppkey", $"s_name", $"n_held_orders")
   }
+
+  // -------------------------------------------------------------------
+  // Round-11 completion of the TPC-H 1..22 shape sweep. The schema has
+  // no partsupp/shipmode/commitdate columns, so each query keeps its
+  // original PLAN shape (the thing a 100-TB user cares about) on the
+  // columns this star schema does have; every money/quantity threshold
+  // follows the exact-integer discipline (q259/q279) so no float
+  // boundary can split the engines.
+  // -------------------------------------------------------------------
+
+  /** Min-cost supplier per part (q281, the TPC-H Q2 shape): for each
+    * STANDARD-type part of size ≥ 40, the EUROPE-region supplier(s)
+    * whose observed unit price (min lineitem extendedprice, exact
+    * cents) equals the per-part regional minimum — the correlated-min
+    * classic, planned the scalable way: ONE per-(part, supplier)
+    * aggregate over the semi-filtered fact table, a per-part min
+    * derived FROM that aggregate (never a second lineitem pass, never a
+    * per-row subquery), and the winner filter as an exact-cent equality
+    * join-back. All ties survive (no arbitrary tie-break to mirror).
+    *
+    * Scale: the part filter and the region-supplier set are
+    * dimension-sized key-only semi sides → AQE broadcasts both; the
+    * only fact shuffle is the (partkey, suppkey) aggregate.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fParts = spark.read.parquet(s"$dir/part.parquet")
+      .filter($"p_type" === "STANDARD" && $"p_size" >= 40)
+      .select($"p_partkey")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+      .filter($"r_name" === "EUROPE").select($"r_regionkey")
+    val euroNations = spark.read.parquet(s"$dir/nation.parquet")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val euroSupp = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(euroNations), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+    val supply = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(fParts, $"l_partkey" === $"p_partkey", "left_semi")
+      .join(broadcast(euroSupp.select($"s_suppkey")),
+        $"l_suppkey" === $"s_suppkey", "left_semi")
+      .select($"l_partkey", $"l_suppkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"cents").as("cost_cents"))
+    val perPart = supply.groupBy($"l_partkey")
+      .agg(min($"cost_cents").as("min_cents"))
+    supply.join(perPart, Seq("l_partkey"))
+      .filter($"cost_cents" === $"min_cents")
+      .join(broadcast(euroSupp), $"l_suppkey" === $"s_suppkey")
+      .select($"l_partkey".as("p_partkey"), $"s_suppkey", $"s_name",
+        $"n_name", $"cost_cents")
+  }
+
+  /** Late-order priority census (q282, the TPC-H Q4 shape): orders per
+    * priority class for which AT LEAST ONE lineitem shipped more than
+    * 60 days after the order date — the EXISTS classic, planned as a
+    * LEFT SEMI join on the order key whose extra inequality references
+    * both sides (so it rides the join, not a pushed filter). The semi
+    * probe carries (orderkey, shipdate) only; exact timestamp
+    * arithmetic on both engines.
+    */
+  def latePriorityCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_shipdate")
+    orders.join(li, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Local-supplier volume (q283, the TPC-H Q5 shape): 1996 revenue per
+    * ASIA nation counting only lineitems whose CUSTOMER and SUPPLIER
+    * share the nation — Q5's signature twist (the c/s nationkey
+    * equality makes the supplier join non-key-aligned with the order
+    * join). Revenue in exact e-4 integers. Nation/region are broadcast;
+    * supplier is 100·SF rows → broadcast; the customer join shuffles
+    * on custkey (AQE may broadcast at small SF).
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = spark.read.parquet(s"$dir/region.parquet")
+      .filter($"r_name" === "ASIA").select($"r_regionkey")
+    val asiaNations = spark.read.parquet(s"$dir/nation.parquet")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter($"o_orderdate" >= lit("1996-01-01") &&
+        $"o_orderdate" < lit("1997-01-01"))
+      .select($"o_orderkey", $"o_custkey")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_nationkey")
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select($"s_suppkey", $"s_nationkey")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_e4"))
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
+        $"s_nationkey" === $"c_nationkey")
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"rev_e4").as("revenue_e4"), count(lit(1)).as("n_lines"))
+  }
+
+  /** Forecast revenue change (q284, the TPC-H Q6 shape): the pure
+    * scan-pushdown scalar — 1997 shipments with discount in
+    * [0.05, 0.07] and quantity < 24, summing price×discount in exact
+    * e-4 integers (2 dp × 2 dp × 10⁴ is an integer in decimal, so the
+    * per-row round has no half-boundary). ALL THREE predicates must
+    * reach the parquet scan (pinned in PlanContractSpec) — at 100 TB
+    * this query is row-group pruning or it is nothing. The discount
+    * bounds compare the stored doubles against the same literal bits
+    * on both engines, so the 2-dp grid has no boundary ambiguity.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_shipdate" >= lit("1997-01-01") &&
+        $"l_shipdate" < lit("1998-01-01") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(sum(round($"l_extendedprice" * $"l_discount" * 10000)
+          .cast("long")).as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Nation-pair shipping volume (q285, the TPC-H Q7 shape): 1996–1997
+    * revenue between NATION_3 and NATION_7 in BOTH directions, grouped
+    * by (supplier nation, customer nation, ship year) — the
+    * two-alias-of-one-dimension classic: nation joins the pipeline
+    * twice under different roles, and the pair filter is the
+    * disjunction of the two orientations. Exact e-4 revenue; year as
+    * i64 on both engines.
+    */
+  def nationPairVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select($"n_nationkey", $"n_name")
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_shipdate" >= lit("1996-01-01") &&
+        $"l_shipdate" < lit("1998-01-01"))
+      .select($"l_orderkey", $"l_suppkey",
+        year($"l_shipdate").cast("long").as("l_year"),
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_e4"))
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum($"rev_e4").as("revenue_e4"))
+  }
+
+  /** National market share (q286, the TPC-H Q8 shape): NATION_5's share
+    * of PROMO-part revenue delivered into AMERICA-region customers, per
+    * order year — the conditional-sum-over-total ratio classic. Both
+    * sums are exact e-4 integers; only the final share divides (i64 →
+    * double, round 6 — identical IEEE operands on both engines; sums
+    * stay ≪ 2⁵³ through 100× this scale, the q273 bound note).
+    */
+  def nationalMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val promoParts = spark.read.parquet(s"$dir/part.parquet")
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+      .filter($"r_name" === "AMERICA").select($"r_regionkey")
+    val amNations = spark.read.parquet(s"$dir/nation.parquet")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val amCust = spark.read.parquet(s"$dir/customer.parquet")
+      .join(broadcast(amNations), $"c_nationkey" === $"n_nationkey",
+        "left_semi")
+      .select($"c_custkey")
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")
+          .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey",
+        year($"o_orderdate").cast("long").as("o_year"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(promoParts, $"l_partkey" === $"p_partkey", "left_semi")
+      .select($"l_orderkey", $"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_e4"))
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(amCust, $"o_custkey" === $"c_custkey", "left_semi")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(sum(when($"supp_nation" === "NATION_5", $"rev_e4")
+          .otherwise(0L)).as("nation_e4"),
+        sum($"rev_e4").as("total_e4"))
+      .select($"o_year", $"nation_e4", $"total_e4",
+        round($"nation_e4" / $"total_e4".cast("double"), 6)
+          .as("mkt_share"))
+  }
+
+  /** Product-line profit (q287, the TPC-H Q9 shape): per (supplier
+    * nation, ship year) profit on 'widget' parts, with Q9's
+    * ps_supplycost replaced by the part's retail price as the cost
+    * basis (the only cost column this schema has): profit_e4 =
+    * rev_e4 − retail_e4 · qty, every factor an exact i64 (retail price
+    * 2 dp → ·10⁴ integer; quantities whole-valued). The name filter is
+    * a substring LIKE on the dimension, semi-pruning the fact scan.
+    */
+  def productLineProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+      .filter($"p_name".contains("widget"))
+      .select($"p_partkey",
+        (round($"p_retailprice" * 100) * 100).cast("long").as("retail_e4"))
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")
+          .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey",
+        year($"l_shipdate").cast("long").as("l_year"),
+        $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_e4"))
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"n_name".as("nation"), $"l_year")
+      .agg(sum($"rev_e4" - $"retail_e4" * $"qty").as("profit_e4"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Returned-item customer ranking (q288, the TPC-H Q10 shape): the 20
+    * customers with the highest 1997-Q3 revenue on RETURNED lineitems —
+    * filter → join → aggregate → top-k. Revenue in exact e-4 integers;
+    * the top-k orders by (revenue DESC, custkey) so ties cannot split
+    * the engines, and it plans as TakeOrdered (never a global sort).
+    * The nation name joins AFTER the limit (20 rows).
+    */
+  def returnedItemCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter($"o_orderdate" >= lit("1997-07-01") &&
+        $"o_orderdate" < lit("1997-10-01"))
+      .select($"o_orderkey", $"o_custkey")
+    val perCust = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_e4"))
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"rev_e4").as("revenue_e4"))
+      .orderBy($"revenue_e4".desc, $"o_custkey")
+      .limit(20)
+    perCust
+      .join(spark.read.parquet(s"$dir/customer.parquet")
+        .select($"c_custkey", $"c_name", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"revenue_e4")
+  }
+
+  /** Shipping-lateness priority census (q289, the TPC-H Q12 shape):
+    * 1998 lineitems classed LATE (shipped > 90 days after the order
+    * date) vs ONTIME — Q12's shipmode becomes the lateness class this
+    * schema can express — with Q12's signature conditional counts: how
+    * many lines belong to critical-priority orders (1-URGENT / 2-HIGH)
+    * vs not, per class. One fact-to-fact join on the order key; the
+    * ship-year filter is pushed to the scan.
+    */
+  def latenessPriorityCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_shipdate" >= lit("1998-01-01") &&
+        $"l_shipdate" < lit("1999-01-01"))
+      .select($"l_orderkey", $"l_shipdate")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .select(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+          "LATE").otherwise("ONTIME").as("ship_class"),
+        $"o_orderpriority")
+      .groupBy($"ship_class")
+      .agg(sum(when($"o_orderpriority" === "1-URGENT" ||
+          $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority" === "1-URGENT" ||
+          $"o_orderpriority" === "2-HIGH", 0L).otherwise(1L))
+          .as("low_line_count"))
+  }
+
+  /** Promo revenue share (q290, the TPC-H Q14 shape): the share of
+    * September-1997 revenue carried by PROMO-type parts — one month of
+    * the fact table against the broadcast part dimension, a
+    * conditional e-4 sum over the total, the division only at the end
+    * (round 6). The month filter must be pushed to the scan.
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select($"p_partkey", $"p_type")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_shipdate" >= lit("1997-09-01") &&
+        $"l_shipdate" < lit("1997-10-01"))
+      .select($"l_partkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_e4"))
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .agg(sum(when($"p_type" === "PROMO", $"rev_e4").otherwise(0L))
+          .as("promo_e4"),
+        sum($"rev_e4").as("total_e4"))
+      .select($"promo_e4", $"total_e4",
+        round(lit(100.0) * $"promo_e4" / $"total_e4".cast("double"), 6)
+          .as("promo_share_pct"))
+  }
+
+  /** Large-volume customers (q291, the TPC-H Q18 shape): orders whose
+    * total quantity exceeds 300 units, with their customer — the
+    * GROUP-BY-HAVING-IN classic, planned as: per-order quantity sums
+    * (map-side combined, exact i64 on the whole-valued quantities),
+    * the HAVING filter on the aggregate, then joins to orders and
+    * customer AFTER the filter (≤ dozens of rows ride the joins, never
+    * the fact table). Total price in exact cents.
+    */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity".cast("long").as("qty"))
+      .groupBy($"l_orderkey")
+      .agg(sum($"qty").as("total_qty"))
+      .filter($"total_qty" > 300L)
+    big.join(spark.read.parquet(s"$dir/orders.parquet")
+        .select($"o_orderkey", $"o_custkey",
+          round($"o_totalprice" * 100).cast("long").as("total_price_cents"),
+          $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(spark.read.parquet(s"$dir/customer.parquet")
+        .select($"c_custkey", $"c_name"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"total_price_cents", $"total_qty")
+  }
+
+  /** Disjunctive-predicate revenue (q292, the TPC-H Q19 shape): revenue
+    * over three (brand, size-window, quantity-window) OR-arms — the
+    * classic test that an OR-of-ANDs spanning BOTH join sides still
+    * yields a sane plan: the part dimension broadcasts, the
+    * quantity-only envelope (qty ≤ 30, the union of the arms) is
+    * pushed to the fact scan, and the exact arm disjunction evaluates
+    * post-join. Exact e-4 revenue; whole-valued quantities as i64.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val arm = ($"p_brand" === "Brand#5" &&
+        $"p_size".between(1, 10) && $"qty".between(1L, 11L)) ||
+      ($"p_brand" === "Brand#15" &&
+        $"p_size".between(1, 20) && $"qty".between(10L, 20L)) ||
+      ($"p_brand" === "Brand#25" &&
+        $"p_size".between(1, 30) && $"qty".between(20L, 30L))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_quantity" <= 30.0) // pre-cast → reaches the scan
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_e4"))
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter(arm)
+      .agg(sum($"rev_e4").as("revenue_e4"), count(lit(1)).as("n_lines"))
+  }
 }

@@ -633,6 +633,52 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q284: Q6 shape — ALL THREE predicates reach the parquet scan") {
+    val p = plan(Relational.forecastRevenue(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"date not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05"), s"discount not pushed:\n$p")
+    assert(p.contains("LessThan(l_quantity,24.0"), s"quantity not pushed:\n$p")
+    // 4-column read out of 11 — at 100 TB this query IS the row-group prune
+    val read = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_discount")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"), read)
+  }
+
+  test("q282: Q4 EXISTS plans as one LEFT SEMI join (interval condition rides it)") {
+    val p = plan(Relational.latePriorityCensus(spark, sf))
+    assert(p.contains("LeftSemi"), s"q282 lost the semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q288: Q10 top-20 is TakeOrderedAndProject; dimensions join after the limit") {
+    val p = plan(Relational.returnedItemCustomers(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"q288 lost top-k:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+    // the quarter filter prunes the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date not pushed:\n$p")
+  }
+
+  test("q292: Q19 disjunction — qty envelope pushed to the fact scan, " +
+      "part-side implication pushed to the dim scan, join is broadcast") {
+    val p = plan(Relational.disjunctiveRevenue(spark, sf))
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0"),
+      s"qty envelope not pushed:\n$p")
+    // Catalyst extracts the OR-of-ANDs' part-only implication and pushes
+    // it into the part scan — the property that makes Q19 scan-bound
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"part disjunction not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q281: Q2 correlated min — semi-filtered single fact pass, no cartesian") {
+    val p = plan(Relational.minCostSupplier(spark, sf))
+    assert(p.contains("LeftSemi"), s"q281 lost the semi prune:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // part filter reaches the dimension scan that seeds the semi side
+    assert(p.contains("EqualTo(p_type,STANDARD)"), s"part filter not pushed:\n$p")
+  }
+
   test("q280: IVF probe arms are filter -> TakeOrdered scans, no join fallback") {
     val p = plan(Similarity.ivfPqTopK(spark, sf))
     // each probe arm: cell-filter projection into TakeOrdered(k); the

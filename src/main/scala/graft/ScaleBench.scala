@@ -132,7 +132,8 @@ object ScaleBench {
     "q264_label_spectral_energy", "q265_real_codec_audit",
     "q268_ingest_audit", "q269_pq_adc_topk", "q270_adc_recall",
     "q271_trained_pq_recall", "q275_decontam_excise",
-    "q276_residual_pq", "q277_pq_codebook_sweep", "q280_ivf_pq_topk")
+    "q276_residual_pq", "q277_pq_codebook_sweep", "q280_ivf_pq_topk",
+    "q293_graph_route_ann")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
@@ -146,7 +147,13 @@ object ScaleBench {
     "q259_small_qty_revenue", "q260_order_holding_suppliers",
     "q266_dominant_part_suppliers", "q267_lapsed_customers",
     "q273_part_value_concentration", "q274_part_supplier_census",
-    "q278_customer_order_distribution", "q279_top_revenue_supplier")
+    "q278_customer_order_distribution", "q279_top_revenue_supplier",
+    "q281_min_cost_supplier", "q282_late_priority_census",
+    "q283_local_supplier_volume", "q284_forecast_revenue",
+    "q285_nation_pair_volume", "q286_national_market_share",
+    "q287_product_line_profit", "q288_returned_item_customers",
+    "q289_lateness_priority_census", "q290_promo_revenue_share",
+    "q291_large_volume_customers", "q292_disjunctive_revenue")
 
   private val eventQueries = Seq(
     "q25_user_sessions", "q26_hourly_event_counts", "q34_session_windows",

@@ -1030,6 +1030,8 @@ object SparkEntry {
          |   [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
          |    for x in embedding] AS v
          |  FROM embeddings),
+         |rep AS MATERIALIZED (SELECT min(vec_id) AS vec_id, v
+         |  FROM e3 GROUP BY v),
          |p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
          |      WHERE vec_id < $nPlanes),
          |sig AS (SELECT e.vec_id, CAST(pid // $bandBits AS INTEGER) AS band,
@@ -1038,7 +1040,8 @@ object SparkEntry {
          |                   for i in range(1, len(e.embedding)+1)]) >= 0
          |            THEN (CAST(1 AS BIGINT) << CAST(pid % $bandBits AS INTEGER))
          |            ELSE 0 END) AS BIGINT) AS sig
-         |  FROM embeddings e CROSS JOIN p
+         |  FROM embeddings e JOIN rep r ON e.vec_id = r.vec_id
+         |  CROSS JOIN p
          |  GROUP BY e.vec_id, CAST(pid // $bandBits AS INTEGER)),
          |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
          |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
@@ -1048,14 +1051,17 @@ object SparkEntry {
          |  FROM (SELECT c.src, c.dst,
          |     CAST(list_sum([(ea.v[i] - eb.v[i]) * (ea.v[i] - eb.v[i])
          |                    for i in range(1, len(ea.v)+1)]) AS BIGINT) AS d2
-         |    FROM cand c JOIN e3 ea ON c.src = ea.vec_id
-         |     JOIN e3 eb ON c.dst = eb.vec_id) sc),
+         |    FROM cand c JOIN rep ea ON c.src = ea.vec_id
+         |     JOIN rep eb ON c.dst = eb.vec_id) sc),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e3
          |      WHERE vec_id IN ($qList)),
+         |qr AS (SELECT q.qid, r.vec_id AS rid FROM q
+         |       JOIN rep r ON r.v = q.qv),
          |qd AS MATERIALIZED (SELECT q.qid, e.vec_id AS id,
          |   CAST(list_sum([(q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i])
          |                  for i in range(1, len(e.v)+1)]) AS BIGINT) AS d2
-         |  FROM q CROSS JOIN e3 e WHERE e.vec_id <> q.qid),
+         |  FROM q JOIN qr ON qr.qid = q.qid
+         |  CROSS JOIN rep e WHERE e.vec_id <> qr.rid),
          |s0 AS MATERIALIZED (SELECT qid, CAST($entryId AS BIGINT) AS cur,
          |        d2, CAST(0 AS BIGINT) AS hops
          |       FROM qd WHERE id = $entryId),
@@ -1069,7 +1075,6 @@ object SparkEntry {
         s""",
            |c${h}_k$k AS (SELECT f.qid, a.dst AS id FROM $prev f
            |   JOIN rk a ON a.src = f.cur AND a.rn <= $k
-           |   WHERE a.dst <> f.qid
            |  UNION ALL SELECT qid, cur FROM $prev),
            |t${h}_k$k AS (SELECT c.qid, c.id, d.d2 FROM c${h}_k$k c
            |   JOIN qd d ON d.qid = c.qid AND d.id = c.id),

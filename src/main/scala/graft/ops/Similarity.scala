@@ -1553,9 +1553,22 @@ object Similarity {
     * reach it for 2/4 and 3/4 — out-degree is the knob that buys hit
     * rate, measured, not hoped.
     *
-    * Scale: the graph build is the q15/q51 banded bucket join (never
-    * all-pairs; plane count grows with the corpus to keep buckets
-    * bounded) + ONE per-src ranking window shared by every arm
+    * Exact-dedup-first (the q215/q162 treatment, applied to vectors):
+    * the index holds ONE representative (min vec_id) per distinct e3
+    * vector, and each query's own content group is excluded from its
+    * candidates and its exact arm — the nearest DISTINCT-content
+    * neighbor, the semantic a dedup pipeline actually wants (a
+    * byte-identical twin is a trivial d²=0 answer). On an all-distinct
+    * corpus this is IDENTICAL to routing over the raw corpus; on a
+    * duplicated one it collapses the banded buckets back to distinct
+    * content — without it the Σ bucket² candidate volume grows
+    * quadratically in duplication (measured: 297 s at 10× replication,
+    * ~16 s with rep-first).
+    *
+    * Scale: the rep map is one exact-dedup groupBy (the q13 shape);
+    * the graph build is the q15/q51 banded bucket join over reps
+    * (never all-pairs; plane count grows with the corpus to keep
+    * buckets bounded) + ONE per-src ranking window shared by every arm
     * (millions of tiny partitions, no skew). Routing state is KB-sized
     * (|queries| × (cur, d², hops)) and driver-steered like the
     * Lloyd/k-means trajectories: each hop probes the persisted
@@ -1597,6 +1610,20 @@ object Similarity {
       val entryV = e3.filter($"vec_id" === entryId).collect()
         .headOption.map(_.getSeq[Long](1).toArray)
       if (planes.isEmpty || entryV.isEmpty || qVecs.isEmpty) return empty
+      // exact-dedup-first: one representative (min id) per distinct e3
+      // vector; the index is reps only. The entry (global min id) is
+      // always its own group's rep.
+      val repIds = e3.groupBy($"v").agg(min($"vec_id").as("vec_id"))
+        .select($"vec_id")
+      val e3r = e3.join(repIds, Seq("vec_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e3r.count()
+      // each query's rep: the min id sharing ITS content — the one
+      // index node excluded from that query's candidates and exact arm
+      val qRep: Map[Long, Long] = qVecs.map { case (q, qv) =>
+        q -> e3.filter($"v" === array(qv.map(lit(_)): _*))
+          .agg(min($"vec_id")).collect()(0).getLong(0)
+      }
       // banded signatures over static plane literals (q51 geometry)
       val bandSigs = (0 until nBands).map { b =>
         planes.filter(_._1 / r == b)
@@ -1606,6 +1633,7 @@ object Similarity {
           .foldLeft(lit(0L))(_ + _).cast("long")
       }
       val sigs = e
+        .join(repIds, Seq("vec_id"), "left_semi")
         .select($"vec_id", posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
         .select($"vec_id", $"band", $"sig")
       val cands = sigs.as("a")
@@ -1617,8 +1645,8 @@ object Similarity {
       // ONE ranked edge table up to the largest arm; arm k = rn <= k
       val wSrc = Window.partitionBy($"src").orderBy($"d2", $"dst")
       val ranked = cands
-        .join(e3.select($"vec_id".as("src"), $"v".as("va")), Seq("src"))
-        .join(e3.select($"vec_id".as("dst"), $"v".as("vb")), Seq("dst"))
+        .join(e3r.select($"vec_id".as("src"), $"v".as("va")), Seq("src"))
+        .join(e3r.select($"vec_id".as("dst"), $"v".as("vb")), Seq("dst"))
         .select($"src", $"dst",
           call_function("pq_d2", $"va", lit(0), $"vb").as("d2"))
         .withColumn("rn", row_number().over(wSrc))
@@ -1632,17 +1660,19 @@ object Similarity {
           while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
           acc
         }
-        // exact arm (shared): one zero-shuffle scan, the literal query
-        // vectors exploded per row, argmin by (d², id) struct min
+        // exact arm (shared): one zero-shuffle scan over the reps, the
+        // literal query vectors exploded per row (each carrying its
+        // content-group rep to exclude), argmin by (d², id) struct min
         val dcols = qVecs.toSeq.sortBy(_._1).map { case (q, qv) =>
-          struct(lit(q).as("query_id"),
+          struct(lit(q).as("query_id"), lit(qRep(q)).as("rep_id"),
             call_function("pq_d2", $"v", lit(0),
               array(qv.map(lit(_)): _*)).as("d2"))
         }
-        val exMap = e3
+        val exMap = e3r
           .select($"vec_id", explode(array(dcols: _*)).as("qd"))
-          .select($"vec_id", $"qd.query_id".as("query_id"), $"qd.d2".as("d2"))
-          .filter($"vec_id" =!= $"query_id")
+          .select($"vec_id", $"qd.query_id".as("query_id"),
+            $"qd.rep_id".as("rep_id"), $"qd.d2".as("d2"))
+          .filter($"vec_id" =!= $"rep_id")
           .groupBy($"query_id")
           .agg(min(struct($"d2", $"vec_id")).as("m"))
           .collect()
@@ -1668,13 +1698,14 @@ object Similarity {
               .filterNot(qVecs.contains)
             val fetched: Map[Long, Array[Long]] =
               if (needIds.isEmpty) Map.empty
-              else e3.filter($"vec_id".isin(needIds: _*)).collect()
+              else e3r.filter($"vec_id".isin(needIds: _*)).collect()
                 .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
             val vAll = fetched ++ qVecs
             val moved = live.flatMap { q =>
               val (cur, curD2, hops) = state(q)
               val best = adj.getOrElse(cur, Seq.empty)
-                .filter(_ != q) // the query itself is not in the index
+                .filter(_ != qRep(q)) // the query's content group is
+                // not in its index (its rep is the d²=0 trivial answer)
                 .flatMap(id => vAll.get(id).map(v => (d2To(qVecs(q), v), id)))
                 .foldLeft((curD2, cur)) { case (b, c) =>
                   if (c._1 < b._1 || (c._1 == b._1 && c._2 < b._2)) c else b }
@@ -1694,7 +1725,7 @@ object Similarity {
           }
         }.toDF("k_out", "query_id", "routed_id", "routed_d2", "n_hops",
           "exact_id", "exact_d2", "hit")
-      } finally ranked.unpersist()
+      } finally { ranked.unpersist(); e3r.unpersist() }
     } finally e3.unpersist()
   }
 

@@ -835,6 +835,11 @@ object SparkEntry {
     // readout
     "q293_graph_route_ann" -> ((s: SparkSession, d: String) =>
       Similarity.graphRouteAnn(s, d)),
+    // beam-width sweep over the same graph at fixed out-degree 16 —
+    // the second knob of navigable-graph search; beam 1 IS q293's
+    // k_out=16 greedy arm (spec-asserted cross-query law)
+    "q294_beam_route_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.beamRouteAnn(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1021,11 +1026,15 @@ object SparkEntry {
     * the whole graph build 2^hops times per arm (measured: 2 min
     * inlined vs ~0.5 s materialized per arm at sf0.01).
     */
-  private def graphRouteOracleSql(nPlanes: Int, bandBits: Int,
-      kOuts: Seq[Int], maxHops: Int, queryIds: Seq[Long],
-      entryId: Long): String = {
+  /** The shared q293/q294 oracle prefix: e3 quantization, dedup-first
+    * reps, banded signatures, the ranked edge table, per-query rep
+    * exclusion, qd (query × reps-minus-own-rep distances), the entry
+    * seed and the exact arm — ONE text, so the two routing queries
+    * cannot drift on the index they search.
+    */
+  private def routeOracleInitCtes(nPlanes: Int, bandBits: Int,
+      queryIds: Seq[Long], entryId: Long): String = {
     val qList = queryIds.sorted.mkString(", ")
-    val init =
       s"""WITH e3 AS MATERIALIZED (SELECT vec_id,
          |   [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
          |    for x in embedding] AS v
@@ -1069,6 +1078,12 @@ object SparkEntry {
          |  FROM (SELECT qid, id, d2,
          |     row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
          |    FROM qd) WHERE rn = 1)""".stripMargin
+  }
+
+  private def graphRouteOracleSql(nPlanes: Int, bandBits: Int,
+      kOuts: Seq[Int], maxHops: Int, queryIds: Seq[Long],
+      entryId: Long): String = {
+    val init = routeOracleInitCtes(nPlanes, bandBits, queryIds, entryId)
     val armCtes = kOuts.map { k =>
       (1 to maxHops).map { h =>
         val prev = if (h == 1) "s0" else s"s${h - 1}_k$k"
@@ -1095,6 +1110,47 @@ object SparkEntry {
          |FROM s${maxHops}_k$k s JOIN ex ON s.qid = ex.qid""".stripMargin
     }.mkString("\n UNION ALL \n")
     init + armCtes + "\n" + armSelects
+  }
+
+  /** The q294 oracle: the same shared index CTEs, then per beam width
+    * the frontier recurrence unrolled — candidates = DISTINCT(frontier
+    * ∪ out-neighbors), re-scored through qd (which also drops the
+    * query's rep), row_number ≤ B. The final row per (beam, query) is
+    * the frontier's (d², id) minimum against the shared exact arm.
+    */
+  private def beamRouteOracleSql(nPlanes: Int, bandBits: Int, kOut: Int,
+      beams: Seq[Int], maxHops: Int, queryIds: Seq[Long],
+      entryId: Long): String = {
+    val init = routeOracleInitCtes(nPlanes, bandBits, queryIds, entryId)
+    val seed =
+      """,
+        |f0 AS (SELECT qid, cur AS id, d2 FROM s0)""".stripMargin
+    val armCtes = beams.map { b =>
+      (1 to maxHops).map { h =>
+        val prev = if (h == 1) "f0" else s"f${h - 1}_b$b"
+        s""",
+           |g${h}_b$b AS (SELECT DISTINCT x.qid, x.id FROM (
+           |  SELECT f.qid, a.dst AS id FROM $prev f
+           |   JOIN rk a ON a.src = f.id AND a.rn <= $kOut
+           |  UNION ALL SELECT qid, id FROM $prev) x),
+           |f${h}_b$b AS MATERIALIZED (SELECT qid, id, d2 FROM (
+           |  SELECT g.qid, g.id, d.d2,
+           |   row_number() OVER (PARTITION BY g.qid
+           |     ORDER BY d.d2, d.id) AS rn
+           |  FROM g${h}_b$b g JOIN qd d ON d.qid = g.qid AND d.id = g.id)
+           | WHERE rn <= $b)""".stripMargin
+      }.mkString
+    }.mkString
+    val armSelects = beams.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS beam, f.qid AS query_id,
+         | f.id AS routed_id, f.d2 AS routed_d2,
+         | ex.exact_id, ex.exact_d2, (f.id = ex.exact_id) AS hit
+         |FROM (SELECT qid, id, d2,
+         |   row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
+         |  FROM f${maxHops}_b$b) f
+         |JOIN ex ON f.qid = ex.qid WHERE f.rn = 1""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    init + seed + armCtes + "\n" + armSelects
   }
 
   /** The SRP-bucket prefix (head-vector hyperplanes → per-vector bucket
@@ -6064,6 +6120,11 @@ object SparkEntry {
     // as a value, not a hope
     "q293_graph_route_ann" ->
       graphRouteOracleSql(16, 4, Seq(4, 8, 16, 32), 6,
+        Seq(7L, 13L, 29L, 42L), 0L),
+    // q294: the frontier recurrence unrolled per beam width over the
+    // SAME shared index CTE text as q293
+    "q294_beam_route_ann" ->
+      beamRouteOracleSql(16, 4, 16, Seq(1, 2, 4, 8), 6,
         Seq(7L, 13L, 29L, 42L), 0L),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window

@@ -1582,151 +1582,269 @@ object Similarity {
     * replay discipline; materialization keeps the chain linear where
     * plain CTE inlining re-evaluates the graph build 2^hops times).
     */
+  /** The shared routing index behind q293/q294: dedup-first rep
+    * vectors, the banded-SRP ranked edge table (top-`maxK` out-edges
+    * per rep by exact e3 d²), the literal query/entry vectors, each
+    * query's content-group rep, and the shared exact-NN arm. All three
+    * DataFrames are persisted — callers must `close()`.
+    */
+  private final case class RouteIndex(e3: DataFrame, e3r: DataFrame,
+      ranked: DataFrame, qVecs: Map[Long, Array[Long]],
+      qRep: Map[Long, Long], entryV: Array[Long],
+      exMap: Map[Long, (Long, Long)]) {
+    def close(): Unit = { ranked.unpersist(); e3r.unpersist(); e3.unpersist() }
+  }
+
+  private def routeD2(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  private def buildRouteIndex(spark: SparkSession, dir: String,
+      nPlanes: Int, nBands: Int, maxK: Int, queryIds: Seq[Long],
+      entryId: Long): Option[RouteIndex] = {
+    import spark.implicits._
+    require(nPlanes % nBands == 0,
+      s"nPlanes=$nPlanes not divisible by nBands=$nBands")
+    require(!queryIds.contains(entryId), "entry node cannot be a query")
+    val r = nPlanes / nBands
+    val e = emb(spark, dir)
+    val e3x = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+    val e3 = e.select($"vec_id", e3x.as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val planes = headVectors(spark, dir, nPlanes)
+    // bounded plan-time collects: |queries| + 1 vectors of 64 longs
+    val qVecs: Map[Long, Array[Long]] =
+      e3.filter($"vec_id".isin(queryIds: _*)).collect()
+        .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
+    val entryV = e3.filter($"vec_id" === entryId).collect()
+      .headOption.map(_.getSeq[Long](1).toArray)
+    if (planes.isEmpty || entryV.isEmpty || qVecs.isEmpty) {
+      e3.unpersist(); return None
+    }
+    // exact-dedup-first: one representative (min id) per distinct e3
+    // vector; the index is reps only. The entry (global min id) is
+    // always its own group's rep.
+    val repIds = e3.groupBy($"v").agg(min($"vec_id").as("vec_id"))
+      .select($"vec_id")
+    val e3r = e3.join(repIds, Seq("vec_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e3r.count()
+    // each query's rep: the min id sharing ITS content — the one
+    // index node excluded from that query's candidates and exact arm
+    val qRep: Map[Long, Long] = qVecs.map { case (q, qv) =>
+      q -> e3.filter($"v" === array(qv.map(lit(_)): _*))
+        .agg(min($"vec_id")).collect()(0).getLong(0)
+    }
+    // banded signatures over static plane literals (q51 geometry)
+    val bandSigs = (0 until nBands).map { b =>
+      planes.filter(_._1 / r == b)
+        .map { case (pid, pe) =>
+          when(dot($"embedding", litVec(pe)) >= 0, lit(1L << (pid % r)))
+            .otherwise(lit(0L)) }
+        .foldLeft(lit(0L))(_ + _).cast("long")
+    }
+    val sigs = e
+      .join(repIds, Seq("vec_id"), "left_semi")
+      .select($"vec_id", posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+      .select($"vec_id", $"band", $"sig")
+    val cands = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    // ONE ranked edge table up to the largest arm; arm k = rn <= k
+    val wSrc = Window.partitionBy($"src").orderBy($"d2", $"dst")
+    val ranked = cands
+      .join(e3r.select($"vec_id".as("src"), $"v".as("va")), Seq("src"))
+      .join(e3r.select($"vec_id".as("dst"), $"v".as("vb")), Seq("dst"))
+      .select($"src", $"dst",
+        call_function("pq_d2", $"va", lit(0), $"vb").as("d2"))
+      .withColumn("rn", row_number().over(wSrc))
+      .filter($"rn" <= maxK)
+      .select($"src", $"dst", $"rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count() // materialize once before the hop probes
+    // exact arm (shared): one zero-shuffle scan over the reps, the
+    // literal query vectors exploded per row (each carrying its
+    // content-group rep to exclude), argmin by (d², id) struct min
+    val dcols = qVecs.toSeq.sortBy(_._1).map { case (q, qv) =>
+      struct(lit(q).as("query_id"), lit(qRep(q)).as("rep_id"),
+        call_function("pq_d2", $"v", lit(0),
+          array(qv.map(lit(_)): _*)).as("d2"))
+    }
+    val exMap = e3r
+      .select($"vec_id", explode(array(dcols: _*)).as("qd"))
+      .select($"vec_id", $"qd.query_id".as("query_id"),
+        $"qd.rep_id".as("rep_id"), $"qd.d2".as("d2"))
+      .filter($"vec_id" =!= $"rep_id")
+      .groupBy($"query_id")
+      .agg(min(struct($"d2", $"vec_id")).as("m"))
+      .collect()
+      .map(row => (row.getLong(0),
+        (row.getStruct(1).getLong(1), row.getStruct(1).getLong(0)))).toMap
+    Some(RouteIndex(e3, e3r, ranked, qVecs, qRep, entryV.get, exMap))
+  }
+
+  /** One hop-probe: the out-neighbors (rn ≤ k) of `curIds` and the e3
+    * vectors of every non-query id they reach — two bounded collects
+    * against the persisted index (the per-hop point-lookup pattern).
+    */
+  private def probeHop(idx: RouteIndex, curIds: Seq[Long], k: Int)
+      : (Map[Long, Seq[Long]], Map[Long, Array[Long]]) = {
+    import org.apache.spark.sql.functions.col
+    val adj: Map[Long, Seq[Long]] =
+      idx.ranked.filter(col("src").isin(curIds: _*) && col("rn") <= k)
+        .collect().groupBy(_.getLong(0))
+        .map { case (s, rows) => s -> rows.map(_.getLong(1)).toSeq }
+    val needIds = adj.values.flatten.toSeq.distinct
+      .filterNot(idx.qVecs.contains)
+    val fetched: Map[Long, Array[Long]] =
+      if (needIds.isEmpty) Map.empty
+      else idx.e3r.filter(col("vec_id").isin(needIds: _*)).collect()
+        .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
+    (adj, fetched ++ idx.qVecs)
+  }
+
   def graphRouteAnn(spark: SparkSession, dir: String, nPlanes: Int = 16,
       nBands: Int = 4, kOuts: Seq[Int] = Seq(4, 8, 16, 32),
       maxHops: Int = 6, queryIds: Seq[Long] = Seq(7L, 13L, 29L, 42L),
       entryId: Long = 0L): DataFrame = {
     import spark.implicits._
-    require(nPlanes % nBands == 0,
-      s"nPlanes=$nPlanes not divisible by nBands=$nBands")
-    require(!queryIds.contains(entryId), "entry node cannot be a query")
     require(kOuts.nonEmpty && kOuts == kOuts.sorted && kOuts.distinct == kOuts,
       s"kOuts must be distinct ascending, got $kOuts")
-    val r = nPlanes / nBands
-    val e = emb(spark, dir)
-    val e3x = expr(
-      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
     val empty = Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
       .toDF("k_out", "query_id", "routed_id", "routed_d2", "n_hops",
         "exact_id", "exact_d2", "hit")
-    val e3 = e.select($"vec_id", e3x.as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val planes = headVectors(spark, dir, nPlanes)
-      // bounded plan-time collects: |queries| + 1 vectors of 64 longs
-      val qVecs: Map[Long, Array[Long]] =
-        e3.filter($"vec_id".isin(queryIds: _*)).collect()
-          .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
-      val entryV = e3.filter($"vec_id" === entryId).collect()
-        .headOption.map(_.getSeq[Long](1).toArray)
-      if (planes.isEmpty || entryV.isEmpty || qVecs.isEmpty) return empty
-      // exact-dedup-first: one representative (min id) per distinct e3
-      // vector; the index is reps only. The entry (global min id) is
-      // always its own group's rep.
-      val repIds = e3.groupBy($"v").agg(min($"vec_id").as("vec_id"))
-        .select($"vec_id")
-      val e3r = e3.join(repIds, Seq("vec_id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      e3r.count()
-      // each query's rep: the min id sharing ITS content — the one
-      // index node excluded from that query's candidates and exact arm
-      val qRep: Map[Long, Long] = qVecs.map { case (q, qv) =>
-        q -> e3.filter($"v" === array(qv.map(lit(_)): _*))
-          .agg(min($"vec_id")).collect()(0).getLong(0)
-      }
-      // banded signatures over static plane literals (q51 geometry)
-      val bandSigs = (0 until nBands).map { b =>
-        planes.filter(_._1 / r == b)
-          .map { case (pid, pe) =>
-            when(dot($"embedding", litVec(pe)) >= 0, lit(1L << (pid % r)))
-              .otherwise(lit(0L)) }
-          .foldLeft(lit(0L))(_ + _).cast("long")
-      }
-      val sigs = e
-        .join(repIds, Seq("vec_id"), "left_semi")
-        .select($"vec_id", posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
-        .select($"vec_id", $"band", $"sig")
-      val cands = sigs.as("a")
-        .join(sigs.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-        .distinct()
-      // ONE ranked edge table up to the largest arm; arm k = rn <= k
-      val wSrc = Window.partitionBy($"src").orderBy($"d2", $"dst")
-      val ranked = cands
-        .join(e3r.select($"vec_id".as("src"), $"v".as("va")), Seq("src"))
-        .join(e3r.select($"vec_id".as("dst"), $"v".as("vb")), Seq("dst"))
-        .select($"src", $"dst",
-          call_function("pq_d2", $"va", lit(0), $"vb").as("d2"))
-        .withColumn("rn", row_number().over(wSrc))
-        .filter($"rn" <= kOuts.max)
-        .select($"src", $"dst", $"rn")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        ranked.count() // materialize once before the hop probes
-        def d2To(a: Array[Long], b: Array[Long]): Long = {
-          var acc = 0L; var i = 0
-          while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-          acc
-        }
-        // exact arm (shared): one zero-shuffle scan over the reps, the
-        // literal query vectors exploded per row (each carrying its
-        // content-group rep to exclude), argmin by (d², id) struct min
-        val dcols = qVecs.toSeq.sortBy(_._1).map { case (q, qv) =>
-          struct(lit(q).as("query_id"), lit(qRep(q)).as("rep_id"),
-            call_function("pq_d2", $"v", lit(0),
-              array(qv.map(lit(_)): _*)).as("d2"))
-        }
-        val exMap = e3r
-          .select($"vec_id", explode(array(dcols: _*)).as("qd"))
-          .select($"vec_id", $"qd.query_id".as("query_id"),
-            $"qd.rep_id".as("rep_id"), $"qd.d2".as("d2"))
-          .filter($"vec_id" =!= $"rep_id")
-          .groupBy($"query_id")
-          .agg(min(struct($"d2", $"vec_id")).as("m"))
-          .collect()
-          .map(row => (row.getLong(0),
-            (row.getStruct(1).getLong(1), row.getStruct(1).getLong(0)))).toMap
-        // greedy descent per arm, driver-steered: state(q) = (cur, d2,
-        // hops). A converged query is a fixpoint of the step map (the
-        // argmin over nbrs(cur) ∪ {cur} keeps picking cur), so
-        // early-exiting it is value-identical to the oracle's full
-        // maxHops unroll.
-        val arms = kOuts.map { k =>
-          var state: Map[Long, (Long, Long, Long)] =
-            qVecs.map { case (q, qv) => q -> (entryId, d2To(qv, entryV.get), 0L) }
-          var live: Set[Long] = state.keySet
-          var h = 0
-          while (h < maxHops && live.nonEmpty) {
-            val curIds = live.map(state(_)._1).toSeq.distinct
-            val adj: Map[Long, Seq[Long]] =
-              ranked.filter($"src".isin(curIds: _*) && $"rn" <= k).collect()
-                .groupBy(_.getLong(0))
-                .map { case (s, rows) => s -> rows.map(_.getLong(1)).toSeq }
-            val needIds = adj.values.flatten.toSeq.distinct
-              .filterNot(qVecs.contains)
-            val fetched: Map[Long, Array[Long]] =
-              if (needIds.isEmpty) Map.empty
-              else e3r.filter($"vec_id".isin(needIds: _*)).collect()
-                .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
-            val vAll = fetched ++ qVecs
-            val moved = live.flatMap { q =>
-              val (cur, curD2, hops) = state(q)
-              val best = adj.getOrElse(cur, Seq.empty)
-                .filter(_ != qRep(q)) // the query's content group is
-                // not in its index (its rep is the d²=0 trivial answer)
-                .flatMap(id => vAll.get(id).map(v => (d2To(qVecs(q), v), id)))
-                .foldLeft((curD2, cur)) { case (b, c) =>
-                  if (c._1 < b._1 || (c._1 == b._1 && c._2 < b._2)) c else b }
-              if (best._2 == cur) None
-              else { state += q -> (best._2, best._1, hops + 1); Some(q) }
+    buildRouteIndex(spark, dir, nPlanes, nBands, kOuts.max, queryIds,
+        entryId) match {
+      case None => empty
+      case Some(idx) =>
+        try {
+          // greedy descent per arm, driver-steered: state(q) = (cur,
+          // d2, hops). A converged query is a fixpoint of the step map
+          // (the argmin over nbrs(cur) ∪ {cur} keeps picking cur), so
+          // early-exiting it is value-identical to the oracle's full
+          // maxHops unroll.
+          val arms = kOuts.map { k =>
+            var state: Map[Long, (Long, Long, Long)] =
+              idx.qVecs.map { case (q, qv) =>
+                q -> (entryId, routeD2(qv, idx.entryV), 0L) }
+            var live: Set[Long] = state.keySet
+            var h = 0
+            while (h < maxHops && live.nonEmpty) {
+              val curIds = live.map(state(_)._1).toSeq.distinct
+              val (adj, vAll) = probeHop(idx, curIds, k)
+              val moved = live.flatMap { q =>
+                val (cur, curD2, hops) = state(q)
+                val best = adj.getOrElse(cur, Seq.empty)
+                  .filter(_ != idx.qRep(q)) // the query's content group
+                  // is not in its index (its rep is the d²=0 trivial
+                  // answer)
+                  .flatMap(id => vAll.get(id)
+                    .map(v => (routeD2(idx.qVecs(q), v), id)))
+                  .foldLeft((curD2, cur)) { case (b, c) =>
+                    if (c._1 < b._1 || (c._1 == b._1 && c._2 < b._2)) c else b }
+                if (best._2 == cur) None
+                else { state += q -> (best._2, best._1, hops + 1); Some(q) }
+              }
+              live = moved
+              h += 1
             }
-            live = moved
-            h += 1
+            (k, state)
           }
-          (k, state)
-        }
-        arms.flatMap { case (k, state) =>
-          queryIds.sorted.flatMap { q =>
-            for { st <- state.get(q); ex <- exMap.get(q) }
-              yield (k.toLong, q, st._1, st._2, st._3, ex._1, ex._2,
-                st._1 == ex._1)
+          arms.flatMap { case (k, state) =>
+            queryIds.sorted.flatMap { q =>
+              // a query whose content group IS the entry has no s0 row
+              // in the oracle (its rep is excluded from its qd) — drop
+              // it here too so the engines agree on the degenerate case
+              for { st <- state.get(q) if idx.qRep(q) != entryId
+                    ex <- idx.exMap.get(q) }
+                yield (k.toLong, q, st._1, st._2, st._3, ex._1, ex._2,
+                  st._1 == ex._1)
+            }
+          }.toDF("k_out", "query_id", "routed_id", "routed_d2", "n_hops",
+            "exact_id", "exact_d2", "hit")
+        } finally idx.close()
+    }
+  }
+
+  /** Beam-width sweep over the q293 graph (q294): the OTHER knob of
+    * navigable-graph search. Out-degree fixed at `kOut` (= q293's
+    * middle arm); per beam width B the frontier holds the B best
+    * (d², id) nodes seen so far, and each hop replaces it with the
+    * top-B of DISTINCT(frontier ∪ out-neighbors(frontier) − the
+    * query's rep). The frontier always contains its own previous
+    * members as candidates, so the best distance is non-increasing;
+    * B = 1 is EXACTLY q293's greedy arm at the same k (spec-asserted
+    * against q293's k_out = 16 rows — the cross-query law). Output per
+    * (beam, query): the final best node vs the exact NN.
+    *
+    * Scale: same index, same per-hop point-lookup pattern — each hop
+    * probes ≤ |queries|·B adjacency keys; frontier state is
+    * |queries|·B (id, d²) pairs on the driver. The oracle unrolls the
+    * same frontier recurrence as MATERIALIZED per-step CTEs with a
+    * row_number ≤ B cut.
+    */
+  def beamRouteAnn(spark: SparkSession, dir: String, nPlanes: Int = 16,
+      nBands: Int = 4, kOut: Int = 16, beams: Seq[Int] = Seq(1, 2, 4, 8),
+      maxHops: Int = 6, queryIds: Seq[Long] = Seq(7L, 13L, 29L, 42L),
+      entryId: Long = 0L): DataFrame = {
+    import spark.implicits._
+    require(beams.nonEmpty && beams == beams.sorted && beams.distinct == beams,
+      s"beams must be distinct ascending, got $beams")
+    val empty = Seq.empty[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .toDF("beam", "query_id", "routed_id", "routed_d2",
+        "exact_id", "exact_d2", "hit")
+    buildRouteIndex(spark, dir, nPlanes, nBands, kOut, queryIds,
+        entryId) match {
+      case None => empty
+      case Some(idx) =>
+        try {
+          val arms = beams.map { b =>
+            // frontier per query: the B best (d2, id) pairs so far
+            var front: Map[Long, Seq[(Long, Long)]] =
+              idx.qVecs.map { case (q, qv) =>
+                q -> Seq((routeD2(qv, idx.entryV), entryId)) }
+            var live: Set[Long] = front.keySet
+            var h = 0
+            while (h < maxHops && live.nonEmpty) {
+              val curIds = live.toSeq.flatMap(front(_).map(_._2)).distinct
+              val (adj, vAll) = probeHop(idx, curIds, kOut)
+              val next = live.map { q =>
+                val prev = front(q)
+                // previous members carry their scores (they need not
+                // be reachable in THIS hop's fetch); only new neighbor
+                // ids are scored
+                val newIds = prev.flatMap(p => adj.getOrElse(p._2, Seq.empty))
+                  .distinct
+                  .filter(id => id != idx.qRep(q) && !prev.exists(_._2 == id))
+                val scoredNew = newIds.flatMap(id => vAll.get(id)
+                  .map(v => (routeD2(idx.qVecs(q), v), id)))
+                q -> (prev ++ scoredNew).sorted.take(b)
+              }.toMap
+              live = next.collect {
+                case (q, f) if f != front(q) => q }.toSet
+              front = front ++ next
+              h += 1
+            }
+            (b, front)
           }
-        }.toDF("k_out", "query_id", "routed_id", "routed_d2", "n_hops",
-          "exact_id", "exact_d2", "hit")
-      } finally { ranked.unpersist(); e3r.unpersist() }
-    } finally e3.unpersist()
+          arms.flatMap { case (b, front) =>
+            queryIds.sorted.flatMap { q =>
+              // same degenerate-entry drop as the greedy arm
+              for { f <- front.get(q) if idx.qRep(q) != entryId
+                    best <- f.headOption; ex <- idx.exMap.get(q) }
+                yield (b.toLong, q, best._2, best._1, ex._1, ex._2,
+                  best._2 == ex._1)
+            }
+          }.toDF("beam", "query_id", "routed_id", "routed_d2",
+            "exact_id", "exact_d2", "hit")
+        } finally idx.close()
+    }
   }
 
   def residualPqDistortion(spark: SparkSession, dir: String,

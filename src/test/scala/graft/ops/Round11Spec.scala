@@ -180,6 +180,26 @@ class Round11Spec extends AnyFunSuite {
       s"operating curve moved: $hitsByK")
   }
 
+  test("q294: beam-1 IS q293's greedy arm at the same out-degree; beams pinned") {
+    val beam = Similarity.beamRouteAnn(spark, "/root/testdata/sf0.01").collect()
+    assert(beam.length == 16, s"4 beams x 4 queries expected, got ${beam.length}")
+    // the cross-query law: beam width 1 at k_out=16 must reproduce
+    // q293's k_out=16 greedy arm row for row
+    val greedy16 = Similarity.graphRouteAnn(spark, "/root/testdata/sf0.01")
+      .collect().filter(_.getLong(0) == 16L)
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val b1 = beam.filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(b1 == greedy16, s"beam-1 $b1 diverged from greedy $greedy16")
+    // the frontier keeps its own members as candidates, so the landed
+    // distance can never rank below the true NN
+    beam.foreach(r => assert(r.getLong(3) >= r.getLong(5)))
+    val hitsByB = beam.groupBy(_.getLong(0))
+      .view.mapValues(_.count(_.getBoolean(6))).toMap
+    assert(hitsByB == Map(1L -> 2, 2L -> 2, 4L -> 3, 8L -> 3),
+      s"beam operating curve moved: $hitsByB")
+  }
+
   test("q285: only the two pair orientations survive, years within the window") {
     val rows = Relational.nationPairVolume(spark, sfSmall).collect()
     rows.foreach { r =>

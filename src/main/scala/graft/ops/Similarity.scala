@@ -1595,6 +1595,31 @@ object Similarity {
     def close(): Unit = { ranked.unpersist(); e3r.unpersist(); e3.unpersist() }
   }
 
+  /** The q51/q293/q294 banded-SRP signatures as plain Columns over an
+    * `embedding` array<float> column: bit (pid % r) of band (pid / r)
+    * is the sign of the projection onto hyperplane pid, folded over
+    * static plane literals — a stateless projection, so the SAME
+    * definition serves batch index builds and the streaming bucketer
+    * (`streaming.VecStreams`), and the two cannot drift. `planes`
+    * partitions into `nBands` bands of r = nPlanes / nBands bits.
+    */
+  def bandSignatureCols(planes: Seq[(Int, Seq[Float])], nBands: Int,
+      nPlanes: Int): Seq[Column] = {
+    require(nPlanes % nBands == 0,
+      s"nPlanes=$nPlanes not divisible by nBands=$nBands")
+    // r comes from the INTENDED plane count, not planes.length — a
+    // tiny corpus may return fewer head vectors, and the band layout
+    // (hence the oracle's pid // r text) must not shift with it
+    val r = nPlanes / nBands
+    (0 until nBands).map { b =>
+      planes.filter(_._1 / r == b)
+        .map { case (pid, pe) =>
+          when(dot(col("embedding"), litVec(pe)) >= 0, lit(1L << (pid % r)))
+            .otherwise(lit(0L)) }
+        .foldLeft(lit(0L))(_ + _).cast("long")
+    }
+  }
+
   private def routeD2(a: Array[Long], b: Array[Long]): Long = {
     var acc = 0L; var i = 0
     while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -1608,7 +1633,6 @@ object Similarity {
     require(nPlanes % nBands == 0,
       s"nPlanes=$nPlanes not divisible by nBands=$nBands")
     require(!queryIds.contains(entryId), "entry node cannot be a query")
-    val r = nPlanes / nBands
     val e = emb(spark, dir)
     val e3x = expr(
       "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
@@ -1639,13 +1663,7 @@ object Similarity {
         .agg(min($"vec_id")).collect()(0).getLong(0)
     }
     // banded signatures over static plane literals (q51 geometry)
-    val bandSigs = (0 until nBands).map { b =>
-      planes.filter(_._1 / r == b)
-        .map { case (pid, pe) =>
-          when(dot($"embedding", litVec(pe)) >= 0, lit(1L << (pid % r)))
-            .otherwise(lit(0L)) }
-        .foldLeft(lit(0L))(_ + _).cast("long")
-    }
+    val bandSigs = bandSignatureCols(planes, nBands, nPlanes)
     val sigs = e
       .join(repIds, Seq("vec_id"), "left_semi")
       .select($"vec_id", posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))

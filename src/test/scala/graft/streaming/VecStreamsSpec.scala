@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Streaming vector-index maintenance: the live bucketer must emit
+  * EXACTLY the batch banded signatures (they share one Column
+  * definition), and the SRP tripwire must flag exactly the vectors
+  * whose full signature collides with the base corpus — replayed
+  * through the file source in multiple micro-batches.
+  */
+class VecStreamsSpec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val nPlanes = 16
+  private val nBands = 4
+
+  private def planes: Seq[(Int, Seq[Float])] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < nPlanes)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq)).toSeq
+
+  test("streaming bucketer replays to the exact batch banded signatures") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecstream")
+    try {
+      // several part files + maxFilesPerTrigger=1 → several micro-batches
+      spark.read.schema(VecStreams.vecSchema)
+        .parquet(s"$sf/embeddings.parquet")
+        .repartition(4).write.parquet(tmp.resolve("vecs").toString)
+      val ps = planes
+      val batch = VecStreams.bucketStream(
+          spark.read.schema(VecStreams.vecSchema)
+            .parquet(tmp.resolve("vecs").toString), ps, nBands, nPlanes)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+      val q = VecStreams.bucketStream(
+          VecStreams.readVecStream(spark, tmp.resolve("vecs").toString,
+            maxFilesPerTrigger = 1), ps, nBands, nPlanes)
+        .writeStream.format("memory").queryName("vec_buckets")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = spark.table("vec_buckets")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      assert(batch.map(_._2) == Set(0, 1, 2, 3), "4 bands per vector")
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple non-empty micro-batches")
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
+  test("SRP tripwire: replayed base vectors always collide; flags == batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vectrip")
+    try {
+      val ps = planes
+      val base = VecStreams.baseSignatures(spark, sf, ps, nPlanes)
+      assert(base.nonEmpty)
+      // the incoming stream replays a slice of the base corpus — every
+      // one of these vectors MUST collide (identical embedding ⇒
+      // identical signature; the gate's exactness warranty)
+      spark.read.schema(VecStreams.vecSchema)
+        .parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") % 7 === 0)
+        .repartition(2).write.parquet(tmp.resolve("in").toString)
+      val q = VecStreams.srpTripwire(
+          VecStreams.readVecStream(spark, tmp.resolve("in").toString,
+            maxFilesPerTrigger = 1), base, ps, nPlanes)
+        .writeStream.format("memory").queryName("vec_trip")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val rows = spark.table("vec_trip").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(rows.nonEmpty)
+      assert(rows.forall(_._3), "a replayed base vector failed to collide")
+      // stream == batch: the same transform on a batch frame agrees
+      val batchRows = VecStreams.srpTripwire(
+          spark.read.schema(VecStreams.vecSchema)
+            .parquet(tmp.resolve("in").toString), base, ps, nPlanes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(rows.toSet == batchRows)
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
+  test("shared-definition law: the bucketer's bands fold to q293's full signature") {
+    // bandSignatureCols(·, 1, nPlanes) is the single-bucket signature;
+    // re-assembling the 4 banded sigs by shifting each band's bits back
+    // into place must reproduce it exactly — the algebra that lets the
+    // streaming bucketer and the batch single-bucket ops share one core
+    graft.functions.VectorOps.register(spark)
+    val ps = planes
+    val r = nPlanes / nBands
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val banded = Similarity.bandSignatureCols(ps, nBands, nPlanes)
+    val assembled = banded.zipWithIndex
+      .map { case (c, b) => c * lit(1L << (b * r)) }
+      .reduce(_ + _)
+    val full = VecStreams.fullSignature(ps, nPlanes)
+    val bad = e.select((assembled =!= full).as("ne")).filter(col("ne")).count()
+    assert(bad == 0L, s"$bad vectors disagree between banded and full signature")
+  }
+}

@@ -50,7 +50,9 @@ class NullTextSpec extends AnyFunSuite {
       "q09", "q10", "q11", "q12", "q29", "q37", "q38", "q42", "q43", "q44",
       "q58", "q71", "q111", "q114", "q115", "q120", "q141", "q149",
       "q150", "q151", "q156", "q173", "q217", "q218", "q219",
-      "q259", "q260", "q266", "q267", "q273", "q274", "q278", "q279")
+      "q259", "q260", "q266", "q267", "q273", "q274", "q278", "q279",
+      "q281", "q282", "q283", "q284", "q285", "q286", "q287", "q288",
+      "q289", "q290", "q291", "q292")
     !tpch.contains(name.takeWhile(_ != '_'))
   }
 

@@ -473,6 +473,30 @@ class OpsSpec extends AnyFunSuite {
       "total_revenue_e4"),
     "q280_ivf_pq_topk" -> Set("n_probe", "k", "n_scanned", "n_overlap",
       "recall"),
+    "q281_min_cost_supplier" -> Set("p_partkey", "s_suppkey", "s_name",
+      "n_name", "cost_cents"),
+    "q282_late_priority_census" -> Set("o_orderpriority", "order_count"),
+    "q283_local_supplier_volume" -> Set("n_name", "revenue_e4", "n_lines"),
+    "q284_forecast_revenue" -> Set("revenue_e4", "n_lines"),
+    "q285_nation_pair_volume" -> Set("supp_nation", "cust_nation",
+      "l_year", "revenue_e4"),
+    "q286_national_market_share" -> Set("o_year", "nation_e4", "total_e4",
+      "mkt_share"),
+    "q287_product_line_profit" -> Set("nation", "l_year", "profit_e4",
+      "n_lines"),
+    "q288_returned_item_customers" -> Set("c_custkey", "c_name", "n_name",
+      "revenue_e4"),
+    "q289_lateness_priority_census" -> Set("ship_class", "high_line_count",
+      "low_line_count"),
+    "q290_promo_revenue_share" -> Set("promo_e4", "total_e4",
+      "promo_share_pct"),
+    "q291_large_volume_customers" -> Set("c_custkey", "c_name",
+      "o_orderkey", "o_orderdate", "total_price_cents", "total_qty"),
+    "q292_disjunctive_revenue" -> Set("revenue_e4", "n_lines"),
+    "q293_graph_route_ann" -> Set("k_out", "query_id", "routed_id",
+      "routed_d2", "n_hops", "exact_id", "exact_d2", "hit"),
+    "q294_beam_route_ann" -> Set("beam", "query_id", "routed_id",
+      "routed_d2", "exact_id", "exact_d2", "hit"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -679,6 +679,43 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(p_type,STANDARD)"), s"part filter not pushed:\n$p")
   }
 
+  test("q283: Q5's c/s nation equality rides the supplier hash join, dates pushed") {
+    val p = plan(Relational.localSupplierVolume(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date not pushed:\n$p")
+    // the signature twist: the supplier join key includes the customer
+    // nation equality — if it degenerated to a post-join filter over a
+    // cross of nations the plan would grow a non-equi join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q286: Q8's PROMO prune is a LEFT SEMI against the part keys") {
+    val p = plan(Relational.nationalMarketShare(spark, sf))
+    assert(p.contains("LeftSemi"), s"q286 lost the semi prune:\n$p")
+    assert(p.contains("EqualTo(p_type,PROMO)"), s"part filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q287: Q9's name-filtered part dim broadcasts; profit stays scan-side") {
+    val p = plan(Relational.productLineProfit(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("StringContains(p_name,widget)"),
+      s"name filter not pushed:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q287 pays a shuffle join:\n$p")
+  }
+
+  test("q291: Q18's HAVING aggregate sits under the joins (fact never re-joins raw)") {
+    val p = plan(Relational.largeVolumeCustomers(spark, sf))
+    // the per-order sum must aggregate BEFORE any join: a HashAggregate
+    // feeds the first join's build/probe, never raw lineitem
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // lineitem reads exactly its two needed columns
+    val read = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_orderkey")).get
+    assert(read.contains("l_quantity") && !read.contains("l_extendedprice"), read)
+  }
+
   test("q280: IVF probe arms are filter -> TakeOrdered scans, no join fallback") {
     val p = plan(Similarity.ivfPqTopK(spark, sf))
     // each probe arm: cell-filter projection into TakeOrdered(k); the

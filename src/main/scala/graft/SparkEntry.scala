@@ -1032,8 +1032,12 @@ object SparkEntry {
     * seed and the exact arm — ONE text, so the two routing queries
     * cannot drift on the index they search.
     */
-  private def routeOracleInitCtes(nPlanes: Int, bandBits: Int,
+  private def routeOracleInitCtes(nPlanes: Int, nBands: Int,
       queryIds: Seq[Long], entryId: Long): String = {
+    // bits per band, derived exactly as the engine derives it — the
+    // call sites pass (nPlanes, nBands) in the engine's own terms so a
+    // re-tune cannot pass a bit width where a band count belongs
+    val bandBits = nPlanes / nBands
     val qList = queryIds.sorted.mkString(", ")
       s"""WITH e3 AS MATERIALIZED (SELECT vec_id,
          |   [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
@@ -1080,10 +1084,10 @@ object SparkEntry {
          |    FROM qd) WHERE rn = 1)""".stripMargin
   }
 
-  private def graphRouteOracleSql(nPlanes: Int, bandBits: Int,
+  private def graphRouteOracleSql(nPlanes: Int, nBands: Int,
       kOuts: Seq[Int], maxHops: Int, queryIds: Seq[Long],
       entryId: Long): String = {
-    val init = routeOracleInitCtes(nPlanes, bandBits, queryIds, entryId)
+    val init = routeOracleInitCtes(nPlanes, nBands, queryIds, entryId)
     val armCtes = kOuts.map { k =>
       (1 to maxHops).map { h =>
         val prev = if (h == 1) "s0" else s"s${h - 1}_k$k"
@@ -1118,10 +1122,10 @@ object SparkEntry {
     * query's rep), row_number ≤ B. The final row per (beam, query) is
     * the frontier's (d², id) minimum against the shared exact arm.
     */
-  private def beamRouteOracleSql(nPlanes: Int, bandBits: Int, kOut: Int,
+  private def beamRouteOracleSql(nPlanes: Int, nBands: Int, kOut: Int,
       beams: Seq[Int], maxHops: Int, queryIds: Seq[Long],
       entryId: Long): String = {
-    val init = routeOracleInitCtes(nPlanes, bandBits, queryIds, entryId)
+    val init = routeOracleInitCtes(nPlanes, nBands, queryIds, entryId)
     val seed =
       """,
         |f0 AS (SELECT qid, cur AS id, d2 FROM s0)""".stripMargin

@@ -1688,11 +1688,27 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e3r.count()
     // each query's rep: the min id sharing ITS content — the one
-    // index node excluded from that query's candidates and exact arm
-    val qRep: Map[Long, Long] = qVecs.map { case (q, qv) =>
-      q -> e3.filter($"v" === array(qv.map(lit(_)): _*))
-        .agg(min($"vec_id")).collect()(0).getLong(0)
-    }
+    // index node excluded from that query's candidates and exact arm.
+    // ONE job over the persisted reps (an OR of |queries| + 1 content
+    // equalities), matched back driver-side by array equality
+    val qList = qVecs.toSeq.sortBy(_._1)
+    val contentHits = e3r.filter(
+        (qList.map { case (_, qv) => $"v" === array(qv.map(lit(_)): _*) } :+
+          ($"vec_id" === entryId)).reduce(_ || _))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qRep: Map[Long, Long] = qList.map { case (q, qv) =>
+      val rep = contentHits.find(rv => java.util.Arrays.equals(rv._2, qv))
+      require(rep.nonEmpty, s"query $q: no rep for its content group " +
+        "(the query row itself guarantees one — corpus changed mid-build?)")
+      q -> rep.get._1
+    }.toMap
+    // the oracle's s0 seeds from qd, which holds REPS only — a non-rep
+    // entry would leave the oracle empty while the engine routes, so
+    // refuse loudly (entryId = the global min id is always its group's
+    // rep; anything else must prove it)
+    require(contentHits.exists(_._1 == entryId),
+      s"entry $entryId is not its content group's representative — " +
+        "the oracle's rep-only seed would diverge from the engine")
     // banded signatures over static plane literals (q51 geometry)
     val bandSigs = bandSignatureCols(planes, nBands, nPlanes)
     val sigs = e

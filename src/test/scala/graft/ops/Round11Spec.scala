@@ -131,7 +131,12 @@ class Round11Spec extends AnyFunSuite {
     val r = Relational.promoRevenueShare(spark, sfSmall).collect()(0)
     val (promo, total, share) = (r.getLong(0), r.getLong(1), r.getDouble(2))
     assert(promo >= 0L && promo <= total)
-    assert(math.abs(share - math.rint(1e6 * 100.0 * promo / total) / 1e6) < 1e-9)
+    // recompute with the semantics Spark's round(x, 6) actually has
+    // (BigDecimal HALF_UP) — math.rint would round half-to-even and
+    // split from the operator on an exact .xxxxxx5 boundary
+    val expect = BigDecimal(100.0 * promo / total)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(share == expect, s"share $share != recomputed $expect")
     Relational.nationalMarketShare(spark, sfSmall).collect().foreach { row =>
       assert(row.getLong(1) <= row.getLong(2),
         s"year ${row.getLong(0)}: nation > total")

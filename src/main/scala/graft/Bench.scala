@@ -125,7 +125,13 @@ object Bench {
       case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         () // shares the original exchange's metrics — counting = double
       case n =>
-        if (n.nodeName.startsWith("Scan"))
+        // v1 file scans are "Scan parquet ...", DSv2 are "BatchScan ..."
+        // — a silent 0 under a v2 source would read as a massive plan
+        // change against a v1-captured baseline. "Scan ExistingRDD"
+        // (driver-local datasets) is deliberately NOT corpus scanning.
+        if ((n.nodeName.startsWith("Scan") &&
+             !n.nodeName.startsWith("Scan ExistingRDD")) ||
+            n.nodeName.startsWith("BatchScan"))
           n.metrics.get("numOutputRows").foreach(m => mScan.addAndGet(m.value))
         n.metrics.get("shuffleBytesWritten")
           .foreach(m => mShuffle.addAndGet(m.value))
@@ -178,8 +184,13 @@ object Bench {
       // machine-dependent — letting it overwrite made the plan-drift
       // gate flag phantom "drift" on whichever queries happened to
       // retry in either run
+      // a failed query's partial counters are not plan metrics: record
+      // the -1 sentinel (the getOrElse(-1L) / `base >= 0 && cur >= 0`
+      // convention downstream) so neither the artifact nor the
+      // plan-drift gate treats a failure's truncated bytes as a plan
       if (!qMetrics.contains(name))
-        qMetrics(name) = (mShuffle.get - shuf0, mScan.get - scan0)
+        qMetrics(name) =
+          if (ok) (mShuffle.get - shuf0, mScan.get - scan0) else (-1L, -1L)
       // a failed query reports -1 and contributes NOTHING to the total:
       // its time-to-exception is not a measurement, and summing it would
       // let a broken build pass the 2x gate on a shrunken total

@@ -68,10 +68,17 @@ object Chunker {
     */
   def planChunksDataset(spark: SparkSession, rootDir: String,
       entries: Seq[FileEntry], blockSize: Long,
-      driverSpecLimit: Long = 4000000L): Dataset[ChunkSpec] = {
+      driverSpecLimit: Long = 4000000L,
+      knownChunkCount: Long = -1L): Dataset[ChunkSpec] = {
     import spark.implicits._
     require(blockSize > 0, s"block size must be positive: $blockSize")
-    if (countChunks(entries, blockSize) <= driverSpecLimit)
+    // callers that already hold the count (hashDirectoryRaw passes it to
+    // digestChunks' range sizing too) hand it in, so the O(#files) pass
+    // runs once per hash and the two sites cannot disagree
+    val nChunks =
+      if (knownChunkCount >= 0) knownChunkCount
+      else countChunks(entries, blockSize)
+    if (nChunks <= driverSpecLimit)
       spark.createDataset(planChunks(rootDir, entries, blockSize))
     else {
       val root = graft.fs.Listing.stripTrailingSlashes(rootDir)

@@ -76,9 +76,11 @@ object DirHash {
     // Dataset-side plan: O(#files) on the driver regardless of block
     // size (the digest COLLECT below stays driver-bounded by design —
     // that bound is the reference's own spec)
-    val specs = Chunker.planChunksDataset(spark, dir, entries, blockSize)
+    val nChunks = Chunker.countChunks(entries, blockSize)
+    val specs = Chunker.planChunksDataset(spark, dir, entries, blockSize,
+      knownChunkCount = nChunks)
     val sortedDigests = Chunker.digestChunks(spark, specs,
-      Chunker.countChunks(entries, blockSize), algo, hadoopConf)
+      nChunks, algo, hadoopConf)
       .orderBy("relPath", "idx") // UTF8 binary order == Python code-point order
       .collect()
 

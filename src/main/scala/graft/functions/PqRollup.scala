@@ -37,6 +37,11 @@ object PqRollup {
     }
     override def reduce(buf: Array[Long], in: (Seq[Long], Seq[Long])): Array[Long] = {
       val (cs, xq) = in
+      // a null embedding reaches here as (null, null) through the tuple
+      // encoder (pq_encode is null-safe); the posexplode route this
+      // aggregator replaced emitted ZERO rows for such inputs, so skip
+      // — not NPE — to keep the Lloyd rollup's tolerance identical
+      if (cs == null || xq == null) return buf
       var b = 0
       while (b < nBlocks) {
         val code = cs(b).toInt

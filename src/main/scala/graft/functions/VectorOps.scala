@@ -92,8 +92,32 @@ object VectorOps {
     * lambda calls per element per candidate (q271/q276 pay
     * blocks × (codes + 1) ≈ 70 such folds per row otherwise).
     */
+  /** Loud bound guard for the integer kernels: UnsafeArrayData.getLong
+    * past the array's end returns arbitrary memory, not an exception —
+    * a short/malformed embedding would silently corrupt every code and
+    * distance downstream. The HOF route these kernels replaced
+    * propagated null instead; a task-failing error is the honest
+    * version of that (dot/norm in this file bound with math.min because
+    * their float semantics tolerate truncation; integer PQ must not).
+    */
+  private def boundCheck(fn: String, a: ArrayData, off: Int, n: Int): Unit =
+    if (off < 0 || off + n > a.numElements())
+      throw new IllegalArgumentException(
+        s"$fn: slice [$off, ${off + n}) exceeds array of ${a.numElements()} " +
+          "elements — malformed embedding or mis-sized codebook")
+
+  private def totalWidth(cb: Array[Array[Array[Long]]]): Int = {
+    var w = 0; var b = 0
+    while (b < cb.length) {
+      if (cb(b).length > 0) w += cb(b)(0).length
+      b += 1
+    }
+    w
+  }
+
   def pqD2(a: ArrayData, off: Int, c: ArrayData): Long = {
     val n = c.numElements()
+    boundCheck("pq_d2", a, off, n)
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -112,6 +136,8 @@ object VectorOps {
     */
   def pqResD2(a: ArrayData, off: Int, s: ArrayData, c: ArrayData): Long = {
     val n = c.numElements()
+    boundCheck("pq_res_d2", a, off, n)
+    boundCheck("pq_res_d2 (selected centroid)", s, 0, n)
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -134,6 +160,7 @@ object VectorOps {
     * (cb(b)(c).length), offsets accumulate left to right.
     */
   def pqEncode(a: ArrayData, cb: Array[Array[Array[Long]]]): InternalRow = {
+    boundCheck("pq_encode", a, 0, totalWidth(cb))
     val nb = cb.length
     val codes = new Array[Long](nb)
     val d2s = new Array[Long](nb)
@@ -172,6 +199,9 @@ object VectorOps {
     */
   def pqResEncode(a: ArrayData, sel: ArrayData,
       cb: Array[Array[Array[Long]]]): InternalRow = {
+    val w = totalWidth(cb)
+    boundCheck("pq_res_encode", a, 0, w)
+    boundCheck("pq_res_encode (selected centroid)", sel, 0, w)
     val nb = cb.length
     val codes = new Array[Long](nb)
     val d2s = new Array[Long](nb)

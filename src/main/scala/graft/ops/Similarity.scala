@@ -1512,21 +1512,30 @@ object Similarity {
       element_at(element_at(element_at(ltLit, $"cell".cast("int") + 1),
         b + 1), element_at(codes, b + 1).cast("int") + 1)
     }.reduce(_ + _)
-    val exactTop = e.filter($"vec_id" =!= 0L)
+    // build the INDEX once — (vec_id, cell, adc) is probe-independent,
+    // and re-planning the encode scan per arm executed it 8× (plus the
+    // exact arm 4×) for identical values. localCheckpoint materializes
+    // exactly what a deployed IVF-PQ index IS: cells + codes (here
+    // pre-folded through the query's lookup table), ~24 B/row; every
+    // probe arm filters THIS, so at 100 TB a probe touches nProbe/nCells
+    // of the index, never the corpus
+    val enc = withCell
+      .select($"vec_id", $"cell", adcOf(resCodes).as("adc"))
+      .localCheckpoint(true)
+    // the exact top-k is probe-independent too: one scan, k ids
+    // collected as literals (the bounded driver-steering collect)
+    val exactIds: Seq[Long] = e.filter($"vec_id" =!= 0L)
       .select($"vec_id", xq.as("xq"))
       .select($"vec_id", VectorOps.pqD2Col(spark, $"xq", 0, qv6).as("d2"))
-      .orderBy($"d2", $"vec_id").limit(k).select($"vec_id")
+      .orderBy($"d2", $"vec_id").limit(k)
+      .collect().map(_.getLong(0)).toSeq
     probes.map { np =>
       val probed = cellRank.take(np).map(_.toLong)
-      // cell filter FIRST, residual encode + ADC only on survivors —
-      // the order a 100-TB probe must have (with a cell-partitioned
-      // layout the same filter prunes at the file level)
-      val inCells = withCell.filter($"cell".isin(probed: _*))
+      val inCells = enc.filter($"cell".isin(probed: _*))
       val scanned = inCells.agg(count(lit(1)).as("n_scanned"))
-      val top = inCells
-        .select($"vec_id", $"cell", adcOf(resCodes).as("adc"))
-        .orderBy($"adc", $"vec_id").limit(k).select($"vec_id")
-      top.join(exactTop, "vec_id")
+      inCells
+        .orderBy($"adc", $"vec_id").limit(k)
+        .filter($"vec_id".isin(exactIds: _*))
         .agg(count(lit(1)).as("n_overlap"))
         .crossJoin(scanned)
         .select(lit(np.toLong).as("n_probe"), lit(k.toLong).as("k"),

@@ -82,6 +82,12 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: compare_oracle.py <sfDir> <verifyOutDir> "
+                     "[--json <reportPath>]")
         jo = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if len(argv) != 2:
+        sys.exit("usage: compare_oracle.py <sfDir> <verifyOutDir> "
+                 "[--json <reportPath>]")
     sys.exit(main(argv[0], argv[1], jo))

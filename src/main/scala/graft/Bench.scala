@@ -117,6 +117,12 @@ object Bench {
     // and accumulates both counters; timeOne diffs them around the run.
     val mShuffle = new java.util.concurrent.atomic.AtomicLong
     val mScan = new java.util.concurrent.atomic.AtomicLong
+    // driver-local / checkpointed-RDD scans, counted SEPARATELY (round-11
+    // ADVICE): excluding them from scan_rows keeps that metric a corpus-
+    // scan readout, but a query whose plan is an ExistingRDD scan (e.g. a
+    // materialized index) would otherwise read ~0 and hide a regression
+    // that re-inflates its local re-scanning
+    val mLocalScan = new java.util.concurrent.atomic.AtomicLong
     def walkPlan(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         walkPlan(a.executedPlan)
@@ -133,6 +139,9 @@ object Bench {
              !n.nodeName.startsWith("Scan ExistingRDD")) ||
             n.nodeName.startsWith("BatchScan"))
           n.metrics.get("numOutputRows").foreach(m => mScan.addAndGet(m.value))
+        if (n.nodeName.startsWith("Scan ExistingRDD"))
+          n.metrics.get("numOutputRows")
+            .foreach(m => mLocalScan.addAndGet(m.value))
         n.metrics.get("shuffleBytesWritten")
           .foreach(m => mShuffle.addAndGet(m.value))
         n.children.foreach(walkPlan)
@@ -163,11 +172,12 @@ object Bench {
             .invoke(bus, java.lang.Long.valueOf(10000L))
         }
       } catch { case _: Throwable => Thread.sleep(200L) }
-    val qMetrics = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val qMetrics = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       drainListeners()
       val shuf0 = mShuffle.get; val scan0 = mScan.get
+      val lscan0 = mLocalScan.get
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -190,7 +200,9 @@ object Bench {
       // plan-drift gate treats a failure's truncated bytes as a plan
       if (!qMetrics.contains(name))
         qMetrics(name) =
-          if (ok) (mShuffle.get - shuf0, mScan.get - scan0) else (-1L, -1L)
+          if (ok) (mShuffle.get - shuf0, mScan.get - scan0,
+            mLocalScan.get - lscan0)
+          else (-1L, -1L, -1L)
       // a failed query reports -1 and contributes NOTHING to the total:
       // its time-to-exception is not a measurement, and summing it would
       // let a broken build pass the 2x gate on a shrunken total
@@ -254,6 +266,9 @@ object Bench {
     val scanJson = results.map { case (k, _) =>
       s""""$k":${qMetrics.get(k).map(_._2).getOrElse(-1L)}""" }
       .mkString("{", ",", "}")
+    val lscanJson = results.map { case (k, _) =>
+      s""""$k":${qMetrics.get(k).map(_._3).getOrElse(-1L)}""" }
+      .mkString("{", ",", "}")
     // plan-drift gate (the mechanical spike-vs-regression separator the
     // wall-time gate can't be): shuffle bytes are a plan property, so a
     // >20% AND >1 MiB move against the committed baseline means the
@@ -270,7 +285,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val cond = f""""load_avg":$loadAvg%.2f,"secs_since_test_suite":$secsSinceSuite,"regime":"$regime","cooldown_attempts":$hist,"spike_retries":$retriesJson,"retry_errors":$retryErrs"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$cond,"shuffle_bytes":$shufJson,"scan_rows":$scanJson,"plan_drift":$planDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$cond,"shuffle_bytes":$shufJson,"scan_rows":$scanJson,"local_scan_rows":$lscanJson,"plan_drift":$planDrift,"sf":"$sfDir"}"""
     println(full)
     // the driver captures a bounded TAIL of stdout (round 3 cut the head
     // off the 2 KB+ line above and left "parsed": null); the full

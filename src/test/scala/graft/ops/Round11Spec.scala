@@ -11,6 +11,25 @@ class Round11Spec extends AnyFunSuite {
 
   private val spark = graft.SparkTestSession.spark
 
+  /** Content hash of the sf0.01 embeddings fixture the exact pinned
+    * curves below were measured on (round-11 ADVICE: a value-preserving
+    * fixture regeneration — even a reshuffle of vec_ids — must skip the
+    * pins rather than fail them with no code defect; the invariant
+    * assertions in the same tests stay unconditional).
+    */
+  private val pinnedEmbeddingsMd5 = "4232d4b317b4b9f35bd5a6abf25d0ade"
+
+  private def fixtureMd5(path: String): String = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+  }
+
+  private def assumePinnedFixture(dir: String): Unit =
+    assume(fixtureMd5(s"$dir/embeddings.parquet") == pinnedEmbeddingsMd5,
+      "embeddings fixture regenerated — exact pinned curves skipped " +
+        "(invariants above still gated; re-pin from the oracle run)")
+
   test("q277 sweep: Lloyd law holds per arm; finer blocks + more codes reach recall 0.7") {
     val dir = "/root/testdata/sf0.01"
     val rows = Similarity.pqCodebookSweep(spark, dir).collect()
@@ -29,6 +48,7 @@ class Round11Spec extends AnyFunSuite {
     // sweep exists to expose)
     assert(rows((4L, 64L, "init"))._2 < rows((4L, 8L, "init"))._2)
     assert(rows((16L, 8L, "init"))._2 < rows((4L, 8L, "init"))._2)
+    assumePinnedFixture(dir)
     // the operating point: (16 blocks x 4 dims, 64 trained codes)
     // measures recall@10 = 0.7 on sf0.01 — the answer to q270/q271's
     // "recall is noise at (4, 8)". Pinned as >= so a better trajectory
@@ -75,6 +95,7 @@ class Round11Spec extends AnyFunSuite {
   }
 
   test("trainedPqRecall is unchanged by the pq_encode rewrite (q271 regression pin)") {
+    assumePinnedFixture("/root/testdata/sf0.01")
     val out = Similarity.trainedPqRecall(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(4)))).toMap
     // values pinned from the round-10 oracle-verified run
@@ -179,6 +200,7 @@ class Round11Spec extends AnyFunSuite {
     }
     // the measured operating curve on sf0.01 (oracle-verified): greedy
     // beam-1 stalls at low out-degree, k_out buys hit rate
+    assumePinnedFixture("/root/testdata/sf0.01")
     val hitsByK = rows.groupBy(_.getLong(0))
       .view.mapValues(_.count(_.getBoolean(7))).toMap
     assert(hitsByK == Map(4L -> 0, 8L -> 0, 16L -> 2, 32L -> 3),
@@ -199,6 +221,7 @@ class Round11Spec extends AnyFunSuite {
     // the frontier keeps its own members as candidates, so the landed
     // distance can never rank below the true NN
     beam.foreach(r => assert(r.getLong(3) >= r.getLong(5)))
+    assumePinnedFixture("/root/testdata/sf0.01")
     val hitsByB = beam.groupBy(_.getLong(0))
       .view.mapValues(_.count(_.getBoolean(6))).toMap
     assert(hitsByB == Map(1L -> 2, 2L -> 2, 4L -> 3, 8L -> 3),

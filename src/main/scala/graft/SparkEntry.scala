@@ -840,6 +840,13 @@ object SparkEntry {
     // k_out=16 greedy arm (spec-asserted cross-query law)
     "q294_beam_route_ann" -> ((s: SparkSession, d: String) =>
       Similarity.beamRouteAnn(s, d)),
+    // trained IVF-PQ (round-11 verdict #1): coarse cells AND the
+    // residual codebook Lloyd-trained (q271's integer trajectory, code
+    // 0 frozen at zero), then q280's probe curve at the trained
+    // operating point — the composed billion-vector recipe as ONE
+    // trajectory-replayed query
+    "q295_ivf_pq_trained_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTrainedTopK(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -5900,6 +5907,10 @@ object SparkEntry {
     // zero), corpus cell assignment + residual codes, query cell rank +
     // per-(cell, block, code) lookup tables, four probe arms
     "q280_ivf_pq_topk" -> ivfPqOracleSql(Seq(1, 2, 4, 8)),
+    // q295: the same probe-arm text over Lloyd-TRAINED coarse and
+    // residual codebooks — the training rounds unrolled like q271's
+    "q295_ivf_pq_trained_topk" ->
+      ivfPqTrainedOracleSql(8, 16, 128, 2, Seq(1, 2, 4, 8), "7f"),
     // q278: the outer join + zero bucket replayed; priority filter on
     // the fact side BEFORE the count, as the engine plans it
     "q278_customer_order_distribution" ->
@@ -6432,6 +6443,168 @@ object SparkEntry {
          |JOIN extop ON t.vec_id = extop.vec_id""".stripMargin
     }.mkString("\nUNION ALL\n")
     ctes + "\n" + arms
+  }
+
+  /** q295 oracle: replays `Similarity.ivfPqTrainedTopK` — the coarse
+    * Lloyd rounds (full-width, q271's shifted floor-division means),
+    * the residual codebook seeded against the TRAINED cells then
+    * Lloyd-trained per block with code 0 frozen at zero (8e6 shift —
+    * residual components are differences of two ±4e6-bounded values),
+    * then the identical q280 probe arms. Every argmin tie-breaks
+    * (d2, id asc) like the engine's pq_encode/pq_res_encode; all sums
+    * are exact i64, so no float association can split the engines.
+    */
+  private def ivfPqTrainedOracleSql(nCells: Int, nBlocks: Int, codes: Int,
+      iters: Int, probes: Seq[Int], seedHexMax: String): String = {
+    val bw = 64 / nBlocks
+    val init =
+      s"""WITH cx AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS x
+         |  FROM (SELECT vec_id, embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings WHERE vec_id <> 0)),
+         |qx AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS x
+         |  FROM (SELECT embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings WHERE vec_id = 0)),
+         |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |          AS BIGINT) AS sid, embedding
+         |       FROM (SELECT vec_id, embedding FROM embeddings
+         |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+         |               <= '$seedHexMax'
+         |             ORDER BY vec_id LIMIT ${nCells + codes})),
+         |cell0 AS MATERIALIZED (SELECT sid AS cell, CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS c
+         |  FROM (SELECT sid, embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM samp WHERE sid < $nCells))""".stripMargin
+    // coarse Lloyd round r: assign against cell{r-1}, recompute cell{r}
+    val coarseRounds = (1 to iters).map { r =>
+      s""",
+         |cd$r AS (SELECT cx.vec_id, ct.cell,
+         |   CAST(sum((cx.x - ct.c) * (cx.x - ct.c)) AS BIGINT) AS d2
+         |  FROM cx JOIN cell${r - 1} ct ON cx.j = ct.j GROUP BY 1, 2),
+         |caa$r AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cell) AS rk FROM cd$r) WHERE rk = 1),
+         |cm$r AS (SELECT a.cell, cx.j, CAST(sum(cx.x) AS BIGINT) AS s,
+         |   CAST(count(*) AS BIGINT) AS n
+         |  FROM caa$r a JOIN cx ON a.vec_id = cx.vec_id GROUP BY 1, 2),
+         |cell$r AS MATERIALIZED (SELECT p.cell, p.j,
+         |   CAST(coalesce((m.s + 4000000 * m.n) // m.n - 4000000, p.c)
+         |     AS BIGINT) AS c
+         |  FROM cell${r - 1} p LEFT JOIN cm$r m
+         |    ON p.cell = m.cell AND p.j = m.j)""".stripMargin
+    }.mkString
+    val ct = s"cell$iters" // the trained coarse level
+    val resInit =
+      s""",
+         |s2x AS MATERIALIZED (SELECT sid - $nCells AS rid,
+         |   CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS v
+         |  FROM (SELECT sid, embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM samp WHERE sid >= $nCells)),
+         |s2d AS (SELECT s2x.rid, ct.cell,
+         |   CAST(sum((s2x.v - ct.c) * (s2x.v - ct.c)) AS BIGINT) AS d2
+         |  FROM s2x JOIN $ct ct ON s2x.j = ct.j GROUP BY 1, 2),
+         |s2a AS (SELECT rid, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid
+         |      ORDER BY d2, cell) AS rk FROM s2d) WHERE rk = 1),
+         |rc0 AS MATERIALIZED (
+         |  SELECT CAST(0 AS BIGINT) AS code, CAST((j - 1) // $bw AS BIGINT)
+         |    AS b, CAST((j - 1) % $bw + 1 AS BIGINT) AS jj,
+         |   CAST(0 AS BIGINT) AS r
+         |  FROM (SELECT DISTINCT j FROM qx)
+         |  UNION ALL
+         |  SELECT s2x.rid + 1, CAST((s2x.j - 1) // $bw AS BIGINT),
+         |   CAST((s2x.j - 1) % $bw + 1 AS BIGINT), s2x.v - ct.c
+         |  FROM s2x JOIN s2a ON s2x.rid = s2a.rid
+         |   JOIN $ct ct ON s2a.cell = ct.cell AND s2x.j = ct.j),
+         |cad AS (SELECT cx.vec_id, ct.cell,
+         |   CAST(sum((cx.x - ct.c) * (cx.x - ct.c)) AS BIGINT) AS d2
+         |  FROM cx JOIN $ct ct ON cx.j = ct.j GROUP BY 1, 2),
+         |ca AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cell) AS rk FROM cad) WHERE rk = 1),
+         |rv AS MATERIALIZED (SELECT cx.vec_id,
+         |   CAST((cx.j - 1) // $bw AS BIGINT) AS b,
+         |   CAST((cx.j - 1) % $bw + 1 AS BIGINT) AS jj,
+         |   cx.x - ct.c AS r
+         |  FROM cx JOIN ca ON cx.vec_id = ca.vec_id
+         |   JOIN $ct ct ON ca.cell = ct.cell AND cx.j = ct.j)""".stripMargin
+    // residual Lloyd round r: assign rv against rc{r-1}, recompute
+    // rc{r}; code 0 is the FROZEN zero vector (the q276 law-maker)
+    def resAssign(r: Int, rcName: String): String =
+      s""",
+         |rd$r AS (SELECT rv.vec_id, rv.b, c.code,
+         |   CAST(sum((rv.r - c.r) * (rv.r - c.r)) AS BIGINT) AS d2
+         |  FROM rv JOIN $rcName c ON rv.b = c.b AND rv.jj = c.jj
+         |  GROUP BY 1, 2, 3),
+         |ra$r AS MATERIALIZED (SELECT vec_id, b, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, b
+         |      ORDER BY d2, code) AS rk FROM rd$r) WHERE rk = 1)""".stripMargin
+    val resRounds = (1 to iters).map { r =>
+      resAssign(r, s"rc${r - 1}") +
+        s""",
+           |rm$r AS (SELECT a.b, a.code, rv.jj, CAST(sum(rv.r) AS BIGINT)
+           |    AS s, CAST(count(*) AS BIGINT) AS n
+           |  FROM ra$r a JOIN rv ON a.vec_id = rv.vec_id AND a.b = rv.b
+           |  GROUP BY 1, 2, 3),
+           |rc$r AS MATERIALIZED (SELECT p.code, p.b, p.jj,
+           |   CASE WHEN p.code = 0 THEN CAST(0 AS BIGINT)
+           |        ELSE CAST(coalesce((m.s + 8000000 * m.n) // m.n
+           |               - 8000000, p.r) AS BIGINT) END AS r
+           |  FROM rc${r - 1} p LEFT JOIN rm$r m
+           |    ON p.b = m.b AND p.code = m.code AND p.jj = m.jj)""".stripMargin
+    }.mkString
+    val rcT = s"rc$iters"
+    val finalAssign = resAssign(iters + 1, rcT)
+    val tail =
+      s""",
+         |qd AS (SELECT ct.cell,
+         |   CAST(sum((qx.x - ct.c) * (qx.x - ct.c)) AS BIGINT) AS d2
+         |  FROM qx JOIN $ct ct ON qx.j = ct.j GROUP BY 1),
+         |qrank AS (SELECT cell,
+         |   row_number() OVER (ORDER BY d2, cell) AS rk FROM qd),
+         |qres AS (SELECT ct.cell,
+         |   CAST((qx.j - 1) // $bw AS BIGINT) AS b,
+         |   CAST((qx.j - 1) % $bw + 1 AS BIGINT) AS jj,
+         |   qx.x - ct.c AS qr
+         |  FROM qx JOIN $ct ct ON qx.j = ct.j),
+         |qlt AS MATERIALIZED (SELECT qres.cell, qres.b, c.code,
+         |   CAST(sum((qres.qr - c.r) * (qres.qr - c.r)) AS BIGINT) AS ltv
+         |  FROM qres JOIN $rcT c ON qres.b = c.b AND qres.jj = c.jj
+         |  GROUP BY 1, 2, 3),
+         |adc AS MATERIALIZED (SELECT a.vec_id, ca.cell,
+         |   CAST(sum(qlt.ltv) AS BIGINT) AS adc
+         |  FROM ra${iters + 1} a JOIN ca ON a.vec_id = ca.vec_id
+         |   JOIN qlt ON qlt.cell = ca.cell AND qlt.b = a.b
+         |    AND qlt.code = a.code
+         |  GROUP BY 1, 2),
+         |exq AS (SELECT cx.vec_id,
+         |   CAST(sum((cx.x - qx.x) * (cx.x - qx.x)) AS BIGINT) AS d2
+         |  FROM cx JOIN qx ON cx.j = qx.j GROUP BY 1),
+         |extop AS (SELECT vec_id FROM exq ORDER BY d2, vec_id LIMIT 10)""".stripMargin
+    val arms = probes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS n_probe, CAST(10 AS BIGINT) AS k,
+         | (SELECT CAST(count(*) AS BIGINT) FROM ca
+         |  WHERE cell IN (SELECT cell FROM qrank WHERE rk <= $np))
+         |   AS n_scanned,
+         | CAST(count(*) AS BIGINT) AS n_overlap,
+         | round(count(*) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM adc
+         |      WHERE cell IN (SELECT cell FROM qrank WHERE rk <= $np)
+         |      ORDER BY adc, vec_id LIMIT 10) t
+         |JOIN extop ON t.vec_id = extop.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    init + coarseRounds + resInit + resRounds + finalAssign + tail +
+      "\n" + arms
   }
 
   private def trainedPqSql(iters: Int, nBlocks: Int = 4, codes: Int = 8,

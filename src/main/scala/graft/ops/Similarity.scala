@@ -350,9 +350,9 @@ object Similarity {
     * every query, not per probe.
     */
   private def sampledCentroids(spark: SparkSession, dir: String,
-      n: Int): Seq[(Int, Seq[Float])] =
+      n: Int, hexMax: String = "19"): Seq[(Int, Seq[Float])] =
     emb(spark, dir)
-      .filter(substring(md5(col("vec_id").cast("string")), 1, 2) <= "19")
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 2) <= hexMax)
       .orderBy(col("vec_id"))
       .limit(n)
       .select(col("embedding")).collect()
@@ -1438,6 +1438,15 @@ object Similarity {
     * and the same plan over a cell-partitioned layout prunes at the
     * file level.
     */
+  /** The materialized (vec_id, cell, adc) IVF-PQ index behind q280,
+    * memoized like the route index (round-11 ADVICE: the eager
+    * localCheckpoint it replaces was never unpersisted, so sweeps and
+    * spec suites accumulated block-manager blocks for the life of the
+    * JVM). The Memo owns the lifetime: eviction unpersists.
+    */
+  private val ivfPqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, Long), DataFrame]
+
   def ivfPqTopK(spark: SparkSession, dir: String, nCells: Int = 8,
       nBlocks: Int = 4, codesPerBlock: Int = 8, k: Int = 10,
       probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
@@ -1472,6 +1481,26 @@ object Similarity {
         }
         zero +: res.toIndexedSeq
       }
+    ivfPqProbeArms(spark, dir, s"base-$nCells-$nBlocks-$codesPerBlock",
+      qv6, cells, c2, nBlocks, bw, k, probes)
+  }
+
+  /** The IVF-PQ probe-curve tail shared by q280 (md5-seed codebooks)
+    * and q295 (Lloyd-trained codebooks): cell ranking, the query-side
+    * ADC lookup table, the ONE-scan encode (pq_encode for the coarse
+    * cell + pq_res_encode for the residual codes), the memoized index,
+    * the shared exact arm and the per-nProbe output rows. `tag`
+    * disambiguates the memo entry per codebook phase/config.
+    */
+  private def ivfPqProbeArms(spark: SparkSession, dir: String, tag: String,
+      qv6: IndexedSeq[Long], cells: IndexedSeq[IndexedSeq[Long]],
+      c2: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], nBlocks: Int, bw: Int,
+      k: Int, probes: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) =>
+        acc + (a(i) - b(i)) * (a(i) - b(i)))
     // query-side: probed-cell ranking (exact d², cell id ties) and the
     // per-(cell, block, code) ADC lookup table from the query residual
     val cellRank: IndexedSeq[Int] =
@@ -1514,14 +1543,22 @@ object Similarity {
     }.reduce(_ + _)
     // build the INDEX once — (vec_id, cell, adc) is probe-independent,
     // and re-planning the encode scan per arm executed it 8× (plus the
-    // exact arm 4×) for identical values. localCheckpoint materializes
+    // exact arm 4×) for identical values. The persisted frame is
     // exactly what a deployed IVF-PQ index IS: cells + codes (here
     // pre-folded through the query's lookup table), ~24 B/row; every
     // probe arm filters THIS, so at 100 TB a probe touches nProbe/nCells
-    // of the index, never the corpus
-    val enc = withCell
-      .select($"vec_id", $"cell", adcOf(resCodes).as("adc"))
-      .localCheckpoint(true)
+    // of the index, never the corpus. Memoized with an onEvict unpersist
+    // (round-11 ADVICE: the eager localCheckpoint here leaked its blocks
+    // for the life of the JVM across sweep/spec invocations).
+    val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
+    val enc = Memo.cached(ivfPqIndexCache, (spark, dir, tag, fp),
+        onEvict = (df: DataFrame) => df.unpersist()) {
+      val df = withCell
+        .select($"vec_id", $"cell", adcOf(resCodes).as("adc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize once before the probe arms re-filter it
+      df
+    }
     // the exact top-k is probe-independent too: one scan, k ids
     // collected as literals (the bounded driver-steering collect)
     val exactIds: Seq[Long] = e.filter($"vec_id" =!= 0L)
@@ -1542,6 +1579,145 @@ object Similarity {
           $"n_scanned", $"n_overlap",
           round($"n_overlap" / lit(k.toDouble), 6).as("recall"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Trained IVF-PQ search (q295): the COMPOSED billion-vector recipe
+    * the q269-q280 ladder builds toward, with BOTH codebooks Lloyd-
+    * trained (the round-11 verdict's top item — q280 measured the
+    * untrained default honest-but-weak, q277 measured training fixing
+    * plain PQ; this query wires the two together). Coarse level: the
+    * q271 integer Lloyd over ONE 64-wide block (nCells codes, exact-i64
+    * assignment, shifted floor-division means, empty cells keep their
+    * centroid). Residual level: corpus residuals against the TRAINED
+    * cells, then the same Lloyd per block over the residual codebook —
+    * with code 0 FROZEN at the zero vector (the q276 law-maker: keeping
+    * it guarantees two-level distortion ≤ one-level, training or not).
+    * Residual components span ±8e6 (difference of two ±4e6-bounded e6
+    * components), so the residual means use an 8e6 shift — guarded by
+    * the rollup's global-min witness exactly like q271's 4e6 bound.
+    * Output: the q280 operating curve (recall@k + n_scanned per nProbe)
+    * at the trained operating point.
+    *
+    * Scale: each Lloyd round is ONE zero-shuffle assignment projection
+    * (codegen pq_encode / pq_res_encode) folded through the mergeable
+    * PqRollup Aggregator (KB buffer per partition); codebooks are
+    * KB-sized driver state (nCells·64 + nBlocks·(codes+1)·bw longs);
+    * the probe curve is the q280 shape — the memoized (vec_id, cell,
+    * adc) index, per-arm pushed-down cell filters, TakeOrdered(k).
+    */
+  def ivfPqTrainedTopK(spark: SparkSession, dir: String, nCells: Int = 8,
+      nBlocks: Int = 16, codesPerBlock: Int = 128, iters: Int = 2,
+      k: Int = 10, probes: Seq[Int] = Seq(1, 2, 4, 8),
+      seedHexMax: String = "7f"): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val dim = 64
+    val bw = dim / nBlocks
+    // seed pool widened past the q269/q280 '19' cap: 128 residual codes
+    // need ~136 seeds and the md5 '19' pool caps at ~10% of the corpus
+    // (69 vectors at sf0.01); '7f' is the established ~50% split. The
+    // codebook stays FIXED-SIZE — at production scale any md5 slice is
+    // seed-rich, so this is a small-fixture accommodation, not a leak
+    // of corpus size into the index.
+    val seeds = sampledCentroids(spark, dir, nCells + codesPerBlock,
+      seedHexMax)
+    val qRows = e.filter($"vec_id" === 0L).select($"embedding").collect()
+    if (seeds.size <= nCells || qRows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("n_probe", "k", "n_scanned", "n_overlap", "recall")
+    def qe6(x: Float): Long = math.round(x.toDouble * 1000.0) * 1000L
+    val qv6: IndexedSeq[Long] = qRows(0).getSeq[Float](0).map(qe6).toIndexedSeq
+    val xq = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint) * 1000)")
+    val vecs = e.filter($"vec_id" =!= 0L).select($"vec_id", xq.as("xq"))
+    // ---- coarse Lloyd: one 64-wide block, nCells codes (q271's exact
+    // integer trajectory at block width = the full vector)
+    var cells: IndexedSeq[IndexedSeq[Long]] =
+      seeds.take(nCells).map(_._2.map(qe6).toIndexedSeq).toIndexedSeq
+    val cRollup = graft.functions.PqRollup.pqRollup(1, nCells, dim)
+    for (_ <- 1 to iters) {
+      val frozen = cells
+      val assigned = vecs.select($"xq",
+        VectorOps.pqEncodeCol(spark, $"xq", Seq(frozen.map(_.toSeq)))
+          .getField("codes").as("codes"))
+      val buf = assigned
+        .select(cRollup(col("codes"), col("xq")).as("buf"))
+        .head().getSeq[Long](0)
+      def cnt(c: Int): Long = buf(1 + c)
+      def sm(c: Int, i: Int): Long = buf(1 + nCells + c * dim + i)
+      if ((0 until nCells).exists(cnt(_) > 0))
+        require(buf(0) >= -4000000L,
+          s"ivfPqTrainedTopK: component ${buf(0)} e-6 below the -4.0 " +
+            "shift bound — engine-split hazard in the coarse mean's " +
+            "floor div (see trainedPqRecall)")
+      cells = (0 until nCells).map { c =>
+        val n = cnt(c)
+        (0 until dim).map { i =>
+          if (n > 0) (sm(c, i) + 4000000L * n) / n - 4000000L
+          else cells(c)(i)
+        }
+      }
+    }
+    // ---- residual codebook: code 0 = zero (frozen); codes 1.. seeded
+    // from the NEXT sampled vectors' residuals against their nearest
+    // TRAINED cell (q280's init rule, over the trained coarse level)
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) =>
+        acc + (a(i) - b(i)) * (a(i) - b(i)))
+    def cellOf(v: IndexedSeq[Long]): Int =
+      cells.indices.minBy(c => (d2(v, cells(c)), c))
+    var c2: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      (0 until nBlocks).map { b =>
+        val zero = IndexedSeq.fill(bw)(0L)
+        val res = seeds.drop(nCells).map { s =>
+          val v = s._2.map(qe6).toIndexedSeq
+          val c = cells(cellOf(v))
+          (b * bw until (b + 1) * bw).map(i => v(i) - c(i))
+        }
+        zero +: res.toIndexedSeq
+      }
+    val m = c2.head.length // codes incl the frozen zero
+    // ---- residual Lloyd: assignment against the per-row trained cell
+    // (one pq_res_encode node), rollup over the residual components
+    val cellFullArr = typedlit(cells.map(_.toSeq))
+    val withCell = vecs.select($"vec_id", $"xq",
+      element_at(VectorOps.pqEncodeCol(spark, $"xq", Seq(cells.map(_.toSeq)))
+        .getField("codes"), 1).as("cell"))
+    val selCell = element_at(cellFullArr, $"cell".cast("int") + 1)
+    val rRollup = graft.functions.PqRollup.pqRollup(nBlocks, m, bw)
+    for (_ <- 1 to iters) {
+      val frozen = c2
+      val codes = VectorOps.pqResEncodeCol(spark, $"xq", selCell,
+        frozen.map(_.map(_.toSeq))).getField("codes")
+      val resVec = zip_with($"xq", selCell, (a: Column, b: Column) => a - b)
+      val buf = withCell
+        .select(rRollup(codes, resVec).as("buf"))
+        .head().getSeq[Long](0)
+      val nCnt = nBlocks * m
+      def cnt(b: Int, code: Int): Long = buf(1 + b * m + code)
+      def sm(b: Int, code: Int, i: Int): Long =
+        buf(1 + nCnt + (b * m + code) * bw + i)
+      if ((0 until nBlocks).exists(b => (0 until m).exists(c => cnt(b, c) > 0)))
+        require(buf(0) >= -8000000L,
+          s"ivfPqTrainedTopK: residual component ${buf(0)} e-6 below " +
+            "the -8.0 shift bound — engine-split hazard in the " +
+            "residual mean's floor div")
+      c2 = (0 until nBlocks).map { b =>
+        (0 until m).map { code =>
+          if (code == 0) IndexedSeq.fill(bw)(0L) // the law-maker stays
+          else {
+            val n = cnt(b, code)
+            (0 until bw).map { i =>
+              if (n > 0) (sm(b, code, i) + 8000000L * n) / n - 8000000L
+              else c2(b)(code)(i)
+            }
+          }
+        }
+      }
+    }
+    ivfPqProbeArms(spark, dir,
+      s"trained-$nCells-$nBlocks-$codesPerBlock-$iters-$seedHexMax",
+      qv6, cells, c2, nBlocks, bw, k, probes)
   }
 
   /** Greedy graph-routed ANN, swept over out-degree (q293): the
@@ -1685,7 +1861,14 @@ object Similarity {
         .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
     val entryV = e3.filter($"vec_id" === entryId).collect()
       .headOption.map(_.getSeq[Long](1).toArray)
-    if (planes.isEmpty || entryV.isEmpty || qVecs.isEmpty) {
+    // planes.length < nPlanes (a corpus with fewer than nPlanes head
+    // vectors): bandSignatureCols would emit a CONSTANT-0 signature for
+    // every plane-less band — all reps collide there, candidate edges go
+    // all-pairs — while the oracle's sig CTE (GROUP BY pid // r over the
+    // p rows that EXIST) emits no rows for those bands, so the two sides
+    // would build different graphs. Degrade to the empty result instead
+    // of routing over a graph the oracle can't replay.
+    if (planes.length < nPlanes || entryV.isEmpty || qVecs.isEmpty) {
       e3.unpersist(); return None
     }
     // exact-dedup-first: one representative (min id) per distinct e3

@@ -497,6 +497,8 @@ class OpsSpec extends AnyFunSuite {
       "routed_d2", "n_hops", "exact_id", "exact_d2", "hit"),
     "q294_beam_route_ann" -> Set("beam", "query_id", "routed_id",
       "routed_d2", "exact_id", "exact_d2", "hit"),
+    "q295_ivf_pq_trained_topk" -> Set("n_probe", "k", "n_scanned",
+      "n_overlap", "recall"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

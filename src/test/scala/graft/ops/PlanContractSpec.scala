@@ -725,6 +725,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q280 pays a shuffle join:\n$p")
   }
 
+  test("q295: trained IVF-PQ keeps q280's probe-arm plan shape") {
+    // training happens driver-side before the plan exists; the returned
+    // plan must be the identical filter -> TakeOrdered index-probe shape
+    val p = plan(Similarity.ivfPqTrainedTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"q295 lost top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"q295 pays a shuffle join:\n$p")
+  }
+
   test("q266: both Q20 nesting levels plan as LEFT SEMI joins, part filter pushed") {
     val p = plan(Relational.dominantPartSuppliers(spark, sf))
     // level 1 (part-family filter on lineitem) + level 2 (qualifying

@@ -134,7 +134,8 @@ object ScaleBench {
     "q271_trained_pq_recall", "q275_decontam_excise",
     "q276_residual_pq", "q277_pq_codebook_sweep", "q280_ivf_pq_topk",
     "q293_graph_route_ann", "q294_beam_route_ann",
-    "q295_ivf_pq_trained_topk")
+    "q295_ivf_pq_trained_topk", "q296_graph_route_wide",
+    "q297_beam_route_wide")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

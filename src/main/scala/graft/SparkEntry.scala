@@ -847,6 +847,15 @@ object SparkEntry {
     // trajectory-replayed query
     "q295_ivf_pq_trained_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqTrainedTopK(s, d)),
+    // wide routing operating tables (round-11 verdict #2/#3): the
+    // md5-sampled ~42-query set routed via the DISTRIBUTED batch path
+    // (frontier-join hops, query vectors as a joined table — no
+    // per-query literal plan nodes), aggregated to hit-rate + Wilson
+    // bands per arm
+    "q296_graph_route_wide" -> ((s: SparkSession, d: String) =>
+      Similarity.graphRouteAnnWide(s, d)),
+    "q297_beam_route_wide" -> ((s: SparkSession, d: String) =>
+      Similarity.beamRouteAnnWide(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1040,12 +1049,20 @@ object SparkEntry {
     * cannot drift on the index they search.
     */
   private def routeOracleInitCtes(nPlanes: Int, nBands: Int,
-      queryIds: Seq[Long], entryId: Long): String = {
+      queryIds: Seq[Long], entryId: Long): String =
+    routeOracleInitCtesWhere(nPlanes, nBands,
+      s"vec_id IN (${queryIds.sorted.mkString(", ")})", entryId)
+
+  /** The init CTEs with the query set given as a WHERE snippet — the
+    * literal-id spelling (q293/q294) and the md5-sampled wide spelling
+    * (q296/q297) share one text.
+    */
+  private def routeOracleInitCtesWhere(nPlanes: Int, nBands: Int,
+      queryWhere: String, entryId: Long): String = {
     // bits per band, derived exactly as the engine derives it — the
     // call sites pass (nPlanes, nBands) in the engine's own terms so a
     // re-tune cannot pass a bit width where a band count belongs
     val bandBits = nPlanes / nBands
-    val qList = queryIds.sorted.mkString(", ")
       s"""WITH e3 AS MATERIALIZED (SELECT vec_id,
          |   [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
          |    for x in embedding] AS v
@@ -1074,7 +1091,7 @@ object SparkEntry {
          |    FROM cand c JOIN rep ea ON c.src = ea.vec_id
          |     JOIN rep eb ON c.dst = eb.vec_id) sc),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e3
-         |      WHERE vec_id IN ($qList)),
+         |      WHERE $queryWhere),
          |qr AS (SELECT q.qid, r.vec_id AS rid FROM q
          |       JOIN rep r ON r.v = q.qv),
          |qd AS MATERIALIZED (SELECT q.qid, e.vec_id AS id,
@@ -1091,11 +1108,12 @@ object SparkEntry {
          |    FROM qd) WHERE rn = 1)""".stripMargin
   }
 
-  private def graphRouteOracleSql(nPlanes: Int, nBands: Int,
-      kOuts: Seq[Int], maxHops: Int, queryIds: Seq[Long],
-      entryId: Long): String = {
-    val init = routeOracleInitCtes(nPlanes, nBands, queryIds, entryId)
-    val armCtes = kOuts.map { k =>
+  /** The per-(arm, hop) trajectory CTE blocks shared by the narrow
+    * (q293) and wide (q296) greedy oracles — one text, so the two
+    * cannot drift on the descent they replay.
+    */
+  private def graphRouteArmCtes(kOuts: Seq[Int], maxHops: Int): String =
+    kOuts.map { k =>
       (1 to maxHops).map { h =>
         val prev = if (h == 1) "s0" else s"s${h - 1}_k$k"
         s""",
@@ -1113,6 +1131,12 @@ object SparkEntry {
            |  WHERE rn = 1)""".stripMargin
       }.mkString
     }.mkString
+
+  private def graphRouteOracleSql(nPlanes: Int, nBands: Int,
+      kOuts: Seq[Int], maxHops: Int, queryIds: Seq[Long],
+      entryId: Long): String = {
+    val init = routeOracleInitCtes(nPlanes, nBands, queryIds, entryId)
+    val armCtes = graphRouteArmCtes(kOuts, maxHops)
     val armSelects = kOuts.map { k =>
       s"""SELECT CAST($k AS BIGINT) AS k_out, s.qid AS query_id,
          | s.cur AS routed_id, s.d2 AS routed_d2,
@@ -1123,20 +1147,15 @@ object SparkEntry {
     init + armCtes + "\n" + armSelects
   }
 
-  /** The q294 oracle: the same shared index CTEs, then per beam width
-    * the frontier recurrence unrolled — candidates = DISTINCT(frontier
-    * ∪ out-neighbors), re-scored through qd (which also drops the
-    * query's rep), row_number ≤ B. The final row per (beam, query) is
-    * the frontier's (d², id) minimum against the shared exact arm.
+  /** The per-(beam, hop) frontier CTE blocks shared by the narrow
+    * (q294) and wide (q297) beam oracles.
     */
-  private def beamRouteOracleSql(nPlanes: Int, nBands: Int, kOut: Int,
-      beams: Seq[Int], maxHops: Int, queryIds: Seq[Long],
-      entryId: Long): String = {
-    val init = routeOracleInitCtes(nPlanes, nBands, queryIds, entryId)
+  private def beamRouteArmCtes(kOut: Int, beams: Seq[Int],
+      maxHops: Int): String = {
     val seed =
       """,
         |f0 AS (SELECT qid, cur AS id, d2 FROM s0)""".stripMargin
-    val armCtes = beams.map { b =>
+    seed + beams.map { b =>
       (1 to maxHops).map { h =>
         val prev = if (h == 1) "f0" else s"f${h - 1}_b$b"
         s""",
@@ -1152,6 +1171,19 @@ object SparkEntry {
            | WHERE rn <= $b)""".stripMargin
       }.mkString
     }.mkString
+  }
+
+  /** The q294 oracle: the same shared index CTEs, then per beam width
+    * the frontier recurrence unrolled — candidates = DISTINCT(frontier
+    * ∪ out-neighbors), re-scored through qd (which also drops the
+    * query's rep), row_number ≤ B. The final row per (beam, query) is
+    * the frontier's (d², id) minimum against the shared exact arm.
+    */
+  private def beamRouteOracleSql(nPlanes: Int, nBands: Int, kOut: Int,
+      beams: Seq[Int], maxHops: Int, queryIds: Seq[Long],
+      entryId: Long): String = {
+    val init = routeOracleInitCtes(nPlanes, nBands, queryIds, entryId)
+    val armCtes = beamRouteArmCtes(kOut, beams, maxHops)
     val armSelects = beams.map { b =>
       s"""SELECT CAST($b AS BIGINT) AS beam, f.qid AS query_id,
          | f.id AS routed_id, f.d2 AS routed_d2,
@@ -1161,7 +1193,62 @@ object SparkEntry {
          |  FROM f${maxHops}_b$b) f
          |JOIN ex ON f.qid = ex.qid WHERE f.rn = 1""".stripMargin
     }.mkString("\n UNION ALL \n")
-    init + seed + armCtes + "\n" + armSelects
+    init + armCtes + "\n" + armSelects
+  }
+
+  /** The wide-query WHERE snippet (q296/q297): the md5-sampled ~1/16
+    * query set, entry excluded — the engine applies the identical
+    * predicate (`Similarity.RouteWideHexMax`).
+    */
+  private def routeWideQueryWhere(entryId: Long): String =
+    "substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= " +
+      s"'${graft.ops.Similarity.RouteWideHexMax}' AND vec_id <> $entryId"
+
+  /** q296 oracle: the q293 trajectory CTEs over the md5-sampled query
+    * set, aggregated per out-degree arm with the IDENTICAL hit-rate /
+    * Wilson text the engine's selectExpr folds
+    * (`Similarity.routeWideAggExprs`).
+    */
+  private def graphRouteWideOracleSql(nPlanes: Int, nBands: Int,
+      kOuts: Seq[Int], maxHops: Int, entryId: Long): String = {
+    val init = routeOracleInitCtesWhere(nPlanes, nBands,
+      routeWideQueryWhere(entryId), entryId)
+    val armCtes = graphRouteArmCtes(kOuts, maxHops)
+    val agg = graft.ops.Similarity.routeWideAggExprs.mkString(",\n ")
+    val armSelects = kOuts.map { k =>
+      s"""SELECT k_out, n_queries, n_hits,
+         | $agg
+         |FROM (SELECT CAST($k AS BIGINT) AS k_out,
+         |   CAST(count(*) AS BIGINT) AS n_queries,
+         |   CAST(sum(CASE WHEN s.cur = ex.exact_id THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS n_hits
+         |  FROM s${maxHops}_k$k s JOIN ex ON s.qid = ex.qid) a""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    init + armCtes + "\n" + armSelects
+  }
+
+  /** q297 oracle: the q294 frontier CTEs over the same sampled query
+    * set, aggregated per beam arm with the same shared text.
+    */
+  private def beamRouteWideOracleSql(nPlanes: Int, nBands: Int,
+      kOut: Int, beams: Seq[Int], maxHops: Int, entryId: Long): String = {
+    val init = routeOracleInitCtesWhere(nPlanes, nBands,
+      routeWideQueryWhere(entryId), entryId)
+    val armCtes = beamRouteArmCtes(kOut, beams, maxHops)
+    val agg = graft.ops.Similarity.routeWideAggExprs.mkString(",\n ")
+    val armSelects = beams.map { b =>
+      s"""SELECT beam, n_queries, n_hits,
+         | $agg
+         |FROM (SELECT CAST($b AS BIGINT) AS beam,
+         |   CAST(count(*) AS BIGINT) AS n_queries,
+         |   CAST(sum(CASE WHEN f.id = ex.exact_id THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS n_hits
+         |  FROM (SELECT qid, id FROM (SELECT qid, id,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
+         |    FROM f${maxHops}_b$b) WHERE rn = 1) f
+         |  JOIN ex ON f.qid = ex.qid) a""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    init + armCtes + "\n" + armSelects
   }
 
   /** The SRP-bucket prefix (head-vector hyperplanes → per-vector bucket
@@ -6141,6 +6228,12 @@ object SparkEntry {
     "q294_beam_route_ann" ->
       beamRouteOracleSql(16, 4, 16, Seq(1, 2, 4, 8), 6,
         Seq(7L, 13L, 29L, 42L), 0L),
+    // q296/q297: the same trajectory CTEs over the md5-sampled query
+    // set, aggregated per arm with the engine's own hit-rate/Wilson text
+    "q296_graph_route_wide" ->
+      graphRouteWideOracleSql(16, 4, Seq(4, 8, 16, 32), 6, 0L),
+    "q297_beam_route_wide" ->
+      beamRouteWideOracleSql(16, 4, 16, Seq(1, 2, 4, 8), 6, 0L),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the

@@ -1767,19 +1767,28 @@ object Similarity {
     * replay discipline; materialization keeps the chain linear where
     * plain CTE inlining re-evaluates the graph build 2^hops times).
     */
-  /** The shared routing index behind q293/q294: dedup-first rep
-    * vectors, the banded-SRP ranked edge table (top-[[RouteIndexMaxK]]
-    * out-edges per rep by exact e3 d²), the literal query/entry
-    * vectors, each query's content-group rep, and the shared exact-NN
-    * arm. All three DataFrames are persisted; the memo cache owns the
-    * lifetime and calls `close()` on eviction — callers never do.
+  /** The query-independent core of the routing index: e3-quantized
+    * vectors, dedup-first reps, and the banded-SRP ranked edge table
+    * (top-[[RouteIndexMaxK]] out-edges per rep by exact e3 d²). Shared
+    * by the driver-steered pair (q293/q294), their wide md5-sampled
+    * twins (q296/q297) and the distributed batch path — ONE build per
+    * (corpus, geometry). All three DataFrames are persisted; the memo
+    * cache owns the lifetime and calls `close()` on eviction.
+    */
+  private final case class EdgeIndex(e3: DataFrame, e3r: DataFrame,
+      ranked: DataFrame) {
+    def close(): Unit = { ranked.unpersist(); e3r.unpersist(); e3.unpersist() }
+  }
+
+  /** The driver-steered routing overlay behind q293/q294: the shared
+    * [[EdgeIndex]] plus the literal query/entry vectors, each query's
+    * content-group rep, and the shared exact-NN arm. Holds no persisted
+    * state of its own — the edge-index memo owns the frames.
     */
   private final case class RouteIndex(e3: DataFrame, e3r: DataFrame,
       ranked: DataFrame, qVecs: Map[Long, Array[Long]],
       qRep: Map[Long, Long], entryV: Array[Long],
-      exMap: Map[Long, (Long, Long)]) {
-    def close(): Unit = { ranked.unpersist(); e3r.unpersist(); e3.unpersist() }
-  }
+      exMap: Map[Long, (Long, Long)])
 
   /** The q51/q293/q294 banded-SRP signatures as plain Columns over an
     * `embedding` array<float> column: bit (pid % r) of band (pid / r)
@@ -1818,49 +1827,48 @@ object Similarity {
     */
   val RouteIndexMaxK = 32
 
+  private val edgeIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int, Long), Option[EdgeIndex]]
+
   private val routeIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int, Int, Seq[Long], Long, Long),
       Option[RouteIndex]]
 
-  /** Memoized (the kmvSketchTable discipline): the q293/q294 pair runs
-    * back-to-back in a sweep and the banded build is the dominant
-    * cost; the key folds a corpus fingerprint, eviction closes the
-    * persisted frames. Callers must NOT close the returned index — the
-    * cache owns its lifetime.
+  /** The widest query batch the DRIVER-STEERED routing path accepts
+    * (round-11 verdict: the exact arm and the rep-matching filter fold
+    * ONE literal struct/equality PER QUERY into single plan nodes, so
+    * plan cost is O(|queries|) — this repo measured that failure mode
+    * at q280's pre-`pq_res_encode` 16×33 struct tree, ~25 s in planning
+    * alone). Larger batches must use [[graphRouteAnnBatch]] /
+    * [[beamRouteAnnBatch]], where query vectors ride as a joined table.
     */
-  private def buildRouteIndex(spark: SparkSession, dir: String,
-      nPlanes: Int, nBands: Int, maxK: Int, queryIds: Seq[Long],
-      entryId: Long): Option[RouteIndex] = {
-    require(maxK <= RouteIndexMaxK,
-      s"out-degree $maxK exceeds the shared index width $RouteIndexMaxK")
+  val RouteQueryBatchMax = 64
+
+  /** Memoized query-independent edge index (one banded build per
+    * corpus × geometry, shared by every routing query and both probe
+    * styles); eviction closes the persisted frames. Callers must NOT
+    * close the returned index — the cache owns its lifetime.
+    */
+  private def buildEdgeIndex(spark: SparkSession, dir: String,
+      nPlanes: Int, nBands: Int): Option[EdgeIndex] = {
+    require(nPlanes % nBands == 0,
+      s"nPlanes=$nPlanes not divisible by nBands=$nBands")
     val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
-    Memo.cached(routeIndexCache,
-        (spark, dir, nPlanes, nBands, queryIds, entryId, fp),
-        onEvict = (v: Option[RouteIndex]) => v.foreach(_.close())) {
-      buildRouteIndexUncached(spark, dir, nPlanes, nBands, queryIds,
-        entryId)
+    Memo.cached(edgeIndexCache, (spark, dir, nPlanes, nBands, fp),
+        onEvict = (v: Option[EdgeIndex]) => v.foreach(_.close())) {
+      buildEdgeIndexUncached(spark, dir, nPlanes, nBands)
     }
   }
 
-  private def buildRouteIndexUncached(spark: SparkSession, dir: String,
-      nPlanes: Int, nBands: Int, queryIds: Seq[Long],
-      entryId: Long): Option[RouteIndex] = {
+  private def buildEdgeIndexUncached(spark: SparkSession, dir: String,
+      nPlanes: Int, nBands: Int): Option[EdgeIndex] = {
     import spark.implicits._
-    require(nPlanes % nBands == 0,
-      s"nPlanes=$nPlanes not divisible by nBands=$nBands")
-    require(!queryIds.contains(entryId), "entry node cannot be a query")
     val e = emb(spark, dir)
     val e3x = expr(
       "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
     val e3 = e.select($"vec_id", e3x.as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val planes = headVectors(spark, dir, nPlanes)
-    // bounded plan-time collects: |queries| + 1 vectors of 64 longs
-    val qVecs: Map[Long, Array[Long]] =
-      e3.filter($"vec_id".isin(queryIds: _*)).collect()
-        .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
-    val entryV = e3.filter($"vec_id" === entryId).collect()
-      .headOption.map(_.getSeq[Long](1).toArray)
     // planes.length < nPlanes (a corpus with fewer than nPlanes head
     // vectors): bandSignatureCols would emit a CONSTANT-0 signature for
     // every plane-less band — all reps collide there, candidate edges go
@@ -1868,7 +1876,7 @@ object Similarity {
     // p rows that EXIST) emits no rows for those bands, so the two sides
     // would build different graphs. Degrade to the empty result instead
     // of routing over a graph the oracle can't replay.
-    if (planes.length < nPlanes || entryV.isEmpty || qVecs.isEmpty) {
+    if (planes.length < nPlanes) {
       e3.unpersist(); return None
     }
     // exact-dedup-first: one representative (min id) per distinct e3
@@ -1879,28 +1887,6 @@ object Similarity {
     val e3r = e3.join(repIds, Seq("vec_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e3r.count()
-    // each query's rep: the min id sharing ITS content — the one
-    // index node excluded from that query's candidates and exact arm.
-    // ONE job over the persisted reps (an OR of |queries| + 1 content
-    // equalities), matched back driver-side by array equality
-    val qList = qVecs.toSeq.sortBy(_._1)
-    val contentHits = e3r.filter(
-        (qList.map { case (_, qv) => $"v" === array(qv.map(lit(_)): _*) } :+
-          ($"vec_id" === entryId)).reduce(_ || _))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val qRep: Map[Long, Long] = qList.map { case (q, qv) =>
-      val rep = contentHits.find(rv => java.util.Arrays.equals(rv._2, qv))
-      require(rep.nonEmpty, s"query $q: no rep for its content group " +
-        "(the query row itself guarantees one — corpus changed mid-build?)")
-      q -> rep.get._1
-    }.toMap
-    // the oracle's s0 seeds from qd, which holds REPS only — a non-rep
-    // entry would leave the oracle empty while the engine routes, so
-    // refuse loudly (entryId = the global min id is always its group's
-    // rep; anything else must prove it)
-    require(contentHits.exists(_._1 == entryId),
-      s"entry $entryId is not its content group's representative — " +
-        "the oracle's rep-only seed would diverge from the engine")
     // banded signatures over static plane literals (q51 geometry)
     val bandSigs = bandSignatureCols(planes, nBands, nPlanes)
     val sigs = e
@@ -1925,6 +1911,72 @@ object Similarity {
       .select($"src", $"dst", $"rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranked.count() // materialize once before the hop probes
+    Some(EdgeIndex(e3, e3r, ranked))
+  }
+
+  /** Memoized (the kmvSketchTable discipline): the q293/q294 pair runs
+    * back-to-back in a sweep and the banded build is the dominant
+    * cost; the key folds a corpus fingerprint. Holds no persisted state
+    * of its own (the edge-index memo owns the frames), so no onEvict.
+    */
+  private def buildRouteIndex(spark: SparkSession, dir: String,
+      nPlanes: Int, nBands: Int, maxK: Int, queryIds: Seq[Long],
+      entryId: Long): Option[RouteIndex] = {
+    require(maxK <= RouteIndexMaxK,
+      s"out-degree $maxK exceeds the shared index width $RouteIndexMaxK")
+    val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
+    Memo.cached(routeIndexCache,
+        (spark, dir, nPlanes, nBands, queryIds, entryId, fp)) {
+      buildRouteIndexUncached(spark, dir, nPlanes, nBands, queryIds,
+        entryId)
+    }
+  }
+
+  private def buildRouteIndexUncached(spark: SparkSession, dir: String,
+      nPlanes: Int, nBands: Int, queryIds: Seq[Long],
+      entryId: Long): Option[RouteIndex] = {
+    import spark.implicits._
+    require(!queryIds.contains(entryId), "entry node cannot be a query")
+    // the plan-size guard (the evalTierGuard discipline): every query
+    // in THIS path becomes a literal struct in the exact arm and a
+    // literal equality in the rep filter — O(|queries|) plan nodes
+    require(queryIds.size <= RouteQueryBatchMax,
+      s"driver-steered routing folds one literal plan node per query; " +
+        s"${queryIds.size} queries > RouteQueryBatchMax=$RouteQueryBatchMax " +
+        "— use graphRouteAnnBatch/beamRouteAnnBatch (query vectors as a " +
+        "joined table) for large batches")
+    val idx = buildEdgeIndex(spark, dir, nPlanes, nBands)
+      .getOrElse(return None)
+    val (e3, e3r) = (idx.e3, idx.e3r)
+    // bounded plan-time collects: |queries| + 1 vectors of 64 longs
+    val qVecs: Map[Long, Array[Long]] =
+      e3.filter($"vec_id".isin(queryIds: _*)).collect()
+        .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray).toMap
+    val entryV = e3.filter($"vec_id" === entryId).collect()
+      .headOption.map(_.getSeq[Long](1).toArray)
+    if (entryV.isEmpty || qVecs.isEmpty) return None
+    // each query's rep: the min id sharing ITS content — the one
+    // index node excluded from that query's candidates and exact arm.
+    // ONE job over the persisted reps (an OR of |queries| + 1 content
+    // equalities), matched back driver-side by array equality
+    val qList = qVecs.toSeq.sortBy(_._1)
+    val contentHits = e3r.filter(
+        (qList.map { case (_, qv) => $"v" === array(qv.map(lit(_)): _*) } :+
+          ($"vec_id" === entryId)).reduce(_ || _))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qRep: Map[Long, Long] = qList.map { case (q, qv) =>
+      val rep = contentHits.find(rv => java.util.Arrays.equals(rv._2, qv))
+      require(rep.nonEmpty, s"query $q: no rep for its content group " +
+        "(the query row itself guarantees one — corpus changed mid-build?)")
+      q -> rep.get._1
+    }.toMap
+    // the oracle's s0 seeds from qd, which holds REPS only — a non-rep
+    // entry would leave the oracle empty while the engine routes, so
+    // refuse loudly (entryId = the global min id is always its group's
+    // rep; anything else must prove it)
+    require(contentHits.exists(_._1 == entryId),
+      s"entry $entryId is not its content group's representative — " +
+        "the oracle's rep-only seed would diverge from the engine")
     // exact arm (shared): one zero-shuffle scan over the reps, the
     // literal query vectors exploded per row (each carrying its
     // content-group rep to exclude), argmin by (d², id) struct min
@@ -1943,7 +1995,7 @@ object Similarity {
       .collect()
       .map(row => (row.getLong(0),
         (row.getStruct(1).getLong(1), row.getStruct(1).getLong(0)))).toMap
-    Some(RouteIndex(e3, e3r, ranked, qVecs, qRep, entryV.get, exMap))
+    Some(RouteIndex(e3, e3r, idx.ranked, qVecs, qRep, entryV.get, exMap))
   }
 
   /** One hop-probe: the RANKED out-neighbors (rn ≤ maxK) of `curIds`
@@ -2119,6 +2171,258 @@ object Similarity {
           "exact_id", "exact_d2", "hit")
     }
   }
+
+  /** The batch query table: (query_id, qv, rep_id) for every corpus
+    * vector matching `qSel` (minus the entry), each joined to its
+    * content-group rep by DISTRIBUTED vector equality — no literal
+    * per-query plan nodes anywhere, which is the whole point of the
+    * batch path. Queries whose content group IS the entry are dropped
+    * (the same degenerate-entry rule as the driver-steered path).
+    */
+  private def routeBatchQueries(idx: EdgeIndex, qSel: Column,
+      entryId: Long): DataFrame = {
+    val q = idx.e3.filter(qSel && col("vec_id") =!= lit(entryId))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    q.join(idx.e3r.select(col("vec_id").as("rep_id"), col("v")),
+        col("v") === col("qv"))
+      .select(col("query_id"), col("qv"), col("rep_id"))
+      .filter(col("rep_id") =!= lit(entryId))
+  }
+
+  /** The batch exact arm: reps × broadcast(queries) (the corpus-scan ×
+    * |queries| cost the literal-explode arm pays too, spelled as a
+    * join), minus each query's own rep, argmin by (d², id).
+    */
+  private def routeBatchExact(idx: EdgeIndex, qt: DataFrame): DataFrame =
+    idx.e3r.join(broadcast(qt), col("vec_id") =!= col("rep_id"))
+      .select(col("query_id"),
+        struct(call_function("pq_d2", col("v"), lit(0), col("qv")).as("d2"),
+          col("vec_id")).as("s"))
+      .groupBy(col("query_id"))
+      .agg(min(col("s")).as("m"))
+      .select(col("query_id"), col("m.vec_id").as("exact_id"),
+        col("m.d2").as("exact_d2"))
+
+  /** Distributed greedy routing (the q293 semantics at unbounded batch
+    * size): per hop ONE frontier⋈ranked-adjacency join serves every
+    * (arm, query) — the q213/q221 BFS pattern — with query vectors
+    * carried as a joined table, never folded into the plan as literals.
+    * Row-for-row equal to [[graphRouteAnn]] on any batch the driver-
+    * steered path accepts (spec-asserted), and the REQUIRED spelling
+    * past [[RouteQueryBatchMax]] queries: plan size is O(1) in
+    * |queries|, state is |arms|·|queries| rows, each hop costs one pass
+    * over the persisted edge table regardless of batch size.
+    */
+  def graphRouteAnnBatch(spark: SparkSession, dir: String,
+      nPlanes: Int = 16, nBands: Int = 4,
+      kOuts: Seq[Int] = Seq(4, 8, 16, 32), maxHops: Int = 6,
+      queryIds: Seq[Long] = Seq(7L, 13L, 29L, 42L),
+      entryId: Long = 0L): DataFrame = {
+    require(!queryIds.contains(entryId), "entry node cannot be a query")
+    graphRouteAnnBatchCore(spark, dir, nPlanes, nBands, kOuts, maxHops,
+      col("vec_id").isin(queryIds: _*), entryId)
+  }
+
+  private def graphRouteAnnBatchCore(spark: SparkSession, dir: String,
+      nPlanes: Int, nBands: Int, kOuts: Seq[Int], maxHops: Int,
+      qSel: Column, entryId: Long): DataFrame = {
+    import spark.implicits._
+    require(kOuts.nonEmpty && kOuts == kOuts.sorted && kOuts.distinct == kOuts,
+      s"kOuts must be distinct ascending, got $kOuts")
+    require(kOuts.max <= RouteIndexMaxK,
+      s"out-degree ${kOuts.max} exceeds the shared index width $RouteIndexMaxK")
+    val empty = Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .toDF("k_out", "query_id", "routed_id", "routed_d2", "n_hops",
+        "exact_id", "exact_d2", "hit")
+    val idx = buildEdgeIndex(spark, dir, nPlanes, nBands)
+      .getOrElse(return empty)
+    val ev = idx.e3.filter($"vec_id" === entryId).select($"v".as("ev"))
+    if (ev.isEmpty) return empty
+    // same oracle-seed law as the driver path: the oracle's s0 seeds
+    // from qd (reps only) — a non-rep entry must refuse loudly
+    require(idx.e3r.filter($"vec_id" === entryId).count() == 1L,
+      s"entry $entryId is not its content group's representative — " +
+        "the oracle's rep-only seed would diverge from the engine")
+    val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
+    if (qt.isEmpty) return empty
+    // state: one row per (arm, query) — (cur, d², hops); query vectors
+    // and rep exclusions re-join from the broadcast query table per hop
+    var state = qt.crossJoin(broadcast(ev))
+      .select(explode(array(kOuts.map(k => lit(k.toLong)): _*)).as("k_out"),
+        $"query_id", lit(entryId).as("cur"),
+        call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
+        lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      // candidates: ranked out-neighbors of each arm's current node at
+      // that arm's degree, minus the query's own rep, scored by exact
+      // e3 d² — plus the current node (a converged query is a fixpoint)
+      val nbrs = state
+        .join(idx.ranked, state("cur") === idx.ranked("src") &&
+          idx.ranked("rn") <= state("k_out"))
+        .join(broadcast(qt), Seq("query_id"))
+        .filter($"dst" =!= $"rep_id")
+        .join(idx.e3r.select($"vec_id".as("dst"), $"v".as("dv")), Seq("dst"))
+        .select($"k_out", $"query_id", $"dst".as("id"),
+          call_function("pq_d2", $"qv", lit(0), $"dv").as("nd2"))
+      val best = nbrs
+        .unionByName(state.select($"k_out", $"query_id",
+          $"cur".as("id"), $"d2".as("nd2")))
+        .groupBy($"k_out", $"query_id")
+        .agg(min(struct($"nd2", $"id")).as("m"))
+        .select($"k_out", $"query_id", $"m.id".as("nid"),
+          $"m.nd2".as("nd2"))
+      state = state.join(best, Seq("k_out", "query_id"))
+        .select($"k_out", $"query_id", $"nid".as("cur"), $"nd2".as("d2"),
+          ($"hops" + when($"nid" =!= $"cur", lit(1L)).otherwise(lit(0L)))
+            .as("hops"))
+        .localCheckpoint(true) // per-hop lineage cut (the q224 rule)
+    }
+    state.join(routeBatchExact(idx, qt), Seq("query_id"))
+      .select($"k_out", $"query_id", $"cur".as("routed_id"),
+        $"d2".as("routed_d2"), $"hops".as("n_hops"),
+        $"exact_id", $"exact_d2", ($"cur" === $"exact_id").as("hit"))
+  }
+
+  /** Distributed beam routing (the q294 semantics at unbounded batch
+    * size): the frontier recurrence spelled as per-hop joins — frontier
+    * rows carry (beam, query, id, d²); new neighbor ids anti-join the
+    * current frontier (the oracle's DISTINCT(frontier ∪ neighbors)
+    * with prev members keeping their scores), then a row_number ≤ beam
+    * cut. Beam-1 equals the greedy batch arm at the same out-degree.
+    */
+  def beamRouteAnnBatch(spark: SparkSession, dir: String,
+      nPlanes: Int = 16, nBands: Int = 4, kOut: Int = 16,
+      beams: Seq[Int] = Seq(1, 2, 4, 8), maxHops: Int = 6,
+      queryIds: Seq[Long] = Seq(7L, 13L, 29L, 42L),
+      entryId: Long = 0L): DataFrame = {
+    require(!queryIds.contains(entryId), "entry node cannot be a query")
+    beamRouteAnnBatchCore(spark, dir, nPlanes, nBands, kOut, beams,
+      maxHops, col("vec_id").isin(queryIds: _*), entryId)
+  }
+
+  private def beamRouteAnnBatchCore(spark: SparkSession, dir: String,
+      nPlanes: Int, nBands: Int, kOut: Int, beams: Seq[Int], maxHops: Int,
+      qSel: Column, entryId: Long): DataFrame = {
+    import spark.implicits._
+    require(beams.nonEmpty && beams == beams.sorted && beams.distinct == beams,
+      s"beams must be distinct ascending, got $beams")
+    require(kOut <= RouteIndexMaxK,
+      s"out-degree $kOut exceeds the shared index width $RouteIndexMaxK")
+    val empty = Seq.empty[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .toDF("beam", "query_id", "routed_id", "routed_d2",
+        "exact_id", "exact_d2", "hit")
+    val idx = buildEdgeIndex(spark, dir, nPlanes, nBands)
+      .getOrElse(return empty)
+    val ev = idx.e3.filter($"vec_id" === entryId).select($"v".as("ev"))
+    if (ev.isEmpty) return empty
+    require(idx.e3r.filter($"vec_id" === entryId).count() == 1L,
+      s"entry $entryId is not its content group's representative — " +
+        "the oracle's rep-only seed would diverge from the engine")
+    val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
+    if (qt.isEmpty) return empty
+    val wFront = Window.partitionBy($"beam", $"query_id")
+      .orderBy($"d2", $"id")
+    // frontier: ≤ beam rows per (arm, query)
+    var front = qt.crossJoin(broadcast(ev))
+      .select(explode(array(beams.map(b => lit(b.toLong)): _*)).as("beam"),
+        $"query_id", lit(entryId).as("id"),
+        call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      // new neighbor ids: out-edges of the frontier at kOut, minus the
+      // query's rep, minus ids already in the frontier (prev members
+      // keep their scores — they need not be re-reachable this hop)
+      val newIds = front.select($"beam", $"query_id", $"id")
+        .join(idx.ranked, front("id") === idx.ranked("src") &&
+          idx.ranked("rn") <= lit(kOut))
+        .select($"beam", $"query_id", $"dst".as("id")).distinct()
+        .join(front.select($"beam", $"query_id", $"id"),
+          Seq("beam", "query_id", "id"), "left_anti")
+        .join(broadcast(qt), Seq("query_id"))
+        .filter($"id" =!= $"rep_id")
+      val scored = newIds
+        .join(idx.e3r.select($"vec_id".as("id"), $"v".as("dv")), Seq("id"))
+        .select($"beam", $"query_id", $"id",
+          call_function("pq_d2", $"qv", lit(0), $"dv").as("d2"))
+      front = front.unionByName(scored)
+        .withColumn("rnf", row_number().over(wFront))
+        .filter($"rnf" <= $"beam")
+        .select($"beam", $"query_id", $"id", $"d2")
+        .localCheckpoint(true)
+    }
+    front.withColumn("rnf", row_number().over(wFront))
+      .filter($"rnf" === 1)
+      .join(routeBatchExact(idx, qt), Seq("query_id"))
+      .select($"beam", $"query_id", $"id".as("routed_id"),
+        $"d2".as("routed_d2"), $"exact_id", $"exact_d2",
+        ($"id" === $"exact_id").as("hit"))
+  }
+
+  /** The md5 query-sampling rule shared by q296/q297 and their oracles
+    * (the q222 sampling discipline): ~|corpus|/16 queries, entry
+    * excluded on both sides.
+    */
+  val RouteWideHexMax = "0f"
+
+  /** Hit-rate / Wilson-95% SQL text shared VERBATIM by the engine's
+    * selectExpr and the DuckDB oracle — double literals are CAST to
+    * DOUBLE on both sides (DuckDB parses bare decimals as DECIMAL) and
+    * the operation order is identical, so the two engines fold the
+    * same doubles bit for bit before the final round.
+    */
+  val routeWideAggExprs: Seq[String] = {
+    val p = "(CAST(n_hits AS DOUBLE) / CAST(n_queries AS DOUBLE))"
+    val n = "CAST(n_queries AS DOUBLE)"
+    Seq(
+      s"round($p, 6) AS hit_rate",
+      s"round((($p + CAST(1.9208 AS DOUBLE) / $n) - CAST(1.96 AS DOUBLE) " +
+        s"* sqrt(($p * (CAST(1.0 AS DOUBLE) - $p) + CAST(0.9604 AS DOUBLE) " +
+        s"/ $n) / $n)) / (CAST(1.0 AS DOUBLE) + CAST(3.8416 AS DOUBLE) " +
+        s"/ $n), 6) AS wilson_low",
+      s"round((($p + CAST(1.9208 AS DOUBLE) / $n) + CAST(1.96 AS DOUBLE) " +
+        s"* sqrt(($p * (CAST(1.0 AS DOUBLE) - $p) + CAST(0.9604 AS DOUBLE) " +
+        s"/ $n) / $n)) / (CAST(1.0 AS DOUBLE) + CAST(3.8416 AS DOUBLE) " +
+        s"/ $n), 6) AS wilson_high")
+  }
+
+  /** Wide greedy routing table (q296): q293's out-degree sweep re-run
+    * over an md5-sampled ~32-query set via the DISTRIBUTED batch path,
+    * aggregated to the per-arm operating row — n_queries, n_hits,
+    * hit_rate and its Wilson 95% band (4 hand-picked queries were too
+    * small a sample to freeze an out-degree policy on; round-11 verdict
+    * #3). The oracle replays every per-query trajectory, then the
+    * identical aggregate text.
+    */
+  def graphRouteAnnWide(spark: SparkSession, dir: String,
+      nPlanes: Int = 16, nBands: Int = 4,
+      kOuts: Seq[Int] = Seq(4, 8, 16, 32), maxHops: Int = 6,
+      entryId: Long = 0L): DataFrame =
+    graphRouteAnnBatchCore(spark, dir, nPlanes, nBands, kOuts, maxHops,
+      substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax,
+      entryId)
+      .groupBy(col("k_out"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
+      .selectExpr(Seq("k_out", "n_queries", "n_hits") ++
+        routeWideAggExprs: _*)
+
+  /** Wide beam routing table (q297): q294's beam sweep over the same
+    * md5-sampled query set, same aggregate contract as q296.
+    */
+  def beamRouteAnnWide(spark: SparkSession, dir: String,
+      nPlanes: Int = 16, nBands: Int = 4, kOut: Int = 16,
+      beams: Seq[Int] = Seq(1, 2, 4, 8), maxHops: Int = 6,
+      entryId: Long = 0L): DataFrame =
+    beamRouteAnnBatchCore(spark, dir, nPlanes, nBands, kOut, beams,
+      maxHops,
+      substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax,
+      entryId)
+      .groupBy(col("beam"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
+      .selectExpr(Seq("beam", "n_queries", "n_hits") ++
+        routeWideAggExprs: _*)
 
   def residualPqDistortion(spark: SparkSession, dir: String,
       nBlocks: Int = 4, codesPerBlock: Int = 8): DataFrame = {

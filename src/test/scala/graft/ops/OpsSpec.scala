@@ -499,6 +499,10 @@ class OpsSpec extends AnyFunSuite {
       "routed_d2", "exact_id", "exact_d2", "hit"),
     "q295_ivf_pq_trained_topk" -> Set("n_probe", "k", "n_scanned",
       "n_overlap", "recall"),
+    "q296_graph_route_wide" -> Set("k_out", "n_queries", "n_hits",
+      "hit_rate", "wilson_low", "wilson_high"),
+    "q297_beam_route_wide" -> Set("beam", "n_queries", "n_hits",
+      "hit_rate", "wilson_low", "wilson_high"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

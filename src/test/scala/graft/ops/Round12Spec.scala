@@ -55,6 +55,49 @@ class Round12Spec extends AnyFunSuite {
     assert(c.map(_.toString).sorted.sameElements(d2.map(_.toString).sorted))
   }
 
+  test("batch routing == driver-steered routing, row for row (greedy and beam)") {
+    // the scale-safe spelling (frontier joins, query vectors as a
+    // joined table) must be VALUE-IDENTICAL to the literal-folding
+    // driver path on any batch the latter accepts
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Similarity.graphRouteAnnBatch(spark, dir)) ==
+      rows(Similarity.graphRouteAnn(spark, dir)))
+    assert(rows(Similarity.beamRouteAnnBatch(spark, dir)) ==
+      rows(Similarity.beamRouteAnn(spark, dir)))
+  }
+
+  test("driver-steered routing refuses oversized query batches") {
+    // each driver-path query folds a literal struct + equality into
+    // single plan nodes; past RouteQueryBatchMax the batch path is the
+    // required spelling and the guard must say so
+    val big = (1L to (Similarity.RouteQueryBatchMax + 1L)).toSeq
+    val e = intercept[IllegalArgumentException] {
+      Similarity.graphRouteAnn(spark, dir, queryIds = big)
+    }
+    assert(e.getMessage.contains("RouteQueryBatchMax") &&
+      e.getMessage.contains("graphRouteAnnBatch"), e.getMessage)
+  }
+
+  test("q296/q297 wide tables: band laws hold; beam-1 aggregates the greedy k=16 arm") {
+    val wide = Similarity.graphRouteAnnWide(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(wide.keySet == Set(4L, 8L, 16L, 32L))
+    wide.values.foreach { case (n, h, p, lo, hi) =>
+      assert(h >= 0L && h <= n)
+      assert(lo <= p && p <= hi, s"Wilson band ($lo, $hi) excludes $p")
+      assert(lo >= 0.0 && hi <= 1.0)
+    }
+    val beamWide = Similarity.beamRouteAnnWide(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(beamWide.keySet == Set(1L, 2L, 4L, 8L))
+    // the cross-query law in aggregate: beam-1 at k_out=16 IS the
+    // greedy k_out=16 arm, so their (n_queries, n_hits) must agree
+    assert(beamWide(1L) == ((wide(16L)._1, wide(16L)._2)),
+      s"beam-1 ${beamWide(1L)} != greedy k16 ${(wide(16L)._1, wide(16L)._2)}")
+  }
+
   test("routing index refuses a sub-nPlanes corpus (constant-0 band hazard)") {
     // a corpus with fewer head vectors than nPlanes: bandSignatureCols
     // would emit constant-0 signatures for the plane-less bands (every

@@ -856,6 +856,11 @@ object SparkEntry {
       Similarity.graphRouteAnnWide(s, d)),
     "q297_beam_route_wide" -> ((s: SparkSession, d: String) =>
       Similarity.beamRouteAnnWide(s, d)),
+    // the routing index artifact itself: the dedup-first banded ranked
+    // edge table q293-q297 route over and the streaming maintainer
+    // patches — oracle-gated in its own right
+    "q298_route_edges" -> ((s: SparkSession, d: String) =>
+      Similarity.routeEdgeTable(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1057,8 +1062,12 @@ object SparkEntry {
     * literal-id spelling (q293/q294) and the md5-sampled wide spelling
     * (q296/q297) share one text.
     */
-  private def routeOracleInitCtesWhere(nPlanes: Int, nBands: Int,
-      queryWhere: String, entryId: Long): String = {
+  /** The query-independent index CTEs (e3 quantization, dedup-first
+    * reps, banded signatures, ranked edges) — the oracle twin of the
+    * engine's EdgeIndex, shared by every routing oracle AND the q298
+    * edge-table oracle so the replayed index cannot drift.
+    */
+  private def routeIndexCtes(nPlanes: Int, nBands: Int): String = {
     // bits per band, derived exactly as the engine derives it — the
     // call sites pass (nPlanes, nBands) in the engine's own terms so a
     // re-tune cannot pass a bit width where a band count belongs
@@ -1089,7 +1098,13 @@ object SparkEntry {
          |     CAST(list_sum([(ea.v[i] - eb.v[i]) * (ea.v[i] - eb.v[i])
          |                    for i in range(1, len(ea.v)+1)]) AS BIGINT) AS d2
          |    FROM cand c JOIN rep ea ON c.src = ea.vec_id
-         |     JOIN rep eb ON c.dst = eb.vec_id) sc),
+         |     JOIN rep eb ON c.dst = eb.vec_id) sc)""".stripMargin
+  }
+
+  private def routeOracleInitCtesWhere(nPlanes: Int, nBands: Int,
+      queryWhere: String, entryId: Long): String = {
+    routeIndexCtes(nPlanes, nBands) +
+      s""",
          |q AS (SELECT vec_id AS qid, v AS qv FROM e3
          |      WHERE $queryWhere),
          |qr AS (SELECT q.qid, r.vec_id AS rid FROM q
@@ -6234,6 +6249,10 @@ object SparkEntry {
       graphRouteWideOracleSql(16, 4, Seq(4, 8, 16, 32), 6, 0L),
     "q297_beam_route_wide" ->
       beamRouteWideOracleSql(16, 4, 16, Seq(1, 2, 4, 8), 6, 0L),
+    // q298: the shared index CTEs alone — the edge table replayed
+    "q298_route_edges" -> (routeIndexCtes(16, 4) +
+      s"\nSELECT src, dst, CAST(rn AS BIGINT) AS rn FROM rk " +
+      s"WHERE rn <= ${graft.ops.Similarity.RouteIndexMaxK}"),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the

@@ -2172,6 +2172,27 @@ object Similarity {
     }
   }
 
+  /** The routing index ARTIFACT itself (q298): the dedup-first
+    * banded-SRP ranked edge table — (src, dst, rn ≤ RouteIndexMaxK)
+    * over content reps, exactly the frame q293-q297 route over and the
+    * frame `streaming.VecStreams.maintainRouteEdges` patches
+    * incrementally. Registering it makes the index build oracle-gated
+    * in its own right, not only through the descents that consume it.
+    *
+    * Scale: one exact-dedup groupBy, one banded bucket self-join (never
+    * all-pairs), one per-src ranking window over bucket-bounded
+    * candidate lists — the q293 cost analysis verbatim.
+    */
+  def routeEdgeTable(spark: SparkSession, dir: String, nPlanes: Int = 16,
+      nBands: Int = 4): DataFrame = {
+    import spark.implicits._
+    buildEdgeIndex(spark, dir, nPlanes, nBands) match {
+      case Some(idx) => idx.ranked
+        .select(col("src"), col("dst"), col("rn").cast("long").as("rn"))
+      case None => Seq.empty[(Long, Long, Long)].toDF("src", "dst", "rn")
+    }
+  }
+
   /** The batch query table: (query_id, qv, rep_id) for every corpus
     * vector matching `qSel` (minus the entry), each joined to its
     * content-group rep by DISTRIBUTED vector equality — no literal

@@ -96,4 +96,150 @@ object VecStreams {
       .select(fullSignature(planes, nPlanes).as("sig"))
       .distinct().collect().map(_.getLong(0)).toSet
   }
+
+  // ---- incremental routing-index maintenance (round-11 verdict #4) ----
+
+  /** The mutable half of the q293/q298 routing index, carried across
+    * ingest micro-batches: the rep rows (vec_id + their ORIGINAL float
+    * embeddings — signatures and e3 integers re-derive from them, so
+    * the stream and the batch builder cannot drift on either) and the
+    * ranked edge table (src, dst, rn ≤ maxK).
+    */
+  final case class RouteIndexState(repVecs: DataFrame, ranked: DataFrame)
+
+  private def e3Col = expr(
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+
+  /** Initial maintenance state from a base corpus: dedup-first reps
+    * (min vec_id per distinct e3 vector, each keeping ITS OWN float
+    * embedding — the vector the batch builder computes signatures
+    * from) and the q298 edge table of that corpus.
+    */
+  def initRouteState(spark: SparkSession, dir: String, nPlanes: Int,
+      nBands: Int): RouteIndexState = {
+    graft.functions.VectorOps.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val repIds = e.select(col("vec_id"), e3Col.as("v"))
+      .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"))
+    RouteIndexState(
+      e.join(repIds, Seq("vec_id"), "left_semi").localCheckpoint(true),
+      Similarity.routeEdgeTable(spark, dir, nPlanes, nBands)
+        .localCheckpoint(true))
+  }
+
+  /** One incremental maintenance step: fold an arriving vector batch
+    * into the routing index WITHOUT a rebuild. Exactly the q79
+    * incremental-dedup shape lifted to the graph:
+    *
+    *  1. the batch dedups against itself and against the existing reps
+    *     (a vector whose e3 content already has a rep is a duplicate —
+    *     its group grows, the graph of distinct content is unchanged);
+    *  2. each NEW rep's banded signatures probe the occupied buckets
+    *     (existing ∪ new) — never all-pairs — and its out-edges are the
+    *     exact-d² top-maxK of those candidates (the q298 ranking);
+    *  3. existing reps sharing a bucket with a newcomer get PATCHED:
+    *     their stored top-maxK merges with the new candidates and
+    *     re-cuts at maxK. top-K(old ∪ new) = top-K(top-K(old) ∪ new)
+    *     under the total (d², dst) order, so the patch is EXACT — no
+    *     stored candidate beyond the old top-K can re-enter.
+    *
+    * The result is provably the one-shot q298 build over base ∪ batch
+    * (gated row-for-row in VecStreamsSpec), so folding micro-batches
+    * maintains exact equality with a full rebuild by induction.
+    *
+    * Precondition (required loudly): arriving ids exceed every stored
+    * rep id — rep identity is min-id per content group, so an id below
+    * an existing rep's would re-elect reps and demand a rebuild.
+    *
+    * Scale: an ingest batch shuffles ITSELF plus the touched buckets —
+    * signature projection is the shared stateless `bandSignatureCols`,
+    * the bucket probe is new-side-sized, the rescore touches only
+    * affected srcs' ≤ maxK stored edges, and untouched rows pass
+    * through without a shuffle. At 100 TB the stored signature table
+    * rides bucketed storage keyed by (band, sig); here it re-derives
+    * from the rep embeddings (one projection, no extra state).
+    */
+  def maintainRouteEdges(spark: SparkSession, state: RouteIndexState,
+      newVecs: DataFrame, planes: Seq[(Int, Seq[Float])], nBands: Int,
+      nPlanes: Int, maxK: Int = Similarity.RouteIndexMaxK)
+      : RouteIndexState = {
+    graft.functions.VectorOps.register(spark)
+    if (planes.length < nPlanes) return state // the q293 sub-nPlanes law
+    val fresh = newVecs.select(col("vec_id"), col("embedding"))
+    val maxRep = state.repVecs.agg(max(col("vec_id"))).collect()(0)
+    val minNew = fresh.agg(min(col("vec_id"))).collect()(0)
+    if (minNew.isNullAt(0)) return state // empty batch
+    require(maxRep.isNullAt(0) || minNew.getLong(0) > maxRep.getLong(0),
+      s"arriving vec_id ${minNew.get(0)} does not exceed the stored rep " +
+        s"ceiling ${maxRep.get(0)} — min-id rep election would need a " +
+        "rebuild, not a patch")
+    // 1. dedup the batch against itself (min id per e3 group, keeping
+    // that row's own embedding) and against the existing reps
+    val newE3 = fresh.select(col("vec_id"), col("embedding"), e3Col.as("v"))
+    val newGroupReps = newE3
+      .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"))
+    val stateE3 = state.repVecs.select(col("vec_id"), e3Col.as("v"))
+    val newReps = newE3
+      .join(newGroupReps, Seq("vec_id"), "left_semi")
+      .join(stateE3.select(col("v")), Seq("v"), "left_anti")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    if (newReps.isEmpty) return state // all duplicates: index unchanged
+    // 2. banded signatures via the SHARED projection; the bucket probe
+    val sigCols = Similarity.bandSignatureCols(planes, nBands, nPlanes)
+    def sigsOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), posexplode(array(sigCols: _*))
+        .as(Seq("band", "sig")))
+    val baseSigs = sigsOf(state.repVecs)
+    val newSigs = sigsOf(newReps).localCheckpoint(true)
+    val allSigs = baseSigs.unionByName(newSigs)
+    val allVecs = state.repVecs.unionByName(newReps)
+      .select(col("vec_id"), e3Col.as("v"))
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(allVecs.select(col("vec_id").as("src"), col("v").as("va")),
+        Seq("src"))
+      .join(allVecs.select(col("vec_id").as("dst"), col("v").as("vb")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        call_function("pq_d2", col("va"), lit(0), col("vb")).as("d2"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+    // newcomer out-edges: probe ALL occupied buckets (existing + new)
+    val newCand = newSigs.as("a")
+      .join(allSigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val newEdges = scored(newCand)
+      .withColumn("rn", row_number().over(wSrc).cast("long"))
+      .filter(col("rn") <= maxK)
+      .select(col("src"), col("dst"), col("rn"))
+    // 3. patch existing srcs that share a bucket with a newcomer:
+    // merge their stored top-maxK (rescored — the index stores ids,
+    // distances re-derive exactly) with the new candidates, re-cut
+    val baseCand = baseSigs.as("a")
+      .join(newSigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val affected = baseCand.select(col("src")).distinct()
+    val oldKept = state.ranked
+      .join(affected, Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+    val patched = scored(oldKept.unionByName(baseCand.select(col("src"),
+        col("dst"))).distinct())
+      .withColumn("rn", row_number().over(wSrc).cast("long"))
+      .filter(col("rn") <= maxK)
+      .select(col("src"), col("dst"), col("rn"))
+    val untouched = state.ranked.join(affected, Seq("src"), "left_anti")
+    RouteIndexState(
+      state.repVecs.unionByName(newReps).localCheckpoint(true),
+      untouched.unionByName(patched).unionByName(newEdges)
+        .localCheckpoint(true))
+  }
 }

@@ -90,6 +90,53 @@ class VecStreamsSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(tmp)
   }
 
+  test("incremental index maintenance: folded micro-batches == one-shot rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecmaint")
+    try {
+      val full = spark.read.parquet(s"$sf/embeddings.parquet")
+      // base = ids < 400 (contains all 16 planes), delta replayed as
+      // TWO micro-batches — the maintained index must equal the q298
+      // one-shot build over the FULL corpus, row for row including rn
+      full.filter(col("vec_id") < 400)
+        .write.parquet(tmp.resolve("base/embeddings.parquet").toString)
+      val ps = planes
+      val d1 = full.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      val d2 = full.filter(col("vec_id") >= 450)
+      val s0 = VecStreams.initRouteState(spark,
+        tmp.resolve("base").toString, nPlanes, nBands)
+      val s1 = VecStreams.maintainRouteEdges(spark, s0, d1, ps, nBands, nPlanes)
+      val s2 = VecStreams.maintainRouteEdges(spark, s1, d2, ps, nBands, nPlanes)
+      def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val maintained = edges(s2.ranked)
+      val rebuilt = edges(Similarity.routeEdgeTable(spark, sf, nPlanes, nBands))
+      assert(maintained == rebuilt,
+        s"maintained ${maintained.size} edges != rebuilt ${rebuilt.size}; " +
+          s"missing=${(rebuilt -- maintained).take(5)} " +
+          s"extra=${(maintained -- rebuilt).take(5)}")
+      assert(maintained.nonEmpty)
+      // rep set equality too: min-id per content group over the union
+      val repIds = s2.repVecs.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet
+      val s0reps = VecStreams.initRouteState(spark, sf, nPlanes, nBands)
+      assert(repIds == s0reps.repVecs.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet)
+      // duplicate-only batch: replaying base content under fresh ids
+      // is a NO-OP on the graph (the dedup-first law)
+      val dup = full.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + lit(100000L))
+      val s3 = VecStreams.maintainRouteEdges(spark, s2, dup, ps, nBands, nPlanes)
+      assert(edges(s3.ranked) == maintained)
+      // out-of-order ids refuse loudly (min-id rep election would
+      // demand a rebuild, not a patch)
+      val bad = full.filter(col("vec_id") < 5)
+      val e = intercept[IllegalArgumentException] {
+        VecStreams.maintainRouteEdges(spark, s2, bad, ps, nBands, nPlanes)
+      }
+      assert(e.getMessage.contains("rebuild"), e.getMessage)
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
   test("shared-definition law: the bucketer's bands fold to q293's full signature") {
     // bandSignatureCols(·, 1, nPlanes) is the single-bucket signature;
     // re-assembling the 4 banded sigs by shifting each band's bits back

@@ -135,7 +135,8 @@ object ScaleBench {
     "q276_residual_pq", "q277_pq_codebook_sweep", "q280_ivf_pq_topk",
     "q293_graph_route_ann", "q294_beam_route_ann",
     "q295_ivf_pq_trained_topk", "q296_graph_route_wide",
-    "q297_beam_route_wide", "q298_route_edges")
+    "q297_beam_route_wide", "q298_route_edges",
+    "q299_maintained_route_edges")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

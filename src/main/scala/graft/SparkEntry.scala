@@ -861,6 +861,13 @@ object SparkEntry {
     // patches — oracle-gated in its own right
     "q298_route_edges" -> ((s: SparkSession, d: String) =>
       Similarity.routeEdgeTable(s, d)),
+    // the maintenance law as a query: fold the corpus through the
+    // incremental index maintainer from the EMPTY state in 3 ordered
+    // batches — by the exactness law the result must equal the q298
+    // one-shot build, so q298's oracle replay gates the incremental
+    // path cross-engine
+    "q299_maintained_route_edges" -> ((s: SparkSession, d: String) =>
+      graft.streaming.VecStreams.foldRouteEdges(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1100,6 +1107,11 @@ object SparkEntry {
          |    FROM cand c JOIN rep ea ON c.src = ea.vec_id
          |     JOIN rep eb ON c.dst = eb.vec_id) sc)""".stripMargin
   }
+
+  /** q298/q299 oracle: the shared index CTEs alone, edge table out. */
+  private lazy val routeEdgesOracleSql: String = routeIndexCtes(16, 4) +
+    s"\nSELECT src, dst, CAST(rn AS BIGINT) AS rn FROM rk " +
+    s"WHERE rn <= ${graft.ops.Similarity.RouteIndexMaxK}"
 
   private def routeOracleInitCtesWhere(nPlanes: Int, nBands: Int,
       queryWhere: String, entryId: Long): String = {
@@ -6249,10 +6261,11 @@ object SparkEntry {
       graphRouteWideOracleSql(16, 4, Seq(4, 8, 16, 32), 6, 0L),
     "q297_beam_route_wide" ->
       beamRouteWideOracleSql(16, 4, 16, Seq(1, 2, 4, 8), 6, 0L),
-    // q298: the shared index CTEs alone — the edge table replayed
-    "q298_route_edges" -> (routeIndexCtes(16, 4) +
-      s"\nSELECT src, dst, CAST(rn AS BIGINT) AS rn FROM rk " +
-      s"WHERE rn <= ${graft.ops.Similarity.RouteIndexMaxK}"),
+    // q298: the shared index CTEs alone — the edge table replayed.
+    // q299 (the incremental fold) must equal the one-shot build by the
+    // maintenance law, so it shares the IDENTICAL oracle text.
+    "q298_route_edges" -> routeEdgesOracleSql,
+    "q299_maintained_route_edges" -> routeEdgesOracleSql,
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the

@@ -161,6 +161,49 @@ object VecStreams {
     * rides bucketed storage keyed by (band, sig); here it re-derives
     * from the rep embeddings (one projection, no extra state).
     */
+  /** The maintenance law as a QUERY (q299): fold the corpus through
+    * [[maintainRouteEdges]] from the EMPTY state in `nBatches` ordered
+    * id-range chunks and return the final edge table. By the exactness
+    * law (maintained ≡ one-shot rebuild, by induction over batches) the
+    * result must equal q298 — so the DuckDB oracle is q298's replay
+    * verbatim, and the green row is a cross-engine proof that the
+    * incremental path loses nothing. Planes come from the full corpus'
+    * head vectors exactly as the batch builder takes them (they land in
+    * the first chunk, which contains the smallest ids).
+    *
+    * Scale: each fold step costs the arriving chunk + its touched
+    * buckets (the maintainRouteEdges analysis); the fold IS the ingest
+    * story a 100-TB index lives by — the rebuild is only its spec.
+    */
+  def foldRouteEdges(spark: SparkSession, dir: String, nPlanes: Int = 16,
+      nBands: Int = 4, nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
+    graft.functions.VectorOps.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planes = e.filter(col("vec_id") < nPlanes)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq)).toSeq
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "rn")
+    if (planes.length < nPlanes) return empty // the q293 sub-nPlanes law
+    val ids = e.agg(min(col("vec_id")), max(col("vec_id"))).collect()(0)
+    if (ids.isNullAt(0)) return empty
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val span = hi - lo + 1
+    var state = RouteIndexState(
+      e.filter(lit(false)),
+      empty)
+    for (b <- 0 until nBatches) {
+      val from = lo + span * b / nBatches
+      val until = lo + span * (b + 1) / nBatches
+      val chunk = e.filter(col("vec_id") >= from && col("vec_id") < until)
+      state = maintainRouteEdges(spark, state, chunk, planes, nBands,
+        nPlanes)
+    }
+    state.ranked.select(col("src"), col("dst"), col("rn"))
+  }
+
   def maintainRouteEdges(spark: SparkSession, state: RouteIndexState,
       newVecs: DataFrame, planes: Seq[(Int, Seq[Float])], nBands: Int,
       nPlanes: Int, maxK: Int = Similarity.RouteIndexMaxK)

@@ -504,6 +504,7 @@ class OpsSpec extends AnyFunSuite {
     "q297_beam_route_wide" -> Set("beam", "n_queries", "n_hits",
       "hit_rate", "wilson_low", "wilson_high"),
     "q298_route_edges" -> Set("src", "dst", "rn"),
+    "q299_maintained_route_edges" -> Set("src", "dst", "rn"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -139,7 +139,12 @@ object Bench {
              !n.nodeName.startsWith("Scan ExistingRDD")) ||
             n.nodeName.startsWith("BatchScan"))
           n.metrics.get("numOutputRows").foreach(m => mScan.addAndGet(m.value))
-        if (n.nodeName.startsWith("Scan ExistingRDD"))
+        // InMemoryTableScan counts here too: the Memo-persisted index
+        // frames (q280/q295 IVF-PQ, the shared edge index) plan as
+        // in-memory scans, and a regression re-inflating their re-reads
+        // must be visible somewhere (round-12 review finding)
+        if (n.nodeName.startsWith("Scan ExistingRDD") ||
+            n.nodeName.startsWith("InMemoryTableScan"))
           n.metrics.get("numOutputRows")
             .foreach(m => mLocalScan.addAndGet(m.value))
         n.metrics.get("shuffleBytesWritten")

@@ -1249,7 +1249,8 @@ object SparkEntry {
          |   CAST(count(*) AS BIGINT) AS n_queries,
          |   CAST(sum(CASE WHEN s.cur = ex.exact_id THEN 1 ELSE 0 END)
          |     AS BIGINT) AS n_hits
-         |  FROM s${maxHops}_k$k s JOIN ex ON s.qid = ex.qid) a""".stripMargin
+         |  FROM s${maxHops}_k$k s JOIN ex ON s.qid = ex.qid
+         |  HAVING count(*) > 0) a""".stripMargin
     }.mkString("\n UNION ALL \n")
     init + armCtes + "\n" + armSelects
   }
@@ -1273,7 +1274,8 @@ object SparkEntry {
          |  FROM (SELECT qid, id FROM (SELECT qid, id,
          |     row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn
          |    FROM f${maxHops}_b$b) WHERE rn = 1) f
-         |  JOIN ex ON f.qid = ex.qid) a""".stripMargin
+         |  JOIN ex ON f.qid = ex.qid
+         |  HAVING count(*) > 0) a""".stripMargin
     }.mkString("\n UNION ALL \n")
     init + armCtes + "\n" + armSelects
   }

@@ -1444,6 +1444,40 @@ object Similarity {
     * spec suites accumulated block-manager blocks for the life of the
     * JVM). The Memo owns the lifetime: eviction unpersists.
     */
+  /** e6 integer view of a float component: round(x·1e3)·1e3 — the e3
+    * corpus quantization lifted to the centroid scale (shared by the
+    * IVF-PQ pair so the two cannot drift; q271/q276 keep local copies
+    * of the same formula, pinned by their own oracles).
+    */
+  private def qe6of(x: Float): Long = math.round(x.toDouble * 1000.0) * 1000L
+
+  /** Exact i64 squared distance between equal-length integer vectors. */
+  private def intD2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+    a.indices.foldLeft(0L)((acc, i) =>
+      acc + (a(i) - b(i)) * (a(i) - b(i)))
+
+  /** The q276/q280 residual-codebook seeding rule, shared by q280 and
+    * q295 (round-12 review: two verbatim copies would let the frozen-
+    * zero law or the tie-break drift between the pair): code 0 = the
+    * zero vector; codes 1.. = the residuals of `resSeeds` against their
+    * nearest cell (exact-i64 argmin, min-cell ties).
+    */
+  private def seedResidualCodebook(resSeeds: Seq[(Int, Seq[Float])],
+      cells: IndexedSeq[IndexedSeq[Long]], nBlocks: Int, bw: Int)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    def cellOf(v: IndexedSeq[Long]): Int =
+      cells.indices.minBy(c => (intD2(v, cells(c)), c))
+    (0 until nBlocks).map { b =>
+      val zero = IndexedSeq.fill(bw)(0L)
+      val res = resSeeds.map { s =>
+        val v = s._2.map(qe6of).toIndexedSeq
+        val c = cells(cellOf(v))
+        (b * bw until (b + 1) * bw).map(i => v(i) - c(i))
+      }
+      zero +: res.toIndexedSeq
+    }
+  }
+
   private val ivfPqIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String, Long), DataFrame]
 
@@ -1459,28 +1493,14 @@ object Similarity {
     if (seeds.size <= nCells || qRows.isEmpty)
       return Seq.empty[(Long, Long, Long, Long, Double)]
         .toDF("n_probe", "k", "n_scanned", "n_overlap", "recall")
-    def qe6(x: Float): Long = math.round(x.toDouble * 1000.0) * 1000L
-    val qv6: IndexedSeq[Long] = qRows(0).getSeq[Float](0).map(qe6).toIndexedSeq
+    val qv6: IndexedSeq[Long] =
+      qRows(0).getSeq[Float](0).map(qe6of).toIndexedSeq
     // coarse cells: the first nCells sampled vectors, full width
     val cells: IndexedSeq[IndexedSeq[Long]] =
-      seeds.take(nCells).map(_._2.map(qe6).toIndexedSeq).toIndexedSeq
-    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
-      a.indices.foldLeft(0L)((acc, i) =>
-        acc + (a(i) - b(i)) * (a(i) - b(i)))
-    def cellOf(v: IndexedSeq[Long]): Int =
-      cells.indices.minBy(c => (d2(v, cells(c)), c))
+      seeds.take(nCells).map(_._2.map(qe6of).toIndexedSeq).toIndexedSeq
     // residual codebook: code 0 = zero; codes 1.. = the NEXT sampled
     // vectors' residuals against their own nearest cell (q276's rule)
-    val c2: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
-      (0 until nBlocks).map { b =>
-        val zero = IndexedSeq.fill(bw)(0L)
-        val res = seeds.drop(nCells).map { s =>
-          val v = s._2.map(qe6).toIndexedSeq
-          val c = cells(cellOf(v))
-          (b * bw until (b + 1) * bw).map(i => v(i) - c(i))
-        }
-        zero +: res.toIndexedSeq
-      }
+    val c2 = seedResidualCodebook(seeds.drop(nCells), cells, nBlocks, bw)
     ivfPqProbeArms(spark, dir, s"base-$nCells-$nBlocks-$codesPerBlock",
       qv6, cells, c2, nBlocks, bw, k, probes)
   }
@@ -1498,13 +1518,10 @@ object Similarity {
       k: Int, probes: Seq[Int]): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
-    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
-      a.indices.foldLeft(0L)((acc, i) =>
-        acc + (a(i) - b(i)) * (a(i) - b(i)))
     // query-side: probed-cell ranking (exact d², cell id ties) and the
     // per-(cell, block, code) ADC lookup table from the query residual
     val cellRank: IndexedSeq[Int] =
-      cells.indices.sortBy(c => (d2(qv6, cells(c)), c)).toIndexedSeq
+      cells.indices.sortBy(c => (intD2(qv6, cells(c)), c)).toIndexedSeq
     val lt: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
       cells.indices.map { c =>
         val qr = qv6.indices.map(i => qv6(i) - cells(c)(i))
@@ -1625,15 +1642,15 @@ object Similarity {
     if (seeds.size <= nCells || qRows.isEmpty)
       return Seq.empty[(Long, Long, Long, Long, Double)]
         .toDF("n_probe", "k", "n_scanned", "n_overlap", "recall")
-    def qe6(x: Float): Long = math.round(x.toDouble * 1000.0) * 1000L
-    val qv6: IndexedSeq[Long] = qRows(0).getSeq[Float](0).map(qe6).toIndexedSeq
+    val qv6: IndexedSeq[Long] =
+      qRows(0).getSeq[Float](0).map(qe6of).toIndexedSeq
     val xq = expr(
       "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint) * 1000)")
     val vecs = e.filter($"vec_id" =!= 0L).select($"vec_id", xq.as("xq"))
     // ---- coarse Lloyd: one 64-wide block, nCells codes (q271's exact
     // integer trajectory at block width = the full vector)
     var cells: IndexedSeq[IndexedSeq[Long]] =
-      seeds.take(nCells).map(_._2.map(qe6).toIndexedSeq).toIndexedSeq
+      seeds.take(nCells).map(_._2.map(qe6of).toIndexedSeq).toIndexedSeq
     val cRollup = graft.functions.PqRollup.pqRollup(1, nCells, dim)
     for (_ <- 1 to iters) {
       val frozen = cells
@@ -1661,21 +1678,7 @@ object Similarity {
     // ---- residual codebook: code 0 = zero (frozen); codes 1.. seeded
     // from the NEXT sampled vectors' residuals against their nearest
     // TRAINED cell (q280's init rule, over the trained coarse level)
-    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
-      a.indices.foldLeft(0L)((acc, i) =>
-        acc + (a(i) - b(i)) * (a(i) - b(i)))
-    def cellOf(v: IndexedSeq[Long]): Int =
-      cells.indices.minBy(c => (d2(v, cells(c)), c))
-    var c2: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
-      (0 until nBlocks).map { b =>
-        val zero = IndexedSeq.fill(bw)(0L)
-        val res = seeds.drop(nCells).map { s =>
-          val v = s._2.map(qe6).toIndexedSeq
-          val c = cells(cellOf(v))
-          (b * bw until (b + 1) * bw).map(i => v(i) - c(i))
-        }
-        zero +: res.toIndexedSeq
-      }
+    var c2 = seedResidualCodebook(seeds.drop(nCells), cells, nBlocks, bw)
     val m = c2.head.length // codes incl the frozen zero
     // ---- residual Lloyd: assignment against the per-row trained cell
     // (one pq_res_encode node), rollup over the residual components
@@ -1855,7 +1858,14 @@ object Similarity {
       s"nPlanes=$nPlanes not divisible by nBands=$nBands")
     val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
     Memo.cached(edgeIndexCache, (spark, dir, nPlanes, nBands, fp),
-        onEvict = (v: Option[EdgeIndex]) => v.foreach(_.close())) {
+        onEvict = (v: Option[EdgeIndex]) => {
+          // a cached RouteIndex overlay references these frames; left in
+          // place it would silently recompute the banded build from
+          // lineage on every hop probe after this unpersist (round-12
+          // review finding) — drop the overlays with their index
+          routeIndexCache.clear()
+          v.foreach(_.close())
+        }) {
       buildEdgeIndexUncached(spark, dir, nPlanes, nBands)
     }
   }

@@ -160,6 +160,14 @@ object VecStreams {
     * through without a shuffle. At 100 TB the stored signature table
     * rides bucketed storage keyed by (band, sig); here it re-derives
     * from the rep embeddings (one projection, no extra state).
+    *
+    * Checkpoint lifecycle: each step localCheckpoints its outputs and
+    * the SUPERSEDED state simply goes out of scope — the per-round
+    * fixpoint pattern (`Graph.labelPropagationFixpoint` et al.), where
+    * dropped references are reclaimed by driver GC + ContextCleaner.
+    * This differs from the round-11 IVF-PQ leak, which was a CACHE
+    * holding checkpointed frames referenced forever; no cache holds a
+    * superseded `RouteIndexState`.
     */
   /** The maintenance law as a QUERY (q299): fold the corpus through
     * [[maintainRouteEdges]] from the EMPTY state in `nBatches` ordered

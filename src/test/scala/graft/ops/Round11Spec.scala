@@ -11,22 +11,15 @@ class Round11Spec extends AnyFunSuite {
 
   private val spark = graft.SparkTestSession.spark
 
-  /** Content hash of the sf0.01 embeddings fixture the exact pinned
-    * curves below were measured on (round-11 ADVICE: a value-preserving
-    * fixture regeneration — even a reshuffle of vec_ids — must skip the
-    * pins rather than fail them with no code defect; the invariant
-    * assertions in the same tests stay unconditional).
+  /** Exact pinned curves assert only on the fixture they were measured
+    * on (round-11 ADVICE: a value-preserving fixture regeneration must
+    * skip the pins rather than fail them with no code defect; the
+    * invariant assertions in the same tests stay unconditional). Hash
+    * shared via [[graft.TestFixtures]].
     */
-  private val pinnedEmbeddingsMd5 = "4232d4b317b4b9f35bd5a6abf25d0ade"
-
-  private def fixtureMd5(path: String): String = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
-  }
-
   private def assumePinnedFixture(dir: String): Unit =
-    assume(fixtureMd5(s"$dir/embeddings.parquet") == pinnedEmbeddingsMd5,
+    assume(graft.TestFixtures.embeddingsMd5(dir) ==
+        graft.TestFixtures.pinnedEmbeddingsMd5,
       "embeddings fixture regenerated — exact pinned curves skipped " +
         "(invariants above still gated; re-pin from the oracle run)")
 
@@ -87,7 +80,12 @@ class Round11Spec extends AnyFunSuite {
     val scans = Seq(1L, 2L, 4L, 8L).map(np => rows(np)._1)
     assert(scans == scans.sorted && scans.distinct == scans,
       s"cost curve not strictly increasing: $scans")
-    assert(scans.last == 499L, s"full probe scanned ${scans.last}, corpus is 499")
+    // full probe scans the corpus minus the query vector — derived
+    // from the fixture, not pinned (round-12 review: the literal was a
+    // fixture property asserting ahead of the fixture gate)
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(scans.last == corpus - 1,
+      s"full probe scanned ${scans.last}, corpus minus query is ${corpus - 1}")
     // probing more cells never loses scanned rows (supersets) — the
     // recall VALUES are oracle-gated, not asserted monotone (ADC over a
     // candidate superset can displace true positives; measured and

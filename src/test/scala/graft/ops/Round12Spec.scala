@@ -12,19 +12,14 @@ class Round12Spec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
 
   /** Same fixture-pin discipline as Round11Spec: exact measured values
-    * only assert on the fixture they were measured on.
+    * only assert on the fixture they were measured on. Hash shared via
+    * [[graft.TestFixtures]].
     */
-  private val pinnedEmbeddingsMd5 = "4232d4b317b4b9f35bd5a6abf25d0ade"
-
-  private def assumePinnedFixture(d: String): Unit = {
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$d/embeddings.parquet"))
-    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
-    assume(md5 == pinnedEmbeddingsMd5,
+  private def assumePinnedFixture(d: String): Unit =
+    assume(graft.TestFixtures.embeddingsMd5(d) ==
+        graft.TestFixtures.pinnedEmbeddingsMd5,
       "embeddings fixture regenerated — exact pinned values skipped " +
         "(invariants above still gated; re-pin from the oracle run)")
-  }
 
   test("q295: trained curve is exact cell accounting; reaches the q277 operating point") {
     val rows = Similarity.ivfPqTrainedTopK(spark, dir).collect()
@@ -36,7 +31,11 @@ class Round12Spec extends AnyFunSuite {
     val scans = Seq(1L, 2L, 4L, 8L).map(np => rows(np)._1)
     assert(scans == scans.sorted && scans.distinct == scans,
       s"cost curve not strictly increasing: $scans")
-    assert(scans.last == 499L, s"full probe scanned ${scans.last} of 499")
+    // derived from the fixture, not pinned — a property of the engine
+    // (scan accounting), not of this corpus
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(scans.last == corpus - 1,
+      s"full probe scanned ${scans.last}, corpus minus query is ${corpus - 1}")
     rows.values.foreach { case (_, rec) => assert(rec >= 0.0 && rec <= 1.0) }
     assumePinnedFixture(dir)
     // the round-11 verdict's done-criterion: the composed trained
@@ -106,16 +105,19 @@ class Round12Spec extends AnyFunSuite {
     // route over a graph the oracle can't replay
     val spark2 = spark
     import spark2.implicits._
-    val tiny = java.nio.file.Files.createTempDirectory("graft_tiny_").toString
-    val vecs = (0L until 8L).map(i =>
-      (i, Array.fill(64)(i.toFloat / 10f + 0.1f), 0))
-    vecs.toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
-    val out = Similarity.graphRouteAnn(spark, tiny,
-      nPlanes = 16, nBands = 4, queryIds = Seq(3L), entryId = 0L)
-    assert(out.isEmpty, "sub-nPlanes corpus must yield the empty result")
-    val beam = Similarity.beamRouteAnn(spark, tiny,
-      nPlanes = 16, nBands = 4, queryIds = Seq(3L), entryId = 0L)
-    assert(beam.isEmpty)
+    val tinyPath = java.nio.file.Files.createTempDirectory("graft_tiny_")
+    try {
+      val tiny = tinyPath.toString
+      val vecs = (0L until 8L).map(i =>
+        (i, Array.fill(64)(i.toFloat / 10f + 0.1f), 0))
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
+      val out = Similarity.graphRouteAnn(spark, tiny,
+        nPlanes = 16, nBands = 4, queryIds = Seq(3L), entryId = 0L)
+      assert(out.isEmpty, "sub-nPlanes corpus must yield the empty result")
+      val beam = Similarity.beamRouteAnn(spark, tiny,
+        nPlanes = 16, nBands = 4, queryIds = Seq(3L), entryId = 0L)
+      assert(beam.isEmpty)
+    } finally graft.TestFiles.rmrf(tinyPath)
   }
 }

@@ -137,6 +137,56 @@ class VecStreamsSpec extends AnyFunSuite {
     } finally graft.TestFiles.rmrf(tmp)
   }
 
+  test("maintenance drives from a LIVE stream: foreachBatch folds == one-shot rebuild") {
+    // the batch-fold gate above proves the algebra; this one proves the
+    // PLUMBING — the fold runs inside Structured Streaming's
+    // foreachBatch against a file-source replay (multiple micro-batches
+    // via maxFilesPerTrigger=1) and still lands exactly on the rebuild
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecmaint-live")
+    try {
+      val full = spark.read.parquet(s"$sf/embeddings.parquet")
+      full.filter(col("vec_id") < 400)
+        .write.parquet(tmp.resolve("base/embeddings.parquet").toString)
+      // the delta arrives as id-ordered part files (the maintainer's
+      // ordered-id precondition; a production ingest keyed by arrival
+      // id has this shape naturally)
+      full.filter(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1)
+        .write.parquet(tmp.resolve("delta/d0.parquet").toString)
+      full.filter(col("vec_id") >= 450).coalesce(1)
+        .write.parquet(tmp.resolve("delta/d1.parquet").toString)
+      // the file source orders micro-batches by modification time; pin
+      // d1 strictly after d0 so the ordered-id precondition can't flake
+      // on a same-millisecond write
+      java.nio.file.Files.walk(tmp.resolve("delta/d1.parquet")).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 60000L))
+      }
+      val ps = planes
+      var state = VecStreams.initRouteState(spark,
+        tmp.resolve("base").toString, nPlanes, nBands)
+      val q = spark.readStream
+        .schema(VecStreams.vecSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp.resolve("delta/*.parquet").toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          state = VecStreams.maintainRouteEdges(spark, state, batch, ps,
+            nBands, nPlanes)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple non-empty micro-batches")
+      def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rebuilt = edges(Similarity.routeEdgeTable(spark, sf, nPlanes, nBands))
+      assert(edges(state.ranked) == rebuilt)
+      assert(rebuilt.nonEmpty)
+    } finally graft.TestFiles.rmrf(tmp)
+  }
+
   test("shared-definition law: the bucketer's bands fold to q293's full signature") {
     // bandSignatureCols(·, 1, nPlanes) is the single-bucket signature;
     // re-assembling the 4 banded sigs by shifting each band's bits back

@@ -2303,13 +2303,15 @@ object Similarity {
         .agg(min(struct($"nd2", $"id")).as("m"))
         .select($"k_out", $"query_id", $"m.id".as("nid"),
           $"m.nd2".as("nd2"))
-      state = state.join(best, Seq("k_out", "query_id"))
+      // both sides are |arms|x|queries| rows — never let the planner
+      // fall back to a shuffle join for KB-sized routing state
+      state = state.join(broadcast(best), Seq("k_out", "query_id"))
         .select($"k_out", $"query_id", $"nid".as("cur"), $"nd2".as("d2"),
           ($"hops" + when($"nid" =!= $"cur", lit(1L)).otherwise(lit(0L)))
             .as("hops"))
         .localCheckpoint(true) // per-hop lineage cut (the q224 rule)
     }
-    state.join(routeBatchExact(idx, qt), Seq("query_id"))
+    state.join(broadcast(routeBatchExact(idx, qt)), Seq("query_id"))
       .select($"k_out", $"query_id", $"cur".as("routed_id"),
         $"d2".as("routed_d2"), $"hops".as("n_hops"),
         $"exact_id", $"exact_d2", ($"cur" === $"exact_id").as("hit"))
@@ -2384,7 +2386,7 @@ object Similarity {
     }
     front.withColumn("rnf", row_number().over(wFront))
       .filter($"rnf" === 1)
-      .join(routeBatchExact(idx, qt), Seq("query_id"))
+      .join(broadcast(routeBatchExact(idx, qt)), Seq("query_id"))
       .select($"beam", $"query_id", $"id".as("routed_id"),
         $"d2".as("routed_d2"), $"exact_id", $"exact_d2",
         ($"id" === $"exact_id").as("hit"))

@@ -868,6 +868,12 @@ object SparkEntry {
     // path cross-engine
     "q299_maintained_route_edges" -> ((s: SparkSession, d: String) =>
       graft.streaming.VecStreams.foldRouteEdges(s, d)),
+    // filtered ANN: top-k under a metadata predicate — the operating
+    // table over prefilter (predicate inside the probed cells) vs
+    // postfilter (label-blind M*k then cut), against the exact
+    // label-filtered truth
+    "q300_filtered_ivf_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.filteredIvfTopK(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -6268,6 +6274,9 @@ object SparkEntry {
     // maintenance law, so it shares the IDENTICAL oracle text.
     "q298_route_edges" -> routeEdgesOracleSql,
     "q299_maintained_route_edges" -> routeEdgesOracleSql,
+    // q300: prefilter vs postfilter filtered-ANN strategies replayed
+    "q300_filtered_ivf_topk" ->
+      filteredIvfOracleSql(8, 4, 10, 3, Seq(1, 2, 4, 8)),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the
@@ -6829,6 +6838,85 @@ object SparkEntry {
          | round(count(*) / 10.0, 6),
          | (SELECT dm FROM distt)
          |FROM topt JOIN extop USING (vec_id)""".stripMargin
+  }
+
+  /** q300 oracle: replays `Similarity.filteredIvfTopK` — the q280
+    * coarse-cell machinery (md5 seeds, exact-i64 argmin assignment,
+    * (d2, cell) query ranking), the exact per-row d², then one row per
+    * strategy: the label-pruned prefilter top-k and the label-blind
+    * M·k postfilter cuts, each intersected with the exact
+    * label-filtered truth top-k.
+    */
+  private def filteredIvfOracleSql(nCells: Int, nProbe: Int, k: Int,
+      label: Int, postMults: Seq[Int]): String = {
+    val ctes =
+      s"""WITH cx AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS x
+         |  FROM (SELECT vec_id, embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings WHERE vec_id <> 0)),
+         |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |        FROM embeddings WHERE vec_id <> 0),
+         |qx AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS x
+         |  FROM (SELECT embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings WHERE vec_id = 0)),
+         |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |          AS BIGINT) AS sid, embedding
+         |       FROM (SELECT vec_id, embedding FROM embeddings
+         |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+         |               <= '19'
+         |             ORDER BY vec_id LIMIT $nCells)),
+         |cellx AS MATERIALIZED (SELECT sid AS cell, CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS c
+         |  FROM (SELECT sid, embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM samp)),
+         |cad AS (SELECT cx.vec_id, cellx.cell,
+         |   CAST(sum((cx.x - cellx.c) * (cx.x - cellx.c)) AS BIGINT) AS d2
+         |  FROM cx JOIN cellx ON cx.j = cellx.j GROUP BY 1, 2),
+         |ca AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cell) AS rk FROM cad) WHERE rk = 1),
+         |qd AS (SELECT cellx.cell,
+         |   CAST(sum((qx.x - cellx.c) * (qx.x - cellx.c)) AS BIGINT) AS d2
+         |  FROM qx JOIN cellx ON qx.j = cellx.j GROUP BY 1),
+         |qrank AS (SELECT cell,
+         |   row_number() OVER (ORDER BY d2, cell) AS rk FROM qd),
+         |dq AS MATERIALIZED (SELECT cx.vec_id, lbl.label,
+         |   CAST(sum((cx.x - qx.x) * (cx.x - qx.x)) AS BIGINT) AS d2
+         |  FROM cx JOIN qx ON cx.j = qx.j
+         |   JOIN lbl ON lbl.vec_id = cx.vec_id
+         |  GROUP BY 1, 2),
+         |pd AS MATERIALIZED (SELECT dq.vec_id, dq.label, dq.d2
+         |  FROM dq JOIN ca ON dq.vec_id = ca.vec_id
+         |  WHERE ca.cell IN (SELECT cell FROM qrank WHERE rk <= $nProbe)),
+         |truth AS (SELECT vec_id FROM dq WHERE label = $label
+         |          ORDER BY d2, vec_id LIMIT $k)""".stripMargin
+    val pre =
+      s"""SELECT 'prefilter' AS strategy, CAST($k AS BIGINT) AS k,
+         | (SELECT CAST(count(*) AS BIGINT) FROM pd WHERE label = $label)
+         |   AS n_scanned,
+         | CAST(count(*) AS BIGINT) AS n_overlap,
+         | round(count(*) / ${k}.0, 6) AS recall
+         |FROM (SELECT vec_id FROM pd WHERE label = $label
+         |      ORDER BY d2, vec_id LIMIT $k) t
+         |JOIN truth ON t.vec_id = truth.vec_id""".stripMargin
+    val posts = postMults.map { m =>
+      val tag = f"postfilter_x$m%02d"
+      s"""SELECT '$tag', CAST($k AS BIGINT),
+         | (SELECT CAST(count(*) AS BIGINT) FROM pd),
+         | CAST(count(*) AS BIGINT),
+         | round(count(*) / ${k}.0, 6)
+         |FROM (SELECT vec_id FROM pd
+         |      ORDER BY d2, vec_id LIMIT ${m * k}) t
+         |JOIN truth ON t.vec_id = truth.vec_id""".stripMargin
+    }
+    ctes + "\n" + (pre +: posts).mkString("\nUNION ALL\n")
   }
 
   /** The q269/q270 shared oracle chain: q184's encoder CTEs (seeds,

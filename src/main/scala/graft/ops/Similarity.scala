@@ -1723,6 +1723,95 @@ object Similarity {
       qv6, cells, c2, nBlocks, bw, k, probes)
   }
 
+  /** Filtered ANN (q300): top-k under a metadata predicate — THE
+    * production retrieval shape (every real vector store serves
+    * "nearest neighbors WHERE label = X"), measured as an operating
+    * table over the two classic strategies against the q280 coarse
+    * IVF index:
+    *
+    *  - `prefilter`: the label predicate applies INSIDE the probed
+    *    cells before ranking — n_scanned is the label-and-cell-pruned
+    *    row count, the cost of a layout where the predicate column
+    *    rides the index (partition/row-group pruning at 100 TB).
+    *    Recall can still miss (the filter can't resurrect true
+    *    neighbors whose CELLS weren't probed).
+    *  - `postfilter_xM` for M ∈ `postMults`: rank the probed cells
+    *    label-blind, take M·k, THEN filter — the only strategy when the
+    *    predicate isn't in the index. n_scanned is the full probed-cell
+    *    count; recall climbs with M as the inflated candidate list
+    *    survives the ~1/|labels| selectivity cut. The table makes the
+    *    classic "inflate k by ~1/selectivity" rule a MEASURED value.
+    *
+    * All ranking is exact i64 d² on e6 integers (min-id ties); the
+    * truth arm is the exact label-filtered top-k over the corpus.
+    *
+    * Scale: ONE scan builds (vec_id, label, cell, d²) — cell via
+    * pq_encode, d² via pq_d2, both codegen; every strategy row filters
+    * the one checkpointed probed-cell frame (probe cost paid once);
+    * rankings are TakeOrdered; counts are one-row aggregates.
+    */
+  def filteredIvfTopK(spark: SparkSession, dir: String, nCells: Int = 8,
+      nProbe: Int = 4, k: Int = 10, label: Int = 3,
+      postMults: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe=$nProbe outside 1..$nCells")
+    require(postMults.nonEmpty && postMults == postMults.sorted &&
+      postMults.distinct == postMults,
+      s"postMults must be distinct ascending, got $postMults")
+    val e = emb(spark, dir)
+    val seeds = sampledCentroids(spark, dir, nCells)
+    val qRows = e.filter($"vec_id" === 0L).select($"embedding").collect()
+    if (seeds.size < nCells || qRows.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Double)]
+        .toDF("strategy", "k", "n_scanned", "n_overlap", "recall")
+    val qv6: IndexedSeq[Long] =
+      qRows(0).getSeq[Float](0).map(qe6of).toIndexedSeq
+    val cells: IndexedSeq[IndexedSeq[Long]] =
+      seeds.map(_._2.map(qe6of).toIndexedSeq).toIndexedSeq
+    val probed = cells.indices
+      .sortBy(c => (intD2(qv6, cells(c)), c)).take(nProbe).map(_.toLong)
+    val xq = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint) * 1000)")
+    // ONE scan: label + coarse cell + exact d² to the query per row
+    val base = e.filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"label".cast("long").as("label"), xq.as("xq"))
+      .select($"vec_id", $"label",
+        element_at(VectorOps.pqEncodeCol(spark, $"xq", Seq(cells.map(_.toSeq)))
+          .getField("codes"), 1).as("cell"),
+        VectorOps.pqD2Col(spark, $"xq", 0, qv6).as("d2"))
+    // the probed-cell frame every strategy row filters — materialized
+    // once (out of scope after this call; the Graph fixpoint lifecycle)
+    val pd = base.filter($"cell".isin(probed: _*))
+      .select($"vec_id", $"label", $"d2")
+      .localCheckpoint(true)
+    // truth: the exact label-filtered top-k over the WHOLE corpus,
+    // collected as k id literals (the bounded driver-steering collect)
+    val truthIds: Seq[Long] = base.filter($"label" === label.toLong)
+      .orderBy($"d2", $"vec_id").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    def row(strategy: String, candidates: DataFrame,
+        scanned: DataFrame): DataFrame =
+      candidates
+        .filter($"vec_id".isin(truthIds: _*))
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(scanned)
+        .select(lit(strategy).as("strategy"), lit(k.toLong).as("k"),
+          $"n_scanned", $"n_overlap",
+          round($"n_overlap" / lit(k.toDouble), 6).as("recall"))
+    val pre = row("prefilter",
+      pd.filter($"label" === label.toLong)
+        .orderBy($"d2", $"vec_id").limit(k),
+      pd.filter($"label" === label.toLong)
+        .agg(count(lit(1)).as("n_scanned")))
+    val posts = postMults.map { m =>
+      row(f"postfilter_x$m%02d",
+        pd.orderBy($"d2", $"vec_id").limit(m * k),
+        pd.agg(count(lit(1)).as("n_scanned")))
+    }
+    (pre +: posts).reduce(_ unionByName _)
+  }
+
   /** Greedy graph-routed ANN, swept over out-degree (q293): the
     * navigable-graph search family (HNSW's layer-0 descent,
     * NSG/Vamana's beam-width-1 special case) joining the SRP-LSH

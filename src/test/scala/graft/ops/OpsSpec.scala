@@ -505,6 +505,8 @@ class OpsSpec extends AnyFunSuite {
       "hit_rate", "wilson_low", "wilson_high"),
     "q298_route_edges" -> Set("src", "dst", "rn"),
     "q299_maintained_route_edges" -> Set("src", "dst", "rn"),
+    "q300_filtered_ivf_topk" -> Set("strategy", "k", "n_scanned",
+      "n_overlap", "recall"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

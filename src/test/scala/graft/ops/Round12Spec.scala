@@ -97,6 +97,27 @@ class Round12Spec extends AnyFunSuite {
       s"beam-1 ${beamWide(1L)} != greedy k16 ${(wide(16L)._1, wide(16L)._2)}")
   }
 
+  test("q300 filtered ANN: postfilter prefix laws; prefilter dominates at lower scan cost") {
+    val rows = Similarity.filteredIvfTopK(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("prefilter", "postfilter_x01",
+      "postfilter_x02", "postfilter_x04", "postfilter_x08"))
+    val (preScan, preHit) = rows("prefilter")
+    val posts = Seq(1, 2, 4, 8).map(m => rows(f"postfilter_x$m%02d"))
+    // the label survivors of a postfilter M·k cut are a PREFIX of the
+    // prefilter ranking, so overlap is monotone in M and never exceeds
+    // prefilter's — provable laws, not corpus facts
+    assert(posts.map(_._2) == posts.map(_._2).sorted,
+      s"postfilter overlap not monotone in M: ${posts.map(_._2)}")
+    posts.foreach { case (_, hit) => assert(hit <= preHit,
+      s"postfilter overlap $hit exceeds prefilter $preHit") }
+    // cost: the prefilter scans only the label's slice of the probed
+    // cells; every postfilter arm scans them label-blind
+    posts.foreach { case (scan, _) => assert(preScan <= scan) }
+    assert(posts.map(_._1).distinct.size == 1,
+      "postfilter arms share one probed-cell scan count")
+  }
+
   test("routing index refuses a sub-nPlanes corpus (constant-0 band hazard)") {
     // a corpus with fewer head vectors than nPlanes: bandSignatureCols
     // would emit constant-0 signatures for the plane-less bands (every

@@ -874,6 +874,11 @@ object SparkEntry {
     // label-filtered truth
     "q300_filtered_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.filteredIvfTopK(s, d)),
+    // the 2-D operating table behind "inflate k by ~1/selectivity":
+    // q300's strategies swept across predicate selectivities (label
+    // sets of 1/2/4/8 of the 10 labels)
+    "q301_filtered_ivf_selectivity" -> ((s: SparkSession, d: String) =>
+      Similarity.filteredIvfSelectivitySweep(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -6277,6 +6282,10 @@ object SparkEntry {
     // q300: prefilter vs postfilter filtered-ANN strategies replayed
     "q300_filtered_ivf_topk" ->
       filteredIvfOracleSql(8, 4, 10, 3, Seq(1, 2, 4, 8)),
+    "q301_filtered_ivf_selectivity" ->
+      filteredIvfSweepOracleSql(8, 4, 10,
+        Seq(Seq(3), Seq(3, 7), Seq(0, 3, 5, 7),
+          Seq(0, 2, 3, 4, 5, 7, 8, 9)), Seq(1, 2, 4, 8)),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the
@@ -6917,6 +6926,90 @@ object SparkEntry {
          |JOIN truth ON t.vec_id = truth.vec_id""".stripMargin
     }
     ctes + "\n" + (pre +: posts).mkString("\nUNION ALL\n")
+  }
+
+  /** q301 oracle: q300's CTEs with the predicate as a label SET per
+    * arm — one prefilter + |postMults| postfilter rows per set, each
+    * against that set's exact truth top-k.
+    */
+  private def filteredIvfSweepOracleSql(nCells: Int, nProbe: Int, k: Int,
+      labelSets: Seq[Seq[Int]], postMults: Seq[Int]): String = {
+    val ctes =
+      s"""WITH cx AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS x
+         |  FROM (SELECT vec_id, embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings WHERE vec_id <> 0)),
+         |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |        FROM embeddings WHERE vec_id <> 0),
+         |qx AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS x
+         |  FROM (SELECT embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings WHERE vec_id = 0)),
+         |samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |          AS BIGINT) AS sid, embedding
+         |       FROM (SELECT vec_id, embedding FROM embeddings
+         |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+         |               <= '19'
+         |             ORDER BY vec_id LIMIT $nCells)),
+         |cellx AS MATERIALIZED (SELECT sid AS cell, CAST(i AS BIGINT) AS j,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) * 1000 AS c
+         |  FROM (SELECT sid, embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM samp)),
+         |cad AS (SELECT cx.vec_id, cellx.cell,
+         |   CAST(sum((cx.x - cellx.c) * (cx.x - cellx.c)) AS BIGINT) AS d2
+         |  FROM cx JOIN cellx ON cx.j = cellx.j GROUP BY 1, 2),
+         |ca AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cell) AS rk FROM cad) WHERE rk = 1),
+         |qd AS (SELECT cellx.cell,
+         |   CAST(sum((qx.x - cellx.c) * (qx.x - cellx.c)) AS BIGINT) AS d2
+         |  FROM qx JOIN cellx ON qx.j = cellx.j GROUP BY 1),
+         |qrank AS (SELECT cell,
+         |   row_number() OVER (ORDER BY d2, cell) AS rk FROM qd),
+         |dq AS MATERIALIZED (SELECT cx.vec_id, lbl.label,
+         |   CAST(sum((cx.x - qx.x) * (cx.x - qx.x)) AS BIGINT) AS d2
+         |  FROM cx JOIN qx ON cx.j = qx.j
+         |   JOIN lbl ON lbl.vec_id = cx.vec_id
+         |  GROUP BY 1, 2),
+         |pd AS MATERIALIZED (SELECT dq.vec_id, dq.label, dq.d2
+         |  FROM dq JOIN ca ON dq.vec_id = ca.vec_id
+         |  WHERE ca.cell IN (SELECT cell FROM qrank WHERE rk <= $nProbe))""".stripMargin
+    val arms = labelSets.flatMap { ls =>
+      val n = ls.size
+      val inSet = ls.mkString(", ")
+      val pre =
+        s"""SELECT CAST($n AS BIGINT) AS n_labels, 'prefilter' AS strategy,
+           | CAST($k AS BIGINT) AS k,
+           | (SELECT CAST(count(*) AS BIGINT) FROM pd
+           |  WHERE label IN ($inSet)) AS n_scanned,
+           | CAST(count(*) AS BIGINT) AS n_overlap,
+           | round(count(*) / ${k}.0, 6) AS recall
+           |FROM (SELECT vec_id FROM pd WHERE label IN ($inSet)
+           |      ORDER BY d2, vec_id LIMIT $k) t
+           |JOIN (SELECT vec_id FROM dq WHERE label IN ($inSet)
+           |      ORDER BY d2, vec_id LIMIT $k) truth
+           |  ON t.vec_id = truth.vec_id""".stripMargin
+      val posts = postMults.map { m =>
+        val tag = f"postfilter_x$m%02d"
+        s"""SELECT CAST($n AS BIGINT), '$tag', CAST($k AS BIGINT),
+           | (SELECT CAST(count(*) AS BIGINT) FROM pd),
+           | CAST(count(*) AS BIGINT),
+           | round(count(*) / ${k}.0, 6)
+           |FROM (SELECT vec_id FROM pd
+           |      ORDER BY d2, vec_id LIMIT ${m * k}) t
+           |JOIN (SELECT vec_id FROM dq WHERE label IN ($inSet)
+           |      ORDER BY d2, vec_id LIMIT $k) truth
+           |  ON t.vec_id = truth.vec_id""".stripMargin
+      }
+      pre +: posts
+    }
+    ctes + "\n" + arms.mkString("\nUNION ALL\n")
   }
 
   /** The q269/q270 shared oracle chain: q184's encoder CTEs (seeds,

@@ -1812,6 +1812,86 @@ object Similarity {
     (pre +: posts).reduce(_ unionByName _)
   }
 
+  /** Filtered-ANN selectivity sweep (q301): q300's strategy comparison
+    * re-run across predicate SELECTIVITIES — label sets of 1/2/4/8 of
+    * the 10 labels (~10%..~80% of the corpus) — the 2-D operating table
+    * behind the folk rule "inflate k by ~1/selectivity". Each row is
+    * (n_labels, strategy): the prefilter ceiling at that selectivity
+    * and every postfilter M·k cut against the exact set-filtered truth.
+    * The readable law: the M at which postfilter catches prefilter
+    * shrinks as the predicate widens, and at ~80% selectivity even M=1
+    * is close — measured, per arm, oracle-replayed.
+    *
+    * Scale: ONE corpus scan builds the checkpointed
+    * (vec_id, label, cell, d²) frame; every (set, strategy) row filters
+    * it — |sets|·(1 + |postMults|) TakeOrdered arms + one-row counts,
+    * zero additional scans. Truth arms are k-id bounded collects.
+    */
+  def filteredIvfSelectivitySweep(spark: SparkSession, dir: String,
+      nCells: Int = 8, nProbe: Int = 4, k: Int = 10,
+      labelSets: Seq[Seq[Int]] = Seq(Seq(3), Seq(3, 7), Seq(0, 3, 5, 7),
+        Seq(0, 2, 3, 4, 5, 7, 8, 9)),
+      postMults: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe=$nProbe outside 1..$nCells")
+    require(labelSets.nonEmpty && labelSets.forall(s =>
+      s.nonEmpty && s == s.sorted && s.distinct == s),
+      s"labelSets must be non-empty distinct ascending sets, got $labelSets")
+    val e = emb(spark, dir)
+    val seeds = sampledCentroids(spark, dir, nCells)
+    val qRows = e.filter($"vec_id" === 0L).select($"embedding").collect()
+    if (seeds.size < nCells || qRows.isEmpty)
+      return Seq.empty[(Long, String, Long, Long, Long, Double)]
+        .toDF("n_labels", "strategy", "k", "n_scanned", "n_overlap",
+          "recall")
+    val qv6: IndexedSeq[Long] =
+      qRows(0).getSeq[Float](0).map(qe6of).toIndexedSeq
+    val cells: IndexedSeq[IndexedSeq[Long]] =
+      seeds.map(_._2.map(qe6of).toIndexedSeq).toIndexedSeq
+    val probed = cells.indices
+      .sortBy(c => (intD2(qv6, cells(c)), c)).take(nProbe).map(_.toLong)
+    val xq = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint) * 1000)")
+    // ONE scan serves every selectivity arm and every truth arm
+    val base = e.filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"label".cast("long").as("label"), xq.as("xq"))
+      .select($"vec_id", $"label",
+        element_at(VectorOps.pqEncodeCol(spark, $"xq", Seq(cells.map(_.toSeq)))
+          .getField("codes"), 1).as("cell"),
+        VectorOps.pqD2Col(spark, $"xq", 0, qv6).as("d2"))
+      .localCheckpoint(true)
+    val pd = base.filter($"cell".isin(probed: _*))
+      .select($"vec_id", $"label", $"d2")
+    def row(nLabels: Int, strategy: String, candidates: DataFrame,
+        scanned: DataFrame): DataFrame =
+      candidates
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(scanned)
+        .select(lit(nLabels.toLong).as("n_labels"),
+          lit(strategy).as("strategy"), lit(k.toLong).as("k"),
+          $"n_scanned", $"n_overlap",
+          round($"n_overlap" / lit(k.toDouble), 6).as("recall"))
+    val rows = labelSets.flatMap { ls =>
+      val inSet = $"label".isin(ls.map(_.toLong): _*)
+      val truthIds: Seq[Long] = base.filter(inSet)
+        .orderBy($"d2", $"vec_id").limit(k)
+        .collect().map(_.getLong(0)).toSeq
+      val pre = row(ls.size, "prefilter",
+        pd.filter(inSet).orderBy($"d2", $"vec_id").limit(k)
+          .filter($"vec_id".isin(truthIds: _*)),
+        pd.filter(inSet).agg(count(lit(1)).as("n_scanned")))
+      val posts = postMults.map { m =>
+        row(ls.size, f"postfilter_x$m%02d",
+          pd.orderBy($"d2", $"vec_id").limit(m * k)
+            .filter($"vec_id".isin(truthIds: _*)),
+          pd.agg(count(lit(1)).as("n_scanned")))
+      }
+      pre +: posts
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Greedy graph-routed ANN, swept over out-degree (q293): the
     * navigable-graph search family (HNSW's layer-0 descent,
     * NSG/Vamana's beam-width-1 special case) joining the SRP-LSH

@@ -507,6 +507,8 @@ class OpsSpec extends AnyFunSuite {
     "q299_maintained_route_edges" -> Set("src", "dst", "rn"),
     "q300_filtered_ivf_topk" -> Set("strategy", "k", "n_scanned",
       "n_overlap", "recall"),
+    "q301_filtered_ivf_selectivity" -> Set("n_labels", "strategy", "k",
+      "n_scanned", "n_overlap", "recall"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -118,6 +118,34 @@ class Round12Spec extends AnyFunSuite {
       "postfilter arms share one probed-cell scan count")
   }
 
+  test("q301 selectivity sweep: per-set prefix laws; set-1 arm IS q300") {
+    val rows = Similarity.filteredIvfSelectivitySweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 20, s"4 sets x 5 strategies expected, got ${rows.size}")
+    for (n <- Seq(1L, 2L, 4L, 8L)) {
+      val pre = rows((n, "prefilter"))
+      val posts = Seq(1, 2, 4, 8).map(m => rows((n, f"postfilter_x$m%02d")))
+      // the q300 prefix laws hold AT EVERY selectivity
+      assert(posts.map(_._2) == posts.map(_._2).sorted,
+        s"set $n: postfilter overlap not monotone: ${posts.map(_._2)}")
+      posts.foreach { case (scan, hit) =>
+        assert(hit <= pre._2, s"set $n: postfilter $hit > prefilter ${pre._2}")
+        assert(pre._1 <= scan, s"set $n: prefilter scans more than postfilter")
+      }
+      // a wider predicate scans more of the probed cells
+      if (n > 1L) assert(pre._1 > rows((n / 2, "prefilter"))._1)
+    }
+    // cross-query law: the 1-label arm IS q300 (same label, same
+    // machinery), row for row modulo the n_labels column
+    val q300 = Similarity.filteredIvfTopK(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    q300.foreach { case (strategy, v) =>
+      assert(rows((1L, strategy)) == v,
+        s"$strategy: q301 set-1 ${rows((1L, strategy))} != q300 $v")
+    }
+  }
+
   test("routing index refuses a sub-nPlanes corpus (constant-0 band hazard)") {
     // a corpus with fewer head vectors than nPlanes: bandSignatureCols
     // would emit constant-0 signatures for the plane-less bands (every

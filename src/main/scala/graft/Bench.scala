@@ -271,6 +271,14 @@ object Bench {
     val scanJson = results.map { case (k, _) =>
       s""""$k":${qMetrics.get(k).map(_._2).getOrElse(-1L)}""" }
       .mkString("{", ",", "}")
+    // scan_rows / local_scan_rows are ORDER-DEPENDENT diagnostics, not
+    // gated plan properties (round-12 ADVICE): the edge/IVF-PQ indexes
+    // memoize ACROSS queries, so whichever routing/probe query runs
+    // FIRST in the sweep absorbs the shared index-build scans that
+    // later queries then reuse for ~0. Gating them the way shuffle
+    // bytes are gated would flag every reorder of the query list as
+    // drift; read them per-run with the order in mind (BASELINE.md
+    // "shared-index accounting" note).
     val lscanJson = results.map { case (k, _) =>
       s""""$k":${qMetrics.get(k).map(_._3).getOrElse(-1L)}""" }
       .mkString("{", ",", "}")

@@ -46,8 +46,23 @@ import org.apache.spark.sql.functions._
   * `partitionBy(source)` window would serialize 90% of the corpus
   * through one task here.
   *
-  * Usage: ScaleBench [docs|tpch|events|layout|skew|stream|hotsource]
-  *        [outBaseDir] [factors...]
+  * Mode `maintain`: embeddings replicated k× with DISTINCT content per
+  * replica (a per-replica sign-flip pattern — byte-identical replicas
+  * would be absorbed by the dedup-first rep election and the base
+  * would never grow), then the incremental route-index maintenance
+  * (`VecStreams.maintainRouteEdges`) timed at each BASE size with a
+  * FIXED 200-vector delta — the axis the round-12 verdict named: with
+  * the signature table carried in the state, per-fold cost must track
+  * the delta + touched buckets, not the base corpus. Plane count grows
+  * with the corpus (r = log2(reps/64) bits per band) so band-bucket
+  * occupancy stays bounded — the q293 scale rule, without which
+  * candidate volume per delta vector grows linearly in the base and
+  * the measurement would conflate geometry with maintenance cost.
+  * Prints the one-time init (base build) and TWO successive folds
+  * (fold2 is the steady state; fold1 additionally pays JIT).
+  *
+  * Usage: ScaleBench [docs|tpch|events|layout|skew|stream|hotsource|
+  *        maintain] [outBaseDir] [factors...]
   *        (defaults: docs /tmp/graft_scale 1 3 10)
   */
 object ScaleBench {
@@ -231,6 +246,7 @@ object ScaleBench {
       case "layout" => Seq("layout_join") // custom runner below, not SparkEntry
       case "skew" => Seq("skew_join")     // custom runner below, not SparkEntry
       case "stream" => Seq("stream_ingest") // custom runner below, not SparkEntry
+      case "maintain" => Seq("maintain_fold") // custom runner below, not SparkEntry
       case "hotsource" =>
         // q226 is the purpose-built victim: a per-source top-k where 90%
         // of the corpus shares ONE source — flat iff the salt split works.
@@ -400,6 +416,59 @@ object ScaleBench {
       println(f"""{"factor":$k,"query":"stream_ingest","secs":$secs%.2f,"rows":$nDocs,"docs_per_sec":$rate%.0f}""")
     }
 
+    /** Incremental route-index maintenance vs base size at fixed delta.
+      * init = the one-time base build (grows with the base, as a build
+      * must); fold1/fold2 = two successive 200-vector maintenance steps
+      * (fold2 is steady-state). The fold's dominant compute — delta
+      * signatures, bucket probe, candidate rescore, affected-src re-cut
+      * — is delta + occupancy bound; the residual base-size term in a
+      * local run is the untouched-edge anti-join + ranked re-checkpoint
+      * (a compact (src,dst,rn) memcpy) plus base-table scans that a
+      * bucketed 100-TB layout serves as point lookups.
+      */
+    def maintainBench(dir: String, k: Int): Unit = {
+      import graft.streaming.VecStreams
+      val nBands = 4
+      val baseEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nBase = baseEmb.count()
+      // plane count grows with the corpus: r bits per band such that
+      // band-bucket occupancy ≈ reps / 2^r stays ~64
+      val r = math.max(4,
+        math.ceil(math.log(nBase / 64.0) / math.log(2.0)).toInt)
+      val nPlanes = nBands * r
+      val planes = baseEmb.filter($"vec_id" < nPlanes)
+        .select($"vec_id", $"embedding").collect()
+        .map(x => (x.getLong(0).toInt, x.getSeq[Float](1).toSeq)).toSeq
+      val maxBase = baseEmb.agg(max($"vec_id")).head().getLong(0)
+      // two FIXED 200-vector deltas of fresh content (a constant offset
+      // per component — distinct from every sign-flipped base vector),
+      // checkpointed so fold timing excludes the source read
+      def delta(slot: Int): DataFrame =
+        spark.read.parquet(s"$srcDir/embeddings.parquet")
+          .filter($"vec_id" >= slot * 200 && $"vec_id" < (slot + 1) * 200)
+          .select(($"vec_id" + lit(maxBase + 1L)).as("vec_id"),
+            expr("transform(embedding, x -> x + cast(0.123 as float))")
+              .as("embedding"))
+          .localCheckpoint(true)
+      val (d1, d2) = (delta(0), delta(1))
+      var t0 = System.nanoTime()
+      var state = VecStreams.initRouteState(spark, dir, planes, nPlanes,
+        nBands)
+      val initSecs = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      state = VecStreams.maintainRouteEdges(spark, state, d1, planes,
+        nBands, nPlanes)
+      val fold1Secs = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      state = VecStreams.maintainRouteEdges(spark, state, d2, planes,
+        nBands, nPlanes)
+      val fold2Secs = (System.nanoTime() - t0) / 1e9
+      val edges = state.ranked.count()
+      println(f"""{"factor":$k,"query":"maintain_init","secs":$initSecs%.2f,"rows":$nBase,"n_planes":$nPlanes}""")
+      println(f"""{"factor":$k,"query":"maintain_fold1","secs":$fold1Secs%.2f,"rows":200,"n_planes":$nPlanes}""")
+      println(f"""{"factor":$k,"query":"maintain_fold2","secs":$fold2Secs%.2f,"rows":200,"n_planes":$nPlanes,"edges":$edges}""")
+    }
+
     for (k <- factors) {
       val dir = s"$base/x$k"
       mode match {
@@ -435,6 +504,21 @@ object ScaleBench {
               when(pmod($"doc_id", lit(10)) < 9, lit("src_hot"))
                 .otherwise($"source"))
             .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        case "maintain" =>
+          // replicas get DISTINCT content: a per-replica sign-flip
+          // pattern over the components (rep 0 keeps the original, so
+          // the head plane vectors are the source corpus'). Identical
+          // replicas would dedup away and the base would never grow.
+          val reps = spark.range(k).select($"id".as("rep"))
+          spark.read.parquet(s"$srcDir/embeddings.parquet")
+            .crossJoin(reps)
+            .withColumn("vec_id",
+              $"vec_id" + $"rep" * maxOf("embeddings", "vec_id"))
+            .withColumn("embedding", expr(
+              "transform(embedding, (x, i) -> x * cast(1 - 2 * " +
+                "((rep >> (i % 8)) & 1) as float))"))
+            .drop("rep")
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         case _ =>
           replicate("documents", Seq("doc_id"), k, dir, maxOf("documents", "doc_id"))
           replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))
@@ -442,6 +526,7 @@ object ScaleBench {
       if (mode == "layout") { layoutBench(dir, k) }
       else if (mode == "skew") { skewBench(dir, k) }
       else if (mode == "stream") { streamBench(dir, k) }
+      else if (mode == "maintain") { maintainBench(dir, k) }
       else for (name <- queries) {
         val fn = SparkEntry.queries(name)
         // timed: the noop materialization only (same action Bench times);

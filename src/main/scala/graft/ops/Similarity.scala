@@ -2589,7 +2589,8 @@ object Similarity {
   }
 
   /** Wide greedy routing table (q296): q293's out-degree sweep re-run
-    * over an md5-sampled ~32-query set via the DISTRIBUTED batch path,
+    * over an md5-sampled query set (~1/16 of the corpus — 42 queries on
+    * the sf0.01 fixture) via the DISTRIBUTED batch path,
     * aggregated to the per-arm operating row — n_queries, n_hits,
     * hit_rate and its Wilson 95% band (4 hand-picked queries were too
     * small a sample to freeze an out-degree policy on; round-11 verdict

@@ -101,21 +101,53 @@ object VecStreams {
 
   /** The mutable half of the q293/q298 routing index, carried across
     * ingest micro-batches: the rep rows (vec_id + their ORIGINAL float
-    * embeddings — signatures and e3 integers re-derive from them, so
-    * the stream and the batch builder cannot drift on either) and the
-    * ranked edge table (src, dst, rn ≤ maxK).
+    * embeddings — e3 integers re-derive from them, so the stream and
+    * the batch builder cannot drift), the MAINTAINED banded signature
+    * table (vec_id, band, sig — one row per band per rep; round-12
+    * verdict: re-deriving this from `repVecs` per fold was a full
+    * base-corpus pass per micro-batch, the one cost an incremental
+    * index exists to avoid), and the ranked edge table
+    * (src, dst, d2, rn ≤ maxK). The stored d2 (exact i64, so it
+    * re-derives bit-identically — which is what lets it be CARRIED
+    * instead of recomputed) makes the affected-src patch a pure
+    * merge-and-re-cut over already-scored rows: only genuinely new
+    * candidate pairs ever pay the vector-join scoring.
     */
-  final case class RouteIndexState(repVecs: DataFrame, ranked: DataFrame)
+  final case class RouteIndexState(repVecs: DataFrame, sigs: DataFrame,
+      ranked: DataFrame)
 
   private def e3Col = expr(
     "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
 
+  /** The banded-signature projection of a (vec_id, embedding) frame —
+    * the SHARED `Similarity.bandSignatureCols` columns, exploded to one
+    * (vec_id, band, sig) row per band. The only producer of signature
+    * rows on the maintenance path, so the carried table and a fresh
+    * derivation cannot differ in definition.
+    */
+  private def sigsOf(df: DataFrame, planes: Seq[(Int, Seq[Float])],
+      nBands: Int, nPlanes: Int): DataFrame = {
+    val sigCols = Similarity.bandSignatureCols(planes, nBands, nPlanes)
+    df.select(col("vec_id"),
+      posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+  }
+
+  private def emptySigs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, Long)].toDF("vec_id", "band", "sig")
+  }
+
   /** Initial maintenance state from a base corpus: dedup-first reps
     * (min vec_id per distinct e3 vector, each keeping ITS OWN float
     * embedding — the vector the batch builder computes signatures
-    * from) and the q298 edge table of that corpus.
+    * from), their banded signatures (computed ONCE here; every fold
+    * afterwards only appends the delta's), and the q298 edge table of
+    * that corpus. `planes` must be the same hyperplanes every later
+    * [[maintainRouteEdges]] call uses — the carried signature table is
+    * only valid under the geometry it was built with.
     */
-  def initRouteState(spark: SparkSession, dir: String, nPlanes: Int,
+  def initRouteState(spark: SparkSession, dir: String,
+      planes: Seq[(Int, Seq[Float])], nPlanes: Int,
       nBands: Int): RouteIndexState = {
     graft.functions.VectorOps.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -123,10 +155,29 @@ object VecStreams {
     val repIds = e.select(col("vec_id"), e3Col.as("v"))
       .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"))
-    RouteIndexState(
-      e.join(repIds, Seq("vec_id"), "left_semi").localCheckpoint(true),
-      Similarity.routeEdgeTable(spark, dir, nPlanes, nBands)
-        .localCheckpoint(true))
+    val repVecs = e.join(repIds, Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    // sub-nPlanes corpora never route (the q293 law): keep the empty
+    // signature table rather than constant-0 bands a later fold with
+    // full planes would silently mix with real signatures
+    val sigs =
+      if (planes.length < nPlanes) emptySigs(spark)
+      else sigsOf(repVecs, planes, nBands, nPlanes).localCheckpoint(true)
+    // the carried edge table stores each edge's exact-i64 d2 alongside
+    // (src, dst, rn): the one-time base join here is what spares every
+    // FOLD from rescoring affected srcs' stored edges (init is allowed
+    // O(base); folds are not)
+    val e3 = repVecs.select(col("vec_id"), e3Col.as("v"))
+    val ranked = Similarity.routeEdgeTable(spark, dir, nPlanes, nBands)
+      .join(e3.select(col("vec_id").as("src"), col("v").as("va")),
+        Seq("src"))
+      .join(e3.select(col("vec_id").as("dst"), col("v").as("vb")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        call_function("pq_d2", col("va"), lit(0), col("vb")).as("d2"),
+        col("rn"))
+      .localCheckpoint(true)
+    RouteIndexState(repVecs, sigs, ranked)
   }
 
   /** One incremental maintenance step: fold an arriving vector batch
@@ -154,12 +205,17 @@ object VecStreams {
     * an existing rep's would re-elect reps and demand a rebuild.
     *
     * Scale: an ingest batch shuffles ITSELF plus the touched buckets —
-    * signature projection is the shared stateless `bandSignatureCols`,
-    * the bucket probe is new-side-sized, the rescore touches only
-    * affected srcs' ≤ maxK stored edges, and untouched rows pass
-    * through without a shuffle. At 100 TB the stored signature table
-    * rides bucketed storage keyed by (band, sig); here it re-derives
-    * from the rep embeddings (one projection, no extra state).
+    * the delta's signatures come from the shared stateless
+    * `bandSignatureCols` projection over the BATCH only, the base's
+    * from the CARRIED `state.sigs` table (computed once at init,
+    * appended per fold — round-12 verdict: re-deriving it from
+    * `state.repVecs` here was a full base-corpus projection per
+    * micro-batch), the bucket probe is new-side-sized, the rescore
+    * touches only affected srcs' ≤ maxK stored edges, and untouched
+    * rows pass through without a shuffle. Fold-time state updates are
+    * UNIONS of already-checkpointed fragments (O(delta) work); at
+    * 100 TB the signature and edge tables ride bucketed storage keyed
+    * by (band, sig) / src, making the probe joins point lookups.
     *
     * Checkpoint lifecycle: each step localCheckpoints its outputs and
     * the SUPERSEDED state simply goes out of scope — the per-round
@@ -201,7 +257,8 @@ object VecStreams {
     val span = hi - lo + 1
     var state = RouteIndexState(
       e.filter(lit(false)),
-      empty)
+      emptySigs(spark),
+      Seq.empty[(Long, Long, Long, Long)].toDF("src", "dst", "d2", "rn"))
     for (b <- 0 until nBatches) {
       val from = lo + span * b / nBatches
       val until = lo + span * (b + 1) / nBatches
@@ -239,27 +296,41 @@ object VecStreams {
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint(true)
     if (newReps.isEmpty) return state // all duplicates: index unchanged
-    // 2. banded signatures via the SHARED projection; the bucket probe
-    val sigCols = Similarity.bandSignatureCols(planes, nBands, nPlanes)
-    def sigsOf(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), posexplode(array(sigCols: _*))
-        .as(Seq("band", "sig")))
-    val baseSigs = sigsOf(state.repVecs)
-    val newSigs = sigsOf(newReps).localCheckpoint(true)
+    // 2. banded signatures: the DELTA's via the shared projection over
+    // the batch only; the base's from the carried state table — never
+    // recomputed from the base corpus (round-12 verdict #1)
+    val baseSigs = state.sigs
+    val newSigs = sigsOf(newReps, planes, nBands, nPlanes)
+      .localCheckpoint(true)
     val allSigs = baseSigs.unionByName(newSigs)
     val allVecs = state.repVecs.unionByName(newReps)
       .select(col("vec_id"), e3Col.as("v"))
-    def scored(cand: DataFrame): DataFrame = cand
-      .join(allVecs.select(col("vec_id").as("src"), col("v").as("va")),
-        Seq("src"))
-      .join(allVecs.select(col("vec_id").as("dst"), col("v").as("vb")),
-        Seq("dst"))
-      .select(col("src"), col("dst"),
-        call_function("pq_d2", col("va"), lit(0), col("vb")).as("d2"))
+    // every join below BROADCASTS its delta-bounded side (the batch's
+    // signatures, the candidate pairs, the affected srcs — all sized
+    // delta × bucket occupancy) so the base-sized tables are scanned in
+    // place, never shuffled: a fold's only shuffles are the two
+    // delta-bound ranking windows. (On a 100-TB deployment the scans
+    // themselves become point lookups against (band,sig)/src-keyed
+    // storage; broadcasting the probe side is the same access pattern
+    // spelled in Spark.)
+    def scored(cand: DataFrame): DataFrame = {
+      // hint BOTH joins (a hint does not survive through a join result):
+      // the candidate side stays delta-bounded even after picking up the
+      // src vectors, so re-broadcasting the intermediate keeps the
+      // base-sized vector table unshuffled in the second join too
+      val withSrc = broadcast(cand)
+        .join(allVecs.select(col("vec_id").as("src"), col("v").as("va")),
+          Seq("src"))
+      broadcast(withSrc)
+        .join(allVecs.select(col("vec_id").as("dst"), col("v").as("vb")),
+          Seq("dst"))
+        .select(col("src"), col("dst"),
+          call_function("pq_d2", col("va"), lit(0), col("vb")).as("d2"))
+    }
     val wSrc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("d2"), col("dst"))
     // newcomer out-edges: probe ALL occupied buckets (existing + new)
-    val newCand = newSigs.as("a")
+    val newCand = broadcast(newSigs.as("a"))
       .join(allSigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -268,28 +339,37 @@ object VecStreams {
     val newEdges = scored(newCand)
       .withColumn("rn", row_number().over(wSrc).cast("long"))
       .filter(col("rn") <= maxK)
-      .select(col("src"), col("dst"), col("rn"))
-    // 3. patch existing srcs that share a bucket with a newcomer:
-    // merge their stored top-maxK (rescored — the index stores ids,
-    // distances re-derive exactly) with the new candidates, re-cut
+      .select(col("src"), col("dst"), col("d2"), col("rn"))
+    // 3. patch existing srcs that share a bucket with a newcomer: merge
+    // their stored top-maxK — scores CARRIED in the state, re-derivable
+    // bit-identically but never recomputed here — with the freshly
+    // scored new candidates, dedup on (src, dst, d2) (a re-discovered
+    // stored pair scores to the identical integer), re-cut at maxK.
+    // Only baseCand rows (delta × occupancy) touch the vector join.
     val baseCand = baseSigs.as("a")
-      .join(newSigs.as("b"),
+      .join(broadcast(newSigs.as("b")),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
       .distinct()
       .localCheckpoint(true)
     val affected = baseCand.select(col("src")).distinct()
     val oldKept = state.ranked
-      .join(affected, Seq("src"), "left_semi")
-      .select(col("src"), col("dst"))
-    val patched = scored(oldKept.unionByName(baseCand.select(col("src"),
-        col("dst"))).distinct())
+      .join(broadcast(affected), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("d2"))
+    val patched = scored(baseCand).unionByName(oldKept).distinct()
       .withColumn("rn", row_number().over(wSrc).cast("long"))
       .filter(col("rn") <= maxK)
-      .select(col("src"), col("dst"), col("rn"))
-    val untouched = state.ranked.join(affected, Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("d2"), col("rn"))
+    val untouched = state.ranked.join(broadcast(affected), Seq("src"),
+      "left_anti")
+    // reps and sigs grow by pure UNION of already-checkpointed parts —
+    // O(delta) fold-time work, no base copy; the ranked table is
+    // rewritten through the anti-join, so IT checkpoints per fold
+    // (leaving it lazy would re-run every prior fold's patch chain on
+    // each read)
     RouteIndexState(
-      state.repVecs.unionByName(newReps).localCheckpoint(true),
+      state.repVecs.unionByName(newReps),
+      state.sigs.unionByName(newSigs),
       untouched.unionByName(patched).unionByName(newEdges)
         .localCheckpoint(true))
   }

@@ -46,12 +46,27 @@ class Round12Spec extends AnyFunSuite {
       s"trained operating point lost: ${rows.toSeq.sortBy(_._1)}")
   }
 
-  test("q280/q295 index memo: a second invocation returns identical rows") {
+  test("q280/q295 index memo: a second invocation returns identical rows off the cached index") {
     def runs(f: => Array[org.apache.spark.sql.Row]) = (f, f)
+    def persistedIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
     val (a, b) = runs(Similarity.ivfPqTopK(spark, dir).collect())
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    // the memo must actually HIT (round-12 ADVICE: rows-equal alone
+    // passes even if every call silently rebuilds): the first call has
+    // persisted the (vec_id, cell, adc) index, so the second may not
+    // add a single persisted RDD
+    val before = persistedIds
+    Similarity.ivfPqTopK(spark, dir).collect()
+    assert(persistedIds == before,
+      s"second ivfPqTopK invocation persisted new RDDs: " +
+        s"${(persistedIds -- before).toSeq.sorted} — memo missed")
     val (c, d2) = runs(Similarity.ivfPqTrainedTopK(spark, dir).collect())
     assert(c.map(_.toString).sorted.sameElements(d2.map(_.toString).sorted))
+    val before2 = persistedIds
+    Similarity.ivfPqTrainedTopK(spark, dir).collect()
+    assert(persistedIds == before2,
+      "second ivfPqTrainedTopK invocation persisted new RDDs — memo missed")
   }
 
   test("batch routing == driver-steered routing, row for row (greedy and beam)") {

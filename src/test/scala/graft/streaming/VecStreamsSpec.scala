@@ -103,11 +103,12 @@ class VecStreamsSpec extends AnyFunSuite {
       val d1 = full.filter(col("vec_id") >= 400 && col("vec_id") < 450)
       val d2 = full.filter(col("vec_id") >= 450)
       val s0 = VecStreams.initRouteState(spark,
-        tmp.resolve("base").toString, nPlanes, nBands)
+        tmp.resolve("base").toString, ps, nPlanes, nBands)
       val s1 = VecStreams.maintainRouteEdges(spark, s0, d1, ps, nBands, nPlanes)
       val s2 = VecStreams.maintainRouteEdges(spark, s1, d2, ps, nBands, nPlanes)
       def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
-        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        df.select("src", "dst", "rn").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val maintained = edges(s2.ranked)
       val rebuilt = edges(Similarity.routeEdgeTable(spark, sf, nPlanes, nBands))
       assert(maintained == rebuilt,
@@ -118,9 +119,20 @@ class VecStreamsSpec extends AnyFunSuite {
       // rep set equality too: min-id per content group over the union
       val repIds = s2.repVecs.select(col("vec_id")).collect()
         .map(_.getLong(0)).toSet
-      val s0reps = VecStreams.initRouteState(spark, sf, nPlanes, nBands)
+      val s0reps = VecStreams.initRouteState(spark, sf, ps, nPlanes, nBands)
       assert(repIds == s0reps.repVecs.select(col("vec_id")).collect()
         .map(_.getLong(0)).toSet)
+      // the CARRIED signature table (round-12 verdict #1: appended per
+      // fold, never recomputed from the base) must equal a fresh
+      // derivation from the final reps — the invariant that makes the
+      // append-only maintenance exact
+      val carried = s2.sigs.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val derived = VecStreams.bucketStream(s2.repVecs, ps, nBands, nPlanes)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(carried == derived,
+        s"carried sigs drifted from derivation: ${carried.size} vs " +
+          s"${derived.size}")
       // duplicate-only batch: replaying base content under fresh ids
       // is a NO-OP on the graph (the dedup-first law)
       val dup = full.filter(col("vec_id") < 50)
@@ -164,7 +176,7 @@ class VecStreamsSpec extends AnyFunSuite {
       }
       val ps = planes
       var state = VecStreams.initRouteState(spark,
-        tmp.resolve("base").toString, nPlanes, nBands)
+        tmp.resolve("base").toString, ps, nPlanes, nBands)
       val q = spark.readStream
         .schema(VecStreams.vecSchema)
         .option("maxFilesPerTrigger", "1")
@@ -180,7 +192,8 @@ class VecStreamsSpec extends AnyFunSuite {
       assert(q.recentProgress.count(_.numInputRows > 0) > 1,
         "expected multiple non-empty micro-batches")
       def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
-        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        df.select("src", "dst", "rn").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val rebuilt = edges(Similarity.routeEdgeTable(spark, sf, nPlanes, nBands))
       assert(edges(state.ranked) == rebuilt)
       assert(rebuilt.nonEmpty)

@@ -879,6 +879,12 @@ object SparkEntry {
     // sets of 1/2/4/8 of the 10 labels)
     "q301_filtered_ivf_selectivity" -> ((s: SparkSession, d: String) =>
       Similarity.filteredIvfSelectivitySweep(s, d)),
+    // q300 re-served from embeddings PHYSICALLY partitioned by coarse
+    // cell (one-time layout build, marker-gated): the probe predicate
+    // prunes at the FILE level — PartitionFilters asserted inside the
+    // query, values identical to q300 by construction
+    "q302_cell_partitioned_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.cellPartitionedIvfTopK(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -6286,6 +6292,12 @@ object SparkEntry {
       filteredIvfSweepOracleSql(8, 4, 10,
         Seq(Seq(3), Seq(3, 7), Seq(0, 3, 5, 7),
           Seq(0, 2, 3, 4, 5, 7, 8, 9)), Seq(1, 2, 4, 8)),
+    // q302: the q300 table served from the cell-partitioned layout — a
+    // layout changes the plan (PartitionFilters, asserted in-query),
+    // never the answer, so the oracle is q300's replay VERBATIM and the
+    // green row proves file-level pruning lost nothing
+    "q302_cell_partitioned_ivf" ->
+      filteredIvfOracleSql(8, 4, 10, 3, Seq(1, 2, 4, 8)),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the

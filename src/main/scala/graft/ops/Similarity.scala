@@ -1892,6 +1892,109 @@ object Similarity {
     rows.reduce(_ unionByName _)
   }
 
+  /** Filtered ANN over a CELL-PARTITIONED corpus layout (q302): the
+    * q300 operating table re-served from embeddings PHYSICALLY
+    * partitioned by their coarse cell — the 100-TB probe story the
+    * q280/q295/q300 scaladocs name, made real. The probe's cell
+    * predicate reaches the scan as a PARTITION filter (asserted on the
+    * executed plan before any row is returned — the q219 discipline of
+    * carrying the layout claim inside the query), so a probe opens
+    * only ~nProbe/nCells of the corpus' FILES; a post-read filter
+    * would open them all. Values are IDENTICAL to q300 (a layout
+    * changes the plan, never the answer), so the oracle is q300's
+    * replay verbatim — the green row is the cross-engine proof that
+    * partition pruning lost nothing.
+    *
+    * Layout: built ONCE per (corpus, nCells) under the
+    * [[graft.sources.Layouts.ensurePartitioned]] marker discipline —
+    * (vec_id, label, embedding) hive-partitioned by the pq_encode
+    * coarse cell; the write-time shuffle is paid once, every probe
+    * afterwards rides the pruned read path (steady-state runs of this
+    * query measure exactly that, like q219 for bucketing).
+    *
+    * Scale: the probed frame every strategy arm filters is
+    * nProbe/nCells of the corpus BY CONSTRUCTION; the truth arm scans
+    * all partitions, as exact truth must; rankings are TakeOrdered over
+    * the one checkpointed probed frame.
+    */
+  def cellPartitionedIvfTopK(spark: SparkSession, dir: String,
+      nCells: Int = 8, nProbe: Int = 4, k: Int = 10, label: Int = 3,
+      postMults: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe=$nProbe outside 1..$nCells")
+    require(postMults.nonEmpty && postMults == postMults.sorted &&
+      postMults.distinct == postMults,
+      s"postMults must be distinct ascending, got $postMults")
+    val e = emb(spark, dir)
+    val seeds = sampledCentroids(spark, dir, nCells)
+    val qRows = e.filter($"vec_id" === 0L).select($"embedding").collect()
+    if (seeds.size < nCells || qRows.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Double)]
+        .toDF("strategy", "k", "n_scanned", "n_overlap", "recall")
+    val qv6: IndexedSeq[Long] =
+      qRows(0).getSeq[Float](0).map(qe6of).toIndexedSeq
+    val cells: IndexedSeq[IndexedSeq[Long]] =
+      seeds.map(_._2.map(qe6of).toIndexedSeq).toIndexedSeq
+    val probed = cells.indices
+      .sortBy(c => (intD2(qv6, cells(c)), c)).take(nProbe).map(_.toLong)
+    val xq = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint) * 1000)")
+    // one-time layout build per (corpus, nCells) — the q219 staleness
+    // rule (tag keys the corpus path; centroids re-derive
+    // deterministically from its content, so same dir ⇒ same cells)
+    val tag = "g" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$nCells".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"/tmp/graft_cell_layout/$tag"
+    graft.sources.Layouts.ensurePartitioned(spark,
+      e.filter($"vec_id" =!= 0L)
+        .select($"vec_id", $"label".cast("long").as("label"), $"embedding",
+          element_at(VectorOps.pqEncodeCol(spark, xq, Seq(cells.map(_.toSeq)))
+            .getField("codes"), 1).as("cell")),
+      path, Seq("cell"))
+    // partition discovery types the directory column as int; normalize
+    val layout = spark.read.parquet(path)
+      .select($"vec_id", $"label", $"embedding",
+        $"cell".cast("long").as("cell"))
+    def d2c = VectorOps.pqD2Col(spark, xq, 0, qv6)
+    // the layout's whole point, enforced at query time: the cell
+    // predicate must prune at the FILE level (PartitionFilters on the
+    // scan), not as a post-read Filter
+    val probedScan = layout.filter($"cell".isin(probed: _*))
+    val planStr = probedScan.queryExecution.executedPlan.toString
+    require("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r
+        .findFirstIn(planStr).isDefined,
+      s"cell predicate did not reach the scan as a partition filter:\n$planStr")
+    val pd = probedScan
+      .select($"vec_id", $"label", d2c.as("d2"))
+      .localCheckpoint(true)
+    val truthIds: Seq[Long] = layout.filter($"label" === label.toLong)
+      .select($"vec_id", d2c.as("d2"))
+      .orderBy($"d2", $"vec_id").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    def row(strategy: String, candidates: DataFrame,
+        scanned: DataFrame): DataFrame =
+      candidates
+        .filter($"vec_id".isin(truthIds: _*))
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(scanned)
+        .select(lit(strategy).as("strategy"), lit(k.toLong).as("k"),
+          $"n_scanned", $"n_overlap",
+          round($"n_overlap" / lit(k.toDouble), 6).as("recall"))
+    val pre = row("prefilter",
+      pd.filter($"label" === label.toLong)
+        .orderBy($"d2", $"vec_id").limit(k),
+      pd.filter($"label" === label.toLong)
+        .agg(count(lit(1)).as("n_scanned")))
+    val posts = postMults.map { m =>
+      row(f"postfilter_x$m%02d",
+        pd.orderBy($"d2", $"vec_id").limit(m * k),
+        pd.agg(count(lit(1)).as("n_scanned")))
+    }
+    (pre +: posts).reduce(_ unionByName _)
+  }
+
   /** Greedy graph-routed ANN, swept over out-degree (q293): the
     * navigable-graph search family (HNSW's layer-0 descent,
     * NSG/Vamana's beam-width-1 special case) joining the SRP-LSH
@@ -2080,7 +2183,7 @@ object Similarity {
       .distinct()
     // ONE ranked edge table up to the largest arm; arm k = rn <= k
     val wSrc = Window.partitionBy($"src").orderBy($"d2", $"dst")
-    val ranked = cands
+    val rankedBuild = cands
       .join(e3r.select($"vec_id".as("src"), $"v".as("va")), Seq("src"))
       .join(e3r.select($"vec_id".as("dst"), $"v".as("vb")), Seq("dst"))
       .select($"src", $"dst",
@@ -2088,9 +2191,49 @@ object Similarity {
       .withColumn("rn", row_number().over(wSrc))
       .filter($"rn" <= RouteIndexMaxK)
       .select($"src", $"dst", $"rn")
+    // the artifact is DURABLE (round-12 verdict #5): the banded build —
+    // the dominant index cost — lands on disk ONCE per (corpus,
+    // geometry) as a src-bucketed table under the q219 one-time-build
+    // discipline (catalog hit → no-op; files from a previous JVM →
+    // marker-checked DDL re-registration, no rebuild; else pay the
+    // build+write). Every later session's q293-q299 read the layout;
+    // bucketing on src makes the per-hop src-equality probes
+    // bucket-prunable and the batch frontier⋈adjacency joins
+    // co-located. Staleness follows the q219 rule: the tag keys the
+    // corpus PATH (+ geometry), and a corpus rewritten in place under
+    // the same path must drop the artifact dir (in-session rewrites
+    // re-key the Memo via its fingerprint but would re-register the
+    // same table name — the spec corpora use fresh tmp dirs, and the
+    // driver's testdata is content-stable across rounds, pin-gated).
+    val (tbl, path) = routeEdgeArtifact(dir, nPlanes, nBands)
+    graft.sources.Layouts.ensureBucketed(spark, rankedBuild, tbl, 32,
+      Seq("src"), path)
+    val ranked = spark.table(tbl)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranked.count() // materialize once before the hop probes
     Some(EdgeIndex(e3, e3r, ranked))
+  }
+
+  /** Identity of the durable route-edge artifact for (corpus,
+    * geometry): catalog table name + on-disk path. Deterministic per
+    * corpus path so repeat sessions re-register instead of rebuilding.
+    */
+  private[ops] def routeEdgeArtifact(dir: String, nPlanes: Int,
+      nBands: Int): (String, String) = {
+    val tag = "g" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$nPlanes|$nBands".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    (s"route_edges_$tag", s"/tmp/graft_route_edges/$tag")
+  }
+
+  /** Test hook: drop every cached edge/route index (closing their
+    * persisted frames), so a spec can exercise the cold-start read path
+    * against the durable on-disk artifact.
+    */
+  private[ops] def evictEdgeIndexes(): Unit = {
+    routeIndexCache.clear()
+    edgeIndexCache.values.foreach(_.foreach(_.close()))
+    edgeIndexCache.clear()
   }
 
   /** Memoized (the kmvSketchTable discipline): the q293/q294 pair runs

@@ -112,6 +112,42 @@ object Layouts {
       .partitionBy(cols: _*)
       .parquet(path)
 
+  /** [[writePartitioned]] with one-time-build semantics — the
+    * [[ensureBucketed]] discipline minus the catalog step (a
+    * hive-partitioned directory re-reads by path with partition
+    * discovery, so file presence + a matching `_graft_layout` marker IS
+    * the registration): if `_SUCCESS` and the marker (partition cols +
+    * full schema) match, do nothing; otherwise pay the write and stamp
+    * the marker. `df` is by-name so the skip path never even plans the
+    * build. Staleness follows the [[ensureBucketed]] contract: derive
+    * `path` from the corpus identity; a corpus edited in place under
+    * the same path must drop the directory first.
+    */
+  def ensurePartitioned(spark: SparkSession, df: => DataFrame,
+      path: String, cols: Seq[String]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerPath = new org.apache.hadoop.fs.Path(path, LayoutMarker)
+    def readMarker(): Option[String] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) ||
+          !fs.exists(markerPath)) None
+      else {
+        val in = fs.open(markerPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    lazy val frame = df
+    def stamp: String =
+      s"v1|partition=${cols.mkString(",")}|schema=" +
+        frame.schema.fields.map(f => s"${f.name}:${f.dataType.sql}")
+          .mkString(",")
+    if (!readMarker().contains(stamp)) {
+      writePartitioned(frame, path, cols)
+      val out = fs.create(markerPath, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Co-located equi-join of two tables previously written with
     * [[writeBucketed]] on `keys` — planner-verified shuffle-free (see
     * LayoutsSpec's zero-Exchange contract).

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 batch: the durable on-disk route-edge artifact (round-12
+  * verdict #5 — the banded build pays once per corpus, later sessions
+  * re-register the files instead of rebuilding).
+  */
+class Round13Spec extends AnyFunSuite {
+
+  private val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fileTimes(path: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => root.relativize(p).toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
+
+  test("route-edge artifact: a fresh catalog re-registers the on-disk build, no rewrite") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-durable-edges")
+    try {
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .write.parquet(tmp.resolve("embeddings.parquet").toString)
+      val dir = tmp.toString
+      val (tbl, path) = Similarity.routeEdgeArtifact(dir, 16, 4)
+      def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+        df.select("src", "dst", "rn").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // cold build: pays the banded build and lands the artifact on disk
+      val r1 = edges(Similarity.routeEdgeTable(spark, dir, 16, 4))
+      assert(r1.nonEmpty)
+      assert(spark.catalog.tableExists(tbl), s"artifact table $tbl missing")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS")), "artifact _SUCCESS missing")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_graft_layout")), "layout marker missing")
+      val t1 = fileTimes(path)
+      // simulate a fresh session: memo evicted, catalog emptied — the
+      // files survive, so the next build must take the marker-checked
+      // DDL re-registration path and NOT rewrite a byte
+      Similarity.evictEdgeIndexes()
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val r2 = edges(Similarity.routeEdgeTable(spark, dir, 16, 4))
+      assert(r2 == r1, s"re-registered artifact drifted: ${r2.size} vs ${r1.size}")
+      assert(fileTimes(path) == t1,
+        "artifact files were rewritten on the warm-start path")
+      assert(spark.catalog.tableExists(tbl))
+      // the artifact IS the index every routing query reads: the wide
+      // batch path over the re-registered table still routes
+      val wide = Similarity.graphRouteAnnWide(spark, dir).collect()
+      assert(wide.nonEmpty)
+    } finally {
+      val (tbl, path) = Similarity.routeEdgeArtifact(tmp.toString, 16, 4)
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      graft.TestFiles.rmrf(java.nio.file.Paths.get(path))
+      Similarity.evictEdgeIndexes()
+      graft.TestFiles.rmrf(tmp)
+    }
+  }
+
+  test("q302 cell-partitioned probe == q300 row for row; layout builds once") {
+    val dir = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // a layout changes the plan, never the answer — the cross-query law
+    // that lets q302 share q300's oracle text
+    val viaLayout = Similarity.cellPartitionedIvfTopK(spark, dir)
+    assert(rows(viaLayout) == rows(Similarity.filteredIvfTopK(spark, dir)))
+    assert(viaLayout.count() == 5) // prefilter + 4 postfilter arms
+    // one-time build: a second invocation must ride the marker skip
+    // path and not rewrite a single layout file
+    val tag = "g" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|8".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"/tmp/graft_cell_layout/$tag"
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_graft_layout")), "layout marker missing")
+    val t1 = fileTimes(path)
+    Similarity.cellPartitionedIvfTopK(spark, dir).collect()
+    assert(fileTimes(path) == t1, "layout rewritten on the warm path")
+  }
+
+  test("route-edge artifact: the durable table equals the maintained fold (q298 ≡ q299)") {
+    // the on-disk artifact is exactly the frame the incremental
+    // maintainer reproduces — cross-gate the two paths on the shared
+    // fixture (both already oracle-gated individually)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("src", "dst", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = rows(Similarity.routeEdgeTable(spark, sf))
+    val folded = rows(graft.streaming.VecStreams.foldRouteEdges(spark, sf))
+    assert(oneShot == folded)
+    assert(oneShot.nonEmpty)
+  }
+}

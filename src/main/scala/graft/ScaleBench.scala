@@ -152,7 +152,8 @@ object ScaleBench {
     "q295_ivf_pq_trained_topk", "q296_graph_route_wide",
     "q297_beam_route_wide", "q298_route_edges",
     "q299_maintained_route_edges", "q300_filtered_ivf_topk",
-    "q301_filtered_ivf_selectivity", "q302_cell_partitioned_ivf")
+    "q301_filtered_ivf_selectivity", "q302_cell_partitioned_ivf",
+    "q303_filtered_adc_topk")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

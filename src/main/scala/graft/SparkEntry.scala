@@ -885,6 +885,11 @@ object SparkEntry {
     // query, values identical to q300 by construction
     "q302_cell_partitioned_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.cellPartitionedIvfTopK(s, d)),
+    // q300's operating table re-ranked by the q295 TRAINED two-level
+    // ADC score (shared codebooks + memoized index): recall folds both
+    // un-probed-cell loss and ADC misranking; the truth arm stays exact
+    "q303_filtered_adc_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.filteredAdcTopK(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -6298,6 +6303,10 @@ object SparkEntry {
     // green row proves file-level pruning lost nothing
     "q302_cell_partitioned_ivf" ->
       filteredIvfOracleSql(8, 4, 10, 3, Seq(1, 2, 4, 8)),
+    // q303: the trained chain (q295's CTEs verbatim) + q300's arm
+    // shapes ordered by ADC against the exact label-filtered truth
+    "q303_filtered_adc_topk" ->
+      filteredAdcOracleSql(8, 16, 128, 2, 4, 10, 3, Seq(1, 2, 4, 8), "7f"),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the
@@ -6613,6 +6622,33 @@ object SparkEntry {
     */
   private def ivfPqTrainedOracleSql(nCells: Int, nBlocks: Int, codes: Int,
       iters: Int, probes: Seq[Int], seedHexMax: String): String = {
+    val arms = probes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS n_probe, CAST(10 AS BIGINT) AS k,
+         | (SELECT CAST(count(*) AS BIGINT) FROM ca
+         |  WHERE cell IN (SELECT cell FROM qrank WHERE rk <= $np))
+         |   AS n_scanned,
+         | CAST(count(*) AS BIGINT) AS n_overlap,
+         | round(count(*) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM adc
+         |      WHERE cell IN (SELECT cell FROM qrank WHERE rk <= $np)
+         |      ORDER BY adc, vec_id LIMIT 10) t
+         |JOIN extop ON t.vec_id = extop.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    ivfPqTrainedChainSql(nCells, nBlocks, codes, iters, seedHexMax) +
+      s""",
+         |extop AS (SELECT vec_id FROM exq ORDER BY d2, vec_id LIMIT 10)""".stripMargin +
+      "\n" + arms
+  }
+
+  /** The q295 trained-IVF-PQ CTE chain (coarse Lloyd rounds, residual
+    * Lloyd with the frozen zero code, per-vec cell `ca` + ADC `adc`,
+    * query cell ranking `qrank`, exact distances `exq`) WITHOUT the
+    * final arms — shared verbatim by the q295 probe-curve oracle and
+    * the q303 filtered-ADC oracle, so the two replays cannot drift on
+    * the training trajectory.
+    */
+  private def ivfPqTrainedChainSql(nCells: Int, nBlocks: Int, codes: Int,
+      iters: Int, seedHexMax: String): String = {
     val bw = 64 / nBlocks
     val init =
       s"""WITH cx AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS j,
@@ -6746,22 +6782,53 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |exq AS (SELECT cx.vec_id,
          |   CAST(sum((cx.x - qx.x) * (cx.x - qx.x)) AS BIGINT) AS d2
-         |  FROM cx JOIN qx ON cx.j = qx.j GROUP BY 1),
-         |extop AS (SELECT vec_id FROM exq ORDER BY d2, vec_id LIMIT 10)""".stripMargin
-    val arms = probes.map { np =>
-      s"""SELECT CAST($np AS BIGINT) AS n_probe, CAST(10 AS BIGINT) AS k,
-         | (SELECT CAST(count(*) AS BIGINT) FROM ca
-         |  WHERE cell IN (SELECT cell FROM qrank WHERE rk <= $np))
+         |  FROM cx JOIN qx ON cx.j = qx.j GROUP BY 1)""".stripMargin
+    init + coarseRounds + resInit + resRounds + finalAssign + tail
+  }
+
+  /** q303 oracle: q295's trained chain VERBATIM (shared
+    * [[ivfPqTrainedChainSql]] — coarse+residual Lloyd, per-vec cell +
+    * ADC), then q300's arm shapes re-ranked by ADC: the prefilter and
+    * M·k postfilter cuts order by (adc, vec_id) inside the probed
+    * cells, each intersected with the EXACT label-filtered truth top-k
+    * (the lossy ranking is being judged, so the judge ranks exactly).
+    */
+  private def filteredAdcOracleSql(nCells: Int, nBlocks: Int, codes: Int,
+      iters: Int, nProbe: Int, k: Int, label: Int, postMults: Seq[Int],
+      seedHexMax: String): String = {
+    val chain = ivfPqTrainedChainSql(nCells, nBlocks, codes, iters,
+      seedHexMax)
+    val tail =
+      s""",
+         |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |        FROM embeddings WHERE vec_id <> 0),
+         |truth AS (SELECT exq.vec_id FROM exq
+         |  JOIN lbl ON exq.vec_id = lbl.vec_id
+         |  WHERE lbl.label = $label
+         |  ORDER BY exq.d2, exq.vec_id LIMIT $k),
+         |adcp AS MATERIALIZED (SELECT a.vec_id, lbl.label, a.adc
+         |  FROM adc a JOIN lbl ON a.vec_id = lbl.vec_id
+         |  WHERE a.cell IN (SELECT cell FROM qrank WHERE rk <= $nProbe))""".stripMargin
+    val pre =
+      s"""SELECT 'prefilter' AS strategy, CAST($k AS BIGINT) AS k,
+         | (SELECT CAST(count(*) AS BIGINT) FROM adcp WHERE label = $label)
          |   AS n_scanned,
          | CAST(count(*) AS BIGINT) AS n_overlap,
-         | round(count(*) / 10.0, 6) AS recall
-         |FROM (SELECT vec_id FROM adc
-         |      WHERE cell IN (SELECT cell FROM qrank WHERE rk <= $np)
-         |      ORDER BY adc, vec_id LIMIT 10) t
-         |JOIN extop ON t.vec_id = extop.vec_id""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    init + coarseRounds + resInit + resRounds + finalAssign + tail +
-      "\n" + arms
+         | round(count(*) / ${k}.0, 6) AS recall
+         |FROM (SELECT vec_id FROM adcp WHERE label = $label
+         |      ORDER BY adc, vec_id LIMIT $k) t
+         |JOIN truth ON t.vec_id = truth.vec_id""".stripMargin
+    val posts = postMults.map { m =>
+      val tag = f"postfilter_x$m%02d"
+      s"""SELECT '$tag', CAST($k AS BIGINT),
+         | (SELECT CAST(count(*) AS BIGINT) FROM adcp),
+         | CAST(count(*) AS BIGINT),
+         | round(count(*) / ${k}.0, 6)
+         |FROM (SELECT vec_id FROM adcp
+         |      ORDER BY adc, vec_id LIMIT ${m * k}) t
+         |JOIN truth ON t.vec_id = truth.vec_id""".stripMargin
+    }
+    chain + tail + "\n" + (pre +: posts).mkString("\nUNION ALL\n")
   }
 
   private def trainedPqSql(iters: Int, nBlocks: Int = 4, codes: Int = 8,

@@ -86,6 +86,36 @@ class Round13Spec extends AnyFunSuite {
     assert(fileTimes(path) == t1, "layout rewritten on the warm path")
   }
 
+  test("q303 filtered-ADC laws: prefix monotone, scan accounting, pinned operating point") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.filteredAdcTopK(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(rows.keySet == Set("prefilter", "postfilter_x01",
+      "postfilter_x02", "postfilter_x04", "postfilter_x08"))
+    rows.values.foreach { case (_, _, rec) =>
+      assert(rec >= 0.0 && rec <= 1.0) }
+    // postfilter arms share ONE probed frame: identical n_scanned, and
+    // the M·k cuts are PREFIXES of one ADC ranking, so overlap is
+    // monotone nondecreasing in M (the q300 prefix law over ADC)
+    val posts = Seq(1, 2, 4, 8).map(m => rows(f"postfilter_x$m%02d"))
+    assert(posts.map(_._1).distinct.size == 1,
+      "postfilter arms scanned different frames")
+    val overlaps = posts.map(_._2)
+    assert(overlaps == overlaps.sorted,
+      s"prefix law violated: overlaps $overlaps not monotone in M")
+    // the prefilter scans the label-pruned slice of the same frame
+    assert(rows("prefilter")._1 <= posts.head._1)
+    // pinned operating point (fixture-gated): the trained ADC prefilter
+    // reaches 0.7 while postfilter needs M=8 for 0.6 at 9x the scan —
+    // the measured case for carrying the predicate in the index
+    assume(graft.TestFixtures.embeddingsMd5(dir) ==
+        graft.TestFixtures.pinnedEmbeddingsMd5,
+      "embeddings fixture regenerated — pinned values skipped")
+    assert(rows("prefilter")._3 == 0.7, s"prefilter moved: $rows")
+    assert(rows("postfilter_x08")._3 == 0.6, s"postfilter_x08 moved: $rows")
+  }
+
   test("route-edge artifact: the durable table equals the maintained fold (q298 ≡ q299)") {
     // the on-disk artifact is exactly the frame the incremental
     // maintainer reproduces — cross-gate the two paths on the shared

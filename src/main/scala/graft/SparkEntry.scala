@@ -890,6 +890,12 @@ object SparkEntry {
     // un-probed-cell loss and ADC misranking; the truth arm stays exact
     "q303_filtered_adc_topk" -> ((s: SparkSession, d: String) =>
       Similarity.filteredAdcTopK(s, d)),
+    // entry-strategy operating table: q296's wide greedy sweep under
+    // fixed vs cell-seeded (hierarchical) entry — the coarse quantizer
+    // layer measured against the single-entry baseline at the same hop
+    // budget, per out-degree, with Wilson bands
+    "q304_route_entry_compare" -> ((s: SparkSession, d: String) =>
+      Similarity.graphRouteEntryCompare(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1158,25 +1164,29 @@ object SparkEntry {
   }
 
   /** The per-(arm, hop) trajectory CTE blocks shared by the narrow
-    * (q293) and wide (q296) greedy oracles — one text, so the two
-    * cannot drift on the descent they replay.
+    * (q293), wide (q296) and entry-compare (q304) greedy oracles — one
+    * text, so the replays cannot drift on the descent. `seed` names the
+    * hop-0 state CTE and `pfx` disambiguates the per-hop CTE names when
+    * two trajectory families share one query (q304 runs the fixed and
+    * cell-seeded descents side by side).
     */
-  private def graphRouteArmCtes(kOuts: Seq[Int], maxHops: Int): String =
+  private def graphRouteArmCtes(kOuts: Seq[Int], maxHops: Int,
+      seed: String = "s0", pfx: String = ""): String =
     kOuts.map { k =>
       (1 to maxHops).map { h =>
-        val prev = if (h == 1) "s0" else s"s${h - 1}_k$k"
+        val prev = if (h == 1) seed else s"s$pfx${h - 1}_k$k"
         s""",
-           |c${h}_k$k AS (SELECT f.qid, a.dst AS id FROM $prev f
+           |c$pfx${h}_k$k AS (SELECT f.qid, a.dst AS id FROM $prev f
            |   JOIN rk a ON a.src = f.cur AND a.rn <= $k
            |  UNION ALL SELECT qid, cur FROM $prev),
-           |t${h}_k$k AS (SELECT c.qid, c.id, d.d2 FROM c${h}_k$k c
+           |t$pfx${h}_k$k AS (SELECT c.qid, c.id, d.d2 FROM c$pfx${h}_k$k c
            |   JOIN qd d ON d.qid = c.qid AND d.id = c.id),
-           |s${h}_k$k AS MATERIALIZED (SELECT qid, id AS cur, d2,
+           |s$pfx${h}_k$k AS MATERIALIZED (SELECT qid, id AS cur, d2,
            |   hops + CASE WHEN id <> prev THEN 1 ELSE 0 END AS hops
            |  FROM (SELECT t.qid, t.id, t.d2, f.cur AS prev, f.hops,
            |     row_number() OVER (PARTITION BY t.qid
            |       ORDER BY t.d2, t.id) AS rn
-           |    FROM t${h}_k$k t JOIN $prev f ON f.qid = t.qid)
+           |    FROM t$pfx${h}_k$k t JOIN $prev f ON f.qid = t.qid)
            |  WHERE rn = 1)""".stripMargin
       }.mkString
     }.mkString
@@ -1275,6 +1285,71 @@ object SparkEntry {
          |  HAVING count(*) > 0) a""".stripMargin
     }.mkString("\n UNION ALL \n")
     init + armCtes + "\n" + armSelects
+  }
+
+  /** q304 oracle: BOTH entry strategies replayed in one query. The
+    * fixed arms are q296's CTEs verbatim (shared init + arm builders);
+    * the cell arms seed from the replayed coarse layer — the md5-seeded
+    * e3-scale centroids, each cell's entry = the rep nearest its
+    * centroid (exact-i64 argmin, min-id ties), each query entering at
+    * its nearest cell's entry — then run the IDENTICAL per-hop
+    * recurrence (`graphRouteArmCtes` with the `c` prefix). Queries
+    * whose rep is the arm's entry drop per strategy, mirroring the
+    * engine's degenerate-entry rule.
+    */
+  private def graphRouteEntryCompareOracleSql(nPlanes: Int, nBands: Int,
+      nCells: Int, kOuts: Seq[Int], maxHops: Int, entryId: Long): String = {
+    val init = routeOracleInitCtesWhere(nPlanes, nBands,
+      routeWideQueryWhere(entryId), entryId)
+    val cellCtes =
+      s""",
+         |csamp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |          AS BIGINT) AS sid, embedding
+         |       FROM (SELECT vec_id, embedding FROM embeddings
+         |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+         |               <= '19'
+         |             ORDER BY vec_id LIMIT $nCells)),
+         |ccent AS MATERIALIZED (SELECT sid AS cell,
+         |   [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+         |    for x in embedding] AS cv
+         |  FROM csamp),
+         |centry AS MATERIALIZED (SELECT cell, vec_id AS entry FROM (
+         |   SELECT c.cell, r.vec_id,
+         |    row_number() OVER (PARTITION BY c.cell ORDER BY
+         |      CAST(list_sum([(r.v[i] - c.cv[i]) * (r.v[i] - c.cv[i])
+         |                     for i in range(1, len(r.v)+1)]) AS BIGINT),
+         |      r.vec_id) AS rk
+         |   FROM rep r CROSS JOIN ccent c) WHERE rk = 1),
+         |qcl AS (SELECT qid, cell FROM (
+         |   SELECT q.qid, c.cell,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      CAST(list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
+         |                     for i in range(1, len(q.qv)+1)]) AS BIGINT),
+         |      c.cell) AS rk
+         |   FROM q CROSS JOIN ccent c) WHERE rk = 1),
+         |s0c AS MATERIALIZED (SELECT qc.qid, ce.entry AS cur, d.d2,
+         |        CAST(0 AS BIGINT) AS hops
+         |  FROM qcl qc JOIN centry ce ON qc.cell = ce.cell
+         |   JOIN qr ON qr.qid = qc.qid
+         |   JOIN qd d ON d.qid = qc.qid AND d.id = ce.entry
+         |  WHERE ce.entry <> qr.rid)""".stripMargin
+    val fixedArms = graphRouteArmCtes(kOuts, maxHops)
+    val cellArms = graphRouteArmCtes(kOuts, maxHops, "s0c", "c")
+    val agg = graft.ops.Similarity.routeWideAggExprs.mkString(",\n ")
+    def armSelect(strategy: String, stateName: Int => String): String =
+      kOuts.map { k =>
+        s"""SELECT '$strategy' AS entry_strategy, k_out, n_queries, n_hits,
+           | $agg
+           |FROM (SELECT CAST($k AS BIGINT) AS k_out,
+           |   CAST(count(*) AS BIGINT) AS n_queries,
+           |   CAST(sum(CASE WHEN s.cur = ex.exact_id THEN 1 ELSE 0 END)
+           |     AS BIGINT) AS n_hits
+           |  FROM ${stateName(k)} s JOIN ex ON s.qid = ex.qid
+           |  HAVING count(*) > 0) a""".stripMargin
+      }.mkString("\n UNION ALL \n")
+    init + cellCtes + fixedArms + cellArms + "\n" +
+      armSelect("fixed", k => s"s${maxHops}_k$k") + "\n UNION ALL \n" +
+      armSelect("cell", k => s"sc${maxHops}_k$k")
   }
 
   /** q297 oracle: the q294 frontier CTEs over the same sampled query
@@ -6307,6 +6382,11 @@ object SparkEntry {
     // shapes ordered by ADC against the exact label-filtered truth
     "q303_filtered_adc_topk" ->
       filteredAdcOracleSql(8, 16, 128, 2, 4, 10, 3, Seq(1, 2, 4, 8), "7f"),
+    // q304: both entry strategies' trajectories replayed side by side
+    // (fixed arms = q296's CTEs; cell arms seeded from the replayed
+    // coarse layer), aggregated with the shared Wilson text
+    "q304_route_entry_compare" ->
+      graphRouteEntryCompareOracleSql(16, 4, 8, Seq(4, 8, 16, 32), 6, 0L),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the

@@ -2721,12 +2721,25 @@ object Similarity {
     if (qt.isEmpty) return empty
     // state: one row per (arm, query) — (cur, d², hops); query vectors
     // and rep exclusions re-join from the broadcast query table per hop
-    var state = qt.crossJoin(broadcast(ev))
+    val state0 = qt.crossJoin(broadcast(ev))
       .select(explode(array(kOuts.map(k => lit(k.toLong)): _*)).as("k_out"),
         $"query_id", lit(entryId).as("cur"),
         call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
         lit(0L).as("hops"))
-      .localCheckpoint(true)
+    greedyDescentRows(idx, qt, state0, maxHops)
+  }
+
+  /** The per-hop greedy frontier recurrence shared by the fixed-entry
+    * batch core and the cell-seeded entry arm (q304): from any
+    * (k_out, query_id, cur, d2, hops) seed state, each hop joins the
+    * ranked adjacency at the arm's degree, re-scores through the
+    * broadcast query table, and steps every (arm, query) to its
+    * (d², id) minimum over neighbors ∪ {current}.
+    */
+  private def greedyDescentRows(idx: EdgeIndex, qt: DataFrame,
+      state0: DataFrame, maxHops: Int): DataFrame = {
+    import idx.e3r.sparkSession.implicits._
+    var state = state0.localCheckpoint(true)
     for (_ <- 1 to maxHops) {
       // candidates: ranked out-neighbors of each arm's current node at
       // that arm's degree, minus the query's own rep, scored by exact
@@ -2900,6 +2913,115 @@ object Similarity {
         sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
       .selectExpr(Seq("beam", "n_queries", "n_hits") ++
         routeWideAggExprs: _*)
+
+  /** Entry-strategy operating table (q304): q296's wide greedy sweep
+    * run under BOTH entry policies over the SAME md5-sampled query set
+    * and hop budget —
+    *
+    *  - `fixed`: every query descends from node `entryId` (q293-q297's
+    *    policy — one global entry, HNSW minus its upper layers);
+    *  - `cell`: a coarse quantizer layer above the graph (the
+    *    hierarchical-entry idea): nCells md5-seeded centroids, each
+    *    cell pre-assigned ONE entry rep (the rep nearest its centroid,
+    *    exact-i64 argmin, min-id ties), and each query enters at its
+    *    nearest cell's entry. The layer costs nCells distance
+    *    evaluations per query plus a KB-sized (cell → entry) table —
+    *    the log-hop coarse descent bought for O(nCells) state.
+    *
+    * Per (strategy, out-degree): n_queries, n_hits, hit_rate + Wilson
+    * 95% band (the q296 aggregate text verbatim). Queries whose content
+    * rep IS an arm's entry are dropped from that arm (the degenerate-
+    * entry rule, applied per strategy), so n_queries is honest per row.
+    * The oracle replays both trajectory families — the fixed arms are
+    * textually q296's CTEs, the cell arms the same recurrence seeded
+    * from the replayed (cell → entry) argmin table.
+    *
+    * Scale: one extra zero-shuffle pass over the reps scores the
+    * nCells literal centroids (the cell-entry election); everything
+    * after is the q296 batch machinery — per hop ONE frontier⋈ranked
+    * join for every (strategy, arm, query).
+    */
+  def graphRouteEntryCompare(spark: SparkSession, dir: String,
+      nPlanes: Int = 16, nBands: Int = 4, nCells: Int = 8,
+      kOuts: Seq[Int] = Seq(4, 8, 16, 32), maxHops: Int = 6,
+      entryId: Long = 0L): DataFrame = {
+    import spark.implicits._
+    require(kOuts.nonEmpty && kOuts == kOuts.sorted && kOuts.distinct == kOuts,
+      s"kOuts must be distinct ascending, got $kOuts")
+    require(kOuts.max <= RouteIndexMaxK,
+      s"out-degree ${kOuts.max} exceeds the shared index width $RouteIndexMaxK")
+    val empty = Seq.empty[(String, Long, Long, Long, Double, Double, Double)]
+      .toDF("entry_strategy", "k_out", "n_queries", "n_hits", "hit_rate",
+        "wilson_low", "wilson_high")
+    val qSel =
+      substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax
+    val seeds = sampledCentroids(spark, dir, nCells)
+    val idx = buildEdgeIndex(spark, dir, nPlanes, nBands)
+      .getOrElse(return empty)
+    if (seeds.size < nCells) return empty
+    val ev = idx.e3.filter($"vec_id" === entryId).select($"v".as("ev"))
+    if (ev.isEmpty) return empty
+    require(idx.e3r.filter($"vec_id" === entryId).count() == 1L,
+      s"entry $entryId is not its content group's representative — " +
+        "the oracle's rep-only seed would diverge from the engine")
+    val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
+    if (qt.isEmpty) return empty
+    def aggArm(rows: DataFrame, strategy: String): DataFrame = rows
+      .groupBy(col("k_out"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
+      .selectExpr(Seq("k_out", "n_queries", "n_hits") ++
+        routeWideAggExprs: _*)
+      .select(lit(strategy).as("entry_strategy"), col("k_out"),
+        col("n_queries"), col("n_hits"), col("hit_rate"),
+        col("wilson_low"), col("wilson_high"))
+    // fixed arm: exactly the q296 rows (same qt, same descent)
+    val fixed0 = qt.crossJoin(broadcast(ev))
+      .select(explode(array(kOuts.map(k => lit(k.toLong)): _*)).as("k_out"),
+        $"query_id", lit(entryId).as("cur"),
+        call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
+        lit(0L).as("hops"))
+    val fixed = greedyDescentRows(idx, qt, fixed0, maxHops)
+    // cell arm: e3-scale literal centroids; each rep scores all nCells
+    // in one zero-shuffle pass; argmin per cell elects its entry rep
+    val cellsE3: IndexedSeq[IndexedSeq[Long]] = seeds
+      .map(_._2.map(x => math.round(x.toDouble * 1000.0)).toIndexedSeq)
+      .toIndexedSeq
+    def cellStructs(vcol: Column): Seq[Column] =
+      cellsE3.zipWithIndex.map { case (cv, ci) =>
+        struct(lit(ci.toLong).as("cell"),
+          call_function("pq_d2", vcol, lit(0),
+            array(cv.map(lit(_)): _*)).as("d2"))
+      }
+    val cellEntry = idx.e3r
+      .select($"vec_id", explode(array(cellStructs($"v"): _*)).as("cd"))
+      .select($"vec_id", $"cd.cell".as("cell"), $"cd.d2".as("d2"))
+      .groupBy($"cell")
+      .agg(min(struct($"d2", $"vec_id")).as("m"))
+      .select($"cell", $"m.vec_id".as("entry_id"))
+    val qCell = qt
+      .select($"query_id", $"rep_id",
+        explode(array(cellStructs($"qv"): _*)).as("cd"))
+      .select($"query_id", $"rep_id", $"cd.cell".as("cell"),
+        $"cd.d2".as("d2"))
+      .groupBy($"query_id", $"rep_id")
+      .agg(min(struct($"d2", $"cell")).as("m"))
+      .select($"query_id", $"rep_id", $"m.cell".as("cell"))
+    val entries = qCell
+      .join(broadcast(cellEntry), Seq("cell"))
+      .filter($"entry_id" =!= $"rep_id") // per-query degenerate-entry rule
+      .select($"query_id", $"entry_id")
+    val cell0 = broadcast(entries)
+      .join(idx.e3r.select($"vec_id".as("entry_id"), $"v".as("ev")),
+        Seq("entry_id"))
+      .join(broadcast(qt), Seq("query_id"))
+      .select(explode(array(kOuts.map(k => lit(k.toLong)): _*)).as("k_out"),
+        $"query_id", $"entry_id".as("cur"),
+        call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
+        lit(0L).as("hops"))
+    val cell = greedyDescentRows(idx, qt, cell0, maxHops)
+    aggArm(fixed, "fixed").unionByName(aggArm(cell, "cell"))
+  }
 
   def residualPqDistortion(spark: SparkSession, dir: String,
       nBlocks: Int = 4, codesPerBlock: Int = 8): DataFrame = {

@@ -116,6 +116,33 @@ class Round13Spec extends AnyFunSuite {
     assert(rows("postfilter_x08")._3 == 0.6, s"postfilter_x08 moved: $rows")
   }
 
+  test("q304 entry compare: fixed slice IS q296; band laws; per-strategy drops") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.graphRouteEntryCompare(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(rows.keySet ==
+      (for (s <- Seq("fixed", "cell"); k <- Seq(4L, 8L, 16L, 32L))
+        yield (s, k)).toSet)
+    rows.values.foreach { case (n, h, p, lo, hi) =>
+      assert(h >= 0L && h <= n)
+      assert(lo <= p && p <= hi, s"Wilson band ($lo, $hi) excludes $p")
+    }
+    // the fixed strategy is EXACTLY q296 (same query table, same
+    // descent, same aggregate text) — the cross-query law that anchors
+    // the comparison to the committed baseline
+    val q296 = Similarity.graphRouteAnnWide(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    for ((k, v) <- q296) assert(rows(("fixed", k)) == v,
+      s"fixed arm k=$k drifted from q296: ${rows(("fixed", k))} vs $v")
+    // the cell arm drops queries whose rep IS their cell's entry — its
+    // population can only shrink relative to the shared sample
+    for (k <- Seq(4L, 8L, 16L, 32L))
+      assert(rows(("cell", k))._1 <= rows(("fixed", k))._1)
+  }
+
   test("route-edge artifact: the durable table equals the maintained fold (q298 ≡ q299)") {
     // the on-disk artifact is exactly the frame the incremental
     // maintainer reproduces — cross-gate the two paths on the shared

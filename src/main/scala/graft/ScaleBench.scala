@@ -153,7 +153,8 @@ object ScaleBench {
     "q297_beam_route_wide", "q298_route_edges",
     "q299_maintained_route_edges", "q300_filtered_ivf_topk",
     "q301_filtered_ivf_selectivity", "q302_cell_partitioned_ivf",
-    "q303_filtered_adc_topk", "q304_route_entry_compare")
+    "q303_filtered_adc_topk", "q304_route_entry_compare",
+    "q305_ann_family_table")
 
   private val tpchQueries = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",

@@ -896,6 +896,11 @@ object SparkEntry {
     // budget, per out-degree, with Wilson bands
     "q304_route_entry_compare" -> ((s: SparkSession, d: String) =>
       Similarity.graphRouteEntryCompare(s, d)),
+    // the unified ANN decision table: every index family (exact / LSH /
+    // IVF / PQ-ADC / IVF-PQ / graph) over ONE query sample at one k,
+    // with shared truth and per-family measured scan cost
+    "q305_ann_family_table" -> ((s: SparkSession, d: String) =>
+      Similarity.annFamilyTable(s, d)),
   )
 
   /** The q74 oracle replays the IDENTICAL k-means trajectory in SQL:
@@ -1350,6 +1355,186 @@ object SparkEntry {
     init + cellCtes + fixedArms + cellArms + "\n" +
       armSelect("fixed", k => s"s${maxHops}_k$k") + "\n UNION ALL \n" +
       armSelect("cell", k => s"sc${maxHops}_k$k")
+  }
+
+  /** q305 oracle: every ANN family replayed over the shared index CTEs
+    * and ONE query population. Reuses the routing init verbatim (e3,
+    * dedup-first reps, banded sigs, ranked edges, qd scorer, s0, ex),
+    * then per family: its candidate-generation CTE (LSH bucket join /
+    * seeded-cell probe / per-block code assignment + query ADC table /
+    * the greedy trajectory with per-hop evaluation counts), a shared
+    * rank-overlap-hit template, and one output row per family with the
+    * identical integer-ratio rounding the engine folds.
+    */
+  private def annFamilyOracleSql(nPlanes: Int, nBands: Int, nCells: Int,
+      nProbe: Int, nBlocks: Int, codesPerBlock: Int, kOut: Int,
+      maxHops: Int, k: Int, entryId: Long): String = {
+    val r = nPlanes / nBands
+    val bw = 64 / nBlocks
+    val init = routeOracleInitCtesWhere(nPlanes, nBands,
+      routeWideQueryWhere(entryId), entryId)
+    // the unified query population: the sample minus entry-degenerate
+    // queries (the engine's routeBatchQueries filter), with truth and
+    // the exact NN derived from the shared scorer
+    val shared =
+      s""",
+         |uq AS MATERIALIZED (SELECT q.qid FROM q JOIN qr ON qr.qid = q.qid
+         |  WHERE qr.rid <> CAST($entryId AS BIGINT)),
+         |uqd AS MATERIALIZED (SELECT d.qid, d.id, d.d2 FROM qd d
+         |  JOIN uq ON uq.qid = d.qid),
+         |trk AS MATERIALIZED (SELECT qid, id, rk FROM (
+         |   SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |     ORDER BY d2, id) AS rk FROM uqd) WHERE rk <= $k),
+         |nn AS (SELECT qid, id AS nn FROM trk WHERE rk = 1),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uq)""".stripMargin
+    // per-family rank/overlap/hit template over (qid, id, score)
+    def famCtes(n: String): String =
+      s""",
+         |${n}rk AS MATERIALIZED (SELECT qid, id, rn FROM (
+         |   SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |     ORDER BY score, id) AS rn FROM $n) WHERE rn <= $k),
+         |${n}ov AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ${n}rk t
+         |  JOIN trk tr ON tr.qid = t.qid AND tr.id = t.id),
+         |${n}ht AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ${n}rk t
+         |  JOIN nn ON nn.qid = t.qid AND nn.nn = t.id
+         |  WHERE t.rn = 1)""".stripMargin
+    def famSelect(label: String, n: String, scannedSql: String): String =
+      s"""SELECT '$label' AS family, CAST($k AS BIGINT) AS k,
+         | (SELECT n FROM nq) AS n_queries,
+         | ($scannedSql) AS total_scanned,
+         | (SELECT c FROM ${n}ov) AS sum_overlap,
+         | round(CAST((SELECT c FROM ${n}ov) AS DOUBLE)
+         |   / CAST((SELECT n FROM nq) * $k AS DOUBLE), 6) AS recall,
+         | (SELECT c FROM ${n}ht) AS n_hits,
+         | round(CAST((SELECT c FROM ${n}ht) AS DOUBLE)
+         |   / CAST((SELECT n FROM nq) AS DOUBLE), 6) AS hit_rate""".stripMargin
+    val exactCtes =
+      s""",
+         |fex AS (SELECT qid, id, d2 AS score FROM uqd)""".stripMargin
+    val srpCtes =
+      s""",
+         |qsig AS MATERIALIZED (SELECT e.vec_id AS qid,
+         |   CAST(pid // $r AS INTEGER) AS band,
+         |   CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)
+         |                                * CAST(pe[i] AS DOUBLE)
+         |                   for i in range(1, len(e.embedding)+1)]) >= 0
+         |            THEN (CAST(1 AS BIGINT) << CAST(pid % $r AS INTEGER))
+         |            ELSE 0 END) AS BIGINT) AS sig
+         |  FROM embeddings e JOIN uq ON e.vec_id = uq.qid
+         |  CROSS JOIN p
+         |  GROUP BY e.vec_id, CAST(pid // $r AS INTEGER)),
+         |fsrp AS MATERIALIZED (SELECT d.qid, d.id, d.d2 AS score FROM (
+         |   SELECT DISTINCT qs.qid, s.vec_id AS id FROM qsig qs
+         |    JOIN sig s ON qs.band = s.band AND qs.sig = s.sig) c
+         |  JOIN uqd d ON d.qid = c.qid AND d.id = c.id)""".stripMargin
+    val ivfCtes =
+      s""",
+         |fsamp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |          AS BIGINT) AS sid, embedding
+         |       FROM (SELECT vec_id, embedding FROM embeddings
+         |             WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+         |               <= '19'
+         |             ORDER BY vec_id LIMIT ${nCells + codesPerBlock})),
+         |fcent AS MATERIALIZED (SELECT sid AS cell,
+         |   [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+         |    for x in embedding] AS cv
+         |  FROM fsamp WHERE sid < $nCells),
+         |frc AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |   SELECT r.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY r.vec_id ORDER BY
+         |      CAST(list_sum([(r.v[i] - c.cv[i]) * (r.v[i] - c.cv[i])
+         |                     for i in range(1, len(r.v)+1)]) AS BIGINT),
+         |      c.cell) AS rk
+         |   FROM rep r CROSS JOIN fcent c) WHERE rk = 1),
+         |fqp AS (SELECT qid, cell FROM (
+         |   SELECT q.qid, c.cell,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      CAST(list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
+         |                     for i in range(1, len(q.qv)+1)]) AS BIGINT),
+         |      c.cell) AS rk
+         |   FROM q JOIN uq ON uq.qid = q.qid CROSS JOIN fcent c)
+         |  WHERE rk <= $nProbe),
+         |fivf AS MATERIALIZED (SELECT d.qid, d.id, d.d2 AS score
+         |  FROM fqp p JOIN frc rc ON rc.cell = p.cell
+         |  JOIN uqd d ON d.qid = p.qid AND d.id = rc.vec_id)""".stripMargin
+    val adcCtes =
+      s""",
+         |fcw AS MATERIALIZED (SELECT sid - $nCells AS code,
+         |   CAST((i - 1) // $bw AS BIGINT) AS b,
+         |   CAST((i - 1) % $bw + 1 AS BIGINT) AS jj,
+         |   CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+         |     AS BIGINT) AS cw
+         |  FROM (SELECT sid, embedding,
+         |         unnest(generate_series(1, len(embedding))) AS i
+         |        FROM fsamp WHERE sid >= $nCells)),
+         |frv AS MATERIALIZED (SELECT vec_id,
+         |   CAST((i - 1) // $bw AS BIGINT) AS b,
+         |   CAST((i - 1) % $bw + 1 AS BIGINT) AS jj,
+         |   v[CAST(i AS INTEGER)] AS x
+         |  FROM (SELECT vec_id, v,
+         |         unnest(generate_series(1, len(v))) AS i FROM rep)),
+         |frd AS (SELECT rv.vec_id, rv.b, c.code,
+         |   CAST(sum((rv.x - c.cw) * (rv.x - c.cw)) AS BIGINT) AS d2
+         |  FROM frv rv JOIN fcw c ON rv.b = c.b AND rv.jj = c.jj
+         |  GROUP BY 1, 2, 3),
+         |fra AS MATERIALIZED (SELECT vec_id, b, code FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY vec_id, b
+         |     ORDER BY d2, code) AS rk FROM frd) WHERE rk = 1),
+         |fqx AS (SELECT qid, CAST((i - 1) // $bw AS BIGINT) AS b,
+         |   CAST((i - 1) % $bw + 1 AS BIGINT) AS jj,
+         |   qv[CAST(i AS INTEGER)] AS x
+         |  FROM (SELECT q.qid AS qid, q.qv AS qv,
+         |         unnest(generate_series(1, len(q.qv))) AS i
+         |        FROM q JOIN uq ON uq.qid = q.qid)),
+         |fqlt AS MATERIALIZED (SELECT qx.qid, qx.b, c.code,
+         |   CAST(sum((qx.x - c.cw) * (qx.x - c.cw)) AS BIGINT) AS ltv
+         |  FROM fqx qx JOIN fcw c ON qx.b = c.b AND qx.jj = c.jj
+         |  GROUP BY 1, 2, 3),
+         |fadc AS (SELECT l.qid, a.vec_id AS id,
+         |   CAST(sum(l.ltv) AS BIGINT) AS score
+         |  FROM fra a JOIN fqlt l ON l.b = a.b AND l.code = a.code
+         |  GROUP BY 1, 2),
+         |fadcx AS MATERIALIZED (SELECT f.qid, f.id, f.score FROM fadc f
+         |  JOIN uqd d ON d.qid = f.qid AND d.id = f.id),
+         |fivfpq AS MATERIALIZED (SELECT f.qid, f.id, f.score FROM fadcx f
+         |  JOIN fivf v ON v.qid = f.qid AND v.id = f.id)""".stripMargin
+    val armCtes = graphRouteArmCtes(Seq(kOut), maxHops)
+    val evalCtes = (1 to maxHops).map { h =>
+      val prev = if (h == 1) "s0" else s"s${h - 1}_k$kOut"
+      s""",
+         |gv$h AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS ne
+         |  FROM $prev f JOIN rk a ON a.src = f.cur AND a.rn <= $kOut
+         |  JOIN qr ON qr.qid = f.qid WHERE a.dst <> qr.rid
+         |  GROUP BY f.qid)""".stripMargin
+    }.mkString
+    val gvt =
+      s""",
+         |gvt AS (SELECT s.qid,
+         |   CAST(${(1 to maxHops).map(h => s"coalesce(gv$h.ne, 0)")
+               .mkString(" + ")} AS BIGINT) AS ne
+         |  FROM s0 s ${(1 to maxHops)
+               .map(h => s"LEFT JOIN gv$h ON gv$h.qid = s.qid")
+               .mkString(" ")}),
+         |fg AS (SELECT qid, cur AS id, d2 AS score
+         |  FROM s${maxHops}_k$kOut)""".stripMargin
+    val selects = Seq(
+      famSelect("exact", "fex",
+        "SELECT CAST(count(*) AS BIGINT) FROM uqd"),
+      famSelect("srp_bucket", "fsrp",
+        "SELECT CAST(count(*) AS BIGINT) FROM fsrp"),
+      famSelect(s"ivf_p$nProbe", "fivf",
+        "SELECT CAST(count(*) AS BIGINT) FROM fivf"),
+      famSelect("pq_adc", "fadcx",
+        "SELECT CAST(count(*) AS BIGINT) FROM fadcx"),
+      famSelect(s"ivf_pq_p$nProbe", "fivfpq",
+        "SELECT CAST(count(*) AS BIGINT) FROM fivfpq"),
+      famSelect(s"graph_greedy_k$kOut", "fg",
+        "SELECT CAST(coalesce(sum(ne), 0) AS BIGINT) FROM gvt")
+    ).mkString("\nUNION ALL\n")
+    init + shared + exactCtes + famCtes("fex") + srpCtes +
+      famCtes("fsrp") + ivfCtes + famCtes("fivf") + adcCtes +
+      famCtes("fadcx") + famCtes("fivfpq") + armCtes + evalCtes + gvt +
+      famCtes("fg") + "\n" + selects
   }
 
   /** q297 oracle: the q294 frontier CTEs over the same sampled query
@@ -6387,6 +6572,10 @@ object SparkEntry {
     // coarse layer), aggregated with the shared Wilson text
     "q304_route_entry_compare" ->
       graphRouteEntryCompareOracleSql(16, 4, 8, Seq(4, 8, 16, 32), 6, 0L),
+    // q305: every family's candidate generation + the shared
+    // rank/overlap/hit template over the routing init CTEs
+    "q305_ann_family_table" ->
+      annFamilyOracleSql(16, 4, 8, 4, 4, 8, 16, 6, 10, 0L),
     // q272: tumbling cells by epoch-hour floor, session_window replayed
     // as lag/gap islands — break STRICTLY past the gap: session_window
     // merges an exactly-gap-length silence (boundary pinned by the

@@ -2726,7 +2726,7 @@ object Similarity {
         $"query_id", lit(entryId).as("cur"),
         call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
         lit(0L).as("hops"))
-    greedyDescentRows(idx, qt, state0, maxHops)
+    greedyDescentRows(idx, qt, state0, maxHops).drop("n_evals")
   }
 
   /** The per-hop greedy frontier recurrence shared by the fixed-entry
@@ -2739,7 +2739,7 @@ object Similarity {
   private def greedyDescentRows(idx: EdgeIndex, qt: DataFrame,
       state0: DataFrame, maxHops: Int): DataFrame = {
     import idx.e3r.sparkSession.implicits._
-    var state = state0.localCheckpoint(true)
+    var state = state0.withColumn("evals", lit(0L)).localCheckpoint(true)
     for (_ <- 1 to maxHops) {
       // candidates: ranked out-neighbors of each arm's current node at
       // that arm's degree, minus the query's own rep, scored by exact
@@ -2752,25 +2752,31 @@ object Similarity {
         .join(idx.e3r.select($"vec_id".as("dst"), $"v".as("dv")), Seq("dst"))
         .select($"k_out", $"query_id", $"dst".as("id"),
           call_function("pq_d2", $"qv", lit(0), $"dv").as("nd2"))
+      // the count aggregates neighbors + the carried current row, so
+      // this hop's distance evaluations = cnt - 1 (the q305 family
+      // table's honest cost metric; existing callers drop the column)
       val best = nbrs
         .unionByName(state.select($"k_out", $"query_id",
           $"cur".as("id"), $"d2".as("nd2")))
         .groupBy($"k_out", $"query_id")
-        .agg(min(struct($"nd2", $"id")).as("m"))
+        .agg(min(struct($"nd2", $"id")).as("m"),
+          (count(lit(1)) - lit(1L)).as("ne"))
         .select($"k_out", $"query_id", $"m.id".as("nid"),
-          $"m.nd2".as("nd2"))
+          $"m.nd2".as("nd2"), $"ne")
       // both sides are |arms|x|queries| rows — never let the planner
       // fall back to a shuffle join for KB-sized routing state
       state = state.join(broadcast(best), Seq("k_out", "query_id"))
         .select($"k_out", $"query_id", $"nid".as("cur"), $"nd2".as("d2"),
           ($"hops" + when($"nid" =!= $"cur", lit(1L)).otherwise(lit(0L)))
-            .as("hops"))
+            .as("hops"),
+          ($"evals" + $"ne").as("evals"))
         .localCheckpoint(true) // per-hop lineage cut (the q224 rule)
     }
     state.join(broadcast(routeBatchExact(idx, qt)), Seq("query_id"))
       .select($"k_out", $"query_id", $"cur".as("routed_id"),
         $"d2".as("routed_d2"), $"hops".as("n_hops"),
-        $"exact_id", $"exact_d2", ($"cur" === $"exact_id").as("hit"))
+        $"exact_id", $"exact_d2", ($"cur" === $"exact_id").as("hit"),
+        $"evals".as("n_evals"))
   }
 
   /** Distributed beam routing (the q294 semantics at unbounded batch
@@ -3021,6 +3027,217 @@ object Similarity {
         lit(0L).as("hops"))
     val cell = greedyDescentRows(idx, qt, cell0, maxHops)
     aggArm(fixed, "fixed").unionByName(aggArm(cell, "cell"))
+  }
+
+  /** The unified ANN operating table (q305): every index FAMILY run
+    * over the SAME md5-sampled query set at the same k — the
+    * freeze-the-index decision table a 100-TB build reads before
+    * committing to one structure. One row per family:
+    *
+    *  - `exact`      — brute force over the dedup-first reps (the
+    *                   baseline: recall 1, cost = the whole index);
+    *  - `srp_bucket` — banded-SRP LSH (q31/q51 geometry): candidates =
+    *                   reps sharing ANY band bucket with the query;
+    *  - `ivf_p4`     — coarse quantizer (q19 shape): candidates = reps
+    *                   in the query's nProbe nearest of nCells seeded
+    *                   cells;
+    *  - `pq_adc`     — product quantization (q269 shape): EVERY rep
+    *                   scored by the query's ADC table over md5-seeded
+    *                   per-block codes — exhaustive but compressed;
+    *  - `ivf_pq_p4`  — the composed recipe (q280 shape): the ivf_p4
+    *                   candidate set ranked by the pq_adc score;
+    *  - `graph_greedy_k16` — the q293/q296 descent (1-NN machine: its
+    *                   recall column is bounded by 1/k BY CONSTRUCTION
+    *                   — hit_rate is its figure of merit; beam search
+    *                   (q294/q297) is the k-NN extension).
+    *
+    * Columns: n_queries, total_scanned (distance evaluations — for
+    * list families the scored candidate-pair count, for the graph the
+    * measured per-hop neighbor evaluations), sum_overlap + recall@k
+    * (vs the exact top-k), n_hits + hit_rate (top-1 = the exact NN).
+    * All families share ONE query population (the q296 sample minus
+    * entry-degenerate queries), ONE rep index, ONE exact-d² scorer and
+    * ONE truth arm, so the rows differ only in what each family
+    * chooses to scan — which is the entire point of the table.
+    *
+    * Scale: one |Q|-bounded broadcast joins the query table against
+    * the rep index ONCE for the shared scorer (qd); each family's
+    * candidate generation is its own index's cost shape (bucket join /
+    * cell filter / code join / per-hop frontier joins); rankings are
+    * per-query windows over candidate lists, truth is one TakeOrdered
+    * per query — no all-pairs path outside the `exact` baseline row,
+    * which exists precisely to price what the others avoid.
+    */
+  def annFamilyTable(spark: SparkSession, dir: String, nPlanes: Int = 16,
+      nBands: Int = 4, nCells: Int = 8, nProbe: Int = 4,
+      nBlocks: Int = 4, codesPerBlock: Int = 8, kOut: Int = 16,
+      maxHops: Int = 6, k: Int = 10, entryId: Long = 0L): DataFrame = {
+    import spark.implicits._
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe=$nProbe outside 1..$nCells")
+    require(kOut <= RouteIndexMaxK,
+      s"out-degree $kOut exceeds the shared index width $RouteIndexMaxK")
+    val empty = Seq.empty[(String, Long, Long, Long, Long, Double, Long,
+        Double)]
+      .toDF("family", "k", "n_queries", "total_scanned", "sum_overlap",
+        "recall", "n_hits", "hit_rate")
+    val seeds = sampledCentroids(spark, dir, nCells + codesPerBlock)
+    if (seeds.size < nCells + codesPerBlock) return empty
+    val idx = buildEdgeIndex(spark, dir, nPlanes, nBands)
+      .getOrElse(return empty)
+    val ev = idx.e3.filter($"vec_id" === entryId).select($"v".as("ev"))
+    if (ev.isEmpty) return empty
+    require(idx.e3r.filter($"vec_id" === entryId).count() == 1L,
+      s"entry $entryId is not its content group's representative — " +
+        "the oracle's rep-only seed would diverge from the engine")
+    val qSel =
+      substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax
+    val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
+    if (qt.isEmpty) return empty
+    val nQ = qt.count()
+    // the shared scorer: every (query, rep ≠ own rep) exact-i64 d² —
+    // one broadcast join, reused by every family's ranking and by truth
+    val qd = idx.e3r.join(broadcast(qt), col("vec_id") =!= col("rep_id"))
+      .select($"query_id", $"vec_id",
+        call_function("pq_d2", $"v", lit(0), $"qv").as("d2"))
+      .localCheckpoint(true)
+    val wq = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
+    val truthK = qd.withColumn("rk", row_number().over(wq))
+      .filter($"rk" <= k)
+      .select($"query_id", $"vec_id", $"rk")
+      .localCheckpoint(true)
+    val exactNN = truthK.filter($"rk" === 1)
+      .select($"query_id", $"vec_id".as("nn"))
+    /** One family row from its scored candidate pairs
+      * (query_id, vec_id, score). `scannedOverride` replaces the
+      * default candidate-pair count (the graph family measures
+      * per-hop evaluations instead).
+      */
+    def familyRow(name: String, cands: DataFrame,
+        scannedOverride: Option[DataFrame] = None): DataFrame = {
+      val ranked = cands
+        .withColumn("rk", row_number().over(Window
+          .partitionBy($"query_id").orderBy($"score", $"vec_id")))
+        .filter($"rk" <= k)
+        .localCheckpoint(true)
+      val overlap = ranked
+        .join(truthK.select($"query_id", $"vec_id"),
+          Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("sum_overlap"))
+      val hits = ranked.filter($"rk" === 1)
+        .join(exactNN, Seq("query_id"))
+        .filter($"vec_id" === $"nn")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = scannedOverride.getOrElse(
+        cands.agg(count(lit(1)).as("total_scanned")))
+      overlap.crossJoin(hits).crossJoin(scanned)
+        .select(lit(name).as("family"), lit(k.toLong).as("k"),
+          lit(nQ).as("n_queries"), $"total_scanned", $"sum_overlap",
+          round($"sum_overlap" / lit((nQ * k).toDouble), 6).as("recall"),
+          $"n_hits", round($"n_hits" / lit(nQ.toDouble), 6).as("hit_rate"))
+    }
+    // exact: the baseline — candidates are ALL scored pairs
+    val exactRow = familyRow("exact", qd.select($"query_id", $"vec_id",
+      $"d2".as("score")))
+    // srp_bucket: the banded-LSH candidate join (queries' signatures
+    // from their own float embeddings, the index's from the reps')
+    val planes = headVectors(spark, dir, nPlanes)
+    val sigCols = bandSignatureCols(planes, nBands, nPlanes)
+    val e = emb(spark, dir)
+    val repSigs = e
+      .join(idx.e3r.select($"vec_id"), Seq("vec_id"), "left_semi")
+      .select($"vec_id", posexplode(array(sigCols: _*))
+        .as(Seq("band", "sig")))
+    val qSigs = e
+      .join(broadcast(qt.select($"query_id".as("vec_id"))),
+        Seq("vec_id"), "left_semi")
+      .select($"vec_id".as("query_id"),
+        posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+    val srpCands = broadcast(qSigs)
+      .join(repSigs, Seq("band", "sig"))
+      .select($"query_id", $"vec_id").distinct()
+      .join(qd, Seq("query_id", "vec_id")) // attaches d2, drops own rep
+      .select($"query_id", $"vec_id", $"d2".as("score"))
+    val srpRow = familyRow("srp_bucket", srpCands)
+    // ivf_p4: e3-scale seeded cells; reps assigned once, each query
+    // probes its nProbe nearest cells
+    val cellsE3: IndexedSeq[IndexedSeq[Long]] = seeds.take(nCells)
+      .map(_._2.map(x => math.round(x.toDouble * 1000.0)).toIndexedSeq)
+      .toIndexedSeq
+    def cellStructs(vcol: Column): Seq[Column] =
+      cellsE3.zipWithIndex.map { case (cv, ci) =>
+        struct(lit(ci.toLong).as("cell"),
+          call_function("pq_d2", vcol, lit(0),
+            array(cv.map(lit(_)): _*)).as("d2"))
+      }
+    val repCell = idx.e3r
+      .select($"vec_id", explode(array(cellStructs($"v"): _*)).as("cd"))
+      .select($"vec_id", $"cd.cell".as("cell"), $"cd.d2".as("d2"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cell")).as("m"))
+      .select($"vec_id", $"m.cell".as("cell"))
+    val qProbe = qt
+      .select($"query_id", explode(array(cellStructs($"qv"): _*)).as("cd"))
+      .select($"query_id", $"cd.cell".as("cell"), $"cd.d2".as("d2"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy($"query_id").orderBy($"d2", $"cell")))
+      .filter($"rk" <= nProbe)
+      .select($"query_id", $"cell")
+    val ivfPairs = broadcast(qProbe)
+      .join(repCell, Seq("cell"))
+      .select($"query_id", $"vec_id")
+      .join(qd, Seq("query_id", "vec_id"))
+      .localCheckpoint(true)
+    val ivfRow = familyRow(s"ivf_p$nProbe", ivfPairs
+      .select($"query_id", $"vec_id", $"d2".as("score")))
+    // pq_adc: md5-seeded per-block codes at e3 scale; reps encoded
+    // once (codegen pq_encode), each query's ADC table joins the codes
+    val bw = 64 / nBlocks
+    val cwE3: IndexedSeq[IndexedSeq[Long]] = seeds.drop(nCells)
+      .take(codesPerBlock)
+      .map(_._2.map(x => math.round(x.toDouble * 1000.0)).toIndexedSeq)
+      .toIndexedSeq
+    val codebooks: Seq[Seq[Seq[Long]]] = (0 until nBlocks).map(b =>
+      cwE3.map(cw => cw.slice(b * bw, (b + 1) * bw).toSeq))
+    val repCodes = idx.e3r.select($"vec_id",
+      posexplode(VectorOps.pqEncodeCol(spark, $"v", codebooks)
+        .getField("codes")).as(Seq("b", "code")))
+    val ltStructs: Seq[Column] = (0 until nBlocks).flatMap(b =>
+      cwE3.indices.map(code =>
+        struct(lit(b).as("b"), lit(code.toLong).as("code"),
+          VectorOps.pqD2Col(spark, $"qv", b * bw, codebooks(b)(code))
+            .as("ltv"))))
+    val ltTable = qt
+      .select($"query_id", explode(array(ltStructs: _*)).as("s"))
+      .select($"query_id", $"s.b".as("b"), $"s.code".cast("long").as("code"),
+        $"s.ltv".as("ltv"))
+    val adcAll = repCodes
+      .join(broadcast(ltTable), Seq("b", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"ltv").as("score"))
+      .join(qd.select($"query_id", $"vec_id"),
+        Seq("query_id", "vec_id"), "left_semi")
+      .localCheckpoint(true)
+    val adcRow = familyRow("pq_adc", adcAll)
+    // ivf_pq_p4: the ivf candidate set ranked by the ADC score
+    val ivfPqRow = familyRow(s"ivf_pq_p$nProbe", adcAll
+      .join(ivfPairs.select($"query_id", $"vec_id"),
+        Seq("query_id", "vec_id"), "left_semi"))
+    // graph_greedy_k16: the q296 descent; cost = measured per-hop
+    // distance evaluations
+    val state0 = qt.crossJoin(broadcast(ev))
+      .select(lit(kOut.toLong).as("k_out"), $"query_id",
+        lit(entryId).as("cur"),
+        call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
+        lit(0L).as("hops"))
+    val g = greedyDescentRows(idx, qt, state0, maxHops)
+      .localCheckpoint(true)
+    val graphRow = familyRow(s"graph_greedy_k$kOut",
+      g.select($"query_id", $"routed_id".as("vec_id"),
+        $"routed_d2".as("score")),
+      Some(g.agg(coalesce(sum($"n_evals"), lit(0L)).as("total_scanned"))))
+    Seq(exactRow, srpRow, ivfRow, adcRow, ivfPqRow, graphRow)
+      .reduce(_ unionByName _)
   }
 
   def residualPqDistortion(spark: SparkSession, dir: String,

@@ -143,6 +143,43 @@ class Round13Spec extends AnyFunSuite {
       assert(rows(("cell", k))._1 <= rows(("fixed", k))._1)
   }
 
+  test("q305 family table: accounting laws; graph row IS q296's k16 arm; pinned points") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.annFamilyTable(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getLong(6), r.getDouble(7))).toMap
+    assert(rows.keySet == Set("exact", "srp_bucket", "ivf_p4", "pq_adc",
+      "ivf_pq_p4", "graph_greedy_k16"))
+    // one shared query population
+    assert(rows.values.map(_._1).toSet.size == 1)
+    val nQ = rows("exact")._1
+    // the baseline row is exact by definition
+    assert(rows("exact")._4 == 1.0 && rows("exact")._5 == nQ)
+    // every family's recall and hits are bounded by the baseline's
+    rows.values.foreach { case (_, _, _, rec, hits, _) =>
+      assert(rec >= 0.0 && rec <= 1.0); assert(hits >= 0L && hits <= nQ) }
+    // scan accounting: pq_adc is exhaustive (scans what exact scans);
+    // ivf_pq ranks EXACTLY the ivf candidate set
+    assert(rows("pq_adc")._2 == rows("exact")._2)
+    assert(rows("ivf_pq_p4")._2 == rows("ivf_p4")._2)
+    // the graph family is a 1-NN machine: recall is bounded by 1/k by
+    // construction, and its hit count IS q296's k_out=16 arm (same
+    // descent, same query table — the cross-query law)
+    assert(rows("graph_greedy_k16")._4 <= 1.0 / 10 + 1e-9)
+    val q296k16 = Similarity.graphRouteAnnWide(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap.apply(16L)
+    assert(rows("graph_greedy_k16")._5 == q296k16,
+      s"graph family hits ${rows("graph_greedy_k16")._5} != q296 $q296k16")
+    assume(graft.TestFixtures.embeddingsMd5(dir) ==
+        graft.TestFixtures.pinnedEmbeddingsMd5,
+      "embeddings fixture regenerated — pinned values skipped")
+    // the freeze-the-index readout on the pinned fixture: IVF-p4 buys
+    // 0.71 recall at half the exact scan; the LSH buckets 0.40 at ~23%;
+    // the untrained 8-code PQ rankings sit near 0.11 (the q277 lesson)
+    assert(rows("ivf_p4")._4 == 0.711905, s"ivf moved: $rows")
+    assert(rows("srp_bucket")._4 == 0.402381, s"srp moved: $rows")
+  }
+
   test("route-edge artifact: the durable table equals the maintained fold (q298 ≡ q299)") {
     // the on-disk artifact is exactly the frame the incremental
     // maintainer reproduces — cross-gate the two paths on the shared

@@ -1660,16 +1660,38 @@ object Similarity {
     }
   }
 
+  private val trainedCodebookCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int, Int, Int, String, Long),
+      Option[(IndexedSeq[Long], IndexedSeq[IndexedSeq[Long]],
+        IndexedSeq[IndexedSeq[IndexedSeq[Long]]])]]
+
   /** The trained codebooks + query vector behind q295 — extracted so
     * q303 (filtered ANN over the trained ADC ranking) trains the
     * IDENTICAL trajectory: (query e6 vector, Lloyd-trained coarse
     * cells, Lloyd-trained residual codebook with code 0 frozen at
     * zero). None when the corpus can't seed the codebooks or has no
-    * query vector (the q295 degrade rule).
+    * query vector (the q295 degrade rule). Memoized (KB-sized driver
+    * state, corpus-fingerprinted — the kmvSketchTable discipline): the
+    * q295/q303 pair shares one training trajectory per sweep instead
+    * of each paying the 4 Lloyd rollup passes.
     */
   private def trainedIvfPqCodebooks(spark: SparkSession, dir: String,
       nCells: Int, nBlocks: Int, codesPerBlock: Int, iters: Int,
       seedHexMax: String): Option[(IndexedSeq[Long],
+        IndexedSeq[IndexedSeq[Long]],
+        IndexedSeq[IndexedSeq[IndexedSeq[Long]]])] = {
+    val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
+    Memo.cached(trainedCodebookCache,
+        (spark, dir, nCells, nBlocks, codesPerBlock, iters, seedHexMax,
+          fp)) {
+      trainedIvfPqCodebooksUncached(spark, dir, nCells, nBlocks,
+        codesPerBlock, iters, seedHexMax)
+    }
+  }
+
+  private def trainedIvfPqCodebooksUncached(spark: SparkSession,
+      dir: String, nCells: Int, nBlocks: Int, codesPerBlock: Int,
+      iters: Int, seedHexMax: String): Option[(IndexedSeq[Long],
         IndexedSeq[IndexedSeq[Long]],
         IndexedSeq[IndexedSeq[IndexedSeq[Long]]])] = {
     import spark.implicits._

@@ -509,6 +509,14 @@ class OpsSpec extends AnyFunSuite {
       "n_overlap", "recall"),
     "q301_filtered_ivf_selectivity" -> Set("n_labels", "strategy", "k",
       "n_scanned", "n_overlap", "recall"),
+    "q302_cell_partitioned_ivf" -> Set("strategy", "k", "n_scanned",
+      "n_overlap", "recall"),
+    "q303_filtered_adc_topk" -> Set("strategy", "k", "n_scanned",
+      "n_overlap", "recall"),
+    "q304_route_entry_compare" -> Set("entry_strategy", "k_out",
+      "n_queries", "n_hits", "hit_rate", "wilson_low", "wilson_high"),
+    "q305_ann_family_table" -> Set("family", "k", "n_queries",
+      "total_scanned", "sum_overlap", "recall", "n_hits", "hit_rate"),
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

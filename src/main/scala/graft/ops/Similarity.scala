@@ -3093,7 +3093,9 @@ object Similarity {
   def annFamilyTable(spark: SparkSession, dir: String, nPlanes: Int = 16,
       nBands: Int = 4, nCells: Int = 8, nProbe: Int = 4,
       nBlocks: Int = 4, codesPerBlock: Int = 8, kOut: Int = 16,
-      maxHops: Int = 6, k: Int = 10, entryId: Long = 0L): DataFrame = {
+      maxHops: Int = 6, k: Int = 10, entryId: Long = 0L,
+      queryHexMax: String = RouteWideHexMax,
+      maxEvalPairs: Long = 500000000L): DataFrame = {
     import spark.implicits._
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe=$nProbe outside 1..$nCells")
@@ -3113,10 +3115,21 @@ object Similarity {
       s"entry $entryId is not its content group's representative — " +
         "the oracle's rep-only seed would diverge from the engine")
     val qSel =
-      substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax
+      substring(md5(col("vec_id").cast("string")), 1, 2) <= queryHexMax
     val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
     if (qt.isEmpty) return empty
     val nQ = qt.count()
+    // eval-tier guard (the q186 discipline): the shared exact-truth
+    // scorer is |Q|·|reps| pairs with |Q| ~ corpus/16 by default —
+    // measuring recall costs this quadratic arm BY DESIGN, and running
+    // it unbounded is a design error, not a slow query. The error
+    // names the 100-TB recipe: narrow the query sample.
+    val nReps = idx.e3r.count()
+    require(nReps * nQ <= maxEvalPairs,
+      s"annFamilyTable: exact-truth arm of ${nReps * nQ} (rep, query) " +
+        s"pairs exceeds the eval-tier bound $maxEvalPairs — narrow the " +
+        s"query sample (queryHexMax='$queryHexMax') or raise " +
+        "maxEvalPairs if this corpus size is intentional")
     // the shared scorer: every (query, rep ≠ own rep) exact-i64 d² —
     // one broadcast join, reused by every family's ranking and by truth
     val qd = idx.e3r.join(broadcast(qt), col("vec_id") =!= col("rep_id"))

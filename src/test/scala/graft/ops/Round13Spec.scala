@@ -170,6 +170,13 @@ class Round13Spec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap.apply(16L)
     assert(rows("graph_greedy_k16")._5 == q296k16,
       s"graph family hits ${rows("graph_greedy_k16")._5} != q296 $q296k16")
+    // the eval-tier guard refuses an exact-truth arm past the pair
+    // budget and names the sampled recipe (the q186 discipline)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annFamilyTable(spark, dir, maxEvalPairs = 10L)
+    }
+    assert(e.getMessage.contains("eval-tier") &&
+      e.getMessage.contains("queryHexMax"), e.getMessage)
     assume(graft.TestFixtures.embeddingsMd5(dir) ==
         graft.TestFixtures.pinnedEmbeddingsMd5,
       "embeddings fixture regenerated — pinned values skipped")

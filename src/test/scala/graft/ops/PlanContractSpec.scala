@@ -187,6 +187,10 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("q75/q77/q79/q81/q82: eager ops release their caches and return materialized results") {
+    // warm the SHARED memoized dedup tables (mins/candidates) first:
+    // they persist by design (the memo owns them) and must not count
+    // against the per-query leak allowance below
+    Dedup.minhashCandidates(spark, sf).count()
     val before = spark.sparkContext.getPersistentRDDs.size
     val dfs = Seq(
       PipelinePrep.sourceReputation(spark, sf),
@@ -220,6 +224,9 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("q86/q87/q97/q99/q100: eager retrieval stats release their caches and return materialized results") {
+    // warm the SHARED memoized mins table q99 reads (the memo owns its
+    // persist; it must not count against the leak allowance below)
+    Dedup.minhashCandidates(spark, sf).count()
     val before = spark.sparkContext.getPersistentRDDs.size
     val dfs = Seq(
       TextAnalysis.bm25TopK(spark, sf),
@@ -256,18 +263,17 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("q88/q90/q93: pair stages are equi-joins — no nested-loop or cartesian fallback") {
-    // q88 returns a checkpointed result (its plan is just the RDD scan),
-    // so its contract reads the PRE-checkpoint skeleton directly
-    val (q88Joined, q88Release) = Dedup.keeperShingleIntersections(spark, sf)
-    try {
-      Seq(q88Joined -> "q88",
-        Dedup.crossSourceDups(spark, sf) -> "q90",
-        TextAnalysis.winnowingCandidates(spark, sf) -> "q93").foreach { case (df, q) =>
-        val p = plan(df)
-        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-          s"$q fell back to an all-pairs join:\n$p")
-      }
-    } finally q88Release()
+    // q88's joined table is memoized+persisted (round-13 sharing with
+    // q39); its plan carries the join skeleton inside the cached
+    // relation, so the contract still reads it
+    val q88Joined = Dedup.keeperShingleIntersections(spark, sf)
+    Seq(q88Joined -> "q88",
+      Dedup.crossSourceDups(spark, sf) -> "q90",
+      TextAnalysis.winnowingCandidates(spark, sf) -> "q93").foreach { case (df, q) =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q fell back to an all-pairs join:\n$p")
+    }
   }
 
   test("q92: eager bucketing releases its cache and returns a materialized result") {

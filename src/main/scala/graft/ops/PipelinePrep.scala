@@ -443,7 +443,20 @@ object PipelinePrep {
     * one-row broadcast scalar. Nothing here grows faster than the
     * source dimension.
     */
-  def sourceReputation(spark: SparkSession, dir: String): DataFrame = {
+  private val sourceRepCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), DataFrame]
+
+  def sourceReputation(spark: SparkSession, dir: String): DataFrame =
+    // memoized (round-13 optimization): q75 is also recomputed wholesale
+    // inside q100's health report — the sources-sized checkpointed frame
+    // is served once per (session, corpus fingerprint)
+    Memo.cached(sourceRepCache,
+        (spark, dir, Memo.fingerprint(spark, s"$dir/documents.parquet"))) {
+      sourceReputationUncached(spark, dir)
+    }
+
+  private def sourceReputationUncached(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     // persisted: perDoc feeds both the copy-count aggregate and the
     // join back — without the cache Catalyst re-expands it into a

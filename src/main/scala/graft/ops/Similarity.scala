@@ -284,7 +284,29 @@ object Similarity {
     * partitions, no skew — and at 100 TB the bucket join is the same
     * shuffle shape as the MinHash band join.
     */
-  def knnGraph(spark: SparkSession, dir: String, nPlanes: Int = 8, k: Int = 3): DataFrame = {
+  private val knnGraphCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int, Long), DataFrame]
+
+  def knnGraph(spark: SparkSession, dir: String, nPlanes: Int = 8, k: Int = 3): DataFrame =
+    // memoized (round-13 optimization): ~18 registered queries — the
+    // whole graph-analytics family plus the KNN similarity stats — each
+    // rebuilt this identical (corpus, 8, 3) edge table per invocation
+    // (bucket self-join + per-node ranking window). One persisted build
+    // per (session, corpus fingerprint, geometry) is exactly the KNN
+    // index a 100-TB curation pipeline materializes once; the memo owns
+    // the lifetime (the kmvSketchTable discipline)
+    Memo.cached(knnGraphCache,
+        (spark, dir, nPlanes, k,
+          Memo.fingerprint(spark, s"$dir/embeddings.parquet")),
+        onEvict = (df: DataFrame) => df.unpersist()) {
+      val df = knnGraphUncached(spark, dir, nPlanes, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  private def knnGraphUncached(spark: SparkSession, dir: String,
+      nPlanes: Int, k: Int): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
     // foldLeft, not reduce: an empty corpus has no head vectors, and

@@ -1155,7 +1155,20 @@ object TextAnalysis {
     * float reduction whose merge order Spark doesn't pin (the q64
     * precedent).
     */
-  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+  private val sourceDivCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), DataFrame]
+
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    // memoized (round-13 optimization): q87 is also recomputed wholesale
+    // inside q100's health report — the sources-sized checkpointed frame
+    // is served once per (session, corpus fingerprint)
+    Memo.cached(sourceDivCache,
+        (spark, dir, Memo.fingerprint(spark, s"$dir/documents.parquet"))) {
+      sourceDivergenceUncached(spark, dir)
+    }
+
+  private def sourceDivergenceUncached(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val sw = docs(spark, dir)
       .select($"source", explode(toks).as("w"))

@@ -161,6 +161,9 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("q70: rank rounds run against a checkpointed result and release the edge cache") {
+    // warm the SHARED memoized KNN edge table (the memo owns its
+    // persist; it must not count against the leak allowance below)
+    Similarity.knnGraph(spark, sf).count()
     val before = spark.sparkContext.getPersistentRDDs.size
     val df = Graph.pageRankKnn(spark, sf, iters = 2)
     // the operator is eager (one checkpointed node-sized result); the
@@ -187,10 +190,11 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("q75/q77/q79/q81/q82: eager ops release their caches and return materialized results") {
-    // warm the SHARED memoized dedup tables (mins/candidates) first:
+    // warm the SHARED memoized tables (mins/candidates/KNN edges) first:
     // they persist by design (the memo owns them) and must not count
     // against the per-query leak allowance below
     Dedup.minhashCandidates(spark, sf).count()
+    Similarity.knnGraph(spark, sf).count()
     val before = spark.sparkContext.getPersistentRDDs.size
     val dfs = Seq(
       PipelinePrep.sourceReputation(spark, sf),

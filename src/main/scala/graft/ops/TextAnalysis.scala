@@ -2285,7 +2285,24 @@ object TextAnalysis {
     * vocabulary segmentation). See [[bpeMerges]] for the algorithm and
     * scale argument.
     */
+  private val bpeTrainCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Long),
+      (Seq[(Long, String, String, String, Long)], DataFrame)]
+
   private def bpeTrain(spark: SparkSession, dir: String, k: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) =
+    // memoized (round-13 optimization): q176 (merge table), q185
+    // (fertility report) and q253 (corpus re-encode) each replayed the
+    // identical k-round training loop — k argmax collects + k
+    // checkpointed window passes. Trained once per (session, corpus
+    // fingerprint, k); the merge rows are driver state and the final
+    // positions table is already checkpointed.
+    Memo.cached(bpeTrainCache,
+        (spark, dir, k, Memo.fingerprint(spark, s"$dir/documents.parquet"))) {
+      bpeTrainUncached(spark, dir, k)
+    }
+
+  private def bpeTrainUncached(spark: SparkSession, dir: String, k: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     import spark.implicits._
     val w = Window.partitionBy($"word").orderBy($"pos")

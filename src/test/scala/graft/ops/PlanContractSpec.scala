@@ -190,11 +190,12 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("q75/q77/q79/q81/q82: eager ops release their caches and return materialized results") {
-    // warm the SHARED memoized tables (mins/candidates/KNN edges) first:
-    // they persist by design (the memo owns them) and must not count
-    // against the per-query leak allowance below
+    // warm the SHARED memoized tables (mins/candidates/KNN edges/gram
+    // multiplicity) first: they persist by design (the memo owns them)
+    // and must not count against the per-query leak allowance below
     Dedup.minhashCandidates(spark, sf).count()
     Similarity.knnGraph(spark, sf).count()
+    Dedup.duplicatedWindowFraction(spark, sf).count()
     val before = spark.sparkContext.getPersistentRDDs.size
     val dfs = Seq(
       PipelinePrep.sourceReputation(spark, sf),

@@ -2711,6 +2711,30 @@ object Similarity {
     * |queries| cost the literal-explode arm pays too, spelled as a
     * join), minus each query's own rep, argmin by (d², id).
     */
+  private val wideQtCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int, Long, Long),
+      (DataFrame, DataFrame)]
+
+  /** Memoized (round-13 optimization) wide-sample routing inputs: the
+    * RouteWideHexMax query table AND its exact-NN arm. q296, q297, both
+    * q304 arms and q305 each rebuilt this identical pair per invocation
+    * — the |Q|-row checkpointed query table plus the |Q|·|reps| exact
+    * scorer. One build per (session, corpus fingerprint, geometry,
+    * entry) now serves the whole wide-table family; the q293/q294
+    * explicit-query-id paths keep the uncached spelling.
+    */
+  private def wideRouteQueries(spark: SparkSession, dir: String,
+      idx: EdgeIndex, nPlanes: Int, nBands: Int,
+      entryId: Long): (DataFrame, DataFrame) =
+    Memo.cached(wideQtCache,
+        (spark, dir, nPlanes, nBands, entryId,
+          Memo.fingerprint(spark, s"$dir/embeddings.parquet"))) {
+      val qSel =
+        substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax
+      val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
+      (qt, routeBatchExact(idx, qt).localCheckpoint(true))
+    }
+
   private def routeBatchExact(idx: EdgeIndex, qt: DataFrame): DataFrame =
     idx.e3r.join(broadcast(qt), col("vec_id") =!= col("rep_id"))
       .select(col("query_id"),
@@ -2743,7 +2767,8 @@ object Similarity {
 
   private def graphRouteAnnBatchCore(spark: SparkSession, dir: String,
       nPlanes: Int, nBands: Int, kOuts: Seq[Int], maxHops: Int,
-      qSel: Column, entryId: Long): DataFrame = {
+      qSel: Column, entryId: Long,
+      preQt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import spark.implicits._
     require(kOuts.nonEmpty && kOuts == kOuts.sorted && kOuts.distinct == kOuts,
       s"kOuts must be distinct ascending, got $kOuts")
@@ -2761,7 +2786,11 @@ object Similarity {
     require(idx.e3r.filter($"vec_id" === entryId).count() == 1L,
       s"entry $entryId is not its content group's representative — " +
         "the oracle's rep-only seed would diverge from the engine")
-    val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
+    val (qt, preExact) = preQt match {
+      case Some((q, e)) => (q, Some(e))
+      case None =>
+        (routeBatchQueries(idx, qSel, entryId).localCheckpoint(true), None)
+    }
     if (qt.isEmpty) return empty
     // state: one row per (arm, query) — (cur, d², hops); query vectors
     // and rep exclusions re-join from the broadcast query table per hop
@@ -2770,7 +2799,7 @@ object Similarity {
         $"query_id", lit(entryId).as("cur"),
         call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
         lit(0L).as("hops"))
-    greedyDescentRows(idx, qt, state0, maxHops).drop("n_evals")
+    greedyDescentRows(idx, qt, state0, maxHops, preExact).drop("n_evals")
   }
 
   /** The per-hop greedy frontier recurrence shared by the fixed-entry
@@ -2781,7 +2810,8 @@ object Similarity {
     * (d², id) minimum over neighbors ∪ {current}.
     */
   private def greedyDescentRows(idx: EdgeIndex, qt: DataFrame,
-      state0: DataFrame, maxHops: Int): DataFrame = {
+      state0: DataFrame, maxHops: Int,
+      preExact: Option[DataFrame] = None): DataFrame = {
     import idx.e3r.sparkSession.implicits._
     var state = state0.withColumn("evals", lit(0L)).localCheckpoint(true)
     for (_ <- 1 to maxHops) {
@@ -2816,7 +2846,8 @@ object Similarity {
           ($"evals" + $"ne").as("evals"))
         .localCheckpoint(true) // per-hop lineage cut (the q224 rule)
     }
-    state.join(broadcast(routeBatchExact(idx, qt)), Seq("query_id"))
+    state.join(broadcast(preExact.getOrElse(routeBatchExact(idx, qt))),
+        Seq("query_id"))
       .select($"k_out", $"query_id", $"cur".as("routed_id"),
         $"d2".as("routed_d2"), $"hops".as("n_hops"),
         $"exact_id", $"exact_d2", ($"cur" === $"exact_id").as("hit"),
@@ -2842,7 +2873,8 @@ object Similarity {
 
   private def beamRouteAnnBatchCore(spark: SparkSession, dir: String,
       nPlanes: Int, nBands: Int, kOut: Int, beams: Seq[Int], maxHops: Int,
-      qSel: Column, entryId: Long): DataFrame = {
+      qSel: Column, entryId: Long,
+      preQt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import spark.implicits._
     require(beams.nonEmpty && beams == beams.sorted && beams.distinct == beams,
       s"beams must be distinct ascending, got $beams")
@@ -2858,7 +2890,11 @@ object Similarity {
     require(idx.e3r.filter($"vec_id" === entryId).count() == 1L,
       s"entry $entryId is not its content group's representative — " +
         "the oracle's rep-only seed would diverge from the engine")
-    val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
+    val (qt, preExact) = preQt match {
+      case Some((q, e)) => (q, Some(e))
+      case None =>
+        (routeBatchQueries(idx, qSel, entryId).localCheckpoint(true), None)
+    }
     if (qt.isEmpty) return empty
     val wFront = Window.partitionBy($"beam", $"query_id")
       .orderBy($"d2", $"id")
@@ -2892,7 +2928,8 @@ object Similarity {
     }
     front.withColumn("rnf", row_number().over(wFront))
       .filter($"rnf" === 1)
-      .join(broadcast(routeBatchExact(idx, qt)), Seq("query_id"))
+      .join(broadcast(preExact.getOrElse(routeBatchExact(idx, qt))),
+        Seq("query_id"))
       .select($"beam", $"query_id", $"id".as("routed_id"),
         $"d2".as("routed_d2"), $"exact_id", $"exact_d2",
         ($"id" === $"exact_id").as("hit"))
@@ -2940,7 +2977,9 @@ object Similarity {
       entryId: Long = 0L): DataFrame =
     graphRouteAnnBatchCore(spark, dir, nPlanes, nBands, kOuts, maxHops,
       substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax,
-      entryId)
+      entryId,
+      buildEdgeIndex(spark, dir, nPlanes, nBands).map(idx =>
+        wideRouteQueries(spark, dir, idx, nPlanes, nBands, entryId)))
       .groupBy(col("k_out"))
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
@@ -2957,7 +2996,9 @@ object Similarity {
     beamRouteAnnBatchCore(spark, dir, nPlanes, nBands, kOut, beams,
       maxHops,
       substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax,
-      entryId)
+      entryId,
+      buildEdgeIndex(spark, dir, nPlanes, nBands).map(idx =>
+        wideRouteQueries(spark, dir, idx, nPlanes, nBands, entryId)))
       .groupBy(col("beam"))
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
@@ -3003,8 +3044,6 @@ object Similarity {
     val empty = Seq.empty[(String, Long, Long, Long, Double, Double, Double)]
       .toDF("entry_strategy", "k_out", "n_queries", "n_hits", "hit_rate",
         "wilson_low", "wilson_high")
-    val qSel =
-      substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax
     val seeds = sampledCentroids(spark, dir, nCells)
     val idx = buildEdgeIndex(spark, dir, nPlanes, nBands)
       .getOrElse(return empty)
@@ -3014,7 +3053,8 @@ object Similarity {
     require(idx.e3r.filter($"vec_id" === entryId).count() == 1L,
       s"entry $entryId is not its content group's representative — " +
         "the oracle's rep-only seed would diverge from the engine")
-    val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
+    val (qt, wideExact) =
+      wideRouteQueries(spark, dir, idx, nPlanes, nBands, entryId)
     if (qt.isEmpty) return empty
     def aggArm(rows: DataFrame, strategy: String): DataFrame = rows
       .groupBy(col("k_out"))
@@ -3031,7 +3071,7 @@ object Similarity {
         $"query_id", lit(entryId).as("cur"),
         call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
         lit(0L).as("hops"))
-    val fixed = greedyDescentRows(idx, qt, fixed0, maxHops)
+    val fixed = greedyDescentRows(idx, qt, fixed0, maxHops, Some(wideExact))
     // cell arm: e3-scale literal centroids; each rep scores all nCells
     // in one zero-shuffle pass; argmin per cell elects its entry rep
     val cellsE3: IndexedSeq[IndexedSeq[Long]] = seeds
@@ -3069,7 +3109,7 @@ object Similarity {
         $"query_id", $"entry_id".as("cur"),
         call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
         lit(0L).as("hops"))
-    val cell = greedyDescentRows(idx, qt, cell0, maxHops)
+    val cell = greedyDescentRows(idx, qt, cell0, maxHops, Some(wideExact))
     aggArm(fixed, "fixed").unionByName(aggArm(cell, "cell"))
   }
 
@@ -3138,7 +3178,14 @@ object Similarity {
         "the oracle's rep-only seed would diverge from the engine")
     val qSel =
       substring(md5(col("vec_id").cast("string")), 1, 2) <= queryHexMax
-    val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
+    // the default sample rides the memoized wide pair (q296/q297/q304
+    // share it); a non-default queryHexMax keeps the direct build
+    val widePair =
+      if (queryHexMax == RouteWideHexMax)
+        Some(wideRouteQueries(spark, dir, idx, nPlanes, nBands, entryId))
+      else None
+    val qt = widePair.map(_._1).getOrElse(
+      routeBatchQueries(idx, qSel, entryId).localCheckpoint(true))
     if (qt.isEmpty) return empty
     val nQ = qt.count()
     // eval-tier guard (the q186 discipline): the shared exact-truth
@@ -3287,7 +3334,7 @@ object Similarity {
         lit(entryId).as("cur"),
         call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
         lit(0L).as("hops"))
-    val g = greedyDescentRows(idx, qt, state0, maxHops)
+    val g = greedyDescentRows(idx, qt, state0, maxHops, widePair.map(_._2))
       .localCheckpoint(true)
     val graphRow = familyRow(s"graph_greedy_k$kOut",
       g.select($"query_id", $"routed_id".as("vec_id"),

@@ -219,10 +219,12 @@ object Graph {
           .groupBy($"u")
           .agg(min_by($"lbl", struct((-$"c").as("nc"), $"lbl")).as("new_lbl"))
           .withColumnRenamed("u", "vec_id")
+        // one job per round: LAZY local checkpoint materialized by the
+        // convergence count (the q225 round-14 treatment)
         val next = labels.join(mode, Seq("vec_id"), "left")
           .select($"vec_id", $"lbl".as("prev"),
             coalesce($"new_lbl", $"lbl").as("lbl"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         changed = next.filter($"lbl" =!= $"prev").count()
         labels = next.select($"vec_id", $"lbl")
         r += 1
@@ -293,12 +295,19 @@ object Graph {
         val inMass = withDeg.join(ranks, $"src" === $"vec_id")
           .select($"dst", expr("r div deg").as("c"))
           .groupBy($"dst").agg(sum($"c").as("s"))
+        // ONE job per round (round-14, guide §2.4): the LAZY local
+        // checkpoint is materialized BY the convergence count, which
+        // scans every partition — so the state blocks land and `changed`
+        // comes back in the same driver round-trip, replacing the
+        // eager-checkpoint + count() pair. localCheckpoint (not persist)
+        // because the round references `ranks` twice: only a checkpoint
+        // cuts the lineage, and un-cut plans grow exponentially here.
         val next = ranks.select($"vec_id", $"r".as("prev"))
           .join(inMass, $"vec_id" === $"dst", "left")
           .select($"vec_id", $"prev",
             (lit(tele) +
               expr(s"(85 * coalesce(s, 0L)) div 100")).as("r"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         changed = next.filter($"r" =!= $"prev").count()
         ranks = next.select($"vec_id", $"r")
         it += 1
@@ -362,12 +371,14 @@ object Graph {
         val inMass = withDeg.join(ranks, $"src" === $"vec_id")
           .select($"dst", expr("r div deg").as("c"))
           .groupBy($"dst").agg(sum($"c").as("s"))
+        // one job per round: LAZY local checkpoint materialized by the
+        // convergence count (the q225 round-14 treatment)
         val next = ranks.select($"vec_id", $"r".as("prev"))
           .join(inMass, $"vec_id" === $"dst", "left")
           .select($"vec_id", $"prev",
             (when(seedCol, lit(teleSeed)).otherwise(lit(0L)) +
               expr(s"(85 * coalesce(s, 0L)) div 100")).as("r"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         changed = next.filter($"r" =!= $"prev").count()
         ranks = next.select($"vec_id", $"r")
         it += 1
@@ -521,10 +532,13 @@ object Graph {
         keep = edges.select(explode(array($"a", $"b")).as("node"))
           .groupBy($"node").agg(count(lit(1)).as("deg"))
           .filter($"deg" >= k)
+        // one job per round: the surviving-edge count (this loop's
+        // convergence signal) materializes the LAZY local checkpoint
+        // (the q225 round-14 treatment)
         edges = edges
           .join(keep.select($"node".as("a")), Seq("a"), "left_semi")
           .join(keep.select($"node".as("b")), Seq("b"), "left_semi")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         prevCount = curCount
         curCount = edges.count()
         r += 1
@@ -611,6 +625,11 @@ object Graph {
       var visited = spark.range(1).select(lit(0L).as("vec_id"),
         lit(0L).as("level")).localCheckpoint(true)
       var frontier = visited.select($"vec_id")
+      // ONE job per depth (the q225 round-14 treatment): the new-node
+      // count materializes the frontier fragment's LAZY local checkpoint
+      // and doubles as the exhaustion signal; `visited` stays a lazy
+      // union of the checkpointed per-depth fragments, so each
+      // reference scans materialized blocks with a depth-bounded plan
       var depth = 1
       var exhausted = false
       while (depth <= maxDepth && !exhausted) {
@@ -619,9 +638,10 @@ object Graph {
           .select($"v".as("vec_id")).distinct()
           .join(visited.select($"vec_id"), Seq("vec_id"), "left_anti")
           .select($"vec_id", lit(depth.toLong).as("level"))
-        visited = visited.unionByName(next).localCheckpoint(true)
-        frontier = next.select($"vec_id").localCheckpoint(true)
-        if (frontier.isEmpty) exhausted = true
+          .localCheckpoint(false)
+        if (next.count() == 0) exhausted = true
+        visited = visited.unionByName(next)
+        frontier = next.select($"vec_id")
         depth += 1
       }
       val reached = visited.groupBy($"level")
@@ -787,17 +807,21 @@ object Graph {
         // aNorm is referenced three times (h-sum via renorm's double
         // branch + the final join) — unmaterialized that re-evaluates
         // aAgg up to 6× per round, the Spark-side twin of the oracle's
-        // MATERIALIZED-CTE requirement
-        val aNorm = renorm(aAgg, "a").localCheckpoint(true)
+        // MATERIALIZED-CTE requirement. LAZY checkpoint (round-14): its
+        // blocks land inside the exit-count job below, chained through
+        // `next` — one driver round-trip per round instead of three.
+        val aNorm = renorm(aAgg, "a").localCheckpoint(false)
         val hAgg = edges.join(aNorm.select($"vec_id".as("av"), $"a"),
             $"dst" === $"av")
           .groupBy($"src").agg(sum($"a").as("h"))
           .select($"src".as("vec_id"), $"h")
+        // lazy checkpoint materialized by the exit count below (the
+        // q225 round-14 treatment)
         val next = renorm(hAgg, "h")
           .join(aNorm, Seq("vec_id"), "full")
           .select($"vec_id", coalesce($"h", lit(0L)).as("h"),
             coalesce($"a", lit(0L)).as("a"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // the exit compares FULL states: support-only rows make a
         // vanished (or appeared) row a difference too, so a repeated
         // support state is a repeated full state — the cap argument
@@ -942,6 +966,9 @@ object Graph {
         .select($"vec_id".as("src"), $"vec_id", lit(0L).as("dist"))
         .localCheckpoint(true)
       var frontier = visited.select($"src", $"vec_id")
+      // one job per depth: the frontier count materializes the LAZY
+      // local checkpoint and is the exhaustion signal; visited is a lazy
+      // union of the checkpointed fragments (the q213 round-14 treatment)
       var depth = 1
       var exhausted = frontier.isEmpty
       while (depth <= maxDepth && !exhausted) {
@@ -951,9 +978,10 @@ object Graph {
           .join(visited.select($"src", $"vec_id"),
             Seq("src", "vec_id"), "left_anti")
           .select($"src", $"vec_id", lit(depth.toLong).as("dist"))
-        visited = visited.unionByName(next).localCheckpoint(true)
-        frontier = next.select($"src", $"vec_id").localCheckpoint(true)
-        if (frontier.isEmpty) exhausted = true
+          .localCheckpoint(false)
+        if (next.count() == 0) exhausted = true
+        visited = visited.unionByName(next)
+        frontier = next.select($"src", $"vec_id")
         depth += 1
       }
       val per = visited.filter($"dist" > 0)

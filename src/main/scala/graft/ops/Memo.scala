@@ -51,18 +51,61 @@ object Memo {
     }
   }
 
-  /** getOrElseUpdate with the [[maxEntries]] cap. `onEvict` runs once per
-    * evicted value BEFORE the clear, so values holding executor state
-    * (localCheckpoint'd DataFrames pin block-manager blocks) release it
-    * deterministically at eviction time instead of waiting for driver GC
-    * plus the ContextCleaner to notice the dropped references.
+  /** Build-attribution log (round-14, the bench's `memo_builds`
+    * section): one entry per compute-body run — (table label, the
+    * consumer that triggered the build, seconds spent in the body).
+    * `currentConsumer` is set by the bench around each timed query so
+    * shared-table build cost is attributable to the query that paid it
+    * (per-query times for memoized families are otherwise
+    * order-dependent across runs — round-13 verdict #2); outside the
+    * bench it stays "" and entries are still recorded. A LAZY memo's
+    * body only plans (its materialization lands in the same consumer's
+    * wall clock); eager builders (checkpointing/counting bodies) pay
+    * the whole build inside the body, so `secs` is the build cost.
+    */
+  val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Double)]
+  @volatile var currentConsumer: String = ""
+
+  /** Deterministic storage release for an EVICTED memoized DataFrame
+    * (round-13 ADVICE): a cached plan unpersists through the Dataset
+    * API, but a localCheckpoint'd value holds its blocks on an internal
+    * RDD that API can't reach — unpersist that RDD directly. ROOT node
+    * only, on purpose: a derived value (e.g. a sampled filter OVER
+    * another entry's checkpoint) must never release the table it reads
+    * — its own root is a Filter, which falls through to the no-op
+    * Dataset unpersist.
+    */
+  def releaseOnEvict(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(false); ()
+      case _ => df.unpersist(false); ()
+    }
+
+  /** getOrElseUpdate with a per-cache entry cap (default
+    * [[maxEntries]]; corpus-sized caches pass a smaller `cap` so a few
+    * parameterizations cannot pin several corpus-scale tables at once —
+    * round-13 ADVICE). `onEvict` runs once per evicted value BEFORE the
+    * clear, so values holding executor state (localCheckpoint'd
+    * DataFrames pin block-manager blocks) release it deterministically
+    * at eviction time instead of waiting for driver GC plus the
+    * ContextCleaner to notice the dropped references.
+    *
+    * The insert is compute-then-putIfAbsent (NOT getOrElseUpdate, whose
+    * losing duplicate under concurrent first calls would leak an
+    * eagerly-persisted value for the session lifetime — round-13
+    * ADVICE): if another thread won the race, the loser's value goes
+    * through `onEvict` so its resources release deterministically.
     */
   def cached[K, V](cache: TrieMap[K, V], key: K,
-      onEvict: V => Unit = (_: V) => ())(compute: => V): V =
+      onEvict: V => Unit = (_: V) => (), label: String = "",
+      cap: Int = maxEntries)(
+      compute: => V): V =
     cache.get(key) match {
       case Some(v) => v
       case None =>
-        if (cache.size >= maxEntries) {
+        if (cache.size >= cap) {
           cache.values.foreach { v =>
             try onEvict(v)
             catch { case _: Exception => () } // a dead session must not
@@ -70,6 +113,15 @@ object Memo {
           }
           cache.clear()
         }
-        cache.getOrElseUpdate(key, compute)
+        val t0 = System.nanoTime()
+        val v = compute
+        if (label.nonEmpty)
+          buildLog.add((label, currentConsumer, (System.nanoTime() - t0) / 1e9))
+        cache.putIfAbsent(key, v) match {
+          case Some(winner) =>
+            try onEvict(v) catch { case _: Exception => () }
+            winner
+          case None => v
+        }
     }
 }

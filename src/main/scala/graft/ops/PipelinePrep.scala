@@ -451,7 +451,9 @@ object PipelinePrep {
     // inside q100's health report — the sources-sized checkpointed frame
     // is served once per (session, corpus fingerprint)
     Memo.cached(sourceRepCache,
-        (spark, dir, Memo.fingerprint(spark, s"$dir/documents.parquet"))) {
+        (spark, dir, Memo.fingerprint(spark, s"$dir/documents.parquet")),
+        onEvict = Memo.releaseOnEvict,
+        label = "sourceReputation") {
       sourceReputationUncached(spark, dir)
     }
 

@@ -298,7 +298,8 @@ object Similarity {
     Memo.cached(knnGraphCache,
         (spark, dir, nPlanes, k,
           Memo.fingerprint(spark, s"$dir/embeddings.parquet")),
-        onEvict = (df: DataFrame) => df.unpersist()) {
+        onEvict = (df: DataFrame) => df.unpersist(),
+        label = s"knnGraph/$nPlanes/$k") {
       val df = knnGraphUncached(spark, dir, nPlanes, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
@@ -1597,7 +1598,8 @@ object Similarity {
     // for the life of the JVM across sweep/spec invocations).
     val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
     Memo.cached(ivfPqIndexCache, (spark, dir, tag, fp),
-        onEvict = (df: DataFrame) => df.unpersist()) {
+        onEvict = (df: DataFrame) => df.unpersist(),
+        label = s"ivfPqIndex/$tag") {
       val df = withCell
         .select($"vec_id", $"cell", adcOf(resCodes).as("adc"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1705,7 +1707,7 @@ object Similarity {
     val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
     Memo.cached(trainedCodebookCache,
         (spark, dir, nCells, nBlocks, codesPerBlock, iters, seedHexMax,
-          fp)) {
+          fp), label = "trainedCodebook") {
       trainedIvfPqCodebooksUncached(spark, dir, nCells, nBlocks,
         codesPerBlock, iters, seedHexMax)
     }
@@ -2305,6 +2307,7 @@ object Similarity {
       s"nPlanes=$nPlanes not divisible by nBands=$nBands")
     val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
     Memo.cached(edgeIndexCache, (spark, dir, nPlanes, nBands, fp),
+        label = s"edgeIndex/$nPlanes/$nBands",
         onEvict = (v: Option[EdgeIndex]) => {
           // a cached RouteIndex overlay references these frames; left in
           // place it would silently recompute the banded build from
@@ -2423,7 +2426,8 @@ object Similarity {
       s"out-degree $maxK exceeds the shared index width $RouteIndexMaxK")
     val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
     Memo.cached(routeIndexCache,
-        (spark, dir, nPlanes, nBands, queryIds, entryId, fp)) {
+        (spark, dir, nPlanes, nBands, queryIds, entryId, fp),
+        label = "routeIndex") {
       buildRouteIndexUncached(spark, dir, nPlanes, nBands, queryIds,
         entryId)
     }
@@ -2728,11 +2732,17 @@ object Similarity {
       entryId: Long): (DataFrame, DataFrame) =
     Memo.cached(wideQtCache,
         (spark, dir, nPlanes, nBands, entryId,
-          Memo.fingerprint(spark, s"$dir/embeddings.parquet"))) {
+          Memo.fingerprint(spark, s"$dir/embeddings.parquet")),
+        onEvict = (v: (DataFrame, DataFrame)) => {
+          Memo.releaseOnEvict(v._1); Memo.releaseOnEvict(v._2)
+        },
+        label = "wideRouteQueries") {
       val qSel =
         substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax
       val qt = routeBatchQueries(idx, qSel, entryId).localCheckpoint(true)
-      (qt, routeBatchExact(idx, qt).localCheckpoint(true))
+      // the exact arm is a lazy checkpoint: its blocks land inside the
+      // first consumer's broadcast collect instead of a standalone job
+      (qt, routeBatchExact(idx, qt).localCheckpoint(false))
     }
 
   private def routeBatchExact(idx: EdgeIndex, qt: DataFrame): DataFrame =
@@ -2768,7 +2778,10 @@ object Similarity {
   private def graphRouteAnnBatchCore(spark: SparkSession, dir: String,
       nPlanes: Int, nBands: Int, kOuts: Seq[Int], maxHops: Int,
       qSel: Column, entryId: Long,
-      preQt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      // a THUNK (round-13 ADVICE): the memoized wide pair must not be
+      // computed (and cached) before this core's argument/entry
+      // validation runs — invalid calls fail before paying the build
+      preQt: Option[() => (DataFrame, DataFrame)] = None): DataFrame = {
     import spark.implicits._
     require(kOuts.nonEmpty && kOuts == kOuts.sorted && kOuts.distinct == kOuts,
       s"kOuts must be distinct ascending, got $kOuts")
@@ -2787,7 +2800,7 @@ object Similarity {
       s"entry $entryId is not its content group's representative — " +
         "the oracle's rep-only seed would diverge from the engine")
     val (qt, preExact) = preQt match {
-      case Some((q, e)) => (q, Some(e))
+      case Some(f) => val (q, e) = f(); (q, Some(e))
       case None =>
         (routeBatchQueries(idx, qSel, entryId).localCheckpoint(true), None)
     }
@@ -2813,7 +2826,12 @@ object Similarity {
       state0: DataFrame, maxHops: Int,
       preExact: Option[DataFrame] = None): DataFrame = {
     import idx.e3r.sparkSession.implicits._
-    var state = state0.withColumn("evals", lit(0L)).localCheckpoint(true)
+    // per-hop LAZY checkpoints (round-14, guide §2.4): each hop's plan
+    // still flattens to a LogicalRDD (the state is referenced three
+    // times per hop — the lineage cut is load-bearing), but the blocks
+    // land inside the caller's first action instead of one standalone
+    // driver job per hop — maxHops fewer round-trips per descent
+    var state = state0.withColumn("evals", lit(0L)).localCheckpoint(false)
     for (_ <- 1 to maxHops) {
       // candidates: ranked out-neighbors of each arm's current node at
       // that arm's degree, minus the query's own rep, scored by exact
@@ -2844,7 +2862,7 @@ object Similarity {
           ($"hops" + when($"nid" =!= $"cur", lit(1L)).otherwise(lit(0L)))
             .as("hops"),
           ($"evals" + $"ne").as("evals"))
-        .localCheckpoint(true) // per-hop lineage cut (the q224 rule)
+        .localCheckpoint(false) // per-hop lineage cut (the q224 rule)
     }
     state.join(broadcast(preExact.getOrElse(routeBatchExact(idx, qt))),
         Seq("query_id"))
@@ -2874,7 +2892,8 @@ object Similarity {
   private def beamRouteAnnBatchCore(spark: SparkSession, dir: String,
       nPlanes: Int, nBands: Int, kOut: Int, beams: Seq[Int], maxHops: Int,
       qSel: Column, entryId: Long,
-      preQt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      // thunk — see graphRouteAnnBatchCore
+      preQt: Option[() => (DataFrame, DataFrame)] = None): DataFrame = {
     import spark.implicits._
     require(beams.nonEmpty && beams == beams.sorted && beams.distinct == beams,
       s"beams must be distinct ascending, got $beams")
@@ -2891,7 +2910,7 @@ object Similarity {
       s"entry $entryId is not its content group's representative — " +
         "the oracle's rep-only seed would diverge from the engine")
     val (qt, preExact) = preQt match {
-      case Some((q, e)) => (q, Some(e))
+      case Some(f) => val (q, e) = f(); (q, Some(e))
       case None =>
         (routeBatchQueries(idx, qSel, entryId).localCheckpoint(true), None)
     }
@@ -2899,11 +2918,12 @@ object Similarity {
     val wFront = Window.partitionBy($"beam", $"query_id")
       .orderBy($"d2", $"id")
     // frontier: ≤ beam rows per (arm, query)
+    // lazy per-hop checkpoints — the greedyDescentRows round-14 note
     var front = qt.crossJoin(broadcast(ev))
       .select(explode(array(beams.map(b => lit(b.toLong)): _*)).as("beam"),
         $"query_id", lit(entryId).as("id"),
         call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to maxHops) {
       // new neighbor ids: out-edges of the frontier at kOut, minus the
       // query's rep, minus ids already in the frontier (prev members
@@ -2924,7 +2944,7 @@ object Similarity {
         .withColumn("rnf", row_number().over(wFront))
         .filter($"rnf" <= $"beam")
         .select($"beam", $"query_id", $"id", $"d2")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     front.withColumn("rnf", row_number().over(wFront))
       .filter($"rnf" === 1)
@@ -2979,7 +2999,7 @@ object Similarity {
       substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax,
       entryId,
       buildEdgeIndex(spark, dir, nPlanes, nBands).map(idx =>
-        wideRouteQueries(spark, dir, idx, nPlanes, nBands, entryId)))
+        () => wideRouteQueries(spark, dir, idx, nPlanes, nBands, entryId)))
       .groupBy(col("k_out"))
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
@@ -2998,7 +3018,7 @@ object Similarity {
       substring(md5(col("vec_id").cast("string")), 1, 2) <= RouteWideHexMax,
       entryId,
       buildEdgeIndex(spark, dir, nPlanes, nBands).map(idx =>
-        wideRouteQueries(spark, dir, idx, nPlanes, nBands, entryId)))
+        () => wideRouteQueries(spark, dir, idx, nPlanes, nBands, entryId)))
       .groupBy(col("beam"))
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_hits"))
@@ -3201,15 +3221,19 @@ object Similarity {
         "maxEvalPairs if this corpus size is intentional")
     // the shared scorer: every (query, rep ≠ own rep) exact-i64 d² —
     // one broadcast join, reused by every family's ranking and by truth
+    // round-14: every checkpoint in this table is LAZY — the blocks
+    // land inside the single final-union action instead of ~10
+    // standalone driver jobs (guide §2.4); the lineage cut per stage is
+    // unchanged, so plans stay bounded
     val qd = idx.e3r.join(broadcast(qt), col("vec_id") =!= col("rep_id"))
       .select($"query_id", $"vec_id",
         call_function("pq_d2", $"v", lit(0), $"qv").as("d2"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val wq = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
     val truthK = qd.withColumn("rk", row_number().over(wq))
       .filter($"rk" <= k)
       .select($"query_id", $"vec_id", $"rk")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val exactNN = truthK.filter($"rk" === 1)
       .select($"query_id", $"vec_id".as("nn"))
     /** One family row from its scored candidate pairs
@@ -3223,7 +3247,7 @@ object Similarity {
         .withColumn("rk", row_number().over(Window
           .partitionBy($"query_id").orderBy($"score", $"vec_id")))
         .filter($"rk" <= k)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val overlap = ranked
         .join(truthK.select($"query_id", $"vec_id"),
           Seq("query_id", "vec_id"), "left_semi")
@@ -3291,7 +3315,7 @@ object Similarity {
       .join(repCell, Seq("cell"))
       .select($"query_id", $"vec_id")
       .join(qd, Seq("query_id", "vec_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val ivfRow = familyRow(s"ivf_p$nProbe", ivfPairs
       .select($"query_id", $"vec_id", $"d2".as("score")))
     // pq_adc: md5-seeded per-block codes at e3 scale; reps encoded
@@ -3321,7 +3345,7 @@ object Similarity {
       .agg(sum($"ltv").as("score"))
       .join(qd.select($"query_id", $"vec_id"),
         Seq("query_id", "vec_id"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val adcRow = familyRow("pq_adc", adcAll)
     // ivf_pq_p4: the ivf candidate set ranked by the ADC score
     val ivfPqRow = familyRow(s"ivf_pq_p$nProbe", adcAll
@@ -3335,7 +3359,7 @@ object Similarity {
         call_function("pq_d2", $"qv", lit(0), $"ev").as("d2"),
         lit(0L).as("hops"))
     val g = greedyDescentRows(idx, qt, state0, maxHops, widePair.map(_._2))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val graphRow = familyRow(s"graph_greedy_k$kOut",
       g.select($"query_id", $"routed_id".as("vec_id"),
         $"routed_d2".as("score")),
@@ -4094,7 +4118,8 @@ object Similarity {
   private def spectralCore(spark: SparkSession, dir: String,
       iters: Int): Option[Spectral] = {
     val fp = Memo.fingerprint(spark, s"$dir/embeddings.parquet")
-    Memo.cached(spectralCache, (spark, dir, iters, fp)) {
+    Memo.cached(spectralCache, (spark, dir, iters, fp),
+        label = "spectralMoments") {
       import spark.implicits._
       val base = spark.read.parquet(s"$dir/embeddings.parquet")
         .filter($"embedding".isNotNull)

@@ -1163,7 +1163,9 @@ object TextAnalysis {
     // inside q100's health report — the sources-sized checkpointed frame
     // is served once per (session, corpus fingerprint)
     Memo.cached(sourceDivCache,
-        (spark, dir, Memo.fingerprint(spark, s"$dir/documents.parquet"))) {
+        (spark, dir, Memo.fingerprint(spark, s"$dir/documents.parquet")),
+        onEvict = Memo.releaseOnEvict,
+        label = "sourceDivergence") {
       sourceDivergenceUncached(spark, dir)
     }
 
@@ -2298,7 +2300,10 @@ object TextAnalysis {
     // fingerprint, k); the merge rows are driver state and the final
     // positions table is already checkpointed.
     Memo.cached(bpeTrainCache,
-        (spark, dir, k, Memo.fingerprint(spark, s"$dir/documents.parquet"))) {
+        (spark, dir, k, Memo.fingerprint(spark, s"$dir/documents.parquet")),
+        onEvict = (v: (Seq[(Long, String, String, String, Long)], DataFrame)) =>
+          Memo.releaseOnEvict(v._2),
+        label = s"bpeTrain/$k") {
       bpeTrainUncached(spark, dir, k)
     }
 
@@ -2477,7 +2482,8 @@ object TextAnalysis {
     // values are localCheckpoint'd — eviction must unpersist the pinned
     // blocks, not just drop the reference (round-10 ADVICE)
     Memo.cached(kmvTableCache, (spark, dir, k, n, fp),
-        onEvict = (df: DataFrame) => { df.unpersist(); () }) {
+        onEvict = (df: DataFrame) => { df.unpersist(); () },
+        label = s"kmvSketch/$k/$n") {
       import spark.implicits._
       docs(spark, dir)
         .select($"source", explode(Dedup.ngramsOf(toks, n)).as("gram"))

@@ -276,12 +276,15 @@ object VecStreams {
     graft.functions.VectorOps.register(spark)
     if (planes.length < nPlanes) return state // the q293 sub-nPlanes law
     val fresh = newVecs.select(col("vec_id"), col("embedding"))
-    val maxRep = state.repVecs.agg(max(col("vec_id"))).collect()(0)
-    val minNew = fresh.agg(min(col("vec_id"))).collect()(0)
-    if (minNew.isNullAt(0)) return state // empty batch
-    require(maxRep.isNullAt(0) || minNew.getLong(0) > maxRep.getLong(0),
-      s"arriving vec_id ${minNew.get(0)} does not exceed the stored rep " +
-        s"ceiling ${maxRep.get(0)} — min-id rep election would need a " +
+    // ONE driver action for both boundary scalars (round-14, guide
+    // §2.4): the two 1-row aggregates cross-join into a single collect
+    // instead of two back-to-back jobs per fold
+    val bounds = state.repVecs.agg(max(col("vec_id")).as("max_rep"))
+      .crossJoin(fresh.agg(min(col("vec_id")).as("min_new"))).collect()(0)
+    if (bounds.isNullAt(1)) return state // empty batch
+    require(bounds.isNullAt(0) || bounds.getLong(1) > bounds.getLong(0),
+      s"arriving vec_id ${bounds.get(1)} does not exceed the stored rep " +
+        s"ceiling ${bounds.get(0)} — min-id rep election would need a " +
         "rebuild, not a patch")
     // 1. dedup the batch against itself (min id per e3 group, keeping
     // that row's own embedding) and against the existing reps
@@ -290,18 +293,25 @@ object VecStreams {
       .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"))
     val stateE3 = state.repVecs.select(col("vec_id"), e3Col.as("v"))
+    // LAZY checkpoint + count (round-14, guide §2.4): the emptiness
+    // probe materializes the checkpoint in the same job (a count, not
+    // isEmpty: isEmpty computes one partition and leaves the lazy
+    // checkpoint to a fill-in job), halving this step's driver trips
     val newReps = newE3
       .join(newGroupReps, Seq("vec_id"), "left_semi")
       .join(stateE3.select(col("v")), Seq("v"), "left_anti")
       .select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
-    if (newReps.isEmpty) return state // all duplicates: index unchanged
+      .localCheckpoint(false)
+    if (newReps.count() == 0) return state // all duplicates: unchanged
     // 2. banded signatures: the DELTA's via the shared projection over
     // the batch only; the base's from the carried state table — never
-    // recomputed from the base corpus (round-12 verdict #1)
+    // recomputed from the base corpus (round-12 verdict #1). Lazy
+    // checkpoints: the blocks land inside the first consuming job
+    // (plans are flattened to LogicalRDD either way), removing one
+    // standalone materialization job per table per fold.
     val baseSigs = state.sigs
     val newSigs = sigsOf(newReps, planes, nBands, nPlanes)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val allSigs = baseSigs.unionByName(newSigs)
     val allVecs = state.repVecs.unionByName(newReps)
       .select(col("vec_id"), e3Col.as("v"))
@@ -351,7 +361,7 @@ object VecStreams {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val affected = baseCand.select(col("src")).distinct()
     val oldKept = state.ranked
       .join(broadcast(affected), Seq("src"), "left_semi")
@@ -367,10 +377,13 @@ object VecStreams {
     // rewritten through the anti-join, so IT checkpoints per fold
     // (leaving it lazy would re-run every prior fold's patch chain on
     // each read)
+    // lazy too: the next fold's first job over the ranked table (or the
+    // query's own sink) materializes it — per fold the only standalone
+    // driver actions left are the boundary collect and the rep count
     RouteIndexState(
       state.repVecs.unionByName(newReps),
       state.sigs.unionByName(newSigs),
       untouched.unionByName(patched).unionByName(newEdges)
-        .localCheckpoint(true))
+        .localCheckpoint(false))
   }
 }

@@ -72,6 +72,44 @@ class Round14OptSpec extends AnyFunSuite {
     assert(minsNative == minsDirect)
   }
 
+  test("fixpoint rounds run ONE standalone driver action each (lazy checkpoint + count merge)") {
+    // warm the KNN edge memo so only the loop's own jobs are counted,
+    // then count Spark jobs across a full pagerank fixpoint: per round
+    // the lazy local checkpoint must be materialized BY the convergence
+    // count — ONE action per round. Under AQE every shuffle-stage
+    // materialization is its own job, so the measured shape is ~8
+    // jobs/round (measured 92 for 12 rounds on this fixture); the bound
+    // pins against a recompute-chain regression (an un-cut lineage or a
+    // lost cache re-runs prior rounds per action and multiplies the
+    // count), with slack for stage-count variation.
+    Graph.pageRankFixpoint(spark, sf).collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val iters =
+      try {
+        val (df, it) = Graph.pageRankFixpointWithStats(spark, sf)
+        df.collect()
+        // listenerBus is private[spark] — the same reflective drain the
+        // bench uses, degrading to a bounded sleep
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        } catch { case _: Throwable => Thread.sleep(500L) }
+        it
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val n = jobs.get
+    info(s"pagerank fixpoint: $iters rounds, $n jobs")
+    assert(n <= 11 * iters + 12,
+      s"$n jobs for $iters rounds — a per-round recompute chain appeared")
+  }
+
   test("keeper pair grid: heavy-shingle decomposition emits exactly the plain join's rows") {
     import spark.implicits._
     // 300 distinct docs sharing one boilerplate shingle (df = 300),

@@ -249,6 +249,7 @@ object ScaleBench {
       case "skew" => Seq("skew_join")     // custom runner below, not SparkEntry
       case "stream" => Seq("stream_ingest") // custom runner below, not SparkEntry
       case "maintain" => Seq("maintain_fold") // custom runner below, not SparkEntry
+      case "keeperskew" => Seq("keeper_skew_q39") // custom runner below, not SparkEntry
       case "hotsource" =>
         // q226 is the purpose-built victim: a per-source top-k where 90%
         // of the corpus shares ONE source — flat iff the salt split works.
@@ -471,6 +472,29 @@ object ScaleBench {
       println(f"""{"factor":$k,"query":"maintain_fold2","secs":$fold2Secs%.2f,"rows":200,"n_planes":$nPlanes,"edges":$edges}""")
     }
 
+    /** The keeper hot-shingle pathology (round-14, VERDICT r13 "what's
+      * wrong" #3): a FIXED 4000-document slice shares one appended
+      * boilerplate phrase, so those shingles' document frequency stays
+      * 4000 at EVERY factor — above the 256 cap, the regime where the
+      * plain self-join lands one key's 4000 rows on one task and fans
+      * ~8M pair rows out of it. The timed q39 build now runs
+      * `keeperPairRows`' df-adaptive grid split; the row reports the
+      * measured boilerplate df next to the wall so the table shows the
+      * heavy branch engaged (df > cap) without a df² task. NO warm-up
+      * on purpose: the first call IS the memoized table's build, the
+      * object under test (a second call would read the memo).
+      */
+    def keeperSkewBench(dir: String, k: Int): Unit = {
+      val fn = SparkEntry.queries("q39_deduped_jaccard")
+      val secs = timeNoop(fn(spark, dir))
+      val rows = fn(spark, dir).count() // memo-served, untimed
+      // measured df of the planted phrase (distinct keepers carrying it)
+      val hotDf = spark.read.parquet(s"$dir/documents.parquet")
+        .filter($"text".contains("shared boiler plate phrase"))
+        .select($"text").distinct().count()
+      println(f"""{"factor":$k,"query":"keeper_skew_q39","secs":$secs%.2f,"rows":$rows,"hot_df":$hotDf}""")
+    }
+
     for (k <- factors) {
       val dir = s"$base/x$k"
       mode match {
@@ -521,6 +545,25 @@ object ScaleBench {
                 "((rep >> (i % 8)) & 1) as float))"))
             .drop("rep")
             .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        case "keeperskew" =>
+          // replicas get DISTINCT text (a per-replica suffix — identical
+          // replicas would collapse to one keeper and the join input
+          // would never grow with the factor) and the fixed 4000-doc
+          // base slice carries the constant-df boilerplate phrase
+          val reps = spark.range(k).select($"id".as("rep"))
+          spark.read.parquet(s"$srcDir/documents.parquet")
+            .crossJoin(reps)
+            .withColumn("doc_id",
+              $"doc_id" + $"rep" * maxOf("documents", "doc_id"))
+            .withColumn("text",
+              when($"rep" > 0, concat($"text", lit(" replica marker "),
+                $"rep")).otherwise($"text"))
+            .withColumn("text",
+              when($"doc_id" < 4000, concat($"text",
+                lit(" shared boiler plate phrase every skewed keeper repeats")))
+                .otherwise($"text"))
+            .drop("rep")
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         case _ =>
           replicate("documents", Seq("doc_id"), k, dir, maxOf("documents", "doc_id"))
           replicate("embeddings", Seq("vec_id"), k, dir, maxOf("embeddings", "vec_id"))
@@ -529,6 +572,7 @@ object ScaleBench {
       else if (mode == "skew") { skewBench(dir, k) }
       else if (mode == "stream") { streamBench(dir, k) }
       else if (mode == "maintain") { maintainBench(dir, k) }
+      else if (mode == "keeperskew") { keeperSkewBench(dir, k) }
       else for (name <- queries) {
         val fn = SparkEntry.queries(name)
         // timed: the noop materialization only (same action Bench times);
